@@ -1,0 +1,180 @@
+"""Table catalog: explicit schemas + loaders for the test corpus.
+
+The reference declares fixed DDL schemas (LoadXML2DB.ChatterjeeP.R:29-63,
+LoadDataWarehouse.ChatterjeeP.R:42-77); we mirror that stance with explicit
+StructTypes — production paths never rely on schema inference. Loading with
+an explicit schema also lets the vectorized Parquet reader prune columns and
+push filters (verify via .explain: ReadSchema / PushedFilters).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+# --- driver test corpus (TPC-H-ish star + events/documents/embeddings) ---
+
+TPCH_TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+# Small dimensions we always want broadcast in star joins.
+BROADCAST_DIMS = {"region", "nation", "customer", "supplier", "part"}
+
+SCHEMAS: dict[str, T.StructType] = {
+    "region": T.StructType(
+        [
+            T.StructField("r_regionkey", T.IntegerType()),
+            T.StructField("r_name", T.StringType()),
+        ]
+    ),
+    "nation": T.StructType(
+        [
+            T.StructField("n_nationkey", T.IntegerType()),
+            T.StructField("n_name", T.StringType()),
+            T.StructField("n_regionkey", T.IntegerType()),
+        ]
+    ),
+    "customer": T.StructType(
+        [
+            T.StructField("c_custkey", T.LongType()),
+            T.StructField("c_name", T.StringType()),
+            T.StructField("c_nationkey", T.IntegerType()),
+            T.StructField("c_acctbal", T.DoubleType()),
+            T.StructField("c_mktsegment", T.StringType()),
+        ]
+    ),
+    "supplier": T.StructType(
+        [
+            T.StructField("s_suppkey", T.LongType()),
+            T.StructField("s_name", T.StringType()),
+            T.StructField("s_nationkey", T.IntegerType()),
+            T.StructField("s_acctbal", T.DoubleType()),
+        ]
+    ),
+    "part": T.StructType(
+        [
+            T.StructField("p_partkey", T.LongType()),
+            T.StructField("p_name", T.StringType()),
+            T.StructField("p_brand", T.StringType()),
+            T.StructField("p_type", T.StringType()),
+            T.StructField("p_size", T.IntegerType()),
+            T.StructField("p_retailprice", T.DoubleType()),
+        ]
+    ),
+    "orders": T.StructType(
+        [
+            T.StructField("o_orderkey", T.LongType()),
+            T.StructField("o_custkey", T.LongType()),
+            T.StructField("o_orderstatus", T.StringType()),
+            T.StructField("o_totalprice", T.DoubleType()),
+            T.StructField("o_orderdate", T.TimestampType()),
+            T.StructField("o_orderpriority", T.StringType()),
+        ]
+    ),
+    "lineitem": T.StructType(
+        [
+            T.StructField("l_orderkey", T.LongType()),
+            T.StructField("l_partkey", T.LongType()),
+            T.StructField("l_suppkey", T.LongType()),
+            T.StructField("l_linenumber", T.IntegerType()),
+            T.StructField("l_quantity", T.DoubleType()),
+            T.StructField("l_extendedprice", T.DoubleType()),
+            T.StructField("l_discount", T.DoubleType()),
+            T.StructField("l_tax", T.DoubleType()),
+            T.StructField("l_returnflag", T.StringType()),
+            T.StructField("l_linestatus", T.StringType()),
+            T.StructField("l_shipdate", T.TimestampType()),
+        ]
+    ),
+    "events": T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    ),
+    "documents": T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    ),
+    "embeddings": T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+            T.StructField("label", T.IntegerType()),
+        ]
+    ),
+}
+
+# --- pharma star schema (the reference's own data model, SURVEY.md §1) ---
+
+PHARMA_SCHEMAS: dict[str, T.StructType] = {
+    # LoadXML2DB.ChatterjeeP.R:29-32
+    "products": T.StructType(
+        [
+            T.StructField("product_id", T.IntegerType()),
+            T.StructField("product_name", T.StringType()),
+        ]
+    ),
+    # LoadXML2DB.ChatterjeeP.R:34-39
+    "reps": T.StructType(
+        [
+            T.StructField("rep_id", T.StringType()),
+            T.StructField("first_name", T.StringType()),
+            T.StructField("last_name", T.StringType()),
+            T.StructField("territory", T.StringType()),
+        ]
+    ),
+    # LoadXML2DB.ChatterjeeP.R:41-45
+    "customers": T.StructType(
+        [
+            T.StructField("customer_id", T.IntegerType()),
+            T.StructField("customer_name", T.StringType()),
+            T.StructField("country", T.StringType()),
+        ]
+    ),
+    # LoadXML2DB.ChatterjeeP.R:47-57 (sale_date carried as string M/D/YYYY)
+    "salestxn": T.StructType(
+        [
+            T.StructField("txn_id", T.IntegerType()),
+            T.StructField("product_id", T.IntegerType()),
+            T.StructField("rep_id", T.StringType()),
+            T.StructField("customer_id", T.IntegerType()),
+            T.StructField("sale_date", T.StringType()),
+            T.StructField("sale_amount", T.DoubleType()),
+        ]
+    ),
+}
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one corpus table with its declared schema."""
+    return spark.read.schema(SCHEMAS[name]).parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None) -> dict[str, DataFrame]:
+    return {n: load_table(spark, sf_dir, n) for n in (names or TPCH_TABLES)}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every corpus table as a temp view for spark.sql paths."""
+    for n in TPCH_TABLES:
+        load_table(spark, sf_dir, n).createOrReplaceTempView(n)
