@@ -10,6 +10,7 @@ push filters (verify via .explain: ReadSchema / PushedFilters).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 # --- driver test corpus (TPC-H-ish star + events/documents/embeddings) ---
@@ -96,10 +97,14 @@ SCHEMAS: dict[str, T.StructType] = {
             T.StructField("l_shipdate", T.TimestampType()),
         ]
     ),
+    # NOTE: the events parquet carries TIMESTAMP(NANOS), which Spark's
+    # vectorized reader rejects — we read nanos as long (legacy conf) and
+    # convert to a micros TimestampType in load_table, so downstream code
+    # always sees ts: timestamp.
     "events": T.StructType(
         [
             T.StructField("event_id", T.LongType()),
-            T.StructField("ts", T.TimestampType()),
+            T.StructField("ts", T.LongType()),
             T.StructField("user_id", T.LongType()),
             T.StructField("event_type", T.StringType()),
             T.StructField("value", T.DoubleType()),
@@ -167,6 +172,11 @@ PHARMA_SCHEMAS: dict[str, T.StructType] = {
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one corpus table with its declared schema."""
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.schema(SCHEMAS[name]).parquet(f"{sf_dir}/{name}.parquet")
+        # integer div — ns values overflow double precision, never use `/`
+        return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     return spark.read.schema(SCHEMAS[name]).parquet(f"{sf_dir}/{name}.parquet")
 
 

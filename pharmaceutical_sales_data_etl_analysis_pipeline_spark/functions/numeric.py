@@ -35,3 +35,19 @@ def money_sum_sql(expr: str, alias: str) -> str:
 def bigint_sum(col: Column | str, alias: str) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     return F.sum(c.cast("long")).cast("long").alias(alias)
+
+
+def round_half_up(col: Column, digits: int) -> Column:
+    """Engine-portable rounding: floor(x*10^d + 0.5)/10^d.
+
+    Spark's round() is HALF_UP but DuckDB's is half-even; ratio columns hit
+    exact .5 ties constantly (rational values with power-of-10-friendly
+    denominators), so both sides must use this same floor construction.
+    """
+    m = float(10 ** digits)
+    return F.floor(col * m + F.lit(0.5)) / m
+
+
+def round_half_up_sql(expr: str, digits: int) -> str:
+    m = float(10 ** digits)
+    return f"floor(({expr}) * {m} + 0.5) / {m}"

@@ -1,0 +1,384 @@
+"""Deduplication operators over `documents` (north-star LLM-pipeline set):
+
+- exact dedup: content-hash groupBy (bag in, one survivor per content);
+- MinHash + LSH: shingle → per-seed min-hash signature → band → bucket
+  join → candidate pairs (the scale path: candidates come from equi-joins
+  on band keys, never a quadratic self-join);
+- SimHash: 32-bit signature from per-word hash bit votes; near-dups by
+  Hamming distance;
+- n-gram Jaccard: exact set similarity via shingle equi-join (ground truth
+  for the approximate methods on a bounded subset).
+
+Engine-portable hashing: md5 (identical hex output in Spark and DuckDB), so
+every signature is oracle-checkable bit-for-bit. At 100 TB the same plans
+hold: explode(shingles) is linear, signatures are one hash-agg per doc,
+LSH candidates are a shuffle join on band keys with AQE skew handling.
+Reference parity: exact dedup generalizes LoadXML2DB.ChatterjeeP.R:112-135
+(first-occurrence distinct-by-key at ingest).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions.numeric import round_half_up
+
+N_HASHES = 8  # minhash signature width
+N_BANDS = 4   # 2 rows per band
+SIMHASH_BITS = 32
+
+
+# ---------------------------------------------------------------------------
+# word / shingle extraction (shared): 3-word shingles over lowercased text
+# ---------------------------------------------------------------------------
+
+def with_words(documents: DataFrame) -> DataFrame:
+    return documents.select(
+        "doc_id", F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("words")
+    )
+
+
+def with_shingles(documents: DataFrame) -> DataFrame:
+    """doc_id, shingle (distinct 3-word shingles). Spark arrays are 0-based."""
+    return (
+        with_words(documents)
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.expr(
+                        "CASE WHEN size(words) >= 3 THEN "
+                        "transform(sequence(1, size(words) - 2), "
+                        "          i -> concat_ws(' ', words[i-1], words[i], words[i+1])) "
+                        "ELSE array() END"
+                    )
+                )
+            ).alias("shingle"),
+        )
+    )
+
+
+SQL_SHINGLES_CTE = """
+shingled AS (
+  SELECT doc_id, unnest(list_distinct(
+           CASE WHEN len(words) >= 3 THEN
+             list_transform(range(1, len(words) - 1),
+                            i -> concat_ws(' ', words[i], words[i+1], words[i+2]))
+           ELSE [] END)) AS shingle
+  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS words
+        FROM documents) w
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup: hash-groupBy. Input is a bag (we simulate duplicates by
+# unioning the corpus with itself — the reference's six overlapping XML
+# loads produce exactly this shape, LoadXML2DB.ChatterjeeP.R:198..452).
+# ---------------------------------------------------------------------------
+
+def exact_dedup_stats(corpus: DataFrame) -> DataFrame:
+    return (
+        corpus.groupBy(F.md5(F.col("text")).alias("content_hash"))
+        .agg(
+            F.min("doc_id").cast("long").alias("keep_id"),
+            F.count(F.lit(1)).cast("long").alias("n_copies"),
+        )
+    )
+
+
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bag = docs.unionByName(docs)  # duplicated corpus
+    return exact_dedup_stats(bag)
+
+
+SQL_EXACT_DEDUP = """
+SELECT md5(text) AS content_hash,
+       CAST(min(doc_id) AS BIGINT) AS keep_id,
+       CAST(count(*) AS BIGINT) AS n_copies
+FROM (SELECT * FROM documents UNION ALL SELECT * FROM documents) bag
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# MinHash signatures: h_k(doc) = min over shingles of md5(k || '|' || shingle).
+# min() over strings is order-independent → deterministic at any parallelism.
+# ---------------------------------------------------------------------------
+
+def minhash_signatures(documents: DataFrame) -> DataFrame:
+    sh = with_shingles(documents)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{k}|"), F.col("shingle")))).alias(f"h{k}")
+        for k in range(N_HASHES)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_signatures(load_table(spark, sf_dir, "documents"))
+
+
+def _minhash_sig_sql() -> str:
+    aggs = ",\n       ".join(
+        f"min(md5('{k}|' || shingle)) AS h{k}" for k in range(N_HASHES)
+    )
+    return f"""
+WITH {SQL_SHINGLES_CTE}
+SELECT doc_id,
+       {aggs}
+FROM shingled
+GROUP BY doc_id
+"""
+
+
+SQL_MINHASH_SIGNATURES = _minhash_sig_sql()
+
+
+# ---------------------------------------------------------------------------
+# MinHash-LSH candidate pairs: band the signature (2 rows/band), bucket-join
+# on (band_idx, band_key), emit pairs once, attach estimated Jaccard =
+# fraction of matching signature components.
+# ---------------------------------------------------------------------------
+
+def minhash_lsh_candidates(documents: DataFrame) -> DataFrame:
+    sig = minhash_signatures(documents)
+    band_exprs = []
+    for b in range(N_BANDS):
+        cols = " , ".join(f"h{b * 2 + j}" for j in range(2))
+        band_exprs.append(f"{b} , md5(concat({cols}))")
+    bands = sig.select(
+        "doc_id",
+        F.expr(f"stack({N_BANDS}, {', '.join(band_exprs)}) AS (band_idx, band_key)"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = sig.alias("sa")
+    sb = sig.alias("sb")
+    matches = sum(
+        F.when(F.col(f"sa.h{k}") == F.col(f"sb.h{k}"), 1).otherwise(0) for k in range(N_HASHES)
+    )
+    return (
+        pairs.join(sa, pairs.doc_a == F.col("sa.doc_id"))
+        .join(sb, pairs.doc_b == F.col("sb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            round_half_up(matches.cast("double") / N_HASHES, 4).alias("est_jaccard"),
+        )
+    )
+
+
+def q_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_lsh_candidates(load_table(spark, sf_dir, "documents"))
+
+
+def _minhash_lsh_sql() -> str:
+    band_rows = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, {b} AS band_idx, md5(h{b*2} || h{b*2+1}) AS band_key FROM sig"
+        for b in range(N_BANDS)
+    )
+    match_sum = " + ".join(
+        f"CASE WHEN sa.h{k} = sb.h{k} THEN 1 ELSE 0 END" for k in range(N_HASHES)
+    )
+    return f"""
+WITH sig AS ({SQL_MINHASH_SIGNATURES}),
+bands AS (
+{band_rows}
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+)
+SELECT p.doc_a, p.doc_b,
+       floor((CAST(({match_sum}) AS DOUBLE) / {N_HASHES}) * 10000.0 + 0.5) / 10000.0 AS est_jaccard
+FROM pairs p
+JOIN sig sa ON p.doc_a = sa.doc_id
+JOIN sig sb ON p.doc_b = sb.doc_id
+"""
+
+
+SQL_MINHASH_LSH_CANDIDATES = _minhash_lsh_sql()
+
+
+# ---------------------------------------------------------------------------
+# SimHash (32-bit): per 3-word shingle, bit j votes +1/-1 by parity of the
+# ascii code of md5(shingle)'s (j+1)-th hex char; signature bit = majority.
+# Shingle features (not bare words) so documents sharing a vocabulary but
+# not phrasing get distinct signatures. Portable across engines
+# (ascii/md5/% identical); integer arithmetic only.
+# ---------------------------------------------------------------------------
+
+def simhash(documents: DataFrame) -> DataFrame:
+    feats = with_shingles(documents)
+    h = F.md5(F.col("shingle"))
+    bit_aggs = [
+        F.sum(
+            (F.ascii(F.substring(h, j + 1, 1)) % 2 * 2 - 1)
+        ).alias(f"v{j}")
+        for j in range(SIMHASH_BITS)
+    ]
+    votes = feats.groupBy("doc_id").agg(*bit_aggs)
+    sig = sum(
+        F.when(F.col(f"v{j}") > 0, F.lit(2 ** j).cast("long")).otherwise(F.lit(0).cast("long"))
+        for j in range(SIMHASH_BITS)
+    )
+    return votes.select("doc_id", sig.cast("long").alias("simhash"))
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash(load_table(spark, sf_dir, "documents"))
+
+
+def _simhash_sql() -> str:
+    vote_cols = ",\n         ".join(
+        f"sum((ascii(substr(md5(shingle), {j + 1}, 1)) % 2) * 2 - 1) AS v{j}"
+        for j in range(SIMHASH_BITS)
+    )
+    sig = " + ".join(
+        f"CASE WHEN v{j} > 0 THEN CAST({2 ** j} AS BIGINT) ELSE 0 END"
+        for j in range(SIMHASH_BITS)
+    )
+    return f"""
+WITH {SQL_SHINGLES_CTE},
+votes AS (
+  SELECT doc_id,
+         {vote_cols}
+  FROM shingled
+  GROUP BY doc_id
+)
+SELECT doc_id, CAST({sig} AS BIGINT) AS simhash
+FROM votes
+"""
+
+
+SQL_SIMHASH = _simhash_sql()
+
+
+# ---------------------------------------------------------------------------
+# SimHash near-dup pairs: Hamming distance ≤ 6 on a bounded subset
+# (doc_id < 2000). Scale path: band the 32 bits into 4 bytes and LSH-join
+# (any near pair shares a byte-band); here the subset keeps the check exact.
+# ---------------------------------------------------------------------------
+
+HAMMING_MAX = 6
+SIMHASH_SUBSET = 2000
+
+
+def simhash_near_dups(documents: DataFrame) -> DataFrame:
+    sig = simhash(documents.filter(F.col("doc_id") < SIMHASH_SUBSET))
+    a, b = sig.alias("a"), sig.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            ham.cast("int").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= HAMMING_MAX)
+    )
+
+
+def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash_near_dups(load_table(spark, sf_dir, "documents"))
+
+
+SQL_SIMHASH_NEAR_DUPS = f"""
+WITH sig AS (
+  SELECT * FROM ({SQL_SIMHASH}) s WHERE doc_id < {SIMHASH_SUBSET}
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {HAMMING_MAX}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Exact n-gram Jaccard on a bounded subset (ground truth for MinHash):
+# shingle equi-join → |A∩B|, sizes from per-doc counts, J = i/(a+b-i).
+# ---------------------------------------------------------------------------
+
+JACCARD_SUBSET = 1000
+JACCARD_MIN = 0.05
+
+
+def ngram_jaccard(documents: DataFrame) -> DataFrame:
+    sh = with_shingles(documents.filter(F.col("doc_id") < JACCARD_SUBSET))
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    j = F.col("n_inter").cast("double") / (
+        F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("n_inter")
+    ).cast("double")
+    return (
+        inter.join(sa, inter.doc_a == F.col("sa.doc_id"))
+        .join(sb, inter.doc_b == F.col("sb.doc_id"))
+        .select("doc_a", "doc_b", round_half_up(j, 4).alias("jaccard"))
+        .filter(F.col("jaccard") >= JACCARD_MIN)
+    )
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ngram_jaccard(load_table(spark, sf_dir, "documents"))
+
+
+SQL_NGRAM_JACCARD = f"""
+WITH {SQL_SHINGLES_CTE},
+sub AS (SELECT * FROM shingled WHERE doc_id < {JACCARD_SUBSET}),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sub GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+  FROM sub a JOIN sub b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT i.doc_a, i.doc_b,
+       floor((CAST(i.n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - i.n_inter AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 AS jaccard
+FROM inter i
+JOIN sizes sa ON i.doc_a = sa.doc_id
+JOIN sizes sb ON i.doc_b = sb.doc_id
+WHERE floor((CAST(i.n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - i.n_inter AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 >= {JACCARD_MIN}
+"""
+
+
+QUERIES = {
+    "exact_dedup": q_exact_dedup,
+    "minhash_signatures": q_minhash_signatures,
+    "minhash_lsh_candidates": q_minhash_lsh_candidates,
+    "simhash": q_simhash,
+    "simhash_near_dups": q_simhash_near_dups,
+    "ngram_jaccard": q_ngram_jaccard,
+}
+
+ORACLES = {
+    "exact_dedup": SQL_EXACT_DEDUP,
+    "minhash_signatures": SQL_MINHASH_SIGNATURES,
+    "minhash_lsh_candidates": SQL_MINHASH_LSH_CANDIDATES,
+    "simhash": SQL_SIMHASH,
+    "simhash_near_dups": SQL_SIMHASH_NEAR_DUPS,
+    "ngram_jaccard": SQL_NGRAM_JACCARD,
+}

@@ -1,0 +1,228 @@
+"""Event-time operators over `events` (batch forms; streaming twins live in
+`streaming/`). The reference has no streaming (SURVEY.md §2.10) — this is
+the engine surface the north star mandates.
+
+Time bucketing uses integer epoch-microsecond arithmetic
+(unix_micros/epoch_us + make/timestamp_micros) — exact in both engines and
+immune to session-timezone drift. Event `value` sums go through DECIMAL
+(order-independent; see functions.numeric).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+
+HOUR_US = 3_600_000_000
+HALF_HOUR_US = 1_800_000_000
+SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 min
+
+VAL_DEC = "decimal(28,10)"
+
+
+def _vsum(col: str, alias: str):
+    return F.sum(F.col(col).cast(VAL_DEC)).cast("double").alias(alias)
+
+
+def _vsum_sql(expr: str, alias: str) -> str:
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(28,10))) AS DOUBLE) AS {alias}"
+
+
+# ---------------------------------------------------------------------------
+# Tumbling window aggregation (1 hour).
+# ---------------------------------------------------------------------------
+
+def tumbling_hourly(events: DataFrame) -> DataFrame:
+    bucket = F.expr(f"timestamp_micros((unix_micros(ts) div {HOUR_US}) * {HOUR_US})")
+    return (
+        events.groupBy(bucket.alias("window_start"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            _vsum("value", "total_value"),
+        )
+    )
+
+
+def q_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tumbling_hourly(load_table(spark, sf_dir, "events"))
+
+
+SQL_TUMBLING_HOURLY = f"""
+SELECT make_timestamp((epoch_us(ts) // {HOUR_US}) * {HOUR_US}) AS window_start,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       {_vsum_sql('value', 'total_value')}
+FROM events
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# Sliding window aggregation (1 hour window, 30 min slide): every event
+# belongs to exactly 2 windows → explode the two window starts, then a plain
+# hash agg (this is precisely how Spark's window() plans it).
+# ---------------------------------------------------------------------------
+
+def sliding_hourly(events: DataFrame) -> DataFrame:
+    b0 = F.expr(f"timestamp_micros((unix_micros(ts) div {HALF_HOUR_US}) * {HALF_HOUR_US})")
+    b1 = F.expr(
+        f"timestamp_micros((unix_micros(ts) div {HALF_HOUR_US}) * {HALF_HOUR_US} - {HALF_HOUR_US})"
+    )
+    return (
+        events.select(F.explode(F.array(b0, b1)).alias("window_start"), "value")
+        .groupBy("window_start")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            _vsum("value", "total_value"),
+        )
+    )
+
+
+def q_sliding_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sliding_hourly(load_table(spark, sf_dir, "events"))
+
+
+SQL_SLIDING_HOURLY = f"""
+SELECT window_start,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       {_vsum_sql('value', 'total_value')}
+FROM (
+  SELECT unnest([
+           make_timestamp((epoch_us(ts) // {HALF_HOUR_US}) * {HALF_HOUR_US}),
+           make_timestamp((epoch_us(ts) // {HALF_HOUR_US}) * {HALF_HOUR_US} - {HALF_HOUR_US})
+         ]) AS window_start,
+         value
+  FROM events
+) w
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Session windows (gaps-and-islands): new session when the per-user gap
+# exceeds 30 min; session id = running sum of boundaries. The batch twin of
+# session_window()/applyInPandasWithState.
+# ---------------------------------------------------------------------------
+
+def sessionize(events: DataFrame, gap_us: int = SESSION_GAP_US) -> DataFrame:
+    w_order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w_order))
+    boundary = F.when(gap.isNull() | (gap > gap_us), 1).otherwise(0)
+    w_run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return events.withColumn("session_seq", F.sum(boundary).over(w_run).cast("long"))
+
+
+def session_stats(events: DataFrame) -> DataFrame:
+    s = sessionize(events)
+    return s.groupBy("user_id", "session_seq").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        _vsum("value", "total_value"),
+    )
+
+
+def q_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return session_stats(load_table(spark, sf_dir, "events"))
+
+
+SQL_SESSION_STATS = f"""
+WITH flagged AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > {SESSION_GAP_US}
+              THEN 1 ELSE 0 END AS boundary
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessions AS (
+  SELECT user_id, ts, value,
+         sum(boundary) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM flagged
+)
+SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       min(ts) AS session_start,
+       max(ts) AS session_end,
+       {_vsum_sql('value', 'total_value')}
+FROM sessions
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# JSON-ish property extraction (props carries {"k": <int>}) + aggregation.
+# regexp-based so the oracle needs no JSON extension.
+# ---------------------------------------------------------------------------
+
+def props_k_stats(events: DataFrame) -> DataFrame:
+    k = F.regexp_extract(F.col("props"), r'"k":\s*(\d+)', 1).cast("int")
+    return (
+        events.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.col("k").cast("long")).cast("long").alias("sum_k"),
+            F.max("k").cast("int").alias("max_k"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+    )
+
+
+def q_props_k_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return props_k_stats(load_table(spark, sf_dir, "events"))
+
+
+SQL_PROPS_K_STATS = """
+SELECT event_type,
+       CAST(SUM(CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS INT)) AS BIGINT) AS sum_k,
+       CAST(MAX(CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS INT)) AS INT) AS max_k,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM events
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Top-5 users by total event value (O2-style top-k over a stream table).
+# ---------------------------------------------------------------------------
+
+def q_top5_users_by_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy("user_id")
+        .agg(_vsum("value", "total_value"), F.count(F.lit(1)).cast("long").alias("n_events"))
+        .orderBy(F.desc("total_value"), F.asc("user_id"))
+        .limit(5)
+    )
+
+
+SQL_TOP5_USERS_BY_VALUE = f"""
+SELECT user_id, {_vsum_sql('value', 'total_value')},
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events
+GROUP BY 1
+ORDER BY total_value DESC, user_id ASC
+LIMIT 5
+"""
+
+
+QUERIES = {
+    "tumbling_hourly": q_tumbling_hourly,
+    "sliding_hourly": q_sliding_hourly,
+    "session_stats": q_session_stats,
+    "props_k_stats": q_props_k_stats,
+    "top5_users_by_value": q_top5_users_by_value,
+}
+
+ORACLES = {
+    "tumbling_hourly": SQL_TUMBLING_HOURLY,
+    "sliding_hourly": SQL_SLIDING_HOURLY,
+    "session_stats": SQL_SESSION_STATS,
+    "props_k_stats": SQL_PROPS_K_STATS,
+    "top5_users_by_value": SQL_TOP5_USERS_BY_VALUE,
+}

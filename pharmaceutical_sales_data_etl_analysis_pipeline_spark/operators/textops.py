@@ -1,0 +1,211 @@
+"""Text-analysis operators over the `documents` table (SURVEY.md §2.10 /
+north-star extensions): token counting, quality scoring, language ID,
+document fingerprinting.
+
+All hot-path expressions are built-in pyspark.sql.functions (JVM-side,
+whole-stage-codegen) — no Python UDFs. Regexes restricted to the syntax
+subset shared by Java regex (Spark) and RE2 (DuckDB oracle): classes,
+alternation, \\b, \\s, \\w. Determinism notes: ratios are single double
+divisions (exact given exact inputs); no transcendental functions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions.numeric import round_half_up, round_half_up_sql
+
+# token regex: words OR single non-word-non-space symbols (BPE-ish split)
+TOKEN_RE = r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"
+STOPWORD_RE = r"\b(the|a|an|of|to|and|in|is|it|for|on|with)\b"
+PUNCT_RE = r"[^\w\s]"
+
+LANG_STOPWORDS = {
+    "en": r"\b(the|and|of|to|in|is|that|for)\b",
+    "de": r"\b(der|die|das|und|ist|nicht|mit|ein)\b",
+    "fr": r"\b(le|la|les|et|est|une|pour|dans)\b",
+    "es": r"\b(el|los|las|y|es|una|por|para)\b",
+    "zh": "[一-鿿]",
+}
+# deterministic tie order (first wins on equal scores)
+LANG_PRIORITY = ["en", "de", "fr", "es", "zh"]
+
+
+def _count_re(col, pattern: str):
+    return F.size(F.regexp_extract_all(col, F.lit(pattern), F.lit(0)))
+
+
+# ---------------------------------------------------------------------------
+# Token counting: whitespace tokens + BPE-ish regex tokens.
+# ---------------------------------------------------------------------------
+
+def token_counts(documents: DataFrame) -> DataFrame:
+    t = F.col("text")
+    return documents.select(
+        "doc_id",
+        F.size(F.split(F.trim(t), r"\s+")).cast("int").alias("ws_tokens"),
+        _count_re(t, TOKEN_RE).cast("int").alias("re_tokens"),
+        F.length(t).cast("int").alias("n_chars"),
+    )
+
+
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return token_counts(load_table(spark, sf_dir, "documents"))
+
+
+SQL_TOKEN_COUNTS = f"""
+SELECT doc_id,
+       CAST(len(string_split_regex(trim(text), '\\s+')) AS INT) AS ws_tokens,
+       CAST(len(regexp_extract_all(text, '{TOKEN_RE}')) AS INT) AS re_tokens,
+       CAST(length(text) AS INT) AS n_chars
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# Quality scoring: length / punctuation / stopword-ratio heuristics.
+# Score is a clamped linear combination (no exp/log → cross-engine exact).
+# ---------------------------------------------------------------------------
+
+def text_quality(documents: DataFrame) -> DataFrame:
+    t = F.col("text")
+    n_chars = F.length(t).cast("double")
+    n_tokens = F.size(F.split(F.trim(t), r"\s+")).cast("double")
+    n_punct = _count_re(t, PUNCT_RE).cast("double")
+    n_stop = _count_re(F.lower(t), STOPWORD_RE).cast("double")
+    nonspace = F.length(F.regexp_replace(t, r"\s", "")).cast("double")
+    avg_tok = nonspace / n_tokens
+    punct_ratio = n_punct / n_chars
+    stop_ratio = n_stop / n_tokens
+    score = F.least(
+        F.lit(1.0),
+        F.greatest(
+            F.lit(0.0),
+            F.lit(0.2) + F.lit(0.08) * avg_tok - F.lit(2.0) * punct_ratio + F.lit(0.5) * stop_ratio,
+        ),
+    )
+    return documents.select(
+        "doc_id",
+        round_half_up(avg_tok, 4).alias("avg_token_len"),
+        round_half_up(punct_ratio, 4).alias("punct_ratio"),
+        round_half_up(stop_ratio, 4).alias("stopword_ratio"),
+        round_half_up(score, 4).alias("quality_score"),
+    )
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_quality(load_table(spark, sf_dir, "documents"))
+
+
+SQL_TEXT_QUALITY = f"""
+WITH m AS (
+  SELECT doc_id,
+         CAST(length(text) AS DOUBLE) AS n_chars,
+         CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) AS n_tokens,
+         CAST(len(regexp_extract_all(text, '{PUNCT_RE}')) AS DOUBLE) AS n_punct,
+         CAST(len(regexp_extract_all(lower(text), '{STOPWORD_RE}')) AS DOUBLE) AS n_stop,
+         CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE) AS nonspace
+  FROM documents
+)
+SELECT doc_id,
+       floor((nonspace / n_tokens) * 10000.0 + 0.5) / 10000.0 AS avg_token_len,
+       floor((n_punct / n_chars) * 10000.0 + 0.5) / 10000.0 AS punct_ratio,
+       floor((n_stop / n_tokens) * 10000.0 + 0.5) / 10000.0 AS stopword_ratio,
+       floor(least(1.0, greatest(0.0,
+             0.2 + 0.08 * (nonspace / n_tokens)
+                 - 2.0 * (n_punct / n_chars)
+                 + 0.5 * (n_stop / n_tokens))) * 10000.0 + 0.5) / 10000.0 AS quality_score
+FROM m
+"""
+
+
+# ---------------------------------------------------------------------------
+# Language ID: n-gram/stopword-hit heuristic, deterministic argmax.
+# ---------------------------------------------------------------------------
+
+def lang_id(documents: DataFrame) -> DataFrame:
+    t = F.lower(F.col("text"))
+    scores = {k: _count_re(t, pat).cast("int") for k, pat in LANG_STOPWORDS.items()}
+    mx = F.greatest(*scores.values())
+    # CASE chain: first language (in priority order) hitting the max wins ties
+    pred = None
+    for k in LANG_PRIORITY:
+        cond = (scores[k] == mx) & (mx > 0)
+        pred = F.when(cond, F.lit(k)) if pred is None else pred.when(cond, F.lit(k))
+    pred = pred.otherwise(F.lit("und"))
+    return documents.select(
+        "doc_id",
+        *[scores[k].alias(f"score_{k}") for k in LANG_PRIORITY],
+        pred.alias("predicted_lang"),
+    )
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lang_id(load_table(spark, sf_dir, "documents"))
+
+
+def _lang_sql() -> str:
+    score_cols = ",\n         ".join(
+        f"CAST(len(regexp_extract_all(lower(text), '{pat}')) AS INT) AS score_{k}"
+        for k, pat in LANG_STOPWORDS.items()
+    )
+    mx = "greatest(" + ", ".join(f"score_{k}" for k in LANG_PRIORITY) + ")"
+    case = "CASE " + " ".join(
+        f"WHEN score_{k} = {mx} AND {mx} > 0 THEN '{k}'" for k in LANG_PRIORITY
+    ) + " ELSE 'und' END"
+    return f"""
+WITH s AS (
+  SELECT doc_id,
+         {score_cols}
+  FROM documents
+)
+SELECT doc_id, {', '.join('score_' + k for k in LANG_PRIORITY)},
+       {case} AS predicted_lang
+FROM s
+"""
+
+
+SQL_LANG_ID = _lang_sql()
+
+
+# ---------------------------------------------------------------------------
+# Document fingerprinting: md5 of whitespace-normalized lowercased text
+# (content-defined identity for exact dedup / provenance).
+# ---------------------------------------------------------------------------
+
+def fingerprints(documents: DataFrame) -> DataFrame:
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    return documents.select(
+        "doc_id",
+        F.md5(norm).alias("fingerprint"),
+        F.substring(F.md5(norm), 1, 8).alias("fp_prefix"),
+    )
+
+
+def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return fingerprints(load_table(spark, sf_dir, "documents"))
+
+
+SQL_FINGERPRINTS = """
+SELECT doc_id,
+       md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint,
+       substr(md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')), 1, 8) AS fp_prefix
+FROM documents
+"""
+
+
+QUERIES = {
+    "token_counts": q_token_counts,
+    "text_quality": q_text_quality,
+    "lang_id": q_lang_id,
+    "fingerprints": q_fingerprints,
+}
+
+ORACLES = {
+    "token_counts": SQL_TOKEN_COUNTS,
+    "text_quality": SQL_TEXT_QUALITY,
+    "lang_id": SQL_LANG_ID,
+    "fingerprints": SQL_FINGERPRINTS,
+}
