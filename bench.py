@@ -1,0 +1,75 @@
+#!/usr/bin/env python3
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints exactly ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {"q": sec, ...}, "sf": ...}
+
+Each query is forced end-to-end with a noop sink (full computation, no
+result materialization cost on the driver).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pharmaceutical_sales_data_etl_analysis_pipeline_spark.registry import all_queries
+from pharmaceutical_sales_data_etl_analysis_pipeline_spark.session import get_spark
+
+# Representative slice of SURVEY.md §2 + north-star operator families:
+# star aggs, windows/dedup ops, sort/limit, text, minhash, simhash,
+# vector search, event-time windows, sessionization.
+HEADLINE = [
+    "product_facts",
+    "rep_facts",
+    "top1_product",
+    "top3_parts_per_brand",
+    "first_order_per_customer",
+    "exact_dedup",
+    "text_quality",
+    "minhash_lsh_candidates",
+    "simhash",
+    "cosine_topk",
+    "tumbling_hourly",
+    "session_stats",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    queries = all_queries()
+
+    # JVM/codegen warmup on the smallest corpus (not timed)
+    queries["corpus_counts"](spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = queries[name]
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_time",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

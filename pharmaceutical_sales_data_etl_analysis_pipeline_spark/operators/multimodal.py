@@ -1,0 +1,125 @@
+"""Multimodal columns (north-star extension): image/audio/video payloads as
+opaque `binary` columns with typed metadata, processed via Arrow-batched
+mapInPandas.
+
+The container has no image/audio codecs, so the decode step is a
+deterministic fake behind the real Spark plumbing (schema, partitioning,
+Arrow batch shape are all genuine — swap `_fake_decode_meta` for a PIL/ffmpeg
+call and nothing else changes). The SQL-expressible envelope ops
+(size/hash/prefix) are oracle-checked; the mapInPandas feature extraction is
+registered rows-only (non-SQL-expressible).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..catalog import load_table
+
+
+def with_binary_payload(documents: DataFrame) -> DataFrame:
+    """Manufacture a deterministic binary column from text (stand-in for an
+    image/audio payload) plus typed metadata."""
+    return documents.select(
+        "doc_id",
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.struct(
+            F.lit("application/octet-stream").alias("mime"),
+            F.octet_length(F.encode(F.col("text"), "UTF-8")).alias("n_bytes"),
+        ).alias("meta"),
+    )
+
+
+# --- SQL-expressible envelope ops (oracle-checked) -------------------------
+
+def q_binary_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    b = with_binary_payload(load_table(spark, sf_dir, "documents"))
+    return b.select(
+        "doc_id",
+        F.col("meta.mime").alias("mime"),
+        F.col("meta.n_bytes").cast("long").alias("n_bytes"),
+        F.md5(F.col("payload")).alias("payload_md5"),
+        F.hex(F.substring(F.col("payload"), 1, 8)).alias("head_hex"),
+    )
+
+
+SQL_BINARY_ENVELOPE = """
+SELECT doc_id,
+       'application/octet-stream' AS mime,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       md5(text) AS payload_md5,
+       upper(hex(encode(substr(text, 1, 8)))) AS head_hex
+FROM documents
+"""
+
+
+# --- decode / feature extraction via mapInPandas (rows-only check) ---------
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("feature_norm", T.DoubleType()),
+    ]
+)
+
+
+def extract_features(binary_df: DataFrame) -> DataFrame:
+    """Arrow-batched feature extraction: one pandas batch in, one out —
+    never per-row Python. Partitioning, schema, and batch shape are the real
+    production plumbing; only the decoder body is a stand-in.
+
+    Everything the worker runs is defined inside this closure so cloudpickle
+    serializes it by value — workers must not need this package importable
+    (the driver process may have it on sys.path only)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def fake_decode_meta(payload: bytes) -> tuple[int, int, int, float]:
+            # Deterministic stand-in for a real decoder (PIL/ffmpeg). A real
+            # impl would PIL.Image.open(io.BytesIO(payload)) and raise
+            # NotImplementedError on unsupported codecs; fake dims derive
+            # from payload bytes so tests are reproducible.
+            n = len(payload)
+            width = 16 + (payload[0] if n else 0) % 64
+            height = 16 + (payload[-1] if n else 0) % 64
+            n_frames = 1 + n % 8
+            feature_norm = float(sum(payload[:64])) / 255.0
+            return width, height, n_frames, feature_norm
+
+        for pdf in batches:
+            feats = pdf["payload"].map(fake_decode_meta)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": pdf["payload"].map(len).astype("int64"),
+                    "width": feats.map(lambda f: f[0]).astype("int32"),
+                    "height": feats.map(lambda f: f[1]).astype("int32"),
+                    "n_frames": feats.map(lambda f: f[2]).astype("int32"),
+                    "feature_norm": feats.map(lambda f: f[3]).astype("float64"),
+                }
+            )
+
+    return binary_df.mapInPandas(run, FEATURE_SCHEMA)
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return extract_features(with_binary_payload(load_table(spark, sf_dir, "documents")))
+
+
+QUERIES = {
+    "binary_envelope": q_binary_envelope,
+    "multimodal_features": q_multimodal_features,
+}
+
+ORACLES = {
+    "binary_envelope": SQL_BINARY_ENVELOPE,
+}

@@ -13,9 +13,6 @@ from pyspark.sql import DataFrame, SparkSession
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
-_MODULES = []
-
-
 def _collect() -> tuple[dict[str, QueryFn], dict[str, str]]:
     from .operators import relational
 
@@ -44,4 +41,5 @@ def all_queries() -> dict[str, QueryFn]:
 def all_oracles() -> dict[str, str]:
     return _collect()[1]
 
-NO_ORACLE: set[str] = set()
+# non-SQL-expressible ops (mapInPandas feature extraction) → rows-only check
+NO_ORACLE: set[str] = {"multimodal_features"}

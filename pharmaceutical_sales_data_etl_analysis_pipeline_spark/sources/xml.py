@@ -1,0 +1,81 @@
+"""XML ingestion (SURVEY.md §2.1 S1-S5).
+
+Reference behavior being re-expressed (not ported): DOM-parse + per-record
+R loops with attribute access, positional children, and `.//` descendant
+XPath (LoadXML2DB.ChatterjeeP.R:10,15-16,77-80,100-135,178-183).
+
+Primary path: Spark 4's native XML source (`format("xml")`), which shreds
+records distributed, exposes attributes as `_attr` columns and nested
+elements as structs — the scalable replacement for the reference's DOM loop.
+
+Fallback path (read_xml_xpath): wholetext + regex record split + built-in
+`xpath_string` SQL functions. Kept behind the same interface so the engine
+works where the native source is unavailable; fine for dimension-sized
+files, not the 100 TB path (wholetext is per-file single-split).
+
+Ingest-order tagging: the reference's semantics depend on file order and
+record order within file (first-occurrence dedup A3, surrogate keys W1).
+`read_xml_files_ordered` makes that implicit order explicit as
+(file_idx, seq) columns — the parity-critical construction highlighted in
+SURVEY.md §7.3.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def read_xml(spark: SparkSession, path: str, row_tag: str) -> DataFrame:
+    """Native distributed XML scan; attributes surface as `_name` columns."""
+    return (
+        spark.read.format("xml")
+        .option("rowTag", row_tag)
+        .option("attributePrefix", "_")
+        .load(path)
+    )
+
+
+def read_xml_xpath(
+    spark: SparkSession, path: str, row_tag: str, fields: dict[str, str]
+) -> DataFrame:
+    """Fallback: regex record split + xpath_string extraction.
+
+    fields maps output column name -> XPath evaluated against each record
+    fragment (e.g. {"rep_id": "rep/@rID", "cust": "txn//cust"}).
+    """
+    raw = spark.read.option("wholetext", True).text(path)
+    records = raw.select(
+        F.explode(
+            F.expr(f"regexp_extract_all(value, '<{row_tag}[\\\\s\\\\S]*?</{row_tag}>', 0)")
+        ).alias("xml")
+    )
+    cols = [F.expr(f"xpath_string(xml, '{xp}')").alias(name) for name, xp in fields.items()]
+    return records.select(*cols)
+
+
+def read_xml_files_ordered(
+    spark: SparkSession, paths: list[str], row_tag: str
+) -> DataFrame:
+    """Read N XML files preserving (file order, record order) as columns.
+
+    Returns the native-reader schema plus `file_idx` (position of the file in
+    `paths`) and `seq` (1-based record position within the file). Record
+    order relies on monotonically_increasing_id being ascending in document
+    order within each file — exact when a file is one split (dimension-scale
+    parity mode); for multi-split files the per-partition ids remain
+    document-ordered and partition ids follow split order.
+    """
+    parts = []
+    for i, p in enumerate(paths):
+        df = read_xml(spark, p, row_tag)
+        parts.append(
+            df.withColumn("file_idx", F.lit(i)).withColumn(
+                "__mono", F.monotonically_increasing_id()
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    w = Window.partitionBy("file_idx").orderBy("__mono")
+    return out.withColumn("seq", F.row_number().over(w)).drop("__mono")
