@@ -35,7 +35,9 @@ HEADLINE = [
     "text_quality",
     "minhash_lsh_candidates",
     "simhash",
+    "embedding_near_dups",
     "cosine_topk",
+    "lsh_probe_topk",
     "tumbling_hourly",
     "session_stats",
 ]

