@@ -1,0 +1,434 @@
+"""Analytic operator surface beyond the reference's SQL (SURVEY.md §2.4-2.6
+note the reference stops at GROUP BY + ORDER BY/LIMIT; `cube`/`rollup`,
+window frames, pivots, as-of/range joins are the idiomatic Spark
+generalizations a warehouse user expects — A4's manual one-level rollup
+generalizes to CUBE, LoadDataWarehouse.ChatterjeeP.R:142-215).
+
+Scale notes:
+- cube/pivot/conditional aggs are single hash-agg passes (partial+final);
+- the as-of join is implemented as ONE pass over a union-tagged stream with
+  a last-non-null carry-forward window — no join at all, the classic
+  at-scale formulation (beats per-row correlated lookups by orders of
+  magnitude; DuckDB's native ASOF JOIN is the oracle);
+- the range self-join shuffles once on the equi key (user_id) with the time
+  band as a post-join filter; AQE handles per-user skew;
+- salted aggregation demonstrates the hot-key mitigation: pre-aggregate on
+  (key, salt), then merge — DECIMAL sums make the two-stage result exactly
+  equal to the direct aggregation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions.numeric import money_sum, money_sum_sql
+
+VAL_DEC = "decimal(28,10)"
+N_SALT = 8
+
+
+def _vsum(col, alias: str):
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast(VAL_DEC)).cast("double").alias(alias)
+
+
+def _vsum_sql(expr: str, alias: str) -> str:
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(28,10))) AS DOUBLE) AS {alias}"
+
+
+# ---------------------------------------------------------------------------
+# CUBE over (year, orderstatus): every aggregation level in one pass.
+# ---------------------------------------------------------------------------
+
+def cube_sales(orders: DataFrame) -> DataFrame:
+    return (
+        orders.cube(F.year("o_orderdate").alias("year"), F.col("o_orderstatus"))
+        .agg(
+            F.grouping_id().cast("int").alias("level"),
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            money_sum("o_totalprice", "total_price"),
+        )
+    )
+
+
+def q_cube_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cube_sales(load_table(spark, sf_dir, "orders"))
+
+
+SQL_CUBE_SALES = f"""
+SELECT CAST(year(o_orderdate) AS BIGINT) AS year,
+       o_orderstatus,
+       CAST(GROUPING(year(o_orderdate)) * 2 + GROUPING(o_orderstatus) AS INT) AS level,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       {money_sum_sql('o_totalprice', 'total_price')}
+FROM orders
+GROUP BY CUBE (year(o_orderdate), o_orderstatus)
+"""
+
+
+# ---------------------------------------------------------------------------
+# PIVOT: order totals by year × status, statuses as columns.
+# ---------------------------------------------------------------------------
+
+STATUSES = ["O", "P", "F"]
+
+
+def pivot_status_year(orders: DataFrame) -> DataFrame:
+    return (
+        orders.select(F.year("o_orderdate").alias("year"), "o_orderstatus", "o_totalprice")
+        .groupBy("year")
+        .pivot("o_orderstatus", STATUSES)
+        .agg(money_sum("o_totalprice", "t"))
+        .select(
+            "year",
+            *[F.col(s).alias(f"total_{s.lower()}") for s in STATUSES],
+        )
+    )
+
+
+def q_pivot_status_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pivot_status_year(load_table(spark, sf_dir, "orders"))
+
+
+SQL_PIVOT_STATUS_YEAR = "\n".join(
+    ["SELECT CAST(year(o_orderdate) AS BIGINT) AS year,"]
+    + [
+        "       CAST(SUM(CASE WHEN o_orderstatus = '%s' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS total_%s%s"
+        % (s, s.lower(), "," if i < len(STATUSES) - 1 else "")
+        for i, s in enumerate(STATUSES)
+    ]
+    + ["FROM orders", "GROUP BY 1"]
+)
+
+
+# ---------------------------------------------------------------------------
+# Window frame: 3-row moving sum/avg of order totals per customer.
+# Deterministic frame order via (o_orderdate, o_orderkey).
+# ---------------------------------------------------------------------------
+
+def moving_avg_customer(orders: DataFrame) -> DataFrame:
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    msum = F.sum(F.col("o_totalprice").cast(VAL_DEC)).over(w)
+    mcnt = F.count(F.lit(1)).over(w)
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        msum.cast("double").alias("moving_sum"),
+        (msum.cast("double") / mcnt.cast("double")).alias("moving_avg"),
+    )
+
+
+def q_moving_avg_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return moving_avg_customer(load_table(spark, sf_dir, "orders"))
+
+
+SQL_MOVING_AVG_CUSTOMER = """
+SELECT o_orderkey, o_custkey,
+       CAST(msum AS DOUBLE) AS moving_sum,
+       CAST(msum AS DOUBLE) / CAST(mcnt AS DOUBLE) AS moving_avg
+FROM (
+  SELECT o_orderkey, o_custkey,
+         SUM(CAST(o_totalprice AS DECIMAL(28,10))) OVER w AS msum,
+         COUNT(*) OVER w AS mcnt
+  FROM orders
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+) t
+"""
+
+
+# ---------------------------------------------------------------------------
+# As-of join: each click joined to the user's most recent purchase at or
+# before the click. Single-pass formulation: union-tag, carry the last
+# purchase forward with last(..., ignoreNulls) — no join, no per-row lookup.
+# Oracle: DuckDB's native ASOF LEFT JOIN.
+# ---------------------------------------------------------------------------
+
+def asof_purchase_before_click(events: DataFrame) -> DataFrame:
+    pe = events.filter(F.col("event_type").isin("click", "purchase"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    is_p = F.col("event_type") == "purchase"
+    carried = pe.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        F.last(F.when(is_p, F.col("ts")), ignorenulls=True).over(w).alias("last_purchase_ts"),
+        F.last(F.when(is_p, F.col("value")), ignorenulls=True).over(w).alias("last_purchase_value"),
+    )
+    return carried.filter(F.col("event_type") == "click").select(
+        "event_id",
+        "user_id",
+        "ts",
+        "last_purchase_ts",
+        "last_purchase_value",
+        (F.unix_micros("ts") - F.unix_micros("last_purchase_ts")).cast("long").alias("gap_us"),
+    )
+
+
+def q_asof_purchase_before_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return asof_purchase_before_click(load_table(spark, sf_dir, "events"))
+
+
+SQL_ASOF_PURCHASE_BEFORE_CLICK = """
+SELECT c.event_id, c.user_id, c.ts,
+       p.ts AS last_purchase_ts,
+       p.value AS last_purchase_value,
+       CAST(epoch_us(c.ts) - epoch_us(p.ts) AS BIGINT) AS gap_us
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON c.user_id = p.user_id AND p.ts <= c.ts
+"""
+
+
+# ---------------------------------------------------------------------------
+# Range self-join: pairs of same-user events within (0, 5 min]. Equi-join on
+# user_id, band predicate as join condition (post-shuffle filter).
+# ---------------------------------------------------------------------------
+
+RANGE_US = 5 * 60 * 1_000_000
+
+
+def events_within_5min(events: DataFrame) -> DataFrame:
+    e = events.select("event_id", "user_id", "ts").alias("e")
+    f = events.select("event_id", "user_id", "ts").alias("f")
+    gap = F.unix_micros(F.col("f.ts")) - F.unix_micros(F.col("e.ts"))
+    return (
+        e.join(
+            f,
+            (F.col("e.user_id") == F.col("f.user_id"))
+            & (gap > 0)
+            & (gap <= RANGE_US),
+        )
+        .select(
+            F.col("e.event_id").alias("event_a"),
+            F.col("f.event_id").alias("event_b"),
+            F.col("e.user_id").alias("user_id"),
+            gap.cast("long").alias("gap_us"),
+        )
+    )
+
+
+def q_events_within_5min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return events_within_5min(load_table(spark, sf_dir, "events"))
+
+
+SQL_EVENTS_WITHIN_5MIN = f"""
+SELECT e.event_id AS event_a, f.event_id AS event_b, e.user_id,
+       CAST(epoch_us(f.ts) - epoch_us(e.ts) AS BIGINT) AS gap_us
+FROM events e JOIN events f
+  ON e.user_id = f.user_id
+ AND epoch_us(f.ts) - epoch_us(e.ts) > 0
+ AND epoch_us(f.ts) - epoch_us(e.ts) <= {RANGE_US}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Discrete percentiles per group (median + p90 of order totals by priority).
+# Same explicit row_number definition on both engines (no reliance on either
+# engine's percentile convention; value ties pick the identical value).
+# ---------------------------------------------------------------------------
+
+def percentile_disc_prices(orders: DataFrame) -> DataFrame:
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice")
+    ranked = orders.select(
+        "o_orderpriority",
+        "o_totalprice",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("o_orderpriority")).alias("n"),
+    )
+    return (
+        ranked.groupBy("o_orderpriority")
+        .agg(
+            F.max(F.when(F.col("rn") == F.ceil(F.col("n") * 0.5), F.col("o_totalprice"))).alias("p50"),
+            F.max(F.when(F.col("rn") == F.ceil(F.col("n") * 0.9), F.col("o_totalprice"))).alias("p90"),
+            F.max("n").cast("long").alias("n_orders"),
+        )
+    )
+
+
+def q_percentile_disc_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return percentile_disc_prices(load_table(spark, sf_dir, "orders"))
+
+
+SQL_PERCENTILE_DISC_PRICES = """
+WITH ranked AS (
+  SELECT o_orderpriority, o_totalprice,
+         row_number() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice) AS rn,
+         count(*) OVER (PARTITION BY o_orderpriority) AS n
+  FROM orders
+)
+SELECT o_orderpriority,
+       MAX(CASE WHEN rn = CAST(ceil(n * 0.5) AS BIGINT) THEN o_totalprice END) AS p50,
+       MAX(CASE WHEN rn = CAST(ceil(n * 0.9) AS BIGINT) THEN o_totalprice END) AS p90,
+       CAST(MAX(n) AS BIGINT) AS n_orders
+FROM ranked
+GROUP BY o_orderpriority
+"""
+
+
+# ---------------------------------------------------------------------------
+# Salted aggregation: hot-key mitigation for skewed GROUP BY. Stage 1
+# pre-aggregates on (user_id, salt = event_id % 8); stage 2 merges the
+# partials. DECIMAL summation makes the result exactly the direct GROUP BY
+# (which is the oracle).
+# ---------------------------------------------------------------------------
+
+def salted_user_totals(events: DataFrame) -> DataFrame:
+    partial = (
+        events.withColumn("salt", (F.col("event_id") % N_SALT).cast("int"))
+        .groupBy("user_id", "salt")
+        .agg(
+            F.sum(F.col("value").cast(VAL_DEC)).alias("psum"),
+            F.count(F.lit(1)).alias("pcnt"),
+        )
+    )
+    return partial.groupBy("user_id").agg(
+        F.sum("psum").cast("double").alias("total_value"),
+        F.sum("pcnt").cast("long").alias("n_events"),
+    )
+
+
+def q_salted_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return salted_user_totals(load_table(spark, sf_dir, "events"))
+
+
+SQL_SALTED_USER_TOTALS = f"""
+SELECT user_id,
+       {_vsum_sql('value', 'total_value')},
+       CAST(count(*) AS BIGINT) AS n_events
+FROM events
+GROUP BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Multi-column DISTINCT aggregates (one pass, Spark expands internally).
+# ---------------------------------------------------------------------------
+
+def distinct_counts(events: DataFrame) -> DataFrame:
+    return events.agg(
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+        F.countDistinct("event_type").cast("long").alias("n_types"),
+        F.countDistinct("user_id", "event_type").cast("long").alias("n_user_types"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+    )
+
+
+def q_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return distinct_counts(load_table(spark, sf_dir, "events"))
+
+
+SQL_DISTINCT_COUNTS = """
+SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
+       CAST(count(DISTINCT (user_id, event_type)) AS BIGINT) AS n_user_types,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM events
+"""
+
+
+# ---------------------------------------------------------------------------
+# Conditional aggregates: FILTER/CASE-guarded sums and counts per type.
+# ---------------------------------------------------------------------------
+
+def conditional_aggregates(events: DataFrame) -> DataFrame:
+    hi = F.col("value") > 100
+    return events.groupBy("event_type").agg(
+        _vsum(F.when(hi, F.col("value")), "high_value_sum"),
+        F.sum(F.when(hi, 1).otherwise(0)).cast("long").alias("n_high"),
+        F.count(F.lit(1)).cast("long").alias("n_total"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    )
+
+
+def q_conditional_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return conditional_aggregates(load_table(spark, sf_dir, "events"))
+
+
+SQL_CONDITIONAL_AGGREGATES = """
+SELECT event_type,
+       CAST(SUM(CAST(value AS DECIMAL(28,10))) FILTER (WHERE value > 100) AS DOUBLE) AS high_value_sum,
+       CAST(COUNT(*) FILTER (WHERE value > 100) AS BIGINT) AS n_high,
+       CAST(COUNT(*) AS BIGINT) AS n_total,
+       MIN(value) AS min_value,
+       MAX(value) AS max_value
+FROM events
+GROUP BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# Scalar string-function surface (F1-F7 generalization): one projection
+# exercising concat/substr/upper/lower/trim/lpad/replace/instr/length.
+# ---------------------------------------------------------------------------
+
+def string_functions(part: DataFrame) -> DataFrame:
+    name = F.col("p_name")
+    return part.select(
+        "p_partkey",
+        F.upper(name).alias("upper_name"),
+        F.lower(name).alias("lower_name"),
+        F.substring(name, 1, 5).alias("prefix5"),
+        F.length(name).cast("int").alias("name_len"),
+        F.lpad(F.col("p_partkey").cast("string"), 10, "0").alias("padded_key"),
+        F.concat_ws("::", F.col("p_brand"), name).alias("brand_name"),
+        F.regexp_replace(name, " ", "_").alias("snake_name"),
+        F.instr(name, "a").cast("int").alias("first_a"),
+    )
+
+
+def q_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return string_functions(load_table(spark, sf_dir, "part"))
+
+
+SQL_STRING_FUNCTIONS = """
+SELECT p_partkey,
+       upper(p_name) AS upper_name,
+       lower(p_name) AS lower_name,
+       substr(p_name, 1, 5) AS prefix5,
+       CAST(length(p_name) AS INT) AS name_len,
+       lpad(CAST(p_partkey AS VARCHAR), 10, '0') AS padded_key,
+       concat_ws('::', p_brand, p_name) AS brand_name,
+       replace(p_name, ' ', '_') AS snake_name,
+       CAST(strpos(p_name, 'a') AS INT) AS first_a
+FROM part
+"""
+
+
+QUERIES = {
+    "cube_sales": q_cube_sales,
+    "pivot_status_year": q_pivot_status_year,
+    "moving_avg_customer": q_moving_avg_customer,
+    "asof_purchase_before_click": q_asof_purchase_before_click,
+    "events_within_5min": q_events_within_5min,
+    "percentile_disc_prices": q_percentile_disc_prices,
+    "salted_user_totals": q_salted_user_totals,
+    "distinct_counts": q_distinct_counts,
+    "conditional_aggregates": q_conditional_aggregates,
+    "string_functions": q_string_functions,
+}
+
+ORACLES = {
+    "cube_sales": SQL_CUBE_SALES,
+    "pivot_status_year": SQL_PIVOT_STATUS_YEAR,
+    "moving_avg_customer": SQL_MOVING_AVG_CUSTOMER,
+    "asof_purchase_before_click": SQL_ASOF_PURCHASE_BEFORE_CLICK,
+    "events_within_5min": SQL_EVENTS_WITHIN_5MIN,
+    "percentile_disc_prices": SQL_PERCENTILE_DISC_PRICES,
+    "salted_user_totals": SQL_SALTED_USER_TOTALS,
+    "distinct_counts": SQL_DISTINCT_COUNTS,
+    "conditional_aggregates": SQL_CONDITIONAL_AGGREGATES,
+    "string_functions": SQL_STRING_FUNCTIONS,
+}
