@@ -79,3 +79,56 @@ def test_stream_append_ingest_bag_semantics(spark, tmp_path):
     assert out.count() == sum(rows_per_file)          # duplicates preserved
     assert out.select("txn_id").distinct().count() == 4
     assert n_batches == len(rows_per_file)            # one file per trigger
+
+
+def test_stateful_running_totals_across_batches(spark, tmp_path):
+    """applyInPandasWithState: state persists across micro-batches — the
+    second batch's emitted totals include the first batch's contribution."""
+    from pharmaceutical_sales_data_etl_analysis_pipeline_spark.streaming.stateful import (
+        running_user_totals,
+    )
+    from pyspark.sql import types as T
+
+    src = tmp_path / "ev"
+    src.mkdir()
+    batches = [
+        [(1, 10.0), (1, 5.0), (2, 1.0)],
+        [(1, 2.0), (3, 7.0)],
+    ]
+    for i, rows in enumerate(batches):
+        with open(src / f"b{i}.json", "w") as f:
+            for uid, val in rows:
+                f.write(json.dumps({"user_id": uid, "value": val}) + "\n")
+
+    schema = T.StructType(
+        [T.StructField("user_id", T.LongType()), T.StructField("value", T.DoubleType())]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    q = (
+        running_user_totals(stream)
+        .writeStream.format("memory")
+        .queryName("t_stateful")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.table("t_stateful").collect()
+    # cumulative totals = the max-n_events row per user (n is monotone;
+    # file processing order is not guaranteed, so only the final state and
+    # per-batch emission count are asserted)
+    final = {}
+    for r in rows:
+        if r["user_id"] not in final or r["n_events"] > final[r["user_id"]][0]:
+            final[r["user_id"]] = (r["n_events"], r["total_value"])
+    assert final[1] == (3, 17.0)
+    assert final[2] == (1, 1.0)
+    assert final[3] == (1, 7.0)
+    # user 1 appears in both batches → emitted twice, once per micro-batch
+    u1 = [(r["n_events"], r["total_value"]) for r in rows if r["user_id"] == 1]
+    assert len(u1) == 2 and (3, 17.0) in u1
