@@ -223,23 +223,22 @@ SQL_MINHASH_LSH_CANDIDATES = _minhash_lsh_sql()
 
 
 # ---------------------------------------------------------------------------
-# SimHash (32-bit): per 3-word shingle, bit j votes +1/-1 by parity of the
-# ascii code of md5(shingle)'s (j+1)-th hex char; signature bit = majority.
-# Shingle features (not bare words) so documents sharing a vocabulary but
-# not phrasing get distinct signatures. Portable across engines
-# (ascii/md5/% identical); integer arithmetic only.
+# SimHash (32-bit): per 3-word shingle, take the first 32 bits of
+# md5(shingle) as an integer mask; bit j votes +1/-1 by mask bit j and the
+# signature bit is the majority. Shingle features (not bare words) so
+# documents sharing a vocabulary but not phrasing get distinct signatures.
+# One md5 + one hex->int per shingle, then 32 codegen'd shift-and-mask
+# vote sums — integer arithmetic only, portable across engines.
 # ---------------------------------------------------------------------------
 
 def simhash(documents: DataFrame) -> DataFrame:
-    """Explode + 32 codegen'd per-bit vote sums (md5 evaluated once per
-    shingle row by subexpression elimination); map-side partial aggregation
-    keeps the shuffle at one row per doc per partition."""
+    """Explode + 32 codegen'd per-bit vote sums (the md5/hex->int mask is
+    evaluated once per shingle row by subexpression elimination); map-side
+    partial aggregation keeps the shuffle at one row per doc per partition."""
     feats = with_shingles(documents)
-    h = F.md5(F.col("shingle"))
+    mask = F.conv(F.substring(F.md5(F.col("shingle")), 1, 8), 16, 10).cast("long")
     bit_aggs = [
-        F.sum(
-            (F.ascii(F.substring(h, j + 1, 1)) % 2 * 2 - 1)
-        ).alias(f"v{j}")
+        F.sum(F.shiftright(mask, j).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"v{j}")
         for j in range(SIMHASH_BITS)
     ]
     votes = feats.groupBy("doc_id").agg(*bit_aggs)
@@ -256,7 +255,7 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _simhash_sql() -> str:
     vote_cols = ",\n         ".join(
-        f"sum((ascii(substr(md5(shingle), {j + 1}, 1)) % 2) * 2 - 1) AS v{j}"
+        f"sum((((('0x' || substr(md5(shingle), 1, 8))::UBIGINT::BIGINT >> {j}) & 1) * 2 - 1)) AS v{j}"
         for j in range(SIMHASH_BITS)
     )
     sig = " + ".join(
