@@ -1,0 +1,114 @@
+"""Property tests (SURVEY.md §5.2-4): algebraic invariants of the engine's
+operators on hypothesis-generated data. Spark jobs are slow per-example, so
+each property drives ONE Spark evaluation over a generated batch (lists →
+createDataFrame), with example counts kept small."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from pharmaceutical_sales_data_etl_analysis_pipeline_spark.operators.dedup import (
+    exact_dedup_stats,
+)
+from pharmaceutical_sales_data_etl_analysis_pipeline_spark.plans.pharma_pipeline import (
+    repair_rep_ids,
+)
+
+SETTLE = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+
+DOC_SCHEMA = T.StructType(
+    [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+)
+
+docs_strategy = st.lists(
+    st.tuples(st.integers(0, 50), st.text(alphabet="ab c", min_size=0, max_size=20)),
+    min_size=1,
+    max_size=30,
+)
+
+
+@SETTLE
+@given(rows=docs_strategy)
+def test_exact_dedup_idempotent_and_conserving(spark, rows):
+    """Dedup invariants: n_copies sums to input size (conservation), one
+    survivor per distinct content, and dedup of the deduped survivors is a
+    fixpoint (all n_copies == 1)."""
+    df = spark.createDataFrame([(int(i), t) for i, t in rows], DOC_SCHEMA)
+    stats = exact_dedup_stats(df).collect()
+    assert sum(r["n_copies"] for r in stats) == len(rows)
+    assert len(stats) == len({t for _, t in rows})
+    survivors = (
+        df.join(
+            exact_dedup_stats(df).select(F.col("keep_id").alias("doc_id")).distinct(),
+            "doc_id",
+        )
+        .dropDuplicates(["text"])
+    )
+    again = exact_dedup_stats(survivors).collect()
+    assert all(r["n_copies"] == 1 for r in again)
+
+
+@SETTLE
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(1, 999), st.floats(0, 1e6, allow_nan=False)),
+        min_size=1,
+        max_size=50,
+    )
+)
+def test_union_additivity_and_sum_invariant(spark, rows):
+    """UNION ALL (U1) bag semantics: row counts add; DECIMAL sums add
+    exactly (order-independence of the money aggregation)."""
+    schema = T.StructType(
+        [T.StructField("k", T.IntegerType()), T.StructField("amt", T.DoubleType())]
+    )
+    df = spark.createDataFrame(rows, schema)
+    doubled = df.unionByName(df)
+    assert doubled.count() == 2 * len(rows)
+    dec = lambda d: d.agg(F.sum(F.col("amt").cast("decimal(18,2)")).alias("s")).collect()[0]["s"]
+    assert dec(doubled) == 2 * dec(df)
+
+
+@SETTLE
+@given(
+    dates=st.lists(
+        st.tuples(st.integers(1, 12), st.integers(1, 28), st.integers(2000, 2030)),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_date_parse_quarter_bounds(spark, dates):
+    """F1/F3: the non-zero-padded M/D/YYYY parse of the reference roundtrips
+    and QUARTER is always in [1, 4] with quarter == ceil(month / 3)."""
+    raw = [(f"{m}/{d}/{y}", m) for m, d, y in dates]
+    df = spark.createDataFrame(raw, ["sale_date", "month"])
+    out = df.select(
+        "month",
+        F.quarter(F.to_date("sale_date", "M/d/yyyy")).alias("q"),
+        F.year(F.to_date("sale_date", "M/d/yyyy")).alias("y"),
+    ).collect()
+    for r, (m, d, y) in zip(out, dates):
+        assert r["q"] == (m + 2) // 3
+        assert 1 <= r["q"] <= 4
+        assert r["y"] == y
+
+
+@SETTLE
+@given(
+    ids=st.lists(st.text(alphabet="0123456789", min_size=1, max_size=4), min_size=1, max_size=30)
+)
+def test_key_repair_prefixes_exactly_once(spark, ids):
+    """M1: key repair prepends 'r' to every rep_id exactly once; row count
+    and the numeric suffix are preserved."""
+    df = spark.createDataFrame([(i,) for i in ids], ["rep_id"])
+    repaired = repair_rep_ids(df).collect()
+    assert len(repaired) == len(ids)
+    assert sorted(r["rep_id"] for r in repaired) == sorted("r" + i for i in ids)
