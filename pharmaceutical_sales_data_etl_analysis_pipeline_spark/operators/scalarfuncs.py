@@ -1,0 +1,157 @@
+"""Scalar-function surface beyond §2.8's F1-F7: JSON path extraction, date
+arithmetic, null-handling combinators, and regex group extraction. All
+JVM-side built-ins; each query pins the exact cross-engine semantics (the
+subtle ones — month arithmetic clamping, trunc return types, day-diff sign —
+are chosen so Spark and DuckDB agree by construction).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+
+
+# ---------------------------------------------------------------------------
+# JSON path extraction over events.props ({"k": <int>}).
+# ---------------------------------------------------------------------------
+
+def json_extract_props(events: DataFrame) -> DataFrame:
+    k = F.get_json_object(F.col("props"), "$.k")
+    return events.select(
+        "event_id",
+        k.alias("k_str"),
+        k.cast("int").alias("k_int"),
+        (k.cast("int") % 10).cast("int").alias("k_mod10"),
+    )
+
+
+def q_json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return json_extract_props(load_table(spark, sf_dir, "events"))
+
+
+SQL_JSON_EXTRACT_PROPS = """
+SELECT event_id,
+       json_extract_string(props, '$.k') AS k_str,
+       CAST(json_extract_string(props, '$.k') AS INT) AS k_int,
+       CAST(CAST(json_extract_string(props, '$.k') AS INT) % 10 AS INT) AS k_mod10
+FROM events
+"""
+
+
+# ---------------------------------------------------------------------------
+# Date arithmetic: add_months clamps to month end in both engines;
+# trunc-to-month yields DATE; day diffs are (end - start).
+# ---------------------------------------------------------------------------
+
+def date_arithmetic(orders: DataFrame) -> DataFrame:
+    d = F.to_date("o_orderdate")
+    iso = lambda c: F.date_format(c, "yyyy-MM-dd")  # DATE -> ISO string for
+    # dtype-stable cross-engine comparison (harness hashes values)
+    return orders.select(
+        "o_orderkey",
+        iso(d).alias("order_date"),
+        iso(F.add_months(d, 1)).alias("plus_month"),
+        iso(F.date_add(d, 30)).alias("plus_30d"),
+        iso(F.trunc(d, "month")).alias("month_start"),
+        iso(F.last_day(d)).alias("month_end"),
+        F.datediff(F.lit("2002-01-01").cast("date"), d).cast("int").alias("days_to_2002"),
+        F.month(d).cast("int").alias("month"),
+        F.dayofmonth(d).cast("int").alias("day"),
+    )
+
+
+def q_date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return date_arithmetic(load_table(spark, sf_dir, "orders"))
+
+
+SQL_DATE_ARITHMETIC = """
+SELECT o_orderkey,
+       strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS order_date,
+       strftime(CAST(o_orderdate AS DATE) + INTERVAL 1 MONTH, '%Y-%m-%d') AS plus_month,
+       strftime(CAST(o_orderdate AS DATE) + 30, '%Y-%m-%d') AS plus_30d,
+       strftime(date_trunc('month', CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_start,
+       strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_end,
+       CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS INT) AS days_to_2002,
+       CAST(month(o_orderdate) AS INT) AS month,
+       CAST(day(o_orderdate) AS INT) AS day
+FROM orders
+"""
+
+
+# ---------------------------------------------------------------------------
+# Null-handling combinators: NULLIF/COALESCE/NVL2-style chains and
+# null-aware equality, exercised on manufactured nulls.
+# ---------------------------------------------------------------------------
+
+def null_handling(lineitem: DataFrame) -> DataFrame:
+    disc = F.nullif(F.col("l_discount"), F.lit(0.0))
+    return lineitem.select(
+        "l_orderkey",
+        "l_linenumber",
+        disc.alias("disc_or_null"),
+        F.coalesce(disc, F.lit(-1.0)).alias("disc_coalesced"),
+        F.when(disc.isNull(), "zero").otherwise("nonzero").alias("disc_class"),
+        (disc.eqNullSafe(F.lit(0.05))).alias("is_5pct"),
+    )
+
+
+def q_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return null_handling(load_table(spark, sf_dir, "lineitem"))
+
+
+SQL_NULL_HANDLING = """
+SELECT l_orderkey, l_linenumber,
+       NULLIF(l_discount, 0.0) AS disc_or_null,
+       COALESCE(NULLIF(l_discount, 0.0), -1.0) AS disc_coalesced,
+       CASE WHEN NULLIF(l_discount, 0.0) IS NULL THEN 'zero' ELSE 'nonzero' END AS disc_class,
+       NULLIF(l_discount, 0.0) IS NOT DISTINCT FROM 0.05 AS is_5pct
+FROM lineitem
+"""
+
+
+# ---------------------------------------------------------------------------
+# Regex group extraction: split p_name into first/last word + digit runs of
+# the brand id.
+# ---------------------------------------------------------------------------
+
+def regexp_extract_parts(part: DataFrame) -> DataFrame:
+    return part.select(
+        "p_partkey",
+        F.regexp_extract("p_name", r"^(\w+)", 1).alias("first_word"),
+        F.regexp_extract("p_name", r"(\w+)$", 1).alias("last_word"),
+        F.regexp_extract("p_brand", r"(\d+)", 1).cast("int").alias("brand_num"),
+        F.split(F.col("p_name"), " ").getItem(0).alias("split_head"),
+        F.size(F.split(F.col("p_name"), " ")).cast("int").alias("n_words"),
+    )
+
+
+def q_regexp_extract_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return regexp_extract_parts(load_table(spark, sf_dir, "part"))
+
+
+SQL_REGEXP_EXTRACT_PARTS = """
+SELECT p_partkey,
+       regexp_extract(p_name, '^(\\w+)', 1) AS first_word,
+       regexp_extract(p_name, '(\\w+)$', 1) AS last_word,
+       CAST(regexp_extract(p_brand, '(\\d+)', 1) AS INT) AS brand_num,
+       string_split(p_name, ' ')[1] AS split_head,
+       CAST(len(string_split(p_name, ' ')) AS INT) AS n_words
+FROM part
+"""
+
+
+QUERIES = {
+    "json_extract_props": q_json_extract_props,
+    "date_arithmetic": q_date_arithmetic,
+    "null_handling": q_null_handling,
+    "regexp_extract_parts": q_regexp_extract_parts,
+}
+
+ORACLES = {
+    "json_extract_props": SQL_JSON_EXTRACT_PROPS,
+    "date_arithmetic": SQL_DATE_ARITHMETIC,
+    "null_handling": SQL_NULL_HANDLING,
+    "regexp_extract_parts": SQL_REGEXP_EXTRACT_PARTS,
+}
