@@ -142,11 +142,72 @@ FROM part
 """
 
 
+# ---------------------------------------------------------------------------
+# Array aggregation / explode roundtrip: collect_list is unordered in a
+# distributed engine, so parity pins it with sort_array before use — the
+# same discipline any cluster job needs. Arrays cross the oracle boundary
+# as joined strings (dtype-stable hashing).
+# ---------------------------------------------------------------------------
+
+def array_agg_per_brand(part: DataFrame) -> DataFrame:
+    sizes = F.sort_array(F.collect_list("p_size"))
+    return (
+        part.groupBy("p_brand")
+        .agg(
+            F.array_join(sizes, ",").alias("sizes_sorted"),
+            F.size(sizes).cast("int").alias("n_parts"),
+            F.array_contains(sizes, 25).alias("has_size_25"),
+            F.size(F.array_distinct(sizes)).cast("int").alias("n_distinct_sizes"),
+        )
+    )
+
+
+def q_array_agg_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return array_agg_per_brand(load_table(spark, sf_dir, "part"))
+
+
+SQL_ARRAY_AGG_PER_BRAND = """
+SELECT p_brand,
+       array_to_string(list_sort(list(p_size)), ',') AS sizes_sorted,
+       CAST(len(list_sort(list(p_size))) AS INT) AS n_parts,
+       list_contains(list(p_size), 25) AS has_size_25,
+       CAST(len(list_distinct(list(p_size))) AS INT) AS n_distinct_sizes
+FROM part
+GROUP BY p_brand
+"""
+
+
+def explode_roundtrip(part: DataFrame) -> DataFrame:
+    """split -> explode -> re-aggregate: the UDTF-shaped lateral surface."""
+    words = part.select(
+        "p_partkey", F.explode(F.split(F.col("p_name"), " ")).alias("word")
+    )
+    return words.groupBy("word").agg(
+        F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+        F.countDistinct("p_partkey").cast("long").alias("n_parts"),
+    )
+
+
+def q_explode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return explode_roundtrip(load_table(spark, sf_dir, "part"))
+
+
+SQL_EXPLODE_ROUNDTRIP = """
+SELECT word,
+       CAST(count(*) AS BIGINT) AS n_occurrences,
+       CAST(count(DISTINCT p_partkey) AS BIGINT) AS n_parts
+FROM (SELECT p_partkey, unnest(string_split(p_name, ' ')) AS word FROM part) t
+GROUP BY word
+"""
+
+
 QUERIES = {
     "json_extract_props": q_json_extract_props,
     "date_arithmetic": q_date_arithmetic,
     "null_handling": q_null_handling,
     "regexp_extract_parts": q_regexp_extract_parts,
+    "array_agg_per_brand": q_array_agg_per_brand,
+    "explode_roundtrip": q_explode_roundtrip,
 }
 
 ORACLES = {
@@ -154,4 +215,6 @@ ORACLES = {
     "date_arithmetic": SQL_DATE_ARITHMETIC,
     "null_handling": SQL_NULL_HANDLING,
     "regexp_extract_parts": SQL_REGEXP_EXTRACT_PARTS,
+    "array_agg_per_brand": SQL_ARRAY_AGG_PER_BRAND,
+    "explode_roundtrip": SQL_EXPLODE_ROUNDTRIP,
 }
