@@ -80,6 +80,20 @@ GROUP BY 1, 2, 3, 4
 
 
 # ---------------------------------------------------------------------------
+# SQL front-end: the same star query submitted as literal ANSI SQL through
+# spark.sql over registered views (S12's CTAS text ports verbatim, SURVEY
+# §3.2). The SQL string is dialect-shared — the oracle runs the identical
+# text in DuckDB.
+# ---------------------------------------------------------------------------
+
+def q_product_facts_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(SQL_PRODUCT_FACTS)
+
+
+# ---------------------------------------------------------------------------
 # rep_facts star (A2 + J3): SUM GROUP BY 5 keys.
 # Reference: CTAS rep_facts LoadDataWarehouse.ChatterjeeP.R:118-133
 #   (first_name, last_name, year, quarter, product_name).
@@ -544,6 +558,7 @@ FROM lineitem
 
 QUERIES = {
     "product_facts": q_product_facts,
+    "product_facts_sql": q_product_facts_sql,
     "rep_facts": q_rep_facts,
     "quarterly_totals": q_quarterly_totals,
     "filter_conjunction": q_filter_conjunction,
@@ -564,6 +579,7 @@ QUERIES = {
 
 ORACLES = {
     "product_facts": SQL_PRODUCT_FACTS,
+    "product_facts_sql": SQL_PRODUCT_FACTS,
     "rep_facts": SQL_REP_FACTS,
     "quarterly_totals": SQL_QUARTERLY_TOTALS,
     "filter_conjunction": SQL_FILTER_CONJUNCTION,
