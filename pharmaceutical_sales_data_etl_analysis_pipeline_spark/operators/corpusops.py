@@ -128,32 +128,47 @@ def neardup_components(documents: DataFrame, max_iters: int = 50) -> DataFrame:
     pairs = minhash_lsh_candidates(documents).filter(
         F.col("est_jaccard") >= COMPONENT_MIN_J
     )
-    # undirected edge list, both directions
+    # Undirected edge list, both directions. localCheckpoint truncates the
+    # growing iterative lineage (without it, plan analysis dominates after a
+    # few rounds); the candidate graph is orders of magnitude smaller than
+    # the corpus, so it is also coalesced to few partitions — on a cluster
+    # choose the partition count from the edge count, not the corpus size.
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .unionByName(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
         .distinct()
-        .persist()
+        .coalesce(1)
+        .localCheckpoint()
     )
     labels = (
         edges.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
-        .persist()
+        .coalesce(1)
+        .localCheckpoint()
     )
     for _ in range(max_iters):
+        # hook: take the min label over neighbors
         neighbor_min = (
             edges.join(labels, edges.dst == labels.node)
             .groupBy("src")
             .agg(F.min("label").alias("nbr_label"))
         )
+        hooked = labels.join(neighbor_min, labels.node == neighbor_min.src, "left").select(
+            "node",
+            F.least(F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))).alias("label"),
+        )
+        # shortcut (pointer jumping): label(v) := label(label(v)) — drops
+        # convergence from O(diameter) to O(log diameter) rounds
+        lz = hooked.select(F.col("node").alias("z_node"), F.col("label").alias("z_label"))
         new_labels = (
-            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            hooked.join(lz, hooked.label == lz.z_node, "left")
             .select(
                 "node",
-                F.least(F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))).alias("label"),
+                F.coalesce(F.col("z_label"), F.col("label")).alias("label"),
             )
-            .persist()
+            .coalesce(1)
+            .localCheckpoint()
         )
         changed = (
             new_labels.alias("n")
@@ -161,11 +176,9 @@ def neardup_components(documents: DataFrame, max_iters: int = 50) -> DataFrame:
             .filter(F.col("n.label") != F.col("o.label"))
             .count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break
-    edges.unpersist()
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("component"))
 
 
