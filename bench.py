@@ -40,6 +40,8 @@ HEADLINE = [
     "lsh_probe_topk",
     "tumbling_hourly",
     "session_stats",
+    "pii_scrub",
+    "neardup_components",
 ]
 
 
