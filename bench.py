@@ -42,6 +42,9 @@ HEADLINE = [
     "session_stats",
     "pii_scrub",
     "neardup_components",
+    "tpch_q1",
+    "tpch_q3",
+    "tpch_q6",
 ]
 
 

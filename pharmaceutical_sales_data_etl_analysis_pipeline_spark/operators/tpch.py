@@ -1,0 +1,224 @@
+"""TPC-H classics reshaped onto the test corpus — the industry-standard
+shapes a warehouse engine is judged by. Q1 (pricing summary: wide hash agg),
+Q6 (filter-sum: pushdown + single agg), Q3 (shipping priority: join + agg +
+top-k). Date cutoffs adapted to the corpus' 1995-2001 range.
+
+Determinism: every SUM/AVG routes through DECIMAL (per-term rounding then
+exact accumulation), so results are independent of partitioning and match
+the oracle bit-for-bit; averages are decimal-sum / count divisions.
+
+Plans to expect (guarded in tests/test_plans.py patterns): Q1/Q6 scan once
+with predicate pushdown and aggregate partial+final; Q3 broadcasts customer,
+shuffles lineitem⋈orders once, and plans TakeOrderedAndProject for the
+top-10.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+
+DEC = "decimal(28,6)"
+
+Q1_CUTOFF = "2001-06-01"
+Q6_YEAR = 1997
+Q3_DATE = "1998-03-15"
+Q3_SEGMENT = "BUILDING"
+
+
+def _dsum(col, alias: str):
+    return F.sum(col.cast(DEC)).cast("double").alias(alias)
+
+
+def _davg(col, alias: str):
+    return (
+        F.sum(col.cast(DEC)).cast("double") / F.count(F.lit(1)).cast("double")
+    ).alias(alias)
+
+
+# ---------------------------------------------------------------------------
+# Q1 — pricing summary report.
+# ---------------------------------------------------------------------------
+
+def tpch_q1(lineitem: DataFrame) -> DataFrame:
+    price = F.col("l_extendedprice")
+    disc_price = price * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        lineitem.filter(F.col("l_shipdate") <= F.lit(Q1_CUTOFF).cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dsum(F.col("l_quantity"), "sum_qty"),
+            _dsum(price, "sum_base_price"),
+            _dsum(disc_price, "sum_disc_price"),
+            _dsum(charge, "sum_charge"),
+            _davg(F.col("l_quantity"), "avg_qty"),
+            _davg(price, "avg_price"),
+            _davg(F.col("l_discount"), "avg_disc"),
+            F.count(F.lit(1)).cast("long").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tpch_q1(load_table(spark, sf_dir, "lineitem"))
+
+
+SQL_TPCH_Q1 = f"""
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS sum_disc_price,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(28,6))) AS DOUBLE) AS sum_charge,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_price,
+       CAST(SUM(CAST(l_discount AS DECIMAL(28,6))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_disc,
+       CAST(COUNT(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '{Q1_CUTOFF} 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q6 — forecasting revenue change.
+# ---------------------------------------------------------------------------
+
+def tpch_q6(lineitem: DataFrame) -> DataFrame:
+    return (
+        lineitem.filter(
+            (F.year("l_shipdate") == Q6_YEAR)
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(_dsum(F.col("l_extendedprice") * F.col("l_discount"), "revenue"))
+    )
+
+
+def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tpch_q6(load_table(spark, sf_dir, "lineitem"))
+
+
+SQL_TPCH_Q6 = f"""
+SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+FROM lineitem
+WHERE year(l_shipdate) = {Q6_YEAR}
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q3 — shipping priority (top-10 unshipped orders by revenue).
+# ---------------------------------------------------------------------------
+
+def tpch_q3(customer: DataFrame, orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    cust = customer.filter(F.col("c_mktsegment") == Q3_SEGMENT).select("c_custkey")
+    return (
+        lineitem.filter(F.col("l_shipdate") > F.lit(Q3_DATE).cast("timestamp"))
+        .join(
+            orders.filter(F.col("o_orderdate") < F.lit(Q3_DATE).cast("timestamp")),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_orderpriority",
+        )
+        .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tpch_q3(
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+    )
+
+
+SQL_TPCH_Q3 = f"""
+SELECT l_orderkey,
+       strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS o_orderdate,
+       o_orderpriority,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = '{Q3_SEGMENT}'
+  AND o_orderdate < TIMESTAMP '{Q3_DATE} 00:00:00'
+  AND l_shipdate > TIMESTAMP '{Q3_DATE} 00:00:00'
+GROUP BY 1, 2, 3
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# Table profiling: per-column nulls / distincts / extremes in one pass —
+# the warehouse data-quality primitive.
+# ---------------------------------------------------------------------------
+
+def profile_orders(orders: DataFrame) -> DataFrame:
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority"]
+    profiles = []
+    for c in cols:
+        profiles.append(
+            orders.agg(
+                F.lit(c).alias("column_name"),
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).cast("long").alias("n_nulls"),
+                F.countDistinct(c).cast("long").alias("n_distinct"),
+                F.min(F.col(c).cast("string")).alias("min_str"),
+                F.max(F.col(c).cast("string")).alias("max_str"),
+            )
+        )
+    out = profiles[0]
+    for p in profiles[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def q_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return profile_orders(load_table(spark, sf_dir, "orders"))
+
+
+def _profile_sql() -> str:
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority"]
+    parts = [
+        f"""SELECT '{c}' AS column_name,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+       CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+       MIN(CAST({c} AS VARCHAR)) AS min_str,
+       MAX(CAST({c} AS VARCHAR)) AS max_str
+FROM orders"""
+        for c in cols
+    ]
+    return "\nUNION ALL\n".join(parts)
+
+
+SQL_PROFILE_ORDERS = _profile_sql()
+
+
+QUERIES = {
+    "tpch_q1": q_tpch_q1,
+    "tpch_q3": q_tpch_q3,
+    "tpch_q6": q_tpch_q6,
+    "profile_orders": q_profile_orders,
+}
+
+ORACLES = {
+    "tpch_q1": SQL_TPCH_Q1,
+    "tpch_q3": SQL_TPCH_Q3,
+    "tpch_q6": SQL_TPCH_Q6,
+    "profile_orders": SQL_PROFILE_ORDERS,
+}
