@@ -17,7 +17,7 @@ def _collect() -> tuple[dict[str, QueryFn], dict[str, str]]:
     from .operators import relational
 
     modules = [relational]
-    for name in ("textops", "dedup", "similarity", "eventsops", "multimodal", "analytic", "scalarfuncs", "corpusops", "tpch"):
+    for name in ("textops", "dedup", "similarity", "eventsops", "multimodal", "analytic", "scalarfuncs", "corpusops", "tpch", "pythonudf"):
         try:
             mod = __import__(
                 f"pharmaceutical_sales_data_etl_analysis_pipeline_spark.operators.{name}",
