@@ -132,3 +132,61 @@ def test_stateful_running_totals_across_batches(spark, tmp_path):
     # user 1 appears in both batches → emitted twice, once per micro-batch
     u1 = [(r["n_events"], r["total_value"]) for r in rows if r["user_id"] == 1]
     assert len(u1) == 2 and (3, 17.0) in u1
+
+
+def test_watermark_drops_late_events(spark, tmp_path):
+    """Late-data semantics: an event older than (max ts seen - watermark)
+    is dropped from the windowed aggregate once the watermark has
+    propagated. Note the measured engine behavior: the watermark advanced
+    by batch N's data takes effect for filtering in batch N+2 (one-batch
+    propagation lag), hence the spacer batch."""
+    import json as _json
+
+    from pyspark.sql import types as T
+
+    src = tmp_path / "late"
+    src.mkdir()
+    b0 = [("2024-01-01T10:05:00", "a"), ("2024-01-01T12:00:00", "a")]  # watermark -> 10:00
+    b1 = [("2024-01-01T12:30:00", "a")]   # spacer: lets the watermark propagate
+    b2 = [("2024-01-01T11:30:00", "a"),   # within watermark (>= 10:00) -> merged
+          ("2024-01-01T08:10:00", "a")]   # before watermark -> dropped
+    import os as _os
+    import time as _time
+
+    now = _time.time()
+    for i, rows in enumerate([b0, b1, b2]):
+        path = src / f"b{i}.json"
+        with open(path, "w") as f:
+            for ts, et in rows:
+                f.write(_json.dumps({"ts": ts, "event_type": et, "value": 1.0}) + "\n")
+        # force processing order: the file source picks files by mtime
+        _os.utime(path, (now - 300 + i * 100, now - 300 + i * 100))
+    schema = T.StructType(
+        [
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).json(str(src))
+    )
+    agg = (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("ws"), "n")
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("t_late")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt_late"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = {(r["ws"].hour, r["ws"].minute): r["n"] for r in spark.table("t_late").collect()}
+    # 08:00 window must be absent (late beyond watermark); 11:00 present
+    assert (8, 0) not in rows
+    assert (11, 0) in rows
