@@ -319,11 +319,158 @@ SELECT vec_a, vec_b, cosine FROM scored WHERE cosine >= {NEARDUP_MIN_COS}
 """
 
 
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN: coarse quantizer = deterministic subset of the
+# corpus (vec_id % IVF_MOD == 0) as centroids; every vector joins its
+# nearest centroid's inverted list (one broadcast pass — centroids are tiny
+# by construction); queries probe only their own list with exact cosine.
+# The real-system shape (FAISS IVF-Flat): quality scales with nprobe; here
+# nprobe=1 keeps the oracle simple.
+# ---------------------------------------------------------------------------
+
+IVF_MOD = 50  # centroid density: ~N/IVF_MOD inverted lists
+
+
+def ivf_assignments(embeddings: DataFrame) -> DataFrame:
+    """(vec_id, centroid_id): nearest centroid by cosine (ties -> lowest
+    centroid id). Single broadcast nested-loop pass + per-vector argmin."""
+    cents = embeddings.filter(F.col("vec_id") % IVF_MOD == 0).select(
+        F.col("vec_id").alias("c_id"),
+        F.col("embedding").alias("c_emb"),
+        _norm(F.col("embedding")).alias("c_norm"),
+    )
+    vecs = embeddings.select(
+        "vec_id", "embedding", _norm(F.col("embedding")).alias("v_norm")
+    )
+    scored = vecs.join(F.broadcast(cents)).select(
+        "vec_id",
+        "c_id",
+        round_half_up(
+            _dot(F.col("embedding"), F.col("c_emb")) / (F.col("v_norm") * F.col("c_norm")), 9
+        ).alias("cos"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("c_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("c_id").alias("centroid_id"))
+    )
+
+
+def q_ivf_list_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a = ivf_assignments(load_table(spark, sf_dir, "embeddings"))
+    return a.groupBy("centroid_id").agg(F.count(F.lit(1)).cast("long").alias("n_vectors"))
+
+
+def _ivf_cte() -> str:
+    return f"""
+base AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings
+),
+norms AS (
+  SELECT vec_id,
+         sqrt(list_reduce(list_transform(e, x -> x * x), (acc, x) -> acc + x)) AS nrm
+  FROM base
+),
+cscored AS (
+  SELECT v.vec_id, c.vec_id AS c_id,
+         floor((list_reduce(list_transform(range(1, len(v.e) + 1), i -> v.e[i] * c.e[i]),
+                            (acc, x) -> acc + x)
+                / (vn.nrm * cn.nrm)) * 1000000000.0 + 0.5) / 1000000000.0 AS cos
+  FROM base v
+  JOIN base c ON c.vec_id % {IVF_MOD} = 0
+  JOIN norms vn ON v.vec_id = vn.vec_id
+  JOIN norms cn ON c.vec_id = cn.vec_id
+),
+assign AS (
+  SELECT vec_id, c_id AS centroid_id
+  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, c_id ASC) AS rn
+        FROM cscored) t
+  WHERE rn = 1
+)"""
+
+
+SQL_IVF_LIST_SIZES = f"""
+WITH {_ivf_cte()}
+SELECT centroid_id, CAST(count(*) AS BIGINT) AS n_vectors
+FROM assign GROUP BY centroid_id
+"""
+
+
+def ivf_probe_topk(embeddings: DataFrame, n_queries: int = N_QUERIES, k: int = TOP_K) -> DataFrame:
+    assign = ivf_assignments(embeddings)
+    docs = embeddings.join(assign, "vec_id").select(
+        F.col("vec_id").alias("d_id"),
+        F.col("embedding").alias("d_emb"),
+        F.col("centroid_id").alias("d_cent"),
+        _norm(F.col("embedding")).alias("d_norm"),
+    )
+    queries = (
+        embeddings.filter(F.col("vec_id") < n_queries)
+        .join(assign, "vec_id")
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("embedding").alias("q_emb"),
+            F.col("centroid_id").alias("q_cent"),
+            _norm(F.col("embedding")).alias("q_norm"),
+        )
+    )
+    scored = (
+        docs.join(
+            F.broadcast(queries),
+            (F.col("q_cent") == F.col("d_cent")) & (F.col("q_id") != F.col("d_id")),
+        )
+        .select(
+            "q_id",
+            "d_id",
+            round_half_up(
+                _dot(F.col("q_emb"), F.col("d_emb")) / (F.col("q_norm") * F.col("d_norm")), 9
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("d_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("q_id", "d_id", "cosine", F.col("rnk").cast("int").alias("rnk"))
+    )
+
+
+def q_ivf_probe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ivf_probe_topk(load_table(spark, sf_dir, "embeddings"))
+
+
+SQL_IVF_PROBE_TOPK = f"""
+WITH {_ivf_cte()},
+scored AS (
+  SELECT q.vec_id AS q_id, d.vec_id AS d_id,
+         floor((list_reduce(list_transform(range(1, len(qb.e) + 1), i -> qb.e[i] * db.e[i]),
+                            (acc, x) -> acc + x)
+                / (qn.nrm * dn.nrm)) * 1000000000.0 + 0.5) / 1000000000.0 AS cosine
+  FROM assign q
+  JOIN assign d ON q.centroid_id = d.centroid_id AND d.vec_id <> q.vec_id
+  JOIN base qb ON qb.vec_id = q.vec_id
+  JOIN base db ON db.vec_id = d.vec_id
+  JOIN norms qn ON qn.vec_id = q.vec_id
+  JOIN norms dn ON dn.vec_id = d.vec_id
+  WHERE q.vec_id < {N_QUERIES}
+)
+SELECT q_id, d_id, cosine, CAST(rnk AS INT) AS rnk
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, d_id ASC) AS rnk
+  FROM scored
+) t
+WHERE rnk <= {TOP_K}
+"""
+
+
 QUERIES = {
     "cosine_topk": q_cosine_topk,
     "lsh_bucket_sizes": q_lsh_bucket_sizes,
     "lsh_probe_topk": q_lsh_probe_topk,
     "embedding_near_dups": q_embedding_near_dups,
+    "ivf_list_sizes": q_ivf_list_sizes,
+    "ivf_probe_topk": q_ivf_probe_topk,
 }
 
 ORACLES = {
@@ -331,4 +478,6 @@ ORACLES = {
     "lsh_bucket_sizes": SQL_LSH_BUCKET_SIZES,
     "lsh_probe_topk": SQL_LSH_PROBE_TOPK,
     "embedding_near_dups": SQL_EMBEDDING_NEAR_DUPS,
+    "ivf_list_sizes": SQL_IVF_LIST_SIZES,
+    "ivf_probe_topk": SQL_IVF_PROBE_TOPK,
 }
