@@ -556,9 +556,75 @@ FROM lineitem
 """
 
 
+# ---------------------------------------------------------------------------
+# Full-outer reconciliation: customers x their order counts, keeping both
+# customers without orders and (hypothetical) orphan orders — the audit-join
+# shape. Completes the join surface beyond the reference's inner/left forms.
+# ---------------------------------------------------------------------------
+
+def q_full_outer_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders")
+    )
+    return (
+        customer.select("c_custkey", "c_name")
+        .join(per_cust, F.col("c_custkey") == F.col("o_custkey"), "full_outer")
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_custkey",
+            F.coalesce(F.col("n_orders"), F.lit(0)).cast("long").alias("n_orders"),
+        )
+    )
+
+
+SQL_FULL_OUTER_RECONCILIATION = """
+SELECT c.c_custkey, c.c_name, o.o_custkey,
+       CAST(COALESCE(o.n_orders, 0) AS BIGINT) AS n_orders
+FROM customer c
+FULL OUTER JOIN (
+  SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders FROM orders GROUP BY 1
+) o ON c.c_custkey = o.o_custkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# Set operations: INTERSECT / EXCEPT over distinct customer keys by order
+# status (the reference has only UNION ALL, U1).
+# ---------------------------------------------------------------------------
+
+def q_status_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    open_c = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    done_c = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    both = open_c.intersect(done_c).withColumn("set_op", F.lit("both"))
+    # subtract == EXCEPT DISTINCT (exceptAll keeps per-copy survivors — bag)
+    only_open = open_c.distinct().subtract(done_c).withColumn("set_op", F.lit("open_only"))
+    return both.unionByName(only_open).select("set_op", "o_custkey")
+
+
+SQL_STATUS_SET_OPS = """
+SELECT 'both' AS set_op, o_custkey FROM (
+  SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+  INTERSECT
+  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+) a
+UNION ALL
+SELECT 'open_only' AS set_op, o_custkey FROM (
+  SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O'
+  EXCEPT
+  SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'
+) b
+"""
+
+
 QUERIES = {
     "product_facts": q_product_facts,
     "product_facts_sql": q_product_facts_sql,
+    "full_outer_reconciliation": q_full_outer_reconciliation,
+    "status_set_ops": q_status_set_ops,
     "rep_facts": q_rep_facts,
     "quarterly_totals": q_quarterly_totals,
     "filter_conjunction": q_filter_conjunction,
@@ -580,6 +646,8 @@ QUERIES = {
 ORACLES = {
     "product_facts": SQL_PRODUCT_FACTS,
     "product_facts_sql": SQL_PRODUCT_FACTS,
+    "full_outer_reconciliation": SQL_FULL_OUTER_RECONCILIATION,
+    "status_set_ops": SQL_STATUS_SET_OPS,
     "rep_facts": SQL_REP_FACTS,
     "quarterly_totals": SQL_QUARTERLY_TOTALS,
     "filter_conjunction": SQL_FILTER_CONJUNCTION,
