@@ -407,10 +407,47 @@ FROM part
 """
 
 
+# ---------------------------------------------------------------------------
+# Ranking-function surface: rank / dense_rank / lag / lead / ntile over a
+# fully-deterministic order (date, orderkey).
+# ---------------------------------------------------------------------------
+
+def rank_functions(orders: DataFrame) -> DataFrame:
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.row_number().over(w).cast("int").alias("rn"),
+        F.rank().over(w).cast("int").alias("rnk"),
+        F.dense_rank().over(w).cast("int").alias("drnk"),
+        F.lag("o_totalprice", 1).over(w).alias("prev_price"),
+        F.lead("o_totalprice", 1).over(w).alias("next_price"),
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+    )
+
+
+def q_rank_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return rank_functions(load_table(spark, sf_dir, "orders"))
+
+
+SQL_RANK_FUNCTIONS = """
+SELECT o_custkey, o_orderkey,
+       CAST(row_number() OVER w AS INT) AS rn,
+       CAST(rank() OVER w AS INT) AS rnk,
+       CAST(dense_rank() OVER w AS INT) AS drnk,
+       lag(o_totalprice, 1) OVER w AS prev_price,
+       lead(o_totalprice, 1) OVER w AS next_price,
+       CAST(ntile(4) OVER w AS INT) AS quartile
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+
 QUERIES = {
     "cube_sales": q_cube_sales,
     "pivot_status_year": q_pivot_status_year,
     "moving_avg_customer": q_moving_avg_customer,
+    "rank_functions": q_rank_functions,
     "asof_purchase_before_click": q_asof_purchase_before_click,
     "events_within_5min": q_events_within_5min,
     "percentile_disc_prices": q_percentile_disc_prices,
@@ -424,6 +461,7 @@ ORACLES = {
     "cube_sales": SQL_CUBE_SALES,
     "pivot_status_year": SQL_PIVOT_STATUS_YEAR,
     "moving_avg_customer": SQL_MOVING_AVG_CUSTOMER,
+    "rank_functions": SQL_RANK_FUNCTIONS,
     "asof_purchase_before_click": SQL_ASOF_PURCHASE_BEFORE_CLICK,
     "events_within_5min": SQL_EVENTS_WITHIN_5MIN,
     "percentile_disc_prices": SQL_PERCENTILE_DISC_PRICES,

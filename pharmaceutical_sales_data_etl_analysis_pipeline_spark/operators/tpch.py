@@ -209,9 +209,78 @@ FROM orders"""
 SQL_PROFILE_ORDERS = _profile_sql()
 
 
+# ---------------------------------------------------------------------------
+# Q5 — local supplier volume: the 6-way join (region->nation->customer->
+# orders->lineitem->supplier with the customer/supplier same-nation
+# condition). Exercises Catalyst join ordering + dual broadcast.
+# ---------------------------------------------------------------------------
+
+Q5_REGION = "ASIA"
+Q5_YEAR = 1996
+
+
+def tpch_q5(
+    region: DataFrame,
+    nation: DataFrame,
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    supplier: DataFrame,
+) -> DataFrame:
+    nat = (
+        nation.join(
+            F.broadcast(region.filter(F.col("r_name") == Q5_REGION)),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("n_nationkey", "n_name")
+    )
+    return (
+        lineitem.join(
+            orders.filter(F.year("o_orderdate") == Q5_YEAR),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(supplier.select("s_suppkey", "s_nationkey")),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(customer.select("c_custkey", "c_nationkey")),
+              (F.col("o_custkey") == F.col("c_custkey"))
+              & (F.col("c_nationkey") == F.col("s_nationkey")))
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+        .orderBy(F.desc("revenue"), F.asc("n_name"))
+    )
+
+
+def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tpch_q5(
+        load_table(spark, sf_dir, "region"),
+        load_table(spark, sf_dir, "nation"),
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "supplier"),
+    )
+
+
+SQL_TPCH_Q5 = f"""
+SELECT n_name,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = '{Q5_REGION}' AND year(o_orderdate) = {Q5_YEAR}
+GROUP BY n_name
+ORDER BY revenue DESC, n_name ASC
+"""
+
+
 QUERIES = {
     "tpch_q1": q_tpch_q1,
     "tpch_q3": q_tpch_q3,
+    "tpch_q5": q_tpch_q5,
     "tpch_q6": q_tpch_q6,
     "profile_orders": q_profile_orders,
 }
@@ -219,6 +288,7 @@ QUERIES = {
 ORACLES = {
     "tpch_q1": SQL_TPCH_Q1,
     "tpch_q3": SQL_TPCH_Q3,
+    "tpch_q5": SQL_TPCH_Q5,
     "tpch_q6": SQL_TPCH_Q6,
     "profile_orders": SQL_PROFILE_ORDERS,
 }
