@@ -44,6 +44,7 @@ HEADLINE = [
     "neardup_components",
     "tpch_q1",
     "tpch_q3",
+    "tpch_q5",
     "tpch_q6",
 ]
 
