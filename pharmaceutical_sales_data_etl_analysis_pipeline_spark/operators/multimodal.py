@@ -115,11 +115,67 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_features(with_binary_payload(load_table(spark, sf_dir, "documents")))
 
 
+# ---------------------------------------------------------------------------
+# Frame sampling: the 1 -> N flat-map batch shape (video -> frames). Each
+# payload yields n_frames rows with a per-frame content hash. The frame
+# count/hash derivation is deterministic md5 arithmetic so the whole
+# Python path is oracle-checked value-for-value (a real decoder would swap
+# the body; the Spark plumbing — schema, batch fan-out — is the product).
+# ---------------------------------------------------------------------------
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame_hash", T.StringType()),
+    ]
+)
+
+
+def sample_frames(binary_df: DataFrame) -> DataFrame:
+    """mapInPandas flat-map: one input row -> n_frames output rows,
+    n_frames = 1 + n_bytes % 4. Self-contained closure (worker pickling)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            out_doc, out_idx, out_hash = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                payload_md5 = hashlib.md5(bytes(payload)).hexdigest()
+                n_frames = 1 + len(payload) % 4
+                for i in range(n_frames):
+                    out_doc.append(doc_id)
+                    out_idx.append(i)
+                    out_hash.append(
+                        hashlib.md5(f"{payload_md5}_{i}".encode()).hexdigest()
+                    )
+            yield pd.DataFrame(
+                {"doc_id": out_doc, "frame_idx": out_idx, "frame_hash": out_hash}
+            )
+
+    return binary_df.mapInPandas(run, FRAME_SCHEMA)
+
+
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sample_frames(with_binary_payload(load_table(spark, sf_dir, "documents")))
+
+
+SQL_MULTIMODAL_FRAMES = """
+SELECT doc_id,
+       CAST(unnest(range(0, 1 + octet_length(encode(text)) % 4)) AS INT) AS frame_idx,
+       md5(md5(text) || '_' || CAST(unnest(range(0, 1 + octet_length(encode(text)) % 4)) AS VARCHAR)) AS frame_hash
+FROM documents
+"""
+
+
 QUERIES = {
     "binary_envelope": q_binary_envelope,
     "multimodal_features": q_multimodal_features,
+    "multimodal_frames": q_multimodal_frames,
 }
 
 ORACLES = {
     "binary_envelope": SQL_BINARY_ENVELOPE,
+    "multimodal_frames": SQL_MULTIMODAL_FRAMES,
 }
