@@ -88,6 +88,11 @@ def compare_one(name: str, spark_df, oracle_pdf: pd.DataFrame) -> CompareResult:
             len(spdf), len(oracle_pdf),
         )
     a, b = _canon(spdf), _canon(oracle_pdf)
+    # vectorized fast path: canonical dtypes + row order make equals() exact
+    # (NaNs in matching positions compare equal); fall back to the per-cell
+    # loop only to REPORT mismatches
+    if a.equals(b):
+        return CompareResult(name, True, "", len(spdf), len(oracle_pdf))
     mismatches = []
     for i in range(len(a)):
         for c in a.columns:
@@ -103,6 +108,8 @@ def compare_one(name: str, spark_df, oracle_pdf: pd.DataFrame) -> CompareResult:
             name, False, f"value mismatches (first 5): {mismatches}", len(spdf), len(oracle_pdf),
             mismatches,
         )
+    # equals() was stricter than cell semantics (e.g. None vs NaN in object
+    # columns) but the authoritative per-cell loop found nothing
     return CompareResult(name, True, "", len(spdf), len(oracle_pdf))
 
 
