@@ -190,3 +190,80 @@ def test_watermark_drops_late_events(spark, tmp_path):
     # 08:00 window must be absent (late beyond watermark); 11:00 present
     assert (8, 0) not in rows
     assert (11, 0) in rows
+
+
+def test_stream_stream_attribution_join(spark, sf_dir):
+    """Stream-stream inner join matches the batch equivalent on the same
+    bounded input (events file stream, availableNow)."""
+    from pharmaceutical_sales_data_etl_analysis_pipeline_spark.streaming.joins import (
+        click_purchase_attribution,
+    )
+
+    ev_stream = windows.read_events_stream(spark, sf_dir)
+    q = (
+        click_purchase_attribution(ev_stream)
+        .writeStream.format("memory")
+        .queryName("t_attrib")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.table("t_attrib")
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    batch = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") > F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 30 minutes")),
+    )
+    assert got.count() == batch.count()
+    assert got.count() > 0  # the fixture actually exercises the join
+    s_pairs = {(r["click_id"], r["purchase_id"]) for r in got.collect()}
+    b_pairs = {(r["click_id"], r["purchase_id"]) for r in batch.collect()}
+    assert s_pairs == b_pairs
+
+
+def test_stream_dedup_drops_duplicate_ids(spark, sf_dir, tmp_path):
+    """Streaming dropDuplicates: a twice-ingested corpus dedups to one copy
+    per event_id across micro-batches."""
+    from pharmaceutical_sales_data_etl_analysis_pipeline_spark.streaming.joins import (
+        dedup_stream,
+    )
+    import shutil
+
+    src = tmp_path / "dup"
+    src.mkdir()
+    # two identical files -> every event_id seen twice, in separate batches
+    shutil.copy(f"{sf_dir}/events.parquet", src / "a.parquet")
+    shutil.copy(f"{sf_dir}/events.parquet", src / "b.parquet")
+    from pharmaceutical_sales_data_etl_analysis_pipeline_spark.catalog import SCHEMAS
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    stream = (
+        spark.readStream.schema(SCHEMAS["events"])
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    )
+    q = (
+        dedup_stream(stream)
+        .writeStream.format("memory")
+        .queryName("t_sdedup")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_dedup"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    n_unique = load_table(spark, sf_dir, "events").count()
+    assert spark.table("t_sdedup").count() == n_unique
