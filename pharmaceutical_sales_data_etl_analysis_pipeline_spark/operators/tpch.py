@@ -277,10 +277,102 @@ ORDER BY revenue DESC, n_name ASC
 """
 
 
+# ---------------------------------------------------------------------------
+# Q4 — order priority checking: EXISTS semi-join with a correlated
+# predicate (a lineitem shipped after the order date).
+# ---------------------------------------------------------------------------
+
+Q4_YEAR = 1997
+
+
+def tpch_q4(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    late_items = lineitem.select("l_orderkey", "l_shipdate")
+    qualifying = (
+        orders.filter(F.year("o_orderdate") == Q4_YEAR)
+        .join(
+            late_items,
+            (F.col("o_orderkey") == F.col("l_orderkey"))
+            & (F.col("l_shipdate") > F.col("o_orderdate")),
+            "left_semi",
+        )
+    )
+    return (
+        qualifying.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("long").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tpch_q4(
+        load_table(spark, sf_dir, "orders"), load_table(spark, sf_dir, "lineitem")
+    )
+
+
+SQL_TPCH_Q4 = f"""
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+FROM orders
+WHERE year(o_orderdate) = {Q4_YEAR}
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q2-style correlated scalar subquery: suppliers offering a part at that
+# part's minimum retail-weighted price — decorrelated as a per-group min
+# join (window/groupBy min + equi-join back), the at-scale formulation.
+# ---------------------------------------------------------------------------
+
+def cheapest_supplier_per_part(lineitem: DataFrame, supplier: DataFrame) -> DataFrame:
+    offer = lineitem.groupBy("l_partkey", "l_suppkey").agg(
+        F.min("l_extendedprice").alias("best_price")
+    )
+    part_min = offer.groupBy("l_partkey").agg(F.min("best_price").alias("min_price")).select(
+        F.col("l_partkey").alias("pm_partkey"), "min_price"
+    )
+    return (
+        offer.join(
+            part_min,
+            (F.col("l_partkey") == F.col("pm_partkey"))
+            & (F.col("best_price") == F.col("min_price")),
+        )
+        .join(F.broadcast(supplier.select("s_suppkey", "s_name")),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            F.col("s_name"),
+            F.col("best_price"),
+        )
+    )
+
+
+def q_cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cheapest_supplier_per_part(
+        load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "supplier")
+    )
+
+
+SQL_CHEAPEST_SUPPLIER_PER_PART = """
+WITH offer AS (
+  SELECT l_partkey, l_suppkey, MIN(l_extendedprice) AS best_price
+  FROM lineitem GROUP BY 1, 2
+)
+SELECT o.l_partkey AS p_partkey, s.s_name, o.best_price
+FROM offer o
+JOIN supplier s ON o.l_suppkey = s.s_suppkey
+WHERE o.best_price = (SELECT MIN(best_price) FROM offer o2 WHERE o2.l_partkey = o.l_partkey)
+"""
+
+
 QUERIES = {
     "tpch_q1": q_tpch_q1,
     "tpch_q3": q_tpch_q3,
+    "tpch_q4": q_tpch_q4,
     "tpch_q5": q_tpch_q5,
+    "cheapest_supplier_per_part": q_cheapest_supplier_per_part,
     "tpch_q6": q_tpch_q6,
     "profile_orders": q_profile_orders,
 }
@@ -288,7 +380,9 @@ QUERIES = {
 ORACLES = {
     "tpch_q1": SQL_TPCH_Q1,
     "tpch_q3": SQL_TPCH_Q3,
+    "tpch_q4": SQL_TPCH_Q4,
     "tpch_q5": SQL_TPCH_Q5,
+    "cheapest_supplier_per_part": SQL_CHEAPEST_SUPPLIER_PER_PART,
     "tpch_q6": SQL_TPCH_Q6,
     "profile_orders": SQL_PROFILE_ORDERS,
 }
