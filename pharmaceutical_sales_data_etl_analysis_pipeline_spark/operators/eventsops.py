@@ -211,8 +211,93 @@ LIMIT 5
 """
 
 
+# ---------------------------------------------------------------------------
+# Gap-filled hourly series: generate the full hour spine over the observed
+# range (sequence + explode — no driver loop), left-join the hourly counts,
+# fill empties with 0. The time-series completion every dashboard needs;
+# spine generation is a tiny dimension broadcast against the agg.
+# ---------------------------------------------------------------------------
+
+def hourly_gapfill(events: DataFrame) -> DataFrame:
+    bounds = events.agg(
+        F.min(F.expr(f"unix_micros(ts) div {HOUR_US}")).alias("h0"),
+        F.max(F.expr(f"unix_micros(ts) div {HOUR_US}")).alias("h1"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence(F.col("h0"), F.col("h1"))).alias("hour_idx")
+    ).select(F.expr(f"timestamp_micros(hour_idx * {HOUR_US})").alias("window_start"))
+    counts = events.groupBy(
+        F.expr(f"timestamp_micros((unix_micros(ts) div {HOUR_US}) * {HOUR_US})").alias("ws")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return (
+        spine.join(counts, spine.window_start == counts.ws, "left")
+        .select(
+            "window_start",
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_events"),
+        )
+    )
+
+
+def q_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return hourly_gapfill(load_table(spark, sf_dir, "events"))
+
+
+SQL_HOURLY_GAPFILL = f"""
+WITH bounds AS (
+  SELECT MIN(epoch_us(ts) // {HOUR_US}) AS h0, MAX(epoch_us(ts) // {HOUR_US}) AS h1 FROM events
+),
+spine AS (
+  SELECT make_timestamp(unnest(range(h0, h1 + 1)) * {HOUR_US}) AS window_start FROM bounds
+),
+counts AS (
+  SELECT make_timestamp((epoch_us(ts) // {HOUR_US}) * {HOUR_US}) AS ws, count(*) AS n
+  FROM events GROUP BY 1
+)
+SELECT s.window_start, CAST(COALESCE(c.n, 0) AS BIGINT) AS n_events
+FROM spine s LEFT JOIN counts c ON s.window_start = c.ws
+"""
+
+
+# ---------------------------------------------------------------------------
+# Value histogram: fixed-width buckets via integer floor division —
+# engine-portable (no width_bucket dialect differences), single hash agg.
+# ---------------------------------------------------------------------------
+
+HIST_WIDTH = 50.0
+
+
+def value_histogram(events: DataFrame) -> DataFrame:
+    bucket = F.floor(F.col("value") / HIST_WIDTH).cast("long")
+    return (
+        events.groupBy(bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .select(
+            "bucket",
+            (F.col("bucket") * HIST_WIDTH).alias("lo"),
+            ((F.col("bucket") + 1) * HIST_WIDTH).alias("hi"),
+            "n",
+        )
+    )
+
+
+def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return value_histogram(load_table(spark, sf_dir, "events"))
+
+
+SQL_VALUE_HISTOGRAM = f"""
+SELECT CAST(floor(value / {HIST_WIDTH}) AS BIGINT) AS bucket,
+       CAST(floor(value / {HIST_WIDTH}) AS BIGINT) * {HIST_WIDTH} AS lo,
+       (CAST(floor(value / {HIST_WIDTH}) AS BIGINT) + 1) * {HIST_WIDTH} AS hi,
+       CAST(count(*) AS BIGINT) AS n
+FROM events
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "tumbling_hourly": q_tumbling_hourly,
+    "hourly_gapfill": q_hourly_gapfill,
+    "value_histogram": q_value_histogram,
     "sliding_hourly": q_sliding_hourly,
     "session_stats": q_session_stats,
     "props_k_stats": q_props_k_stats,
@@ -221,6 +306,8 @@ QUERIES = {
 
 ORACLES = {
     "tumbling_hourly": SQL_TUMBLING_HOURLY,
+    "hourly_gapfill": SQL_HOURLY_GAPFILL,
+    "value_histogram": SQL_VALUE_HISTOGRAM,
     "sliding_hourly": SQL_SLIDING_HOURLY,
     "session_stats": SQL_SESSION_STATS,
     "props_k_stats": SQL_PROPS_K_STATS,
