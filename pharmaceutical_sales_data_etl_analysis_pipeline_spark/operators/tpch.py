@@ -367,6 +367,62 @@ WHERE o.best_price = (SELECT MIN(best_price) FROM offer o2 WHERE o2.l_partkey = 
 """
 
 
+# ---------------------------------------------------------------------------
+# Q18 — large-volume customers: HAVING-filtered aggregate as a semi-join
+# driver (orders whose total quantity exceeds a threshold, joined back to
+# customers and re-aggregated).
+# ---------------------------------------------------------------------------
+
+Q18_MIN_QTY = 210.0
+
+
+def tpch_q18(customer: DataFrame, orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    big = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast(DEC)).alias("qty"))
+        .filter(F.col("qty") > Q18_MIN_QTY)
+        .select("l_orderkey", F.col("qty").cast("double").alias("total_qty"))
+    )
+    return (
+        orders.join(big, orders.o_orderkey == big.l_orderkey)
+        .join(F.broadcast(customer.select("c_custkey", "c_name")),
+              orders.o_custkey == F.col("c_custkey"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_totalprice",
+            "total_qty",
+        )
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+
+
+def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tpch_q18(
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+    )
+
+
+SQL_TPCH_Q18 = f"""
+SELECT c_name, c_custkey, o_orderkey,
+       strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS o_orderdate,
+       o_totalprice,
+       CAST(qty AS DOUBLE) AS total_qty
+FROM orders
+JOIN (SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(28,6))) AS qty
+      FROM lineitem GROUP BY 1 HAVING SUM(CAST(l_quantity AS DECIMAL(28,6))) > {Q18_MIN_QTY}) b
+  ON o_orderkey = b.l_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY o_totalprice DESC, o_orderkey ASC
+LIMIT 100
+"""
+
+
 QUERIES = {
     "tpch_q1": q_tpch_q1,
     "tpch_q3": q_tpch_q3,
@@ -374,6 +430,7 @@ QUERIES = {
     "tpch_q5": q_tpch_q5,
     "cheapest_supplier_per_part": q_cheapest_supplier_per_part,
     "tpch_q6": q_tpch_q6,
+    "tpch_q18": q_tpch_q18,
     "profile_orders": q_profile_orders,
 }
 
@@ -384,5 +441,6 @@ ORACLES = {
     "tpch_q5": SQL_TPCH_Q5,
     "cheapest_supplier_per_part": SQL_CHEAPEST_SUPPLIER_PER_PART,
     "tpch_q6": SQL_TPCH_Q6,
+    "tpch_q18": SQL_TPCH_Q18,
     "profile_orders": SQL_PROFILE_ORDERS,
 }
