@@ -294,10 +294,73 @@ GROUP BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# Funnel analysis: users progressing signup -> first view after signup ->
+# first purchase after that view. Each stage is a groupBy-min constrained by
+# the previous stage's timestamp — joins stay on user_id (one shuffle key
+# throughout; at scale all three stages co-partition).
+# ---------------------------------------------------------------------------
+
+def funnel_signup_view_purchase(events: DataFrame) -> DataFrame:
+    s1 = (
+        events.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_signup"))
+    )
+    s2 = (
+        events.filter(F.col("event_type") == "view")
+        .join(s1, "user_id")
+        .filter(F.col("ts") > F.col("t_signup"))
+        .groupBy("user_id", "t_signup")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    s3 = (
+        events.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id", "t_signup", "t_view")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    return s3.select(
+        "user_id",
+        "t_signup",
+        "t_view",
+        "t_purchase",
+        (F.unix_micros("t_purchase") - F.unix_micros("t_signup")).cast("long").alias("funnel_us"),
+    )
+
+
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return funnel_signup_view_purchase(load_table(spark, sf_dir, "events"))
+
+
+SQL_FUNNEL = """
+WITH s1 AS (
+  SELECT user_id, MIN(ts) AS t_signup FROM events WHERE event_type = 'signup' GROUP BY 1
+),
+s2 AS (
+  SELECT e.user_id, s1.t_signup, MIN(e.ts) AS t_view
+  FROM events e JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t_signup
+  WHERE e.event_type = 'view'
+  GROUP BY 1, 2
+),
+s3 AS (
+  SELECT e.user_id, s2.t_signup, s2.t_view, MIN(e.ts) AS t_purchase
+  FROM events e JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t_view
+  WHERE e.event_type = 'purchase'
+  GROUP BY 1, 2, 3
+)
+SELECT user_id, t_signup, t_view, t_purchase,
+       CAST(epoch_us(t_purchase) - epoch_us(t_signup) AS BIGINT) AS funnel_us
+FROM s3
+"""
+
+
 QUERIES = {
     "tumbling_hourly": q_tumbling_hourly,
     "hourly_gapfill": q_hourly_gapfill,
     "value_histogram": q_value_histogram,
+    "funnel_signup_view_purchase": q_funnel,
     "sliding_hourly": q_sliding_hourly,
     "session_stats": q_session_stats,
     "props_k_stats": q_props_k_stats,
@@ -308,6 +371,7 @@ ORACLES = {
     "tumbling_hourly": SQL_TUMBLING_HOURLY,
     "hourly_gapfill": SQL_HOURLY_GAPFILL,
     "value_histogram": SQL_VALUE_HISTOGRAM,
+    "funnel_signup_view_purchase": SQL_FUNNEL,
     "sliding_hourly": SQL_SLIDING_HOURLY,
     "session_stats": SQL_SESSION_STATS,
     "props_k_stats": SQL_PROPS_K_STATS,
