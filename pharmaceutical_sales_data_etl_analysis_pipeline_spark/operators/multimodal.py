@@ -5,9 +5,10 @@ mapInPandas.
 The container has no image/audio codecs, so the decode step is a
 deterministic fake behind the real Spark plumbing (schema, partitioning,
 Arrow batch shape are all genuine — swap `_fake_decode_meta` for a PIL/ffmpeg
-call and nothing else changes). The SQL-expressible envelope ops
-(size/hash/prefix) are oracle-checked; the mapInPandas feature extraction is
-registered rows-only (non-SQL-expressible).
+call and nothing else changes). The envelope ops (size/hash/prefix) and the
+mapInPandas feature extraction are both oracle-checked value-for-value —
+the fake decoder is byte arithmetic, which DuckDB can replay over
+hex(encode(text)).
 """
 
 from __future__ import annotations
@@ -59,7 +60,10 @@ FROM documents
 """
 
 
-# --- decode / feature extraction via mapInPandas (rows-only check) ---------
+# --- decode / feature extraction via mapInPandas ---------------------------
+# The fake decoder is pure byte arithmetic, so it has an exact DuckDB twin
+# (bytes via substr over hex(blob)); the Python path is value-checked, not
+# just rows-only.
 
 FEATURE_SCHEMA = T.StructType(
     [
@@ -113,6 +117,25 @@ def extract_features(binary_df: DataFrame) -> DataFrame:
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_features(with_binary_payload(load_table(spark, sf_dir, "documents")))
+
+
+# Exact twin of _fake_decode_meta: byte i of the payload is hex-pair i of
+# hex(encode(text)); sum(payload[:64])/255.0 is an integer sum divided by a
+# double — IEEE-identical to Python's float(sum(...))/255.0.
+SQL_MULTIMODAL_FEATURES = """
+WITH b AS (
+  SELECT doc_id, hex(encode(text)) AS h, octet_length(encode(text)) AS n
+  FROM documents
+)
+SELECT doc_id,
+       CAST(n AS BIGINT) AS n_bytes,
+       CAST(16 + (CASE WHEN n > 0 THEN ('0x' || substr(h, 1, 2))::INT ELSE 0 END) % 64 AS INT) AS width,
+       CAST(16 + (CASE WHEN n > 0 THEN ('0x' || substr(h, 2 * n - 1, 2))::INT ELSE 0 END) % 64 AS INT) AS height,
+       CAST(1 + n % 8 AS INT) AS n_frames,
+       CAST(coalesce(list_sum(list_transform(range(1, least(n, 64) + 1),
+              i -> ('0x' || substr(h, 2 * i - 1, 2))::INT)), 0) AS DOUBLE) / 255.0 AS feature_norm
+FROM b
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -177,5 +200,6 @@ QUERIES = {
 
 ORACLES = {
     "binary_envelope": SQL_BINARY_ENVELOPE,
+    "multimodal_features": SQL_MULTIMODAL_FEATURES,
     "multimodal_frames": SQL_MULTIMODAL_FRAMES,
 }

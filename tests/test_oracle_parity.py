@@ -28,3 +28,36 @@ def test_every_query_has_oracle_or_is_declared():
     no_oracle = getattr(registry, "NO_ORACLE", set())
     missing = set(entrymod.queries()) - set(entrymod.oracle_sql()) - set(no_oracle)
     assert not missing, f"queries without oracle nor NO_ORACLE declaration: {missing}"
+
+
+# Pin the registry size: operator-module imports are unguarded, but a query
+# silently dropped from a module's QUERIES dict would still shrink the
+# surface without failing — keep this in sync when adding queries.
+EXPECTED_QUERY_COUNT = 78
+
+
+def test_registry_pins_query_count():
+    import __spark_entry__ as entrymod
+
+    assert len(entrymod.queries()) == EXPECTED_QUERY_COUNT
+
+
+def test_driver_sweep_priority_order():
+    """The external correctness sweep covers the first 50 registry entries in
+    insertion order. Every query from the priority modules (no driver row in
+    round 1, or plan changed this round) must sit inside that window."""
+    import importlib
+
+    import __spark_entry__ as entrymod
+
+    from pharmaceutical_sales_data_etl_analysis_pipeline_spark.registry import MODULE_ORDER
+
+    head = set(list(entrymod.queries().keys())[:50])
+    priority = set()
+    for name in MODULE_ORDER[:8]:  # tpch..multimodal (see registry docstring)
+        mod = importlib.import_module(
+            f"pharmaceutical_sales_data_etl_analysis_pipeline_spark.operators.{name}"
+        )
+        priority |= set(mod.QUERIES)
+    missing = priority - head
+    assert not missing, f"priority queries outside the 50-entry sweep window: {missing}"
