@@ -175,7 +175,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.schema(SCHEMAS[name]).parquet(f"{sf_dir}/{name}.parquet")
-        # integer div — ns values overflow double precision, never use `/`
+        # integer div — ns values overflow double precision, never use `/`.
+        # div truncates toward zero (DuckDB // floors): identical only for
+        # epochs >= 0 — precondition documented in operators/eventsops.py
         return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     return spark.read.schema(SCHEMAS[name]).parquet(f"{sf_dir}/{name}.parquet")
 

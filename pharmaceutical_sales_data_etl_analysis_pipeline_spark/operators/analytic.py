@@ -152,27 +152,35 @@ FROM (
 
 def asof_purchase_before_click(events: DataFrame) -> DataFrame:
     pe = events.filter(F.col("event_type").isin("click", "purchase"))
+    is_p = F.col("event_type") == "purchase"
+    # Tie handling (both sides deterministic): order purchases BEFORE clicks
+    # at equal ts so a same-timestamp purchase is visible to the click
+    # (matching ASOF's p.ts <= c.ts), and among purchases tied on ts prefer
+    # max event_id (the oracle dedupes its purchase side the same way). The
+    # carried value rides in ONE struct so ts/value always come from the
+    # same purchase row.
     w = (
         Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
+        .orderBy(F.col("ts").asc(), is_p.cast("int").desc(), F.col("event_id").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    is_p = F.col("event_type") == "purchase"
     carried = pe.select(
         "event_id",
         "user_id",
         "ts",
         "event_type",
-        F.last(F.when(is_p, F.col("ts")), ignorenulls=True).over(w).alias("last_purchase_ts"),
-        F.last(F.when(is_p, F.col("value")), ignorenulls=True).over(w).alias("last_purchase_value"),
+        F.last(
+            F.when(is_p, F.struct(F.col("ts").alias("p_ts"), F.col("value").alias("p_value"))),
+            ignorenulls=True,
+        ).over(w).alias("lp"),
     )
     return carried.filter(F.col("event_type") == "click").select(
         "event_id",
         "user_id",
         "ts",
-        "last_purchase_ts",
-        "last_purchase_value",
-        (F.unix_micros("ts") - F.unix_micros("last_purchase_ts")).cast("long").alias("gap_us"),
+        F.col("lp.p_ts").alias("last_purchase_ts"),
+        F.col("lp.p_value").alias("last_purchase_value"),
+        (F.unix_micros("ts") - F.unix_micros("lp.p_ts")).cast("long").alias("gap_us"),
     )
 
 
@@ -180,13 +188,20 @@ def q_asof_purchase_before_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     return asof_purchase_before_click(load_table(spark, sf_dir, "events"))
 
 
+# Purchase side deduped to one row per (user_id, ts) keeping the max
+# event_id's value, so ASOF's pick among same-ts purchases is deterministic
+# and matches the Spark window's (ts, purchase-first, event_id) order.
 SQL_ASOF_PURCHASE_BEFORE_CLICK = """
 SELECT c.event_id, c.user_id, c.ts,
        p.ts AS last_purchase_ts,
        p.value AS last_purchase_value,
        CAST(epoch_us(c.ts) - epoch_us(p.ts) AS BIGINT) AS gap_us
 FROM (SELECT * FROM events WHERE event_type = 'click') c
-ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (
+  SELECT user_id, ts, arg_max(value, event_id) AS value
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY user_id, ts
+) p
   ON c.user_id = p.user_id AND p.ts <= c.ts
 """
 

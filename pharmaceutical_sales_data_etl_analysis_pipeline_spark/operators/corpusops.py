@@ -124,27 +124,44 @@ GROUP BY 1
 # the Pregel shape. Oracle: DuckDB recursive CTE (min reachable node).
 # ---------------------------------------------------------------------------
 
-def neardup_components(documents: DataFrame, max_iters: int = 50) -> DataFrame:
+EDGE_ROWS_PER_PARTITION = 500_000  # ~tens of MB of (long, long) rows
+
+
+def _graph_partitions(n_edge_rows: int, rows_per_partition: int) -> int:
+    """Partition count sized to the GRAPH, not the corpus: the candidate
+    graph is orders of magnitude smaller than the documents table, so its
+    iterative joins should run at their own parallelism (1 for test-scale
+    graphs, growing linearly with edge count, capped well below any
+    realistic cluster's task ceiling)."""
+    return max(1, min(4096, -(-n_edge_rows // rows_per_partition)))
+
+
+def neardup_components(
+    documents: DataFrame,
+    max_iters: int = 50,
+    rows_per_partition: int = EDGE_ROWS_PER_PARTITION,
+) -> DataFrame:
     pairs = minhash_lsh_candidates(documents).filter(
         F.col("est_jaccard") >= COMPONENT_MIN_J
     )
     # Undirected edge list, both directions. localCheckpoint truncates the
     # growing iterative lineage (without it, plan analysis dominates after a
-    # few rounds); the candidate graph is orders of magnitude smaller than
-    # the corpus, so it is also coalesced to few partitions — on a cluster
-    # choose the partition count from the edge count, not the corpus size.
+    # few rounds) and materializes the graph so the one count() that sizes
+    # the partitioning is nearly free. Edges are hash-partitioned on dst and
+    # labels on node — the per-iteration neighbor join reuses both layouts.
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .unionByName(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
         .distinct()
-        .coalesce(1)
         .localCheckpoint()
     )
+    n_parts = _graph_partitions(edges.count(), rows_per_partition)
+    edges = edges.repartition(n_parts, "dst").localCheckpoint()
     labels = (
         edges.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
-        .coalesce(1)
+        .repartition(n_parts, "node")
         .localCheckpoint()
     )
     for _ in range(max_iters):
@@ -167,7 +184,7 @@ def neardup_components(documents: DataFrame, max_iters: int = 50) -> DataFrame:
                 "node",
                 F.coalesce(F.col("z_label"), F.col("label")).alias("label"),
             )
-            .coalesce(1)
+            .repartition(n_parts, "node")
             .localCheckpoint()
         )
         changed = (

@@ -280,15 +280,71 @@ SQL_SIMHASH = _simhash_sql()
 
 # ---------------------------------------------------------------------------
 # SimHash near-dup pairs: Hamming distance ≤ 6 on a bounded subset
-# (doc_id < 2000). Scale path: band the 32 bits into 4 bytes and LSH-join
-# (any near pair shares a byte-band); here the subset keeps the check exact.
+# (doc_id < 2000, kept so the result is oracle-checkable all-pairs SQL).
+#
+# Registered plan = banded LSH (the 100 TB shape), NOT an all-pairs join:
+# split the 32-bit signature into 8 bands of 4 bits. Hamming ≤ 6 flips
+# touch at most 6 bands, leaving ≥ 2 bands untouched — so at least one of
+# the C(8,2)=28 band PAIRS is identical on both docs (pigeonhole; exact
+# recall, no approximation). Each doc emits 28 (pair_idx, 8-bit band_key)
+# rows; candidates come from an equi-join on (pair_idx, band_key) and the
+# exact Hamming check then removes false positives. A qualifying pair can
+# collide in several band pairs → distinct after the verify.
+#
+# Candidate volume per bucket ~ n / 2^8 per pair index vs n/2 for all-pairs:
+# the join is shuffle-hash/sort-merge on 28×256 keys (AQE splits skewed
+# buckets), never a cartesian. simhash_near_dups_allpairs keeps the
+# quadratic form test-side as the ground-truth calibration.
 # ---------------------------------------------------------------------------
 
 HAMMING_MAX = 6
 SIMHASH_SUBSET = 2000
+SIMHASH_BANDS = 8  # 4 bits each over the 32-bit signature
+_BAND_PAIRS = [
+    (i, j) for i in range(SIMHASH_BANDS) for j in range(i + 1, SIMHASH_BANDS)
+]
+
+
+def simhash_band_pairs(sig: DataFrame) -> DataFrame:
+    """(doc_id, simhash, pair_idx, band_key): 28 rows per doc, band_key =
+    band_i * 16 + band_j packed into 8 bits. One stack() projection —
+    zero-shuffle candidate-key generation."""
+    stack_args = ", ".join(
+        f"{p}, (shiftright(simhash, {4 * i}) & 15) * 16 + (shiftright(simhash, {4 * j}) & 15)"
+        for p, (i, j) in enumerate(_BAND_PAIRS)
+    )
+    return sig.select(
+        "doc_id",
+        "simhash",
+        F.expr(f"stack({len(_BAND_PAIRS)}, {stack_args}) AS (pair_idx, band_key)"),
+    )
 
 
 def simhash_near_dups(documents: DataFrame) -> DataFrame:
+    sig = simhash(documents.filter(F.col("doc_id") < SIMHASH_SUBSET))
+    keys = simhash_band_pairs(sig)
+    a, b = keys.alias("a"), keys.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(
+            b,
+            (F.col("a.pair_idx") == F.col("b.pair_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            ham.cast("int").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= HAMMING_MAX)
+        .distinct()
+    )
+
+
+def simhash_near_dups_allpairs(documents: DataFrame) -> DataFrame:
+    """Quadratic ground truth (test-side only — calibration for the banded
+    plan; identical output guaranteed by the pigeonhole argument above)."""
     sig = simhash(documents.filter(F.col("doc_id") < SIMHASH_SUBSET))
     a, b = sig.alias("a"), sig.alias("b")
     ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))

@@ -6,6 +6,13 @@ Time bucketing uses integer epoch-microsecond arithmetic
 (unix_micros/epoch_us + make/timestamp_micros) — exact in both engines and
 immune to session-timezone drift. Event `value` sums go through DECIMAL
 (order-independent; see functions.numeric).
+
+PRECONDITION (non-negative epochs): Spark's `div` truncates toward zero
+while DuckDB's `//` floors, so every epoch-microsecond bucketing here
+(tumbling/sliding/gapfill — and catalog.py's ts div 1000 nanos conversion)
+agrees between engines only for timestamps >= 1970-01-01. The corpus is
+1995+; pre-1970 data would need pmod-adjusted floor-division bucketing
+(e.g. (x - pmod(x, N)) / N) on the Spark side.
 """
 
 from __future__ import annotations

@@ -37,7 +37,9 @@ def pandas_normalized_text(documents: DataFrame) -> DataFrame:
 
         @pandas_udf("string")
         def norm(s: pd.Series) -> pd.Series:
-            return s.str.lower().str.strip().str.replace(r"\s+", " ", regex=True)
+            # strip(' ') not strip(): bare strip removes tabs/newlines too,
+            # while the oracle's trim(text) removes only spaces
+            return s.str.lower().str.strip(" ").str.replace(r"\s+", " ", regex=True)
 
         return norm
 

@@ -127,13 +127,13 @@ def _plane_weights(p: int, dim: int = DIM) -> list[float]:
     ]
 
 
-def lsh_buckets(embeddings: DataFrame) -> DataFrame:
-    """(vec_id, bucket): zero-shuffle signature projection."""
+def lsh_bucket_col(emb: Column) -> Column:
+    """8-bit sign-LSH bucket code of an embedding column (pure projection)."""
     sig = sum(
         F.when(
             _fold(
                 F.zip_with(
-                    F.col("embedding"),
+                    emb,
                     F.array(*[F.lit(w) for w in _plane_weights(p)]),
                     lambda x, w: w * x.cast("double"),
                 )
@@ -143,7 +143,12 @@ def lsh_buckets(embeddings: DataFrame) -> DataFrame:
         ).otherwise(F.lit(0))
         for p in range(LSH_PLANES)
     )
-    return embeddings.select("vec_id", sig.cast("int").alias("bucket"))
+    return sig.cast("int")
+
+
+def lsh_buckets(embeddings: DataFrame) -> DataFrame:
+    """(vec_id, bucket): zero-shuffle signature projection."""
+    return embeddings.select("vec_id", lsh_bucket_col(F.col("embedding")).alias("bucket"))
 
 
 def q_lsh_bucket_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -264,15 +269,68 @@ WHERE rnk <= {TOP_K}
 
 
 # ---------------------------------------------------------------------------
-# Embedding near-dup pairs: cosine ≥ threshold among all pairs of a bounded
-# subset (exact ground truth for the LSH path).
+# Embedding near-dup pairs: cosine ≥ threshold on a bounded subset.
+#
+# Registered plan = the LSH production path, not an all-pairs join:
+# candidates come from the sign-LSH bucket join (multi-probe: side A emits,
+# per vector, its 8-bit bucket code XORed with every mask of ≤ 2 bits —
+# 1+8+28 = 37 probe rows — so an equi-join on probe = B's bucket catches
+# every pair whose codes differ on ≤ 2 of the 8 hyperplanes), then the
+# exact cosine verify keeps only true near-dups. A pair's code-XOR is a
+# single fixed mask, so each candidate pair appears exactly once — no
+# distinct needed.
+#
+# Recall: a cos ≥ 0.9 pair disagrees on a given hyperplane w.p.
+# acos(0.9)/π ≈ 0.144, so P(code Hamming > 2) ≈ 9% at the 0.9 boundary
+# and falls fast for closer pairs; raise PROBE_HAMMING (or add hash
+# tables) for stricter recall. embedding_near_dups_allpairs keeps the
+# exact quadratic form test-side as ground truth/calibration.
 # ---------------------------------------------------------------------------
 
 NEARDUP_SUBSET = 500
 NEARDUP_MIN_COS = 0.9
+PROBE_HAMMING = 2
+_PROBE_MASKS = (
+    [0]
+    + [1 << i for i in range(LSH_PLANES)]
+    + [(1 << i) | (1 << j) for i in range(LSH_PLANES) for j in range(i + 1, LSH_PLANES)]
+)
 
 
 def embedding_near_dups(embeddings: DataFrame) -> DataFrame:
+    sub = embeddings.filter(F.col("vec_id") < NEARDUP_SUBSET).select(
+        "vec_id", "embedding", _norm(F.col("embedding")).alias("nrm")
+    )
+    coded = sub.withColumn("bucket", lsh_bucket_col(F.col("embedding")))
+    probes = coded.select(
+        "vec_id",
+        "embedding",
+        "nrm",
+        F.explode(F.array(*[F.lit(m) for m in _PROBE_MASKS])).alias("mask"),
+        "bucket",
+    ).withColumn("probe", F.col("bucket").bitwiseXOR(F.col("mask")))
+    a, b = probes.alias("a"), coded.alias("b")
+    cos = round_half_up(
+        _dot(F.col("a.embedding"), F.col("b.embedding")) / (F.col("a.nrm") * F.col("b.nrm")), 9
+    ).alias("cosine")
+    return (
+        a.join(
+            b,
+            (F.col("a.probe") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            cos,
+        )
+        .filter(F.col("cosine") >= NEARDUP_MIN_COS)
+    )
+
+
+def embedding_near_dups_allpairs(embeddings: DataFrame) -> DataFrame:
+    """Exact quadratic ground truth (test-side only): all pairs of the
+    bounded subset — what the DuckDB oracle computes."""
     sub = embeddings.filter(F.col("vec_id") < NEARDUP_SUBSET).select(
         "vec_id", "embedding", _norm(F.col("embedding")).alias("nrm")
     )

@@ -88,3 +88,89 @@ def test_bucketed_join_runs_without_shuffle(spark, sf_dir, tmp_path):
 def test_topk_plans_take_ordered(spark, sf_dir):
     plan = _plan(all_queries()["top5_users_by_value"](spark, sf_dir))
     assert "TakeOrderedAndProject" in plan
+
+
+def test_simhash_near_dups_is_banded_not_cartesian(spark, sf_dir):
+    """The registered near-dup plan must candidate via the band-pair
+    equi-join — never an all-pairs cartesian/nested-loop."""
+    plan = _plan(all_queries()["simhash_near_dups"](spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_simhash_banded_equals_allpairs(spark, sf_dir):
+    from pharmaceutical_sales_data_etl_analysis_pipeline_spark.operators.dedup import (
+        q_simhash_near_dups,
+        simhash_near_dups_allpairs,
+    )
+    from pharmaceutical_sales_data_etl_analysis_pipeline_spark.catalog import load_table as lt
+
+    banded = sorted(map(tuple, q_simhash_near_dups(spark, sf_dir).collect()))
+    exact = sorted(map(tuple, simhash_near_dups_allpairs(lt(spark, sf_dir, "documents")).collect()))
+    assert banded == exact
+    assert len(banded) > 0  # non-vacuous: the corpus does contain near-dups
+
+
+def test_embedding_near_dups_is_bucketed_not_cartesian(spark, sf_dir):
+    plan = _plan(all_queries()["embedding_near_dups"](spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_embedding_lsh_equals_allpairs(spark, sf_dir):
+    """On the test corpus the multi-probe LSH path returns exactly the
+    all-pairs ground truth (recall caveat documented in similarity.py)."""
+    from pharmaceutical_sales_data_etl_analysis_pipeline_spark.operators.similarity import (
+        embedding_near_dups_allpairs,
+        q_embedding_near_dups,
+    )
+    from pharmaceutical_sales_data_etl_analysis_pipeline_spark.catalog import load_table as lt
+
+    lsh = sorted(map(tuple, q_embedding_near_dups(spark, sf_dir).collect()))
+    exact = sorted(map(tuple, embedding_near_dups_allpairs(lt(spark, sf_dir, "embeddings")).collect()))
+    assert lsh == exact
+
+
+def test_embedding_lsh_finds_planted_near_dups(spark):
+    """Non-vacuous recall check (the real corpus has no cos >= 0.9 pairs):
+    plant exact and scaled duplicates — identical sign pattern, cosine 1.0 —
+    plus an anti-correlated vector, and assert the LSH path surfaces exactly
+    the planted pairs."""
+    import math
+
+    from pharmaceutical_sales_data_etl_analysis_pipeline_spark.operators.similarity import (
+        embedding_near_dups,
+    )
+
+    base = [math.sin(i * 0.7) + 0.1 for i in range(64)]
+    rows = [
+        (0, [float(x) for x in base]),
+        (1, [float(2.0 * x) for x in base]),      # cosine exactly 1.0 with 0
+        (2, [float(-x) for x in base]),           # cosine -1.0: must not pair
+        (3, [float((-1) ** i) for i in range(64)]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {(r.vec_a, r.vec_b) for r in embedding_near_dups(df).collect()}
+    assert got == {(0, 1)}
+
+
+def test_neardup_components_partitioning_scales_with_edges(spark, sf_dir):
+    """Partition count derives from the edge count (no hard-coded
+    coalesce(1)): a tiny rows_per_partition must fan the graph out across
+    >1 partitions without changing the result."""
+    from pharmaceutical_sales_data_etl_analysis_pipeline_spark.catalog import load_table as lt
+    from pharmaceutical_sales_data_etl_analysis_pipeline_spark.operators.corpusops import (
+        _graph_partitions,
+        neardup_components,
+    )
+
+    assert _graph_partitions(0, 500_000) == 1
+    assert _graph_partitions(10, 500_000) == 1
+    assert _graph_partitions(500_001, 500_000) == 2
+    assert _graph_partitions(10**12, 500_000) == 4096  # capped
+
+    docs = lt(spark, sf_dir, "documents")
+    default = neardup_components(docs)
+    fanned = neardup_components(docs, rows_per_partition=4)
+    assert fanned.rdd.getNumPartitions() > 1
+    assert sorted(map(tuple, fanned.collect())) == sorted(map(tuple, default.collect()))
