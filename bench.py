@@ -24,7 +24,9 @@ from pharmaceutical_sales_data_etl_analysis_pipeline_spark.session import get_sp
 
 # Representative slice of SURVEY.md §2 + north-star operator families:
 # star aggs, windows/dedup ops, sort/limit, text, minhash, simhash,
-# vector search, event-time windows, sessionization.
+# vector search, event-time windows, sessionization, ranking windows,
+# as-of join, HAVING-filtered semi-join (r2: +tpch_q18, rank_functions,
+# moving_avg_customer, asof_purchase_before_click, simhash_near_dups).
 HEADLINE = [
     "product_facts",
     "rep_facts",
@@ -35,6 +37,7 @@ HEADLINE = [
     "text_quality",
     "minhash_lsh_candidates",
     "simhash",
+    "simhash_near_dups",
     "embedding_near_dups",
     "cosine_topk",
     "lsh_probe_topk",
@@ -46,6 +49,10 @@ HEADLINE = [
     "tpch_q3",
     "tpch_q5",
     "tpch_q6",
+    "tpch_q18",
+    "rank_functions",
+    "moving_avg_customer",
+    "asof_purchase_before_click",
 ]
 
 

@@ -136,6 +136,18 @@ def _graph_partitions(n_edge_rows: int, rows_per_partition: int) -> int:
     return max(1, min(4096, -(-n_edge_rows // rows_per_partition)))
 
 
+def _sized(df: DataFrame, n_parts: int, key: str) -> DataFrame:
+    """Resize to the graph-derived partition count: narrow coalesce when
+    shrinking (no shuffle — the common case on small graphs), hash
+    repartition on the join key when the graph needs more parallelism."""
+    cur = df.rdd.getNumPartitions()
+    if n_parts < cur:
+        return df.coalesce(n_parts)
+    if n_parts > cur:
+        return df.repartition(n_parts, key)
+    return df
+
+
 def neardup_components(
     documents: DataFrame,
     max_iters: int = 50,
@@ -147,8 +159,8 @@ def neardup_components(
     # Undirected edge list, both directions. localCheckpoint truncates the
     # growing iterative lineage (without it, plan analysis dominates after a
     # few rounds) and materializes the graph so the one count() that sizes
-    # the partitioning is nearly free. Edges are hash-partitioned on dst and
-    # labels on node — the per-iteration neighbor join reuses both layouts.
+    # the partitioning is nearly free (narrow re-sizes then stack on the
+    # checkpointed blocks without a second materialization).
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .unionByName(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
@@ -156,14 +168,14 @@ def neardup_components(
         .localCheckpoint()
     )
     n_parts = _graph_partitions(edges.count(), rows_per_partition)
-    edges = edges.repartition(n_parts, "dst").localCheckpoint()
-    labels = (
+    edges = _sized(edges, n_parts, "dst")
+    labels = _sized(
         edges.select(F.col("src").alias("node"))
         .distinct()
-        .withColumn("label", F.col("node"))
-        .repartition(n_parts, "node")
-        .localCheckpoint()
-    )
+        .withColumn("label", F.col("node")),
+        n_parts,
+        "node",
+    ).localCheckpoint()
     for _ in range(max_iters):
         # hook: take the min label over neighbors
         neighbor_min = (
@@ -184,9 +196,8 @@ def neardup_components(
                 "node",
                 F.coalesce(F.col("z_label"), F.col("label")).alias("label"),
             )
-            .repartition(n_parts, "node")
-            .localCheckpoint()
         )
+        new_labels = _sized(new_labels, n_parts, "node").localCheckpoint()
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))

@@ -207,6 +207,57 @@ def run_pipeline(spark: SparkSession, reps_xml: str, txn_xmls: list[str]) -> Pha
     )
 
 
+def persist_warehouse(
+    spark: SparkSession,
+    wh: PharmaWarehouse,
+    database: str = "pharma_wh",
+    location: str | None = None,
+) -> PharmaWarehouse:
+    """Materialize the warehouse as managed tables and re-read it (S12 as a
+    real CTAS lifecycle — the reference's dbWriteTable + CREATE TABLE AS
+    SELECT persistence, LoadDataWarehouse.ChatterjeeP.R:29-32,90-133).
+
+    mode("overwrite") replays the reference's DROP TABLE IF EXISTS +
+    CREATE (S10). Summary facts are partitioned by `year`: the analytics
+    queries all filter on year, so the layout turns them into
+    partition-pruned scans (cheap here, decisive at 100 TB). product_facts
+    goes through literal SQL `CREATE TABLE ... PARTITIONED BY ... AS
+    SELECT` to exercise the DDL path; the other tables use the equivalent
+    DataFrameWriter.saveAsTable. The returned warehouse is backed entirely
+    by catalog re-reads — callers can verify results survive the round-trip
+    (partition columns migrate to the end of the re-read schema; consumers
+    address columns by name).
+    """
+    loc = f" LOCATION '{location}'" if location else ""
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {database}{loc}")
+    wh.reps.write.mode("overwrite").format("parquet").saveAsTable(f"{database}.reps")
+    wh.customers.write.mode("overwrite").format("parquet").saveAsTable(f"{database}.customers")
+    wh.products.write.mode("overwrite").format("parquet").saveAsTable(f"{database}.products")
+    wh.salestxn.write.mode("overwrite").format("parquet").saveAsTable(f"{database}.salestxn")
+
+    wh.product_facts.createOrReplaceTempView("__pf_src")
+    spark.sql(f"DROP TABLE IF EXISTS {database}.product_facts")
+    spark.sql(
+        f"CREATE TABLE {database}.product_facts USING parquet PARTITIONED BY (year) "
+        "AS SELECT product_name, quarter, region, total_sold, year FROM __pf_src"
+    )
+    spark.catalog.dropTempView("__pf_src")
+    wh.rep_facts.write.mode("overwrite").format("parquet").partitionBy("year").saveAsTable(
+        f"{database}.rep_facts"
+    )
+
+    salestxn = spark.table(f"{database}.salestxn")
+    return PharmaWarehouse(
+        reps=spark.table(f"{database}.reps"),
+        customers=spark.table(f"{database}.customers"),
+        products=spark.table(f"{database}.products"),
+        salestxn=salestxn,
+        salestxn_repaired=repair_rep_ids(salestxn),
+        product_facts=spark.table(f"{database}.product_facts"),
+        rep_facts=spark.table(f"{database}.rep_facts"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Stage 3: verification / analytics queries
 # (LoadDataWarehouse.ChatterjeeP.R:141-215; AnalyzeData.ChatterjeeP.Rmd:38-68)

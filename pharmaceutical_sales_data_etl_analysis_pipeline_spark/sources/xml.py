@@ -45,9 +45,11 @@ def read_xml_xpath(
     fragment (e.g. {"rep_id": "rep/@rID", "cust": "txn//cust"}).
     """
     raw = spark.read.option("wholetext", True).text(path)
+    # `[\\s>]` after the tag name keeps a wrapper whose name merely extends
+    # the row tag (<txns> vs <txn>) from swallowing the first record
     records = raw.select(
         F.explode(
-            F.expr(f"regexp_extract_all(value, '<{row_tag}[\\\\s\\\\S]*?</{row_tag}>', 0)")
+            F.expr(f"regexp_extract_all(value, '<{row_tag}[\\\\s>][\\\\s\\\\S]*?</{row_tag}>', 0)")
         ).alias("xml")
     )
     cols = [F.expr(f"xpath_string(xml, '{xp}')").alias(name) for name, xp in fields.items()]

@@ -83,6 +83,45 @@ def test_rep_totals_2020(warehouse):
     assert got == GOLDEN_REP_TOTALS
 
 
+@pytest.fixture(scope="module")
+def persisted(spark, warehouse, tmp_path_factory):
+    """The warehouse materialized via saveAsTable/CTAS and re-read from the
+    catalog — golden results must survive the table lifecycle (S12/S10)."""
+    loc = str(tmp_path_factory.mktemp("pharma_wh"))
+    wh = pp.persist_warehouse(spark, warehouse, database="pharma_wh_test", location=loc)
+    yield wh
+    for t in ("reps", "customers", "products", "salestxn", "product_facts", "rep_facts"):
+        spark.sql(f"DROP TABLE IF EXISTS pharma_wh_test.{t}")
+    spark.sql("DROP DATABASE IF EXISTS pharma_wh_test")
+
+
+def test_persisted_golden_results(persisted):
+    assert persisted.salestxn.count() == 11_060
+    assert persisted.product_facts.count() == 96
+    got_q = {r["quarter"]: r["total"] for r in pp.quarterly_totals_2020(persisted.product_facts).collect()}
+    assert got_q == GOLDEN_QUARTERS
+    [row] = pp.best_product_2020(persisted.product_facts).collect()
+    assert (row["product_name"], row["total_sold"]) == GOLDEN_BEST
+    got_r = {
+        (r["first_name"], r["last_name"]): r["total_sales"]
+        for r in pp.rep_totals_2020(persisted.rep_facts).collect()
+    }
+    assert got_r == GOLDEN_REP_TOTALS
+
+
+def test_persisted_facts_prune_year_partitions(persisted):
+    """The year-partitioned layout must turn the year-2020 analytics filter
+    into partition pruning on the re-read table."""
+    from pyspark.sql import functions as F
+
+    df = persisted.product_facts.filter(F.col("year") == 2020)
+    plan = df._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "PartitionFilters: [" in plan
+    assert "year" in plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+
+
 def test_key_repair_sequencing(warehouse):
     """rep_facts must exclude nothing (all 6 active reps resolve after
     repair), and the pre-repair fact table must still carry bare ids."""
