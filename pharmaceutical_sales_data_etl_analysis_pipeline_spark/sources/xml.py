@@ -57,7 +57,7 @@ def read_xml_xpath(
 
 
 def read_xml_files_ordered(
-    spark: SparkSession, paths: list[str], row_tag: str
+    spark: SparkSession, paths: list[str], row_tag: str, require_single_split: bool = True
 ) -> DataFrame:
     """Read N XML files preserving (file order, record order) as columns.
 
@@ -65,12 +65,22 @@ def read_xml_files_ordered(
     `paths`) and `seq` (1-based record position within the file). Record
     order relies on monotonically_increasing_id being ascending in document
     order within each file — exact when a file is one split (dimension-scale
-    parity mode); for multi-split files the per-partition ids remain
-    document-ordered and partition ids follow split order.
+    parity mode, ENFORCED below); for multi-split files the per-partition
+    ids remain document-ordered but partition ids may not follow split
+    order, so parity mode refuses rather than silently reordering (pass
+    require_single_split=False only when downstream order doesn't matter).
     """
     parts = []
     for i, p in enumerate(paths):
         df = read_xml(spark, p, row_tag)
+        if require_single_split:
+            n_splits = df.rdd.getNumPartitions()
+            if n_splits > 1:
+                raise ValueError(
+                    f"parity-mode ordered XML ingest requires one split per file, "
+                    f"but {p} scanned as {n_splits} splits; raise "
+                    f"spark.sql.files.maxPartitionBytes or pass require_single_split=False"
+                )
         parts.append(
             df.withColumn("file_idx", F.lit(i)).withColumn(
                 "__mono", F.monotonically_increasing_id()
