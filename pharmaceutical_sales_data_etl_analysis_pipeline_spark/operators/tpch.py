@@ -423,6 +423,498 @@ LIMIT 100
 """
 
 
+# ---------------------------------------------------------------------------
+# Q7 — volume shipping between two nations: revenue flowing supplier-nation
+# → customer-nation per ship year, for one nation pair in both directions.
+# Fact⋈fact shuffle on orderkey; both nation lookups broadcast.
+# ---------------------------------------------------------------------------
+
+Q7_N1, Q7_N2 = "NATION_1", "NATION_2"
+Q7_YEARS = (1996, 1997)
+
+
+def tpch_q7(
+    nation: DataFrame, customer: DataFrame, orders: DataFrame,
+    lineitem: DataFrame, supplier: DataFrame,
+) -> DataFrame:
+    supp_nat = supplier.join(
+        F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    cust_nat = customer.join(
+        F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey")
+    ).select("c_custkey", F.col("n_name").alias("cust_nation"))
+    pair = (
+        ((F.col("supp_nation") == Q7_N1) & (F.col("cust_nation") == Q7_N2))
+        | ((F.col("supp_nation") == Q7_N2) & (F.col("cust_nation") == Q7_N1))
+    )
+    return (
+        lineitem.filter(F.year("l_shipdate").isin(*Q7_YEARS))
+        .join(orders.select("o_orderkey", "o_custkey"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(supp_nat), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(cust_nat), F.col("o_custkey") == F.col("c_custkey"))
+        .filter(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tpch_q7(
+        load_table(spark, sf_dir, "nation"),
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "supplier"),
+    )
+
+
+SQL_TPCH_Q7 = f"""
+SELECT sn.n_name AS supp_nation,
+       cn.n_name AS cust_nation,
+       year(l_shipdate) AS l_year,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+WHERE year(l_shipdate) IN {Q7_YEARS}
+  AND ((sn.n_name = '{Q7_N1}' AND cn.n_name = '{Q7_N2}')
+    OR (sn.n_name = '{Q7_N2}' AND cn.n_name = '{Q7_N1}'))
+GROUP BY 1, 2, 3
+ORDER BY 1, 2, 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q8 — national market share: of all PROMO-type parts sold to customers in
+# one region, the revenue fraction supplied by one nation, per order year.
+# The share is a CASE-guarded decimal sum over a plain decimal sum — both
+# engines divide identical doubles.
+# ---------------------------------------------------------------------------
+
+Q8_REGION = "EUROPE"
+Q8_NATION = "NATION_3"
+Q8_TYPE = "PROMO"
+
+
+def tpch_q8(
+    region: DataFrame, nation: DataFrame, customer: DataFrame, orders: DataFrame,
+    lineitem: DataFrame, supplier: DataFrame, part: DataFrame,
+) -> DataFrame:
+    cust_region = (
+        customer.join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region.filter(F.col("r_name") == Q8_REGION)),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("c_custkey")
+    )
+    supp_nat = supplier.join(
+        F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    nation_rev = F.when(F.col("supp_nation") == Q8_NATION, rev).otherwise(F.lit(0.0))
+    return (
+        lineitem.join(F.broadcast(part.filter(F.col("p_type") == Q8_TYPE).select("p_partkey")),
+                      F.col("l_partkey") == F.col("p_partkey"))
+        .join(orders.select("o_orderkey", "o_custkey", "o_orderdate"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust_region), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp_nat), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            (
+                F.sum(nation_rev.cast(DEC)).cast("double")
+                / F.sum(rev.cast(DEC)).cast("double")
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tpch_q8(
+        load_table(spark, sf_dir, "region"),
+        load_table(spark, sf_dir, "nation"),
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "part"),
+    )
+
+
+SQL_TPCH_Q8 = f"""
+SELECT year(o_orderdate) AS o_year,
+       CAST(SUM(CAST(CASE WHEN sn.n_name = '{Q8_NATION}'
+                          THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END
+                     AS DECIMAL(28,6))) AS DOUBLE)
+       / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE)
+         AS mkt_share
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+JOIN region    ON cn.n_regionkey = r_regionkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+WHERE r_name = '{Q8_REGION}' AND p_type = '{Q8_TYPE}'
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q10 — returned-item reporting: top-20 customers by revenue lost to
+# returns in one half-year. lineitem⋈orders shuffle; customer and nation
+# broadcast; TakeOrderedAndProject top-k.
+# ---------------------------------------------------------------------------
+
+Q10_FROM, Q10_TO = "1997-01-01", "1997-07-01"
+
+
+def tpch_q10(
+    nation: DataFrame, customer: DataFrame, orders: DataFrame, lineitem: DataFrame
+) -> DataFrame:
+    cust = customer.join(
+        F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey")
+    ).select("c_custkey", "c_name", "c_acctbal", "n_name")
+    return (
+        lineitem.filter(F.col("l_returnflag") == "R")
+        .join(
+            orders.filter(
+                (F.col("o_orderdate") >= F.lit(Q10_FROM).cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit(Q10_TO).cast("timestamp"))
+            ).select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tpch_q10(
+        load_table(spark, sf_dir, "nation"),
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+    )
+
+
+SQL_TPCH_Q10 = f"""
+SELECT c_custkey, c_name, c_acctbal, n_name,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '{Q10_FROM} 00:00:00'
+  AND o_orderdate <  TIMESTAMP '{Q10_TO} 00:00:00'
+GROUP BY 1, 2, 3, 4
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q12 (adapted) — shipping-delay analysis: the corpus has no l_shipmode /
+# l_commitdate, so Q12's mode dimension becomes a ship-delay bucket
+# (days from order to ship: FAST<=30 < NORMAL<=90 < SLOW) and the CASE
+# split counts urgent (1-URGENT/2-HIGH) vs other line items per bucket —
+# the same join + CASE-conditional-count shape as the spec query.
+# ---------------------------------------------------------------------------
+
+Q12_YEAR = 1997
+
+
+def tpch_q12(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    delay = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    bucket = (
+        F.when(delay <= 30, "FAST").when(delay <= 90, "NORMAL").otherwise("SLOW")
+    )
+    urgent = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        lineitem.filter(F.year("l_shipdate") == Q12_YEAR)
+        .join(orders.select("o_orderkey", "o_orderdate", "o_orderpriority"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(bucket.alias("delay_bucket"))
+        .agg(
+            F.sum(F.when(urgent, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(urgent, 0).otherwise(1)).cast("long").alias("low_line_count"),
+        )
+        .orderBy("delay_bucket")
+    )
+
+
+def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tpch_q12(
+        load_table(spark, sf_dir, "orders"), load_table(spark, sf_dir, "lineitem")
+    )
+
+
+SQL_TPCH_Q12 = f"""
+SELECT CASE WHEN date_diff('day', o_orderdate, l_shipdate) <= 30 THEN 'FAST'
+            WHEN date_diff('day', o_orderdate, l_shipdate) <= 90 THEN 'NORMAL'
+            ELSE 'SLOW' END AS delay_bucket,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+WHERE year(l_shipdate) = {Q12_YEAR}
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q14 — promotion effect: percentage of one year's revenue from PROMO-type
+# parts. Single scan + broadcast part join; two decimal sums divided.
+# ---------------------------------------------------------------------------
+
+Q14_YEAR = 1997
+
+
+def tpch_q14(part: DataFrame, lineitem: DataFrame) -> DataFrame:
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
+    return (
+        lineitem.filter(F.year("l_shipdate") == Q14_YEAR)
+        .join(F.broadcast(part.select("p_partkey", "p_type")),
+              F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            (
+                F.lit(100.0) * F.sum(promo.cast(DEC)).cast("double")
+                / F.sum(rev.cast(DEC)).cast("double")
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tpch_q14(
+        load_table(spark, sf_dir, "part"), load_table(spark, sf_dir, "lineitem")
+    )
+
+
+SQL_TPCH_Q14 = f"""
+SELECT 100.0 * CAST(SUM(CAST(CASE WHEN p_type = 'PROMO'
+                                  THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END
+                             AS DECIMAL(28,6))) AS DOUBLE)
+       / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE)
+         AS promo_revenue_pct
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE year(l_shipdate) = {Q14_YEAR}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q16 (adapted) — supplier diversity per part profile: distinct suppliers
+# by (brand, type, size) for selected sizes, excluding one brand and any
+# supplier with a negative account balance (the spec's complaint-supplier
+# NOT IN, driven here by s_acctbal < 0). Anti-join replaces NOT IN.
+# ---------------------------------------------------------------------------
+
+Q16_SIZES = (1, 14, 23, 45)
+Q16_EXCLUDED_BRAND = "Brand#1"
+
+
+def tpch_q16(part: DataFrame, supplier: DataFrame, lineitem: DataFrame) -> DataFrame:
+    parts = part.filter(
+        (F.col("p_brand") != Q16_EXCLUDED_BRAND) & F.col("p_size").isin(*Q16_SIZES)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    bad_supp = supplier.filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        lineitem.select("l_partkey", "l_suppkey")
+        .join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(bad_supp), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").cast("long").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tpch_q16(
+        load_table(spark, sf_dir, "part"),
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "lineitem"),
+    )
+
+
+SQL_TPCH_Q16 = f"""
+SELECT p_brand, p_type, p_size,
+       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> '{Q16_EXCLUDED_BRAND}'
+  AND p_size IN {Q16_SIZES}
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY 1, 2, 3
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q19 — discounted revenue under disjunctive brand/size/quantity predicates
+# (three OR'd conjunction arms). One broadcast part join; the disjunction
+# stays a single post-join filter Catalyst can simplify per arm.
+# ---------------------------------------------------------------------------
+
+def tpch_q19(part: DataFrame, lineitem: DataFrame) -> DataFrame:
+    arms = (
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 15)
+         & F.col("l_quantity").between(1, 30))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 25)
+           & F.col("l_quantity").between(10, 40))
+        | ((F.col("p_brand") == "Brand#21") & F.col("p_size").between(1, 35)
+           & F.col("l_quantity").between(20, 50))
+    )
+    return (
+        lineitem.join(F.broadcast(part.select("p_partkey", "p_brand", "p_size")),
+                      F.col("l_partkey") == F.col("p_partkey"))
+        .filter(arms)
+        .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+    )
+
+
+def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tpch_q19(
+        load_table(spark, sf_dir, "part"), load_table(spark, sf_dir, "lineitem")
+    )
+
+
+SQL_TPCH_Q19 = """
+SELECT CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 30)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 40)
+   OR (p_brand = 'Brand#21' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 50)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q11 (adapted) — important part volumes: per-part revenue supplied by one
+# nation's suppliers, kept where it exceeds a fraction of that nation's
+# total (the spec's HAVING > scalar-subquery). Spark decorrelates as a
+# broadcast cross-join against the 1-row total — no driver round-trip.
+# ---------------------------------------------------------------------------
+
+Q11_NATION = "NATION_7"
+Q11_FRACTION = 0.001
+
+
+def tpch_q11(
+    nation: DataFrame, supplier: DataFrame, lineitem: DataFrame
+) -> DataFrame:
+    nat_supp = (
+        supplier.join(
+            F.broadcast(nation.filter(F.col("n_name") == Q11_NATION)),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        ).select("s_suppkey")
+    )
+    contrib = (
+        lineitem.join(F.broadcast(nat_supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "part_value"))
+    )
+    total = contrib.agg(
+        F.sum(F.col("part_value").cast(DEC)).cast("double").alias("total_value")
+    )
+    return (
+        contrib.crossJoin(F.broadcast(total))
+        .filter(F.col("part_value") > F.col("total_value") * Q11_FRACTION)
+        .select("l_partkey", "part_value")
+        .orderBy(F.desc("part_value"), F.asc("l_partkey"))
+    )
+
+
+def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tpch_q11(
+        load_table(spark, sf_dir, "nation"),
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "lineitem"),
+    )
+
+
+SQL_TPCH_Q11 = f"""
+WITH contrib AS (
+  SELECT l_partkey,
+         CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS part_value
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  WHERE n_name = '{Q11_NATION}'
+  GROUP BY 1
+)
+SELECT l_partkey, part_value
+FROM contrib
+WHERE part_value > (SELECT CAST(SUM(CAST(part_value AS DECIMAL(28,6))) AS DOUBLE) FROM contrib) * {Q11_FRACTION}
+ORDER BY part_value DESC, l_partkey ASC
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q22 (adapted) — wealthy quiet customers: customers whose balance exceeds
+# the global positive-balance average (scalar subquery → broadcast 1-row
+# cross join) and who never placed an order above a threshold (NOT EXISTS →
+# left anti join), aggregated per market segment.
+# ---------------------------------------------------------------------------
+
+Q22_BIG_ORDER = 450_000.0
+
+
+def tpch_q22(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    avg_bal = customer.filter(F.col("c_acctbal") > 0).agg(
+        (
+            F.sum(F.col("c_acctbal").cast(DEC)).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("avg_bal")
+    )
+    big_orders = orders.filter(F.col("o_totalprice") > Q22_BIG_ORDER).select("o_custkey")
+    return (
+        customer.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(big_orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("numcust"),
+            _dsum(F.col("c_acctbal"), "totacctbal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tpch_q22(
+        load_table(spark, sf_dir, "customer"), load_table(spark, sf_dir, "orders")
+    )
+
+
+SQL_TPCH_Q22 = f"""
+SELECT c_mktsegment,
+       CAST(count(*) AS BIGINT) AS numcust,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(28,6))) AS DOUBLE) AS totacctbal
+FROM customer
+WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(28,6))) AS DOUBLE)
+                          / CAST(COUNT(*) AS DOUBLE)
+                   FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_totalprice > {Q22_BIG_ORDER})
+GROUP BY 1
+ORDER BY 1
+"""
+
+
 QUERIES = {
     "tpch_q1": q_tpch_q1,
     "tpch_q3": q_tpch_q3,
@@ -432,6 +924,15 @@ QUERIES = {
     "tpch_q6": q_tpch_q6,
     "tpch_q18": q_tpch_q18,
     "profile_orders": q_profile_orders,
+    "tpch_q7": q_tpch_q7,
+    "tpch_q8": q_tpch_q8,
+    "tpch_q10": q_tpch_q10,
+    "tpch_q11": q_tpch_q11,
+    "tpch_q12": q_tpch_q12,
+    "tpch_q14": q_tpch_q14,
+    "tpch_q16": q_tpch_q16,
+    "tpch_q19": q_tpch_q19,
+    "tpch_q22": q_tpch_q22,
 }
 
 ORACLES = {
@@ -443,4 +944,14 @@ ORACLES = {
     "tpch_q6": SQL_TPCH_Q6,
     "tpch_q18": SQL_TPCH_Q18,
     "profile_orders": SQL_PROFILE_ORDERS,
+    "tpch_q7": SQL_TPCH_Q7,
+    "tpch_q8": SQL_TPCH_Q8,
+    "tpch_q10": SQL_TPCH_Q10,
+    "tpch_q11": SQL_TPCH_Q11,
+    "tpch_q12": SQL_TPCH_Q12,
+    "tpch_q14": SQL_TPCH_Q14,
+    "tpch_q16": SQL_TPCH_Q16,
+    "tpch_q19": SQL_TPCH_Q19,
+    "tpch_q22": SQL_TPCH_Q22,
 }
+

@@ -4,19 +4,13 @@ __spark_entry__.queries()/oracle_sql() read from here. Invariant (checked in
 tests): every queries() key has either an oracle twin or is explicitly
 listed in NO_ORACLE (non-SQL-expressible ops → driver rows-only check).
 
-MODULE_ORDER is the driver-sweep priority: the external correctness sweep
-covers the first 50 registry entries in insertion order, so modules whose
-queries still need (or recently changed and need fresh) driver-oracle rows
-are emitted first; queries already driver-green in a previous round rotate
-to the back, where the local harness (tests/test_oracle_parity.py — same
-compare logic) keeps protecting them. Rotate per round until every query
-has a driver row.
-
-Round-2 order: tpch/scalarfuncs/corpusops/pythonudf/analytic had no driver
-row in round 1 (registry positions 51-78); dedup/similarity/multimodal
-contain the queries whose plans changed this round (simhash_near_dups,
-embedding_near_dups, multimodal_features). relational/textops/eventsops
-were all driver-green in CORRECTNESS_r01.json and rotate to the back.
+Ordering contract: the external correctness sweep covers the FIRST 50
+registry entries in insertion order. PRIORITY lists, by name, every query
+that still needs (or, after a plan change, needs a fresh) driver-oracle
+row; those are emitted first, the rest follow in MODULE_ORDER. Queries
+rotated out of the window stay protected by the local harness
+(tests/test_oracle_parity.py — the same compare at sf0.001). Refresh
+PRIORITY each round from the latest CORRECTNESS_r{N}.json.
 
 Imports are deliberately NOT guarded: a broken operator module must fail
 the whole registry loudly (a swallowed ImportError would silently shrink
@@ -48,16 +42,79 @@ MODULE_ORDER = [
     "eventsops",
 ]
 
+# Round-2 sweep priority:
+# - the 28 queries with no driver row in CORRECTNESS_r01.json
+#   (registry positions 51-78 last round),
+# - the 3 whose plans/oracles changed this round
+#   (simhash_near_dups, embedding_near_dups, multimodal_features),
+# - every query added this round (tpch_q7..q22, corpus ops).
+PRIORITY = [
+    # new this round (no row ever)
+    "tpch_q7",
+    "tpch_q8",
+    "tpch_q10",
+    "tpch_q11",
+    "tpch_q12",
+    "tpch_q14",
+    "tpch_q16",
+    "tpch_q19",
+    "tpch_q22",
+    # r1-unswept: tpch
+    "tpch_q1",
+    "tpch_q3",
+    "tpch_q4",
+    "tpch_q5",
+    "tpch_q6",
+    "tpch_q18",
+    "cheapest_supplier_per_part",
+    "profile_orders",
+    # r1-unswept: scalarfuncs
+    "json_extract_props",
+    "date_arithmetic",
+    "null_handling",
+    "regexp_extract_parts",
+    "array_agg_per_brand",
+    "explode_roundtrip",
+    # r1-unswept: corpusops
+    "pii_scrub",
+    "deterministic_sample",
+    "shard_histogram",
+    "neardup_components",
+    # r1-unswept: pythonudf
+    "pandas_normalized_text",
+    "grouped_pandas_topk",
+    # r1-unswept: analytic tail
+    "rank_functions",
+    "asof_purchase_before_click",
+    "events_within_5min",
+    "percentile_disc_prices",
+    "salted_user_totals",
+    "distinct_counts",
+    "conditional_aggregates",
+    "string_functions",
+    # changed plans/oracles this round
+    "simhash_near_dups",
+    "embedding_near_dups",
+    "multimodal_features",
+]
+
 
 def _collect() -> tuple[dict[str, QueryFn], dict[str, str]]:
-    queries: dict[str, QueryFn] = {}
-    oracles: dict[str, str] = {}
+    merged_q: dict[str, QueryFn] = {}
+    merged_o: dict[str, str] = {}
     for name in MODULE_ORDER:
         mod = importlib.import_module(
             f"pharmaceutical_sales_data_etl_analysis_pipeline_spark.operators.{name}"
         )
-        queries.update(mod.QUERIES)
-        oracles.update(mod.ORACLES)
+        merged_q.update(mod.QUERIES)
+        merged_o.update(mod.ORACLES)
+    missing = [n for n in PRIORITY if n not in merged_q]
+    if missing:
+        raise RuntimeError(f"PRIORITY names not in any module's QUERIES: {missing}")
+    queries: dict[str, QueryFn] = {n: merged_q[n] for n in PRIORITY}
+    queries.update(merged_q)  # remaining keys keep module order
+    oracles: dict[str, str] = {n: merged_o[n] for n in PRIORITY if n in merged_o}
+    oracles.update(merged_o)
     return queries, oracles
 
 

@@ -33,7 +33,7 @@ def test_every_query_has_oracle_or_is_declared():
 # Pin the registry size: operator-module imports are unguarded, but a query
 # silently dropped from a module's QUERIES dict would still shrink the
 # surface without failing — keep this in sync when adding queries.
-EXPECTED_QUERY_COUNT = 78
+EXPECTED_QUERY_COUNT = 87
 
 
 def test_registry_pins_query_count():
@@ -44,20 +44,13 @@ def test_registry_pins_query_count():
 
 def test_driver_sweep_priority_order():
     """The external correctness sweep covers the first 50 registry entries in
-    insertion order. Every query from the priority modules (no driver row in
-    round 1, or plan changed this round) must sit inside that window."""
-    import importlib
-
+    insertion order. Every PRIORITY query (no driver row yet, or plan changed
+    this round) must sit inside that window."""
     import __spark_entry__ as entrymod
 
-    from pharmaceutical_sales_data_etl_analysis_pipeline_spark.registry import MODULE_ORDER
+    from pharmaceutical_sales_data_etl_analysis_pipeline_spark.registry import PRIORITY
 
+    assert len(PRIORITY) <= 50, "PRIORITY itself overflows the sweep window"
     head = set(list(entrymod.queries().keys())[:50])
-    priority = set()
-    for name in MODULE_ORDER[:8]:  # tpch..multimodal (see registry docstring)
-        mod = importlib.import_module(
-            f"pharmaceutical_sales_data_etl_analysis_pipeline_spark.operators.{name}"
-        )
-        priority |= set(mod.QUERIES)
-    missing = priority - head
+    missing = set(PRIORITY) - head
     assert not missing, f"priority queries outside the 50-entry sweep window: {missing}"

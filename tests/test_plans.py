@@ -90,6 +90,19 @@ def test_topk_plans_take_ordered(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan
 
 
+def test_new_tpch_star_plans(spark, sf_dir):
+    """r2 TPC-H additions keep the star discipline: dims broadcast (no
+    sort-merge joins at this scale), top-k plans TakeOrderedAndProject,
+    and filters reach the parquet scans."""
+    p10 = _plan(all_queries()["tpch_q10"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in p10
+    assert "SortMergeJoin" not in p10
+    assert "PushedFilters: [" in p10
+    p16 = _plan(all_queries()["tpch_q16"](spark, sf_dir))
+    assert "SortMergeJoin" not in p16
+    assert "CartesianProduct" not in p16
+
+
 def test_simhash_near_dups_is_banded_not_cartesian(spark, sf_dir):
     """The registered near-dup plan must candidate via the band-pair
     equi-join — never an all-pairs cartesian/nested-loop."""
