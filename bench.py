@@ -53,6 +53,9 @@ HEADLINE = [
     "rank_functions",
     "moving_avg_customer",
     "asof_purchase_before_click",
+    "tpch_q10",
+    "tfidf_topk_terms",
+    "training_corpus",
 ]
 
 

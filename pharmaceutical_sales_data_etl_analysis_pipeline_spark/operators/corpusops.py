@@ -17,10 +17,11 @@ large-star/small-star variant (same join primitive, fewer rounds).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..functions.numeric import round_half_up
 from .dedup import minhash_lsh_candidates
 
 EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
@@ -242,11 +243,274 @@ GROUP BY src
 SQL_NEARDUP_COMPONENTS = _components_sql()
 
 
+# ---------------------------------------------------------------------------
+# Vocabulary: corpus-wide top-K tokens by document frequency. Explode +
+# one hash agg (tf = occurrences, df = docs containing) + TakeOrdered —
+# the word-count shape that feeds tokenizer/vocab building. At 100 TB the
+# agg is map-side-combined on token; head tokens are hot keys but the
+# partial aggregation absorbs them.
+# ---------------------------------------------------------------------------
+
+VOCAB_K = 50
+
+
+def _word_rows(documents: DataFrame) -> DataFrame:
+    """(doc_id, word): full (non-distinct) whitespace tokenization of the
+    lowercased text — one row per occurrence."""
+    return documents.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("word"),
+    )
+
+
+def vocab_topk(documents: DataFrame, k: int = VOCAB_K) -> DataFrame:
+    return (
+        _word_rows(documents)
+        .groupBy("word")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("tf"),
+            F.countDistinct("doc_id").cast("long").alias("df"),
+        )
+        .orderBy(F.desc("df"), F.desc("tf"), F.asc("word"))
+        .limit(k)
+    )
+
+
+def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return vocab_topk(load_table(spark, sf_dir, "documents"))
+
+
+SQL_WORDS_CTE = """
+words AS (
+  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word
+  FROM documents
+)
+"""
+
+SQL_VOCAB_TOPK = f"""
+WITH {SQL_WORDS_CTE}
+SELECT word,
+       CAST(count(*) AS BIGINT) AS tf,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+FROM words
+GROUP BY word
+ORDER BY df DESC, tf DESC, word ASC
+LIMIT {VOCAB_K}
+"""
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF: per-document top-3 terms. idf is the RATIONAL form N/df (a plain
+# double division — ln() differs in the last ulp across engines, a rational
+# idf is rank-equivalent and cross-engine exact). Per-(doc,term) tf from one
+# agg; df derived from tf rows (one row per doc-term already); the tf⋈df
+# join shuffles on term — AQE splits head-token skew.
+# ---------------------------------------------------------------------------
+
+TFIDF_K = 3
+
+
+def tfidf_topk_terms(documents: DataFrame, k: int = TFIDF_K) -> DataFrame:
+    words = _word_rows(documents)
+    tf = words.groupBy("doc_id", "word").agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    df_ = tf.groupBy("word").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    n_docs = documents.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    scored = (
+        tf.join(df_, "word")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            F.col("word").alias("term"),
+            "tf",
+            "df",
+            round_half_up(
+                F.col("tf").cast("double") * F.col("n_docs") / F.col("df").cast("double"), 4
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("doc_id", "term", "tf", "df", "tfidf", F.col("rnk").cast("int").alias("rnk"))
+    )
+
+
+def q_tfidf_topk_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tfidf_topk_terms(load_table(spark, sf_dir, "documents"))
+
+
+SQL_TFIDF_TOPK_TERMS = f"""
+WITH {SQL_WORDS_CTE},
+tf AS (
+  SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf
+  FROM words GROUP BY 1, 2
+),
+df AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1
+),
+scored AS (
+  SELECT tf.doc_id, tf.word AS term, tf.tf, df.df,
+         floor((CAST(tf.tf AS DOUBLE)
+                * (SELECT CAST(count(*) AS DOUBLE) FROM documents)
+                / CAST(df.df AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 AS tfidf
+  FROM tf JOIN df ON tf.word = df.word
+)
+SELECT doc_id, term, tf, df, tfidf, CAST(rnk AS INT) AS rnk
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rnk
+  FROM scored
+) t
+WHERE rnk <= {TFIDF_K}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Dedup survivors: one representative per near-dup component (its min
+# doc_id — the component label itself), everything unclustered kept as-is.
+# The per-corpus keep/drop decision a dedup stage feeds downstream.
+# ---------------------------------------------------------------------------
+
+def dedup_survivors(documents: DataFrame) -> DataFrame:
+    comp = neardup_components(documents)
+    return (
+        documents.select("doc_id")
+        .join(comp.withColumnRenamed("doc_id", "c_doc"), F.col("doc_id") == F.col("c_doc"), "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("component"), F.col("doc_id")).alias("component"),
+            (F.col("component").isNull() | (F.col("component") == F.col("doc_id"))).alias("keep"),
+        )
+    )
+
+
+def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup_survivors(load_table(spark, sf_dir, "documents"))
+
+
+SQL_DEDUP_SURVIVORS = f"""
+WITH comp AS ({SQL_NEARDUP_COMPONENTS})
+SELECT d.doc_id,
+       coalesce(comp.component, d.doc_id) AS component,
+       (comp.component IS NULL OR comp.component = d.doc_id) AS keep
+FROM documents d
+LEFT JOIN comp ON d.doc_id = comp.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Training-corpus composition: the end-to-end corpus-prep decision — keep
+# documents that are (a) near-dup survivors, (b) confidently English by the
+# stopword language ID, (c) above a quality floor, (d) long enough. One
+# declarative plan over the reused operator expressions: Catalyst fuses the
+# four per-document signals into a single scan + the dedup-survivor join.
+# ---------------------------------------------------------------------------
+
+CORPUS_MIN_QUALITY = 0.58
+CORPUS_MIN_TOKENS = 20
+
+
+def training_corpus(documents: DataFrame) -> DataFrame:
+    from .textops import lang_id, text_quality, token_counts
+
+    surv = dedup_survivors(documents).filter(F.col("keep")).select("doc_id")
+    lang = lang_id(documents).filter(F.col("predicted_lang") == "en").select("doc_id")
+    qual = text_quality(documents).filter(
+        F.col("quality_score") >= CORPUS_MIN_QUALITY
+    ).select("doc_id", "quality_score")
+    toks = token_counts(documents).filter(
+        F.col("ws_tokens") >= CORPUS_MIN_TOKENS
+    ).select("doc_id", "ws_tokens")
+    return (
+        documents.select("doc_id")
+        .join(surv, "doc_id")
+        .join(lang, "doc_id")
+        .join(qual, "doc_id")
+        .join(toks, "doc_id")
+        .select("doc_id", "ws_tokens", "quality_score")
+    )
+
+
+def q_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return training_corpus(load_table(spark, sf_dir, "documents"))
+
+
+def _training_corpus_sql() -> str:
+    from .textops import SQL_LANG_ID, SQL_TEXT_QUALITY, SQL_TOKEN_COUNTS
+
+    return f"""
+WITH surv AS ({SQL_DEDUP_SURVIVORS}),
+lang AS ({SQL_LANG_ID}),
+qual AS ({SQL_TEXT_QUALITY}),
+toks AS ({SQL_TOKEN_COUNTS})
+SELECT d.doc_id, toks.ws_tokens, qual.quality_score
+FROM documents d
+JOIN surv ON d.doc_id = surv.doc_id AND surv.keep
+JOIN lang ON d.doc_id = lang.doc_id AND lang.predicted_lang = 'en'
+JOIN qual ON d.doc_id = qual.doc_id AND qual.quality_score >= {CORPUS_MIN_QUALITY}
+JOIN toks ON d.doc_id = toks.doc_id AND toks.ws_tokens >= {CORPUS_MIN_TOKENS}
+"""
+
+
+SQL_TRAINING_CORPUS = _training_corpus_sql()
+
+
+# ---------------------------------------------------------------------------
+# Contamination check: training documents sharing any 3-word shingle with a
+# benchmark/eval subset (doc_id < CONTAM_BENCH). Benchmark shingles are
+# eval-set-sized → broadcast; the check is a broadcast equi-join + per-doc
+# count, linear in the training corpus.
+# ---------------------------------------------------------------------------
+
+CONTAM_BENCH = 50
+
+
+def contamination_check(documents: DataFrame) -> DataFrame:
+    from .dedup import with_shingles
+
+    sh = with_shingles(documents)
+    bench = sh.filter(F.col("doc_id") < CONTAM_BENCH).select("shingle").distinct()
+    return (
+        sh.filter(F.col("doc_id") >= CONTAM_BENCH)
+        .join(F.broadcast(bench), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared_shingles"))
+    )
+
+
+def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return contamination_check(load_table(spark, sf_dir, "documents"))
+
+
+def _contamination_sql() -> str:
+    from .dedup import SQL_SHINGLES_CTE
+
+    return f"""
+WITH {SQL_SHINGLES_CTE},
+bench AS (
+  SELECT DISTINCT shingle FROM shingled WHERE doc_id < {CONTAM_BENCH}
+)
+SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_shared_shingles
+FROM shingled s
+JOIN bench ON s.shingle = bench.shingle
+WHERE s.doc_id >= {CONTAM_BENCH}
+GROUP BY 1
+"""
+
+
+SQL_CONTAMINATION_CHECK = _contamination_sql()
+
+
 QUERIES = {
     "pii_scrub": q_pii_scrub,
     "deterministic_sample": q_deterministic_sample,
     "shard_histogram": q_shard_histogram,
     "neardup_components": q_neardup_components,
+    "vocab_topk": q_vocab_topk,
+    "tfidf_topk_terms": q_tfidf_topk_terms,
+    "dedup_survivors": q_dedup_survivors,
+    "training_corpus": q_training_corpus,
+    "contamination_check": q_contamination_check,
 }
 
 ORACLES = {
@@ -254,4 +518,9 @@ ORACLES = {
     "deterministic_sample": SQL_DETERMINISTIC_SAMPLE,
     "shard_histogram": SQL_SHARD_HISTOGRAM,
     "neardup_components": SQL_NEARDUP_COMPONENTS,
+    "vocab_topk": SQL_VOCAB_TOPK,
+    "tfidf_topk_terms": SQL_TFIDF_TOPK_TERMS,
+    "dedup_survivors": SQL_DEDUP_SURVIVORS,
+    "training_corpus": SQL_TRAINING_CORPUS,
+    "contamination_check": SQL_CONTAMINATION_CHECK,
 }

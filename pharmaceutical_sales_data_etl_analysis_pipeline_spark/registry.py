@@ -96,6 +96,12 @@ PRIORITY = [
     "simhash_near_dups",
     "embedding_near_dups",
     "multimodal_features",
+    # new corpus-prep ops this round
+    "vocab_topk",
+    "tfidf_topk_terms",
+    "dedup_survivors",
+    "training_corpus",
+    "contamination_check",
 ]
 
 
