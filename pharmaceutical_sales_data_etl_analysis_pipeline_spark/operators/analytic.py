@@ -458,6 +458,75 @@ WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
 """
 
 
+# ---------------------------------------------------------------------------
+# Window value functions: first/last/nth value over explicit ROWS frames +
+# cume_dist / percent_rank. Order (o_orderdate, o_orderkey) is unique per
+# partition, so frame contents — and the exact integer divisions behind
+# cume_dist/percent_rank — are identical across engines.
+# ---------------------------------------------------------------------------
+
+def window_value_functions(orders: DataFrame) -> DataFrame:
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.first("o_totalprice").over(w_run).alias("first_price"),
+        F.last("o_totalprice").over(w_run).alias("running_last_price"),
+        F.nth_value("o_totalprice", 2).over(w_full).alias("second_price"),
+        F.cume_dist().over(w).alias("cd"),
+        F.percent_rank().over(w).alias("pr"),
+    )
+
+
+def q_window_value_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return window_value_functions(load_table(spark, sf_dir, "orders"))
+
+
+SQL_WINDOW_VALUE_FUNCTIONS = """
+SELECT o_custkey, o_orderkey,
+       first_value(o_totalprice) OVER w_run AS first_price,
+       last_value(o_totalprice) OVER w_run AS running_last_price,
+       nth_value(o_totalprice, 2) OVER w_full AS second_price,
+       cume_dist() OVER w AS cd,
+       percent_rank() OVER w AS pr
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+       w_run AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+       w_full AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+"""
+
+
+# ---------------------------------------------------------------------------
+# GROUPING SETS: the explicit multi-level aggregation DDL (CUBE/ROLLUP are
+# its specializations — cube_sales/rollup_year_quarter cover those). Issued
+# as literal SQL through the Spark SQL front-end over registered views.
+# ---------------------------------------------------------------------------
+
+_GROUPING_SETS_BODY = """
+SELECT CAST(year(o_orderdate) AS {year_t}) AS year,
+       o_orderstatus,
+       CAST(GROUPING(year(o_orderdate)) * 2 + GROUPING(o_orderstatus) AS INT) AS level,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM orders
+GROUP BY GROUPING SETS ((year(o_orderdate), o_orderstatus), (year(o_orderdate)), ())
+"""
+
+
+def q_grouping_sets_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_GROUPING_SETS_BODY.format(year_t="BIGINT"))
+
+
+SQL_GROUPING_SETS_SALES = _GROUPING_SETS_BODY.format(year_t="BIGINT")
+
+
 QUERIES = {
     "cube_sales": q_cube_sales,
     "pivot_status_year": q_pivot_status_year,
@@ -470,9 +539,13 @@ QUERIES = {
     "distinct_counts": q_distinct_counts,
     "conditional_aggregates": q_conditional_aggregates,
     "string_functions": q_string_functions,
+    "window_value_functions": q_window_value_functions,
+    "grouping_sets_sales": q_grouping_sets_sales,
 }
 
 ORACLES = {
+    "window_value_functions": SQL_WINDOW_VALUE_FUNCTIONS,
+    "grouping_sets_sales": SQL_GROUPING_SETS_SALES,
     "cube_sales": SQL_CUBE_SALES,
     "pivot_status_year": SQL_PIVOT_STATUS_YEAR,
     "moving_avg_customer": SQL_MOVING_AVG_CUSTOMER,

@@ -201,6 +201,50 @@ GROUP BY word
 """
 
 
+# ---------------------------------------------------------------------------
+# Math-function surface: functions whose results are IEEE-exact and
+# therefore safe to hash-compare cross-engine — abs/ceil/floor/sign are
+# exact; sqrt is IEEE-754 correctly rounded in both engines; round(x, 2)
+# is half-up for positive values in both; pmod on non-negative ints equals
+# %. Deliberately NO pow/exp/ln: those are not correctly-rounded and may
+# differ in the last ulp between Java and C math libraries.
+# ---------------------------------------------------------------------------
+
+def math_functions(customer: DataFrame) -> DataFrame:
+    b = F.col("c_acctbal")
+    return customer.select(
+        "c_custkey",
+        F.abs(b).alias("abs_bal"),
+        F.ceil(b).cast("long").alias("ceil_bal"),
+        F.floor(b).cast("long").alias("floor_bal"),
+        F.round(b, 1).alias("round_bal_1"),
+        F.sqrt(F.abs(b)).alias("sqrt_abs_bal"),
+        F.signum(b).cast("int").alias("sign_bal"),
+        F.greatest(b, F.lit(0.0)).alias("pos_part"),
+        F.least(b, F.lit(0.0)).alias("neg_part"),
+        F.pmod(F.col("c_custkey"), F.lit(7)).cast("int").alias("key_mod7"),
+    )
+
+
+def q_math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return math_functions(load_table(spark, sf_dir, "customer"))
+
+
+SQL_MATH_FUNCTIONS = """
+SELECT c_custkey,
+       abs(c_acctbal) AS abs_bal,
+       CAST(ceil(c_acctbal) AS BIGINT) AS ceil_bal,
+       CAST(floor(c_acctbal) AS BIGINT) AS floor_bal,
+       round(c_acctbal, 1) AS round_bal_1,
+       sqrt(abs(c_acctbal)) AS sqrt_abs_bal,
+       CAST(sign(c_acctbal) AS INT) AS sign_bal,
+       greatest(c_acctbal, 0.0) AS pos_part,
+       least(c_acctbal, 0.0) AS neg_part,
+       CAST(c_custkey % 7 AS INT) AS key_mod7
+FROM customer
+"""
+
+
 QUERIES = {
     "json_extract_props": q_json_extract_props,
     "date_arithmetic": q_date_arithmetic,
@@ -208,6 +252,7 @@ QUERIES = {
     "regexp_extract_parts": q_regexp_extract_parts,
     "array_agg_per_brand": q_array_agg_per_brand,
     "explode_roundtrip": q_explode_roundtrip,
+    "math_functions": q_math_functions,
 }
 
 ORACLES = {
@@ -217,4 +262,5 @@ ORACLES = {
     "regexp_extract_parts": SQL_REGEXP_EXTRACT_PARTS,
     "array_agg_per_brand": SQL_ARRAY_AGG_PER_BRAND,
     "explode_roundtrip": SQL_EXPLODE_ROUNDTRIP,
+    "math_functions": SQL_MATH_FUNCTIONS,
 }

@@ -102,6 +102,10 @@ PRIORITY = [
     "dedup_survivors",
     "training_corpus",
     "contamination_check",
+    # new analytic/scalar surface this round
+    "math_functions",
+    "window_value_functions",
+    "grouping_sets_sales",
 ]
 
 
