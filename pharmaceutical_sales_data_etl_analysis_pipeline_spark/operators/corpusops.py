@@ -177,7 +177,7 @@ def neardup_components(
         n_parts,
         "node",
     ).localCheckpoint()
-    for _ in range(max_iters):
+    for it in range(max_iters):
         # hook: take the min label over neighbors
         neighbor_min = (
             edges.join(labels, edges.dst == labels.node)
@@ -199,6 +199,12 @@ def neardup_components(
             )
         )
         new_labels = _sized(new_labels, n_parts, "node").localCheckpoint()
+        if it == 0:
+            # labels of any non-empty graph always change on the first
+            # hook (every edge endpoint adopts a smaller neighbor label or
+            # already is the min) — skip one convergence job
+            labels = new_labels
+            continue
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))

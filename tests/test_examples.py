@@ -11,6 +11,18 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+def test_corpus_prep_demo_runs():
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "examples", "corpus_prep_demo.py")],
+        capture_output=True,
+        text=True,
+        timeout=300,
+        cwd=REPO,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "training corpus:" in proc.stdout
+
+
 def test_analyze_demo_runs_and_prints_golden_numbers():
     proc = subprocess.run(
         [sys.executable, os.path.join(REPO, "examples", "analyze_demo.py")],
