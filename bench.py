@@ -65,16 +65,25 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     queries = all_queries()
 
-    # JVM/whole-stage-codegen warmup (not timed): run every headline query
-    # once on the smallest corpus so timings measure steady-state execution,
-    # not first-call Janino compilation of the generated code.
+    # SPARK_GRAFT_BENCH_ALL=1 times EVERY registered query (regression
+    # visibility for the non-headline tail); default stays the headline set
+    headline = list(queries) if os.environ.get("SPARK_GRAFT_BENCH_ALL") else HEADLINE
+
+    # Two-stage warmup (not timed): sf0.001 pass compiles the generated code
+    # (Janino), then one untimed pass at the TARGET sf so the timed pass
+    # measures steady-state throughput — the first large-data execution pays
+    # HotSpot C2 compilation of the codegen'd loops (needs thousands of row
+    # iterations, which the tiny corpus never triggers) and cold page-cache
+    # parquet reads; measured 3-5x first-run penalties without this.
     warm_dir = "/root/testdata/sf0.001"
     queries["corpus_counts"](spark, warm_dir).count()
-    for name in HEADLINE:
+    for name in headline:
         queries[name](spark, warm_dir).write.format("noop").mode("overwrite").save()
+    for name in headline:
+        queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
-    for name in HEADLINE:
+    for name in headline:
         fn = queries[name]
         t0 = time.perf_counter()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
