@@ -51,3 +51,12 @@ def test_jdbc_partitioned_read(spark, tmp_path):
     assert back.rdd.getNumPartitions() == 4
     assert back.count() == 1000
     assert back.agg(F.sum("v")).collect()[0][0] == 999 * 1000  # sum(2i, i<1000)
+
+    # Catalyst pushes the filter into the remote query (PushedFilters on the
+    # JDBC relation), so the database — not Spark — prunes rows
+    filtered = back.filter(F.col("id") >= 900)
+    plan = filtered._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "PushedFilters:" in plan and "id" in plan.split("PushedFilters:", 1)[1].splitlines()[0]
+    assert filtered.count() == 100

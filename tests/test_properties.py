@@ -112,3 +112,37 @@ def test_key_repair_prefixes_exactly_once(spark, ids):
     repaired = repair_rep_ids(df).collect()
     assert len(repaired) == len(ids)
     assert sorted(r["rep_id"] for r in repaired) == sorted("r" + i for i in ids)
+
+
+# ---------------------------------------------------------------------------
+# Banded SimHash recall guarantee (pure Python — no Spark): for ANY 32-bit
+# signature and ANY set of <= HAMMING_MAX bit flips, the flipped signature
+# shares at least one (pair_idx, band_key) with the original — the
+# pigeonhole argument simhash_near_dups' equi-join relies on for exact
+# recall. Hypothesis hammers the full flip space, not just the fixtures.
+# ---------------------------------------------------------------------------
+
+
+def _band_pair_keys(sig: int):
+    from pharmaceutical_sales_data_etl_analysis_pipeline_spark.operators.dedup import (
+        _BAND_PAIRS,
+    )
+
+    return {
+        (p, ((sig >> (4 * i)) & 15) * 16 + ((sig >> (4 * j)) & 15))
+        for p, (i, j) in enumerate(_BAND_PAIRS)
+    }
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    sig=st.integers(0, 2**32 - 1),
+    flips=st.sets(st.integers(0, 31), min_size=1, max_size=6),
+)
+def test_band_pair_pigeonhole_guarantees_recall(sig, flips):
+    other = sig
+    for b in flips:
+        other ^= 1 << b
+    assert _band_pair_keys(sig) & _band_pair_keys(other), (
+        f"no shared band pair for sig={sig:#x} flips={sorted(flips)}"
+    )
