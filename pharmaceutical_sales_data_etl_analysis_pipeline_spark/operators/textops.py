@@ -37,6 +37,43 @@ def _count_re(col, pattern: str):
     return F.size(F.regexp_extract_all(col, F.lit(pattern), F.lit(0)))
 
 
+# --- single-column signal builders (reused by training_corpus so the
+# --- composed corpus filter stays ONE scan of documents) ------------------
+
+def ws_tokens_col(t) -> F.Column:
+    return F.size(F.split(F.trim(t), r"\s+")).cast("int")
+
+
+def quality_score_col(t) -> F.Column:
+    n_chars = F.length(t).cast("double")
+    n_tokens = F.size(F.split(F.trim(t), r"\s+")).cast("double")
+    n_punct = _count_re(t, PUNCT_RE).cast("double")
+    n_stop = _count_re(F.lower(t), STOPWORD_RE).cast("double")
+    nonspace = F.length(F.regexp_replace(t, r"\s", "")).cast("double")
+    score = F.least(
+        F.lit(1.0),
+        F.greatest(
+            F.lit(0.0),
+            F.lit(0.2)
+            + F.lit(0.08) * (nonspace / n_tokens)
+            - F.lit(2.0) * (n_punct / n_chars)
+            + F.lit(0.5) * (n_stop / n_tokens),
+        ),
+    )
+    return round_half_up(score, 4)
+
+
+def predicted_lang_col(t) -> F.Column:
+    lo = F.lower(t)
+    scores = {k: _count_re(lo, pat).cast("int") for k, pat in LANG_STOPWORDS.items()}
+    mx = F.greatest(*scores.values())
+    pred = None
+    for k in LANG_PRIORITY:
+        cond = (scores[k] == mx) & (mx > 0)
+        pred = F.when(cond, F.lit(k)) if pred is None else pred.when(cond, F.lit(k))
+    return pred.otherwise(F.lit("und"))
+
+
 # ---------------------------------------------------------------------------
 # Token counting: whitespace tokens + BPE-ish regex tokens.
 # ---------------------------------------------------------------------------
@@ -45,7 +82,7 @@ def token_counts(documents: DataFrame) -> DataFrame:
     t = F.col("text")
     return documents.select(
         "doc_id",
-        F.size(F.split(F.trim(t), r"\s+")).cast("int").alias("ws_tokens"),
+        ws_tokens_col(t).alias("ws_tokens"),
         _count_re(t, TOKEN_RE).cast("int").alias("re_tokens"),
         F.length(t).cast("int").alias("n_chars"),
     )
@@ -79,19 +116,12 @@ def text_quality(documents: DataFrame) -> DataFrame:
     avg_tok = nonspace / n_tokens
     punct_ratio = n_punct / n_chars
     stop_ratio = n_stop / n_tokens
-    score = F.least(
-        F.lit(1.0),
-        F.greatest(
-            F.lit(0.0),
-            F.lit(0.2) + F.lit(0.08) * avg_tok - F.lit(2.0) * punct_ratio + F.lit(0.5) * stop_ratio,
-        ),
-    )
     return documents.select(
         "doc_id",
         round_half_up(avg_tok, 4).alias("avg_token_len"),
         round_half_up(punct_ratio, 4).alias("punct_ratio"),
         round_half_up(stop_ratio, 4).alias("stopword_ratio"),
-        round_half_up(score, 4).alias("quality_score"),
+        quality_score_col(t).alias("quality_score"),
     )
 
 
@@ -128,17 +158,12 @@ FROM m
 def lang_id(documents: DataFrame) -> DataFrame:
     t = F.lower(F.col("text"))
     scores = {k: _count_re(t, pat).cast("int") for k, pat in LANG_STOPWORDS.items()}
-    mx = F.greatest(*scores.values())
-    # CASE chain: first language (in priority order) hitting the max wins ties
-    pred = None
-    for k in LANG_PRIORITY:
-        cond = (scores[k] == mx) & (mx > 0)
-        pred = F.when(cond, F.lit(k)) if pred is None else pred.when(cond, F.lit(k))
-    pred = pred.otherwise(F.lit("und"))
+    # CASE chain (inside predicted_lang_col): first language in priority
+    # order hitting the max wins ties
     return documents.select(
         "doc_id",
         *[scores[k].alias(f"score_{k}") for k in LANG_PRIORITY],
-        pred.alias("predicted_lang"),
+        predicted_lang_col(F.col("text")).alias("predicted_lang"),
     )
 
 

@@ -103,6 +103,13 @@ def test_new_tpch_star_plans(spark, sf_dir):
     assert "CartesianProduct" not in p16
 
 
+def test_training_corpus_fuses_signals_into_one_scan(spark, sf_dir):
+    """The three per-row corpus signals (tokens/quality/language) must ride
+    one projection — 2 scans total (signals + the dedup pipeline), not 5."""
+    plan = _plan(all_queries()["training_corpus"](spark, sf_dir))
+    assert plan.count("documents.parquet") <= 2, plan
+
+
 def test_simhash_near_dups_is_banded_not_cartesian(spark, sf_dir):
     """The registered near-dup plan must candidate via the band-pair
     equi-join — never an all-pairs cartesian/nested-loop."""
