@@ -168,23 +168,30 @@ LIMIT 10
 # ---------------------------------------------------------------------------
 
 def profile_orders(orders: DataFrame) -> DataFrame:
+    """All five column profiles from ONE scan: a single wide aggregation
+    (Spark plans the five distinct-counts via one Expand) unpivoted with
+    stack() — versus the naive per-column union of five full scans, the
+    at-scale difference between reading the fact table once and five
+    times."""
     cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority"]
-    profiles = []
+    aggs = [F.count(F.lit(1)).cast("long").alias("n_rows")]
     for c in cols:
-        profiles.append(
-            orders.agg(
-                F.lit(c).alias("column_name"),
-                F.count(F.lit(1)).cast("long").alias("n_rows"),
-                F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).cast("long").alias("n_nulls"),
-                F.countDistinct(c).cast("long").alias("n_distinct"),
-                F.min(F.col(c).cast("string")).alias("min_str"),
-                F.max(F.col(c).cast("string")).alias("max_str"),
-            )
+        aggs += [
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).cast("long").alias(f"{c}__nulls"),
+            F.countDistinct(c).cast("long").alias(f"{c}__distinct"),
+            F.min(F.col(c).cast("string")).alias(f"{c}__min"),
+            F.max(F.col(c).cast("string")).alias(f"{c}__max"),
+        ]
+    one = orders.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', n_rows, {c}__nulls, {c}__distinct, {c}__min, {c}__max" for c in cols
+    )
+    return one.select(
+        F.expr(
+            f"stack({len(cols)}, {stack_args}) "
+            "AS (column_name, n_rows, n_nulls, n_distinct, min_str, max_str)"
         )
-    out = profiles[0]
-    for p in profiles[1:]:
-        out = out.unionByName(p)
-    return out
+    )
 
 
 def q_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -327,18 +334,18 @@ ORDER BY o_orderpriority
 # ---------------------------------------------------------------------------
 
 def cheapest_supplier_per_part(lineitem: DataFrame, supplier: DataFrame) -> DataFrame:
+    """Decorrelated as a per-part window min (ties kept), not a
+    re-aggregate + join-back: two shuffles (offer agg, window repartition)
+    instead of three plus a fact-sized join."""
+    from pyspark.sql import Window
+
     offer = lineitem.groupBy("l_partkey", "l_suppkey").agg(
         F.min("l_extendedprice").alias("best_price")
     )
-    part_min = offer.groupBy("l_partkey").agg(F.min("best_price").alias("min_price")).select(
-        F.col("l_partkey").alias("pm_partkey"), "min_price"
-    )
+    w = Window.partitionBy("l_partkey")
     return (
-        offer.join(
-            part_min,
-            (F.col("l_partkey") == F.col("pm_partkey"))
-            & (F.col("best_price") == F.col("min_price")),
-        )
+        offer.withColumn("min_price", F.min("best_price").over(w))
+        .filter(F.col("best_price") == F.col("min_price"))
         .join(F.broadcast(supplier.select("s_suppkey", "s_name")),
               F.col("l_suppkey") == F.col("s_suppkey"))
         .select(

@@ -267,3 +267,64 @@ def test_stream_dedup_drops_duplicate_ids(spark, sf_dir, tmp_path):
     q.awaitTermination()
     n_unique = load_table(spark, sf_dir, "events").count()
     assert spark.table("t_sdedup").count() == n_unique
+
+
+def test_stream_corpus_gate_matches_batch(spark, sf_dir, tmp_path):
+    """Streaming corpus gate == batch signal filter: a twice-ingested
+    documents corpus (two micro-batches) dedups to one gated row per
+    unique content, and the surviving doc set equals the batch filter."""
+    import shutil
+
+    from pharmaceutical_sales_data_etl_analysis_pipeline_spark.catalog import SCHEMAS
+    from pharmaceutical_sales_data_etl_analysis_pipeline_spark.operators.corpusops import (
+        CORPUS_MIN_QUALITY,
+        CORPUS_MIN_TOKENS,
+    )
+    from pharmaceutical_sales_data_etl_analysis_pipeline_spark.operators.textops import (
+        predicted_lang_col,
+        quality_score_col,
+        ws_tokens_col,
+    )
+    from pharmaceutical_sales_data_etl_analysis_pipeline_spark.streaming.corpus import (
+        corpus_gate_stream,
+    )
+
+    src = tmp_path / "docs"
+    src.mkdir()
+    shutil.copy(f"{sf_dir}/documents.parquet", src / "a.parquet")
+    shutil.copy(f"{sf_dir}/documents.parquet", src / "b.parquet")
+    stream = (
+        spark.readStream.schema(SCHEMAS["documents"])
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        corpus_gate_stream(stream)
+        .writeStream.format("memory")
+        .queryName("t_corpus_gate")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_gate"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.table("t_corpus_gate")
+
+    t = F.col("text")
+    batch = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            ws_tokens_col(t).alias("ws_tokens"),
+            quality_score_col(t).alias("quality_score"),
+            predicted_lang_col(t).alias("predicted_lang"),
+        )
+        .filter(
+            (F.col("predicted_lang") == "en")
+            & (F.col("quality_score") >= CORPUS_MIN_QUALITY)
+            & (F.col("ws_tokens") >= CORPUS_MIN_TOKENS)
+        )
+    )
+    assert got.count() == batch.count()  # dedup collapsed the double ingest
+    assert got.count() > 0
+    assert {r["doc_id"] for r in got.collect()} == {r["doc_id"] for r in batch.collect()}
