@@ -922,6 +922,226 @@ ORDER BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# Q13 — customer order-count distribution: LEFT outer join (customers with
+# zero orders kept), per-customer count, then a histogram over the counts.
+# Two hash aggs; the outer join shuffles once on custkey.
+# ---------------------------------------------------------------------------
+
+def tpch_q13(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    per_cust = (
+        customer.select("c_custkey")
+        .join(orders.select("o_custkey"), F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_custkey").cast("long").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).cast("long").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tpch_q13(
+        load_table(spark, sf_dir, "customer"), load_table(spark, sf_dir, "orders")
+    )
+
+
+SQL_TPCH_Q13 = """
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM (
+  SELECT c_custkey, CAST(count(o_custkey) AS BIGINT) AS c_count
+  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey
+) t
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q15 — top supplier(s) by one quarter's revenue: the revenue "view" is a
+# grouped aggregate; the max is a 1-row broadcast cross join (ties kept,
+# as in the spec).
+# ---------------------------------------------------------------------------
+
+Q15_FROM, Q15_TO = "1997-01-01", "1997-04-01"
+
+
+def tpch_q15(supplier: DataFrame, lineitem: DataFrame) -> DataFrame:
+    revenue = (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit(Q15_FROM).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(Q15_TO).cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "total_revenue"))
+    )
+    mx = revenue.agg(F.max("total_revenue").alias("max_revenue"))
+    return (
+        revenue.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("max_revenue"))
+        .join(F.broadcast(supplier.select("s_suppkey", "s_name")),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(F.col("s_suppkey"), "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tpch_q15(
+        load_table(spark, sf_dir, "supplier"), load_table(spark, sf_dir, "lineitem")
+    )
+
+
+SQL_TPCH_Q15 = f"""
+WITH revenue AS (
+  SELECT l_suppkey,
+         CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '{Q15_FROM} 00:00:00'
+    AND l_shipdate <  TIMESTAMP '{Q15_TO} 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM revenue JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+ORDER BY s_suppkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q17 — small-quantity-order revenue: lineitems of one brand below 40% of
+# that part's average quantity (correlated scalar avg decorrelated as a
+# per-part aggregate joined back — broadcast, parts are dim-sized).
+# ---------------------------------------------------------------------------
+
+Q17_BRAND = "Brand#13"
+
+
+def tpch_q17(part: DataFrame, lineitem: DataFrame) -> DataFrame:
+    brand_parts = part.filter(F.col("p_brand") == Q17_BRAND).select("p_partkey")
+    li = lineitem.join(F.broadcast(brand_parts), F.col("l_partkey") == F.col("p_partkey"))
+    avg_qty = li.groupBy("l_partkey").agg(
+        (
+            F.sum(F.col("l_quantity").cast(DEC)).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("avg_qty")
+    ).select(F.col("l_partkey").alias("aq_partkey"), "avg_qty")
+    return (
+        li.join(F.broadcast(avg_qty), F.col("l_partkey") == F.col("aq_partkey"))
+        .filter(F.col("l_quantity") < F.lit(0.4) * F.col("avg_qty"))
+        .agg(
+            (F.sum(F.col("l_extendedprice").cast(DEC)).cast("double") / F.lit(7.0)).alias(
+                "avg_yearly"
+            )
+        )
+    )
+
+
+def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tpch_q17(
+        load_table(spark, sf_dir, "part"), load_table(spark, sf_dir, "lineitem")
+    )
+
+
+SQL_TPCH_Q17 = f"""
+WITH li AS (
+  SELECT l_partkey, l_quantity, l_extendedprice
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_brand = '{Q17_BRAND}'
+),
+aq AS (
+  SELECT l_partkey,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_qty
+  FROM li GROUP BY 1
+)
+SELECT CAST(SUM(CAST(li.l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) / 7.0 AS avg_yearly
+FROM li JOIN aq ON li.l_partkey = aq.l_partkey
+WHERE li.l_quantity < 0.4 * aq.avg_qty
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q21 (adapted) — suppliers who were the ONLY late supplier of a
+# multi-supplier order: EXISTS (another supplier on the order) + NOT EXISTS
+# (another LATE supplier on the order), late = shipped > 90 days after the
+# order date (the corpus has no receipt/commit dates). Both quantifiers
+# become semi/anti joins on orderkey.
+# ---------------------------------------------------------------------------
+
+Q21_LATE_DAYS = 90
+Q21_TOP = 20
+
+
+def tpch_q21(supplier: DataFrame, orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    li = (
+        lineitem.select("l_orderkey", "l_suppkey", "l_shipdate")
+        .join(orders.select("o_orderkey", "o_orderdate"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .withColumn(
+            "late",
+            F.datediff(F.col("l_shipdate"), F.col("o_orderdate")) > Q21_LATE_DAYS,
+        )
+        .select("l_orderkey", "l_suppkey", "late")
+    )
+    late_li = li.filter(F.col("late")).select("l_orderkey", "l_suppkey").alias("l1")
+    other_supp = li.select("l_orderkey", "l_suppkey").alias("l2")
+    other_late = late_li.alias("l3")
+    qualifying = (
+        late_li.join(
+            other_supp,
+            (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
+            & (F.col("l1.l_suppkey") != F.col("l2.l_suppkey")),
+            "left_semi",
+        )
+        .join(
+            other_late,
+            (F.col("l1.l_orderkey") == F.col("l3.l_orderkey"))
+            & (F.col("l1.l_suppkey") != F.col("l3.l_suppkey")),
+            "left_anti",
+        )
+    )
+    return (
+        qualifying.join(F.broadcast(supplier.select("s_suppkey", "s_name")),
+                        F.col("l1.l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(Q21_TOP)
+    )
+
+
+def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tpch_q21(
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+    )
+
+
+SQL_TPCH_Q21 = f"""
+WITH li AS (
+  SELECT l_orderkey, l_suppkey,
+         date_diff('day', o_orderdate, l_shipdate) > {Q21_LATE_DAYS} AS late
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+)
+SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM li l1
+JOIN supplier ON l1.l_suppkey = s_suppkey
+WHERE l1.late
+  AND EXISTS (SELECT 1 FROM li l2
+              WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM li l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey AND l3.late)
+GROUP BY s_name
+ORDER BY numwait DESC, s_name ASC
+LIMIT {Q21_TOP}
+"""
+
+
 QUERIES = {
     "tpch_q1": q_tpch_q1,
     "tpch_q3": q_tpch_q3,
@@ -931,6 +1151,10 @@ QUERIES = {
     "tpch_q6": q_tpch_q6,
     "tpch_q18": q_tpch_q18,
     "profile_orders": q_profile_orders,
+    "tpch_q13": q_tpch_q13,
+    "tpch_q15": q_tpch_q15,
+    "tpch_q17": q_tpch_q17,
+    "tpch_q21": q_tpch_q21,
     "tpch_q7": q_tpch_q7,
     "tpch_q8": q_tpch_q8,
     "tpch_q10": q_tpch_q10,
@@ -951,6 +1175,10 @@ ORACLES = {
     "tpch_q6": SQL_TPCH_Q6,
     "tpch_q18": SQL_TPCH_Q18,
     "profile_orders": SQL_PROFILE_ORDERS,
+    "tpch_q13": SQL_TPCH_Q13,
+    "tpch_q15": SQL_TPCH_Q15,
+    "tpch_q17": SQL_TPCH_Q17,
+    "tpch_q21": SQL_TPCH_Q21,
     "tpch_q7": SQL_TPCH_Q7,
     "tpch_q8": SQL_TPCH_Q8,
     "tpch_q10": SQL_TPCH_Q10,
