@@ -506,6 +506,128 @@ GROUP BY 1
 SQL_CONTAMINATION_CHECK = _contamination_sql()
 
 
+# ---------------------------------------------------------------------------
+# Intra-document repetition: fraction of word-3-gram occurrences that are
+# repeats (the Gopher/C4-style "duplicated n-gram" quality rule — high
+# dup_frac flags boilerplate/spam). Built as explode + ONE map-side-combined
+# agg per doc (count vs distinct count) rather than a per-row higher-order
+# function: HOFs are interpreted, and referencing the gram array twice
+# (size + size∘distinct) would evaluate the transform twice under
+# CollapseProject. Docs with <3 words have no grams and drop out, same as
+# the dedup shingle ops. Linear, one shuffle keyed by doc_id — scales.
+# ---------------------------------------------------------------------------
+
+def repetition_ratio(documents: DataFrame) -> DataFrame:
+    grams = documents.select(
+        "doc_id", F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("words")
+    ).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(words) >= 3 THEN "
+                "transform(sequence(1, size(words) - 2), "
+                "          i -> concat_ws(' ', words[i-1], words[i], words[i+1])) "
+                "ELSE array() END"
+            )
+        ).alias("gram"),
+    )
+    n, d = F.count(F.lit(1)).cast("long"), F.countDistinct("gram").cast("long")
+    return (
+        grams.groupBy("doc_id")
+        .agg(
+            n.alias("n_grams"),
+            d.alias("n_distinct"),
+            round_half_up((n - d).cast("double") / n.cast("double"), 6).alias("dup_frac"),
+        )
+    )
+
+
+def q_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return repetition_ratio(load_table(spark, sf_dir, "documents"))
+
+
+SQL_REPETITION_RATIO = """
+WITH grams AS (
+  SELECT doc_id, unnest(
+           CASE WHEN len(words) >= 3 THEN
+             list_transform(range(1, len(words) - 1),
+                            i -> concat_ws(' ', words[i], words[i+1], words[i+2]))
+           ELSE [] END) AS gram
+  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS words
+        FROM documents) w
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(count(DISTINCT gram) AS BIGINT) AS n_distinct,
+       floor((CAST(count(*) - count(DISTINCT gram) AS DOUBLE)
+              / CAST(count(*) AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS dup_frac
+FROM grams
+GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Domain mixture weights: per-source corpus share and the resampling weight
+# that re-balances the mixture to uniform across sources (weight > 1 →
+# upsample, < 1 → downsample) — the knob a pretraining data recipe turns
+# per domain. One tiny source-keyed agg + a 1-row broadcast of the totals;
+# shares/weights are exact rationals rounded half-up, so both engines agree
+# bit-for-bit. Scales: the agg is map-side-combined, output is |sources|.
+# ---------------------------------------------------------------------------
+
+def domain_mixture_weights(documents: DataFrame) -> DataFrame:
+    per = documents.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("n_chars"),
+    )
+    tot = per.agg(
+        F.sum("n_docs").cast("double").alias("total_docs"),
+        F.count(F.lit(1)).cast("double").alias("n_sources"),
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            "n_chars",
+            round_half_up(
+                F.col("n_docs").cast("double") / F.col("total_docs"), 6
+            ).alias("doc_share"),
+            round_half_up(
+                F.col("total_docs") / (F.col("n_sources") * F.col("n_docs").cast("double")),
+                6,
+            ).alias("uniform_weight"),
+        )
+        .orderBy("source")
+    )
+
+
+def q_domain_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return domain_mixture_weights(load_table(spark, sf_dir, "documents"))
+
+
+SQL_DOMAIN_MIXTURE_WEIGHTS = """
+WITH per AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_chars) AS BIGINT) AS n_chars
+  FROM documents GROUP BY 1
+),
+tot AS (
+  SELECT CAST(sum(n_docs) AS DOUBLE) AS total_docs,
+         CAST(count(*) AS DOUBLE) AS n_sources
+  FROM per
+)
+SELECT source, n_docs, n_chars,
+       floor((CAST(n_docs AS DOUBLE) / total_docs) * 1000000.0 + 0.5) / 1000000.0
+         AS doc_share,
+       floor((total_docs / (n_sources * CAST(n_docs AS DOUBLE))) * 1000000.0 + 0.5) / 1000000.0
+         AS uniform_weight
+FROM per, tot
+ORDER BY source
+"""
+
+
 QUERIES = {
     "pii_scrub": q_pii_scrub,
     "deterministic_sample": q_deterministic_sample,
@@ -516,6 +638,8 @@ QUERIES = {
     "dedup_survivors": q_dedup_survivors,
     "training_corpus": q_training_corpus,
     "contamination_check": q_contamination_check,
+    "repetition_ratio": q_repetition_ratio,
+    "domain_mixture_weights": q_domain_mixture_weights,
 }
 
 ORACLES = {
@@ -528,4 +652,6 @@ ORACLES = {
     "dedup_survivors": SQL_DEDUP_SURVIVORS,
     "training_corpus": SQL_TRAINING_CORPUS,
     "contamination_check": SQL_CONTAMINATION_CHECK,
+    "repetition_ratio": SQL_REPETITION_RATIO,
+    "domain_mixture_weights": SQL_DOMAIN_MIXTURE_WEIGHTS,
 }

@@ -1142,6 +1142,248 @@ LIMIT {Q21_TOP}
 """
 
 
+# ---------------------------------------------------------------------------
+# Q2 (adapted) — minimum-cost supplier per part within a region. The corpus
+# has no partsupp, so the supply "cost" is the best (minimum) unit price the
+# supplier has ever sold the part at (min l_extendedprice/l_quantity over
+# lineitem). Region scoping via a broadcast nation⋈region dim; the per-part
+# min is a window over the region-filtered offers (ties kept, as in the
+# spec); top-100 by account balance plans TakeOrderedAndProject.
+# ---------------------------------------------------------------------------
+
+Q2_REGION = "EUROPE"
+Q2_TYPE = "STANDARD"
+Q2_SIZE = 14
+Q2_TOP = 100
+
+
+def tpch_q2(
+    region: DataFrame,
+    nation: DataFrame,
+    supplier: DataFrame,
+    part: DataFrame,
+    lineitem: DataFrame,
+) -> DataFrame:
+    from pyspark.sql import Window
+
+    supp = (
+        supplier.join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region.filter(F.col("r_name") == Q2_REGION)),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    parts = part.filter(
+        (F.col("p_type") == Q2_TYPE) & (F.col("p_size") == Q2_SIZE)
+    ).select("p_partkey", "p_brand")
+    offer = (
+        lineitem.select(
+            "l_partkey", "l_suppkey",
+            (F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"),
+        )
+        .join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("p_partkey", "p_brand", "s_suppkey", "s_name", "s_acctbal", "n_name")
+        .agg(F.min("unit_cost").alias("supply_cost"))
+    )
+    w = Window.partitionBy("p_partkey")
+    return (
+        offer.withColumn("min_cost", F.min("supply_cost").over(w))
+        .filter(F.col("supply_cost") == F.col("min_cost"))
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_brand", "supply_cost")
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(Q2_TOP)
+    )
+
+
+def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tpch_q2(
+        load_table(spark, sf_dir, "region"),
+        load_table(spark, sf_dir, "nation"),
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "part"),
+        load_table(spark, sf_dir, "lineitem"),
+    )
+
+
+SQL_TPCH_Q2 = f"""
+WITH offer AS (
+  SELECT p_partkey, p_brand, s_suppkey, s_name, s_acctbal, n_name,
+         MIN(l_extendedprice / l_quantity) AS supply_cost
+  FROM lineitem
+  JOIN part     ON l_partkey = p_partkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  JOIN region   ON n_regionkey = r_regionkey
+  WHERE p_type = '{Q2_TYPE}' AND p_size = {Q2_SIZE} AND r_name = '{Q2_REGION}'
+  GROUP BY 1, 2, 3, 4, 5, 6
+)
+SELECT s_acctbal, s_name, n_name, p_partkey, p_brand, supply_cost
+FROM offer o
+WHERE supply_cost = (SELECT MIN(supply_cost) FROM offer o2
+                     WHERE o2.p_partkey = o.p_partkey)
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT {Q2_TOP}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q9 (adapted) — product-type profit by nation and year. No partsupp, so
+# line cost is proxied as 60% of the part's retail price × quantity
+# (profit = discounted revenue − cost). Part and supplier/nation dims
+# broadcast; the one fact⋈fact shuffle is lineitem⋈orders; decimal
+# accumulation keeps the sums partition-independent.
+# ---------------------------------------------------------------------------
+
+Q9_PATTERN = "%red%"
+Q9_COST_FRACTION = 0.6
+
+
+def tpch_q9(
+    nation: DataFrame,
+    supplier: DataFrame,
+    part: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+) -> DataFrame:
+    parts = part.filter(F.col("p_name").like(Q9_PATTERN)).select(
+        "p_partkey", "p_retailprice"
+    )
+    supp = supplier.join(
+        F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", "n_name")
+    profit = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.lit(Q9_COST_FRACTION) * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    return (
+        lineitem.join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders.select("o_orderkey", "o_orderdate"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(F.col("n_name").alias("nation"),
+                 F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(_dsum(profit, "sum_profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tpch_q9(
+        load_table(spark, sf_dir, "nation"),
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "part"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+    )
+
+
+SQL_TPCH_Q9 = f"""
+SELECT n_name AS nation,
+       CAST(year(o_orderdate) AS INT) AS o_year,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                     - {Q9_COST_FRACTION} * p_retailprice * l_quantity
+                AS DECIMAL(28,6))) AS DOUBLE) AS sum_profit
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN orders   ON l_orderkey = o_orderkey
+WHERE p_name LIKE '{Q9_PATTERN}'
+GROUP BY 1, 2
+ORDER BY nation, o_year DESC
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q20 (adapted) — dominant suppliers of a part family: suppliers in one
+# nation who shipped more than a quarter of some matching part's total 1997
+# volume (the spec's availqty > half-of-shipped nested aggregate, re-based
+# on shipped volume since there is no partsupp). Nested agg: per
+# (part, supplier) quantity vs per-part total, compared as exact decimal
+# sums; the qualifying supplier set drives a semi-join onto the nation-
+# filtered supplier dim.
+# ---------------------------------------------------------------------------
+
+Q20_PATTERN = "%bolt%"
+Q20_YEAR = 1997
+Q20_SHARE = 0.25
+Q20_NATION = "NATION_3"
+
+
+def tpch_q20(
+    nation: DataFrame, supplier: DataFrame, part: DataFrame, lineitem: DataFrame
+) -> DataFrame:
+    li = (
+        lineitem.filter(F.year("l_shipdate") == Q20_YEAR)
+        .join(
+            F.broadcast(part.filter(F.col("p_name").like(Q20_PATTERN))
+                        .select("p_partkey")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .select("p_partkey", "l_suppkey", "l_quantity")
+    )
+    per_supp = li.groupBy("p_partkey", "l_suppkey").agg(
+        _dsum(F.col("l_quantity"), "supp_qty")
+    )
+    per_part = li.groupBy("p_partkey").agg(_dsum(F.col("l_quantity"), "part_qty"))
+    dominant = (
+        per_supp.join(
+            per_part.withColumnRenamed("p_partkey", "t_partkey"),
+            F.col("p_partkey") == F.col("t_partkey"),
+        )
+        .filter(F.col("supp_qty") > F.lit(Q20_SHARE) * F.col("part_qty"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    nat = nation.filter(F.col("n_name") == Q20_NATION).select("n_nationkey")
+    return (
+        supplier.join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(dominant, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name")
+    )
+
+
+def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tpch_q20(
+        load_table(spark, sf_dir, "nation"),
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "part"),
+        load_table(spark, sf_dir, "lineitem"),
+    )
+
+
+SQL_TPCH_Q20 = f"""
+WITH li AS (
+  SELECT p_partkey, l_suppkey, l_quantity
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  WHERE year(l_shipdate) = {Q20_YEAR} AND p_name LIKE '{Q20_PATTERN}'
+),
+per_supp AS (
+  SELECT p_partkey, l_suppkey,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS supp_qty
+  FROM li GROUP BY 1, 2
+),
+per_part AS (
+  SELECT p_partkey,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS part_qty
+  FROM li GROUP BY 1
+),
+dominant AS (
+  SELECT DISTINCT s.l_suppkey
+  FROM per_supp s JOIN per_part t ON s.p_partkey = t.p_partkey
+  WHERE s.supp_qty > {Q20_SHARE} * t.part_qty
+)
+SELECT s_name, s_acctbal
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name = '{Q20_NATION}'
+  AND s_suppkey IN (SELECT l_suppkey FROM dominant)
+ORDER BY s_name
+"""
+
+
 QUERIES = {
     "tpch_q1": q_tpch_q1,
     "tpch_q3": q_tpch_q3,
@@ -1155,6 +1397,9 @@ QUERIES = {
     "tpch_q15": q_tpch_q15,
     "tpch_q17": q_tpch_q17,
     "tpch_q21": q_tpch_q21,
+    "tpch_q2": q_tpch_q2,
+    "tpch_q9": q_tpch_q9,
+    "tpch_q20": q_tpch_q20,
     "tpch_q7": q_tpch_q7,
     "tpch_q8": q_tpch_q8,
     "tpch_q10": q_tpch_q10,
@@ -1179,6 +1424,9 @@ ORACLES = {
     "tpch_q15": SQL_TPCH_Q15,
     "tpch_q17": SQL_TPCH_Q17,
     "tpch_q21": SQL_TPCH_Q21,
+    "tpch_q2": SQL_TPCH_Q2,
+    "tpch_q9": SQL_TPCH_Q9,
+    "tpch_q20": SQL_TPCH_Q20,
     "tpch_q7": SQL_TPCH_Q7,
     "tpch_q8": SQL_TPCH_Q8,
     "tpch_q10": SQL_TPCH_Q10,
