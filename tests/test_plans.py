@@ -103,6 +103,36 @@ def test_new_tpch_star_plans(spark, sf_dir):
     assert "CartesianProduct" not in p16
 
 
+def test_late_r2_tpch_plans(spark, sf_dir):
+    """Q2/Q9/Q20 keep the star discipline. Q2: dims broadcast, one window
+    shuffle, top-100 via TakeOrdered. Q9: only lineitem⋈orders is a
+    shuffled join, part/supplier/nation broadcast. Q20: nested agg + semi
+    join, never a cartesian."""
+    p2 = _plan(all_queries()["tpch_q2"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in p2
+    assert "SortMergeJoin" not in p2
+    assert "CartesianProduct" not in p2
+    p9 = _plan(all_queries()["tpch_q9"](spark, sf_dir))
+    assert p9.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in p9
+    p20 = _plan(all_queries()["tpch_q20"](spark, sf_dir))
+    assert "LeftSemi" in p20
+    assert "CartesianProduct" not in p20
+    assert "BroadcastNestedLoopJoin" not in p20
+
+
+def test_corpus_signal_plans_stay_narrow(spark, sf_dir):
+    """repetition_ratio is explode + one doc_id-keyed aggregate (no join);
+    domain_mixture_weights is a tiny agg + 1-row broadcast — neither may
+    plan a sort-merge join or cartesian."""
+    pr = _plan(all_queries()["repetition_ratio"](spark, sf_dir))
+    assert "Join" not in pr, pr
+    pm = _plan(all_queries()["domain_mixture_weights"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in pm or "BroadcastHashJoin" in pm
+    assert "SortMergeJoin" not in pm
+    assert "CartesianProduct" not in pm
+
+
 def test_training_corpus_fuses_signals_into_one_scan(spark, sf_dir):
     """The three per-row corpus signals (tokens/quality/language) must ride
     one projection — 2 scans total (signals + the dedup pipeline), not 5."""
