@@ -628,6 +628,144 @@ ORDER BY source
 """
 
 
+# ---------------------------------------------------------------------------
+# Sequence packing: GPT-style concat-and-chunk — documents are concatenated
+# per source shard (ordered by doc_id) into one token stream, which is cut
+# into fixed SEQ_LEN training sequences; each doc reports the byte-offset
+# analog (token start offset) and the first/last pack it lands in. One
+# window cumsum per shard (a single shuffle on source), integer arithmetic
+# throughout. DIV truncation == floor here because offsets are non-negative
+# (same precondition as the event-time bucketing ops). At 100 TB the shard
+# key is the training-worker split, so each worker's stream packs
+# independently — exactly how a loader materializes fixed-length batches.
+# ---------------------------------------------------------------------------
+
+SEQ_LEN = 512
+
+
+def sequence_packing(documents: DataFrame) -> DataFrame:
+    from .textops import ws_tokens_col
+
+    toks = documents.select(
+        "doc_id", "source", ws_tokens_col(F.col("text")).alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        toks.withColumn("cum_tokens", F.sum("n_tokens").over(w).cast("long"))
+        .withColumn("start_offset", (F.col("cum_tokens") - F.col("n_tokens")).cast("long"))
+        .select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            "start_offset",
+            F.expr(f"CAST(start_offset DIV {SEQ_LEN} AS BIGINT)").alias("start_pack"),
+            F.expr(f"CAST((cum_tokens - 1) DIV {SEQ_LEN} AS BIGINT)").alias("end_pack"),
+        )
+    )
+
+
+def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sequence_packing(load_table(spark, sf_dir, "documents"))
+
+
+SQL_SEQUENCE_PACKING = f"""
+WITH toks AS (
+  SELECT doc_id, source,
+         CAST(len(string_split_regex(trim(text), '\\s+')) AS INT) AS n_tokens
+  FROM documents
+),
+cum AS (
+  SELECT doc_id, source, n_tokens,
+         CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+  FROM toks
+)
+SELECT doc_id, source, n_tokens,
+       CAST(cum_tokens - n_tokens AS BIGINT) AS start_offset,
+       CAST((cum_tokens - n_tokens) // {SEQ_LEN} AS BIGINT) AS start_pack,
+       CAST((cum_tokens - 1) // {SEQ_LEN} AS BIGINT) AS end_pack
+FROM cum
+"""
+
+
+# ---------------------------------------------------------------------------
+# Quality deciles: curriculum binning of the corpus by quality score.
+# NOT a global ntile window (that serializes the whole corpus into one
+# partition): scores are rounded to 4dp, so the value histogram is ≤ 10k
+# rows — aggregate it, assign each VALUE its decile from the cumulative
+# count (ceil(10·cum/N) in exact integer arithmetic; docs tied on score
+# share a decile), broadcast the tiny score→decile map back. Two corpus
+# scans (histogram + assign), both narrow; the only window runs over the
+# histogram, not the data. Decile 1 = lowest quality.
+# ---------------------------------------------------------------------------
+
+def quality_deciles(documents: DataFrame) -> DataFrame:
+    from .textops import quality_score_col
+
+    scored = documents.select(
+        "doc_id", quality_score_col(F.col("text")).alias("quality_score")
+    )
+    hist = scored.groupBy("quality_score").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    total = hist.agg(F.sum("cnt").cast("long").alias("n"))
+    wcum = Window.orderBy("quality_score").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    dec_map = (
+        hist.withColumn("cum", F.sum("cnt").over(wcum).cast("long"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "quality_score",
+            F.expr("CAST((10 * cum + n - 1) DIV n AS INT)").alias("decile"),
+        )
+    )
+    return scored.join(F.broadcast(dec_map), "quality_score").select(
+        "doc_id", "quality_score", "decile"
+    )
+
+
+def q_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return quality_deciles(load_table(spark, sf_dir, "documents"))
+
+
+def _quality_score_sql() -> str:
+    from .textops import PUNCT_RE, STOPWORD_RE
+
+    return f"""
+floor(least(1.0, greatest(0.0,
+      0.2 + 0.08 * (CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE)
+                    / CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE))
+          - 2.0 * (CAST(len(regexp_extract_all(text, '{PUNCT_RE}')) AS DOUBLE)
+                   / CAST(length(text) AS DOUBLE))
+          + 0.5 * (CAST(len(regexp_extract_all(lower(text), '{STOPWORD_RE}')) AS DOUBLE)
+                   / CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE))
+      )) * 10000.0 + 0.5) / 10000.0
+"""
+
+
+SQL_QUALITY_DECILES = f"""
+WITH scored AS (
+  SELECT doc_id, {_quality_score_sql()} AS quality_score FROM documents
+),
+hist AS (
+  SELECT quality_score, CAST(count(*) AS BIGINT) AS cnt FROM scored GROUP BY 1
+),
+tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM hist),
+dec_map AS (
+  SELECT quality_score,
+         CAST((10 * CAST(sum(cnt) OVER (ORDER BY quality_score
+                                        ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               + n - 1) // n AS INT) AS decile
+  FROM hist, tot
+)
+SELECT s.doc_id, s.quality_score, d.decile
+FROM scored s JOIN dec_map d USING (quality_score)
+"""
+
+
 QUERIES = {
     "pii_scrub": q_pii_scrub,
     "deterministic_sample": q_deterministic_sample,
@@ -640,6 +778,8 @@ QUERIES = {
     "contamination_check": q_contamination_check,
     "repetition_ratio": q_repetition_ratio,
     "domain_mixture_weights": q_domain_mixture_weights,
+    "sequence_packing": q_sequence_packing,
+    "quality_deciles": q_quality_deciles,
 }
 
 ORACLES = {
@@ -654,4 +794,6 @@ ORACLES = {
     "contamination_check": SQL_CONTAMINATION_CHECK,
     "repetition_ratio": SQL_REPETITION_RATIO,
     "domain_mixture_weights": SQL_DOMAIN_MIXTURE_WEIGHTS,
+    "sequence_packing": SQL_SEQUENCE_PACKING,
+    "quality_deciles": SQL_QUALITY_DECILES,
 }

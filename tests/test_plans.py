@@ -133,6 +133,19 @@ def test_corpus_signal_plans_stay_narrow(spark, sf_dir):
     assert "CartesianProduct" not in pm
 
 
+def test_packing_and_decile_plans(spark, sf_dir):
+    """sequence_packing: one source-partitioned window, no join.
+    quality_deciles: decile map joined back by BROADCAST (never a
+    sort-merge join of the corpus against itself); the only unpartitioned
+    window runs over the tiny score histogram."""
+    pp = _plan(all_queries()["sequence_packing"](spark, sf_dir))
+    assert "Window" in pp
+    assert "Join" not in pp, pp
+    pq = _plan(all_queries()["quality_deciles"](spark, sf_dir))
+    assert "BroadcastHashJoin" in pq
+    assert "SortMergeJoin" not in pq
+
+
 def test_training_corpus_fuses_signals_into_one_scan(spark, sf_dir):
     """The three per-row corpus signals (tokens/quality/language) must ride
     one projection — 2 scans total (signals + the dedup pipeline), not 5."""
