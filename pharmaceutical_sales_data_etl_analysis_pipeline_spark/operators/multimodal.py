@@ -192,14 +192,108 @@ FROM documents
 """
 
 
+# ---------------------------------------------------------------------------
+# Resize: the 1 -> 1 payload-transform batch shape (image downscale). The
+# fake "resize" is a stride-2 byte subsample — the byte-level analog of
+# halving resolution — with the post-resize metadata re-derived from the
+# new payload (what a real pipeline does after PIL .resize()). Output is
+# the resized payload's md5 + head bytes + re-derived dims, so the whole
+# Python transform is value-checked. The DuckDB twin rebuilds the strided
+# bytes from hex pairs; its md5() only takes VARCHAR, so the twin round-
+# trips through decode(), exact because the corpus payloads are ASCII
+# (UTF-8 text) — a real binary corpus would compare hex digests instead.
+# ---------------------------------------------------------------------------
+
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("resized_bytes", T.LongType()),
+        T.StructField("new_width", T.IntegerType()),
+        T.StructField("new_height", T.IntegerType()),
+        T.StructField("resized_md5", T.StringType()),
+        T.StructField("head_hex", T.StringType()),
+    ]
+)
+
+
+def resize_payloads(binary_df: DataFrame) -> DataFrame:
+    """mapInPandas 1->1 transform: self-contained closure (worker pickling
+    must not require this package on the executor's sys.path)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        def resize(payload: bytes) -> tuple[int, int, int, str, str]:
+            # Stand-in for PIL Image.resize: stride-2 subsample, then
+            # re-derive the fake dims from the resized payload.
+            r = bytes(payload)[0::2]
+            n = len(r)
+            width = 16 + (r[0] if n else 0) % 64
+            height = 16 + (r[-1] if n else 0) % 64
+            return (
+                n,
+                width,
+                height,
+                hashlib.md5(r).hexdigest(),
+                r[:8].hex().upper(),
+            )
+
+        for pdf in batches:
+            feats = pdf["payload"].map(resize)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": pdf["payload"].map(len).astype("int64"),
+                    "resized_bytes": feats.map(lambda f: f[0]).astype("int64"),
+                    "new_width": feats.map(lambda f: f[1]).astype("int32"),
+                    "new_height": feats.map(lambda f: f[2]).astype("int32"),
+                    "resized_md5": feats.map(lambda f: f[3]),
+                    "head_hex": feats.map(lambda f: f[4]),
+                }
+            )
+
+    return binary_df.mapInPandas(run, RESIZE_SCHEMA)
+
+
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return resize_payloads(with_binary_payload(load_table(spark, sf_dir, "documents")))
+
+
+# Byte j (1-based) of the resized payload is byte 2j-1 of the original =
+# hex pairs starting at char 4j-3.
+SQL_MULTIMODAL_RESIZE = """
+WITH b AS (
+  SELECT doc_id, hex(encode(text)) AS h, octet_length(encode(text)) AS n
+  FROM documents
+),
+r AS (
+  SELECT doc_id, n, (n + 1) // 2 AS rn,
+         list_aggregate(list_transform(range(1, (n + 1) // 2 + 1),
+                        j -> substr(h, 4 * j - 3, 2)), 'string_agg', '') AS rh
+  FROM b
+)
+SELECT doc_id,
+       CAST(n AS BIGINT) AS n_bytes,
+       CAST(rn AS BIGINT) AS resized_bytes,
+       CAST(16 + (CASE WHEN rn > 0 THEN ('0x' || substr(rh, 1, 2))::INT ELSE 0 END) % 64 AS INT) AS new_width,
+       CAST(16 + (CASE WHEN rn > 0 THEN ('0x' || substr(rh, 2 * rn - 1, 2))::INT ELSE 0 END) % 64 AS INT) AS new_height,
+       md5(decode(unhex(rh))) AS resized_md5,
+       upper(substr(rh, 1, 16)) AS head_hex
+FROM r
+"""
+
+
 QUERIES = {
     "binary_envelope": q_binary_envelope,
     "multimodal_features": q_multimodal_features,
     "multimodal_frames": q_multimodal_frames,
+    "multimodal_resize": q_multimodal_resize,
 }
 
 ORACLES = {
     "binary_envelope": SQL_BINARY_ENVELOPE,
     "multimodal_features": SQL_MULTIMODAL_FEATURES,
     "multimodal_frames": SQL_MULTIMODAL_FRAMES,
+    "multimodal_resize": SQL_MULTIMODAL_RESIZE,
 }
