@@ -45,6 +45,9 @@ def ws_tokens_col(t) -> F.Column:
 
 
 def quality_score_col(t) -> F.Column:
+    # Precondition: non-empty text (the ratios divide by n_chars/n_tokens;
+    # an empty document is a DIVIDE_BY_ZERO under ANSI mode). The corpus
+    # guarantees it; an ingest path that can't should filter length(t) > 0.
     n_chars = F.length(t).cast("double")
     n_tokens = F.size(F.split(F.trim(t), r"\s+")).cast("double")
     n_punct = _count_re(t, PUNCT_RE).cast("double")

@@ -146,3 +146,84 @@ def test_band_pair_pigeonhole_guarantees_recall(sig, flips):
     assert _band_pair_keys(sig) & _band_pair_keys(other), (
         f"no shared band pair for sig={sig:#x} flips={sorted(flips)}"
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus-prep invariants (r2): sequence packing must tile each shard's
+# token stream exactly (contiguous offsets, packs consistent with integer
+# chunking); decile assignment must be monotone in score, tie-consistent,
+# and land the top score in decile 10.
+# ---------------------------------------------------------------------------
+
+PACK_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("source", T.StringType()),
+    ]
+)
+
+packing_strategy = st.lists(
+    st.tuples(
+        st.integers(0, 200),
+        st.text(alphabet="ab c", min_size=0, max_size=30),
+        st.sampled_from(["s0", "s1", "s2"]),
+    ),
+    min_size=1,
+    max_size=40,
+    unique_by=lambda r: r[0],
+)
+
+
+@SETTLE
+@given(rows=packing_strategy)
+def test_sequence_packing_tiles_each_shard(spark, rows):
+    from pharmaceutical_sales_data_etl_analysis_pipeline_spark.operators.corpusops import (
+        SEQ_LEN,
+        sequence_packing,
+    )
+
+    df = spark.createDataFrame([(int(i), t, s) for i, t, s in rows], PACK_SCHEMA)
+    out = sequence_packing(df).collect()
+    assert len(out) == len(rows)
+    by_shard: dict[str, list] = {}
+    for r in sorted(out, key=lambda r: (r["source"], r["doc_id"])):
+        by_shard.setdefault(r["source"], []).append(r)
+    for docs in by_shard.values():
+        offset = 0
+        for r in docs:
+            assert r["start_offset"] == offset, r
+            assert r["start_pack"] == offset // SEQ_LEN
+            assert r["end_pack"] == (offset + r["n_tokens"] - 1) // SEQ_LEN
+            assert r["end_pack"] >= r["start_pack"]
+            offset += r["n_tokens"]
+
+
+# quality_score divides by n_chars/n_tokens: non-empty text is a
+# documented precondition (the documents corpus satisfies it).
+nonempty_docs_strategy = st.lists(
+    st.tuples(st.integers(0, 50), st.text(alphabet="ab c.", min_size=1, max_size=20)),
+    min_size=1,
+    max_size=30,
+)
+
+
+@SETTLE
+@given(rows=nonempty_docs_strategy)
+def test_quality_deciles_monotone_and_tie_consistent(spark, rows):
+    from pharmaceutical_sales_data_etl_analysis_pipeline_spark.operators.corpusops import (
+        quality_deciles,
+    )
+
+    uniq = {i: t for i, t in rows}
+    df = spark.createDataFrame(
+        [(int(i), t) for i, t in uniq.items()], DOC_SCHEMA
+    )
+    out = sorted(quality_deciles(df).collect(), key=lambda r: r["quality_score"])
+    assert len(out) == len(uniq)
+    assert all(1 <= r["decile"] <= 10 for r in out)
+    assert out[-1]["decile"] == 10  # cum = N at the top value
+    for a, b in zip(out, out[1:]):
+        assert a["decile"] <= b["decile"]  # monotone in score
+        if a["quality_score"] == b["quality_score"]:
+            assert a["decile"] == b["decile"]  # ties share a decile
