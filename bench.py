@@ -56,6 +56,13 @@ HEADLINE = [
     "tpch_q10",
     "tfidf_topk_terms",
     "training_corpus",
+    # late-r2 additions: nation-year profit star, concat-and-chunk packing,
+    # histogram deciles, Arrow 1->1 transform, dup-3-gram scan
+    "tpch_q9",
+    "sequence_packing",
+    "quality_deciles",
+    "multimodal_resize",
+    "repetition_ratio",
 ]
 
 
