@@ -235,6 +235,99 @@ SQL_MINHASH_LSH_CANDIDATES = _minhash_lsh_sql()
 
 
 # ---------------------------------------------------------------------------
+# Incremental near-dup: the daily-ingest shape — a NEW batch of documents
+# checked against the EXISTING corpus (docs with doc_id < INCR_SPLIT stand
+# in for the corpus, the rest for today's batch). Same banded equi-join as
+# minhash_lsh_candidates but asymmetric: the batch side is broadcast, so
+# the corpus side never shuffles — at 100 TB the corpus' band rows are a
+# precomputed parquet table (signatures are ~100 bytes/doc) and each
+# increment is one broadcast-join scan over it, not an all-corpus rebuild
+# (here both sides derive from one signature pass for test hermeticity).
+# ---------------------------------------------------------------------------
+
+INCR_SPLIT = 400
+
+
+def incremental_neardup(documents: DataFrame, split: int = INCR_SPLIT) -> DataFrame:
+    sig = minhash_signatures(documents).select(
+        "doc_id", F.array(*[F.col(f"h{k}") for k in range(N_HASHES)]).alias("sig")
+    )
+    band_exprs = ", ".join(
+        f"{b} , md5(concat(sig[{b * 2}], sig[{b * 2 + 1}]))" for b in range(N_BANDS)
+    )
+    bands = sig.select(
+        "doc_id", "sig", F.expr(f"stack({N_BANDS}, {band_exprs}) AS (band_idx, band_key)")
+    )
+    corpus = bands.filter(F.col("doc_id") < split).alias("c")
+    batch = bands.filter(F.col("doc_id") >= split).alias("n")
+    matches = F.aggregate(
+        F.zip_with(F.col("n.sig"), F.col("c.sig"), lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        corpus.join(
+            F.broadcast(batch),
+            (F.col("c.band_idx") == F.col("n.band_idx"))
+            & (F.col("c.band_key") == F.col("n.band_key")),
+        )
+        .select(
+            F.col("n.doc_id").alias("new_doc"),
+            F.col("c.doc_id").alias("dup_of"),
+            round_half_up(matches.cast("double") / N_HASHES, 4).alias("est_jaccard"),
+        )
+        .distinct()
+    )
+
+
+def q_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    # seed the batch with guaranteed matches: the batch is the new tail of
+    # the corpus PLUS re-submissions of 5 existing docs under new ids
+    resub = docs.filter(F.col("doc_id") < 5).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text", "lang", "source", "n_chars"
+    )
+    return incremental_neardup(docs.unionByName(resub))
+
+
+def _incremental_sql() -> str:
+    band_rows = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, {b} AS band_idx, md5(h{b*2} || h{b*2+1}) AS band_key FROM sig"
+        for b in range(N_BANDS)
+    )
+    match_sum = " + ".join(
+        f"CASE WHEN sa.h{k} = sb.h{k} THEN 1 ELSE 0 END" for k in range(N_HASHES)
+    )
+    sig_over_bag = SQL_MINHASH_SIGNATURES.replace(
+        "FROM documents) w",
+        """FROM (SELECT * FROM documents
+              UNION ALL
+              SELECT doc_id + 100000 AS doc_id, text, lang, source, n_chars
+              FROM documents WHERE doc_id < 5)) w""",
+    )
+    return f"""
+WITH sig AS ({sig_over_bag}),
+bands AS (
+{band_rows}
+),
+pairs AS (
+  SELECT DISTINCT n.doc_id AS new_doc, c.doc_id AS dup_of
+  FROM bands c JOIN bands n
+    ON c.band_idx = n.band_idx AND c.band_key = n.band_key
+   AND c.doc_id < {INCR_SPLIT} AND n.doc_id >= {INCR_SPLIT}
+)
+SELECT p.new_doc, p.dup_of,
+       floor((CAST(({match_sum}) AS DOUBLE) / {N_HASHES}) * 10000.0 + 0.5) / 10000.0 AS est_jaccard
+FROM pairs p
+JOIN sig sa ON p.new_doc = sa.doc_id
+JOIN sig sb ON p.dup_of = sb.doc_id
+"""
+
+
+SQL_INCREMENTAL_NEARDUP = _incremental_sql()
+
+
+# ---------------------------------------------------------------------------
 # SimHash (32-bit): per 3-word shingle, take the first 32 bits of
 # md5(shingle) as an integer mask; bit j votes +1/-1 by mask bit j and the
 # signature bit is the majority. Shingle features (not bare words) so
@@ -450,6 +543,7 @@ QUERIES = {
     "simhash": q_simhash,
     "simhash_near_dups": q_simhash_near_dups,
     "ngram_jaccard": q_ngram_jaccard,
+    "incremental_neardup": q_incremental_neardup,
 }
 
 ORACLES = {
@@ -459,4 +553,5 @@ ORACLES = {
     "simhash": SQL_SIMHASH,
     "simhash_near_dups": SQL_SIMHASH_NEAR_DUPS,
     "ngram_jaccard": SQL_NGRAM_JACCARD,
+    "incremental_neardup": SQL_INCREMENTAL_NEARDUP,
 }
