@@ -63,6 +63,10 @@ HEADLINE = [
     "quality_deciles",
     "multimodal_resize",
     "repetition_ratio",
+    # clustering family: zero-shuffle literal-centroid assignment +
+    # within-cluster pairwise (SemDeDup shape)
+    "kmeans_clusters",
+    "semdedup_candidates",
 ]
 
 

@@ -1,0 +1,274 @@
+"""Embedding clustering + semantic dedup (SemDeDup-shaped) over `embeddings`.
+
+`kmeans_clusters` is deterministic Lloyd's: seeds = the first K vectors,
+one centroid-recompute step, final assignment. The MLlib-KMeans execution
+shape — centroids live on the driver (K x DIM doubles, tiny at any corpus
+size) and each iteration is ONE distributed scan:
+
+- assignment is a zero-shuffle projection (centroid literals are compiled
+  into the plan; argmin = array_min over K (dist, cluster) structs),
+- centroid recompute is posexplode -> groupBy(cluster, dim) with map-side
+  partial aggregation, so the shuffle carries only K*DIM rows per input
+  partition regardless of corpus size.
+
+Cross-engine determinism (the whole point of the construction):
+
+- embeddings are quantized to micro-unit BIGINTs (floor(x*1e6 + 0.5)) so
+  per-dimension centroid SUMS are exact integers — order-independent on
+  any cluster layout AND equal to DuckDB's sums bit-for-bit;
+- centroid means are one IEEE division double(S)/double(C) (S < 2^53
+  holds through ~9e9 vectors at |x|<=1; beyond that switch the sum to
+  DECIMAL), identical in both engines;
+- squared distances are left-to-right folds in array order — per-row,
+  never split across partitions — matching DuckDB's list_reduce exactly;
+- argmin ties break to the lowest cluster id on both sides.
+
+`semdedup_candidates` is the SemDeDup scale shape (Abbas et al. 2023,
+arXiv:2303.09540): pairwise cosine ONLY within a k-means cluster — the
+quadratic work is bounded by cluster size, never all-pairs; at 100 TB,
+K grows with the corpus (~N/target_cluster_size) so per-cluster pair
+counts stay constant and the pair join is a plain shuffle join on
+cluster_id with AQE handling skewed clusters. Emitted as the top
+SEMDEDUP_TOP_PAIRS most-similar pairs per cluster (the rows a threshold
+pass would drop first) so the operator is value-checkable on corpora
+with no pairs above a fixed threshold.
+
+Reference parity anchor: the reference has no clustering; this extends the
+warehouse the same way its summary-fact step does (CTAS over a computed
+grouping, LoadDataWarehouse.ChatterjeeP.R:90-104) to the embedding column.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions.numeric import round_half_up
+from .similarity import _dot, _norm
+
+K_CLUSTERS = 8
+KMEANS_DIM = 64           # embedding dimensionality (testdata contract)
+_QUANT = 1000000.0        # micro-unit quantization scale
+_QUANT2 = _QUANT * _QUANT
+
+SEMDEDUP_TOP_PAIRS = 3
+
+
+def _quantized(embeddings: DataFrame) -> DataFrame:
+    """(vec_id, qe): embedding quantized to exact micro-unit BIGINTs."""
+    return embeddings.select(
+        "vec_id",
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.floor(x.cast("double") * F.lit(_QUANT) + F.lit(0.5)).cast("long"),
+        ).alias("qe"),
+    )
+
+
+def _sqdist_to(centroid: list[float]) -> Column:
+    """Left-fold squared distance from quantized row to a literal centroid."""
+    ce = F.array(*[F.lit(float(v)) for v in centroid])
+    diffs = F.zip_with(
+        F.col("qe"), ce, lambda a, b: (a.cast("double") - b) * (a.cast("double") - b)
+    )
+    return F.aggregate(diffs, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _assign(quant: DataFrame, centroids: list[tuple[int, list[float]]]) -> DataFrame:
+    """Zero-shuffle argmin assignment against driver-held centroid literals.
+
+    array_min over (dist, cluster) structs compares field-by-field, so ties
+    on dist resolve to the lowest cluster id — same order as the oracle's
+    row_number() OVER (ORDER BY dist, cluster).
+    """
+    choices = F.array(
+        *[
+            F.struct(_sqdist_to(ce).alias("d"), F.lit(int(cid)).alias("c"))
+            for cid, ce in centroids
+        ]
+    )
+    best = F.array_min(choices)
+    return quant.select(
+        "vec_id", "qe", best["c"].alias("cluster_id"), best["d"].alias("dist")
+    )
+
+
+def kmeans_assignments(embeddings: DataFrame, k: int = K_CLUSTERS) -> DataFrame:
+    """(vec_id, cluster_id, dist): Lloyd's with seeds = first k vectors and
+    one recompute step. Two driver round-trips total (seeds, then K x DIM
+    exact sums) — the standard iterative-clustering driver pattern."""
+    quant = _quantized(embeddings)
+    seeds = quant.filter(F.col("vec_id") < k).collect()
+    c0 = sorted((int(r["vec_id"]), [float(v) for v in r["qe"]]) for r in seeds)
+    a0 = _assign(quant, c0)
+    sums = (
+        a0.select("cluster_id", F.posexplode("qe").alias("pos", "v"))
+        .groupBy("cluster_id", "pos")
+        .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("c"))
+        .collect()
+    )
+    by_cluster: dict[int, dict[int, float]] = {}
+    for r in sums:
+        # exact-integer sum divided once in IEEE double — same bits as the
+        # oracle's CAST(s AS DOUBLE) / CAST(c AS DOUBLE)
+        by_cluster.setdefault(int(r["cluster_id"]), {})[int(r["pos"])] = float(
+            r["s"]
+        ) / float(r["c"])
+    c1 = sorted(
+        (cid, [dims[p] for p in range(len(dims))]) for cid, dims in by_cluster.items()
+    )
+    return _assign(quant, c1)
+
+
+def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    asg = kmeans_assignments(load_table(spark, sf_dir, "embeddings"))
+    return asg.select(
+        "vec_id",
+        F.col("cluster_id").cast("int").alias("cluster_id"),
+        # back to original units: micro^2 / 1e12, rounded on the same grid
+        round_half_up(F.col("dist") / F.lit(_QUANT2), 6).alias("dist"),
+    )
+
+
+def _dist_sql(ce: str) -> str:
+    return (
+        f"list_reduce(list_transform(range(1, {KMEANS_DIM + 1}), "
+        f"i -> (CAST(qe[i] AS DOUBLE) - {ce}[i]) * (CAST(qe[i] AS DOUBLE) - {ce}[i])), "
+        f"(acc, x) -> acc + x)"
+    )
+
+
+def _kmeans_cte() -> str:
+    return f"""
+q AS (
+  SELECT vec_id,
+         list_transform(embedding,
+                        x -> CAST(floor(CAST(x AS DOUBLE) * {_QUANT} + 0.5) AS BIGINT)) AS qe
+  FROM embeddings
+),
+c0 AS (
+  SELECT vec_id AS cluster, list_transform(qe, v -> CAST(v AS DOUBLE)) AS ce
+  FROM q WHERE vec_id < {K_CLUSTERS}
+),
+d0 AS (
+  SELECT q.vec_id, c0.cluster, {_dist_sql('ce')} AS dist FROM q, c0
+),
+a0 AS (
+  SELECT vec_id, cluster FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rn
+    FROM d0) t
+  WHERE rn = 1
+),
+sums AS (
+  SELECT a0.cluster, t.i, sum(q.qe[t.i]) AS s, count(*) AS c
+  FROM q JOIN a0 USING (vec_id), range(1, {KMEANS_DIM + 1}) t(i)
+  GROUP BY a0.cluster, t.i
+),
+c1 AS (
+  SELECT cluster, list(CAST(s AS DOUBLE) / CAST(c AS DOUBLE) ORDER BY i) AS ce
+  FROM sums GROUP BY cluster
+),
+d1 AS (
+  SELECT q.vec_id, c1.cluster, {_dist_sql('ce')} AS dist FROM q, c1
+),
+a1 AS (
+  SELECT vec_id, cluster, dist FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rn
+    FROM d1) t
+  WHERE rn = 1
+)"""
+
+
+SQL_KMEANS_CLUSTERS = f"""
+WITH {_kmeans_cte()}
+SELECT vec_id, CAST(cluster AS INT) AS cluster_id,
+       floor(dist / {_QUANT2} * 1000000.0 + 0.5) / 1000000.0 AS dist
+FROM a1
+"""
+
+
+def semdedup_candidates(
+    embeddings: DataFrame, top_pairs: int = SEMDEDUP_TOP_PAIRS
+) -> DataFrame:
+    """Per-cluster most-similar pairs: pairwise exact cosine restricted to
+    each k-means cluster, top `top_pairs` per cluster by (cosine desc,
+    vec_a, vec_b). The within-cluster restriction is what makes semantic
+    dedup sub-quadratic at corpus scale."""
+    asg = kmeans_assignments(embeddings).select("vec_id", "cluster_id")
+    vecs = (
+        embeddings.join(asg, "vec_id")
+        .select(
+            "vec_id", "cluster_id", "embedding", _norm(F.col("embedding")).alias("nrm")
+        )
+    )
+    a, b = vecs.alias("a"), vecs.alias("b")
+    cos = round_half_up(
+        _dot(F.col("a.embedding"), F.col("b.embedding")) / (F.col("a.nrm") * F.col("b.nrm")),
+        9,
+    ).alias("cosine")
+    pairs = a.join(
+        b,
+        (F.col("a.cluster_id") == F.col("b.cluster_id"))
+        & (F.col("a.vec_id") < F.col("b.vec_id")),
+    ).select(
+        F.col("a.cluster_id").cast("int").alias("cluster_id"),
+        F.col("a.vec_id").alias("vec_a"),
+        F.col("b.vec_id").alias("vec_b"),
+        cos,
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("cosine"), F.asc("vec_a"), F.asc("vec_b")
+    )
+    return (
+        pairs.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= top_pairs)
+        .select("cluster_id", "vec_a", "vec_b", "cosine", F.col("rnk").cast("int").alias("rnk"))
+    )
+
+
+def q_semdedup_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return semdedup_candidates(load_table(spark, sf_dir, "embeddings"))
+
+
+SQL_SEMDEDUP_CANDIDATES = f"""
+WITH {_kmeans_cte()},
+base AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings
+),
+norms AS (
+  SELECT vec_id,
+         sqrt(list_reduce(list_transform(e, x -> x * x), (acc, x) -> acc + x)) AS nrm
+  FROM base
+),
+pairs AS (
+  SELECT CAST(pa.cluster AS INT) AS cluster_id, pa.vec_id AS vec_a, pb.vec_id AS vec_b,
+         floor((list_reduce(list_transform(range(1, {KMEANS_DIM + 1}), i -> a.e[i] * b.e[i]),
+                            (acc, x) -> acc + x)
+                / (na.nrm * nb.nrm)) * 1000000000.0 + 0.5) / 1000000000.0 AS cosine
+  FROM a1 pa
+  JOIN a1 pb ON pa.cluster = pb.cluster AND pa.vec_id < pb.vec_id
+  JOIN base a ON a.vec_id = pa.vec_id
+  JOIN base b ON b.vec_id = pb.vec_id
+  JOIN norms na ON na.vec_id = pa.vec_id
+  JOIN norms nb ON nb.vec_id = pb.vec_id
+)
+SELECT cluster_id, vec_a, vec_b, cosine, CAST(rnk AS INT) AS rnk
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY cluster_id
+                               ORDER BY cosine DESC, vec_a ASC, vec_b ASC) AS rnk
+  FROM pairs
+) t
+WHERE rnk <= {SEMDEDUP_TOP_PAIRS}
+"""
+
+
+QUERIES = {
+    "kmeans_clusters": q_kmeans_clusters,
+    "semdedup_candidates": q_semdedup_candidates,
+}
+
+ORACLES = {
+    "kmeans_clusters": SQL_KMEANS_CLUSTERS,
+    "semdedup_candidates": SQL_SEMDEDUP_CANDIDATES,
+}

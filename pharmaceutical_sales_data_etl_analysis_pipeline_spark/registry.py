@@ -40,6 +40,7 @@ MODULE_ORDER = [
     "relational",
     "textops",
     "eventsops",
+    "clustering",
 ]
 
 # Round-2 sweep priority:
@@ -110,8 +111,9 @@ PRIORITY = [
 # NOT in PRIORITY (window is at 48/50; tpch_q13/q15 fill slots 49-50 via
 # module order): tpch_q17/q21/q2/q9/q20, repetition_ratio,
 # domain_mixture_weights, sequence_packing, quality_deciles,
-# multimodal_resize, incremental_neardup — added late in r2, pass-local
-# this round; rotate into PRIORITY for the r3 sweep.
+# multimodal_resize, incremental_neardup, kmeans_clusters,
+# semdedup_candidates — added late in r2, pass-local this round; rotate
+# into PRIORITY for the r3 sweep.
 
 
 def _collect() -> tuple[dict[str, QueryFn], dict[str, str]]:

@@ -237,3 +237,43 @@ def test_neardup_components_partitioning_scales_with_edges(spark, sf_dir):
     fanned = neardup_components(docs, rows_per_partition=4)
     assert fanned.rdd.getNumPartitions() > 1
     assert sorted(map(tuple, fanned.collect())) == sorted(map(tuple, default.collect()))
+
+
+def test_kmeans_assignment_is_zero_shuffle_projection(spark, sf_dir):
+    """The clustering assignment pass compiles centroids into literals:
+    the final plan must be scan + projection — no join, no shuffle. (The
+    centroid-recompute shuffle happens in the two driver round-trips
+    *before* this plan is built, MLlib-style.)"""
+    from pharmaceutical_sales_data_etl_analysis_pipeline_spark.operators.clustering import (
+        kmeans_assignments,
+    )
+
+    plan = _plan(kmeans_assignments(load_table(spark, sf_dir, "embeddings")))
+    assert "Join" not in plan
+    assert "Exchange" not in plan
+
+
+def test_semdedup_pairs_join_is_within_cluster(spark, sf_dir):
+    """Pairwise cosine must be restricted to equi-join on cluster_id —
+    never a cartesian/nested-loop across the corpus."""
+    plan = _plan(all_queries()["semdedup_candidates"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_kmeans_partitions_corpus_exactly(spark, sf_dir):
+    """Every vector lands in exactly one cluster; ids stay in [0, K);
+    squared distances are non-negative."""
+    from pharmaceutical_sales_data_etl_analysis_pipeline_spark.operators.clustering import (
+        K_CLUSTERS,
+        kmeans_assignments,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    asg = kmeans_assignments(emb)
+    bad = asg.filter(
+        (F.col("cluster_id") < 0) | (F.col("cluster_id") >= K_CLUSTERS) | (F.col("dist") < 0)
+    )
+    assert bad.count() == 0
+    assert asg.count() == emb.count()
+    assert asg.select("vec_id").distinct().count() == emb.count()
