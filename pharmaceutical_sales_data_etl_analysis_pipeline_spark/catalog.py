@@ -97,10 +97,13 @@ SCHEMAS: dict[str, T.StructType] = {
             T.StructField("l_shipdate", T.TimestampType()),
         ]
     ),
-    # NOTE: the events parquet carries TIMESTAMP(NANOS), which Spark's
-    # vectorized reader rejects — we read nanos as long (legacy conf) and
-    # convert to a micros TimestampType in load_table, so downstream code
-    # always sees ts: timestamp.
+    # NOTE: the events parquet carries TIMESTAMP(NANOS). Spark versions
+    # differ: older readers reject it unless spark.sql.legacy.parquet
+    # .nanosAsLong=true (→ ts arrives as bigint nanos), newer ones (4.1+)
+    # read it natively as timestamp_ntz and ignore that conf. load_table /
+    # normalize_event_ts handle BOTH so downstream code always sees
+    # ts: timestamp (micros, UTC session). The LongType here is the
+    # legacy-reader shape; 4.1+ reads use the parquet footer schema instead.
     "events": T.StructType(
         [
             T.StructField("event_id", T.LongType()),
@@ -170,15 +173,46 @@ PHARMA_SCHEMAS: dict[str, T.StructType] = {
 }
 
 
+def normalize_event_ts(df: DataFrame) -> DataFrame:
+    """Normalize the events `ts` column to TimestampType (micros) across
+    Spark's two TIMESTAMP(NANOS) read behaviors:
+
+    - legacy readers (nanosAsLong=true): ts is bigint nanos → integer-div
+      to micros (ns values overflow double precision, never use `/`; div
+      truncates toward zero, identical to DuckDB's floor for epochs >= 0 —
+      precondition documented in operators/eventsops.py);
+    - Spark 4.1+: ts is timestamp_ntz (already micros-truncated, same
+      truncation DuckDB applies) → cast to session-tz timestamp, a pure
+      relabel under the UTC session timezone set in session.get_spark.
+    """
+    dtype = dict(df.dtypes)["ts"]
+    if dtype == "bigint":
+        return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df.withColumn("ts", F.col("ts").cast("timestamp"))
+
+
+def events_source_schema(spark: SparkSession, path: str) -> T.StructType:
+    """Schema readStream needs for an events-shaped parquet source: the
+    actual footer schema of a sample file (ts arrives as whatever this
+    Spark version's reader produces; normalize_event_ts fixes it up)."""
+    return spark.read.parquet(path).schema
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one corpus table with its declared schema."""
     if name == "events":
+        # harmless where removed (4.1+ ignores it); required on legacy
+        # readers that otherwise reject TIMESTAMP(NANOS)
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.schema(SCHEMAS[name]).parquet(f"{sf_dir}/{name}.parquet")
-        # integer div — ns values overflow double precision, never use `/`.
-        # div truncates toward zero (DuckDB // floors): identical only for
-        # epochs >= 0 — precondition documented in operators/eventsops.py
-        return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        raw = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        return normalize_event_ts(raw).select(
+            F.col("event_id").cast("long"),
+            "ts",
+            F.col("user_id").cast("long"),
+            F.col("event_type").cast("string"),
+            F.col("value").cast("double"),
+            F.col("props").cast("string"),
+        )
     return spark.read.schema(SCHEMAS[name]).parquet(f"{sf_dir}/{name}.parquet")
 
 

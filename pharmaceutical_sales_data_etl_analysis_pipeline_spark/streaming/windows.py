@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import SCHEMAS
+from ..catalog import events_source_schema, normalize_event_ts
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -20,11 +20,11 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     the file source wants a directory, so glob-filter to events.parquet."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = (
-        spark.readStream.schema(SCHEMAS["events"])
+        spark.readStream.schema(events_source_schema(spark, f"{sf_dir}/events.parquet"))
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return normalize_event_ts(raw)
 
 
 def tumbling_counts_stream(events: DataFrame, window: str = "1 hour",

@@ -246,14 +246,16 @@ def test_stream_dedup_drops_duplicate_ids(spark, sf_dir, tmp_path):
     # two identical files -> every event_id seen twice, in separate batches
     shutil.copy(f"{sf_dir}/events.parquet", src / "a.parquet")
     shutil.copy(f"{sf_dir}/events.parquet", src / "b.parquet")
-    from pharmaceutical_sales_data_etl_analysis_pipeline_spark.catalog import SCHEMAS
+    from pharmaceutical_sales_data_etl_analysis_pipeline_spark.catalog import (
+        events_source_schema,
+        normalize_event_ts,
+    )
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    stream = (
-        spark.readStream.schema(SCHEMAS["events"])
+    stream = normalize_event_ts(
+        spark.readStream.schema(events_source_schema(spark, str(src / "a.parquet")))
         .option("maxFilesPerTrigger", 1)
         .parquet(str(src))
-        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     )
     q = (
         dedup_stream(stream)
