@@ -67,6 +67,9 @@ HEADLINE = [
     # within-cluster pairwise (SemDeDup shape)
     "kmeans_clusters",
     "semdedup_candidates",
+    # warehouse family: MERGE-shaped full-outer join, zero-shuffle chunking
+    "merge_upsert",
+    "doc_chunks",
 ]
 
 

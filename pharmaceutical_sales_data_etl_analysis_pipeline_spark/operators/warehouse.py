@@ -1,0 +1,361 @@
+"""Warehouse maintenance & analytics shapes beyond the reference's surface:
+MERGE upsert (SCD type 1), SCD type 2 validity intervals, cohort retention,
+OHLC bars, exact stratified sampling, and document chunking.
+
+The reference's warehouse layer only ever rebuilds tables wholesale
+(LoadDataWarehouse.ChatterjeeP.R:90-133 drops and re-creates the fact
+tables); a production warehouse ingests *daily batches* into existing
+state. These operators cover that incremental surface with pure DataFrame
+plans (no Delta/iceberg dependency — the MERGE is expressed as a full-outer
+join, which is exactly the shuffle a table-format MERGE executes underneath).
+
+Scale notes (100 TB): merge_upsert shuffles both sides on the join key once
+— the minimum any MERGE does; AQE handles skewed keys. scd2_intervals and
+ohlc_bars window-partition by entity/hour (bounded state per partition, no
+global sort). cohort_retention is two hash aggregations plus an equi-join
+on user_id. stratified_sample's per-group window is bounded by group size;
+doc_chunks is a zero-shuffle explode whose output is ~n_chars/stride rows
+per doc.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions.numeric import money_sum, money_sum_sql
+
+# ---------------------------------------------------------------------------
+# MERGE upsert (SCD type 1): apply a daily batch of per-customer spend to
+# the customer dimension — matched keys update acctbal, unmatched batch
+# keys insert new accounts, untouched rows pass through. The batch is
+# derived deterministically from orders (1995 spend) plus a key-shifted
+# copy so the INSERT branch is exercised; a real ingest would read the
+# batch from a source table instead.
+# ---------------------------------------------------------------------------
+
+INSERT_KEY_OFFSET = 10_000_000
+
+
+def merge_upsert(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    # range predicate (not year(..)=1995) so it reaches the parquet scan as
+    # PushedFilters min/max pruning; one agg + explode of both key variants
+    # instead of UNION ALL of two branches (halves the batch-source scan)
+    spend = (
+        orders.filter(
+            (F.col("o_orderdate") >= F.lit("1995-01-01"))
+            & (F.col("o_orderdate") < F.lit("1996-01-01"))
+        )
+        .groupBy(F.col("o_custkey").alias("key"))
+        .agg(money_sum("o_totalprice", "spend"))
+    )
+    batch = spend.select(
+        F.explode(
+            F.array(F.col("key"), F.col("key") + INSERT_KEY_OFFSET)
+        ).alias("key"),
+        "spend",
+    )
+    tgt = customer.select("c_custkey", "c_name", "c_acctbal")
+    merged = tgt.join(batch, tgt.c_custkey == batch.key, "full_outer")
+    matched = F.col("c_custkey").isNotNull() & F.col("key").isNotNull()
+    return merged.select(
+        F.coalesce("c_custkey", "key").alias("c_custkey"),
+        F.coalesce(
+            "c_name", F.concat(F.lit("acct-"), F.col("key").cast("string"))
+        ).alias("c_name"),
+        F.when(matched, F.col("c_acctbal") + F.col("spend"))
+        .when(F.col("key").isNull(), F.col("c_acctbal"))
+        .otherwise(F.col("spend"))
+        .alias("c_acctbal"),
+        F.when(matched, F.lit("update"))
+        .when(F.col("key").isNull(), F.lit("keep"))
+        .otherwise(F.lit("insert"))
+        .alias("merge_action"),
+    )
+
+
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return merge_upsert(
+        load_table(spark, sf_dir, "customer"), load_table(spark, sf_dir, "orders")
+    )
+
+
+SQL_MERGE_UPSERT = f"""
+WITH spend AS (
+  SELECT o_custkey AS key, {money_sum_sql('o_totalprice', 'spend')}
+  FROM orders WHERE year(o_orderdate) = 1995 GROUP BY o_custkey
+), batch AS (
+  SELECT key, spend FROM spend
+  UNION ALL
+  SELECT key + {INSERT_KEY_OFFSET}, spend FROM spend
+)
+SELECT COALESCE(c.c_custkey, b.key) AS c_custkey,
+       COALESCE(c.c_name, 'acct-' || CAST(b.key AS VARCHAR)) AS c_name,
+       CASE WHEN c.c_custkey IS NOT NULL AND b.key IS NOT NULL
+              THEN c.c_acctbal + b.spend
+            WHEN b.key IS NULL THEN c.c_acctbal
+            ELSE b.spend END AS c_acctbal,
+       CASE WHEN c.c_custkey IS NOT NULL AND b.key IS NOT NULL THEN 'update'
+            WHEN b.key IS NULL THEN 'keep'
+            ELSE 'insert' END AS merge_action
+FROM customer c FULL OUTER JOIN batch b ON c.c_custkey = b.key
+"""
+
+
+# ---------------------------------------------------------------------------
+# SCD type 2: turn a change log (purchase events = state changes) into
+# validity intervals — one row per state with [valid_from, valid_to) and a
+# current-row flag. lead() over (user, ts) is the whole trick; the window
+# state is bounded per user.
+# ---------------------------------------------------------------------------
+
+def scd2_intervals(events: DataFrame) -> DataFrame:
+    pe = events.filter(F.col("event_type") == "purchase")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return pe.select(
+        "user_id",
+        F.row_number().over(w).cast("long").alias("version"),
+        F.col("value").alias("state_value"),
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+        F.lead("ts").over(w).isNull().alias("is_current"),
+    )
+
+
+def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return scd2_intervals(load_table(spark, sf_dir, "events"))
+
+
+SQL_SCD2_INTERVALS = """
+SELECT user_id,
+       CAST(row_number() OVER w AS BIGINT) AS version,
+       value AS state_value,
+       ts AS valid_from,
+       lead(ts) OVER w AS valid_to,
+       lead(ts) OVER w IS NULL AS is_current
+FROM events WHERE event_type = 'purchase'
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Cohort retention: users grouped by first-seen week, distinct actives per
+# (cohort_week, weeks since). Two hash aggs + one equi-join on user_id —
+# both sides shrink before the join (min-per-user / distinct user-week),
+# so the join input is |users| + |user-weeks|, not |events|.
+# ---------------------------------------------------------------------------
+
+def cohort_retention(events: DataFrame) -> DataFrame:
+    # cohort_week stays TIMESTAMP (midnight Monday): Spark DateType arrives
+    # in pandas as object-dtype date, DuckDB DATE as datetime64 — the
+    # value-hash compare would see different types for equal values.
+    cohorts = events.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    actives = (
+        events.select(
+            "user_id", F.date_trunc("week", F.col("ts")).alias("week")
+        )
+        .distinct()
+    )
+    return (
+        actives.join(cohorts, "user_id")
+        .select(
+            "cohort_week",
+            (F.datediff("week", "cohort_week") / 7).cast("int").alias("week_offset"),
+            "user_id",
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").cast("long").alias("n_users"))
+    )
+
+
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cohort_retention(load_table(spark, sf_dir, "events"))
+
+
+SQL_COHORT_RETENTION = """
+WITH cohorts AS (
+  SELECT user_id, CAST(date_trunc('week', min(ts)) AS TIMESTAMP) AS cohort_week
+  FROM events GROUP BY user_id
+), actives AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS TIMESTAMP) AS week
+  FROM events
+)
+SELECT c.cohort_week,
+       CAST(date_diff('day', c.cohort_week, a.week) / 7 AS INTEGER) AS week_offset,
+       CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_users
+FROM actives a JOIN cohorts c USING (user_id)
+GROUP BY c.cohort_week, week_offset
+"""
+
+
+# ---------------------------------------------------------------------------
+# OHLC bars: hourly open/high/low/close over event values. open/close are
+# first/last by (ts, event_id) — row_number windows partitioned by the
+# bar hour, then ONE hash agg that reuses the window's hour partitioning
+# (no second shuffle; conditional max picks the rn=1 rows). Volume sums in
+# DECIMAL (order-independent bits, functions/numeric.py).
+# ---------------------------------------------------------------------------
+
+def ohlc_bars(events: DataFrame) -> DataFrame:
+    e = events.select(
+        F.date_trunc("hour", "ts").alias("bar_hour"), "ts", "event_id", "value"
+    )
+    w_a = Window.partitionBy("bar_hour").orderBy(F.asc("ts"), F.asc("event_id"))
+    w_d = Window.partitionBy("bar_hour").orderBy(F.desc("ts"), F.desc("event_id"))
+    flagged = e.select(
+        "bar_hour",
+        "value",
+        F.row_number().over(w_a).alias("rn_a"),
+        F.row_number().over(w_d).alias("rn_d"),
+    )
+    return flagged.groupBy("bar_hour").agg(
+        F.max(F.when(F.col("rn_a") == 1, F.col("value"))).alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max(F.when(F.col("rn_d") == 1, F.col("value"))).alias("close"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("volume"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+    )
+
+
+def q_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ohlc_bars(load_table(spark, sf_dir, "events"))
+
+
+SQL_OHLC_BARS = """
+WITH flagged AS (
+  SELECT date_trunc('hour', ts) AS bar_hour, value,
+         row_number() OVER (PARTITION BY date_trunc('hour', ts)
+                            ORDER BY ts ASC, event_id ASC) AS rn_a,
+         row_number() OVER (PARTITION BY date_trunc('hour', ts)
+                            ORDER BY ts DESC, event_id DESC) AS rn_d
+  FROM events
+)
+SELECT bar_hour,
+       max(CASE WHEN rn_a = 1 THEN value END) AS open,
+       max(value) AS high,
+       min(value) AS low,
+       max(CASE WHEN rn_d = 1 THEN value END) AS close,
+       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS volume,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM flagged
+GROUP BY bar_hour
+"""
+
+
+# ---------------------------------------------------------------------------
+# Exact stratified sample: a fixed 10% quota per source (ceil), chosen by
+# md5 order — deterministic across engines and runs, unlike Bernoulli
+# sampling which only hits the fraction in expectation. Window state is
+# bounded per source group.
+# ---------------------------------------------------------------------------
+
+STRATUM_PCT = 10  # keep ceil(n/10) docs per source
+
+
+def stratified_sample(documents: DataFrame) -> DataFrame:
+    order_key = F.md5(F.col("doc_id").cast("string"))
+    w = Window.partitionBy("source").orderBy(order_key, "doc_id")
+    wc = Window.partitionBy("source")
+    return (
+        documents.select(
+            "doc_id",
+            "source",
+            F.row_number().over(w).cast("long").alias("sample_rank"),
+            F.count(F.lit(1)).over(wc).alias("group_n"),
+        )
+        .filter(
+            F.col("sample_rank")
+            <= (F.col("group_n") + STRATUM_PCT - 1) / STRATUM_PCT
+        )
+        .select("doc_id", "source", "sample_rank")
+    )
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return stratified_sample(load_table(spark, sf_dir, "documents"))
+
+
+SQL_STRATIFIED_SAMPLE = f"""
+SELECT doc_id, source, sample_rank
+FROM (
+  SELECT doc_id, source,
+         CAST(row_number() OVER (PARTITION BY source
+                                 ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+              AS BIGINT) AS sample_rank,
+         count(*) OVER (PARTITION BY source) AS group_n
+  FROM documents
+)
+WHERE sample_rank <= (group_n + {STRATUM_PCT - 1}) / {STRATUM_PCT}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Document chunking: fixed-width character chunks with overlap (the RAG /
+# embedding-ingest shape). Declarative explode(sequence(...)) — the chunk
+# count comes from n_chars arithmetic, so there's no Python in the path and
+# no shuffle at all; output size is ~n_chars/stride rows per doc.
+# ---------------------------------------------------------------------------
+
+CHUNK_SIZE = 200
+CHUNK_STRIDE = 150  # 50-char overlap
+
+
+def doc_chunks(documents: DataFrame) -> DataFrame:
+    n = F.col("n_chars")
+    n_off = F.when(n <= CHUNK_SIZE, F.lit(1)).otherwise(
+        1 + ((n - CHUNK_SIZE + CHUNK_STRIDE - 1) / CHUNK_STRIDE).cast("long")
+    )
+    return documents.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), (n_off - 1).cast("int"))).alias("chunk_idx"),
+        "text",
+    ).select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.substring(
+            F.col("text"), F.col("chunk_idx") * CHUNK_STRIDE + 1, CHUNK_SIZE
+        ).alias("chunk_text"),
+    ).withColumn("chunk_len", F.length("chunk_text").cast("long"))
+
+
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return doc_chunks(load_table(spark, sf_dir, "documents"))
+
+
+SQL_DOC_CHUNKS = f"""
+SELECT doc_id,
+       CAST(i AS BIGINT) AS chunk_idx,
+       substr(text, CAST(i AS INTEGER) * {CHUNK_STRIDE} + 1, {CHUNK_SIZE}) AS chunk_text,
+       CAST(length(substr(text, CAST(i AS INTEGER) * {CHUNK_STRIDE} + 1, {CHUNK_SIZE}))
+            AS BIGINT) AS chunk_len
+FROM (
+  SELECT doc_id, text,
+         unnest(generate_series(0, CASE WHEN n_chars <= {CHUNK_SIZE} THEN 0
+                                        ELSE (n_chars - {CHUNK_SIZE} + {CHUNK_STRIDE} - 1)
+                                             // {CHUNK_STRIDE} END)) AS i
+  FROM documents
+)
+"""
+
+
+QUERIES = {
+    "merge_upsert": q_merge_upsert,
+    "scd2_intervals": q_scd2_intervals,
+    "cohort_retention": q_cohort_retention,
+    "ohlc_bars": q_ohlc_bars,
+    "stratified_sample": q_stratified_sample,
+    "doc_chunks": q_doc_chunks,
+}
+
+ORACLES = {
+    "merge_upsert": SQL_MERGE_UPSERT,
+    "scd2_intervals": SQL_SCD2_INTERVALS,
+    "cohort_retention": SQL_COHORT_RETENTION,
+    "ohlc_bars": SQL_OHLC_BARS,
+    "stratified_sample": SQL_STRATIFIED_SAMPLE,
+    "doc_chunks": SQL_DOC_CHUNKS,
+}

@@ -41,6 +41,7 @@ MODULE_ORDER = [
     "textops",
     "eventsops",
     "clustering",
+    "warehouse",
 ]
 
 # Round-2 sweep priority:
@@ -112,8 +113,10 @@ PRIORITY = [
 # module order): tpch_q17/q21/q2/q9/q20, repetition_ratio,
 # domain_mixture_weights, sequence_packing, quality_deciles,
 # multimodal_resize, incremental_neardup, kmeans_clusters,
-# semdedup_candidates — added late in r2, pass-local this round; rotate
-# into PRIORITY for the r3 sweep.
+# semdedup_candidates, and the warehouse module (merge_upsert,
+# scd2_intervals, cohort_retention, ohlc_bars, stratified_sample,
+# doc_chunks) — added late in r2, pass-local this round; rotate into
+# PRIORITY for the r3 sweep.
 
 
 def _collect() -> tuple[dict[str, QueryFn], dict[str, str]]:
