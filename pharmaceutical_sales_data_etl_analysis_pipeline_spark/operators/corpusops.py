@@ -797,3 +797,61 @@ ORACLES = {
     "sequence_packing": SQL_SEQUENCE_PACKING,
     "quality_deciles": SQL_QUALITY_DECILES,
 }
+
+
+# ---------------------------------------------------------------------------
+# Out-of-vocabulary rate: per-document fraction of token occurrences not in
+# the corpus top-K vocabulary (tokenizer-coverage signal for corpus mixing).
+# Two jobs over documents: the vocab agg (tiny result, broadcast) and one
+# token explode + broadcast hash join — no shuffle of the exploded tokens.
+# ---------------------------------------------------------------------------
+
+def oov_rate(documents: DataFrame) -> DataFrame:
+    from ..functions.numeric import round_half_up
+
+    vocab = vocab_topk(documents).select(F.col("word").alias("vword"))
+    words = _word_rows(documents)
+    joined = words.join(
+        F.broadcast(vocab), words.word == vocab.vword, "left"
+    )
+    return joined.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.count(F.when(F.col("vword").isNull(), F.lit(1))).cast("long").alias("n_oov"),
+    ).select(
+        "doc_id",
+        "n_tokens",
+        "n_oov",
+        round_half_up(
+            F.col("n_oov").cast("double") / F.col("n_tokens").cast("double"), 4
+        ).alias("oov_rate"),
+    )
+
+
+def q_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return oov_rate(load_table(spark, sf_dir, "documents"))
+
+
+def _oov_rate_sql() -> str:
+    from ..functions.numeric import round_half_up_sql
+
+    ratio = round_half_up_sql(
+        "CAST(n_oov AS DOUBLE) / CAST(n_tokens AS DOUBLE)", 4
+    )
+    return f"""
+WITH {SQL_WORDS_CTE},
+vocab AS ({SQL_VOCAB_TOPK})
+SELECT doc_id, n_tokens, n_oov, {ratio} AS oov_rate
+FROM (
+  SELECT w.doc_id,
+         CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(count(CASE WHEN v.word IS NULL THEN 1 END) AS BIGINT) AS n_oov
+  FROM words w LEFT JOIN vocab v ON w.word = v.word
+  GROUP BY w.doc_id
+)
+"""
+
+
+SQL_OOV_RATE = _oov_rate_sql()
+
+QUERIES["oov_rate"] = q_oov_rate
+ORACLES["oov_rate"] = SQL_OOV_RATE

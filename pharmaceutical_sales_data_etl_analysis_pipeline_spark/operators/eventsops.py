@@ -384,3 +384,111 @@ ORACLES = {
     "props_k_stats": SQL_PROPS_K_STATS,
     "top5_users_by_value": SQL_TOP5_USERS_BY_VALUE,
 }
+
+
+# ---------------------------------------------------------------------------
+# Rolling 7-day active users (the DAU/WAU shape): for each day in the
+# corpus, distinct users active in the trailing 7-day window. Shrink first
+# (distinct user-days), then range-join against the tiny day spine —
+# broadcast nested-loop on a spine of |days| rows (365/yr at any data
+# scale), output |user-days| x 7 before the final distinct agg. Day kept as
+# midnight TIMESTAMP (pandas dtype parity with the DuckDB oracle).
+# ---------------------------------------------------------------------------
+
+def rolling_7d_actives(events: DataFrame) -> DataFrame:
+    user_days = events.select(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("day")
+    ).distinct()
+    spine = user_days.select("day").distinct()
+    u, s = user_days.alias("u"), spine.alias("s")
+    cond = (F.col("u.day") <= F.col("s.day")) & (
+        F.col("u.day") >= F.col("s.day") - F.expr("INTERVAL 6 DAYS")
+    )
+    return (
+        u.join(F.broadcast(s), cond)
+        .groupBy(F.col("s.day").alias("day"))
+        .agg(
+            F.countDistinct(
+                F.when(F.col("u.day") == F.col("s.day"), F.col("u.user_id"))
+            ).cast("long").alias("active_users_1d"),
+            F.countDistinct("u.user_id").cast("long").alias("active_users_7d"),
+        )
+    )
+
+
+def q_rolling_7d_actives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return rolling_7d_actives(load_table(spark, sf_dir, "events"))
+
+
+SQL_ROLLING_7D_ACTIVES = """
+WITH user_days AS (
+  SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events
+), spine AS (
+  SELECT DISTINCT day FROM user_days
+)
+SELECT s.day,
+       CAST(count(DISTINCT CASE WHEN u.day = s.day THEN u.user_id END)
+            AS BIGINT) AS active_users_1d,
+       CAST(count(DISTINCT u.user_id) AS BIGINT) AS active_users_7d
+FROM spine s
+JOIN user_days u
+  ON u.day <= s.day AND u.day >= s.day - INTERVAL 6 DAY
+GROUP BY s.day
+"""
+
+
+# ---------------------------------------------------------------------------
+# Time-weighted average value per user (TWAP): each event's value holds
+# until the user's next event; weight by the holding duration. Everything
+# stays INTEGER (value in cents x duration in micros; sums exact and
+# order-independent — cents*dur <= 3.3e4 * 2.6e12 and per-user dur
+# telescopes to the corpus span, so no bigint overflow) until two final
+# IEEE double divisions, which are bit-identical across engines. A
+# decimal->double cast here would NOT be portable (DuckDB double-rounds
+# int128-scaled decimals; Spark rounds once via BigDecimal).
+# ---------------------------------------------------------------------------
+
+def twap_per_user(events: DataFrame) -> DataFrame:
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    held = events.select(
+        "user_id",
+        (F.col("value").cast("decimal(12,2)") * 100).cast("long").alias("cents"),
+        (F.unix_micros(F.lead("ts").over(w)) - F.unix_micros("ts")).alias("dur_us"),
+    ).filter(F.col("dur_us").isNotNull())
+    return held.groupBy("user_id").agg(
+        (
+            F.sum(F.col("cents") * F.col("dur_us")).cast("double")
+            / F.sum("dur_us").cast("double")
+            / F.lit(100.0)
+        ).alias("twap_value"),
+        F.sum("dur_us").cast("long").alias("held_us"),
+        F.count(F.lit(1)).cast("long").alias("n_intervals"),
+    )
+
+
+def q_twap_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return twap_per_user(load_table(spark, sf_dir, "events"))
+
+
+SQL_TWAP_PER_USER = """
+WITH held AS (
+  SELECT user_id,
+         CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents,
+         epoch_us(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+           - epoch_us(ts) AS dur_us
+  FROM events
+)
+SELECT user_id,
+       CAST(sum(cents * dur_us) AS DOUBLE)
+         / CAST(sum(dur_us) AS DOUBLE) / 100.0 AS twap_value,
+       CAST(sum(dur_us) AS BIGINT) AS held_us,
+       CAST(count(*) AS BIGINT) AS n_intervals
+FROM held
+WHERE dur_us IS NOT NULL
+GROUP BY user_id
+"""
+
+QUERIES["rolling_7d_actives"] = q_rolling_7d_actives
+QUERIES["twap_per_user"] = q_twap_per_user
+ORACLES["rolling_7d_actives"] = SQL_ROLLING_7D_ACTIVES
+ORACLES["twap_per_user"] = SQL_TWAP_PER_USER

@@ -124,3 +124,71 @@ ORACLES = {
     "pandas_normalized_text": SQL_PANDAS_NORMALIZED_TEXT,
     "grouped_pandas_topk": SQL_GROUPED_PANDAS_TOPK,
 }
+
+
+# ---------------------------------------------------------------------------
+# Python UDTF (Spark 3.5+/4 table function): sentence splitting, one output
+# row per sentence. UDTFs are the 1->N Python escape hatch (the declarative
+# twin of this shape is warehouse.doc_chunks' explode); row-at-a-time, so
+# reserve for logic regexp/explode can't express — registered here to keep
+# the full Python API surface exercised. Trim character set is pinned to
+# ' \t\n\r' on BOTH sides (python strip(chars) / DuckDB trim(x, chars)) —
+# bare .strip() would also remove unicode whitespace DuckDB's trim keeps.
+# ---------------------------------------------------------------------------
+
+def udtf_sentences(spark: SparkSession, documents: DataFrame) -> DataFrame:
+    from pyspark.sql.functions import udtf
+
+    # The class MUST be defined inside this function: a module-level class
+    # pickles by reference and the executor Python workers don't have this
+    # package on their path (same closure discipline as the pandas UDFs
+    # above — defined locally, cloudpickle ships it by value).
+    class SplitSentences:
+        """eval() is called per input row; yields (sent_idx, sentence)."""
+
+        def eval(self, text):  # noqa: ANN001 - UDTF protocol
+            import re
+
+            idx = 0
+            for part in re.split(r"[.!?]+\s+", text or ""):
+                part = part.strip(" \t\n\r")
+                if part:
+                    yield idx, part
+                    idx += 1
+
+    split_udtf = udtf(SplitSentences, returnType="sent_idx: int, sentence: string")
+    spark.udtf.register("split_sentences", split_udtf)
+    documents.createOrReplaceTempView("udtf_docs_v")
+    return spark.sql(
+        """
+        SELECT d.doc_id, s.sent_idx, s.sentence
+        FROM udtf_docs_v d, LATERAL split_sentences(d.text) s
+        """
+    )
+
+
+def q_udtf_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return udtf_sentences(spark, load_table(spark, sf_dir, "documents"))
+
+
+# zip-unnest (DuckDB zips parallel unnests) carries the original split
+# position so the kept-sentence index matches the UDTF's post-filter count
+SQL_UDTF_SENTENCES = r"""
+WITH parts AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(text, '[.!?]+\s+')) AS part,
+         unnest(generate_series(1, len(regexp_split_to_array(text, '[.!?]+\s+')))) AS pos
+  FROM documents
+), kept AS (
+  SELECT doc_id, trim(part, ' ' || chr(9) || chr(10) || chr(13)) AS sentence, pos
+  FROM parts
+  WHERE trim(part, ' ' || chr(9) || chr(10) || chr(13)) <> ''
+)
+SELECT doc_id,
+       CAST(row_number() OVER (PARTITION BY doc_id ORDER BY pos) - 1 AS INTEGER) AS sent_idx,
+       sentence
+FROM kept
+"""
+
+QUERIES["udtf_sentences"] = q_udtf_sentences
+ORACLES["udtf_sentences"] = SQL_UDTF_SENTENCES

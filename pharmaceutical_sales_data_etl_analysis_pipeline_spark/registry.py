@@ -115,7 +115,8 @@ PRIORITY = [
 # multimodal_resize, incremental_neardup, kmeans_clusters,
 # semdedup_candidates, and the warehouse module (merge_upsert,
 # scd2_intervals, cohort_retention, ohlc_bars, stratified_sample,
-# doc_chunks) — added late in r2, pass-local this round; rotate into
+# doc_chunks), udtf_sentences, rolling_7d_actives, twap_per_user,
+# oov_rate — added late in r2, pass-local this round; rotate into
 # PRIORITY for the r3 sweep.
 
 
