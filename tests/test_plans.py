@@ -277,3 +277,31 @@ def test_kmeans_partitions_corpus_exactly(spark, sf_dir):
     assert bad.count() == 0
     assert asg.count() == emb.count()
     assert asg.select("vec_id").distinct().count() == emb.count()
+
+
+def test_warehouse_plans(spark, sf_dir):
+    q = all_queries()
+    # merge_upsert: MERGE-shaped full-outer join; the batch agg must run
+    # ONCE (explode of both key variants, not a union of two agg branches)
+    # and the orders date filter must reach the parquet scan
+    plan = _plan(q["merge_upsert"](spark, sf_dir))
+    assert "FullOuter" in plan
+    # formatted explain names each node twice (tree + detail):
+    # 2 actual scans = customer once, orders once
+    assert plan.count("Scan parquet") == 4
+    assert "PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate" in plan
+    # doc_chunks: stateless explode, zero exchanges
+    plan = _plan(q["doc_chunks"](spark, sf_dir))
+    assert "Exchange" not in plan
+    assert "Generate" in plan  # the explode
+    # ohlc_bars: open/close windows and the final agg share ONE hour
+    # exchange (plus AQE's optional final coalesce, which is not hash)
+    plan = _plan(q["ohlc_bars"](spark, sf_dir))
+    assert plan.count("hashpartitioning") <= 2  # window + reused-by-agg
+    # oov_rate: vocabulary joined via broadcast, token stream not shuffled
+    # into the join
+    plan = _plan(q["oov_rate"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    # rolling actives: day spine broadcast into the range join
+    plan = _plan(q["rolling_7d_actives"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan

@@ -227,3 +227,183 @@ def test_quality_deciles_monotone_and_tie_consistent(spark, rows):
         assert a["decile"] <= b["decile"]  # monotone in score
         if a["quality_score"] == b["quality_score"]:
             assert a["decile"] == b["decile"]  # ties share a decile
+
+
+# --- warehouse.py properties -------------------------------------------------
+
+CHUNK_DOC_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ]
+)
+
+
+@SETTLE
+@given(
+    texts=st.lists(
+        st.text(alphabet="abc d.\n", min_size=1, max_size=600),
+        min_size=1,
+        max_size=10,
+    )
+)
+def test_doc_chunks_reassemble_to_original(spark, texts):
+    """Chunking invariants: dropping each subsequent chunk's overlap prefix
+    and concatenating reconstructs the exact original text; every chunk is
+    at most CHUNK_SIZE; chunk indexes are dense from 0."""
+    from pharmaceutical_sales_data_etl_analysis_pipeline_spark.operators.warehouse import (
+        CHUNK_SIZE,
+        CHUNK_STRIDE,
+        doc_chunks,
+    )
+
+    overlap = CHUNK_SIZE - CHUNK_STRIDE
+    df = spark.createDataFrame(
+        [(i, t, len(t)) for i, t in enumerate(texts)], CHUNK_DOC_SCHEMA
+    )
+    out = doc_chunks(df).collect()
+    by_doc: dict[int, list] = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(by_doc) == set(range(len(texts)))
+    for i, t in enumerate(texts):
+        chunks = sorted(by_doc[i], key=lambda r: r["chunk_idx"])
+        assert [c["chunk_idx"] for c in chunks] == list(range(len(chunks)))
+        assert all(c["chunk_len"] <= CHUNK_SIZE for c in chunks)
+        rebuilt = chunks[0]["chunk_text"] + "".join(
+            c["chunk_text"][overlap:] for c in chunks[1:]
+        )
+        assert rebuilt == t
+
+
+@SETTLE
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 500), st.sampled_from(["s1", "s2", "s3"])),
+        min_size=1,
+        max_size=60,
+        unique_by=lambda r: r[0],
+    )
+)
+def test_stratified_sample_exact_quota_and_deterministic(spark, rows):
+    """Stratified sampling: exactly ceil(n/10) survivors per source, and
+    the selection is a pure function of the data (two runs identical)."""
+    from pharmaceutical_sales_data_etl_analysis_pipeline_spark.operators.warehouse import (
+        STRATUM_PCT,
+        stratified_sample,
+    )
+
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("source", T.StringType())]
+    )
+    df = spark.createDataFrame([(int(i), s) for i, s in rows], schema)
+    out1 = {(r["doc_id"], r["source"]) for r in stratified_sample(df).collect()}
+    out2 = {(r["doc_id"], r["source"]) for r in stratified_sample(df).collect()}
+    assert out1 == out2
+    from collections import Counter
+
+    n_per = Counter(s for _, s in rows)
+    kept_per = Counter(s for _, s in out1)
+    for s, n in n_per.items():
+        assert kept_per[s] == -(-n // STRATUM_PCT)  # ceil(n/10)
+
+
+@SETTLE
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(1, 3),  # user_id
+            st.integers(0, 10_000_000),  # ts offset seconds
+            st.floats(0.01, 500, allow_nan=False),
+        ),
+        min_size=2,
+        max_size=40,
+        unique_by=lambda r: (r[0], r[1]),
+    )
+)
+def test_twap_within_value_bounds(spark, rows):
+    """TWAP is a convex combination of the user's held values: it lies in
+    [min(value), max(value)] over their non-final events, and held_us
+    telescopes to last_ts - first_ts."""
+    import datetime
+
+    from pharmaceutical_sales_data_etl_analysis_pipeline_spark.operators.eventsops import (
+        twap_per_user,
+    )
+
+    base = datetime.datetime(2024, 1, 1)
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    data = [
+        (eid, int(u), base + datetime.timedelta(seconds=off), round(v, 2))
+        for eid, (u, off, v) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(data, schema)
+    out = {r["user_id"]: r for r in twap_per_user(df).collect()}
+    per_user: dict[int, list] = {}
+    for _, (u, off, v) in zip(range(len(rows)), rows):
+        per_user.setdefault(u, []).append((off, round(v, 2)))
+    for u, evs in per_user.items():
+        evs.sort()
+        if len(evs) < 2:
+            assert u not in out
+            continue
+        held_vals = [v for _, v in evs[:-1]]
+        r = out[u]
+        assert min(held_vals) - 1e-9 <= r["twap_value"] <= max(held_vals) + 1e-9
+        assert r["held_us"] == (evs[-1][0] - evs[0][0]) * 1_000_000
+        assert r["n_intervals"] == len(evs) - 1
+
+
+@SETTLE
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(1, 3), st.integers(0, 1_000_000), st.floats(0, 100)),
+        min_size=1,
+        max_size=30,
+        unique_by=lambda r: (r[0], r[1]),
+    )
+)
+def test_scd2_intervals_partition_timeline(spark, rows):
+    """SCD2 invariants per user: versions dense from 1 in valid_from order,
+    each interval ends where the next begins, and exactly one current row."""
+    import datetime
+
+    from pharmaceutical_sales_data_etl_analysis_pipeline_spark.operators.warehouse import (
+        scd2_intervals,
+    )
+
+    base = datetime.datetime(2024, 1, 1)
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    data = [
+        (eid, int(u), base + datetime.timedelta(seconds=off), "purchase", v)
+        for eid, (u, off, v) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(data, schema)
+    out = scd2_intervals(df).collect()
+    per_user: dict[int, list] = {}
+    for r in out:
+        per_user.setdefault(r["user_id"], []).append(r)
+    for u, ivs in per_user.items():
+        ivs.sort(key=lambda r: r["version"])
+        assert [r["version"] for r in ivs] == list(range(1, len(ivs) + 1))
+        assert sum(1 for r in ivs if r["is_current"]) == 1
+        assert ivs[-1]["is_current"] and ivs[-1]["valid_to"] is None
+        for a, b in zip(ivs, ivs[1:]):
+            assert a["valid_to"] == b["valid_from"]
+            assert a["valid_from"] < a["valid_to"]
