@@ -61,6 +61,21 @@ def click_purchase_attribution(events_stream: DataFrame) -> DataFrame:
 
 
 def dedup_stream(events_stream: DataFrame) -> DataFrame:
-    """Streaming exact dedup on event_id: state keeps one entry per key and
-    the watermark expires it — the unbounded-stream-safe dropDuplicates."""
+    """Streaming exact dedup on event_id. CAVEAT: with a key-only subset,
+    dropDuplicates state is NOT expired by the watermark (Spark only cleans
+    dedup state when the event-time column is part of the subset) — one
+    state entry per distinct key, forever. Correct for bounded replays and
+    exact global dedup; for unbounded streams use
+    dedup_stream_within_watermark below."""
     return events_stream.withWatermark("ts", "1 hour").dropDuplicates(["event_id"])
+
+
+def dedup_stream_within_watermark(events_stream: DataFrame) -> DataFrame:
+    """Bounded-state streaming dedup (Spark 3.5+): key-only dedup whose
+    state entries expire once the watermark passes their event time — the
+    production shape for unbounded streams, trading global exactness for
+    'no duplicates arriving within the watermark delay of each other'
+    (which is the guarantee at-least-once sources actually need)."""
+    return events_stream.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )

@@ -1,0 +1,117 @@
+"""Streaming incremental MERGE (CDC-to-warehouse): each micro-batch of
+change rows is merged into a persistent keyed state table via foreachBatch
+— the streaming twin of operators/warehouse.merge_upsert.
+
+Plain parquet has no ACID MERGE, so state is maintained as immutable
+versioned snapshots: foreachBatch(batch_id) reads the latest snapshot,
+full-outer-merges the batch aggregate, and writes snapshot v{batch_id}.
+Readers always see a complete snapshot (never a half-written overwrite);
+the checkpoint ties batch ids to source offsets, so a replayed batch
+rewrites the SAME version idempotently instead of double-applying. This
+is a minimal honest version of what Delta/Iceberg MERGE does underneath
+(their commit log replaces the version-directory listing).
+
+Scale: the per-batch merge is one full-outer shuffle join on the key —
+proportional to |state| + |batch|. For 100 TB state a real deployment
+partitions snapshots by key range so a batch only rewrites touched
+partitions; the snapshot-versioning contract here is unchanged by that.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("key", T.LongType()),
+        T.StructField("total", T.DoubleType()),
+        T.StructField("n_rows", T.LongType()),
+    ]
+)
+
+
+def _version_dirs(spark: SparkSession, state_dir: str) -> list[str]:
+    # local/HDFS-agnostic listing via the JVM FileSystem API
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    path = jvm.org.apache.hadoop.fs.Path(state_dir)
+    fs = path.getFileSystem(conf)
+    if not fs.exists(path):
+        return []
+    return sorted(
+        str(s.getPath().getName())
+        for s in fs.listStatus(path)
+        if s.isDirectory() and str(s.getPath().getName()).startswith("v")
+    )
+
+
+def read_latest_state(spark: SparkSession, state_dir: str) -> DataFrame | None:
+    versions = _version_dirs(spark, state_dir)
+    if not versions:
+        return None
+    return spark.read.schema(STATE_SCHEMA).parquet(f"{state_dir}/{versions[-1]}")
+
+
+def merge_batch_into_state(
+    spark: SparkSession, state_dir: str, batch_df: DataFrame, batch_id: int
+) -> None:
+    """foreachBatch body: aggregate the batch per key, merge into the
+    latest snapshot, write snapshot v{batch_id} (idempotent on replay —
+    same batch_id rewrites the same version)."""
+    delta = batch_df.groupBy(F.col("key")).agg(
+        F.sum(F.col("amount").cast("decimal(18,2)")).cast("double").alias("d_total"),
+        F.count(F.lit(1)).cast("long").alias("d_rows"),
+    )
+    prev = read_latest_state(spark, state_dir)
+    if prev is None:
+        merged = delta.select(
+            "key",
+            F.col("d_total").alias("total"),
+            F.col("d_rows").alias("n_rows"),
+        )
+    else:
+        p, d = prev.alias("p"), delta.alias("d")
+        joined = p.join(d, F.col("p.key") == F.col("d.key"), "full_outer")
+        merged = joined.select(
+            F.coalesce(F.col("p.key"), F.col("d.key")).alias("key"),
+            (
+                F.coalesce(F.col("p.total"), F.lit(0.0))
+                + F.coalesce(F.col("d.d_total"), F.lit(0.0))
+            ).alias("total"),
+            (
+                F.coalesce(F.col("p.n_rows"), F.lit(0))
+                + F.coalesce(F.col("d.d_rows"), F.lit(0))
+            ).cast("long").alias("n_rows"),
+        )
+    merged.write.mode("overwrite").parquet(f"{state_dir}/v{batch_id:09d}")
+
+
+def run_incremental_merge(
+    spark: SparkSession,
+    source_dir: str,
+    state_dir: str,
+    checkpoint_dir: str,
+) -> None:
+    """Stream (key, amount) parquet batch files from source_dir and fold
+    each micro-batch into the versioned state table. availableNow drains
+    all pending files then stops (deterministic for tests; on a live
+    pipeline drop the trigger and let it run)."""
+    src_schema = T.StructType(
+        [T.StructField("key", T.LongType()), T.StructField("amount", T.DoubleType())]
+    )
+    stream = (
+        spark.readStream.schema(src_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(source_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda df, bid: merge_batch_into_state(spark, state_dir, df, bid)
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

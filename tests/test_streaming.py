@@ -330,3 +330,82 @@ def test_stream_corpus_gate_matches_batch(spark, sf_dir, tmp_path):
     assert got.count() == batch.count()  # dedup collapsed the double ingest
     assert got.count() > 0
     assert {r["doc_id"] for r in got.collect()} == {r["doc_id"] for r in batch.collect()}
+
+
+def test_stream_dedup_within_watermark_bounded_state(spark, sf_dir, tmp_path):
+    """dropDuplicatesWithinWatermark: a twice-ingested corpus (both copies
+    inside the watermark delay) dedups to one row per event_id, with state
+    that expires — the unbounded-stream-safe dedup."""
+    import shutil
+
+    from pharmaceutical_sales_data_etl_analysis_pipeline_spark.catalog import (
+        events_source_schema,
+        normalize_event_ts,
+    )
+    from pharmaceutical_sales_data_etl_analysis_pipeline_spark.streaming.joins import (
+        dedup_stream_within_watermark,
+    )
+
+    src = tmp_path / "dupw"
+    src.mkdir()
+    shutil.copy(f"{sf_dir}/events.parquet", src / "a.parquet")
+    shutil.copy(f"{sf_dir}/events.parquet", src / "b.parquet")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    stream = normalize_event_ts(
+        spark.readStream.schema(events_source_schema(spark, str(src / "a.parquet")))
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        dedup_stream_within_watermark(stream)
+        .writeStream.format("memory")
+        .queryName("t_sdedup_wm")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_dedup_wm"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    n_unique = load_table(spark, sf_dir, "events").count()
+    assert spark.table("t_sdedup_wm").count() == n_unique
+
+
+def test_stream_incremental_merge_equals_batch_aggregate(spark, sf_dir, tmp_path):
+    """foreachBatch MERGE: streaming order batches folded into versioned
+    state equal the one-shot batch aggregate over all the data, and one
+    snapshot exists per micro-batch."""
+    from pharmaceutical_sales_data_etl_analysis_pipeline_spark.streaming.upsert import (
+        read_latest_state,
+        run_incremental_merge,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("key"), F.col("o_totalprice").alias("amount")
+    )
+    src = tmp_path / "batches"
+    src.mkdir()
+    # three disjoint single-file batches (split by key mod) at the source
+    # root — the file stream delivers one micro-batch per file
+    for i in range(3):
+        orders.filter(F.col("key") % 3 == i).toPandas().to_parquet(
+            str(src / f"b{i}.parquet"), index=False
+        )
+    run_incremental_merge(
+        spark, str(src), str(tmp_path / "state"), str(tmp_path / "ckpt_merge")
+    )
+    import os
+
+    versions = sorted(
+        d for d in os.listdir(tmp_path / "state") if d.startswith("v")
+    )
+    assert len(versions) == 3  # one immutable snapshot per micro-batch
+    got = read_latest_state(spark, str(tmp_path / "state"))
+    expected = orders.groupBy("key").agg(
+        F.sum(F.col("amount").cast("decimal(18,2)")).cast("double").alias("total"),
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+    )
+    assert got.count() == expected.count()
+    diff = got.alias("g").join(expected.alias("e"), "key").filter(
+        (F.col("g.total") != F.col("e.total")) | (F.col("g.n_rows") != F.col("e.n_rows"))
+    )
+    assert diff.count() == 0
