@@ -26,7 +26,12 @@ HOUR_US = 3_600_000_000
 HALF_HOUR_US = 1_800_000_000
 SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 min
 
-VAL_DEC = "decimal(28,10)"
+# precision 18 keeps Spark's long-backed Decimal fast path for the
+# per-value cast (precision>18 boxes to BigDecimal; measured ~1.5x slower
+# on wide aggregations — see operators/tpch.py DEC). The SUM accumulator
+# auto-widens, so sums stay exact and bit-identical to the oracle's
+# DECIMAL(28,10) per-value form. Bound: |value| < 1e8 (corpus: < 1e3).
+VAL_DEC = "decimal(18,10)"
 
 
 def _vsum(col: str, alias: str):

@@ -35,7 +35,7 @@ def tumbling_counts_stream(events: DataFrame, window: str = "1 hour",
         .groupBy(F.window("ts", window).alias("w"), F.col("event_type"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast("decimal(28,10)")).cast("double").alias("total_value"),
+            F.sum(F.col("value").cast("decimal(18,10)")).cast("double").alias("total_value"),
         )
         .select(
             F.col("w.start").alias("window_start"),
