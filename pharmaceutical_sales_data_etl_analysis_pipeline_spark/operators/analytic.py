@@ -558,3 +558,72 @@ ORACLES = {
     "conditional_aggregates": SQL_CONDITIONAL_AGGREGATES,
     "string_functions": SQL_STRING_FUNCTIONS,
 }
+
+
+# ---------------------------------------------------------------------------
+# UNPIVOT (melt): wide -> long, the inverse of pivot_status_year. Built on
+# DataFrame.unpivot (Spark's native melt — a zero-shuffle projection +
+# generate, NOT a union of N selects that would rescan the input N times).
+# Oracle computes the long form directly.
+# ---------------------------------------------------------------------------
+
+def unpivot_status_year(orders: DataFrame) -> DataFrame:
+    wide = pivot_status_year(orders)
+    return wide.unpivot(
+        ids=["year"],
+        values=[f"total_{s.lower()}" for s in STATUSES],
+        variableColumnName="status_col",
+        valueColumnName="total",
+    ).filter(F.col("total").isNotNull())
+
+
+def q_unpivot_status_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return unpivot_status_year(load_table(spark, sf_dir, "orders"))
+
+
+SQL_UNPIVOT_STATUS_YEAR = """
+SELECT CAST(year(o_orderdate) AS BIGINT) AS year,
+       'total_' || lower(o_orderstatus) AS status_col,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM orders
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# NTILE quartiles: equal-frequency bucketing by window (deterministic —
+# the order key ends in the unique o_orderkey). Global ntile needs a total
+# order; here it's per-year partitions, so state is bounded per year and
+# the shuffle is by year, not a single global sort partition.
+# ---------------------------------------------------------------------------
+
+def ntile_quartiles(orders: DataFrame) -> DataFrame:
+    w = Window.partitionBy(F.year("o_orderdate")).orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return orders.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("bigint").alias("year"),
+        "o_totalprice",
+        F.ntile(4).over(w).cast("int").alias("price_quartile"),
+    )
+
+
+def q_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ntile_quartiles(load_table(spark, sf_dir, "orders"))
+
+
+SQL_NTILE_QUARTILES = """
+SELECT o_orderkey,
+       CAST(year(o_orderdate) AS BIGINT) AS year,
+       o_totalprice,
+       CAST(ntile(4) OVER (PARTITION BY year(o_orderdate)
+                           ORDER BY o_totalprice DESC, o_orderkey ASC)
+            AS INTEGER) AS price_quartile
+FROM orders
+"""
+
+QUERIES["unpivot_status_year"] = q_unpivot_status_year
+QUERIES["ntile_quartiles"] = q_ntile_quartiles
+ORACLES["unpivot_status_year"] = SQL_UNPIVOT_STATUS_YEAR
+ORACLES["ntile_quartiles"] = SQL_NTILE_QUARTILES

@@ -264,3 +264,61 @@ ORACLES = {
     "explode_roundtrip": SQL_EXPLODE_ROUNDTRIP,
     "math_functions": SQL_MATH_FUNCTIONS,
 }
+
+
+# ---------------------------------------------------------------------------
+# Higher-order array functions over embeddings: transform / filter /
+# aggregate / slice — per-row left-to-right folds, which both engines
+# evaluate in list order (same discipline as similarity.py's cosine fold);
+# the float sum is rounded (engine-portable round_half_up) and the other
+# outputs are integers. Zero shuffle: pure projection.
+# ---------------------------------------------------------------------------
+
+def array_functions(embeddings: DataFrame) -> DataFrame:
+    from ..functions.numeric import round_half_up
+
+    emb = F.col("embedding")
+    dbl = F.transform(emb, lambda x: x.cast("double"))
+    sumsq = F.aggregate(
+        F.transform(dbl, lambda x: x * x), F.lit(0.0), lambda a, x: a + x
+    )
+    return embeddings.select(
+        "vec_id",
+        F.size(emb).cast("int").alias("dim"),
+        F.size(F.filter(dbl, lambda x: x > 0)).cast("int").alias("n_positive"),
+        round_half_up(sumsq, 4).alias("sum_squares"),
+        round_half_up(
+            F.aggregate(F.slice(dbl, 1, 4), F.lit(0.0), lambda a, x: a + x), 4
+        ).alias("head4_sum"),
+    )
+
+
+def q_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return array_functions(load_table(spark, sf_dir, "embeddings"))
+
+
+def _array_functions_sql() -> str:
+    from ..functions.numeric import round_half_up_sql
+
+    sumsq = round_half_up_sql(
+        "list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')",
+        4,
+    )
+    head4 = round_half_up_sql(
+        "list_aggregate(list_transform(embedding[1:4], x -> CAST(x AS DOUBLE)), 'sum')",
+        4,
+    )
+    return f"""
+SELECT vec_id,
+       CAST(len(embedding) AS INTEGER) AS dim,
+       CAST(len(list_filter(embedding, x -> CAST(x AS DOUBLE) > 0)) AS INTEGER) AS n_positive,
+       {sumsq} AS sum_squares,
+       {head4} AS head4_sum
+FROM embeddings
+"""
+
+
+SQL_ARRAY_FUNCTIONS = _array_functions_sql()
+
+QUERIES["array_functions"] = q_array_functions
+ORACLES["array_functions"] = SQL_ARRAY_FUNCTIONS
