@@ -1,0 +1,63 @@
+"""Table maintenance: small-file compaction.
+
+Long-running ingest (streaming appends, per-batch writes) accretes many
+small parquet files; at scale that turns every scan into a file-listing
+and task-scheduling bottleneck (one task per tiny file, no vectorized
+read amortization). Compaction rewrites a directory to ~target-sized
+files: size-derived partition count, write to a temp sibling, atomic-ish
+rename swap (single-FS metadata op on HDFS/local; object stores would
+swap a manifest instead — the contract is the same).
+
+The reference never needs this (one-shot load, LoadXML2DB.ChatterjeeP.R),
+but its streaming twin (streaming/ingest.py appends one file per
+micro-batch) is exactly the workload that does.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+DEFAULT_TARGET_BYTES = 128 * 1024 * 1024
+
+
+def _fs_and_path(spark: SparkSession, dir_path: str):
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    path = jvm.org.apache.hadoop.fs.Path(dir_path)
+    return path.getFileSystem(conf), path, jvm
+
+
+def data_files(spark: SparkSession, dir_path: str) -> list[tuple[str, int]]:
+    """(name, bytes) of the parquet data files in a table directory."""
+    fs, path, _ = _fs_and_path(spark, dir_path)
+    if not fs.exists(path):
+        return []
+    return [
+        (str(s.getPath().getName()), int(s.getLen()))
+        for s in fs.listStatus(path)
+        if s.isFile() and str(s.getPath().getName()).endswith(".parquet")
+    ]
+
+
+def compact_parquet(
+    spark: SparkSession,
+    dir_path: str,
+    target_file_bytes: int = DEFAULT_TARGET_BYTES,
+) -> tuple[int, int]:
+    """Rewrite dir_path to ceil(total_bytes / target) files; returns
+    (files_before, files_after). Row content is preserved exactly (a pure
+    repartition — no ordering or value changes)."""
+    before = data_files(spark, dir_path)
+    total = sum(b for _, b in before)
+    n_out = max(1, -(-total // target_file_bytes))
+    fs, path, jvm = _fs_and_path(spark, dir_path)
+
+    tmp = jvm.org.apache.hadoop.fs.Path(dir_path + "._compact_tmp")
+    if fs.exists(tmp):
+        fs.delete(tmp, True)
+    df = spark.read.parquet(dir_path)
+    df.repartition(n_out).write.mode("overwrite").parquet(str(tmp))
+
+    fs.delete(path, True)
+    fs.rename(tmp, path)
+    return len(before), len(data_files(spark, dir_path))

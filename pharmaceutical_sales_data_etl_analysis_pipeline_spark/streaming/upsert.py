@@ -115,3 +115,28 @@ def run_incremental_merge(
         .start()
     )
     q.awaitTermination()
+
+
+def read_state_version(
+    spark: SparkSession, state_dir: str, batch_id: int
+) -> DataFrame | None:
+    """Time travel: read the snapshot as of a specific micro-batch. Every
+    version is immutable, so this is just a directory pick — the same
+    contract table formats expose as VERSION AS OF."""
+    name = f"v{batch_id:09d}"
+    if name not in _version_dirs(spark, state_dir):
+        return None
+    return spark.read.schema(STATE_SCHEMA).parquet(f"{state_dir}/{name}")
+
+
+def expire_state_versions(spark: SparkSession, state_dir: str, keep: int = 3) -> int:
+    """Retention: drop all but the newest `keep` snapshots (the VACUUM
+    twin). Returns how many were deleted. Never deletes the latest."""
+    versions = _version_dirs(spark, state_dir)
+    doomed = versions[:-keep] if keep > 0 else versions[:-1]
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    for name in doomed:
+        path = jvm.org.apache.hadoop.fs.Path(f"{state_dir}/{name}")
+        path.getFileSystem(conf).delete(path, True)
+    return len(doomed)

@@ -1,0 +1,64 @@
+"""Small-file compaction and snapshot time-travel/retention tests."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pharmaceutical_sales_data_etl_analysis_pipeline_spark.catalog import load_table
+from pharmaceutical_sales_data_etl_analysis_pipeline_spark.sources.maintenance import (
+    compact_parquet,
+    data_files,
+)
+
+
+def _money_sum(df, col):
+    return df.agg(F.sum(F.col(col).cast("decimal(18,2)")).alias("s")).collect()[0]["s"]
+
+
+def test_compaction_reduces_files_and_preserves_rows(spark, sf_dir, tmp_path):
+    orders = load_table(spark, sf_dir, "orders")
+    p = str(tmp_path / "frag")
+    orders.repartition(40).write.parquet(p)  # simulate streaming-append debris
+    assert len(data_files(spark, p)) == 40
+    n_before, sum_before = orders.count(), _money_sum(orders, "o_totalprice")
+
+    total = sum(b for _, b in data_files(spark, p))
+    before, after = compact_parquet(spark, p, target_file_bytes=total // 2 + 1)
+    assert before == 40 and after == 2
+
+    back = spark.read.parquet(p)
+    assert back.count() == n_before
+    assert _money_sum(back, "o_totalprice") == sum_before
+
+
+def test_state_time_travel_and_retention(spark, sf_dir, tmp_path):
+    from pharmaceutical_sales_data_etl_analysis_pipeline_spark.streaming.upsert import (
+        expire_state_versions,
+        read_latest_state,
+        read_state_version,
+        run_incremental_merge,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("key"), F.col("o_totalprice").alias("amount")
+    )
+    src = tmp_path / "batches"
+    src.mkdir()
+    for i in range(3):
+        orders.filter(F.col("key") % 3 == i).toPandas().to_parquet(
+            str(src / f"b{i}.parquet"), index=False
+        )
+    state = str(tmp_path / "state")
+    run_incremental_merge(spark, str(src), state, str(tmp_path / "ckpt"))
+
+    # each snapshot is a prefix-fold: row counts grow monotonically and
+    # version 2 equals the latest
+    counts = [read_state_version(spark, state, b).count() for b in range(3)]
+    assert counts[0] <= counts[1] <= counts[2]
+    assert counts[2] == read_latest_state(spark, state).count()
+    assert read_state_version(spark, state, 99) is None
+
+    n_dropped = expire_state_versions(spark, state, keep=1)
+    assert n_dropped == 2
+    assert read_state_version(spark, state, 0) is None
+    assert read_latest_state(spark, state).count() == counts[2]
