@@ -70,6 +70,13 @@ HEADLINE = [
     # warehouse family: MERGE-shaped full-outer join, zero-shuffle chunking
     "merge_upsert",
     "doc_chunks",
+    # event analytics + corpus summary (late-r2)
+    "ohlc_bars",
+    "twap_per_user",
+    "cohort_retention",
+    "oov_rate",
+    "ntile_quartiles",
+    "dataset_cards",
 ]
 
 

@@ -855,3 +855,91 @@ SQL_OOV_RATE = _oov_rate_sql()
 
 QUERIES["oov_rate"] = q_oov_rate
 ORACLES["oov_rate"] = SQL_OOV_RATE
+
+
+# ---------------------------------------------------------------------------
+# Dataset cards: per-source corpus summary (the "data card" table every
+# training-data release ships). One scan of documents computing all
+# signals as columns, one groupBy(source) — ratios are rational (exact
+# integer sums, one double division, portable rounding).
+# ---------------------------------------------------------------------------
+
+def dataset_cards(documents: DataFrame) -> DataFrame:
+    from ..functions.numeric import round_half_up
+    from .textops import predicted_lang_col, quality_score_col, ws_tokens_col
+
+    t = F.col("text")
+    sig = documents.select(
+        "source",
+        "n_chars",
+        ws_tokens_col(t).alias("toks"),
+        quality_score_col(t).alias("q"),
+        (predicted_lang_col(t) == "en").cast("int").alias("is_en"),
+    )
+    g = sig.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.sum("toks").cast("long").alias("total_tokens"),
+        F.sum("is_en").cast("long").alias("n_english"),
+        # quality_score is already rounded to 4dp -> exact in units of 1e-4;
+        # sum as DECIMAL so the mean's numerator is order-independent
+        F.sum(F.col("q").cast("decimal(18,4)")).alias("q_sum"),
+    )
+    return g.select(
+        "source",
+        "n_docs",
+        "total_chars",
+        "total_tokens",
+        round_half_up(
+            F.col("total_tokens").cast("double") / F.col("n_docs").cast("double"), 2
+        ).alias("avg_tokens"),
+        round_half_up(
+            F.col("n_english").cast("double") / F.col("n_docs").cast("double"), 4
+        ).alias("english_frac"),
+        round_half_up(
+            # integer units of 1e-4 -> double BEFORE the divide (exact: the
+            # scaled sum is a small integer), then one division
+            (F.col("q_sum") * 10000).cast("long").cast("double")
+            / (F.col("n_docs").cast("double") * 10000.0),
+            4,
+        ).alias("avg_quality"),
+    )
+
+
+def q_dataset_cards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dataset_cards(load_table(spark, sf_dir, "documents"))
+
+
+def _dataset_cards_sql() -> str:
+    from ..functions.numeric import round_half_up_sql
+    from .textops import SQL_LANG_ID, SQL_TEXT_QUALITY, SQL_TOKEN_COUNTS
+
+    return f"""
+WITH lang AS ({SQL_LANG_ID}),
+qual AS ({SQL_TEXT_QUALITY}),
+toks AS ({SQL_TOKEN_COUNTS}),
+g AS (
+  SELECT d.source,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(d.n_chars) AS BIGINT) AS total_chars,
+         CAST(sum(toks.ws_tokens) AS BIGINT) AS total_tokens,
+         CAST(sum(CASE WHEN lang.predicted_lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_english,
+         CAST(sum(CAST(qual.quality_score AS DECIMAL(18,4))) * 10000 AS BIGINT) AS q_sum_e4
+  FROM documents d
+  JOIN lang ON d.doc_id = lang.doc_id
+  JOIN qual ON d.doc_id = qual.doc_id
+  JOIN toks ON d.doc_id = toks.doc_id
+  GROUP BY d.source
+)
+SELECT source, n_docs, total_chars, total_tokens,
+       {round_half_up_sql('CAST(total_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE)', 2)} AS avg_tokens,
+       {round_half_up_sql('CAST(n_english AS DOUBLE) / CAST(n_docs AS DOUBLE)', 4)} AS english_frac,
+       {round_half_up_sql('CAST(q_sum_e4 AS DOUBLE) / (CAST(n_docs AS DOUBLE) * 10000.0)', 4)} AS avg_quality
+FROM g
+"""
+
+
+SQL_DATASET_CARDS = _dataset_cards_sql()
+
+QUERIES["dataset_cards"] = q_dataset_cards
+ORACLES["dataset_cards"] = SQL_DATASET_CARDS
