@@ -37,3 +37,16 @@ def test_analyze_demo_runs_and_prints_golden_numbers():
     assert "da Silva" in out            # top rep 2020
     assert "Quarterly totals 2020" in out
     assert "Rep quarterly sales trend" in out
+
+
+def test_warehouse_demo_runs():
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "examples", "warehouse_demo.py")],
+        capture_output=True,
+        text=True,
+        timeout=300,
+        cwd=REPO,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "state after 3 batches" in proc.stdout
+    assert "compacted 16 files -> 1" in proc.stdout
