@@ -35,13 +35,14 @@ from ..functions.numeric import money_sum, money_sum_sql
 # batch from a source table instead.
 # ---------------------------------------------------------------------------
 
-INSERT_KEY_OFFSET = 10_000_000
-
-
 def merge_upsert(customer: DataFrame, orders: DataFrame) -> DataFrame:
     # range predicate (not year(..)=1995) so it reaches the parquet scan as
     # PushedFilters min/max pruning; one agg + explode of both key variants
-    # instead of UNION ALL of two branches (halves the batch-source scan)
+    # instead of UNION ALL of two branches (halves the batch-source scan).
+    # The synthetic INSERT keys are the NEGATED custkeys: TPC-H keys are
+    # strictly positive at every scale factor, so negation can never
+    # collide with a real customer (a fixed additive offset would, once
+    # the corpus outgrows it).
     spend = (
         orders.filter(
             (F.col("o_orderdate") >= F.lit("1995-01-01"))
@@ -51,9 +52,7 @@ def merge_upsert(customer: DataFrame, orders: DataFrame) -> DataFrame:
         .agg(money_sum("o_totalprice", "spend"))
     )
     batch = spend.select(
-        F.explode(
-            F.array(F.col("key"), F.col("key") + INSERT_KEY_OFFSET)
-        ).alias("key"),
+        F.explode(F.array(F.col("key"), -F.col("key"))).alias("key"),
         "spend",
     )
     tgt = customer.select("c_custkey", "c_name", "c_acctbal")
@@ -88,7 +87,7 @@ WITH spend AS (
 ), batch AS (
   SELECT key, spend FROM spend
   UNION ALL
-  SELECT key + {INSERT_KEY_OFFSET}, spend FROM spend
+  SELECT -key, spend FROM spend
 )
 SELECT COALESCE(c.c_custkey, b.key) AS c_custkey,
        COALESCE(c.c_name, 'acct-' || CAST(b.key AS VARCHAR)) AS c_name,

@@ -48,16 +48,30 @@ def compact_parquet(
     (files_before, files_after). Row content is preserved exactly (a pure
     repartition — no ordering or value changes)."""
     before = data_files(spark, dir_path)
+    if not before:
+        return 0, 0  # nothing to compact (empty/uncommitted dir) — no-op
     total = sum(b for _, b in before)
     n_out = max(1, -(-total // target_file_bytes))
     fs, path, jvm = _fs_and_path(spark, dir_path)
 
     tmp = jvm.org.apache.hadoop.fs.Path(dir_path + "._compact_tmp")
-    if fs.exists(tmp):
-        fs.delete(tmp, True)
+    old = jvm.org.apache.hadoop.fs.Path(dir_path + "._compact_old")
+    for stale in (tmp, old):
+        if fs.exists(stale):
+            fs.delete(stale, True)
     df = spark.read.parquet(dir_path)
     df.repartition(n_out).write.mode("overwrite").parquet(str(tmp))
 
-    fs.delete(path, True)
-    fs.rename(tmp, path)
+    # swap via two renames so the original is never deleted before the
+    # replacement is in place (HDFS rename reports failure via its return
+    # value, not an exception — check it): dir -> .old, .tmp -> dir,
+    # delete .old. A crash mid-swap leaves the data recoverable in .old.
+    if not fs.rename(path, old):
+        fs.delete(tmp, True)
+        raise IOError(f"compact: could not move {dir_path} aside")
+    if not fs.rename(tmp, path):
+        fs.rename(old, path)  # roll back
+        fs.delete(tmp, True)
+        raise IOError(f"compact: could not move compacted data into {dir_path}")
+    fs.delete(old, True)
     return len(before), len(data_files(spark, dir_path))

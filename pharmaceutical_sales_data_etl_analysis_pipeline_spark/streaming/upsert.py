@@ -23,6 +23,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..sources.maintenance import _fs_and_path
+
 STATE_SCHEMA = T.StructType(
     [
         T.StructField("key", T.LongType()),
@@ -33,22 +35,29 @@ STATE_SCHEMA = T.StructType(
 
 
 def _version_dirs(spark: SparkSession, state_dir: str) -> list[str]:
-    # local/HDFS-agnostic listing via the JVM FileSystem API
-    jvm = spark.sparkContext._jvm
-    conf = spark.sparkContext._jsc.hadoopConfiguration()
-    path = jvm.org.apache.hadoop.fs.Path(state_dir)
-    fs = path.getFileSystem(conf)
+    # local/HDFS-agnostic listing via the JVM FileSystem API; only COMMITTED
+    # snapshots count (_SUCCESS marker) — a reader racing a mid-write
+    # directory must not see it as the latest version
+    fs, path, jvm = _fs_and_path(spark, state_dir)
     if not fs.exists(path):
         return []
-    return sorted(
-        str(s.getPath().getName())
-        for s in fs.listStatus(path)
-        if s.isDirectory() and str(s.getPath().getName()).startswith("v")
-    )
+    out = []
+    for s in fs.listStatus(path):
+        name = str(s.getPath().getName())
+        if s.isDirectory() and name.startswith("v"):
+            if fs.exists(jvm.org.apache.hadoop.fs.Path(f"{state_dir}/{name}/_SUCCESS")):
+                out.append(name)
+    return sorted(out)
 
 
-def read_latest_state(spark: SparkSession, state_dir: str) -> DataFrame | None:
+def read_latest_state(
+    spark: SparkSession, state_dir: str, before_batch_id: int | None = None
+) -> DataFrame | None:
+    """Latest committed snapshot; with before_batch_id, the latest one
+    STRICTLY OLDER than that batch (the replay-safe read, see below)."""
     versions = _version_dirs(spark, state_dir)
+    if before_batch_id is not None:
+        versions = [v for v in versions if int(v[1:]) < before_batch_id]
     if not versions:
         return None
     return spark.read.schema(STATE_SCHEMA).parquet(f"{state_dir}/{versions[-1]}")
@@ -58,13 +67,18 @@ def merge_batch_into_state(
     spark: SparkSession, state_dir: str, batch_df: DataFrame, batch_id: int
 ) -> None:
     """foreachBatch body: aggregate the batch per key, merge into the
-    latest snapshot, write snapshot v{batch_id} (idempotent on replay —
-    same batch_id rewrites the same version)."""
+    latest snapshot OLDER than this batch, write snapshot v{batch_id}.
+
+    The strictly-older read is what makes replay idempotent: if batch N
+    fully wrote v{N} but crashed before the checkpoint committed, the
+    re-run must NOT merge into its own half-applied output (that would
+    double-count the delta) — it merges into v{N-1} again and rewrites
+    v{N} to the identical result."""
     delta = batch_df.groupBy(F.col("key")).agg(
         F.sum(F.col("amount").cast("decimal(18,2)")).cast("double").alias("d_total"),
         F.count(F.lit(1)).cast("long").alias("d_rows"),
     )
-    prev = read_latest_state(spark, state_dir)
+    prev = read_latest_state(spark, state_dir, before_batch_id=batch_id)
     if prev is None:
         merged = delta.select(
             "key",
@@ -134,9 +148,7 @@ def expire_state_versions(spark: SparkSession, state_dir: str, keep: int = 3) ->
     twin). Returns how many were deleted. Never deletes the latest."""
     versions = _version_dirs(spark, state_dir)
     doomed = versions[:-keep] if keep > 0 else versions[:-1]
-    jvm = spark.sparkContext._jvm
-    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    fs, _, jvm = _fs_and_path(spark, state_dir)
     for name in doomed:
-        path = jvm.org.apache.hadoop.fs.Path(f"{state_dir}/{name}")
-        path.getFileSystem(conf).delete(path, True)
+        fs.delete(jvm.org.apache.hadoop.fs.Path(f"{state_dir}/{name}"), True)
     return len(doomed)

@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import events_source_schema, normalize_event_ts
+from ..operators.eventsops import VAL_DEC
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -35,7 +36,7 @@ def tumbling_counts_stream(events: DataFrame, window: str = "1 hour",
         .groupBy(F.window("ts", window).alias("w"), F.col("event_type"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,10)")).cast("double").alias("total_value"),
+            F.sum(F.col("value").cast(VAL_DEC)).cast("double").alias("total_value"),
         )
         .select(
             F.col("w.start").alias("window_start"),

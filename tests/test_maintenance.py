@@ -62,3 +62,33 @@ def test_state_time_travel_and_retention(spark, sf_dir, tmp_path):
     assert n_dropped == 2
     assert read_state_version(spark, state, 0) is None
     assert read_latest_state(spark, state).count() == counts[2]
+
+
+def test_merge_replay_is_idempotent(spark, sf_dir, tmp_path):
+    """A crashed-then-replayed micro-batch (same batch_id, state already
+    written) must produce the identical snapshot, not double-apply the
+    delta — merge reads the latest version STRICTLY OLDER than the batch."""
+    from pharmaceutical_sales_data_etl_analysis_pipeline_spark.streaming.upsert import (
+        merge_batch_into_state,
+        read_state_version,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("key"), F.col("o_totalprice").alias("amount")
+    )
+    state = str(tmp_path / "state")
+    merge_batch_into_state(spark, state, orders, 0)
+    once = {(r["key"], r["total"], r["n_rows"]) for r in read_state_version(spark, state, 0).collect()}
+    merge_batch_into_state(spark, state, orders, 0)  # replay of batch 0
+    twice = {(r["key"], r["total"], r["n_rows"]) for r in read_state_version(spark, state, 0).collect()}
+    assert once == twice
+
+
+def test_compact_empty_dir_is_noop(spark, tmp_path):
+    from pharmaceutical_sales_data_etl_analysis_pipeline_spark.sources.maintenance import (
+        compact_parquet,
+    )
+
+    empty = tmp_path / "empty"
+    empty.mkdir()
+    assert compact_parquet(spark, str(empty)) == (0, 0)
