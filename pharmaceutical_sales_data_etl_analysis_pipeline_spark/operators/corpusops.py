@@ -518,18 +518,16 @@ SQL_CONTAMINATION_CHECK = _contamination_sql()
 # ---------------------------------------------------------------------------
 
 def repetition_ratio(documents: DataFrame) -> DataFrame:
+    # gram construction shared with the dedup/shingle family (dedup.py is
+    # the single source of truth for the 3-gram expression) — here WITHOUT
+    # array_distinct, because duplicated grams are the signal being measured
+    from .dedup import GRAM_ARRAY_EXPR
+
     grams = documents.select(
         "doc_id", F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("words")
     ).select(
         "doc_id",
-        F.explode(
-            F.expr(
-                "CASE WHEN size(words) >= 3 THEN "
-                "transform(sequence(1, size(words) - 2), "
-                "          i -> concat_ws(' ', words[i-1], words[i], words[i+1])) "
-                "ELSE array() END"
-            )
-        ).alias("gram"),
+        F.explode(F.expr(GRAM_ARRAY_EXPR)).alias("gram"),
     )
     n, d = F.count(F.lit(1)).cast("long"), F.countDistinct("gram").cast("long")
     return (
@@ -546,15 +544,16 @@ def q_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_ratio(load_table(spark, sf_dir, "documents"))
 
 
-SQL_REPETITION_RATIO = """
+def _repetition_gram_cte() -> str:
+    # shared builder, distinct=False: duplicated grams are the signal
+    from .dedup import gram_cte_sql
+
+    return gram_cte_sql("documents", distinct=False, alias="gram")
+
+
+SQL_REPETITION_RATIO = f"""
 WITH grams AS (
-  SELECT doc_id, unnest(
-           CASE WHEN len(words) >= 3 THEN
-             list_transform(range(1, len(words) - 1),
-                            i -> concat_ws(' ', words[i], words[i+1], words[i+2]))
-           ELSE [] END) AS gram
-  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS words
-        FROM documents) w
+{_repetition_gram_cte()}
 )
 SELECT doc_id,
        CAST(count(*) AS BIGINT) AS n_grams,
@@ -732,18 +731,12 @@ def q_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _quality_score_sql() -> str:
-    from .textops import PUNCT_RE, STOPWORD_RE
+    # delegate to textops' single source of truth — a locally re-spelled
+    # formula could drift from text_quality/training_corpus without any
+    # parity gate noticing (each query only checks its own oracle)
+    from .textops import quality_score_sql
 
-    return f"""
-floor(least(1.0, greatest(0.0,
-      0.2 + 0.08 * (CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE)
-                    / CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE))
-          - 2.0 * (CAST(len(regexp_extract_all(text, '{PUNCT_RE}')) AS DOUBLE)
-                   / CAST(length(text) AS DOUBLE))
-          + 0.5 * (CAST(len(regexp_extract_all(lower(text), '{STOPWORD_RE}')) AS DOUBLE)
-                   / CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE))
-      )) * 10000.0 + 0.5) / 10000.0
-"""
+    return quality_score_sql("text")
 
 
 SQL_QUALITY_DECILES = f"""

@@ -40,6 +40,37 @@ def with_words(documents: DataFrame) -> DataFrame:
     )
 
 
+# The ONE 3-word-gram construction, shared by every shingle/gram consumer
+# (minhash, ngram-jaccard, contamination, corpusops.repetition_ratio) —
+# Spark expr + DuckDB twin live here so a tokenization tweak can't
+# desynchronize the families.
+GRAM_ARRAY_EXPR = (
+    "CASE WHEN size(words) >= 3 THEN "
+    "transform(sequence(1, size(words) - 2), "
+    "          i -> concat_ws(' ', words[i-1], words[i], words[i+1])) "
+    "ELSE array() END"
+)
+
+
+def gram_cte_sql(
+    source: str = "documents", distinct: bool = True, alias: str = "shingle"
+) -> str:
+    """DuckDB CTE body `(doc_id, gram-or-shingle rows)` over `source`."""
+    arr = (
+        "CASE WHEN len(words) >= 3 THEN "
+        "list_transform(range(1, len(words) - 1), "
+        "i -> concat_ws(' ', words[i], words[i+1], words[i+2])) "
+        "ELSE [] END"
+    )
+    if distinct:
+        arr = f"list_distinct({arr})"
+    return (
+        f"  SELECT doc_id, unnest({arr}) AS {alias}\n"
+        f"  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS words\n"
+        f"        FROM {source}) w"
+    )
+
+
 def with_shingles(documents: DataFrame) -> DataFrame:
     """doc_id, shingle (distinct 3-word shingles). Spark arrays are 0-based.
     The explode of an empty array emits no rows, so docs with <3 words drop
@@ -51,27 +82,16 @@ def with_shingles(documents: DataFrame) -> DataFrame:
             "doc_id",
             F.explode(
                 F.array_distinct(
-                    F.expr(
-                        "CASE WHEN size(words) >= 3 THEN "
-                        "transform(sequence(1, size(words) - 2), "
-                        "          i -> concat_ws(' ', words[i-1], words[i], words[i+1])) "
-                        "ELSE array() END"
-                    )
+                    F.expr(GRAM_ARRAY_EXPR)
                 )
             ).alias("shingle"),
         )
     )
 
 
-SQL_SHINGLES_CTE = """
+SQL_SHINGLES_CTE = f"""
 shingled AS (
-  SELECT doc_id, unnest(list_distinct(
-           CASE WHEN len(words) >= 3 THEN
-             list_transform(range(1, len(words) - 1),
-                            i -> concat_ws(' ', words[i], words[i+1], words[i+2]))
-           ELSE [] END)) AS shingle
-  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS words
-        FROM documents) w
+{gram_cte_sql("documents", distinct=True)}
 )
 """
 
@@ -141,13 +161,18 @@ def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_signatures(load_table(spark, sf_dir, "documents"))
 
 
-def _minhash_sig_sql() -> str:
+def _minhash_sig_sql(source: str = "documents") -> str:
+    """Signature SQL parameterized over the source relation — incremental
+    variants pass a bag subquery instead of textually patching this string
+    (a str.replace that stops matching would silently no-op)."""
     aggs = ",\n       ".join(
         f"min(substr(md5('{k // 4}|' || shingle), {1 + 8 * (k % 4)}, 8)) AS h{k}"
         for k in range(N_HASHES)
     )
     return f"""
-WITH {SQL_SHINGLES_CTE}
+WITH shingled AS (
+{gram_cte_sql(source, distinct=True)}
+)
 SELECT doc_id,
        {aggs}
 FROM shingled
@@ -258,14 +283,15 @@ def incremental_neardup(documents: DataFrame, split: int = INCR_SPLIT) -> DataFr
     bands = sig.select(
         "doc_id", "sig", F.expr(f"stack({N_BANDS}, {band_exprs}) AS (band_idx, band_key)")
     )
-    corpus = bands.filter(F.col("doc_id") < split).alias("c")
-    batch = bands.filter(F.col("doc_id") >= split).alias("n")
-    matches = F.aggregate(
-        F.zip_with(F.col("n.sig"), F.col("c.sig"), lambda x, y: (x == y).cast("int")),
-        F.lit(0),
-        lambda acc, x: acc + x,
-    )
-    return (
+    corpus = bands.select("doc_id", "band_idx", "band_key").filter(
+        F.col("doc_id") < split
+    ).alias("c")
+    batch = bands.select("doc_id", "band_idx", "band_key").filter(
+        F.col("doc_id") >= split
+    ).alias("n")
+    # distinct the pairs FIRST (a true near-dup collides in several bands),
+    # then compare signatures once per pair — not once per shared band
+    pairs = (
         corpus.join(
             F.broadcast(batch),
             (F.col("c.band_idx") == F.col("n.band_idx"))
@@ -274,9 +300,33 @@ def incremental_neardup(documents: DataFrame, split: int = INCR_SPLIT) -> DataFr
         .select(
             F.col("n.doc_id").alias("new_doc"),
             F.col("c.doc_id").alias("dup_of"),
-            round_half_up(matches.cast("double") / N_HASHES, 4).alias("est_jaccard"),
         )
         .distinct()
+    )
+    # batch signatures are small (the daily delta) -> broadcast; the
+    # pairs⋈batch-sig result is bounded by |pairs| (also small) -> broadcast
+    # it into the one corpus-side signature join. The corpus signature
+    # stream is never shuffled or broadcast.
+    batch_sigs = sig.filter(F.col("doc_id") >= split).select(
+        F.col("doc_id").alias("new_doc"), F.col("sig").alias("n_sig")
+    )
+    corpus_sigs = sig.filter(F.col("doc_id") < split).select(
+        F.col("doc_id").alias("dup_of"), F.col("sig").alias("c_sig")
+    )
+    matches = F.aggregate(
+        F.zip_with(F.col("n_sig"), F.col("c_sig"), lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        corpus_sigs.join(
+            F.broadcast(pairs.join(F.broadcast(batch_sigs), "new_doc")), "dup_of"
+        )
+        .select(
+            "new_doc",
+            "dup_of",
+            round_half_up(matches.cast("double") / N_HASHES, 4).alias("est_jaccard"),
+        )
     )
 
 
@@ -298,13 +348,11 @@ def _incremental_sql() -> str:
     match_sum = " + ".join(
         f"CASE WHEN sa.h{k} = sb.h{k} THEN 1 ELSE 0 END" for k in range(N_HASHES)
     )
-    sig_over_bag = SQL_MINHASH_SIGNATURES.replace(
-        "FROM documents) w",
-        """FROM (SELECT * FROM documents
+    bag = """(SELECT * FROM documents
               UNION ALL
               SELECT doc_id + 100000 AS doc_id, text, lang, source, n_chars
-              FROM documents WHERE doc_id < 5)) w""",
-    )
+              FROM documents WHERE doc_id < 5)"""
+    sig_over_bag = _minhash_sig_sql(source=bag)
     return f"""
 WITH sig AS ({sig_over_bag}),
 bands AS (

@@ -353,23 +353,36 @@ def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_dups(load_table(spark, sf_dir, "embeddings"))
 
 
+# The oracle states the registered plan's EXACT contract — pairs with
+# sign-LSH code Hamming distance <= PROBE_HAMMING *and* cosine >= 0.9 —
+# re-deriving the same md5 hyperplane codes in SQL (the code identity is
+# itself oracle-verified by lsh_bucket_sizes). The multi-probe mask join
+# is equivalent to the Hamming predicate (mask = xor(code_a, code_b),
+# enumerated for all <=2-bit patterns), so this parity is guaranteed on
+# ANY data, not vacuously on a corpus with no qualifying pairs. Recall vs
+# the exact all-pairs ground truth (embedding_near_dups_allpairs) is a
+# test-side measurement, not a parity claim — ANN recall is documented,
+# not certified.
 SQL_EMBEDDING_NEAR_DUPS = f"""
-WITH base AS (
-  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
-  FROM embeddings WHERE vec_id < {NEARDUP_SUBSET}
+WITH {_lsh_cte()},
+sub AS (
+  SELECT b.vec_id, b.e, k.bucket
+  FROM base b JOIN buckets k ON b.vec_id = k.vec_id
+  WHERE b.vec_id < {NEARDUP_SUBSET}
 ),
 norms AS (
   SELECT vec_id,
          sqrt(list_reduce(list_transform(e, x -> x * x), (acc, x) -> acc + x)) AS nrm
-  FROM base
+  FROM sub
 ),
 scored AS (
   SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
          floor((list_reduce(list_transform(range(1, len(a.e) + 1), i -> a.e[i] * b.e[i]),
                             (acc, x) -> acc + x)
                 / (na.nrm * nb.nrm)) * 1000000000.0 + 0.5) / 1000000000.0 AS cosine
-  FROM base a
-  JOIN base b ON a.vec_id < b.vec_id
+  FROM sub a
+  JOIN sub b ON a.vec_id < b.vec_id
+            AND bit_count(xor(a.bucket, b.bucket)) <= {PROBE_HAMMING}
   JOIN norms na ON a.vec_id = na.vec_id
   JOIN norms nb ON b.vec_id = nb.vec_id
 )

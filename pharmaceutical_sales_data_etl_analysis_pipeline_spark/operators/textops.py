@@ -132,24 +132,46 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_quality(load_table(spark, sf_dir, "documents"))
 
 
+# --- single-source SQL snippets for the quality signals (DuckDB twins of
+# --- the column builders above; quality_deciles and any future consumer
+# --- MUST use these rather than re-spelling the formula, so the Spark
+# --- and SQL sides can never drift apart per-consumer) -------------------
+
+_SQL_N_CHARS = "CAST(length({c}) AS DOUBLE)"
+_SQL_N_TOKENS = "CAST(len(string_split_regex(trim({c}), '\\s+')) AS DOUBLE)"
+_SQL_N_PUNCT = f"CAST(len(regexp_extract_all({{c}}, '{PUNCT_RE}')) AS DOUBLE)"
+_SQL_N_STOP = f"CAST(len(regexp_extract_all(lower({{c}}), '{STOPWORD_RE}')) AS DOUBLE)"
+_SQL_NONSPACE = "CAST(length(regexp_replace({c}, '\\s', '', 'g')) AS DOUBLE)"
+
+
+def quality_score_sql(col: str = "text") -> str:
+    """DuckDB scalar twin of quality_score_col — the ONE place the score
+    formula exists on the SQL side."""
+    n_tokens = _SQL_N_TOKENS.format(c=col)
+    return (
+        "floor(least(1.0, greatest(0.0,\n"
+        f"      0.2 + 0.08 * ({_SQL_NONSPACE.format(c=col)} / {n_tokens})\n"
+        f"          - 2.0 * ({_SQL_N_PUNCT.format(c=col)} / {_SQL_N_CHARS.format(c=col)})\n"
+        f"          + 0.5 * ({_SQL_N_STOP.format(c=col)} / {n_tokens})\n"
+        "      )) * 10000.0 + 0.5) / 10000.0"
+    )
+
+
 SQL_TEXT_QUALITY = f"""
 WITH m AS (
-  SELECT doc_id,
-         CAST(length(text) AS DOUBLE) AS n_chars,
-         CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) AS n_tokens,
-         CAST(len(regexp_extract_all(text, '{PUNCT_RE}')) AS DOUBLE) AS n_punct,
-         CAST(len(regexp_extract_all(lower(text), '{STOPWORD_RE}')) AS DOUBLE) AS n_stop,
-         CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE) AS nonspace
+  SELECT doc_id, text,
+         {_SQL_N_CHARS.format(c='text')} AS n_chars,
+         {_SQL_N_TOKENS.format(c='text')} AS n_tokens,
+         {_SQL_N_PUNCT.format(c='text')} AS n_punct,
+         {_SQL_N_STOP.format(c='text')} AS n_stop,
+         {_SQL_NONSPACE.format(c='text')} AS nonspace
   FROM documents
 )
 SELECT doc_id,
        floor((nonspace / n_tokens) * 10000.0 + 0.5) / 10000.0 AS avg_token_len,
        floor((n_punct / n_chars) * 10000.0 + 0.5) / 10000.0 AS punct_ratio,
        floor((n_stop / n_tokens) * 10000.0 + 0.5) / 10000.0 AS stopword_ratio,
-       floor(least(1.0, greatest(0.0,
-             0.2 + 0.08 * (nonspace / n_tokens)
-                 - 2.0 * (n_punct / n_chars)
-                 + 0.5 * (n_stop / n_tokens))) * 10000.0 + 0.5) / 10000.0 AS quality_score
+       {quality_score_sql('text')} AS quality_score
 FROM m
 """
 

@@ -180,18 +180,22 @@ def test_embedding_near_dups_is_bucketed_not_cartesian(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan, plan
 
 
-def test_embedding_lsh_equals_allpairs(spark, sf_dir):
-    """On the test corpus the multi-probe LSH path returns exactly the
-    all-pairs ground truth (recall caveat documented in similarity.py)."""
+def test_embedding_lsh_subset_of_allpairs(spark, sf_dir):
+    """Precision is certain (exact cosine verify within candidates): every
+    LSH pair is in the all-pairs ground truth. Recall is approximate by
+    contract — the registered ORACLE now states the plan's exact semantics
+    (code-Hamming <= 2 AND cosine >= 0.9), so driver parity never depends
+    on the corpus having no hard pairs; the planted-pair test below is the
+    non-vacuous recall check."""
     from pharmaceutical_sales_data_etl_analysis_pipeline_spark.operators.similarity import (
         embedding_near_dups_allpairs,
         q_embedding_near_dups,
     )
     from pharmaceutical_sales_data_etl_analysis_pipeline_spark.catalog import load_table as lt
 
-    lsh = sorted(map(tuple, q_embedding_near_dups(spark, sf_dir).collect()))
-    exact = sorted(map(tuple, embedding_near_dups_allpairs(lt(spark, sf_dir, "embeddings")).collect()))
-    assert lsh == exact
+    lsh = set(map(tuple, q_embedding_near_dups(spark, sf_dir).collect()))
+    exact = set(map(tuple, embedding_near_dups_allpairs(lt(spark, sf_dir, "embeddings")).collect()))
+    assert lsh <= exact
 
 
 def test_embedding_lsh_finds_planted_near_dups(spark):
@@ -206,15 +210,20 @@ def test_embedding_lsh_finds_planted_near_dups(spark):
     )
 
     base = [math.sin(i * 0.7) + 0.1 for i in range(64)]
+    # a genuinely-near (not identical) neighbor: small deterministic
+    # perturbation, cosine ~0.95 — sign projections rarely flip, so it
+    # lands within the Hamming-2 probe radius
+    near = [x + 0.1 * math.cos(i * 1.3) for i, x in enumerate(base)]
     rows = [
         (0, [float(x) for x in base]),
         (1, [float(2.0 * x) for x in base]),      # cosine exactly 1.0 with 0
         (2, [float(-x) for x in base]),           # cosine -1.0: must not pair
         (3, [float((-1) ** i) for i in range(64)]),
+        (4, [float(x) for x in near]),            # cosine ~0.95 with 0 and 1
     ]
     df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
     got = {(r.vec_a, r.vec_b) for r in embedding_near_dups(df).collect()}
-    assert got == {(0, 1)}
+    assert got == {(0, 1), (0, 4), (1, 4)}
 
 
 def test_neardup_components_partitioning_scales_with_edges(spark, sf_dir):
