@@ -936,3 +936,44 @@ SQL_DATASET_CARDS = _dataset_cards_sql()
 
 QUERIES["dataset_cards"] = q_dataset_cards
 ORACLES["dataset_cards"] = SQL_DATASET_CARDS
+
+
+# ---------------------------------------------------------------------------
+# Inverted index over the top-K vocabulary: term -> sorted posting list
+# (the search-index build step). Postings are comma-joined sorted doc_ids
+# (deterministic, hashable cross-engine). At real scale posting lists are
+# sharded by term-hash ranges; the construction below (distinct word-doc
+# pairs -> broadcast vocab join -> per-term sort) is unchanged by that.
+# ---------------------------------------------------------------------------
+
+def inverted_index(documents: DataFrame) -> DataFrame:
+    vocab = vocab_topk(documents).select(F.col("word").alias("vword"))
+    word_docs = _word_rows(documents).distinct()
+    postings = F.sort_array(F.collect_list("doc_id"))
+    return (
+        word_docs.join(F.broadcast(vocab), word_docs.word == vocab.vword)
+        .groupBy("word")
+        .agg(
+            F.size(postings).cast("long").alias("df"),
+            F.array_join(postings, ",").alias("postings"),
+        )
+    )
+
+
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return inverted_index(load_table(spark, sf_dir, "documents"))
+
+
+SQL_INVERTED_INDEX = f"""
+WITH {SQL_WORDS_CTE},
+vocab AS ({SQL_VOCAB_TOPK}),
+word_docs AS (SELECT DISTINCT doc_id, word FROM words)
+SELECT w.word,
+       CAST(len(list_sort(list(w.doc_id))) AS BIGINT) AS df,
+       array_to_string(list_sort(list(w.doc_id)), ',') AS postings
+FROM word_docs w JOIN vocab v ON w.word = v.word
+GROUP BY w.word
+"""
+
+QUERIES["inverted_index"] = q_inverted_index
+ORACLES["inverted_index"] = SQL_INVERTED_INDEX

@@ -497,3 +497,110 @@ QUERIES["rolling_7d_actives"] = q_rolling_7d_actives
 QUERIES["twap_per_user"] = q_twap_per_user
 ORACLES["rolling_7d_actives"] = SQL_ROLLING_7D_ACTIVES
 ORACLES["twap_per_user"] = SQL_TWAP_PER_USER
+
+
+# ---------------------------------------------------------------------------
+# Linear-interpolation gapfill: hourly mean value with missing hours
+# filled by interpolating between the nearest observed hours (time-series
+# resample + interpolate). Means stay integer (cents) until one double
+# division; the interpolation formula is the identical IEEE expression on
+# both engines, rounded to 6dp. The anchor-carrying windows are global
+# (no partition) but run over the HOUR SPINE, whose size is the calendar
+# (720 rows/month) at any data scale — not the event stream.
+# ---------------------------------------------------------------------------
+
+def interpolate_hourly(events: DataFrame) -> DataFrame:
+    bounds = events.agg(
+        F.min(F.expr(f"unix_micros(ts) div {HOUR_US}")).alias("h0"),
+        F.max(F.expr(f"unix_micros(ts) div {HOUR_US}")).alias("h1"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence(F.col("h0"), F.col("h1"))).alias("hour_idx")
+    )
+    means = events.groupBy(
+        F.expr(f"unix_micros(ts) div {HOUR_US}").alias("hour_idx")
+    ).agg(
+        (
+            F.sum((F.col("value").cast("decimal(12,2)") * 100).cast("long")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+            / F.lit(100.0)
+        ).alias("mean_v"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+    )
+    joined = spine.join(means, "hour_idx", "left")
+    w_back = Window.orderBy("hour_idx").rowsBetween(Window.unboundedPreceding, 0)
+    w_fwd = Window.orderBy("hour_idx").rowsBetween(0, Window.unboundedFollowing)
+    obs_h = F.when(F.col("mean_v").isNotNull(), F.col("hour_idx"))
+    anchored = joined.select(
+        "hour_idx",
+        "mean_v",
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        F.last("mean_v", ignorenulls=True).over(w_back).alias("pv"),
+        F.last(obs_h, ignorenulls=True).over(w_back).alias("ph"),
+        F.first("mean_v", ignorenulls=True).over(w_fwd).alias("nv"),
+        F.first(obs_h, ignorenulls=True).over(w_fwd).alias("nh"),
+    )
+    interp = (
+        F.col("pv")
+        + (F.col("nv") - F.col("pv"))
+        * ((F.col("hour_idx") - F.col("ph")).cast("double")
+           / (F.col("nh") - F.col("ph")).cast("double"))
+    )
+    from ..functions.numeric import round_half_up
+
+    value = F.when(F.col("mean_v").isNotNull(), F.col("mean_v")).otherwise(
+        F.when(F.col("ph").isNull(), F.col("nv"))
+        .when(F.col("nh").isNull(), F.col("pv"))
+        .otherwise(interp)
+    )
+    return anchored.select(
+        F.expr(f"timestamp_micros(hour_idx * {HOUR_US})").alias("window_start"),
+        "n_events",
+        round_half_up(value, 6).alias("value_avg"),
+        F.col("mean_v").isNull().alias("is_interpolated"),
+    )
+
+
+def q_interpolate_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return interpolate_hourly(load_table(spark, sf_dir, "events"))
+
+
+SQL_INTERPOLATE_HOURLY = f"""
+WITH bounds AS (
+  SELECT MIN(epoch_us(ts) // {HOUR_US}) AS h0, MAX(epoch_us(ts) // {HOUR_US}) AS h1 FROM events
+),
+spine AS (
+  SELECT unnest(range(h0, h1 + 1)) AS hour_idx FROM bounds
+),
+means AS (
+  SELECT epoch_us(ts) // {HOUR_US} AS hour_idx,
+         CAST(sum(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)) AS DOUBLE)
+           / CAST(count(*) AS DOUBLE) / 100.0 AS mean_v,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1
+),
+anchored AS (
+  SELECT s.hour_idx, m.mean_v,
+         COALESCE(m.n_events, 0) AS n_events,
+         last_value(m.mean_v IGNORE NULLS) OVER wb AS pv,
+         last_value(CASE WHEN m.mean_v IS NOT NULL THEN s.hour_idx END IGNORE NULLS) OVER wb AS ph,
+         first_value(m.mean_v IGNORE NULLS) OVER wf AS nv,
+         first_value(CASE WHEN m.mean_v IS NOT NULL THEN s.hour_idx END IGNORE NULLS) OVER wf AS nh
+  FROM spine s LEFT JOIN means m USING (hour_idx)
+  WINDOW wb AS (ORDER BY s.hour_idx ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wf AS (ORDER BY s.hour_idx ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT make_timestamp(hour_idx * {HOUR_US}) AS window_start,
+       n_events,
+       floor((CASE WHEN mean_v IS NOT NULL THEN mean_v
+                   WHEN ph IS NULL THEN nv
+                   WHEN nh IS NULL THEN pv
+                   ELSE pv + (nv - pv) * (CAST(hour_idx - ph AS DOUBLE)
+                                          / CAST(nh - ph AS DOUBLE))
+              END) * 1000000.0 + 0.5) / 1000000.0 AS value_avg,
+       mean_v IS NULL AS is_interpolated
+FROM anchored
+"""
+
+QUERIES["interpolate_hourly"] = q_interpolate_hourly
+ORACLES["interpolate_hourly"] = SQL_INTERPOLATE_HOURLY
