@@ -552,3 +552,58 @@ ORACLES = {
     "ivf_list_sizes": SQL_IVF_LIST_SIZES,
     "ivf_probe_topk": SQL_IVF_PROBE_TOPK,
 }
+
+
+# ---------------------------------------------------------------------------
+# Scalar quantization (int8): the vector-store compression step — encode
+# each embedding as int8 codes + one per-vector scale (max_abs/127), and
+# report the reconstruction error. Pure projection (zero shuffle); codes
+# are comma-joined so the result is hashable cross-engine. Rounding is the
+# portable floor(x+0.5) form on both sides (Spark round() is HALF_UP,
+# DuckDB's is half-even — codes would differ on exact .5 ties otherwise).
+# ---------------------------------------------------------------------------
+
+def embedding_quantize(embeddings: DataFrame) -> DataFrame:
+    e = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    max_abs = F.array_max(F.transform(e, lambda x: F.abs(x)))
+    scale = max_abs / F.lit(127.0)
+    codes = F.transform(e, lambda x: F.floor(x / scale + F.lit(0.5)).cast("int"))
+    recon = F.zip_with(codes, e, lambda q, x: F.abs(q.cast("double") * scale - x))
+    return embeddings.select(
+        "vec_id",
+        round_half_up(scale, 9).alias("scale"),
+        F.array_join(codes, ",").alias("codes"),
+        round_half_up(F.array_max(recon), 9).alias("max_abs_err"),
+    )
+
+
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return embedding_quantize(load_table(spark, sf_dir, "embeddings"))
+
+
+SQL_EMBEDDING_QUANTIZE = """
+WITH base AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+),
+scaled AS (
+  SELECT vec_id, e,
+         list_max(list_transform(e, x -> abs(x))) / 127.0 AS scale
+  FROM base
+),
+coded AS (
+  SELECT vec_id, e, scale,
+         list_transform(e, x -> CAST(floor(x / scale + 0.5) AS INTEGER)) AS codes
+  FROM scaled
+)
+SELECT vec_id,
+       floor(scale * 1000000000.0 + 0.5) / 1000000000.0 AS scale,
+       array_to_string(codes, ',') AS codes,
+       floor(list_max(list_transform(range(1, len(e) + 1),
+                                     i -> abs(CAST(codes[i] AS DOUBLE) * scale - e[i])))
+             * 1000000000.0 + 0.5) / 1000000000.0 AS max_abs_err
+FROM coded
+"""
+
+QUERIES["embedding_quantize"] = q_embedding_quantize
+ORACLES["embedding_quantize"] = SQL_EMBEDDING_QUANTIZE

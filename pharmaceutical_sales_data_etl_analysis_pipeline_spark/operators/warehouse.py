@@ -358,3 +358,86 @@ ORACLES = {
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
     "doc_chunks": SQL_DOC_CHUNKS,
 }
+
+
+# ---------------------------------------------------------------------------
+# Snapshot diff: added / removed / changed rows between two table versions
+# (the audit step after any incremental load; pairs with streaming/upsert's
+# versioned snapshots). One full-outer join on the key comparing row
+# hashes — |A| + |B| shuffle, the minimum any diff does. Versions are
+# derived deterministically from orders: A = pre-1997 orders, B = pre-1998
+# with a deterministic subset "amended" (totalprice + 1).
+# ---------------------------------------------------------------------------
+
+def table_diff(snap_a: DataFrame, snap_b: DataFrame, key: str) -> DataFrame:
+    """Generic diff: snapshots with identical schemas, keyed by `key`.
+    Row identity = md5 of the concatenated non-key columns."""
+    cols = [c for c in snap_a.columns if c != key]
+    def hashed(df, side):
+        return df.select(
+            F.col(key).alias(f"{side}_key"),
+            F.md5(F.concat_ws("\u0001", *[F.col(c).cast("string") for c in cols])).alias(
+                f"{side}_hash"
+            ),
+        )
+    a, b = hashed(snap_a, "a"), hashed(snap_b, "b")
+    j = a.join(b, a.a_key == b.b_key, "full_outer")
+    return (
+        j.select(
+            F.coalesce("a_key", "b_key").alias(key),
+            F.when(F.col("a_key").isNull(), F.lit("added"))
+            .when(F.col("b_key").isNull(), F.lit("removed"))
+            .when(F.col("a_hash") != F.col("b_hash"), F.lit("changed"))
+            .otherwise(F.lit("unchanged"))
+            .alias("diff_status"),
+        )
+        .filter(F.col("diff_status") != "unchanged")
+    )
+
+
+AMEND_MOD = 7  # deterministic subset of keys "amended" in snapshot B
+
+
+def q_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"]
+    snap_a = orders.filter(F.year("o_orderdate") < 1997).select(*cols)
+    snap_b = orders.filter(F.year("o_orderdate") < 1998).select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        F.when(
+            F.col("o_orderkey") % AMEND_MOD == 0, F.col("o_totalprice") + 1.0
+        ).otherwise(F.col("o_totalprice")).alias("o_totalprice"),
+    )
+    return table_diff(snap_a, snap_b, "o_orderkey")
+
+
+SQL_TABLE_DIFF = f"""
+WITH a AS (
+  SELECT o_orderkey AS k,
+         md5(concat_ws(chr(1), CAST(o_custkey AS VARCHAR), o_orderstatus,
+                       CAST(o_totalprice AS VARCHAR))) AS h
+  FROM orders WHERE year(o_orderdate) < 1997
+), b AS (
+  SELECT o_orderkey AS k,
+         md5(concat_ws(chr(1), CAST(o_custkey AS VARCHAR), o_orderstatus,
+                       CAST(CASE WHEN o_orderkey % {AMEND_MOD} = 0
+                                 THEN o_totalprice + 1.0
+                                 ELSE o_totalprice END AS VARCHAR))) AS h
+  FROM orders WHERE year(o_orderdate) < 1998
+)
+SELECT COALESCE(a.k, b.k) AS o_orderkey,
+       CASE WHEN a.k IS NULL THEN 'added'
+            WHEN b.k IS NULL THEN 'removed'
+            WHEN a.h <> b.h THEN 'changed'
+            ELSE 'unchanged' END AS diff_status
+FROM a FULL OUTER JOIN b ON a.k = b.k
+WHERE (CASE WHEN a.k IS NULL THEN 'added'
+            WHEN b.k IS NULL THEN 'removed'
+            WHEN a.h <> b.h THEN 'changed'
+            ELSE 'unchanged' END) <> 'unchanged'
+"""
+
+QUERIES["table_diff"] = q_table_diff
+ORACLES["table_diff"] = SQL_TABLE_DIFF

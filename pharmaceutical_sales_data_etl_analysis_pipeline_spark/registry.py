@@ -117,8 +117,9 @@ PRIORITY = [
 # scd2_intervals, cohort_retention, ohlc_bars, stratified_sample,
 # doc_chunks), udtf_sentences, rolling_7d_actives, twap_per_user,
 # oov_rate, unpivot_status_year, ntile_quartiles, array_functions,
-# dataset_cards, inverted_index, interpolate_hourly — added late in r2,
-# pass-local this round; rotate into PRIORITY for the r3 sweep.
+# dataset_cards, inverted_index, interpolate_hourly, embedding_quantize,
+# table_diff — added late in r2, pass-local this round; rotate into
+# PRIORITY for the r3 sweep.
 
 
 def _collect() -> tuple[dict[str, QueryFn], dict[str, str]]:
