@@ -407,3 +407,141 @@ def test_scd2_intervals_partition_timeline(spark, rows):
         for a, b in zip(ivs, ivs[1:]):
             assert a["valid_to"] == b["valid_from"]
             assert a["valid_from"] < a["valid_to"]
+
+
+@SETTLE
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(1, 40), st.floats(0.01, 1000, allow_nan=False)),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_merge_upsert_conserves_and_partitions(spark, rows):
+    """MERGE invariants on random order batches: every target key appears
+    exactly once in the output, every insert key is the negation of a
+    matched batch key, and total acctbal increases by exactly 2x the batch
+    spend (once on the update branch, once on the insert branch)."""
+    import datetime
+
+    from pyspark.sql import types as T
+
+    from pharmaceutical_sales_data_etl_analysis_pipeline_spark.operators.warehouse import (
+        merge_upsert,
+    )
+
+    cust_schema = T.StructType(
+        [
+            T.StructField("c_custkey", T.LongType()),
+            T.StructField("c_name", T.StringType()),
+            T.StructField("c_acctbal", T.DoubleType()),
+        ]
+    )
+    customers = spark.createDataFrame(
+        [(k, f"cust{k}", 100.0) for k in range(1, 41)], cust_schema
+    )
+    ord_schema = T.StructType(
+        [
+            T.StructField("o_custkey", T.LongType()),
+            T.StructField("o_totalprice", T.DoubleType()),
+            T.StructField("o_orderdate", T.TimestampType()),
+        ]
+    )
+    d = datetime.datetime(1995, 6, 1)
+    orders = spark.createDataFrame(
+        [(k, round(v, 2), d) for k, v in rows], ord_schema
+    )
+    out = merge_upsert(customers, orders).collect()
+    by_key = {}
+    for r in out:
+        assert r["c_custkey"] not in by_key  # one output row per key
+        by_key[r["c_custkey"]] = r
+    inserts = {k for k, r in by_key.items() if r["merge_action"] == "insert"}
+    updates = {k for k, r in by_key.items() if r["merge_action"] == "update"}
+    assert inserts == {-k for k in updates}
+    batch_keys = {k for k, _ in rows}
+    assert updates == batch_keys
+    from decimal import Decimal
+
+    spend = {}
+    for k, v in rows:
+        spend[k] = spend.get(k, Decimal(0)) + Decimal(str(round(v, 2)))
+    total_out = sum(Decimal(str(round(r["c_acctbal"], 2))) for r in by_key.values())
+    total_expected = Decimal("100.0") * 40 + 2 * sum(spend.values())
+    assert abs(total_out - total_expected) < Decimal("0.1")
+
+
+@SETTLE
+@given(
+    amended=st.sets(st.integers(1, 60), max_size=20),
+    removed=st.sets(st.integers(1, 60), max_size=20),
+    added=st.sets(st.integers(61, 80), max_size=10),
+)
+def test_table_diff_labels_exactly(spark, amended, removed, added):
+    """diff(A, B) recovers exactly the constructed edit script."""
+    from pyspark.sql import types as T
+
+    from pharmaceutical_sales_data_etl_analysis_pipeline_spark.operators.warehouse import (
+        table_diff,
+    )
+
+    amended = amended - removed
+    schema = T.StructType(
+        [T.StructField("k", T.LongType()), T.StructField("v", T.StringType())]
+    )
+    a_rows = [(k, f"v{k}") for k in range(1, 61)]
+    b_rows = (
+        [(k, f"v{k}") for k in range(1, 61) if k not in removed and k not in amended]
+        + [(k, f"CHANGED{k}") for k in sorted(amended)]
+        + [(k, f"v{k}") for k in sorted(added)]
+    )
+    diff = table_diff(
+        spark.createDataFrame(a_rows, schema),
+        spark.createDataFrame(b_rows, schema),
+        "k",
+    ).collect()
+    got = {(r["k"], r["diff_status"]) for r in diff}
+    want = (
+        {(k, "removed") for k in removed}
+        | {(k, "changed") for k in amended}
+        | {(k, "added") for k in added}
+    )
+    assert got == want
+
+
+@SETTLE
+@given(
+    vecs=st.lists(
+        st.lists(
+            # map (not filter) tiny magnitudes away from zero: the scale
+            # must be nonzero, and filtering trips the health check
+            st.floats(-8, 8, allow_nan=False, width=32).map(
+                lambda x: x if abs(x) > 1e-3 else x + 0.5
+            ),
+            min_size=4,
+            max_size=8,
+        ),
+        min_size=1,
+        max_size=15,
+    )
+)
+def test_embedding_quantize_error_bound(spark, vecs):
+    """int8 scalar quantization: reconstruction error never exceeds half a
+    quantization step (scale/2), and codes stay within int8 range."""
+    from pyspark.sql import types as T
+
+    from pharmaceutical_sales_data_etl_analysis_pipeline_spark.operators.similarity import (
+        embedding_quantize,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+        ]
+    )
+    df = spark.createDataFrame(list(enumerate(vecs)), schema)
+    for r in embedding_quantize(df).collect():
+        codes = [int(c) for c in r["codes"].split(",")]
+        assert all(-127 <= c <= 127 for c in codes)
+        assert r["max_abs_err"] <= r["scale"] / 2 + 1e-9
