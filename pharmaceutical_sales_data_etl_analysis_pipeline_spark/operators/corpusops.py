@@ -977,3 +977,99 @@ GROUP BY w.word
 
 QUERIES["inverted_index"] = q_inverted_index
 ORACLES["inverted_index"] = SQL_INVERTED_INDEX
+
+
+# ---------------------------------------------------------------------------
+# BM25 scoring: the standard retrieval ranking (k1=1.2, b=0.75), top-3
+# terms per document. The idf is the RATIONAL form N/df (same reasoning as
+# tfidf_topk_terms: ln() differs in the last ulp across engines); all
+# other factors are one fixed IEEE expression on both sides. Same plan
+# shape as TF-IDF: two hash aggs + a broadcast of the tiny (N, avgdl)
+# scalars — no extra scan.
+# ---------------------------------------------------------------------------
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_K = 3
+
+
+def bm25_topk_terms(documents: DataFrame, k: int = BM25_K) -> DataFrame:
+    words = _word_rows(documents)
+    tf = words.groupBy("doc_id", "word").agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    dl = words.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("dl"))
+    df_ = tf.groupBy("word").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1)).cast("double")).alias("avgdl"),
+    )
+    tfd = F.col("tf").cast("double")
+    dld = F.col("dl").cast("double")
+    score = (
+        (F.col("n_docs") / F.col("df").cast("double"))
+        * (tfd * (BM25_K1 + 1.0))
+        / (tfd + BM25_K1 * (1.0 - BM25_B + BM25_B * dld / F.col("avgdl")))
+    )
+    scored = (
+        tf.join(dl, "doc_id")
+        .join(df_, "word")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            F.col("word").alias("term"),
+            "tf",
+            round_half_up(score, 4).alias("bm25"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("bm25"), F.asc("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("doc_id", "term", "tf", "bm25", F.col("rnk").cast("int").alias("rnk"))
+    )
+
+
+def q_bm25_topk_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bm25_topk_terms(load_table(spark, sf_dir, "documents"))
+
+
+SQL_BM25_TOPK_TERMS = f"""
+WITH {SQL_WORDS_CTE},
+tf AS (
+  SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf
+  FROM words GROUP BY 1, 2
+),
+dl AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM words GROUP BY 1
+),
+df AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1
+),
+stats AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+         CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+  FROM dl
+),
+scored AS (
+  SELECT tf.doc_id, tf.word AS term, tf.tf,
+         floor(((s.n_docs / CAST(df.df AS DOUBLE))
+                * (CAST(tf.tf AS DOUBLE) * ({BM25_K1} + 1.0))
+                / (CAST(tf.tf AS DOUBLE)
+                   + {BM25_K1} * (1.0 - {BM25_B}
+                                  + {BM25_B} * CAST(dl.dl AS DOUBLE) / s.avgdl)))
+               * 10000.0 + 0.5) / 10000.0 AS bm25
+  FROM tf
+  JOIN dl ON tf.doc_id = dl.doc_id
+  JOIN df ON tf.word = df.word
+  CROSS JOIN stats s
+)
+SELECT doc_id, term, tf, bm25, CAST(rnk AS INT) AS rnk
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY bm25 DESC, term ASC) AS rnk
+  FROM scored
+) t
+WHERE rnk <= {BM25_K}
+"""
+
+QUERIES["bm25_topk_terms"] = q_bm25_topk_terms
+ORACLES["bm25_topk_terms"] = SQL_BM25_TOPK_TERMS

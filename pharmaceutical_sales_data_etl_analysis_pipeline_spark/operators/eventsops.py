@@ -604,3 +604,94 @@ FROM anchored
 
 QUERIES["interpolate_hourly"] = q_interpolate_hourly
 ORACLES["interpolate_hourly"] = SQL_INTERPOLATE_HOURLY
+
+
+# ---------------------------------------------------------------------------
+# Event-type transition matrix: per-user consecutive event-type bigrams
+# with transition probabilities (the product-analytics Markov view). One
+# lead() window partitioned by user + one hash agg; probabilities are a
+# single rational division per row of the tiny output.
+# ---------------------------------------------------------------------------
+
+def event_transitions(events: DataFrame) -> DataFrame:
+    from ..functions.numeric import round_half_up
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = events.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    counts = pairs.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    wt = Window.partitionBy("from_type")
+    return counts.select(
+        "from_type",
+        "to_type",
+        "n",
+        round_half_up(
+            F.col("n").cast("double") / F.sum("n").over(wt).cast("double"), 6
+        ).alias("p"),
+    )
+
+
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return event_transitions(load_table(spark, sf_dir, "events"))
+
+
+SQL_EVENT_TRANSITIONS = """
+WITH pairs AS (
+  SELECT event_type AS from_type,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+  FROM events
+),
+counts AS (
+  SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+  FROM pairs WHERE to_type IS NOT NULL
+  GROUP BY 1, 2
+)
+SELECT from_type, to_type, n,
+       floor((CAST(n AS DOUBLE)
+              / CAST(sum(n) OVER (PARTITION BY from_type) AS DOUBLE))
+             * 1000000.0 + 0.5) / 1000000.0 AS p
+FROM counts
+"""
+
+
+# ---------------------------------------------------------------------------
+# Activity heatmap: day-of-week x hour-of-day event counts (the usage-
+# pattern dashboard tile). DOW is computed from epoch days (epoch day 0 =
+# Thursday -> (days + 4) % 7 with Sunday=0) so both engines use the same
+# integer arithmetic instead of their differing dayofweek conventions.
+# ---------------------------------------------------------------------------
+
+DAY_US = 86_400_000_000
+
+
+def activity_heatmap(events: DataFrame) -> DataFrame:
+    epoch_days = F.expr(f"unix_micros(ts) div {DAY_US}")
+    dow = ((epoch_days + 4) % 7).cast("int")
+    hour = F.expr(f"(unix_micros(ts) div {HOUR_US}) % 24").cast("int")
+    return (
+        events.select(dow.alias("dow"), hour.alias("hour"))
+        .groupBy("dow", "hour")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    )
+
+
+def q_activity_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return activity_heatmap(load_table(spark, sf_dir, "events"))
+
+
+SQL_ACTIVITY_HEATMAP = f"""
+SELECT CAST((epoch_us(ts) // {DAY_US} + 4) % 7 AS INT) AS dow,
+       CAST((epoch_us(ts) // {HOUR_US}) % 24 AS INT) AS hour,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM events
+GROUP BY 1, 2
+"""
+
+QUERIES["event_transitions"] = q_event_transitions
+QUERIES["activity_heatmap"] = q_activity_heatmap
+ORACLES["event_transitions"] = SQL_EVENT_TRANSITIONS
+ORACLES["activity_heatmap"] = SQL_ACTIVITY_HEATMAP
