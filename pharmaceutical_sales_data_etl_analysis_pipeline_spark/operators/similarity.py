@@ -567,7 +567,11 @@ def embedding_quantize(embeddings: DataFrame) -> DataFrame:
     e = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     max_abs = F.array_max(F.transform(e, lambda x: F.abs(x)))
     scale = max_abs / F.lit(127.0)
-    codes = F.transform(e, lambda x: F.floor(x / scale + F.lit(0.5)).cast("int"))
+    # zero-vector guard: scale=0 would make x/scale NaN and the int cast
+    # throw under ANSI mode — divide by 1 instead (codes come out 0, the
+    # reported scale stays 0, reconstruction 0*0 is exact)
+    div = F.when(scale == 0.0, F.lit(1.0)).otherwise(scale)
+    codes = F.transform(e, lambda x: F.floor(x / div + F.lit(0.5)).cast("int"))
     recon = F.zip_with(codes, e, lambda q, x: F.abs(q.cast("double") * scale - x))
     return embeddings.select(
         "vec_id",
@@ -593,7 +597,9 @@ scaled AS (
 ),
 coded AS (
   SELECT vec_id, e, scale,
-         list_transform(e, x -> CAST(floor(x / scale + 0.5) AS INTEGER)) AS codes
+         list_transform(e, x -> CAST(floor(x / (CASE WHEN scale = 0 THEN 1.0
+                                                     ELSE scale END) + 0.5)
+                                     AS INTEGER)) AS codes
   FROM scaled
 )
 SELECT vec_id,

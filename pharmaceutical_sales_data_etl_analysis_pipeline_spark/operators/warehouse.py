@@ -371,22 +371,32 @@ ORACLES = {
 
 def table_diff(snap_a: DataFrame, snap_b: DataFrame, key: str) -> DataFrame:
     """Generic diff: snapshots with identical schemas, keyed by `key`.
-    Row identity = md5 of the concatenated non-key columns."""
+    Row identity = md5 of the concatenated non-key columns.
+
+    NULL-key safe: the join is null-safe (<=>) and side presence is
+    tracked with explicit flags — key-nullness cannot stand in for
+    absence, or a removed NULL-key row would be labeled 'added' and a
+    NULL-key row present in both snapshots would never join to itself.
+    (The registered oracle runs over non-null o_orderkeys, where the
+    plain IS NULL form is equivalent.)"""
     cols = [c for c in snap_a.columns if c != key]
     def hashed(df, side):
         return df.select(
             F.col(key).alias(f"{side}_key"),
+            F.lit(True).alias(f"in_{side}"),
             F.md5(F.concat_ws("\u0001", *[F.col(c).cast("string") for c in cols])).alias(
                 f"{side}_hash"
             ),
         )
     a, b = hashed(snap_a, "a"), hashed(snap_b, "b")
-    j = a.join(b, a.a_key == b.b_key, "full_outer")
+    j = a.join(b, a.a_key.eqNullSafe(b.b_key), "full_outer")
+    in_a = F.coalesce("in_a", F.lit(False))
+    in_b = F.coalesce("in_b", F.lit(False))
     return (
         j.select(
-            F.coalesce("a_key", "b_key").alias(key),
-            F.when(F.col("a_key").isNull(), F.lit("added"))
-            .when(F.col("b_key").isNull(), F.lit("removed"))
+            F.when(in_a, F.col("a_key")).otherwise(F.col("b_key")).alias(key),
+            F.when(~in_a, F.lit("added"))
+            .when(~in_b, F.lit("removed"))
             .when(F.col("a_hash") != F.col("b_hash"), F.lit("changed"))
             .otherwise(F.lit("unchanged"))
             .alias("diff_status"),

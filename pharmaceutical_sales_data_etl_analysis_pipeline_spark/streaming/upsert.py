@@ -145,9 +145,15 @@ def read_state_version(
 
 def expire_state_versions(spark: SparkSession, state_dir: str, keep: int = 3) -> int:
     """Retention: drop all but the newest `keep` snapshots (the VACUUM
-    twin). Returns how many were deleted. Never deletes the latest."""
+    twin). Returns how many were deleted.
+
+    keep is clamped to >= 2: replay idempotence (merge_batch_into_state)
+    needs the snapshot STRICTLY OLDER than a possibly-uncommitted latest
+    batch — retaining only the latest would make a replayed batch find no
+    predecessor and rewrite its version as the bare delta, silently
+    discarding all accumulated state."""
     versions = _version_dirs(spark, state_dir)
-    doomed = versions[:-keep] if keep > 0 else versions[:-1]
+    doomed = versions[: -max(keep, 2)]
     fs, _, jvm = _fs_and_path(spark, state_dir)
     for name in doomed:
         fs.delete(jvm.org.apache.hadoop.fs.Path(f"{state_dir}/{name}"), True)

@@ -58,9 +58,12 @@ def test_state_time_travel_and_retention(spark, sf_dir, tmp_path):
     assert counts[2] == read_latest_state(spark, state).count()
     assert read_state_version(spark, state, 99) is None
 
+    # keep=1 is clamped to 2: replay idempotence needs the predecessor of a
+    # possibly-uncommitted latest batch, so only v0 may be expired here
     n_dropped = expire_state_versions(spark, state, keep=1)
-    assert n_dropped == 2
+    assert n_dropped == 1
     assert read_state_version(spark, state, 0) is None
+    assert read_state_version(spark, state, 1) is not None
     assert read_latest_state(spark, state).count() == counts[2]
 
 

@@ -540,8 +540,49 @@ def test_embedding_quantize_error_bound(spark, vecs):
             T.StructField("embedding", T.ArrayType(T.FloatType())),
         ]
     )
-    df = spark.createDataFrame(list(enumerate(vecs)), schema)
-    for r in embedding_quantize(df).collect():
+    # always include the all-zero edge vector (scale = 0 must not NaN/throw)
+    rows = list(enumerate(vecs)) + [(9999, [0.0] * 4)]
+    df = spark.createDataFrame(rows, schema)
+    out = embedding_quantize(df).collect()
+    zero = next(r for r in out if r["vec_id"] == 9999)
+    assert zero["scale"] == 0.0 and zero["max_abs_err"] == 0.0
+    assert set(zero["codes"].split(",")) == {"0"}
+    for r in out:
         codes = [int(c) for c in r["codes"].split(",")]
         assert all(-127 <= c <= 127 for c in codes)
         assert r["max_abs_err"] <= r["scale"] / 2 + 1e-9
+
+
+@SETTLE
+@given(null_in_a=st.booleans(), null_in_b=st.booleans(), same=st.booleans())
+def test_table_diff_null_keys(spark, null_in_a, null_in_b, same):
+    """NULL join keys: presence flags (not key-nullness) decide the label,
+    and the null-safe join lets NULL-key rows match each other."""
+    from pyspark.sql import types as T
+
+    from pharmaceutical_sales_data_etl_analysis_pipeline_spark.operators.warehouse import (
+        table_diff,
+    )
+
+    schema = T.StructType(
+        [T.StructField("k", T.LongType()), T.StructField("v", T.StringType())]
+    )
+    a_rows = [(1, "v1")] + ([(None, "na")] if null_in_a else [])
+    b_rows = [(1, "v1")] + (
+        [(None, "na" if same else "CHANGED")] if null_in_b else []
+    )
+    diff = table_diff(
+        spark.createDataFrame(a_rows, schema),
+        spark.createDataFrame(b_rows, schema),
+        "k",
+    ).collect()
+    got = {(r["k"], r["diff_status"]) for r in diff}
+    if null_in_a and null_in_b:
+        want = set() if same else {(None, "changed")}
+    elif null_in_a:
+        want = {(None, "removed")}
+    elif null_in_b:
+        want = {(None, "added")}
+    else:
+        want = set()
+    assert got == want
