@@ -99,3 +99,15 @@ def test_csv_preserves_money_sums_exactly(spark, sf_dir, tmp_path):
         F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("s")
     ).collect()
     assert agg(back) == agg(src)
+
+
+def test_orc_round_trip_matches_parquet_path(spark, sf_dir, tmp_path):
+    """ORC round-trip (built into Spark, the columnar alternative to
+    parquet): declared-schema read equals the parquet-path frame exactly."""
+    src = load_table(spark, sf_dir, "orders")
+    p = str(tmp_path / "orders_orc")
+    src.write.orc(p)
+    back = spark.read.schema(src.schema).orc(p)
+    assert back.schema == src.schema
+    cols = src.columns
+    assert _sorted_rows(back, cols) == _sorted_rows(src, cols)
