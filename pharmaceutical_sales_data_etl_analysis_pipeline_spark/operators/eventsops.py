@@ -695,3 +695,83 @@ QUERIES["event_transitions"] = q_event_transitions
 QUERIES["activity_heatmap"] = q_activity_heatmap
 ORACLES["event_transitions"] = SQL_EVENT_TRANSITIONS
 ORACLES["activity_heatmap"] = SQL_ACTIVITY_HEATMAP
+
+
+# ---------------------------------------------------------------------------
+# Hourly anomaly detection: z-score of each hour's event count against the
+# trailing 24 observed hours (the ops/monitoring shape). The mean/variance
+# come from integer window sums (exact, order-independent); the z formula
+# is one fixed IEEE expression on both engines, rounded to 6dp. Sample
+# variance over the trailing frame; hours with fewer than 2 trailing
+# observations or zero variance emit z = NULL (flag false).
+# ---------------------------------------------------------------------------
+
+ANOMALY_TRAIL = 24  # trailing observed hours in the baseline
+ANOMALY_Z = 3.0
+
+
+def hourly_anomalies(events: DataFrame) -> DataFrame:
+    from ..functions.numeric import round_half_up
+
+    hourly = events.groupBy(
+        F.expr(f"unix_micros(ts) div {HOUR_US}").alias("hour_idx")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    w = Window.orderBy("hour_idx").rowsBetween(-ANOMALY_TRAIL, -1)
+    stats = hourly.select(
+        "hour_idx",
+        "n",
+        F.count("n").over(w).alias("m"),
+        F.sum("n").over(w).alias("s1"),
+        F.sum(F.col("n") * F.col("n")).over(w).alias("s2"),
+    )
+    m = F.col("m").cast("double")
+    s1 = F.col("s1").cast("double")
+    s2 = F.col("s2").cast("double")
+    mean = s1 / m
+    var = (m * s2 - s1 * s1) / (m * (m - 1.0))
+    z = (F.col("n").cast("double") - mean) / F.sqrt(var)
+    zcol = F.when((F.col("m") >= 2) & (var > 0.0), round_half_up(z, 6))
+    return stats.select(
+        F.expr(f"timestamp_micros(hour_idx * {HOUR_US})").alias("window_start"),
+        "n",
+        zcol.alias("z"),
+        F.coalesce(F.abs(zcol) > ANOMALY_Z, F.lit(False)).alias("is_anomaly"),
+    )
+
+
+def q_hourly_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return hourly_anomalies(load_table(spark, sf_dir, "events"))
+
+
+SQL_HOURLY_ANOMALIES = f"""
+WITH hourly AS (
+  SELECT epoch_us(ts) // {HOUR_US} AS hour_idx, CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1
+),
+stats AS (
+  SELECT hour_idx, n,
+         count(n) OVER w AS m,
+         sum(n) OVER w AS s1,
+         sum(n * n) OVER w AS s2
+  FROM hourly
+  WINDOW w AS (ORDER BY hour_idx ROWS BETWEEN {ANOMALY_TRAIL} PRECEDING AND 1 PRECEDING)
+),
+scored AS (
+  SELECT hour_idx, n, m,
+         (CAST(m AS DOUBLE) * CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+           / (CAST(m AS DOUBLE) * (CAST(m AS DOUBLE) - 1.0)) AS var,
+         CAST(n AS DOUBLE) - CAST(s1 AS DOUBLE) / CAST(m AS DOUBLE) AS dev
+  FROM stats
+)
+SELECT make_timestamp(hour_idx * {HOUR_US}) AS window_start,
+       n,
+       CASE WHEN m >= 2 AND var > 0.0
+            THEN floor((dev / sqrt(var)) * 1000000.0 + 0.5) / 1000000.0 END AS z,
+       COALESCE(abs(CASE WHEN m >= 2 AND var > 0.0
+                         THEN floor((dev / sqrt(var)) * 1000000.0 + 0.5) / 1000000.0 END)
+                > {ANOMALY_Z}, FALSE) AS is_anomaly
+FROM scored
+"""
+
+QUERIES["hourly_anomalies"] = q_hourly_anomalies
+ORACLES["hourly_anomalies"] = SQL_HOURLY_ANOMALIES

@@ -118,7 +118,8 @@ PRIORITY = [
 # doc_chunks), udtf_sentences, rolling_7d_actives, twap_per_user,
 # oov_rate, unpivot_status_year, ntile_quartiles, array_functions,
 # dataset_cards, inverted_index, interpolate_hourly, embedding_quantize,
-# table_diff, bm25_topk_terms, event_transitions, activity_heatmap —
+# table_diff, bm25_topk_terms, event_transitions, activity_heatmap,
+# hourly_anomalies —
 # added late in r2, pass-local this round; rotate into
 # PRIORITY for the r3 sweep.
 
