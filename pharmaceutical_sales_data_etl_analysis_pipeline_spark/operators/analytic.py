@@ -627,3 +627,78 @@ QUERIES["unpivot_status_year"] = q_unpivot_status_year
 QUERIES["ntile_quartiles"] = q_ntile_quartiles
 ORACLES["unpivot_status_year"] = SQL_UNPIVOT_STATUS_YEAR
 ORACLES["ntile_quartiles"] = SQL_NTILE_QUARTILES
+
+
+# ---------------------------------------------------------------------------
+# Pearson correlation with exact sums: corr(l_quantity, l_extendedprice)
+# per year. Built-in corr() accumulates floating co-moments in partition
+# order (nondeterministic bits on a cluster); here every sum is integer
+# cents in a DECIMAL accumulator (exact, order-independent), and the
+# final corr formula is one fixed IEEE expression — scale-0 decimals
+# convert to double with a single correctly-rounded step on both engines.
+# ---------------------------------------------------------------------------
+
+def price_quantity_corr(lineitem: DataFrame) -> DataFrame:
+    from ..functions.numeric import round_half_up
+
+    q = (F.col("l_quantity").cast("decimal(12,2)") * 100).cast("long")
+    p = (F.col("l_extendedprice").cast("decimal(12,2)") * 100).cast("long")
+    base = lineitem.select(
+        F.year("l_shipdate").cast("bigint").alias("year"), q.alias("q"), p.alias("p")
+    )
+    dec = lambda c: F.sum(c.cast("decimal(28,0)"))  # noqa: E731
+    g = base.groupBy("year").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        dec(F.col("q")).alias("sx"),
+        dec(F.col("p")).alias("sy"),
+        dec(F.col("q") * F.col("p")).alias("sxy"),
+        dec(F.col("q") * F.col("q")).alias("sxx"),
+        dec(F.col("p") * F.col("p")).alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy, sxx, syy = (
+        F.col("sxy").cast("double"),
+        F.col("sxx").cast("double"),
+        F.col("syy").cast("double"),
+    )
+    corr = (nd * sxy - sx * sy) / (
+        F.sqrt(nd * sxx - sx * sx) * F.sqrt(nd * syy - sy * sy)
+    )
+    return g.select("year", "n", round_half_up(corr, 6).alias("qty_price_corr"))
+
+
+def q_price_quantity_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return price_quantity_corr(load_table(spark, sf_dir, "lineitem"))
+
+
+SQL_PRICE_QUANTITY_CORR = """
+WITH base AS (
+  SELECT CAST(year(l_shipdate) AS BIGINT) AS year,
+         CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT) AS q,
+         CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS p
+  FROM lineitem
+),
+g AS (
+  SELECT year,
+         CAST(count(*) AS BIGINT) AS n,
+         sum(CAST(q AS DECIMAL(28,0))) AS sx,
+         sum(CAST(p AS DECIMAL(28,0))) AS sy,
+         sum(CAST(q * p AS DECIMAL(28,0))) AS sxy,
+         sum(CAST(q * q AS DECIMAL(28,0))) AS sxx,
+         sum(CAST(p * p AS DECIMAL(28,0))) AS syy
+  FROM base GROUP BY year
+)
+SELECT year, n,
+       floor(((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+              / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                 * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))))
+             * 1000000.0 + 0.5) / 1000000.0 AS qty_price_corr
+FROM g
+"""
+
+QUERIES["price_quantity_corr"] = q_price_quantity_corr
+ORACLES["price_quantity_corr"] = SQL_PRICE_QUANTITY_CORR

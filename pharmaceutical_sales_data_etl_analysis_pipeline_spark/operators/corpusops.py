@@ -1073,3 +1073,49 @@ WHERE rnk <= {BM25_K}
 
 QUERIES["bm25_topk_terms"] = q_bm25_topk_terms
 ORACLES["bm25_topk_terms"] = SQL_BM25_TOPK_TERMS
+
+
+# ---------------------------------------------------------------------------
+# Quality-weighted sampling: keep each doc with probability equal to its
+# quality score (the mixture-shaping sampler — higher-quality documents
+# survive proportionally more often), but DETERMINISTICALLY: the "random"
+# draw is the md5 hash of doc_id scaled to [0,1), so every engine and
+# every run selects the same rows. Zero shuffle.
+# ---------------------------------------------------------------------------
+
+def weighted_sample(documents: DataFrame) -> DataFrame:
+    from .textops import quality_score_col
+
+    u = _hash_int(F.col("doc_id")).cast("double") / F.lit(4294967296.0)
+    q = quality_score_col(F.col("text"))
+    return (
+        documents.select("doc_id", q.alias("quality_score"), u.alias("draw"))
+        .filter(F.col("draw") < F.col("quality_score"))
+        .select("doc_id", "quality_score")
+    )
+
+
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return weighted_sample(load_table(spark, sf_dir, "documents"))
+
+
+def _weighted_sample_sql() -> str:
+    from .textops import quality_score_sql
+
+    hash_unit = f"CAST({_HASH_INT_SQL.format(col='doc_id')} AS DOUBLE) / 4294967296.0"
+    return f"""
+SELECT doc_id, quality_score
+FROM (
+  SELECT doc_id,
+         {quality_score_sql('text')} AS quality_score,
+         {hash_unit} AS draw
+  FROM documents
+)
+WHERE draw < quality_score
+"""
+
+
+SQL_WEIGHTED_SAMPLE = _weighted_sample_sql()
+
+QUERIES["weighted_sample"] = q_weighted_sample
+ORACLES["weighted_sample"] = SQL_WEIGHTED_SAMPLE

@@ -119,7 +119,7 @@ PRIORITY = [
 # oov_rate, unpivot_status_year, ntile_quartiles, array_functions,
 # dataset_cards, inverted_index, interpolate_hourly, embedding_quantize,
 # table_diff, bm25_topk_terms, event_transitions, activity_heatmap,
-# hourly_anomalies —
+# hourly_anomalies, price_quantity_corr, weighted_sample —
 # added late in r2, pass-local this round; rotate into
 # PRIORITY for the r3 sweep.
 
