@@ -665,7 +665,16 @@ def price_quantity_corr(lineitem: DataFrame) -> DataFrame:
     corr = (nd * sxy - sx * sy) / (
         F.sqrt(nd * sxx - sx * sx) * F.sqrt(nd * syy - sy * sy)
     )
-    return g.select("year", "n", round_half_up(corr, 6).alias("qty_price_corr"))
+    # OLS price-on-quantity from the same co-moments (per-cent units)
+    slope = (nd * sxy - sx * sy) / (nd * sxx - sx * sx)
+    intercept = (sy - slope * sx) / nd
+    return g.select(
+        "year",
+        "n",
+        round_half_up(corr, 6).alias("qty_price_corr"),
+        round_half_up(slope, 6).alias("ols_slope"),
+        round_half_up(intercept, 4).alias("ols_intercept"),
+    )
 
 
 def q_price_quantity_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -696,7 +705,19 @@ SELECT year, n,
                       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
                  * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
                         - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))))
-             * 1000000.0 + 0.5) / 1000000.0 AS qty_price_corr
+             * 1000000.0 + 0.5) / 1000000.0 AS qty_price_corr,
+       floor(((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+              / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+             * 1000000.0 + 0.5) / 1000000.0 AS ols_slope,
+       floor(((CAST(sy AS DOUBLE)
+               - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                  / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))) * CAST(sx AS DOUBLE))
+              / CAST(n AS DOUBLE))
+             * 10000.0 + 0.5) / 10000.0 AS ols_intercept
 FROM g
 """
 
