@@ -662,12 +662,17 @@ def price_quantity_corr(lineitem: DataFrame) -> DataFrame:
         F.col("sxx").cast("double"),
         F.col("syy").cast("double"),
     )
-    corr = (nd * sxy - sx * sy) / (
-        F.sqrt(nd * sxx - sx * sx) * F.sqrt(nd * syy - sy * sy)
-    )
+    # degenerate-group guard (single row or constant column): zero
+    # denominators must yield NULL, not a DIVIDE_BY_ZERO abort under ANSI
+    # mode (which Spark 4 enables by default) — the oracle returns NULL
+    # for the same groups
+    vx = nd * sxx - sx * sx
+    vy = nd * syy - sy * sy
+    ok = (vx > 0.0) & (vy > 0.0)
+    corr = F.when(ok, (nd * sxy - sx * sy) / (F.sqrt(vx) * F.sqrt(vy)))
     # OLS price-on-quantity from the same co-moments (per-cent units)
-    slope = (nd * sxy - sx * sy) / (nd * sxx - sx * sx)
-    intercept = (sy - slope * sx) / nd
+    slope = F.when(vx > 0.0, (nd * sxy - sx * sy) / vx)
+    intercept = F.when(vx > 0.0, (sy - slope * sx) / nd)
     return g.select(
         "year",
         "n",
@@ -697,28 +702,32 @@ g AS (
          sum(CAST(q * q AS DECIMAL(28,0))) AS sxx,
          sum(CAST(p * p AS DECIMAL(28,0))) AS syy
   FROM base GROUP BY year
+),
+m AS (
+  SELECT year, n,
+         CAST(n AS DOUBLE) AS nd,
+         CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd,
+         CAST(sxy AS DOUBLE) AS sxyd,
+         CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS vx,
+         CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS vy
+  FROM g
+),
+scored AS (
+  SELECT year, n,
+         CASE WHEN vx > 0.0 AND vy > 0.0
+              THEN (nd * sxyd - sxd * syd) / (sqrt(vx) * sqrt(vy)) END AS corr_raw,
+         CASE WHEN vx > 0.0
+              THEN (nd * sxyd - sxd * syd) / vx END AS slope_raw,
+         nd, sxd, syd
+  FROM m
 )
 SELECT year, n,
-       floor(((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
-               - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-              / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
-                      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-                 * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
-                        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))))
-             * 1000000.0 + 0.5) / 1000000.0 AS qty_price_corr,
-       floor(((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
-               - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-              / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
-                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
-             * 1000000.0 + 0.5) / 1000000.0 AS ols_slope,
-       floor(((CAST(sy AS DOUBLE)
-               - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
-                   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-                  / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
-                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))) * CAST(sx AS DOUBLE))
-              / CAST(n AS DOUBLE))
-             * 10000.0 + 0.5) / 10000.0 AS ols_intercept
-FROM g
+       floor(corr_raw * 1000000.0 + 0.5) / 1000000.0 AS qty_price_corr,
+       floor(slope_raw * 1000000.0 + 0.5) / 1000000.0 AS ols_slope,
+       floor(((syd - slope_raw * sxd) / nd) * 10000.0 + 0.5) / 10000.0 AS ols_intercept
+FROM scored
 """
 
 QUERIES["price_quantity_corr"] = q_price_quantity_corr

@@ -996,7 +996,10 @@ BM25_K = 3
 def bm25_topk_terms(documents: DataFrame, k: int = BM25_K) -> DataFrame:
     words = _word_rows(documents)
     tf = words.groupBy("doc_id", "word").agg(F.count(F.lit(1)).cast("long").alias("tf"))
-    dl = words.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("dl"))
+    # dl and df both derive from tf (the per-(doc,term) relation), NOT from
+    # a second aggregation of the exploded token stream — one tokenization
+    # pass total, same trick as tfidf's df derivation
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl"))
     df_ = tf.groupBy("word").agg(F.count(F.lit(1)).cast("long").alias("df"))
     stats = dl.agg(
         F.count(F.lit(1)).cast("double").alias("n_docs"),
@@ -1039,7 +1042,7 @@ tf AS (
   FROM words GROUP BY 1, 2
 ),
 dl AS (
-  SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM words GROUP BY 1
+  SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1
 ),
 df AS (
   SELECT word, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1

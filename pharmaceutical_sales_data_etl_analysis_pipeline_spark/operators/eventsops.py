@@ -669,9 +669,12 @@ DAY_US = 86_400_000_000
 
 
 def activity_heatmap(events: DataFrame) -> DataFrame:
+    # pmod (not %): % takes the dividend's sign, so pre-1970 timestamps
+    # would produce negative dow/hour cells; pmod keeps the 0..6 / 0..23
+    # calendar domain for any epoch
     epoch_days = F.expr(f"unix_micros(ts) div {DAY_US}")
-    dow = ((epoch_days + 4) % 7).cast("int")
-    hour = F.expr(f"(unix_micros(ts) div {HOUR_US}) % 24").cast("int")
+    dow = F.pmod(epoch_days + 4, F.lit(7)).cast("int")
+    hour = F.pmod(F.expr(f"unix_micros(ts) div {HOUR_US}"), F.lit(24)).cast("int")
     return (
         events.select(dow.alias("dow"), hour.alias("hour"))
         .groupBy("dow", "hour")
@@ -684,8 +687,8 @@ def q_activity_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_ACTIVITY_HEATMAP = f"""
-SELECT CAST((epoch_us(ts) // {DAY_US} + 4) % 7 AS INT) AS dow,
-       CAST((epoch_us(ts) // {HOUR_US}) % 24 AS INT) AS hour,
+SELECT CAST((((epoch_us(ts) // {DAY_US} + 4) % 7) + 7) % 7 AS INT) AS dow,
+       CAST((((epoch_us(ts) // {HOUR_US}) % 24) + 24) % 24 AS INT) AS hour,
        CAST(count(*) AS BIGINT) AS n_events
 FROM events
 GROUP BY 1, 2
@@ -757,19 +760,22 @@ stats AS (
   WINDOW w AS (ORDER BY hour_idx ROWS BETWEEN {ANOMALY_TRAIL} PRECEDING AND 1 PRECEDING)
 ),
 scored AS (
-  SELECT hour_idx, n, m,
-         (CAST(m AS DOUBLE) * CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
-           / (CAST(m AS DOUBLE) * (CAST(m AS DOUBLE) - 1.0)) AS var,
-         CAST(n AS DOUBLE) - CAST(s1 AS DOUBLE) / CAST(m AS DOUBLE) AS dev
+  SELECT hour_idx, n,
+         CASE WHEN m >= 2
+               AND (CAST(m AS DOUBLE) * CAST(s2 AS DOUBLE)
+                    - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+                   / (CAST(m AS DOUBLE) * (CAST(m AS DOUBLE) - 1.0)) > 0.0
+              THEN floor(((CAST(n AS DOUBLE) - CAST(s1 AS DOUBLE) / CAST(m AS DOUBLE))
+                          / sqrt((CAST(m AS DOUBLE) * CAST(s2 AS DOUBLE)
+                                  - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+                                 / (CAST(m AS DOUBLE) * (CAST(m AS DOUBLE) - 1.0))))
+                         * 1000000.0 + 0.5) / 1000000.0 END AS z
   FROM stats
 )
 SELECT make_timestamp(hour_idx * {HOUR_US}) AS window_start,
        n,
-       CASE WHEN m >= 2 AND var > 0.0
-            THEN floor((dev / sqrt(var)) * 1000000.0 + 0.5) / 1000000.0 END AS z,
-       COALESCE(abs(CASE WHEN m >= 2 AND var > 0.0
-                         THEN floor((dev / sqrt(var)) * 1000000.0 + 0.5) / 1000000.0 END)
-                > {ANOMALY_Z}, FALSE) AS is_anomaly
+       z,
+       COALESCE(abs(z) > {ANOMALY_Z}, FALSE) AS is_anomaly
 FROM scored
 """
 

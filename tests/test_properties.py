@@ -586,3 +586,27 @@ def test_table_diff_null_keys(spark, null_in_a, null_in_b, same):
     else:
         want = set()
     assert got == want
+
+
+def test_price_quantity_corr_degenerate_group_is_null(spark):
+    """A single-row (or constant-quantity) year must yield NULL correlation
+    and slope — not a DIVIDE_BY_ZERO abort under ANSI mode."""
+    import datetime
+
+    from pharmaceutical_sales_data_etl_analysis_pipeline_spark.operators.analytic import (
+        price_quantity_corr,
+    )
+
+    schema = "l_shipdate timestamp, l_quantity double, l_extendedprice double"
+    rows = [
+        (datetime.datetime(1996, 1, 1), 3.0, 50.0),          # single-row year
+        (datetime.datetime(1997, 1, 1), 5.0, 10.0),          # constant qty year
+        (datetime.datetime(1997, 2, 1), 5.0, 20.0),
+        (datetime.datetime(1998, 1, 1), 1.0, 10.0),          # healthy year
+        (datetime.datetime(1998, 2, 1), 2.0, 20.0),
+    ]
+    out = {r["year"]: r for r in price_quantity_corr(
+        spark.createDataFrame(rows, schema)).collect()}
+    assert out[1996]["qty_price_corr"] is None and out[1996]["ols_slope"] is None
+    assert out[1997]["qty_price_corr"] is None and out[1997]["ols_slope"] is None
+    assert out[1998]["qty_price_corr"] == 1.0 and out[1998]["ols_slope"] is not None
