@@ -1122,3 +1122,81 @@ SQL_WEIGHTED_SAMPLE = _weighted_sample_sql()
 
 QUERIES["weighted_sample"] = q_weighted_sample
 ORACLES["weighted_sample"] = SQL_WEIGHTED_SAMPLE
+
+
+# ---------------------------------------------------------------------------
+# Term collocation lift: for vocabulary word pairs, how much more often
+# they co-occur in a document than independence predicts —
+# lift = N*c_xy / (c_x*c_y), the log-free PMI analogue (exp(PMI)), kept
+# rational so it hash-matches cross-engine. The pair join runs on the
+# vocab-filtered distinct word-doc relation: per-doc work is bounded by
+# vocabulary size squared, NOT document length, and the vocab is a
+# broadcast constant — scale-safe collocation mining.
+# ---------------------------------------------------------------------------
+
+LIFT_TOP = 20
+
+
+def term_lift_pairs(documents: DataFrame, k: int = LIFT_TOP) -> DataFrame:
+    from ..functions.numeric import round_half_up
+
+    vocab = vocab_topk(documents).select(F.col("word").alias("vword"))
+    wd = (
+        _word_rows(documents)
+        .join(F.broadcast(vocab), F.col("word") == F.col("vword"))
+        .select("doc_id", "word")
+        .distinct()
+    )
+    a, b = wd.alias("a"), wd.alias("b")
+    cxy = (
+        a.join(b, (F.col("a.doc_id") == F.col("b.doc_id")) & (F.col("a.word") < F.col("b.word")))
+        .groupBy(F.col("a.word").alias("wa"), F.col("b.word").alias("wb"))
+        .agg(F.count(F.lit(1)).cast("long").alias("c_xy"))
+    )
+    dfreq = wd.groupBy("word").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    n_docs = documents.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    lift = (F.col("n_docs") * F.col("c_xy").cast("double")) / (
+        F.col("ca").cast("double") * F.col("cb").cast("double")
+    )
+    return (
+        cxy.join(F.broadcast(dfreq.select(F.col("word").alias("wa"), F.col("c").alias("ca"))), "wa")
+        .join(F.broadcast(dfreq.select(F.col("word").alias("wb"), F.col("c").alias("cb"))), "wb")
+        .crossJoin(F.broadcast(n_docs))
+        .select("wa", "wb", "c_xy", round_half_up(lift, 6).alias("lift"))
+        .orderBy(F.desc("lift"), F.asc("wa"), F.asc("wb"))
+        .limit(k)
+    )
+
+
+def q_term_lift_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return term_lift_pairs(load_table(spark, sf_dir, "documents"))
+
+
+SQL_TERM_LIFT_PAIRS = f"""
+WITH {SQL_WORDS_CTE},
+vocab AS ({SQL_VOCAB_TOPK}),
+wd AS (
+  SELECT DISTINCT w.doc_id, w.word
+  FROM words w JOIN vocab v ON w.word = v.word
+),
+cxy AS (
+  SELECT a.word AS wa, b.word AS wb, CAST(count(*) AS BIGINT) AS c_xy
+  FROM wd a JOIN wd b ON a.doc_id = b.doc_id AND a.word < b.word
+  GROUP BY 1, 2
+),
+dfreq AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS c FROM wd GROUP BY 1
+)
+SELECT wa, wb, c_xy,
+       floor(((SELECT CAST(count(*) AS DOUBLE) FROM documents) * CAST(c_xy AS DOUBLE)
+              / (CAST(ca.c AS DOUBLE) * CAST(cb.c AS DOUBLE)))
+             * 1000000.0 + 0.5) / 1000000.0 AS lift
+FROM cxy
+JOIN dfreq ca ON cxy.wa = ca.word
+JOIN dfreq cb ON cxy.wb = cb.word
+ORDER BY lift DESC, wa ASC, wb ASC
+LIMIT {LIFT_TOP}
+"""
+
+QUERIES["term_lift_pairs"] = q_term_lift_pairs
+ORACLES["term_lift_pairs"] = SQL_TERM_LIFT_PAIRS

@@ -119,7 +119,8 @@ PRIORITY = [
 # oov_rate, unpivot_status_year, ntile_quartiles, array_functions,
 # dataset_cards, inverted_index, interpolate_hourly, embedding_quantize,
 # table_diff, bm25_topk_terms, event_transitions, activity_heatmap,
-# hourly_anomalies, price_quantity_corr, weighted_sample —
+# hourly_anomalies, price_quantity_corr, weighted_sample,
+# term_lift_pairs —
 # added late in r2, pass-local this round; rotate into
 # PRIORITY for the r3 sweep.
 
