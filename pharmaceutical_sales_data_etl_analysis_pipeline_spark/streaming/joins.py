@@ -79,3 +79,44 @@ def dedup_stream_within_watermark(events_stream: DataFrame) -> DataFrame:
     return events_stream.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
         ["event_id"]
     )
+
+
+def click_purchase_attribution_outer(events_stream: DataFrame) -> DataFrame:
+    """LEFT OUTER stream-stream attribution: every click emits — joined to
+    its purchase when one arrives inside the band, or with NULL purchase
+    columns once the watermark proves no match can still arrive. The
+    outer-side NULL row is emitted only after the watermark passes the
+    click's join window (state eviction doubles as the completeness
+    signal) — the streaming twin of a batch left join, with latency
+    bounded by the watermark delay instead of job end."""
+    clicks = (
+        events_stream.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    purchases = (
+        events_stream.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    return clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") > F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {ATTRIBUTION_WINDOW}")),
+        "left_outer",
+    ).select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        "click_ts",
+        "purchase_id",
+        "purchase_ts",
+    )

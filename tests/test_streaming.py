@@ -409,3 +409,74 @@ def test_stream_incremental_merge_equals_batch_aggregate(spark, sf_dir, tmp_path
         (F.col("g.total") != F.col("e.total")) | (F.col("g.n_rows") != F.col("e.n_rows"))
     )
     assert diff.count() == 0
+
+
+def test_stream_outer_attribution_emits_unmatched_after_watermark(spark, tmp_path):
+    """LEFT OUTER stream-stream join: a click with a purchase in the band
+    emits joined; a click with no purchase emits with NULLs once the
+    watermark passes its window. Batches are mtime-ordered files (the
+    same watermark-advancement technique as the late-events test; outer
+    results emit one trigger after eviction, hence the spacer batches)."""
+    import json as _json
+    import os as _os
+    import time as _time
+
+    from pyspark.sql import types as T
+
+    from pharmaceutical_sales_data_etl_analysis_pipeline_spark.streaming.joins import (
+        click_purchase_attribution_outer,
+    )
+
+    src = tmp_path / "outer"
+    src.mkdir()
+    b0 = [  # one matched click, one destined to be unmatched
+        {"event_id": 1, "ts": "2024-01-01T10:00:00", "user_id": 7, "event_type": "click"},
+        {"event_id": 2, "ts": "2024-01-01T10:10:00", "user_id": 7, "event_type": "purchase"},
+        {"event_id": 3, "ts": "2024-01-01T10:00:00", "user_id": 8, "event_type": "click"},
+    ]
+    # watermark advancers: the watermark columns exist only AFTER the
+    # click/purchase filters, and the join uses min(both watermarks) — so
+    # the advancers must be clicks AND purchases (non-matching: each
+    # purchase precedes its same-batch click). They push the watermark
+    # beyond 10:00 + 30min band + 1h delay so click 3 is provably
+    # unmatched.
+    def adv(eid, hour):
+        return [
+            {"event_id": eid, "ts": f"2024-01-01T{hour}:00:00", "user_id": 1,
+             "event_type": "purchase"},
+            {"event_id": eid + 1, "ts": f"2024-01-01T{hour}:01:00", "user_id": 2,
+             "event_type": "click"},
+        ]
+
+    b1, b2, b3 = adv(20, 14), adv(30, 15), adv(40, 16)
+    now = _time.time()
+    for i, rows in enumerate([b0, b1, b2, b3]):
+        path = src / f"b{i}.json"
+        with open(path, "w") as f:
+            for r in rows:
+                f.write(_json.dumps(r) + "\n")
+        _os.utime(path, (now - 400 + i * 100, now - 400 + i * 100))
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).json(str(src))
+    )
+    q = (
+        click_purchase_attribution_outer(stream)
+        .writeStream.format("memory")
+        .queryName("t_outer_attr")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_outer"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = {r["click_id"]: r for r in spark.table("t_outer_attr").collect()}
+    assert rows[1]["purchase_id"] == 2          # matched inside the band
+    assert 3 in rows and rows[3]["purchase_id"] is None  # outer NULL emitted
