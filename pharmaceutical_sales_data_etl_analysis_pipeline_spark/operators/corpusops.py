@@ -994,14 +994,28 @@ BM25_K = 3
 
 
 def bm25_topk_terms(documents: DataFrame, k: int = BM25_K) -> DataFrame:
+    # ONE tokenization total: tf (the per-(doc,term) relation, far smaller
+    # than the token stream) is materialized with localCheckpoint, then dl
+    # and df attach as WINDOW aggregates over it — no joins back, no
+    # re-derivation branches. (Without the checkpoint, Spark recomputes
+    # the explode once per consumer subtree: measured 4 scans of documents
+    # in the un-checkpointed plan, with no AQE exchange reuse.)
     words = _word_rows(documents)
-    tf = words.groupBy("doc_id", "word").agg(F.count(F.lit(1)).cast("long").alias("tf"))
-    # dl and df both derive from tf (the per-(doc,term) relation), NOT from
-    # a second aggregation of the exploded token stream — one tokenization
-    # pass total, same trick as tfidf's df derivation
-    dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl"))
-    df_ = tf.groupBy("word").agg(F.count(F.lit(1)).cast("long").alias("df"))
-    stats = dl.agg(
+    tf = (
+        words.groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+        .localCheckpoint()
+    )
+    w_doc = Window.partitionBy("doc_id")
+    w_word = Window.partitionBy("word")
+    enriched = tf.select(
+        "doc_id",
+        "word",
+        "tf",
+        F.sum("tf").over(w_doc).cast("long").alias("dl"),
+        F.count(F.lit(1)).over(w_word).cast("long").alias("df"),
+    )
+    stats = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl")).agg(
         F.count(F.lit(1)).cast("double").alias("n_docs"),
         (F.sum("dl").cast("double") / F.count(F.lit(1)).cast("double")).alias("avgdl"),
     )
@@ -1012,16 +1026,11 @@ def bm25_topk_terms(documents: DataFrame, k: int = BM25_K) -> DataFrame:
         * (tfd * (BM25_K1 + 1.0))
         / (tfd + BM25_K1 * (1.0 - BM25_B + BM25_B * dld / F.col("avgdl")))
     )
-    scored = (
-        tf.join(dl, "doc_id")
-        .join(df_, "word")
-        .crossJoin(F.broadcast(stats))
-        .select(
-            "doc_id",
-            F.col("word").alias("term"),
-            "tf",
-            round_half_up(score, 4).alias("bm25"),
-        )
+    scored = enriched.crossJoin(F.broadcast(stats)).select(
+        "doc_id",
+        F.col("word").alias("term"),
+        "tf",
+        round_half_up(score, 4).alias("bm25"),
     )
     w = Window.partitionBy("doc_id").orderBy(F.desc("bm25"), F.asc("term"))
     return (
@@ -1141,27 +1150,35 @@ def term_lift_pairs(documents: DataFrame, k: int = LIFT_TOP) -> DataFrame:
     from ..functions.numeric import round_half_up
 
     vocab = vocab_topk(documents).select(F.col("word").alias("vword"))
+    # materialize the vocab-filtered word-doc relation ONCE: it feeds both
+    # sides of the self-join, with each word's document frequency attached
+    # as a window aggregate before the join (no dfreq join-back branch).
+    # Un-checkpointed, Spark recomputed the tokenization once per subtree —
+    # measured 9 scans of documents with zero AQE exchange reuse.
     wd = (
         _word_rows(documents)
         .join(F.broadcast(vocab), F.col("word") == F.col("vword"))
         .select("doc_id", "word")
         .distinct()
+        .withColumn("c", F.count(F.lit(1)).over(Window.partitionBy("word")))
+        .localCheckpoint()
     )
     a, b = wd.alias("a"), wd.alias("b")
     cxy = (
         a.join(b, (F.col("a.doc_id") == F.col("b.doc_id")) & (F.col("a.word") < F.col("b.word")))
         .groupBy(F.col("a.word").alias("wa"), F.col("b.word").alias("wb"))
-        .agg(F.count(F.lit(1)).cast("long").alias("c_xy"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("c_xy"),
+            F.max(F.col("a.c")).cast("long").alias("ca"),
+            F.max(F.col("b.c")).cast("long").alias("cb"),
+        )
     )
-    dfreq = wd.groupBy("word").agg(F.count(F.lit(1)).cast("long").alias("c"))
     n_docs = documents.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
     lift = (F.col("n_docs") * F.col("c_xy").cast("double")) / (
         F.col("ca").cast("double") * F.col("cb").cast("double")
     )
     return (
-        cxy.join(F.broadcast(dfreq.select(F.col("word").alias("wa"), F.col("c").alias("ca"))), "wa")
-        .join(F.broadcast(dfreq.select(F.col("word").alias("wb"), F.col("c").alias("cb"))), "wb")
-        .crossJoin(F.broadcast(n_docs))
+        cxy.crossJoin(F.broadcast(n_docs))
         .select("wa", "wb", "c_xy", round_half_up(lift, 6).alias("lift"))
         .orderBy(F.desc("lift"), F.asc("wa"), F.asc("wb"))
         .limit(k)
