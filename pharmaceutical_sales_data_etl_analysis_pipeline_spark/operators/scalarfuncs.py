@@ -322,3 +322,48 @@ SQL_ARRAY_FUNCTIONS = _array_functions_sql()
 
 QUERIES["array_functions"] = q_array_functions
 ORACLES["array_functions"] = SQL_ARRAY_FUNCTIONS
+
+
+# ---------------------------------------------------------------------------
+# VARIANT semi-structured access (Spark 4): parse the JSON props column
+# once into a VARIANT and extract typed fields with variant_get — the
+# modern engine path for schema-flexible columns (shredded binary
+# encoding, no per-access re-parse, unlike get_json_object). Oracle uses
+# DuckDB's JSON extraction; both type the result identically.
+# ---------------------------------------------------------------------------
+
+def variant_props(events: DataFrame) -> DataFrame:
+    v = F.parse_json(F.col("props"))
+    k = F.try_variant_get(v, "$.k", "int")
+    return (
+        events.select("event_id", "event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.count(F.col("k")).cast("long").alias("n_with_k"),
+            F.sum(F.col("k").cast("long")).cast("long").alias("sum_k"),
+            F.min("k").cast("int").alias("min_k"),
+            F.max("k").cast("int").alias("max_k"),
+        )
+    )
+
+
+def q_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..catalog import load_table
+
+    return variant_props(load_table(spark, sf_dir, "events"))
+
+
+SQL_VARIANT_PROPS = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(count(CAST(json_extract(props, '$.k') AS INTEGER)) AS BIGINT) AS n_with_k,
+       CAST(sum(CAST(json_extract(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
+       CAST(min(CAST(json_extract(props, '$.k') AS INTEGER)) AS INT) AS min_k,
+       CAST(max(CAST(json_extract(props, '$.k') AS INTEGER)) AS INT) AS max_k
+FROM events
+GROUP BY 1
+"""
+
+QUERIES["variant_props"] = q_variant_props
+ORACLES["variant_props"] = SQL_VARIANT_PROPS

@@ -314,3 +314,15 @@ def test_warehouse_plans(spark, sf_dir):
     # rolling actives: day spine broadcast into the range join
     plan = _plan(q["rolling_7d_actives"](spark, sf_dir))
     assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_token_pipelines_tokenize_once(spark, sf_dir):
+    """bm25/lift downstream plans read the checkpointed per-(doc,term)
+    relation, not re-derived token explodes: at most the one auxiliary
+    count scan appears downstream (measured 4 and 9 document scans before
+    the restructure)."""
+    q = all_queries()
+    plan = q["bm25_topk_terms"](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 0
+    plan = q["term_lift_pairs"](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1  # the n_docs count only
