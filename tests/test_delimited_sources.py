@@ -111,3 +111,28 @@ def test_orc_round_trip_matches_parquet_path(spark, sf_dir, tmp_path):
     assert back.schema == src.schema
     cols = src.columns
     assert _sorted_rows(back, cols) == _sorted_rows(src, cols)
+
+
+def test_python_datasource_synth_docs(spark):
+    """Custom Python DataSource (Spark 4): partition-parallel deterministic
+    generation — same options, identical table; dense ids across
+    partitions; and the generated frame composes with the engine's
+    document operators."""
+    from pharmaceutical_sales_data_etl_analysis_pipeline_spark.operators.textops import (
+        token_counts,
+    )
+    from pharmaceutical_sales_data_etl_analysis_pipeline_spark.sources.pysource import (
+        read_synth_docs,
+    )
+
+    df = read_synth_docs(spark, n_rows=50, n_parts=3)
+    assert df.rdd.getNumPartitions() == 3
+    rows = sorted((r["doc_id"], r["text"]) for r in df.collect())
+    assert [i for i, _ in rows] == list(range(50))      # dense across partitions
+    again = sorted((r["doc_id"], r["text"]) for r in read_synth_docs(
+        spark, n_rows=50, n_parts=5).collect())
+    assert [(i, t) for i, t in rows] == again           # partitioning-invariant
+    # composes with the document operator surface
+    tc = token_counts(df)
+    assert tc.count() == 50
+    assert tc.filter(F.col("ws_tokens") != 8).count() == 0
