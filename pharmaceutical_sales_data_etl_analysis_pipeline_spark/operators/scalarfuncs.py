@@ -333,10 +333,13 @@ ORACLES["array_functions"] = SQL_ARRAY_FUNCTIONS
 # ---------------------------------------------------------------------------
 
 def variant_props(events: DataFrame) -> DataFrame:
-    v = F.parse_json(F.col("props"))
+    # try_parse_json: a malformed props row becomes NULL (matching the
+    # null-tolerance of the sibling get_json_object path) instead of
+    # failing the whole aggregate
+    v = F.try_parse_json(F.col("props"))
     k = F.try_variant_get(v, "$.k", "int")
     return (
-        events.select("event_id", "event_type", k.alias("k"))
+        events.select("event_type", k.alias("k"))
         .groupBy("event_type")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n"),

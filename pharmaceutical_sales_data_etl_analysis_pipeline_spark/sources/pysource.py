@@ -31,17 +31,21 @@ def make_synth_docs_source():
 
     class SynthDocsReader(DataSourceReader):
         def __init__(self, options):
-            self.n_rows = int(options.get("n_rows", 100))
-            self.n_parts = int(options.get("n_parts", 4))
+            self.n_rows = max(0, int(options.get("n_rows", 100)))
+            # clamp: 0/negative would div-by-zero at planning or return an
+            # empty partition list, which Spark treats as "no partitioning"
+            # and then calls read(None) — a crash, not an empty table
+            self.n_parts = max(1, int(options.get("n_parts", 4)))
 
         def partitions(self):
-            # dense doc_id ranges per partition
-            per = -(-self.n_rows // self.n_parts)
+            # dense doc_id ranges per partition; always >= 1 partition so
+            # n_rows=0 yields an empty TABLE (one empty range), not read(None)
+            per = -(-max(self.n_rows, 1) // self.n_parts)
             return [
                 InputPartition((p * per, min((p + 1) * per, self.n_rows)))
                 for p in range(self.n_parts)
                 if p * per < self.n_rows
-            ]
+            ] or [InputPartition((0, 0))]
 
         def read(self, partition):
             import hashlib

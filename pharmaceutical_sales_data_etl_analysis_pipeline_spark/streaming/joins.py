@@ -19,12 +19,13 @@ from pyspark.sql import functions as F
 ATTRIBUTION_WINDOW = "30 minutes"
 
 
-def click_purchase_attribution(events_stream: DataFrame) -> DataFrame:
-    """Inner join: click c ⋈ purchase p on user within (0, 30 min] after c.
-
-    Both sides carry watermarks so the join state is evicted once no more
-    matches can arrive; the band predicate bounds buffering to the window.
-    """
+def _attribution_join(events_stream: DataFrame, how: str) -> DataFrame:
+    """Shared attribution shape: click c ⋈ purchase p on user within
+    (0, 30 min] after c. Both sides carry watermarks so the join state is
+    evicted once no more matches can arrive; the band predicate bounds
+    buffering to the window. how='inner' emits matches only;
+    how='left_outer' also emits NULL-purchase rows once the watermark
+    proves the click unmatched."""
     clicks = (
         events_stream.filter(F.col("event_type") == "click")
         .select(
@@ -49,7 +50,7 @@ def click_purchase_attribution(events_stream: DataFrame) -> DataFrame:
         (F.col("c_user") == F.col("p_user"))
         & (F.col("purchase_ts") > F.col("click_ts"))
         & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {ATTRIBUTION_WINDOW}")),
-        "inner",
+        how,
     ).select(
         F.col("c_user").alias("user_id"),
         "click_id",
@@ -58,6 +59,10 @@ def click_purchase_attribution(events_stream: DataFrame) -> DataFrame:
         "purchase_ts",
         "purchase_value",
     )
+
+
+def click_purchase_attribution(events_stream: DataFrame) -> DataFrame:
+    return _attribution_join(events_stream, "inner")
 
 
 def dedup_stream(events_stream: DataFrame) -> DataFrame:
@@ -82,41 +87,9 @@ def dedup_stream_within_watermark(events_stream: DataFrame) -> DataFrame:
 
 
 def click_purchase_attribution_outer(events_stream: DataFrame) -> DataFrame:
-    """LEFT OUTER stream-stream attribution: every click emits — joined to
-    its purchase when one arrives inside the band, or with NULL purchase
-    columns once the watermark proves no match can still arrive. The
-    outer-side NULL row is emitted only after the watermark passes the
-    click's join window (state eviction doubles as the completeness
-    signal) — the streaming twin of a batch left join, with latency
-    bounded by the watermark delay instead of job end."""
-    clicks = (
-        events_stream.filter(F.col("event_type") == "click")
-        .select(
-            F.col("user_id").alias("c_user"),
-            F.col("event_id").alias("click_id"),
-            F.col("ts").alias("click_ts"),
-        )
-        .withWatermark("click_ts", "1 hour")
-    )
-    purchases = (
-        events_stream.filter(F.col("event_type") == "purchase")
-        .select(
-            F.col("user_id").alias("p_user"),
-            F.col("event_id").alias("purchase_id"),
-            F.col("ts").alias("purchase_ts"),
-        )
-        .withWatermark("purchase_ts", "1 hour")
-    )
-    return clicks.join(
-        purchases,
-        (F.col("c_user") == F.col("p_user"))
-        & (F.col("purchase_ts") > F.col("click_ts"))
-        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {ATTRIBUTION_WINDOW}")),
-        "left_outer",
-    ).select(
-        F.col("c_user").alias("user_id"),
-        "click_id",
-        "click_ts",
-        "purchase_id",
-        "purchase_ts",
-    )
+    """LEFT OUTER attribution: every click emits — joined when a purchase
+    arrives inside the band, or with NULL purchase columns once the
+    watermark proves no match can still arrive (state eviction doubles as
+    the completeness signal). Latency for the NULL rows is bounded by the
+    watermark delay instead of job end."""
+    return _attribution_join(events_stream, "left_outer")

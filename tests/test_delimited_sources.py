@@ -136,3 +136,6 @@ def test_python_datasource_synth_docs(spark):
     tc = token_counts(df)
     assert tc.count() == 50
     assert tc.filter(F.col("ws_tokens") != 8).count() == 0
+    # degenerate options: empty table (not a crash), clamped partitions
+    assert read_synth_docs(spark, n_rows=0, n_parts=3).count() == 0
+    assert read_synth_docs(spark, n_rows=5, n_parts=0).count() == 5

@@ -430,9 +430,12 @@ def test_stream_outer_attribution_emits_unmatched_after_watermark(spark, tmp_pat
     src = tmp_path / "outer"
     src.mkdir()
     b0 = [  # one matched click, one destined to be unmatched
-        {"event_id": 1, "ts": "2024-01-01T10:00:00", "user_id": 7, "event_type": "click"},
-        {"event_id": 2, "ts": "2024-01-01T10:10:00", "user_id": 7, "event_type": "purchase"},
-        {"event_id": 3, "ts": "2024-01-01T10:00:00", "user_id": 8, "event_type": "click"},
+        {"event_id": 1, "ts": "2024-01-01T10:00:00", "user_id": 7, "event_type": "click",
+         "value": 0.0},
+        {"event_id": 2, "ts": "2024-01-01T10:10:00", "user_id": 7, "event_type": "purchase",
+         "value": 9.5},
+        {"event_id": 3, "ts": "2024-01-01T10:00:00", "user_id": 8, "event_type": "click",
+         "value": 0.0},
     ]
     # watermark advancers: the watermark columns exist only AFTER the
     # click/purchase filters, and the join uses min(both watermarks) — so
@@ -443,9 +446,9 @@ def test_stream_outer_attribution_emits_unmatched_after_watermark(spark, tmp_pat
     def adv(eid, hour):
         return [
             {"event_id": eid, "ts": f"2024-01-01T{hour}:00:00", "user_id": 1,
-             "event_type": "purchase"},
+             "event_type": "purchase", "value": 1.0},
             {"event_id": eid + 1, "ts": f"2024-01-01T{hour}:01:00", "user_id": 2,
-             "event_type": "click"},
+             "event_type": "click", "value": 0.0},
         ]
 
     b1, b2, b3 = adv(20, 14), adv(30, 15), adv(40, 16)
@@ -462,6 +465,7 @@ def test_stream_outer_attribution_emits_unmatched_after_watermark(spark, tmp_pat
             T.StructField("ts", T.TimestampType()),
             T.StructField("user_id", T.LongType()),
             T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
         ]
     )
     stream = (
@@ -479,4 +483,5 @@ def test_stream_outer_attribution_emits_unmatched_after_watermark(spark, tmp_pat
     q.awaitTermination()
     rows = {r["click_id"]: r for r in spark.table("t_outer_attr").collect()}
     assert rows[1]["purchase_id"] == 2          # matched inside the band
+    assert rows[1]["purchase_value"] == 9.5
     assert 3 in rows and rows[3]["purchase_id"] is None  # outer NULL emitted
