@@ -781,3 +781,66 @@ FROM scored
 
 QUERIES["hourly_anomalies"] = q_hourly_anomalies
 ORACLES["hourly_anomalies"] = SQL_HOURLY_ANOMALIES
+
+
+# ---------------------------------------------------------------------------
+# Sessionized conversion: per user, the fraction of their sessions that
+# contain a purchase (composes the gaps-and-islands sessionization).
+# Ratio is rational (two integer counts, one division, portable rounding).
+# ---------------------------------------------------------------------------
+
+def session_conversion(events: DataFrame) -> DataFrame:
+    from ..functions.numeric import round_half_up
+
+    s = sessionize(events)
+    per_session = s.groupBy("user_id", "session_seq").agg(
+        F.max((F.col("event_type") == "purchase").cast("int")).alias("converted")
+    )
+    return per_session.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions"),
+        F.sum("converted").cast("long").alias("n_converted"),
+    ).select(
+        "user_id",
+        "n_sessions",
+        "n_converted",
+        round_half_up(
+            F.col("n_converted").cast("double") / F.col("n_sessions").cast("double"), 6
+        ).alias("conversion_rate"),
+    )
+
+
+def q_session_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return session_conversion(load_table(spark, sf_dir, "events"))
+
+
+SQL_SESSION_CONVERSION = f"""
+WITH flagged AS (
+  SELECT user_id, event_type, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > {SESSION_GAP_US}
+              THEN 1 ELSE 0 END AS boundary
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessions AS (
+  SELECT user_id, event_type,
+         sum(boundary) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM flagged
+),
+per_session AS (
+  SELECT user_id, session_seq,
+         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
+  FROM sessions GROUP BY 1, 2
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_sessions,
+       CAST(sum(converted) AS BIGINT) AS n_converted,
+       floor((CAST(sum(converted) AS DOUBLE) / CAST(count(*) AS DOUBLE))
+             * 1000000.0 + 0.5) / 1000000.0 AS conversion_rate
+FROM per_session
+GROUP BY user_id
+"""
+
+QUERIES["session_conversion"] = q_session_conversion
+ORACLES["session_conversion"] = SQL_SESSION_CONVERSION

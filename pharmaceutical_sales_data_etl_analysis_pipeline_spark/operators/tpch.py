@@ -15,7 +15,7 @@ top-10.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
@@ -1445,3 +1445,69 @@ ORACLES = {
     "tpch_q22": SQL_TPCH_Q22,
 }
 
+
+
+# ---------------------------------------------------------------------------
+# Join-key skew report: the diagnostic a 100 TB engine runs BEFORE a big
+# join — per-key row counts summarized into max/percentile shares, telling
+# you whether the key needs salting or AQE skew handling. Two tiny aggs
+# over the keyed counts; the percentile is the explicit row_number form
+# (engine-portable, no percentile-convention dependence).
+# ---------------------------------------------------------------------------
+
+def key_skew_report(orders: DataFrame) -> DataFrame:
+    from ..functions.numeric import round_half_up
+
+    per_key = orders.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    w = Window.orderBy(F.asc("n"), F.asc("o_custkey"))
+    ranked = per_key.select(
+        "n",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("k"),
+        F.sum("n").over(Window.partitionBy()).alias("total"),
+    )
+    return ranked.groupBy().agg(
+        F.max("k").cast("long").alias("n_keys"),
+        F.max("total").cast("long").alias("n_rows"),
+        F.max("n").cast("long").alias("max_key_rows"),
+        round_half_up(
+            F.max("n").cast("double") / F.max("total").cast("double"), 6
+        ).alias("max_key_share"),
+        F.max(F.when(F.col("rn") == F.ceil(F.col("k") * 0.5), F.col("n")))
+        .cast("long")
+        .alias("p50_key_rows"),
+        F.max(F.when(F.col("rn") == F.ceil(F.col("k") * 0.99), F.col("n")))
+        .cast("long")
+        .alias("p99_key_rows"),
+    )
+
+
+def q_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return key_skew_report(load_table(spark, sf_dir, "orders"))
+
+
+SQL_KEY_SKEW_REPORT = """
+WITH per_key AS (
+  SELECT o_custkey, CAST(count(*) AS BIGINT) AS n FROM orders GROUP BY 1
+),
+ranked AS (
+  SELECT n,
+         row_number() OVER (ORDER BY n ASC, o_custkey ASC) AS rn,
+         count(*) OVER () AS k,
+         sum(n) OVER () AS total
+  FROM per_key
+)
+SELECT CAST(max(k) AS BIGINT) AS n_keys,
+       CAST(max(total) AS BIGINT) AS n_rows,
+       CAST(max(n) AS BIGINT) AS max_key_rows,
+       floor((CAST(max(n) AS DOUBLE) / CAST(max(total) AS DOUBLE))
+             * 1000000.0 + 0.5) / 1000000.0 AS max_key_share,
+       CAST(max(CASE WHEN rn = CAST(ceil(k * 0.5) AS BIGINT) THEN n END) AS BIGINT) AS p50_key_rows,
+       CAST(max(CASE WHEN rn = CAST(ceil(k * 0.99) AS BIGINT) THEN n END) AS BIGINT) AS p99_key_rows
+FROM ranked
+"""
+
+QUERIES["key_skew_report"] = q_key_skew_report
+ORACLES["key_skew_report"] = SQL_KEY_SKEW_REPORT
