@@ -613,3 +613,115 @@ FROM coded
 
 QUERIES["embedding_quantize"] = q_embedding_quantize
 ORACLES["embedding_quantize"] = SQL_EMBEDDING_QUANTIZE
+
+
+# ---------------------------------------------------------------------------
+# Multi-probe IVF (nprobe=2): queries probe their TWO nearest centroids'
+# inverted lists, closing the nprobe=1 recall caveat documented above —
+# the standard FAISS recall/cost dial; candidates double, recall rises,
+# plan shape is identical (the probe join just matches on the query's
+# top-2 centroid set).
+# ---------------------------------------------------------------------------
+
+IVF_NPROBE = 2
+
+
+def ivf_query_probes(embeddings: DataFrame, n_queries: int = N_QUERIES,
+                     nprobe: int = IVF_NPROBE) -> DataFrame:
+    """(q_id, centroid_id) for each query's nprobe nearest centroids."""
+    cents = embeddings.filter(F.col("vec_id") % IVF_MOD == 0).select(
+        F.col("vec_id").alias("c_id"),
+        F.col("embedding").alias("c_emb"),
+        _norm(F.col("embedding")).alias("c_norm"),
+    )
+    qs = embeddings.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        _norm(F.col("embedding")).alias("q_norm"),
+    )
+    scored = qs.join(F.broadcast(cents)).select(
+        "q_id",
+        "c_id",
+        round_half_up(
+            _dot(F.col("q_emb"), F.col("c_emb")) / (F.col("q_norm") * F.col("c_norm")), 9
+        ).alias("cos"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("c_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= nprobe)
+        .select("q_id", F.col("c_id").alias("centroid_id"))
+    )
+
+
+def ivf_probe2_topk(embeddings: DataFrame, n_queries: int = N_QUERIES,
+                    k: int = TOP_K) -> DataFrame:
+    assign = ivf_assignments(embeddings)
+    probes = ivf_query_probes(embeddings, n_queries)
+    docs = embeddings.join(assign, "vec_id").select(
+        F.col("vec_id").alias("d_id"),
+        F.col("embedding").alias("d_emb"),
+        F.col("centroid_id").alias("d_cent"),
+        _norm(F.col("embedding")).alias("d_norm"),
+    )
+    queries = embeddings.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        _norm(F.col("embedding")).alias("q_norm"),
+    ).join(probes, "q_id")
+    scored = (
+        docs.join(
+            F.broadcast(queries),
+            (F.col("centroid_id") == F.col("d_cent")) & (F.col("q_id") != F.col("d_id")),
+        )
+        .select(
+            "q_id",
+            "d_id",
+            round_half_up(
+                _dot(F.col("q_emb"), F.col("d_emb")) / (F.col("q_norm") * F.col("d_norm")), 9
+            ).alias("cosine"),
+        )
+        .distinct()  # a doc reachable via both probed lists counts once
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("d_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("q_id", "d_id", "cosine", F.col("rnk").cast("int").alias("rnk"))
+    )
+
+
+def q_ivf_probe2_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ivf_probe2_topk(load_table(spark, sf_dir, "embeddings"))
+
+
+SQL_IVF_PROBE2_TOPK = f"""
+WITH {_ivf_cte()},
+qprobes AS (
+  SELECT vec_id AS q_id, c_id AS centroid_id
+  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, c_id ASC) AS rn
+        FROM cscored WHERE vec_id < {N_QUERIES}) t
+  WHERE rn <= {IVF_NPROBE}
+),
+scored AS (
+  SELECT DISTINCT p.q_id, d.vec_id AS d_id,
+         floor((list_reduce(list_transform(range(1, len(qb.e) + 1), i -> qb.e[i] * db.e[i]),
+                            (acc, x) -> acc + x)
+                / (qn.nrm * dn.nrm)) * 1000000000.0 + 0.5) / 1000000000.0 AS cosine
+  FROM qprobes p
+  JOIN assign d ON p.centroid_id = d.centroid_id AND d.vec_id <> p.q_id
+  JOIN base qb ON qb.vec_id = p.q_id
+  JOIN base db ON db.vec_id = d.vec_id
+  JOIN norms qn ON qn.vec_id = p.q_id
+  JOIN norms dn ON dn.vec_id = d.vec_id
+)
+SELECT q_id, d_id, cosine, CAST(rnk AS INT) AS rnk
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, d_id ASC) AS rnk
+  FROM scored
+) t
+WHERE rnk <= {TOP_K}
+"""
+
+QUERIES["ivf_probe2_topk"] = q_ivf_probe2_topk
+ORACLES["ivf_probe2_topk"] = SQL_IVF_PROBE2_TOPK
