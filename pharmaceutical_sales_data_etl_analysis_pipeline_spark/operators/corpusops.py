@@ -1217,3 +1217,72 @@ LIMIT {LIFT_TOP}
 
 QUERIES["term_lift_pairs"] = q_term_lift_pairs
 ORACLES["term_lift_pairs"] = SQL_TERM_LIFT_PAIRS
+
+
+# ---------------------------------------------------------------------------
+# Dedup rate by source: the corpus-governance scoreboard — per source, how
+# many documents are exact-content duplicates of ANOTHER document in the
+# whole corpus (cross-source dups count against both sources). One
+# fingerprint agg + a broadcast join of the (tiny) duplicated-fingerprint
+# set back onto the per-source counts.
+# ---------------------------------------------------------------------------
+
+def dedup_rate_by_source(documents: DataFrame) -> DataFrame:
+    from ..functions.numeric import round_half_up
+    from .textops import fingerprints
+
+    fp = fingerprints(documents).select("doc_id", "fingerprint")
+    tagged = documents.select("doc_id", "source").join(fp, "doc_id")
+    dup_fps = (
+        tagged.groupBy("fingerprint")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+        .select("fingerprint")
+    )
+    marked = tagged.join(
+        F.broadcast(dup_fps.withColumn("is_dup", F.lit(1))), "fingerprint", "left"
+    )
+    return marked.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.coalesce("is_dup", F.lit(0))).cast("long").alias("n_duplicated"),
+    ).select(
+        "source",
+        "n_docs",
+        "n_duplicated",
+        round_half_up(
+            F.col("n_duplicated").cast("double") / F.col("n_docs").cast("double"), 6
+        ).alias("dup_rate"),
+    )
+
+
+def q_dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup_rate_by_source(load_table(spark, sf_dir, "documents"))
+
+
+def _dedup_rate_sql() -> str:
+    from .textops import SQL_FINGERPRINTS
+
+    return f"""
+WITH fp AS ({SQL_FINGERPRINTS}),
+tagged AS (
+  SELECT d.doc_id, d.source, fp.fingerprint
+  FROM documents d JOIN fp ON d.doc_id = fp.doc_id
+),
+dup_fps AS (
+  SELECT fingerprint FROM tagged GROUP BY 1 HAVING count(*) > 1
+)
+SELECT t.source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN df.fingerprint IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_duplicated,
+       floor((CAST(sum(CASE WHEN df.fingerprint IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+              / CAST(count(*) AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS dup_rate
+FROM tagged t LEFT JOIN dup_fps df ON t.fingerprint = df.fingerprint
+GROUP BY t.source
+"""
+
+
+SQL_DEDUP_RATE_BY_SOURCE = _dedup_rate_sql()
+
+QUERIES["dedup_rate_by_source"] = q_dedup_rate_by_source
+ORACLES["dedup_rate_by_source"] = SQL_DEDUP_RATE_BY_SOURCE
