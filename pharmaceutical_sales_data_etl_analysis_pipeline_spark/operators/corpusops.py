@@ -1223,8 +1223,11 @@ ORACLES["term_lift_pairs"] = SQL_TERM_LIFT_PAIRS
 # Dedup rate by source: the corpus-governance scoreboard — per source, how
 # many documents are exact-content duplicates of ANOTHER document in the
 # whole corpus (cross-source dups count against both sources). One
-# fingerprint agg + a broadcast join of the (tiny) duplicated-fingerprint
-# set back onto the per-source counts.
+# fingerprint agg + an equi-join of the duplicated-fingerprint set back
+# onto the tagged rows. The dup set is NOT forced to broadcast: its size
+# scales with the corpus-wide duplicate count — exactly what this metric
+# exists to detect — so the join strategy is left to AQE (broadcast when
+# small, shuffle join when the corpus is dirty).
 # ---------------------------------------------------------------------------
 
 def dedup_rate_by_source(documents: DataFrame) -> DataFrame:
@@ -1240,7 +1243,7 @@ def dedup_rate_by_source(documents: DataFrame) -> DataFrame:
         .select("fingerprint")
     )
     marked = tagged.join(
-        F.broadcast(dup_fps.withColumn("is_dup", F.lit(1))), "fingerprint", "left"
+        dup_fps.withColumn("is_dup", F.lit(1)), "fingerprint", "left"
     )
     return marked.groupBy("source").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),

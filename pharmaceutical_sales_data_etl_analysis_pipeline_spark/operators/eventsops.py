@@ -793,8 +793,12 @@ def session_conversion(events: DataFrame) -> DataFrame:
     from ..functions.numeric import round_half_up
 
     s = sessionize(events)
+    # NULL-total like the oracle's CASE: an all-NULL-event_type session
+    # counts as unconverted (0), never NULL-poisons the per-user sums
     per_session = s.groupBy("user_id", "session_seq").agg(
-        F.max((F.col("event_type") == "purchase").cast("int")).alias("converted")
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("converted")
     )
     return per_session.groupBy("user_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_sessions"),

@@ -402,16 +402,16 @@ SELECT vec_a, vec_b, cosine FROM scored WHERE cosine >= {NEARDUP_MIN_COS}
 IVF_MOD = 50  # centroid density: ~N/IVF_MOD inverted lists
 
 
-def ivf_assignments(embeddings: DataFrame) -> DataFrame:
-    """(vec_id, centroid_id): nearest centroid by cosine (ties -> lowest
-    centroid id). Single broadcast nested-loop pass + per-vector argmin."""
+def _centroid_topn(embeddings: DataFrame, vecs: DataFrame, n: int) -> DataFrame:
+    """(vec_id, centroid_id) for each vector's n nearest centroids by
+    cosine (ties -> lowest centroid id). THE single definition of the
+    scoring/tie-break convention — assignment (n=1) and multi-probe share
+    it, so the probe paths can never drift from the list-building path
+    (the recall-monotonicity test depends on that)."""
     cents = embeddings.filter(F.col("vec_id") % IVF_MOD == 0).select(
         F.col("vec_id").alias("c_id"),
         F.col("embedding").alias("c_emb"),
         _norm(F.col("embedding")).alias("c_norm"),
-    )
-    vecs = embeddings.select(
-        "vec_id", "embedding", _norm(F.col("embedding")).alias("v_norm")
     )
     scored = vecs.join(F.broadcast(cents)).select(
         "vec_id",
@@ -423,9 +423,18 @@ def ivf_assignments(embeddings: DataFrame) -> DataFrame:
     w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("c_id"))
     return (
         scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
+        .filter(F.col("rn") <= n)
         .select("vec_id", F.col("c_id").alias("centroid_id"))
     )
+
+
+def ivf_assignments(embeddings: DataFrame) -> DataFrame:
+    """(vec_id, centroid_id): nearest centroid — the n=1 case of
+    _centroid_topn. Single broadcast nested-loop pass + per-vector argmin."""
+    vecs = embeddings.select(
+        "vec_id", "embedding", _norm(F.col("embedding")).alias("v_norm")
+    )
+    return _centroid_topn(embeddings, vecs, 1)
 
 
 def q_ivf_list_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -468,7 +477,12 @@ FROM assign GROUP BY centroid_id
 """
 
 
-def ivf_probe_topk(embeddings: DataFrame, n_queries: int = N_QUERIES, k: int = TOP_K) -> DataFrame:
+def ivf_probe_topk(embeddings: DataFrame, n_queries: int = N_QUERIES,
+                   k: int = TOP_K, nprobe: int = 1) -> DataFrame:
+    """IVF probe: each query searches its nprobe nearest centroids' lists
+    with exact cosine. A (q, d) pair arises through at most ONE probed
+    list (each doc lives in exactly one inverted list), so no distinct is
+    needed after the probe join at any nprobe."""
     assign = ivf_assignments(embeddings)
     docs = embeddings.join(assign, "vec_id").select(
         F.col("vec_id").alias("d_id"),
@@ -476,14 +490,20 @@ def ivf_probe_topk(embeddings: DataFrame, n_queries: int = N_QUERIES, k: int = T
         F.col("centroid_id").alias("d_cent"),
         _norm(F.col("embedding")).alias("d_norm"),
     )
+    qvecs = embeddings.filter(F.col("vec_id") < n_queries).select(
+        "vec_id", "embedding", _norm(F.col("embedding")).alias("v_norm")
+    )
+    probes = _centroid_topn(embeddings, qvecs, nprobe)
     queries = (
-        embeddings.filter(F.col("vec_id") < n_queries)
-        .join(assign, "vec_id")
-        .select(
-            F.col("vec_id").alias("q_id"),
+        qvecs.select(
+            F.col("vec_id"),
             F.col("embedding").alias("q_emb"),
+            F.col("v_norm").alias("q_norm"),
+        )
+        .join(probes, "vec_id")
+        .select(
+            F.col("vec_id").alias("q_id"), "q_emb", "q_norm",
             F.col("centroid_id").alias("q_cent"),
-            _norm(F.col("embedding")).alias("q_norm"),
         )
     )
     scored = (
@@ -626,69 +646,9 @@ ORACLES["embedding_quantize"] = SQL_EMBEDDING_QUANTIZE
 IVF_NPROBE = 2
 
 
-def ivf_query_probes(embeddings: DataFrame, n_queries: int = N_QUERIES,
-                     nprobe: int = IVF_NPROBE) -> DataFrame:
-    """(q_id, centroid_id) for each query's nprobe nearest centroids."""
-    cents = embeddings.filter(F.col("vec_id") % IVF_MOD == 0).select(
-        F.col("vec_id").alias("c_id"),
-        F.col("embedding").alias("c_emb"),
-        _norm(F.col("embedding")).alias("c_norm"),
-    )
-    qs = embeddings.filter(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("q_id"),
-        F.col("embedding").alias("q_emb"),
-        _norm(F.col("embedding")).alias("q_norm"),
-    )
-    scored = qs.join(F.broadcast(cents)).select(
-        "q_id",
-        "c_id",
-        round_half_up(
-            _dot(F.col("q_emb"), F.col("c_emb")) / (F.col("q_norm") * F.col("c_norm")), 9
-        ).alias("cos"),
-    )
-    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("c_id"))
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= nprobe)
-        .select("q_id", F.col("c_id").alias("centroid_id"))
-    )
-
-
 def ivf_probe2_topk(embeddings: DataFrame, n_queries: int = N_QUERIES,
                     k: int = TOP_K) -> DataFrame:
-    assign = ivf_assignments(embeddings)
-    probes = ivf_query_probes(embeddings, n_queries)
-    docs = embeddings.join(assign, "vec_id").select(
-        F.col("vec_id").alias("d_id"),
-        F.col("embedding").alias("d_emb"),
-        F.col("centroid_id").alias("d_cent"),
-        _norm(F.col("embedding")).alias("d_norm"),
-    )
-    queries = embeddings.filter(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("q_id"),
-        F.col("embedding").alias("q_emb"),
-        _norm(F.col("embedding")).alias("q_norm"),
-    ).join(probes, "q_id")
-    scored = (
-        docs.join(
-            F.broadcast(queries),
-            (F.col("centroid_id") == F.col("d_cent")) & (F.col("q_id") != F.col("d_id")),
-        )
-        .select(
-            "q_id",
-            "d_id",
-            round_half_up(
-                _dot(F.col("q_emb"), F.col("d_emb")) / (F.col("q_norm") * F.col("d_norm")), 9
-            ).alias("cosine"),
-        )
-        .distinct()  # a doc reachable via both probed lists counts once
-    )
-    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("d_id"))
-    return (
-        scored.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= k)
-        .select("q_id", "d_id", "cosine", F.col("rnk").cast("int").alias("rnk"))
-    )
+    return ivf_probe_topk(embeddings, n_queries, k, nprobe=IVF_NPROBE)
 
 
 def q_ivf_probe2_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -704,7 +664,7 @@ qprobes AS (
   WHERE rn <= {IVF_NPROBE}
 ),
 scored AS (
-  SELECT DISTINCT p.q_id, d.vec_id AS d_id,
+  SELECT p.q_id, d.vec_id AS d_id,
          floor((list_reduce(list_transform(range(1, len(qb.e) + 1), i -> qb.e[i] * db.e[i]),
                             (acc, x) -> acc + x)
                 / (qn.nrm * dn.nrm)) * 1000000000.0 + 0.5) / 1000000000.0 AS cosine

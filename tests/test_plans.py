@@ -329,10 +329,8 @@ def test_token_pipelines_tokenize_once(spark, sf_dir):
 
 
 def test_ivf_multiprobe_recall_dominates_single_probe(spark, sf_dir):
-    """The nprobe dial measurably works: recall@10 against the brute-force
-    ground truth is monotone in nprobe (probe2 finds every probe1 result
-    and at least as many ground-truth neighbors), and both stay subsets of
-    the exact top-k universe."""
+    """recall@10 against the brute-force ground truth: probe-2's truth
+    hits contain probe-1's (set inclusion, not just counts)."""
     from pharmaceutical_sales_data_etl_analysis_pipeline_spark.operators.similarity import (
         q_cosine_topk,
         q_ivf_probe2_topk,
@@ -344,7 +342,42 @@ def test_ivf_multiprobe_recall_dominates_single_probe(spark, sf_dir):
     }
     p1 = {(r["q_id"], r["d_id"]) for r in q_ivf_probe_topk(spark, sf_dir).collect()}
     p2 = {(r["q_id"], r["d_id"]) for r in q_ivf_probe2_topk(spark, sf_dir).collect()}
-    r1 = len(p1 & truth) / len(truth)
-    r2 = len(p2 & truth) / len(truth)
-    assert r2 >= r1, (r1, r2)
-    assert r2 > 0  # the probe finds real neighbors, not noise
+    assert (p1 & truth) <= (p2 & truth)
+    assert len(p2 & truth) > 0  # the probe finds real neighbors, not noise
+
+
+def test_ivf_second_probe_finds_planted_cross_list_neighbor(spark):
+    """The dial MEASURABLY works: a neighbor planted in the query's
+    second-nearest centroid's list is invisible to nprobe=1 and found by
+    nprobe=2 — a regression that silently degrades ivf_probe2 to a single
+    probe fails here (the generic corpus can't prove this: r2 >= r1 holds
+    by construction)."""
+    import math
+
+    from pharmaceutical_sales_data_etl_analysis_pipeline_spark.operators.similarity import (
+        ivf_probe2_topk,
+        ivf_probe_topk,
+    )
+
+    def vec(deg):
+        a = math.radians(deg)
+        v = [0.0] * 64
+        v[0], v[1] = math.cos(a), math.sin(a)
+        return [float(x) for x in v]
+
+    ortho = [0.0] * 64
+    ortho[5] = 1.0
+    rows = [
+        (0, vec(0)),        # centroid A (ids % 50 == 0 are centroids)
+        (50, vec(40)),      # centroid B
+        (100, [float(x) for x in ortho]),  # far centroid
+        (1, vec(15)),       # QUERY: 15deg from A, 25deg from B -> list A
+        (7, vec(17)),       # true neighbor: 17deg from A BUT 23deg... plant
+    ]
+    # neighbor must land in B's list: angle 22deg -> 22 from A, 18 from B
+    rows[-1] = (7, vec(22))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    p1 = {(r["q_id"], r["d_id"]) for r in ivf_probe_topk(df, n_queries=2).collect()}
+    p2 = {(r["q_id"], r["d_id"]) for r in ivf_probe2_topk(df, n_queries=2).collect()}
+    assert (1, 7) not in p1   # nprobe=1 can't see across lists
+    assert (1, 7) in p2       # nprobe=2 probes B's list and finds it
