@@ -451,3 +451,69 @@ WHERE (CASE WHEN a.k IS NULL THEN 'added'
 
 QUERIES["table_diff"] = q_table_diff
 ORACLES["table_diff"] = SQL_TABLE_DIFF
+
+
+# ---------------------------------------------------------------------------
+# RFM segmentation: the classic CRM rollup — per customer, Recency (days
+# since last order, relative to the corpus's max date so the result is a
+# pure function of the data), Frequency (order count), Monetary (DECIMAL-
+# exact spend), each scored into quintiles by ntile with a key tie-break
+# (deterministic across engines). One scan + one agg + three bounded
+# windows over the per-customer rollup (|customers| rows, not |orders|).
+# ---------------------------------------------------------------------------
+
+def rfm_segments(orders: DataFrame) -> DataFrame:
+    per_cust = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).cast("long").alias("frequency"),
+        money_sum("o_totalprice", "monetary"),
+    )
+    anchor = orders.agg(F.max("o_orderdate").alias("anchor"))
+    base = per_cust.crossJoin(F.broadcast(anchor)).select(
+        "custkey",
+        F.datediff("anchor", "last_order").cast("int").alias("recency_days"),
+        "frequency",
+        "monetary",
+    )
+    w_r = Window.orderBy(F.asc("recency_days"), F.asc("custkey"))
+    w_f = Window.orderBy(F.desc("frequency"), F.asc("custkey"))
+    w_m = Window.orderBy(F.desc("monetary"), F.asc("custkey"))
+    return base.select(
+        "custkey",
+        "recency_days",
+        "frequency",
+        "monetary",
+        F.ntile(5).over(w_r).cast("int").alias("r_score"),
+        F.ntile(5).over(w_f).cast("int").alias("f_score"),
+        F.ntile(5).over(w_m).cast("int").alias("m_score"),
+    )
+
+
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return rfm_segments(load_table(spark, sf_dir, "orders"))
+
+
+SQL_RFM_SEGMENTS = f"""
+WITH per_cust AS (
+  SELECT o_custkey AS custkey,
+         max(o_orderdate) AS last_order,
+         CAST(count(*) AS BIGINT) AS frequency,
+         {money_sum_sql('o_totalprice', 'monetary')}
+  FROM orders GROUP BY 1
+),
+anchor AS (SELECT max(o_orderdate) AS anchor FROM orders),
+base AS (
+  SELECT custkey,
+         CAST(date_diff('day', last_order, anchor) AS INT) AS recency_days,
+         frequency, monetary
+  FROM per_cust, anchor
+)
+SELECT custkey, recency_days, frequency, monetary,
+       CAST(ntile(5) OVER (ORDER BY recency_days ASC, custkey ASC) AS INT) AS r_score,
+       CAST(ntile(5) OVER (ORDER BY frequency DESC, custkey ASC) AS INT) AS f_score,
+       CAST(ntile(5) OVER (ORDER BY monetary DESC, custkey ASC) AS INT) AS m_score
+FROM base
+"""
+
+QUERIES["rfm_segments"] = q_rfm_segments
+ORACLES["rfm_segments"] = SQL_RFM_SEGMENTS
