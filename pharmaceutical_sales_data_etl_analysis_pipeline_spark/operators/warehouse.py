@@ -458,8 +458,13 @@ ORACLES["table_diff"] = SQL_TABLE_DIFF
 # since last order, relative to the corpus's max date so the result is a
 # pure function of the data), Frequency (order count), Monetary (DECIMAL-
 # exact spend), each scored into quintiles by ntile with a key tie-break
-# (deterministic across engines). One scan + one agg + three bounded
-# windows over the per-customer rollup (|customers| rows, not |orders|).
+# (deterministic across engines). One scan + one agg; the three ntile
+# windows run over the per-customer rollup (|customers| rows, not
+# |orders|) but are GLOBAL — a total order is inherent to exact ntile, so
+# each is a single-partition sort of the rollup. Fine up to ~100M
+# customers; beyond that, switch to broadcast quantile boundaries (the
+# corpusops.quality_deciles histogram pattern) and accept boundary-tie
+# approximation.
 # ---------------------------------------------------------------------------
 
 def rfm_segments(orders: DataFrame) -> DataFrame:
