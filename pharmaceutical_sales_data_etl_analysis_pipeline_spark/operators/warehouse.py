@@ -522,3 +522,86 @@ FROM base
 
 QUERIES["rfm_segments"] = q_rfm_segments
 ORACLES["rfm_segments"] = SQL_RFM_SEGMENTS
+
+
+# ---------------------------------------------------------------------------
+# Market-basket affinity: part pairs bought together more often than
+# independence predicts — lift = N_orders * c_xy / (c_x * c_y), the
+# retail twin of corpusops.term_lift_pairs. The pair self-join is keyed
+# by order and bounded by lines-per-order (<= 7 in TPC-H at any scale
+# factor), so pair generation is linear in lineitems, never quadratic in
+# parts; per-part order frequency rides along as a pre-join window column.
+# ---------------------------------------------------------------------------
+
+BASKET_TOP = 20
+BASKET_MIN_COOC = 2  # noise floor: a pair seen once is not a signal
+
+
+def basket_affinity(lineitem: DataFrame, orders: DataFrame,
+                    k: int = BASKET_TOP) -> DataFrame:
+    from ..functions.numeric import round_half_up
+
+    op = (
+        lineitem.select(
+            F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("part")
+        )
+        .distinct()
+        .withColumn("c", F.count(F.lit(1)).over(Window.partitionBy("part")))
+        .localCheckpoint()
+    )
+    a, b = op.alias("a"), op.alias("b")
+    cxy = (
+        a.join(b, (F.col("a.okey") == F.col("b.okey")) & (F.col("a.part") < F.col("b.part")))
+        .groupBy(F.col("a.part").alias("part_a"), F.col("b.part").alias("part_b"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_cooc"),
+            F.max(F.col("a.c")).cast("long").alias("ca"),
+            F.max(F.col("b.c")).cast("long").alias("cb"),
+        )
+        .filter(F.col("n_cooc") >= BASKET_MIN_COOC)
+    )
+    n_orders = orders.agg(F.count(F.lit(1)).cast("double").alias("n_orders"))
+    lift = (F.col("n_orders") * F.col("n_cooc").cast("double")) / (
+        F.col("ca").cast("double") * F.col("cb").cast("double")
+    )
+    return (
+        cxy.crossJoin(F.broadcast(n_orders))
+        .select("part_a", "part_b", "n_cooc", round_half_up(lift, 6).alias("lift"))
+        .orderBy(F.desc("lift"), F.asc("part_a"), F.asc("part_b"))
+        .limit(k)
+    )
+
+
+def q_basket_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return basket_affinity(
+        load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "orders")
+    )
+
+
+SQL_BASKET_AFFINITY = f"""
+WITH op AS (
+  SELECT DISTINCT l_orderkey AS okey, l_partkey AS part FROM lineitem
+),
+counted AS (
+  SELECT okey, part, count(*) OVER (PARTITION BY part) AS c FROM op
+),
+cxy AS (
+  SELECT a.part AS part_a, b.part AS part_b,
+         CAST(count(*) AS BIGINT) AS n_cooc,
+         CAST(max(a.c) AS BIGINT) AS ca,
+         CAST(max(b.c) AS BIGINT) AS cb
+  FROM counted a JOIN counted b ON a.okey = b.okey AND a.part < b.part
+  GROUP BY 1, 2
+  HAVING count(*) >= {BASKET_MIN_COOC}
+)
+SELECT part_a, part_b, n_cooc,
+       floor((((SELECT CAST(count(*) AS DOUBLE) FROM orders) * CAST(n_cooc AS DOUBLE))
+              / (CAST(ca AS DOUBLE) * CAST(cb AS DOUBLE)))
+             * 1000000.0 + 0.5) / 1000000.0 AS lift
+FROM cxy
+ORDER BY lift DESC, part_a ASC, part_b ASC
+LIMIT {BASKET_TOP}
+"""
+
+QUERIES["basket_affinity"] = q_basket_affinity
+ORACLES["basket_affinity"] = SQL_BASKET_AFFINITY

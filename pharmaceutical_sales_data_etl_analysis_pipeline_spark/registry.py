@@ -120,7 +120,7 @@ PRIORITY = [
 # dataset_cards, inverted_index, interpolate_hourly, embedding_quantize,
 # table_diff, bm25_topk_terms, event_transitions, activity_heatmap,
 # hourly_anomalies, price_quantity_corr, weighted_sample,
-# term_lift_pairs, variant_props, session_conversion, key_skew_report, ivf_probe2_topk, dedup_rate_by_source, rfm_segments —
+# term_lift_pairs, variant_props, session_conversion, key_skew_report, ivf_probe2_topk, dedup_rate_by_source, rfm_segments, basket_affinity —
 # added late in r2, pass-local this round; rotate into
 # PRIORITY for the r3 sweep.
 
