@@ -432,8 +432,12 @@ SQL_SIMHASH = _simhash_sql()
 
 
 # ---------------------------------------------------------------------------
-# SimHash near-dup pairs: Hamming distance ≤ 6 on a bounded subset
-# (doc_id < 2000, kept so the result is oracle-checkable all-pairs SQL).
+# SimHash near-dup pairs: Hamming distance ≤ 6 over the FULL corpus.
+# (r2 kept a doc_id<2000 subset cap to protect the DuckDB oracle's
+# quadratic all-pairs verify; the driver's correctness scale is sf0.01 =
+# 500 docs, where all-pairs is trivial, so r3 lifts the cap — the
+# registered Spark plan now runs the production full-corpus shape and the
+# bench at sf0.1 exercises it on 5000 docs.)
 #
 # Registered plan = banded LSH (the 100 TB shape), NOT an all-pairs join:
 # split the 32-bit signature into 8 bands of 4 bits. Hamming ≤ 6 flips
@@ -451,7 +455,6 @@ SQL_SIMHASH = _simhash_sql()
 # ---------------------------------------------------------------------------
 
 HAMMING_MAX = 6
-SIMHASH_SUBSET = 2000
 SIMHASH_BANDS = 8  # 4 bits each over the 32-bit signature
 _BAND_PAIRS = [
     (i, j) for i in range(SIMHASH_BANDS) for j in range(i + 1, SIMHASH_BANDS)
@@ -474,7 +477,7 @@ def simhash_band_pairs(sig: DataFrame) -> DataFrame:
 
 
 def simhash_near_dups(documents: DataFrame) -> DataFrame:
-    sig = simhash(documents.filter(F.col("doc_id") < SIMHASH_SUBSET))
+    sig = simhash(documents)
     keys = simhash_band_pairs(sig)
     a, b = keys.alias("a"), keys.alias("b")
     ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
@@ -498,7 +501,7 @@ def simhash_near_dups(documents: DataFrame) -> DataFrame:
 def simhash_near_dups_allpairs(documents: DataFrame) -> DataFrame:
     """Quadratic ground truth (test-side only — calibration for the banded
     plan; identical output guaranteed by the pigeonhole argument above)."""
-    sig = simhash(documents.filter(F.col("doc_id") < SIMHASH_SUBSET))
+    sig = simhash(documents)
     a, b = sig.alias("a"), sig.alias("b")
     ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
     return (
@@ -518,7 +521,7 @@ def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_SIMHASH_NEAR_DUPS = f"""
 WITH sig AS (
-  SELECT * FROM ({SQL_SIMHASH}) s WHERE doc_id < {SIMHASH_SUBSET}
+  SELECT * FROM ({SQL_SIMHASH}) s
 )
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
@@ -528,16 +531,18 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= {HAMMING_MAX}
 
 
 # ---------------------------------------------------------------------------
-# Exact n-gram Jaccard on a bounded subset (ground truth for MinHash):
+# Exact n-gram Jaccard over the full corpus (ground truth for MinHash):
 # shingle equi-join → |A∩B|, sizes from per-doc counts, J = i/(a+b-i).
+# Candidates come from the shingle equi-join (linear in shingle-collision
+# volume, never all-pairs); the r2 doc_id<1000 cap was protection for the
+# oracle only and is lifted in r3 (sf0.01 = 500 docs, cap was a no-op).
 # ---------------------------------------------------------------------------
 
-JACCARD_SUBSET = 1000
 JACCARD_MIN = 0.05
 
 
 def ngram_jaccard(documents: DataFrame) -> DataFrame:
-    sh = with_shingles(documents.filter(F.col("doc_id") < JACCARD_SUBSET))
+    sh = with_shingles(documents)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
@@ -568,7 +573,7 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_NGRAM_JACCARD = f"""
 WITH {SQL_SHINGLES_CTE},
-sub AS (SELECT * FROM shingled WHERE doc_id < {JACCARD_SUBSET}),
+sub AS (SELECT * FROM shingled),
 sizes AS (SELECT doc_id, count(*) AS n_sh FROM sub GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter

@@ -43,6 +43,17 @@ def _fold(terms: Column) -> Column:
     return F.aggregate(terms, F.lit(0.0), lambda acc, x: acc + x)
 
 
+# NOTE (measured, r3): Spark's higher-order array functions are
+# CodegenFallback (interpreted, boxed per element), so _dot in a verify
+# join over ~10^5 candidates costs seconds. Unrolling DIM=64 into an
+# element_at chain was tried and is ~2.5x SLOWER: the generated methods
+# blow past the JVM's JIT HugeMethodLimit and run in the bytecode
+# interpreter (1.7 MB task binaries). Keep the HOF fold; where the
+# candidate count makes it the bottleneck, use an Arrow-vectorized verify
+# (dim-ordered numpy accumulation — same IEEE op order, see
+# embedding_near_dups) instead of widening the JVM expression.
+
+
 def _dot(a: Column, b: Column) -> Column:
     return _fold(F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")))
 
@@ -269,7 +280,12 @@ WHERE rnk <= {TOP_K}
 
 
 # ---------------------------------------------------------------------------
-# Embedding near-dup pairs: cosine ≥ threshold on a bounded subset.
+# Embedding near-dup pairs: cosine ≥ threshold over the FULL corpus.
+# (r2 capped the input at vec_id<500 to bound the oracle; sf0.01 has 500
+# vectors so the cap was a no-op at correctness scale — r3 lifts it so the
+# registered plan and the sf0.1 bench run the production shape on the
+# whole table. The oracle's candidate predicate is the same LSH Hamming
+# contract, linear via bucket join on the Spark side.)
 #
 # Registered plan = the LSH production path, not an all-pairs join:
 # candidates come from the sign-LSH bucket join (multi-probe: side A emits,
@@ -287,7 +303,6 @@ WHERE rnk <= {TOP_K}
 # exact quadratic form test-side as ground truth/calibration.
 # ---------------------------------------------------------------------------
 
-NEARDUP_SUBSET = 500
 NEARDUP_MIN_COS = 0.9
 PROBE_HAMMING = 2
 _PROBE_MASKS = (
@@ -297,41 +312,77 @@ _PROBE_MASKS = (
 )
 
 
+_NEARDUP_OUT = "vec_a long, vec_b long, cosine double"
+
+
 def embedding_near_dups(embeddings: DataFrame) -> DataFrame:
-    sub = embeddings.filter(F.col("vec_id") < NEARDUP_SUBSET).select(
-        "vec_id", "embedding", _norm(F.col("embedding")).alias("nrm")
+    """Candidates from the multi-probe bucket equi-join on (vec_id, probe)
+    keys ONLY — the 37x probe explode duplicates 12 bytes per row, not the
+    embedding vector — then embeddings re-attach by vec_id for the verify.
+
+    Verify is an Arrow-vectorized mapInPandas, not the JVM `_dot` fold:
+    Spark's higher-order array functions are CodegenFallback (interpreted,
+    boxed per element), and with the r3 cap lift the candidate volume makes
+    that the bottleneck (measured 6.1 s -> 1.3 s at sf0.1). The numpy
+    accumulation is vectorized ACROSS candidates but sequential ACROSS
+    dimensions (acc = acc + a_i * b_i in array order, float64), i.e. the
+    exact IEEE op order of the JVM fold and DuckDB's list_reduce — the
+    cosine stays bit-identical to the oracle.
+
+    At 100 TB: candidate generation is a shuffle hash join on int keys, the
+    two embedding attaches are vec_id equi-joins (linear), and the verify
+    streams Arrow batches — no quadratic stage anywhere.
+    """
+    coded = embeddings.select(
+        "vec_id", lsh_bucket_col(F.col("embedding")).alias("bucket")
     )
-    coded = sub.withColumn("bucket", lsh_bucket_col(F.col("embedding")))
     probes = coded.select(
         "vec_id",
-        "embedding",
-        "nrm",
         F.explode(F.array(*[F.lit(m) for m in _PROBE_MASKS])).alias("mask"),
         "bucket",
-    ).withColumn("probe", F.col("bucket").bitwiseXOR(F.col("mask")))
+    ).select("vec_id", F.col("bucket").bitwiseXOR(F.col("mask")).alias("probe"))
     a, b = probes.alias("a"), coded.alias("b")
-    cos = round_half_up(
-        _dot(F.col("a.embedding"), F.col("b.embedding")) / (F.col("a.nrm") * F.col("b.nrm")), 9
-    ).alias("cosine")
-    return (
-        a.join(
-            b,
-            (F.col("a.probe") == F.col("b.bucket"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            cos,
-        )
-        .filter(F.col("cosine") >= NEARDUP_MIN_COS)
+    cand = a.join(
+        b,
+        (F.col("a.probe") == F.col("b.bucket"))
+        & (F.col("a.vec_id") < F.col("b.vec_id")),
+    ).select(
+        F.col("a.vec_id").alias("vec_a"),
+        F.col("b.vec_id").alias("vec_b"),
     )
+    ea = embeddings.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"))
+    eb = embeddings.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"))
+    pairs = cand.join(ea, "vec_a").join(eb, "vec_b")
+
+    def verify(batches):
+        import numpy as np
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            va = np.stack(pdf["emb_a"].to_numpy()).astype(np.float64)
+            vb = np.stack(pdf["emb_b"].to_numpy()).astype(np.float64)
+            n = len(pdf)
+            dot = np.zeros(n)
+            na = np.zeros(n)
+            nb = np.zeros(n)
+            for i in range(va.shape[1]):  # dim order = the oracle's fold order
+                dot = dot + va[:, i] * vb[:, i]
+                na = na + va[:, i] * va[:, i]
+                nb = nb + vb[:, i] * vb[:, i]
+            cos = np.floor(dot / (np.sqrt(na) * np.sqrt(nb)) * 1e9 + 0.5) / 1e9
+            keep = cos >= NEARDUP_MIN_COS
+            out = pdf.loc[keep, ["vec_a", "vec_b"]].copy()
+            out["cosine"] = cos[keep]
+            yield out
+
+    return pairs.mapInPandas(verify, schema=_NEARDUP_OUT)
 
 
 def embedding_near_dups_allpairs(embeddings: DataFrame) -> DataFrame:
-    """Exact quadratic ground truth (test-side only): all pairs of the
-    bounded subset — what the DuckDB oracle computes."""
-    sub = embeddings.filter(F.col("vec_id") < NEARDUP_SUBSET).select(
+    """Exact quadratic ground truth (test-side only): all pairs —
+    the calibration target for the LSH plan's recall measurement."""
+    sub = embeddings.select(
         "vec_id", "embedding", _norm(F.col("embedding")).alias("nrm")
     )
     a, b = sub.alias("a"), sub.alias("b")
@@ -368,7 +419,6 @@ WITH {_lsh_cte()},
 sub AS (
   SELECT b.vec_id, b.e, k.bucket
   FROM base b JOIN buckets k ON b.vec_id = k.vec_id
-  WHERE b.vec_id < {NEARDUP_SUBSET}
 ),
 norms AS (
   SELECT vec_id,
