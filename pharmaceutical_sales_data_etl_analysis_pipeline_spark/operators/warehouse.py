@@ -20,7 +20,7 @@ per doc.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
@@ -457,15 +457,56 @@ ORACLES["table_diff"] = SQL_TABLE_DIFF
 # RFM segmentation: the classic CRM rollup — per customer, Recency (days
 # since last order, relative to the corpus's max date so the result is a
 # pure function of the data), Frequency (order count), Monetary (DECIMAL-
-# exact spend), each scored into quintiles by ntile with a key tie-break
-# (deterministic across engines). One scan + one agg; the three ntile
-# windows run over the per-customer rollup (|customers| rows, not
-# |orders|) but are GLOBAL — a total order is inherent to exact ntile, so
-# each is a single-partition sort of the rollup. Fine up to ~100M
-# customers; beyond that, switch to broadcast quantile boundaries (the
-# corpusops.quality_deciles histogram pattern) and accept boundary-tie
-# approximation.
+# exact spend), each scored into quintiles with a key tie-break
+# (deterministic across engines).
+#
+# Exact ntile needs a global total order, but NOT a single-partition sort
+# (the r2 form's scale boundary): r3 uses the canonical distributed
+# order-statistics construction instead — repartitionByRange on the sort
+# key (the same range exchange a distributed ORDER BY performs),
+# row_number within each range partition, then global rank = broadcast
+# cumulative partition offset + local row number, and the quintile from
+# the rank in closed form (first n%5 buckets get ceil(n/5) rows — ntile's
+# exact bucket-size rule). Every stage is distributed: the only
+# single-partition work is the cumulative sum over the P per-partition
+# counts (P rows, one per shuffle partition). Bit-identical to the
+# oracle's ntile() — verified by the driver hash compare.
 # ---------------------------------------------------------------------------
+
+
+def _with_global_rank(df: DataFrame, order_cols: list, out: str) -> DataFrame:
+    """Exact 1-based global rank under the total order `order_cols`
+    (which must be tie-free) without a single-partition sort."""
+    ranged = df.repartitionByRange(*order_cols).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    local = ranged.withColumn(
+        "_rn", F.row_number().over(Window.partitionBy("_pid").orderBy(*order_cols))
+    )
+    counts = ranged.groupBy("_pid").agg(F.count(F.lit(1)).alias("_cnt"))
+    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "_pid", F.coalesce(F.sum("_cnt").over(w_off), F.lit(0)).alias("_off")
+    )
+    return (
+        local.join(F.broadcast(offsets), "_pid")
+        .withColumn(out, (F.col("_off") + F.col("_rn")).cast("long"))
+        .drop("_pid", "_rn", "_off")
+    )
+
+
+def _ntile_from_rank(rank: Column, n: Column, k: int) -> Column:
+    """Exact ntile(k) bucket of 1-based `rank` among `n` rows: the first
+    n%k buckets hold n/k+1 rows, the rest n/k (Spark's and DuckDB's rule)."""
+    q = (n / k).cast("long")
+    r = n % k
+    big = r * (q + 1)  # rows covered by the size-(q+1) buckets
+    return (
+        F.when(rank <= big, ((rank - 1) / (q + 1)).cast("long") + 1)
+        .otherwise(r + ((rank - 1 - big) / q).cast("long") + 1)
+        .cast("int")
+    )
+
 
 def rfm_segments(orders: DataFrame) -> DataFrame:
     per_cust = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
@@ -480,17 +521,36 @@ def rfm_segments(orders: DataFrame) -> DataFrame:
         "frequency",
         "monetary",
     )
-    w_r = Window.orderBy(F.asc("recency_days"), F.asc("custkey"))
-    w_f = Window.orderBy(F.desc("frequency"), F.asc("custkey"))
-    w_m = Window.orderBy(F.desc("monetary"), F.asc("custkey"))
-    return base.select(
+    # one independent narrow rank frame per metric (NOT chained — chaining
+    # nests each stage's two-branch plan inside the next and the static
+    # plan grows exponentially); the per-metric range exchange is shared
+    # between the rank and count branches via ReusedExchange at runtime
+    rk_r = _with_global_rank(
+        base.select("custkey", "recency_days"),
+        [F.asc("recency_days"), F.asc("custkey")],
+        "_rk_r",
+    ).select("custkey", "_rk_r")
+    rk_f = _with_global_rank(
+        base.select("custkey", "frequency"),
+        [F.desc("frequency"), F.asc("custkey")],
+        "_rk_f",
+    ).select("custkey", "_rk_f")
+    rk_m = _with_global_rank(
+        base.select("custkey", "monetary"),
+        [F.desc("monetary"), F.asc("custkey")],
+        "_rk_m",
+    ).select("custkey", "_rk_m")
+    ranked = base.join(rk_r, "custkey").join(rk_f, "custkey").join(rk_m, "custkey")
+    n_total = base.agg(F.count(F.lit(1)).cast("long").alias("_n"))
+    n = F.col("_n")
+    return ranked.crossJoin(F.broadcast(n_total)).select(
         "custkey",
         "recency_days",
         "frequency",
         "monetary",
-        F.ntile(5).over(w_r).cast("int").alias("r_score"),
-        F.ntile(5).over(w_f).cast("int").alias("f_score"),
-        F.ntile(5).over(w_m).cast("int").alias("m_score"),
+        _ntile_from_rank(F.col("_rk_r"), n, 5).alias("r_score"),
+        _ntile_from_rank(F.col("_rk_f"), n, 5).alias("f_score"),
+        _ntile_from_rank(F.col("_rk_m"), n, 5).alias("m_score"),
     )
 
 

@@ -316,6 +316,29 @@ def test_warehouse_plans(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in plan
 
 
+def test_rfm_segments_no_global_single_partition_sort(spark, sf_dir):
+    """The r3 rfm plan replaces global ntile windows with range-partitioned
+    distributed ranking: no ntile anywhere, the per-row window is
+    partitioned by spark_partition_id after a range exchange, and the only
+    SinglePartition shuffles carry the P-row per-partition count aggregate
+    (one per metric), never base rows."""
+    df = all_queries()["rfm_segments"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ntile" not in plan.lower()
+    assert "rangepartitioning" in plan.lower()  # the distributed total order
+    lines = plan.splitlines()
+    for i, ln in enumerate(lines):
+        # every single-partition shuffle must carry aggregate output (the
+        # P-row per-pid counts or a scalar agg), never base-table rows —
+        # depth-first print puts the exchange's child on the next line
+        if "Exchange SinglePartition" in ln:
+            assert "HashAggregate" in lines[i + 1], plan
+        # every per-row ranking window is partitioned by the range
+        # partition id — no global row_number over the rollup
+        if "Window [row_number()" in ln:
+            assert "windowspecdefinition(_pid#" in ln, ln
+
+
 def test_token_pipelines_tokenize_once(spark, sf_dir):
     """bm25/lift downstream plans read the checkpointed per-(doc,term)
     relation, not re-derived token explodes: at most the one auxiliary
