@@ -47,8 +47,27 @@ from ..catalog import load_table
 from ..functions.numeric import round_half_up
 from .similarity import _dot, _norm
 
-K_CLUSTERS = 8
+# K is DERIVED from corpus size (r3): K = max(MIN_CLUSTERS,
+# N // TARGET_CLUSTER_SIZE), so the expected cluster size — and with it
+# the per-cluster pair count that bounds SemDeDup's quadratic stage — is
+# a constant as the corpus grows. A pinned K would make the within-
+# cluster pair join O(N^2/K) at 100x data; deriving it keeps the pair
+# join linear in N. The oracle derives the same K with a scalar subquery
+# (greatest(MIN, count(*) // TARGET)), so both engines agree on any
+# corpus. At the test scales: 500 vectors -> K=8, 2000 (sf0.1) -> K=16.
+MIN_CLUSTERS = 8
+TARGET_CLUSTER_SIZE = 125
 KMEANS_DIM = 64           # embedding dimensionality (testdata contract)
+
+
+def derive_k(n: int) -> int:
+    """Cluster count for an n-vector corpus (cluster size ~ TARGET)."""
+    return max(MIN_CLUSTERS, n // TARGET_CLUSTER_SIZE)
+
+
+SQL_DERIVE_K = (
+    f"(SELECT greatest({MIN_CLUSTERS}, count(*) // {TARGET_CLUSTER_SIZE}) FROM embeddings)"
+)
 _QUANT = 1000000.0        # micro-unit quantization scale
 _QUANT2 = _QUANT * _QUANT
 
@@ -94,10 +113,13 @@ def _assign(quant: DataFrame, centroids: list[tuple[int, list[float]]]) -> DataF
     )
 
 
-def kmeans_assignments(embeddings: DataFrame, k: int = K_CLUSTERS) -> DataFrame:
+def kmeans_assignments(embeddings: DataFrame, k: int | None = None) -> DataFrame:
     """(vec_id, cluster_id, dist): Lloyd's with seeds = first k vectors and
-    one recompute step. Two driver round-trips total (seeds, then K x DIM
-    exact sums) — the standard iterative-clustering driver pattern."""
+    one recompute step. Three driver round-trips total (corpus count for
+    the derived K, seeds, then K x DIM exact sums) — the standard
+    iterative-clustering driver pattern."""
+    if k is None:
+        k = derive_k(embeddings.count())
     quant = _quantized(embeddings)
     seeds = quant.filter(F.col("vec_id") < k).collect()
     c0 = sorted((int(r["vec_id"]), [float(v) for v in r["qe"]]) for r in seeds)
@@ -149,7 +171,7 @@ q AS (
 ),
 c0 AS (
   SELECT vec_id AS cluster, list_transform(qe, v -> CAST(v AS DOUBLE)) AS ce
-  FROM q WHERE vec_id < {K_CLUSTERS}
+  FROM q WHERE vec_id < {SQL_DERIVE_K}
 ),
 d0 AS (
   SELECT q.vec_id, c0.cluster, {_dist_sql('ce')} AS dist FROM q, c0

@@ -274,18 +274,38 @@ def test_kmeans_partitions_corpus_exactly(spark, sf_dir):
     """Every vector lands in exactly one cluster; ids stay in [0, K);
     squared distances are non-negative."""
     from pharmaceutical_sales_data_etl_analysis_pipeline_spark.operators.clustering import (
-        K_CLUSTERS,
+        derive_k,
         kmeans_assignments,
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
+    k = derive_k(emb.count())
     asg = kmeans_assignments(emb)
     bad = asg.filter(
-        (F.col("cluster_id") < 0) | (F.col("cluster_id") >= K_CLUSTERS) | (F.col("dist") < 0)
+        (F.col("cluster_id") < 0) | (F.col("cluster_id") >= k) | (F.col("dist") < 0)
     )
     assert bad.count() == 0
     assert asg.count() == emb.count()
     assert asg.select("vec_id").distinct().count() == emb.count()
+
+
+def test_kmeans_k_tracks_corpus_size():
+    """K = max(MIN, N // TARGET): the expected per-cluster pair count
+    (~TARGET^2/2, the SemDeDup quadratic bound) is constant in N, so the
+    within-cluster pair join stays linear at 100x data."""
+    from pharmaceutical_sales_data_etl_analysis_pipeline_spark.operators.clustering import (
+        MIN_CLUSTERS,
+        TARGET_CLUSTER_SIZE,
+        derive_k,
+    )
+
+    assert derive_k(500) == MIN_CLUSTERS        # sf0.01 corpus -> floor
+    assert derive_k(2000) == 16                 # sf0.1 corpus grows K
+    for scale in (1, 100, 10_000):
+        n = 2000 * scale
+        # expected cluster size bounded by a constant once past the floor
+        assert n / derive_k(n) <= TARGET_CLUSTER_SIZE
+    assert derive_k(10**9) == 8_000_000
 
 
 def test_warehouse_plans(spark, sf_dir):
