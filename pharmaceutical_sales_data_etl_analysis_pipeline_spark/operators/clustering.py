@@ -40,107 +40,23 @@ grouping, LoadDataWarehouse.ChatterjeeP.R:90-104) to the embedding column.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..functions.numeric import round_half_up
+from .kmeans_core import (  # noqa: F401  (re-exported for tests/callers)
+    KMEANS_DIM,
+    MIN_CLUSTERS,
+    TARGET_CLUSTER_SIZE,
+    _QUANT2,
+    derive_k,
+    kmeans_assignments,
+    kmeans_cte,
+)
 from .similarity import _dot, _norm
 
-# K is DERIVED from corpus size (r3): K = max(MIN_CLUSTERS,
-# N // TARGET_CLUSTER_SIZE), so the expected cluster size — and with it
-# the per-cluster pair count that bounds SemDeDup's quadratic stage — is
-# a constant as the corpus grows. A pinned K would make the within-
-# cluster pair join O(N^2/K) at 100x data; deriving it keeps the pair
-# join linear in N. The oracle derives the same K with a scalar subquery
-# (greatest(MIN, count(*) // TARGET)), so both engines agree on any
-# corpus. At the test scales: 500 vectors -> K=8, 2000 (sf0.1) -> K=16.
-MIN_CLUSTERS = 8
-TARGET_CLUSTER_SIZE = 125
-KMEANS_DIM = 64           # embedding dimensionality (testdata contract)
-
-
-def derive_k(n: int) -> int:
-    """Cluster count for an n-vector corpus (cluster size ~ TARGET)."""
-    return max(MIN_CLUSTERS, n // TARGET_CLUSTER_SIZE)
-
-
-SQL_DERIVE_K = (
-    f"(SELECT greatest({MIN_CLUSTERS}, count(*) // {TARGET_CLUSTER_SIZE}) FROM embeddings)"
-)
-_QUANT = 1000000.0        # micro-unit quantization scale
-_QUANT2 = _QUANT * _QUANT
-
 SEMDEDUP_TOP_PAIRS = 3
-
-
-def _quantized(embeddings: DataFrame) -> DataFrame:
-    """(vec_id, qe): embedding quantized to exact micro-unit BIGINTs."""
-    return embeddings.select(
-        "vec_id",
-        F.transform(
-            F.col("embedding"),
-            lambda x: F.floor(x.cast("double") * F.lit(_QUANT) + F.lit(0.5)).cast("long"),
-        ).alias("qe"),
-    )
-
-
-def _sqdist_to(centroid: list[float]) -> Column:
-    """Left-fold squared distance from quantized row to a literal centroid."""
-    ce = F.array(*[F.lit(float(v)) for v in centroid])
-    diffs = F.zip_with(
-        F.col("qe"), ce, lambda a, b: (a.cast("double") - b) * (a.cast("double") - b)
-    )
-    return F.aggregate(diffs, F.lit(0.0), lambda acc, x: acc + x)
-
-
-def _assign(quant: DataFrame, centroids: list[tuple[int, list[float]]]) -> DataFrame:
-    """Zero-shuffle argmin assignment against driver-held centroid literals.
-
-    array_min over (dist, cluster) structs compares field-by-field, so ties
-    on dist resolve to the lowest cluster id — same order as the oracle's
-    row_number() OVER (ORDER BY dist, cluster).
-    """
-    choices = F.array(
-        *[
-            F.struct(_sqdist_to(ce).alias("d"), F.lit(int(cid)).alias("c"))
-            for cid, ce in centroids
-        ]
-    )
-    best = F.array_min(choices)
-    return quant.select(
-        "vec_id", "qe", best["c"].alias("cluster_id"), best["d"].alias("dist")
-    )
-
-
-def kmeans_assignments(embeddings: DataFrame, k: int | None = None) -> DataFrame:
-    """(vec_id, cluster_id, dist): Lloyd's with seeds = first k vectors and
-    one recompute step. Three driver round-trips total (corpus count for
-    the derived K, seeds, then K x DIM exact sums) — the standard
-    iterative-clustering driver pattern."""
-    if k is None:
-        k = derive_k(embeddings.count())
-    quant = _quantized(embeddings)
-    seeds = quant.filter(F.col("vec_id") < k).collect()
-    c0 = sorted((int(r["vec_id"]), [float(v) for v in r["qe"]]) for r in seeds)
-    a0 = _assign(quant, c0)
-    sums = (
-        a0.select("cluster_id", F.posexplode("qe").alias("pos", "v"))
-        .groupBy("cluster_id", "pos")
-        .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("c"))
-        .collect()
-    )
-    by_cluster: dict[int, dict[int, float]] = {}
-    for r in sums:
-        # exact-integer sum divided once in IEEE double — same bits as the
-        # oracle's CAST(s AS DOUBLE) / CAST(c AS DOUBLE)
-        by_cluster.setdefault(int(r["cluster_id"]), {})[int(r["pos"])] = float(
-            r["s"]
-        ) / float(r["c"])
-    c1 = sorted(
-        (cid, [dims[p] for p in range(len(dims))]) for cid, dims in by_cluster.items()
-    )
-    return _assign(quant, c1)
 
 
 def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -153,57 +69,8 @@ def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _dist_sql(ce: str) -> str:
-    return (
-        f"list_reduce(list_transform(range(1, {KMEANS_DIM + 1}), "
-        f"i -> (CAST(qe[i] AS DOUBLE) - {ce}[i]) * (CAST(qe[i] AS DOUBLE) - {ce}[i])), "
-        f"(acc, x) -> acc + x)"
-    )
-
-
-def _kmeans_cte() -> str:
-    return f"""
-q AS (
-  SELECT vec_id,
-         list_transform(embedding,
-                        x -> CAST(floor(CAST(x AS DOUBLE) * {_QUANT} + 0.5) AS BIGINT)) AS qe
-  FROM embeddings
-),
-c0 AS (
-  SELECT vec_id AS cluster, list_transform(qe, v -> CAST(v AS DOUBLE)) AS ce
-  FROM q WHERE vec_id < {SQL_DERIVE_K}
-),
-d0 AS (
-  SELECT q.vec_id, c0.cluster, {_dist_sql('ce')} AS dist FROM q, c0
-),
-a0 AS (
-  SELECT vec_id, cluster FROM (
-    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rn
-    FROM d0) t
-  WHERE rn = 1
-),
-sums AS (
-  SELECT a0.cluster, t.i, sum(q.qe[t.i]) AS s, count(*) AS c
-  FROM q JOIN a0 USING (vec_id), range(1, {KMEANS_DIM + 1}) t(i)
-  GROUP BY a0.cluster, t.i
-),
-c1 AS (
-  SELECT cluster, list(CAST(s AS DOUBLE) / CAST(c AS DOUBLE) ORDER BY i) AS ce
-  FROM sums GROUP BY cluster
-),
-d1 AS (
-  SELECT q.vec_id, c1.cluster, {_dist_sql('ce')} AS dist FROM q, c1
-),
-a1 AS (
-  SELECT vec_id, cluster, dist FROM (
-    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rn
-    FROM d1) t
-  WHERE rn = 1
-)"""
-
-
 SQL_KMEANS_CLUSTERS = f"""
-WITH {_kmeans_cte()}
+WITH {kmeans_cte()}
 SELECT vec_id, CAST(cluster AS INT) AS cluster_id,
        floor(dist / {_QUANT2} * 1000000.0 + 0.5) / 1000000.0 AS dist
 FROM a1
@@ -254,7 +121,7 @@ def q_semdedup_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_SEMDEDUP_CANDIDATES = f"""
-WITH {_kmeans_cte()},
+WITH {kmeans_cte()},
 base AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings
 ),

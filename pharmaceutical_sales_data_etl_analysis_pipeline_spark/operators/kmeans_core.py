@@ -1,0 +1,166 @@
+"""Deterministic k-means core, shared by `clustering` (kmeans_clusters /
+semdedup_candidates) and `similarity` (the IVF coarse quantizer — r3
+composes learned centroids into the inverted-file index instead of a
+vec_id-subset placeholder).
+
+The construction (see clustering.py for the full rationale): seeds = the
+first K vectors, one Lloyd's recompute step, centroids live driver-side
+(K x DIM doubles) and each distributed pass is one scan. Embeddings are
+quantized to micro-unit BIGINTs so centroid SUMS are exact integers —
+order-independent across any cluster layout and bit-equal to the DuckDB
+oracle's sums; the single IEEE division per (cluster, dim) then yields
+identical centroid doubles in both engines.
+
+K derives from corpus size: K = max(MIN_CLUSTERS, N // TARGET_CLUSTER_SIZE),
+keeping the expected cluster size (and every downstream per-cluster bound)
+constant as the corpus grows; the oracle derives the same K with a scalar
+subquery.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+MIN_CLUSTERS = 8
+TARGET_CLUSTER_SIZE = 125
+KMEANS_DIM = 64           # embedding dimensionality (testdata contract)
+_QUANT = 1000000.0        # micro-unit quantization scale
+_QUANT2 = _QUANT * _QUANT
+
+
+def derive_k(n: int) -> int:
+    """Cluster count for an n-vector corpus (cluster size ~ TARGET)."""
+    return max(MIN_CLUSTERS, n // TARGET_CLUSTER_SIZE)
+
+
+SQL_DERIVE_K = (
+    f"(SELECT greatest({MIN_CLUSTERS}, count(*) // {TARGET_CLUSTER_SIZE}) FROM embeddings)"
+)
+
+
+def _quantized(embeddings: DataFrame) -> DataFrame:
+    """(vec_id, qe): embedding quantized to exact micro-unit BIGINTs."""
+    return embeddings.select(
+        "vec_id",
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.floor(x.cast("double") * F.lit(_QUANT) + F.lit(0.5)).cast("long"),
+        ).alias("qe"),
+    )
+
+
+def _sqdist_to(centroid: list[float]) -> Column:
+    """Left-fold squared distance from quantized row to a literal centroid."""
+    ce = F.array(*[F.lit(float(v)) for v in centroid])
+    diffs = F.zip_with(
+        F.col("qe"), ce, lambda a, b: (a.cast("double") - b) * (a.cast("double") - b)
+    )
+    return F.aggregate(diffs, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _assign(quant: DataFrame, centroids: list[tuple[int, list[float]]]) -> DataFrame:
+    """Zero-shuffle argmin assignment against driver-held centroid literals.
+
+    array_min over (dist, cluster) structs compares field-by-field, so ties
+    on dist resolve to the lowest cluster id — same order as the oracle's
+    row_number() OVER (ORDER BY dist, cluster).
+    """
+    choices = F.array(
+        *[
+            F.struct(_sqdist_to(ce).alias("d"), F.lit(int(cid)).alias("c"))
+            for cid, ce in centroids
+        ]
+    )
+    best = F.array_min(choices)
+    return quant.select(
+        "vec_id", "qe", best["c"].alias("cluster_id"), best["d"].alias("dist")
+    )
+
+
+def kmeans_centroids(
+    embeddings: DataFrame, k: int | None = None
+) -> list[tuple[int, list[float]]]:
+    """Learned centroids [(cluster_id, K x DIM means in quantized units)]:
+    seeds = first k vectors, one exact-integer recompute step. Three driver
+    round-trips (corpus count for derived K, seeds, K x DIM sums) — the
+    standard iterative-clustering driver pattern; every distributed pass is
+    one scan with map-side partial aggregation."""
+    if k is None:
+        k = derive_k(embeddings.count())
+    quant = _quantized(embeddings)
+    seeds = quant.filter(F.col("vec_id") < k).collect()
+    c0 = sorted((int(r["vec_id"]), [float(v) for v in r["qe"]]) for r in seeds)
+    a0 = _assign(quant, c0)
+    sums = (
+        a0.select("cluster_id", F.posexplode("qe").alias("pos", "v"))
+        .groupBy("cluster_id", "pos")
+        .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("c"))
+        .collect()
+    )
+    by_cluster: dict[int, dict[int, float]] = {}
+    for r in sums:
+        # exact-integer sum divided once in IEEE double — same bits as the
+        # oracle's CAST(s AS DOUBLE) / CAST(c AS DOUBLE)
+        by_cluster.setdefault(int(r["cluster_id"]), {})[int(r["pos"])] = float(
+            r["s"]
+        ) / float(r["c"])
+    return sorted(
+        (cid, [dims[p] for p in range(len(dims))]) for cid, dims in by_cluster.items()
+    )
+
+
+def kmeans_assignments(embeddings: DataFrame, k: int | None = None) -> DataFrame:
+    """(vec_id, cluster_id, dist): final assignment against the learned
+    centroids — a zero-shuffle literal-centroid projection."""
+    if k is None:
+        k = derive_k(embeddings.count())
+    return _assign(_quantized(embeddings), kmeans_centroids(embeddings, k))
+
+
+def kmeans_cte() -> str:
+    """DuckDB twin of the whole construction, as a WITH-clause body ending
+    in a1 (per-vector final assignment) and c1 (learned centroids)."""
+    dist = (
+        f"list_reduce(list_transform(range(1, {KMEANS_DIM + 1}), "
+        f"i -> (CAST(qe[i] AS DOUBLE) - {{ce}}[i]) * (CAST(qe[i] AS DOUBLE) - {{ce}}[i])), "
+        f"(acc, x) -> acc + x)"
+    )
+    return f"""
+q AS (
+  SELECT vec_id,
+         list_transform(embedding,
+                        x -> CAST(floor(CAST(x AS DOUBLE) * {_QUANT} + 0.5) AS BIGINT)) AS qe
+  FROM embeddings
+),
+c0 AS (
+  SELECT vec_id AS cluster, list_transform(qe, v -> CAST(v AS DOUBLE)) AS ce
+  FROM q WHERE vec_id < {SQL_DERIVE_K}
+),
+d0 AS (
+  SELECT q.vec_id, c0.cluster, {dist.format(ce='ce')} AS dist FROM q, c0
+),
+a0 AS (
+  SELECT vec_id, cluster FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rn
+    FROM d0) t
+  WHERE rn = 1
+),
+sums AS (
+  SELECT a0.cluster, t.i, sum(q.qe[t.i]) AS s, count(*) AS c
+  FROM q JOIN a0 USING (vec_id), range(1, {KMEANS_DIM + 1}) t(i)
+  GROUP BY a0.cluster, t.i
+),
+c1 AS (
+  SELECT cluster, list(CAST(s AS DOUBLE) / CAST(c AS DOUBLE) ORDER BY i) AS ce
+  FROM sums GROUP BY cluster
+),
+d1 AS (
+  SELECT q.vec_id, c1.cluster, {dist.format(ce='ce')} AS dist FROM q, c1
+),
+a1 AS (
+  SELECT vec_id, cluster, dist FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rn
+    FROM d1) t
+  WHERE rn = 1
+)"""

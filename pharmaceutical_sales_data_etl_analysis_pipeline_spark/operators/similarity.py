@@ -441,28 +441,38 @@ SELECT vec_a, vec_b, cosine FROM scored WHERE cosine >= {NEARDUP_MIN_COS}
 
 
 # ---------------------------------------------------------------------------
-# IVF (inverted-file) ANN: coarse quantizer = deterministic subset of the
-# corpus (vec_id % IVF_MOD == 0) as centroids; every vector joins its
-# nearest centroid's inverted list (one broadcast pass — centroids are tiny
-# by construction); queries probe only their own list with exact cosine.
-# The real-system shape (FAISS IVF-Flat): quality scales with nprobe; here
-# nprobe=1 keeps the oracle simple.
+# IVF (inverted-file) ANN: coarse quantizer = LEARNED k-means centroids
+# (r3 — previously a deterministic vec_id % 50 subset). The kmeans_core
+# construction hands back K x DIM centroid doubles that are bit-identical
+# in both engines, so the oracle re-derives the same inverted lists with
+# the kmeans CTE. Every vector joins its nearest centroid's list (one
+# broadcast pass — K centroids are driver-side literals at any corpus
+# size); queries probe their nprobe nearest lists with exact cosine —
+# the FAISS IVF-Flat shape, now with the real train/assign/probe split.
 # ---------------------------------------------------------------------------
 
-IVF_MOD = 50  # centroid density: ~N/IVF_MOD inverted lists
+
+def _learned_centroids(embeddings: DataFrame) -> DataFrame:
+    """(c_id, c_emb, c_norm): k-means centroids (quantized-unit doubles —
+    cosine is scale-invariant, and these exact values are what the oracle
+    reconstructs) as a K-row DataFrame for broadcast."""
+    from .kmeans_core import kmeans_centroids  # deferred: no import cycle
+
+    cents = kmeans_centroids(embeddings)
+    spark = embeddings.sparkSession
+    cdf = spark.createDataFrame(
+        [(int(cid), [float(v) for v in ce]) for cid, ce in cents],
+        "c_id long, c_emb array<double>",
+    )
+    return cdf.select("c_id", "c_emb", _norm(F.col("c_emb")).alias("c_norm"))
 
 
-def _centroid_topn(embeddings: DataFrame, vecs: DataFrame, n: int) -> DataFrame:
+def _centroid_topn(cents: DataFrame, vecs: DataFrame, n: int) -> DataFrame:
     """(vec_id, centroid_id) for each vector's n nearest centroids by
     cosine (ties -> lowest centroid id). THE single definition of the
     scoring/tie-break convention — assignment (n=1) and multi-probe share
     it, so the probe paths can never drift from the list-building path
     (the recall-monotonicity test depends on that)."""
-    cents = embeddings.filter(F.col("vec_id") % IVF_MOD == 0).select(
-        F.col("vec_id").alias("c_id"),
-        F.col("embedding").alias("c_emb"),
-        _norm(F.col("embedding")).alias("c_norm"),
-    )
     scored = vecs.join(F.broadcast(cents)).select(
         "vec_id",
         "c_id",
@@ -478,13 +488,15 @@ def _centroid_topn(embeddings: DataFrame, vecs: DataFrame, n: int) -> DataFrame:
     )
 
 
-def ivf_assignments(embeddings: DataFrame) -> DataFrame:
-    """(vec_id, centroid_id): nearest centroid — the n=1 case of
-    _centroid_topn. Single broadcast nested-loop pass + per-vector argmin."""
+def ivf_assignments(embeddings: DataFrame, cents: DataFrame | None = None) -> DataFrame:
+    """(vec_id, centroid_id): nearest learned centroid — the n=1 case of
+    _centroid_topn. Single broadcast pass + per-vector argmin."""
+    if cents is None:
+        cents = _learned_centroids(embeddings)
     vecs = embeddings.select(
         "vec_id", "embedding", _norm(F.col("embedding")).alias("v_norm")
     )
-    return _centroid_topn(embeddings, vecs, 1)
+    return _centroid_topn(cents, vecs, 1)
 
 
 def q_ivf_list_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -493,7 +505,9 @@ def q_ivf_list_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ivf_cte() -> str:
-    return f"""
+    from .kmeans_core import kmeans_cte  # deferred: no import cycle
+
+    return f"""{kmeans_cte()},
 base AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings
 ),
@@ -502,15 +516,19 @@ norms AS (
          sqrt(list_reduce(list_transform(e, x -> x * x), (acc, x) -> acc + x)) AS nrm
   FROM base
 ),
+cnorms AS (
+  SELECT cluster AS c_id, ce,
+         sqrt(list_reduce(list_transform(ce, x -> x * x), (acc, x) -> acc + x)) AS cnrm
+  FROM c1
+),
 cscored AS (
-  SELECT v.vec_id, c.vec_id AS c_id,
-         floor((list_reduce(list_transform(range(1, len(v.e) + 1), i -> v.e[i] * c.e[i]),
+  SELECT v.vec_id, c.c_id,
+         floor((list_reduce(list_transform(range(1, len(v.e) + 1), i -> v.e[i] * c.ce[i]),
                             (acc, x) -> acc + x)
-                / (vn.nrm * cn.nrm)) * 1000000000.0 + 0.5) / 1000000000.0 AS cos
+                / (vn.nrm * c.cnrm)) * 1000000000.0 + 0.5) / 1000000000.0 AS cos
   FROM base v
-  JOIN base c ON c.vec_id % {IVF_MOD} = 0
+  JOIN cnorms c ON TRUE
   JOIN norms vn ON v.vec_id = vn.vec_id
-  JOIN norms cn ON c.vec_id = cn.vec_id
 ),
 assign AS (
   SELECT vec_id, c_id AS centroid_id
@@ -533,7 +551,8 @@ def ivf_probe_topk(embeddings: DataFrame, n_queries: int = N_QUERIES,
     with exact cosine. A (q, d) pair arises through at most ONE probed
     list (each doc lives in exactly one inverted list), so no distinct is
     needed after the probe join at any nprobe."""
-    assign = ivf_assignments(embeddings)
+    cents = _learned_centroids(embeddings)  # trained once, shared by both paths
+    assign = ivf_assignments(embeddings, cents)
     docs = embeddings.join(assign, "vec_id").select(
         F.col("vec_id").alias("d_id"),
         F.col("embedding").alias("d_emb"),
@@ -543,7 +562,7 @@ def ivf_probe_topk(embeddings: DataFrame, n_queries: int = N_QUERIES,
     qvecs = embeddings.filter(F.col("vec_id") < n_queries).select(
         "vec_id", "embedding", _norm(F.col("embedding")).alias("v_norm")
     )
-    probes = _centroid_topn(embeddings, qvecs, nprobe)
+    probes = _centroid_topn(cents, qvecs, nprobe)
     queries = (
         qvecs.select(
             F.col("vec_id"),

@@ -408,19 +408,26 @@ def test_ivf_second_probe_finds_planted_cross_list_neighbor(spark):
         v[0], v[1] = math.cos(a), math.sin(a)
         return [float(x) for x in v]
 
-    ortho = [0.0] * 64
-    ortho[5] = 1.0
-    rows = [
-        (0, vec(0)),        # centroid A (ids % 50 == 0 are centroids)
-        (50, vec(40)),      # centroid B
-        (100, [float(x) for x in ortho]),  # far centroid
-        (1, vec(15)),       # QUERY: 15deg from A, 25deg from B -> list A
-        (7, vec(17)),       # true neighbor: 17deg from A BUT 23deg... plant
-    ]
-    # neighbor must land in B's list: angle 22deg -> 22 from A, 18 from B
-    rows[-1] = (7, vec(22))
+    def unit(dim):
+        v = [0.0] * 64
+        v[dim] = 1.0
+        return [float(x) for x in v]
+
+    # Learned-centroid geometry (seeds = vec_id < derive_k(9) = 8):
+    # seed 0 is the query at 15deg, seed 1 anchors cluster B at 40deg,
+    # seeds 2..7 are mutually orthogonal singletons. The planted neighbor
+    # (id 8, 28deg) sits 13deg from the query but 12deg from B's seed, so
+    # Lloyd's assigns it to B (whose centroid then moves to ~34deg and
+    # keeps it). The query's own list holds only itself -> nprobe=1 sees
+    # nothing; its second-nearest centroid is B (19deg vs 90deg for the
+    # orthogonals) -> nprobe=2 probes B's list and finds the neighbor.
+    rows = (
+        [(0, vec(15)), (1, vec(40))]
+        + [(i, unit(10 + i)) for i in range(2, 8)]
+        + [(8, vec(28))]
+    )
     df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
-    p1 = {(r["q_id"], r["d_id"]) for r in ivf_probe_topk(df, n_queries=2).collect()}
-    p2 = {(r["q_id"], r["d_id"]) for r in ivf_probe2_topk(df, n_queries=2).collect()}
-    assert (1, 7) not in p1   # nprobe=1 can't see across lists
-    assert (1, 7) in p2       # nprobe=2 probes B's list and finds it
+    p1 = {(r["q_id"], r["d_id"]) for r in ivf_probe_topk(df, n_queries=1).collect()}
+    p2 = {(r["q_id"], r["d_id"]) for r in ivf_probe2_topk(df, n_queries=1).collect()}
+    assert (0, 8) not in p1   # nprobe=1 can't see across lists
+    assert (0, 8) in p2       # nprobe=2 probes B's list and finds it
