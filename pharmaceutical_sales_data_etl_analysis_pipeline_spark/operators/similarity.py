@@ -646,28 +646,46 @@ ORACLES = {
 # ---------------------------------------------------------------------------
 # Scalar quantization (int8): the vector-store compression step — encode
 # each embedding as int8 codes + one per-vector scale (max_abs/127), and
-# report the reconstruction error. Pure projection (zero shuffle); codes
-# are comma-joined so the result is hashable cross-engine. Rounding is the
-# portable floor(x+0.5) form on both sides (Spark round() is HALF_UP,
-# DuckDB's is half-even — codes would differ on exact .5 ties otherwise).
+# report the reconstruction error. Codes are comma-joined so the result is
+# hashable cross-engine. Rounding is the portable floor(x+0.5) form on
+# both sides (Spark round() is HALF_UP, DuckDB's is half-even — codes
+# would differ on exact .5 ties otherwise).
+#
+# r3: Arrow-vectorized mapInPandas replaces the single-projection HOF
+# form. The r2 note ("Known tradeoff", BENCH_NOTES) documented a 6x
+# speedup left on the table because materializing `scale` as a column
+# flips last-ulp bits under Catalyst's projection collapse into HOF
+# lambdas. Quantization has NO order-dependent reduction — max is exactly
+# associative/commutative and everything else is per-element IEEE
+# arithmetic — so the numpy evaluation is bit-identical to the oracle by
+# construction, with none of the HOF interpretation cost or the inlining
+# hazard. Zero shuffle is preserved (mapInPandas is a per-partition map).
 # ---------------------------------------------------------------------------
 
+_QUANTIZE_OUT = "vec_id long, scale double, codes string, max_abs_err double"
+
+
 def embedding_quantize(embeddings: DataFrame) -> DataFrame:
-    e = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    max_abs = F.array_max(F.transform(e, lambda x: F.abs(x)))
-    scale = max_abs / F.lit(127.0)
-    # zero-vector guard: scale=0 would make x/scale NaN and the int cast
-    # throw under ANSI mode — divide by 1 instead (codes come out 0, the
-    # reported scale stays 0, reconstruction 0*0 is exact)
-    div = F.when(scale == 0.0, F.lit(1.0)).otherwise(scale)
-    codes = F.transform(e, lambda x: F.floor(x / div + F.lit(0.5)).cast("int"))
-    recon = F.zip_with(codes, e, lambda q, x: F.abs(q.cast("double") * scale - x))
-    return embeddings.select(
-        "vec_id",
-        round_half_up(scale, 9).alias("scale"),
-        F.array_join(codes, ",").alias("codes"),
-        round_half_up(F.array_max(recon), 9).alias("max_abs_err"),
-    )
+    def quantize(batches):
+        import numpy as np
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            e = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            scale = np.abs(e).max(axis=1) / 127.0
+            # zero-vector guard: divide by 1 instead (codes come out 0,
+            # the reported scale stays 0, reconstruction 0*0 is exact)
+            div = np.where(scale == 0.0, 1.0, scale)
+            codes = np.floor(e / div[:, None] + 0.5).astype(np.int64)
+            err = np.abs(codes * scale[:, None] - e).max(axis=1)
+            out = pdf[["vec_id"]].copy()
+            out["scale"] = np.floor(scale * 1e9 + 0.5) / 1e9
+            out["codes"] = [",".join(str(int(c)) for c in row) for row in codes]
+            out["max_abs_err"] = np.floor(err * 1e9 + 0.5) / 1e9
+            yield out
+
+    return embeddings.mapInPandas(quantize, schema=_QUANTIZE_OUT)
 
 
 def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
