@@ -150,12 +150,13 @@ def udtf_sentences(spark: SparkSession, documents: DataFrame) -> DataFrame:
             import re
 
             # ASCII whitespace class spelled out: Python's \s is
-            # Unicode-aware but the oracle's RE2 \s is ASCII-only — a
-            # NBSP after punctuation must not split here if it doesn't
-            # split there (same engine-parity reasoning as the pinned
-            # trim charset below)
+            # Unicode-aware but the oracle's RE2 \s is exactly
+            # [ \t\n\f\r] (no \v, no NBSP) — the class must match that
+            # set character-for-character or a vertical tab / NBSP after
+            # punctuation would split here and not there (same
+            # engine-parity reasoning as the pinned trim charset below)
             idx = 0
-            for part in re.split(r"[.!?]+[ \t\n\r\f\v]+", text or ""):
+            for part in re.split(r"[.!?]+[ \t\n\r\f]+", text or ""):
                 part = part.strip(" \t\n\r")
                 if part:
                     yield idx, part

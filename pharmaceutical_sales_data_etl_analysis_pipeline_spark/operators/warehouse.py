@@ -599,6 +599,11 @@ BASKET_MIN_COOC = 2  # noise floor: a pair seen once is not a signal
 
 def basket_affinity(lineitem: DataFrame, orders: DataFrame,
                     k: int = BASKET_TOP) -> DataFrame:
+    """EAGER at build time (see registry.py docstring): the per-(order,
+    part) relation is localCheckpoint'd so the pair self-join reads it
+    once instead of re-deriving the distinct+window on both sides —
+    measured faster, but building this DataFrame runs Spark jobs and pins
+    blocks in executor-local (non-replicated) storage."""
     from ..functions.numeric import round_half_up
 
     op = (

@@ -16,6 +16,18 @@ Imports are deliberately NOT guarded: a broken operator module must fail
 the whole registry loudly (a swallowed ImportError would silently shrink
 the query surface and let the correctness gate pass on fewer queries).
 tests/test_oracle_parity.py pins the exact query count as a second guard.
+
+EAGER-EXECUTION NOTE: most entries are pure plan builders (calling the
+function runs no Spark jobs until an action). Exceptions, documented at
+their definitions, run jobs at BUILD time: queries whose plan reuses an
+intermediate across branches via localCheckpoint (basket_affinity,
+bm25_topk_terms, term_lift_pairs, neardup_components and its dependents
+training_corpus/dedup_survivors/dedup_rate_by_source) and queries whose
+parameters derive from the data via driver round-trips (kmeans_clusters,
+semdedup_candidates, ivf_*: corpus count / seeds / centroid sums).
+Checkpointed intermediates live in executor-local storage: plan-only
+consumers pay the compute, and a lost executor invalidates the blocks —
+at cluster scale prefer persisting such intermediates to a table.
 """
 
 from __future__ import annotations

@@ -46,16 +46,31 @@ def compact_parquet(
 ) -> tuple[int, int]:
     """Rewrite dir_path to ceil(total_bytes / target) files; returns
     (files_before, files_after). Row content is preserved exactly (a pure
-    repartition — no ordering or value changes)."""
+    repartition — no ordering or value changes).
+
+    Concurrency contract: SINGLE WRITER, and readers must tolerate the
+    brief swap window in which dir_path does not exist (between the two
+    renames below) — plain filesystems have no atomic directory swap;
+    table formats solve this with a commit log, which is out of scope
+    here. A crash inside that window leaves the data only in
+    '._compact_old'; the next compact call detects that state and
+    restores it before doing anything else."""
+    fs, path, jvm = _fs_and_path(spark, dir_path)
+    tmp = jvm.org.apache.hadoop.fs.Path(dir_path + "._compact_tmp")
+    old = jvm.org.apache.hadoop.fs.Path(dir_path + "._compact_old")
+    # crash recovery: dir_path missing + ._compact_old present = a
+    # previous run died between its two swap renames — restore the
+    # original before compacting (otherwise data_files() would read the
+    # missing dir as "nothing to compact" and strand the data)
+    if not fs.exists(path) and fs.exists(old):
+        if not fs.rename(old, path):
+            raise IOError(f"compact: could not restore {dir_path} from ._compact_old")
+
     before = data_files(spark, dir_path)
     if not before:
         return 0, 0  # nothing to compact (empty/uncommitted dir) — no-op
     total = sum(b for _, b in before)
     n_out = max(1, -(-total // target_file_bytes))
-    fs, path, jvm = _fs_and_path(spark, dir_path)
-
-    tmp = jvm.org.apache.hadoop.fs.Path(dir_path + "._compact_tmp")
-    old = jvm.org.apache.hadoop.fs.Path(dir_path + "._compact_old")
     for stale in (tmp, old):
         if fs.exists(stale):
             fs.delete(stale, True)

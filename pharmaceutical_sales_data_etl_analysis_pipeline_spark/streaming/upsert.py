@@ -25,13 +25,26 @@ from pyspark.sql import types as T
 
 from ..sources.maintenance import _fs_and_path
 
+# Snapshot totals are stored as DECIMAL(18,2), not DOUBLE: the state is
+# folded batch-over-batch, and a double accumulator would pick up
+# batch-boundary-dependent FP error for keys updated across many
+# micro-batches (the repo's money-sum discipline is exact decimal sums,
+# double only at the read boundary). Readers get total as DOUBLE via
+# read_latest_state/read_state_version; the merge reads the raw decimal.
 STATE_SCHEMA = T.StructType(
     [
         T.StructField("key", T.LongType()),
-        T.StructField("total", T.DoubleType()),
+        T.StructField("total", T.DecimalType(18, 2)),
         T.StructField("n_rows", T.LongType()),
     ]
 )
+
+
+def _as_read_view(df: DataFrame | None) -> DataFrame | None:
+    """Public read contract: decimal state total -> DOUBLE at the boundary."""
+    if df is None:
+        return None
+    return df.select("key", F.col("total").cast("double").alias("total"), "n_rows")
 
 
 def _version_dirs(spark: SparkSession, state_dir: str) -> list[str]:
@@ -50,17 +63,25 @@ def _version_dirs(spark: SparkSession, state_dir: str) -> list[str]:
     return sorted(out)
 
 
-def read_latest_state(
+def _read_latest_raw(
     spark: SparkSession, state_dir: str, before_batch_id: int | None = None
 ) -> DataFrame | None:
-    """Latest committed snapshot; with before_batch_id, the latest one
-    STRICTLY OLDER than that batch (the replay-safe read, see below)."""
+    """Latest committed snapshot with the exact DECIMAL total (merge path);
+    with before_batch_id, the latest one STRICTLY OLDER than that batch
+    (the replay-safe read, see below)."""
     versions = _version_dirs(spark, state_dir)
     if before_batch_id is not None:
         versions = [v for v in versions if int(v[1:]) < before_batch_id]
     if not versions:
         return None
     return spark.read.schema(STATE_SCHEMA).parquet(f"{state_dir}/{versions[-1]}")
+
+
+def read_latest_state(
+    spark: SparkSession, state_dir: str, before_batch_id: int | None = None
+) -> DataFrame | None:
+    """Latest committed snapshot, total as DOUBLE (read boundary)."""
+    return _as_read_view(_read_latest_raw(spark, state_dir, before_batch_id))
 
 
 def merge_batch_into_state(
@@ -74,15 +95,18 @@ def merge_batch_into_state(
     re-run must NOT merge into its own half-applied output (that would
     double-count the delta) — it merges into v{N-1} again and rewrites
     v{N} to the identical result."""
+    zero = F.lit(0).cast("decimal(18,2)")
     delta = batch_df.groupBy(F.col("key")).agg(
-        F.sum(F.col("amount").cast("decimal(18,2)")).cast("double").alias("d_total"),
+        # exact decimal all the way through the fold — never a double
+        # accumulator (sum widens to decimal(28,2); narrowed on write)
+        F.sum(F.col("amount").cast("decimal(18,2)")).alias("d_total"),
         F.count(F.lit(1)).cast("long").alias("d_rows"),
     )
-    prev = read_latest_state(spark, state_dir, before_batch_id=batch_id)
+    prev = _read_latest_raw(spark, state_dir, before_batch_id=batch_id)
     if prev is None:
         merged = delta.select(
             "key",
-            F.col("d_total").alias("total"),
+            F.col("d_total").cast("decimal(18,2)").alias("total"),
             F.col("d_rows").alias("n_rows"),
         )
     else:
@@ -91,9 +115,9 @@ def merge_batch_into_state(
         merged = joined.select(
             F.coalesce(F.col("p.key"), F.col("d.key")).alias("key"),
             (
-                F.coalesce(F.col("p.total"), F.lit(0.0))
-                + F.coalesce(F.col("d.d_total"), F.lit(0.0))
-            ).alias("total"),
+                F.coalesce(F.col("p.total"), zero)
+                + F.coalesce(F.col("d.d_total"), zero)
+            ).cast("decimal(18,2)").alias("total"),
             (
                 F.coalesce(F.col("p.n_rows"), F.lit(0))
                 + F.coalesce(F.col("d.d_rows"), F.lit(0))
@@ -140,7 +164,7 @@ def read_state_version(
     name = f"v{batch_id:09d}"
     if name not in _version_dirs(spark, state_dir):
         return None
-    return spark.read.schema(STATE_SCHEMA).parquet(f"{state_dir}/{name}")
+    return _as_read_view(spark.read.schema(STATE_SCHEMA).parquet(f"{state_dir}/{name}"))
 
 
 def expire_state_versions(spark: SparkSession, state_dir: str, keep: int = 3) -> int:

@@ -31,6 +31,26 @@ def test_compaction_reduces_files_and_preserves_rows(spark, sf_dir, tmp_path):
     assert _money_sum(back, "o_totalprice") == sum_before
 
 
+def test_compact_recovers_from_mid_swap_crash(spark, sf_dir, tmp_path):
+    """A crash between the two swap renames leaves the data only in
+    '._compact_old' with dir_path missing; the next compact call must
+    restore it instead of treating the missing dir as a no-op (which
+    would strand the data)."""
+    import os
+
+    orders = load_table(spark, sf_dir, "orders")
+    p = str(tmp_path / "crashy")
+    orders.repartition(8).write.parquet(p)
+    n, s = orders.count(), _money_sum(orders, "o_totalprice")
+
+    os.rename(p, p + "._compact_old")  # simulate dying after rename #1
+    before, after = compact_parquet(spark, p, target_file_bytes=1 << 40)
+    assert before == 8 and after == 1
+    assert not os.path.exists(p + "._compact_old")
+    back = spark.read.parquet(p)
+    assert back.count() == n and _money_sum(back, "o_totalprice") == s
+
+
 def test_state_time_travel_and_retention(spark, sf_dir, tmp_path):
     from pharmaceutical_sales_data_etl_analysis_pipeline_spark.streaming.upsert import (
         expire_state_versions,

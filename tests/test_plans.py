@@ -20,6 +20,16 @@ def _plan(df) -> str:
     )
 
 
+def _scan_count(df) -> int:
+    """Parquet scan nodes in the executed-plan tree. Counts lines of the
+    simple tree string (one line per node), NOT substring occurrences in
+    formatted explain — formatted mode lists every node twice (tree +
+    detail section), which silently couples the assertion to the explain
+    formatter across Spark versions."""
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return sum(1 for ln in plan.splitlines() if "Scan parquet" in ln)
+
+
 def test_product_facts_star_is_all_broadcast(spark, sf_dir):
     plan = _plan(all_queries()["product_facts"](spark, sf_dir))
     # formatted explain mentions each node in the tree and the detail list
@@ -313,11 +323,10 @@ def test_warehouse_plans(spark, sf_dir):
     # merge_upsert: MERGE-shaped full-outer join; the batch agg must run
     # ONCE (explode of both key variants, not a union of two agg branches)
     # and the orders date filter must reach the parquet scan
-    plan = _plan(q["merge_upsert"](spark, sf_dir))
+    mu = q["merge_upsert"](spark, sf_dir)
+    plan = _plan(mu)
     assert "FullOuter" in plan
-    # formatted explain names each node twice (tree + detail):
-    # 2 actual scans = customer once, orders once
-    assert plan.count("Scan parquet") == 4
+    assert _scan_count(mu) == 2  # customer once, orders once
     assert "PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate" in plan
     # doc_chunks: stateless explode, zero exchanges
     plan = _plan(q["doc_chunks"](spark, sf_dir))
