@@ -56,85 +56,78 @@ MODULE_ORDER = [
     "warehouse",
 ]
 
-# Round-2 sweep priority:
-# - the 28 queries with no driver row in CORRECTNESS_r01.json
-#   (registry positions 51-78 last round),
-# - the 3 whose plans/oracles changed this round
-#   (simhash_near_dups, embedding_near_dups, multimodal_features),
-# - every query added this round (tpch_q7..q22, corpus ops).
+# Round-3 sweep priority (exactly fills the 50-slot window):
+# - the 45 queries with no driver row in r1 OR r2 (everything added after
+#   the r2 PRIORITY freeze — the registry.py:112-125 list the r2 comment
+#   named),
+# - the 5 whose plans changed this round: simhash_near_dups /
+#   embedding_near_dups / ngram_jaccard (subset caps lifted, Arrow
+#   verify), ivf_probe_topk / ivf_list_sizes (learned k-means centroids).
+#   kmeans_clusters / semdedup_candidates / rfm_segments /
+#   embedding_quantize / ivf_probe2_topk also changed but already sit in
+#   the never-swept 45.
+# Everything r1/r2 already verified and unchanged since is protected by
+# the local harness (tests/test_oracle_parity.py, same compare, sf0.001).
 PRIORITY = [
-    # new this round (no row ever)
-    "tpch_q7",
-    "tpch_q8",
-    "tpch_q10",
-    "tpch_q11",
-    "tpch_q12",
-    "tpch_q14",
-    "tpch_q16",
-    "tpch_q19",
-    "tpch_q22",
-    # r1-unswept: tpch
-    "tpch_q1",
-    "tpch_q3",
-    "tpch_q4",
-    "tpch_q5",
-    "tpch_q6",
-    "tpch_q18",
-    "cheapest_supplier_per_part",
-    "profile_orders",
-    # r1-unswept: scalarfuncs
-    "json_extract_props",
-    "date_arithmetic",
-    "null_handling",
-    "regexp_extract_parts",
-    "array_agg_per_brand",
-    "explode_roundtrip",
-    # r1-unswept: corpusops
-    "pii_scrub",
-    "deterministic_sample",
-    "shard_histogram",
-    "neardup_components",
-    # r1-unswept: pythonudf
-    "pandas_normalized_text",
-    "grouped_pandas_topk",
-    # r1-unswept: analytic tail
-    "rank_functions",
-    "asof_purchase_before_click",
-    "events_within_5min",
-    "percentile_disc_prices",
-    "salted_user_totals",
-    "distinct_counts",
-    "conditional_aggregates",
-    "string_functions",
-    # changed plans/oracles this round
+    # never-swept: tpch tail
+    "tpch_q17",
+    "tpch_q21",
+    "tpch_q2",
+    "tpch_q9",
+    "tpch_q20",
+    # never-swept: corpus ops
+    "repetition_ratio",
+    "domain_mixture_weights",
+    "sequence_packing",
+    "quality_deciles",
+    "incremental_neardup",
+    "oov_rate",
+    "dataset_cards",
+    "inverted_index",
+    "bm25_topk_terms",
+    "term_lift_pairs",
+    "weighted_sample",
+    "dedup_rate_by_source",
+    # never-swept: clustering / similarity
+    "kmeans_clusters",
+    "semdedup_candidates",
+    "embedding_quantize",
+    "ivf_probe2_topk",
+    # never-swept: multimodal / python surface
+    "multimodal_resize",
+    "udtf_sentences",
+    # never-swept: warehouse maintenance
+    "merge_upsert",
+    "scd2_intervals",
+    "cohort_retention",
+    "ohlc_bars",
+    "stratified_sample",
+    "doc_chunks",
+    "table_diff",
+    "rfm_segments",
+    "basket_affinity",
+    # never-swept: event-time tail
+    "rolling_7d_actives",
+    "twap_per_user",
+    "interpolate_hourly",
+    "event_transitions",
+    "activity_heatmap",
+    "hourly_anomalies",
+    "session_conversion",
+    # never-swept: analytic/scalar tail
+    "unpivot_status_year",
+    "ntile_quartiles",
+    "array_functions",
+    "variant_props",
+    "price_quantity_corr",
+    "key_skew_report",
+    # changed plans this round (had r1/r2 rows; need fresh ones)
     "simhash_near_dups",
     "embedding_near_dups",
-    "multimodal_features",
-    # new corpus-prep ops this round
-    "vocab_topk",
-    "tfidf_topk_terms",
-    "dedup_survivors",
-    "training_corpus",
-    "contamination_check",
-    # new analytic/scalar surface this round
-    "math_functions",
-    "window_value_functions",
-    "grouping_sets_sales",
+    "ngram_jaccard",
+    "ivf_probe_topk",
+    "ivf_list_sizes",
 ]
-# NOT in PRIORITY (window is at 48/50; tpch_q13/q15 fill slots 49-50 via
-# module order): tpch_q17/q21/q2/q9/q20, repetition_ratio,
-# domain_mixture_weights, sequence_packing, quality_deciles,
-# multimodal_resize, incremental_neardup, kmeans_clusters,
-# semdedup_candidates, and the warehouse module (merge_upsert,
-# scd2_intervals, cohort_retention, ohlc_bars, stratified_sample,
-# doc_chunks), udtf_sentences, rolling_7d_actives, twap_per_user,
-# oov_rate, unpivot_status_year, ntile_quartiles, array_functions,
-# dataset_cards, inverted_index, interpolate_hourly, embedding_quantize,
-# table_diff, bm25_topk_terms, event_transitions, activity_heatmap,
-# hourly_anomalies, price_quantity_corr, weighted_sample,
-# term_lift_pairs, variant_props, session_conversion, key_skew_report, ivf_probe2_topk, dedup_rate_by_source, rfm_segments, basket_affinity —
-# added late in r2, pass-local this round; rotate into
-# PRIORITY for the r3 sweep.
 
 
 def _collect() -> tuple[dict[str, QueryFn], dict[str, str]]:
