@@ -1,0 +1,299 @@
+"""Round-3 corpus-curation operators: the rule-based quality gate,
+chunk-level (line-dedup analog) duplication, and DSIR-style importance
+weighting a large-scale pretraining-data pipeline runs between raw crawl
+and tokenizer.
+
+Reference parity note: the reference pipeline (LoadXML2DB.ChatterjeeP.R /
+AnalyzeData.ChatterjeeP.Rmd) has no corpus-curation surface; these extend
+the engine per the LLM-training-pipeline mandate, same registry/oracle
+contract as every other operator.
+
+Scale posture:
+- `gopher_quality_flags` — ONE scan of documents, all rules computed as
+  JVM built-in column expressions, one map-side-combined groupBy(source).
+  Output is |sources| rows. Trivially linear.
+- `chunk_dedup` — explode disjoint 10-token chunks (linear in corpus
+  tokens), one groupBy(chunk) for global doc-frequency, one join back on
+  chunk (equi-join, AQE-skew-splittable), one groupBy(doc_id). No
+  all-pairs anywhere; this is the RefinedWeb/CCNet "line-level dedup"
+  shape with chunks standing in for lines (the synthetic corpus has no
+  newlines).
+- `dsir_weights` — vocabulary statistics are two tiny aggs (vocab is
+  bounded; at 100 TB a hashed-vocab cap keeps it bounded too) broadcast
+  back against the token stream; per-doc reduce is an exact DECIMAL sum,
+  order-independent across any partition layout.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions.numeric import round_half_up
+from .textops import STOPWORD_RE
+
+# ---------------------------------------------------------------------------
+# Gopher/C4-style rule flags. Thresholds tuned to be discriminative on the
+# synthetic corpus while keeping the published shape of the rules
+# (Rae et al. 2021 "Scaling Language Models" appendix A; C4 filters).
+# ---------------------------------------------------------------------------
+
+MIN_WORDS = 40
+MAX_WORDS = 50_000
+MIN_MEAN_WORD_LEN = 3.0
+MAX_MEAN_WORD_LEN = 10.0
+MIN_DISTINCT_STOPWORDS = 2
+
+
+def gopher_quality_flags(documents: DataFrame) -> DataFrame:
+    """Per-source pass counts for the rule-based quality gate.
+
+    Rules (each a pure column expression over one scan):
+      r1 word-count window   — MIN_WORDS <= n_words <= MAX_WORDS
+      r2 mean word length    — nonspace_chars / n_words in [3, 10]
+      r3 stopword presence   — >= 2 DISTINCT stopwords from the shared list
+    """
+    t = F.col("text")
+    words = F.split(F.lower(F.trim(t)), r"\s+")
+    n_words = F.size(words).cast("double")
+    nonspace = F.length(F.regexp_replace(t, r"\s", "")).cast("double")
+    mean_len = nonspace / n_words
+    n_stop = F.size(F.array_distinct(F.regexp_extract_all(F.lower(t), F.lit(STOPWORD_RE), 0)))
+    r1 = (n_words >= MIN_WORDS) & (n_words <= MAX_WORDS)
+    r2 = (mean_len >= MIN_MEAN_WORD_LEN) & (mean_len <= MAX_MEAN_WORD_LEN)
+    r3 = n_stop >= MIN_DISTINCT_STOPWORDS
+    flags = documents.select(
+        "source",
+        r1.cast("long").alias("p1"),
+        r2.cast("long").alias("p2"),
+        r3.cast("long").alias("p3"),
+        (r1 & r2 & r3).cast("long").alias("pall"),
+    )
+    n = F.count(F.lit(1)).cast("long")
+    return (
+        flags.groupBy("source")
+        .agg(
+            n.alias("n_docs"),
+            F.sum("p1").cast("long").alias("pass_wordcount"),
+            F.sum("p2").cast("long").alias("pass_meanlen"),
+            F.sum("p3").cast("long").alias("pass_stopwords"),
+            F.sum("pall").cast("long").alias("pass_all"),
+            round_half_up(F.sum("pall").cast("double") / n.cast("double"), 6).alias("pass_rate"),
+        )
+    )
+
+
+def q_gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return gopher_quality_flags(load_table(spark, sf_dir, "documents"))
+
+
+SQL_GOPHER_QUALITY_FLAGS = f"""
+WITH sig AS (
+  SELECT source,
+         CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS DOUBLE) AS n_words,
+         CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE) AS nonspace,
+         len(list_distinct(regexp_extract_all(lower(text), '{STOPWORD_RE}'))) AS n_stop
+  FROM documents
+), flags AS (
+  SELECT source,
+         CAST(n_words >= {MIN_WORDS} AND n_words <= {MAX_WORDS} AS BIGINT) AS p1,
+         CAST(nonspace / n_words >= {MIN_MEAN_WORD_LEN}
+              AND nonspace / n_words <= {MAX_MEAN_WORD_LEN} AS BIGINT) AS p2,
+         CAST(n_stop >= {MIN_DISTINCT_STOPWORDS} AS BIGINT) AS p3
+  FROM sig
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(p1) AS BIGINT) AS pass_wordcount,
+       CAST(sum(p2) AS BIGINT) AS pass_meanlen,
+       CAST(sum(p3) AS BIGINT) AS pass_stopwords,
+       CAST(sum(p1 * p2 * p3) AS BIGINT) AS pass_all,
+       floor(CAST(sum(p1 * p2 * p3) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+             * 1000000.0 + 0.5) / 1000000.0 AS pass_rate
+FROM flags
+GROUP BY source
+"""
+
+
+# ---------------------------------------------------------------------------
+# Chunk-level dedup (line-level dedup analog): disjoint 10-token windows,
+# a chunk is "duplicated" when it appears in >= 2 distinct documents.
+# ---------------------------------------------------------------------------
+
+CHUNK_TOKENS = 10
+
+
+def _chunks(documents: DataFrame) -> DataFrame:
+    """(doc_id, chunk) — disjoint CHUNK_TOKENS-token windows, docs shorter
+    than one chunk drop out (same convention as the shingle ops)."""
+    words = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    k = CHUNK_TOKENS
+    chunk_arr = F.expr(
+        f"transform(sequence(1, size(words) div {k}), "
+        f"          i -> concat_ws(' ', slice(words, (i-1)*{k} + 1, {k})))"
+    )
+    return (
+        documents.select("doc_id", words.alias("words"))
+        .filter(F.size("words") >= k)
+        .select("doc_id", F.explode(chunk_arr).alias("chunk"))
+    )
+
+
+def chunk_dedup(documents: DataFrame) -> DataFrame:
+    """Per-doc duplicated-chunk fraction.
+
+    Global chunk doc-frequency via one groupBy(chunk); re-join on chunk
+    (equi-join on the exploded stream — linear, no pairs); per-doc rollup.
+    """
+    chunks = _chunks(documents)
+    docfreq = chunks.groupBy("chunk").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    n = F.count(F.lit(1)).cast("long")
+    ndup = F.sum((F.col("df") >= 2).cast("long")).cast("long")
+    return (
+        chunks.join(docfreq, "chunk")
+        .groupBy("doc_id")
+        .agg(
+            n.alias("n_chunks"),
+            ndup.alias("n_dup_chunks"),
+            round_half_up(ndup.cast("double") / n.cast("double"), 6).alias("dup_chunk_frac"),
+        )
+    )
+
+
+def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return chunk_dedup(load_table(spark, sf_dir, "documents"))
+
+
+SQL_CHUNK_DEDUP = f"""
+WITH w AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS words
+  FROM documents
+), chunks AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(words) // {CHUNK_TOKENS} + 1),
+                i -> array_to_string(words[(i-1)*{CHUNK_TOKENS} + 1 : i*{CHUNK_TOKENS}], ' ')))
+           AS chunk
+  FROM w
+  WHERE len(words) >= {CHUNK_TOKENS}
+), docfreq AS (
+  SELECT chunk, count(DISTINCT doc_id) AS df FROM chunks GROUP BY chunk
+)
+SELECT c.doc_id,
+       CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(sum(CAST(df >= 2 AS BIGINT)) AS BIGINT) AS n_dup_chunks,
+       floor(CAST(sum(CAST(df >= 2 AS BIGINT)) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+             * 1000000.0 + 0.5) / 1000000.0 AS dup_chunk_frac
+FROM chunks c JOIN docfreq USING (chunk)
+GROUP BY c.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style importance weights (Xie et al. 2023, "Data Selection for
+# Language Models via Importance Resampling"): per-doc average log-
+# likelihood ratio of a target unigram model (here: the English slice)
+# vs the full-corpus model, add-one smoothed over the corpus vocabulary.
+#
+# FP discipline: each vocabulary word's log-ratio is computed ONCE from an
+# exact BIGINT rational (identical double input in both engines), rounded
+# half-up to 6dp and carried as DECIMAL(18,6); the per-doc reduce is then
+# an exact decimal SUM — order-independent, bit-equal across engines and
+# partition layouts. The only cross-engine FP exposure is libm `ln` on
+# identical inputs landing within 1 ulp of a rounding boundary (~50-word
+# vocab -> negligible).
+# ---------------------------------------------------------------------------
+
+DSIR_TARGET_LANG = "en"
+
+
+def _doc_words(documents: DataFrame) -> DataFrame:
+    return documents.select(
+        "doc_id",
+        "lang",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("word"),
+    )
+
+
+def dsir_weights(documents: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens, dsir_logratio): exact-decimal sum of per-token
+    ln(p_target / p_corpus) under add-one-smoothed unigram models."""
+    toks = _doc_words(documents)
+    # corpus-level stats: tiny (|vocab| rows), computed once, broadcast back
+    vocab = toks.groupBy("word").agg(
+        F.count(F.lit(1)).cast("long").alias("ca"),
+        F.sum((F.col("lang") == DSIR_TARGET_LANG).cast("long")).cast("long").alias("ct"),
+    )
+    totals = vocab.agg(
+        F.sum("ca").cast("long").alias("na"),
+        F.sum("ct").cast("long").alias("nt"),
+        F.count(F.lit(1)).cast("long").alias("v"),
+    )
+    lr = (
+        vocab.crossJoin(F.broadcast(totals))
+        .select(
+            "word",
+            round_half_up(
+                F.log(
+                    ((F.col("ct") + 1) * (F.col("na") + F.col("v"))).cast("double")
+                    / ((F.col("ca") + 1) * (F.col("nt") + F.col("v"))).cast("double")
+                ),
+                6,
+            ).cast("decimal(18,6)").alias("lr"),
+        )
+    )
+    return (
+        toks.join(F.broadcast(lr), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum("lr").cast("decimal(28,6)").cast("double").alias("dsir_logratio"),
+        )
+    )
+
+
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dsir_weights(load_table(spark, sf_dir, "documents"))
+
+
+SQL_DSIR_WEIGHTS = f"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word
+  FROM documents
+), vocab AS (
+  SELECT word,
+         CAST(count(*) AS BIGINT) AS ca,
+         CAST(sum(CAST(lang = '{DSIR_TARGET_LANG}' AS BIGINT)) AS BIGINT) AS ct
+  FROM toks GROUP BY word
+), totals AS (
+  SELECT CAST(sum(ca) AS BIGINT) AS na, CAST(sum(ct) AS BIGINT) AS nt,
+         CAST(count(*) AS BIGINT) AS v
+  FROM vocab
+), lr AS (
+  SELECT word,
+         CAST(floor(ln(CAST((ct + 1) * (na + v) AS DOUBLE)
+                       / CAST((ca + 1) * (nt + v) AS DOUBLE))
+                    * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(18,6)) AS lr
+  FROM vocab, totals
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(CAST(sum(lr) AS DECIMAL(28,6)) AS DOUBLE) AS dsir_logratio
+FROM toks JOIN lr USING (word)
+GROUP BY doc_id
+"""
+
+
+QUERIES = {
+    "gopher_quality_flags": q_gopher_quality_flags,
+    "chunk_dedup": q_chunk_dedup,
+    "dsir_weights": q_dsir_weights,
+}
+ORACLES = {
+    "gopher_quality_flags": SQL_GOPHER_QUALITY_FLAGS,
+    "chunk_dedup": SQL_CHUNK_DEDUP,
+    "dsir_weights": SQL_DSIR_WEIGHTS,
+}

@@ -54,6 +54,7 @@ MODULE_ORDER = [
     "eventsops",
     "clustering",
     "warehouse",
+    "curation",
 ]
 
 # Round-3 sweep priority (exactly fills the 50-slot window):
