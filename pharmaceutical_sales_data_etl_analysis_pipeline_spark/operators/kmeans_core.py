@@ -19,7 +19,7 @@ subquery.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 MIN_CLUSTERS = 8
@@ -50,31 +50,55 @@ def _quantized(embeddings: DataFrame) -> DataFrame:
     )
 
 
-def _sqdist_to(centroid: list[float]) -> Column:
-    """Left-fold squared distance from quantized row to a literal centroid."""
-    ce = F.array(*[F.lit(float(v)) for v in centroid])
-    diffs = F.zip_with(
-        F.col("qe"), ce, lambda a, b: (a.cast("double") - b) * (a.cast("double") - b)
-    )
-    return F.aggregate(diffs, F.lit(0.0), lambda acc, x: acc + x)
-
-
 def _assign(quant: DataFrame, centroids: list[tuple[int, list[float]]]) -> DataFrame:
-    """Zero-shuffle argmin assignment against driver-held centroid literals.
+    """Zero-shuffle argmin assignment against driver-held centroids.
 
-    array_min over (dist, cluster) structs compares field-by-field, so ties
-    on dist resolve to the lowest cluster id — same order as the oracle's
-    row_number() OVER (ORDER BY dist, cluster).
+    Arrow-vectorized mapInPandas (r3 — was a K-literal struct/array_min
+    expression tree: Spark's higher-order array functions are
+    CodegenFallback, and at derived K the K x DIM interpreted fold plus the
+    Catalyst build of a ~K*DIM-node tree dominated the whole query). The
+    numpy loop is vectorized ACROSS rows but sequential ACROSS dimensions
+    (acc = acc + d_i * d_i in array order, float64) — the exact IEEE op
+    order of the JVM `aggregate` fold and DuckDB's list_reduce, so dist is
+    bit-identical to the oracle. np.argmin takes the FIRST minimum and the
+    centroid rows are sorted by cluster id, so ties resolve to the lowest
+    cluster id — same order as the oracle's row_number() OVER
+    (ORDER BY dist, cluster). No join, no shuffle: centroids ride the
+    closure (K x DIM doubles) to every task.
     """
-    choices = F.array(
-        *[
-            F.struct(_sqdist_to(ce).alias("d"), F.lit(int(cid)).alias("c"))
-            for cid, ce in centroids
-        ]
-    )
-    best = F.array_min(choices)
-    return quant.select(
-        "vec_id", "qe", best["c"].alias("cluster_id"), best["d"].alias("dist")
+    cents = sorted((int(cid), [float(v) for v in ce]) for cid, ce in centroids)
+    cids = [c for c, _ in cents]
+    cmat = [ce for _, ce in cents]
+
+    def assign_batches(batches):
+        import numpy as np
+        import pandas as pd
+
+        C = np.asarray(cmat, dtype=np.float64)  # (K, DIM)
+        ids = np.asarray(cids, dtype=np.int64)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            Q = np.stack(pdf["qe"].to_numpy()).astype(np.float64)  # (N, DIM)
+            dists = np.empty((len(pdf), len(ids)), dtype=np.float64)
+            for j in range(len(ids)):
+                d = Q - C[j]
+                acc = np.zeros(len(pdf))
+                for i in range(d.shape[1]):  # dim order = the fold order
+                    acc = acc + d[:, i] * d[:, i]
+                dists[:, j] = acc
+            best = np.argmin(dists, axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "qe": pdf["qe"],
+                    "cluster_id": ids[best].astype(np.int32),
+                    "dist": dists[np.arange(len(pdf)), best],
+                }
+            )
+
+    return quant.mapInPandas(
+        assign_batches, "vec_id long, qe array<bigint>, cluster_id int, dist double"
     )
 
 

@@ -546,12 +546,15 @@ FROM assign GROUP BY centroid_id
 
 
 def ivf_probe_topk(embeddings: DataFrame, n_queries: int = N_QUERIES,
-                   k: int = TOP_K, nprobe: int = 1) -> DataFrame:
+                   k: int = TOP_K, nprobe: int = 1,
+                   cents: DataFrame | None = None) -> DataFrame:
     """IVF probe: each query searches its nprobe nearest centroids' lists
     with exact cosine. A (q, d) pair arises through at most ONE probed
     list (each doc lives in exactly one inverted list), so no distinct is
-    needed after the probe join at any nprobe."""
-    cents = _learned_centroids(embeddings)  # trained once, shared by both paths
+    needed after the probe join at any nprobe. Pass `cents` to share one
+    training across several probe configurations (ann_recall_eval)."""
+    if cents is None:
+        cents = _learned_centroids(embeddings)  # trained once, shared by both paths
     assign = ivf_assignments(embeddings, cents)
     docs = embeddings.join(assign, "vec_id").select(
         F.col("vec_id").alias("d_id"),
@@ -772,3 +775,67 @@ WHERE rnk <= {TOP_K}
 
 QUERIES["ivf_probe2_topk"] = q_ivf_probe2_topk
 ORACLES["ivf_probe2_topk"] = SQL_IVF_PROBE2_TOPK
+
+
+# ---------------------------------------------------------------------------
+# ANN recall evaluation: the harness every vector-index deployment runs
+# before flipping traffic — recall@k of the IVF probe paths against the
+# exact brute-force baseline, per nprobe. Train ONCE, probe twice, semi-
+# join each approximate top-k against the exact top-k on (q_id, d_id).
+# Output is 2 tiny rows; every join is an equi-join on (q_id, d_id) over
+# k*n_queries rows, so the eval itself is free at any corpus size (the
+# cost is the two probe plans it measures).
+# ---------------------------------------------------------------------------
+
+
+def ann_recall_eval(embeddings: DataFrame, n_queries: int = N_QUERIES,
+                    k: int = TOP_K) -> DataFrame:
+    cents = _learned_centroids(embeddings)
+    exact = cosine_topk(embeddings, n_queries, k).select("q_id", "d_id")
+    parts = []
+    for nprobe in (1, IVF_NPROBE):
+        approx = ivf_probe_topk(embeddings, n_queries, k, nprobe, cents).select(
+            "q_id", "d_id"
+        )
+        hits = approx.join(exact, ["q_id", "d_id"], "left_semi")
+        parts.append(
+            hits.agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+            .crossJoin(
+                F.broadcast(exact.agg(F.count(F.lit(1)).cast("long").alias("n_exact")))
+            )
+            .select(
+                F.lit(nprobe).cast("int").alias("nprobe"),
+                "n_exact",
+                "n_hits",
+                round_half_up(
+                    F.col("n_hits").cast("double") / F.col("n_exact").cast("double"), 6
+                ).alias("recall"),
+            )
+        )
+    return parts[0].unionAll(parts[1])
+
+
+def q_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ann_recall_eval(load_table(spark, sf_dir, "embeddings"))
+
+
+SQL_ANN_RECALL_EVAL = f"""
+WITH exact AS ({SQL_COSINE_TOPK}),
+a1 AS ({SQL_IVF_PROBE_TOPK}),
+a2 AS ({SQL_IVF_PROBE2_TOPK}),
+ex AS (SELECT CAST(count(*) AS BIGINT) AS n_exact FROM exact)
+SELECT CAST(1 AS INT) AS nprobe, n_exact,
+       CAST((SELECT count(*) FROM a1 JOIN exact USING (q_id, d_id)) AS BIGINT) AS n_hits,
+       floor(CAST((SELECT count(*) FROM a1 JOIN exact USING (q_id, d_id)) AS DOUBLE)
+             / CAST(n_exact AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS recall
+FROM ex
+UNION ALL
+SELECT CAST({IVF_NPROBE} AS INT) AS nprobe, n_exact,
+       CAST((SELECT count(*) FROM a2 JOIN exact USING (q_id, d_id)) AS BIGINT) AS n_hits,
+       floor(CAST((SELECT count(*) FROM a2 JOIN exact USING (q_id, d_id)) AS DOUBLE)
+             / CAST(n_exact AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS recall
+FROM ex
+"""
+
+QUERIES["ann_recall_eval"] = q_ann_recall_eval
+ORACLES["ann_recall_eval"] = SQL_ANN_RECALL_EVAL
