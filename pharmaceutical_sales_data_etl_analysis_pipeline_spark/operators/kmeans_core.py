@@ -188,3 +188,50 @@ a1 AS (
     FROM d1) t
   WHERE rn = 1
 )"""
+
+
+def kmeans_sub_cte(sfx: str, lo: int, dim: int, k: int) -> str:
+    """Per-subspace k-means CTE chain for product quantization: same
+    seeds-then-one-Lloyd-step construction as kmeans_cte(), but over the
+    dimension window qe[lo+1 .. lo+dim] of the shared `q` CTE, with all
+    names suffixed `_sfx` and a FIXED k (a PQ codebook's size is a bit-
+    budget constant — 4-bit codes here — not a corpus-size function like
+    the coarse quantizer's K). Ends in a1_sfx(vec_id, cluster, dist)."""
+    dist = (
+        f"list_reduce(list_transform(range(1, {dim + 1}), "
+        f"i -> (CAST(qe[{lo} + i] AS DOUBLE) - {{ce}}[i]) * (CAST(qe[{lo} + i] AS DOUBLE) - {{ce}}[i])), "
+        f"(acc, x) -> acc + x)"
+    )
+    return f"""
+c0_{sfx} AS (
+  SELECT vec_id AS cluster,
+         list_transform(qe[{lo + 1}:{lo + dim}], v -> CAST(v AS DOUBLE)) AS ce
+  FROM q WHERE vec_id < {k}
+),
+d0_{sfx} AS (
+  SELECT q.vec_id, c0_{sfx}.cluster, {dist.format(ce='ce')} AS dist FROM q, c0_{sfx}
+),
+a0_{sfx} AS (
+  SELECT vec_id, cluster FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rn
+    FROM d0_{sfx}) t
+  WHERE rn = 1
+),
+sums_{sfx} AS (
+  SELECT a0_{sfx}.cluster, t.i, sum(q.qe[{lo} + t.i]) AS s, count(*) AS c
+  FROM q JOIN a0_{sfx} USING (vec_id), range(1, {dim + 1}) t(i)
+  GROUP BY a0_{sfx}.cluster, t.i
+),
+c1_{sfx} AS (
+  SELECT cluster, list(CAST(s AS DOUBLE) / CAST(c AS DOUBLE) ORDER BY i) AS ce
+  FROM sums_{sfx} GROUP BY cluster
+),
+d1_{sfx} AS (
+  SELECT q.vec_id, c1_{sfx}.cluster, {dist.format(ce='ce')} AS dist FROM q, c1_{sfx}
+),
+a1_{sfx} AS (
+  SELECT vec_id, cluster, dist FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rn
+    FROM d1_{sfx}) t
+  WHERE rn = 1
+)"""

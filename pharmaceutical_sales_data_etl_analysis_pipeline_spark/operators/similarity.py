@@ -839,3 +839,107 @@ FROM ex
 
 QUERIES["ann_recall_eval"] = q_ann_recall_eval
 ORACLES["ann_recall_eval"] = SQL_ANN_RECALL_EVAL
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ): the memory-compression half of a production
+# IVF-PQ vector index (Jegou et al. 2011). Split DIM=64 into M=4 subspaces
+# of 16 dims; learn a 16-entry codebook per subspace with the shared
+# deterministic k-means core (seeds + one Lloyd step, exact-integer sums);
+# encode every vector as M 4-bit codes plus its squared reconstruction
+# error. 64 floats -> 4 codes = 16x compression (production uses 8-bit
+# codebooks; the construction is identical).
+#
+# Codebook size is a bit-budget CONSTANT (unlike the coarse quantizer's
+# derived K): at 100 TB the codebooks are still M x 16 x 16 doubles in the
+# task closure, training is M bounded scans, and encoding is ONE
+# mapInPandas pass — no join, no shuffle. The numpy distance loop is
+# dim-sequential (same IEEE fold order as the oracle's list_reduce) and
+# the subspace error sum is left-assoc (((s0+s1)+s2)+s3 — same parse as
+# the SQL `+` chain), so recon_err is bit-identical cross-engine.
+# ---------------------------------------------------------------------------
+
+PQ_M = 4        # subspaces
+PQ_SUBDIM = 16  # dims per subspace (PQ_M * PQ_SUBDIM == DIM)
+PQ_K = 16       # codebook entries per subspace (4-bit codes)
+
+_PQ_OUT = "vec_id long, code0 int, code1 int, code2 int, code3 int, recon_err double"
+
+
+def pq_codes(embeddings: DataFrame) -> DataFrame:
+    from .kmeans_core import _QUANT2, _quantized, kmeans_centroids
+
+    books = []
+    for mi in range(PQ_M):
+        sub = embeddings.select(
+            "vec_id",
+            F.slice(F.col("embedding"), mi * PQ_SUBDIM + 1, PQ_SUBDIM).alias("embedding"),
+        )
+        cents = sorted(kmeans_centroids(sub, PQ_K))
+        books.append(([c for c, _ in cents], [ce for _, ce in cents]))
+
+    def encode(batches):
+        import numpy as np
+        import pandas as pd
+
+        mats = [
+            (np.asarray(ids, dtype=np.int64), np.asarray(cm, dtype=np.float64))
+            for ids, cm in books
+        ]
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            Q = np.stack(pdf["qe"].to_numpy()).astype(np.float64)
+            out = {"vec_id": pdf["vec_id"].to_numpy()}
+            total = np.zeros(len(pdf))
+            for mi, (ids, C) in enumerate(mats):
+                Qs = Q[:, mi * PQ_SUBDIM : (mi + 1) * PQ_SUBDIM]
+                dists = np.empty((len(pdf), len(ids)))
+                for j in range(len(ids)):
+                    d = Qs - C[j]
+                    acc = np.zeros(len(pdf))
+                    for i in range(d.shape[1]):  # dim order = the fold order
+                        acc = acc + d[:, i] * d[:, i]
+                    dists[:, j] = acc
+                best = np.argmin(dists, axis=1)
+                out[f"code{mi}"] = ids[best].astype(np.int32)
+                total = total + dists[np.arange(len(pdf)), best]
+            out["recon_err"] = np.floor(total / _QUANT2 * 1e6 + 0.5) / 1e6
+            yield pd.DataFrame(out)
+
+    return _quantized(embeddings).mapInPandas(encode, _PQ_OUT)
+
+
+def q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pq_codes(load_table(spark, sf_dir, "embeddings"))
+
+
+def _pq_sql() -> str:
+    from .kmeans_core import _QUANT, _QUANT2, kmeans_sub_cte
+
+    subs = ",".join(
+        kmeans_sub_cte(f"s{mi}", mi * PQ_SUBDIM, PQ_SUBDIM, PQ_K) for mi in range(PQ_M)
+    )
+    err_sum = " + ".join(f"a1_s{mi}.dist" for mi in range(PQ_M))
+    codes = ",\n       ".join(
+        f"CAST(a1_s{mi}.cluster AS INT) AS code{mi}" for mi in range(PQ_M)
+    )
+    joins = " ".join(f"JOIN a1_s{mi} USING (vec_id)" for mi in range(1, PQ_M))
+    return f"""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding,
+                        x -> CAST(floor(CAST(x AS DOUBLE) * {_QUANT} + 0.5) AS BIGINT)) AS qe
+  FROM embeddings
+),{subs}
+SELECT vec_id,
+       {codes},
+       floor(({err_sum}) / {_QUANT2} * 1000000.0 + 0.5) / 1000000.0 AS recon_err
+FROM a1_s0 {joins}
+"""
+
+
+SQL_PQ_CODES = _pq_sql()
+
+QUERIES["pq_codes"] = q_pq_codes
+ORACLES["pq_codes"] = SQL_PQ_CODES

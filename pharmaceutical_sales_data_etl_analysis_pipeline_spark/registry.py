@@ -55,6 +55,7 @@ MODULE_ORDER = [
     "clustering",
     "warehouse",
     "curation",
+    "streamingq",
 ]
 
 # Round-3 sweep priority (exactly fills the 50-slot window):
