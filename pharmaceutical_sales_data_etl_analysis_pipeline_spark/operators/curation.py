@@ -297,3 +297,117 @@ ORACLES = {
     "chunk_dedup": SQL_CHUNK_DEDUP,
     "dsir_weights": SQL_DSIR_WEIGHTS,
 }
+
+
+# ---------------------------------------------------------------------------
+# Quality-filter funnel: cumulative survivor counts through the
+# training-corpus gate (raw -> lang -> quality -> min-tokens -> near-dedup)
+# — the governance table a data release publishes next to dataset_cards.
+# Same signal expressions and thresholds as training_corpus (textops is
+# the single source of truth), so the funnel's last row always equals
+# |training_corpus|. One scan computes every per-row flag as a column;
+# the only join is the dedup-survivor attach; the aggregate is one row,
+# exploded into 5 stage rows driver-side-free.
+# ---------------------------------------------------------------------------
+
+
+def quality_filter_funnel(documents: DataFrame) -> DataFrame:
+    from .corpusops import CORPUS_MIN_QUALITY, CORPUS_MIN_TOKENS, dedup_survivors
+    from .textops import predicted_lang_col, quality_score_col, ws_tokens_col
+
+    t = F.col("text")
+    b1 = predicted_lang_col(t) == "en"
+    b2 = b1 & (quality_score_col(t) >= CORPUS_MIN_QUALITY)
+    b3 = b2 & (ws_tokens_col(t) >= CORPUS_MIN_TOKENS)
+    sig = documents.select(
+        "doc_id",
+        b1.cast("long").alias("b1"),
+        b2.cast("long").alias("b2"),
+        b3.cast("long").alias("b3"),
+    )
+    surv = dedup_survivors(documents).select("doc_id", F.col("keep").cast("long").alias("kp"))
+    agg = sig.join(surv, "doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("s0"),
+        F.sum("b1").cast("long").alias("s1"),
+        F.sum("b2").cast("long").alias("s2"),
+        F.sum("b3").cast("long").alias("s3"),
+        F.sum(F.col("b3") * F.col("kp")).cast("long").alias("s4"),
+    )
+    stages = F.array(
+        *[
+            F.struct(
+                F.lit(i).cast("int").alias("stage_idx"),
+                F.lit(name).alias("stage"),
+                F.col(f"s{i}").alias("n_docs"),
+            )
+            for i, name in enumerate(
+                ["raw", "lang_en", "quality", "min_tokens", "near_dedup"]
+            )
+        ]
+    )
+    return (
+        agg.select(F.col("s0"), F.explode(stages).alias("st"))
+        .select(
+            F.col("st.stage_idx").alias("stage_idx"),
+            F.col("st.stage").alias("stage"),
+            F.col("st.n_docs").alias("n_docs"),
+            round_half_up(
+                F.col("st.n_docs").cast("double") / F.col("s0").cast("double"), 6
+            ).alias("retained_frac"),
+        )
+    )
+
+
+def q_quality_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return quality_filter_funnel(load_table(spark, sf_dir, "documents"))
+
+
+def _funnel_sql() -> str:
+    from .corpusops import CORPUS_MIN_QUALITY, CORPUS_MIN_TOKENS, SQL_DEDUP_SURVIVORS
+    from .textops import SQL_LANG_ID, SQL_TEXT_QUALITY, SQL_TOKEN_COUNTS
+
+    rows = ",\n  ".join(
+        f"({i}, '{name}', s{i})"
+        for i, name in enumerate(["raw", "lang_en", "quality", "min_tokens", "near_dedup"])
+    )
+    return f"""
+WITH surv AS ({SQL_DEDUP_SURVIVORS}),
+lang AS ({SQL_LANG_ID}),
+qual AS ({SQL_TEXT_QUALITY}),
+toks AS ({SQL_TOKEN_COUNTS}),
+flags AS (
+  SELECT d.doc_id,
+         CAST(lang.predicted_lang = 'en' AS BIGINT) AS b1,
+         CAST(lang.predicted_lang = 'en'
+              AND qual.quality_score >= {CORPUS_MIN_QUALITY} AS BIGINT) AS b2,
+         CAST(lang.predicted_lang = 'en'
+              AND qual.quality_score >= {CORPUS_MIN_QUALITY}
+              AND toks.ws_tokens >= {CORPUS_MIN_TOKENS} AS BIGINT) AS b3,
+         CAST(surv.keep AS BIGINT) AS kp
+  FROM documents d
+  JOIN lang ON d.doc_id = lang.doc_id
+  JOIN qual ON d.doc_id = qual.doc_id
+  JOIN toks ON d.doc_id = toks.doc_id
+  JOIN surv ON d.doc_id = surv.doc_id
+),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS s0, CAST(sum(b1) AS BIGINT) AS s1,
+         CAST(sum(b2) AS BIGINT) AS s2, CAST(sum(b3) AS BIGINT) AS s3,
+         CAST(sum(b3 * kp) AS BIGINT) AS s4
+  FROM flags
+),
+stages(stage_idx, stage, n_docs) AS (
+  SELECT t.* FROM agg, (VALUES
+  {rows}) t(stage_idx, stage, n_docs)
+)
+SELECT CAST(stage_idx AS INT) AS stage_idx, stage, n_docs,
+       floor(CAST(n_docs AS DOUBLE) / CAST((SELECT s0 FROM agg) AS DOUBLE)
+             * 1000000.0 + 0.5) / 1000000.0 AS retained_frac
+FROM stages
+"""
+
+
+SQL_QUALITY_FILTER_FUNNEL = _funnel_sql()
+
+QUERIES["quality_filter_funnel"] = q_quality_filter_funnel
+ORACLES["quality_filter_funnel"] = SQL_QUALITY_FILTER_FUNNEL

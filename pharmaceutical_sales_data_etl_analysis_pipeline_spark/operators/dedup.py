@@ -608,3 +608,99 @@ ORACLES = {
     "ngram_jaccard": SQL_NGRAM_JACCARD,
     "incremental_neardup": SQL_INCREMENTAL_NEARDUP,
 }
+
+
+# ---------------------------------------------------------------------------
+# MinHash estimator calibration (r3): |est - exact| Jaccard per LSH
+# candidate pair, binned by exact Jaccard decile — the sign-off table for
+# choosing N_HASHES/band geometry before a full-corpus dedup run. Exact
+# Jaccard is computed ONLY for the candidate pairs (shingle equi-join +
+# left-semi to the candidate set), so the calibration costs the same as
+# candidate generation — never all-pairs. Error sums are 6dp decimals
+# (exact, order-independent); one double division per bin at the end.
+# ---------------------------------------------------------------------------
+
+
+def minhash_calibration(documents: DataFrame) -> DataFrame:
+    cand = minhash_lsh_candidates(documents)
+    sh = with_shingles(documents)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    jac = F.col("n_inter").cast("double") / (
+        F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("n_inter")
+    ).cast("double")
+    exact = (
+        inter.join(sa, inter.doc_a == F.col("sa.doc_id"))
+        .join(sb, inter.doc_b == F.col("sb.doc_id"))
+        .select("doc_a", "doc_b", round_half_up(jac, 4).alias("exact_j"))
+    )
+    pairs = cand.join(exact, ["doc_a", "doc_b"], "left").select(
+        "est_jaccard", F.coalesce(F.col("exact_j"), F.lit(0.0)).alias("exact_j")
+    )
+    binned = pairs.select(
+        F.floor(F.col("exact_j") * 10).cast("int").alias("jaccard_bin"),
+        round_half_up(F.abs(F.col("est_jaccard") - F.col("exact_j")), 6)
+        .cast("decimal(18,6)")
+        .alias("err"),
+    )
+    n = F.count(F.lit(1)).cast("long")
+    return binned.groupBy("jaccard_bin").agg(
+        n.alias("n_pairs"),
+        round_half_up(
+            F.sum("err").cast("decimal(28,6)").cast("double") / n.cast("double"), 6
+        ).alias("mean_abs_err"),
+    )
+
+
+def q_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_calibration(load_table(spark, sf_dir, "documents"))
+
+
+SQL_MINHASH_CALIBRATION = f"""
+WITH cand AS ({SQL_MINHASH_LSH_CANDIDATES}),
+{SQL_SHINGLES_CTE.strip().rstrip()},
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingled GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+  FROM shingled a JOIN shingled b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+exact AS (
+  SELECT i.doc_a, i.doc_b,
+         floor((CAST(i.n_inter AS DOUBLE)
+                / CAST(sa.n_sh + sb.n_sh - i.n_inter AS DOUBLE)) * 10000.0 + 0.5)
+           / 10000.0 AS exact_j
+  FROM inter i
+  JOIN sizes sa ON i.doc_a = sa.doc_id
+  JOIN sizes sb ON i.doc_b = sb.doc_id
+),
+pairs AS (
+  SELECT c.est_jaccard, coalesce(e.exact_j, 0.0) AS exact_j
+  FROM cand c LEFT JOIN exact e ON c.doc_a = e.doc_a AND c.doc_b = e.doc_b
+),
+binned AS (
+  SELECT CAST(floor(exact_j * 10) AS INT) AS jaccard_bin,
+         CAST(floor(abs(est_jaccard - exact_j) * 1000000.0 + 0.5) / 1000000.0
+              AS DECIMAL(18,6)) AS err
+  FROM pairs
+)
+SELECT jaccard_bin,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       floor(CAST(CAST(sum(err) AS DECIMAL(28,6)) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS mean_abs_err
+FROM binned
+GROUP BY jaccard_bin
+"""
+
+QUERIES["minhash_calibration"] = q_minhash_calibration
+ORACLES["minhash_calibration"] = SQL_MINHASH_CALIBRATION
