@@ -1,0 +1,243 @@
+"""Deterministic sketch operators (r3): HyperLogLog cardinality and
+Count-Min frequency estimation with md5-derived hashing, so BOTH engines
+build the identical sketch — unlike `approx_count_distinct`, whose HLL++
+implementation (and therefore estimates) is engine-private, these are
+oracle-checkable bit-for-bit.
+
+At 100 TB sketches are the only way to answer distinct/heavy-hitter
+questions in one pass with bounded memory: the register/counter tables
+are tiny fixed-size aggregation states (m=512 registers, d*w=3*1024
+counters) with map-side partial combine — no shuffle of raw values, no
+exact distinct state. The exact columns computed alongside here are the
+calibration readout (they cost a real distinct; production at scale
+drops them and keeps only the sketch).
+
+FP discipline: register/counter updates are integer max/sum (exact,
+order-independent). The HLL harmonic sum uses the 2^(SHIFT-M) integer
+trick so Z is an exact BIGINT; the one double expression per group is
+written with identical literal/operator order in both engines. ln()
+appears only in the linear-counting branch (same libm caveat as
+dsir_weights — rounded to 4dp, boundary risk negligible).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions.numeric import round_half_up
+
+HLL_M = 512          # registers (b=9); std error ~1.04/sqrt(512) = 4.6%
+HLL_SHIFT = 40       # 2^(SHIFT-M) stays integral for rank M <= 33
+_HLL_ALPHA_NUM = 0.7213
+_HLL_ALPHA_DEN = 1.079
+
+
+def _h32(col, lo: int) -> F.Column:
+    """32-bit integer from md5 hex chars [lo, lo+8) of the column's string
+    form — same value as the oracle's ('0x' || substr(...))::UBIGINT."""
+    return F.conv(F.substring(F.md5(col.cast("string")), lo, 8), 16, 10).cast("long")
+
+
+def hll_users_per_event_type(events: DataFrame) -> DataFrame:
+    """(event_type, n_exact, n_est, rel_err): HLL distinct-user estimate
+    per event type next to the exact count.
+
+    Register index = h32a % m; rank = leading-zeros(h32b)+1 via
+    33 - bitlength (bin() is minimal-width in both engines). Linear
+    counting below the 2.5m threshold (the standard small-range branch).
+    """
+    reg = (_h32(F.col("user_id"), 1) % HLL_M).alias("reg")
+    v = _h32(F.col("user_id"), 9)
+    rank = F.when(v == 0, F.lit(33)).otherwise(F.lit(33) - F.length(F.bin(v)))
+    regs = (
+        events.select("event_type", reg, rank.alias("rank"))
+        .groupBy("event_type", "reg")
+        .agg(F.max("rank").alias("m_j"))
+    )
+    per = regs.groupBy("event_type").agg(
+        F.sum(F.expr(f"shiftright(cast({1 << HLL_SHIFT} as bigint), m_j)"))
+        .cast("long")
+        .alias("z_present"),
+        F.count(F.lit(1)).cast("long").alias("n_present"),
+    )
+    zeros = (F.lit(HLL_M) - F.col("n_present")).cast("long")
+    z = F.col("z_present") + zeros * F.lit(1 << HLL_SHIFT).cast("long")
+    raw = (
+        (F.lit(_HLL_ALPHA_NUM) / (F.lit(1.0) + F.lit(_HLL_ALPHA_DEN) / F.lit(float(HLL_M))))
+        * F.lit(float(HLL_M * HLL_M))
+        * F.lit(float(1 << HLL_SHIFT))
+        / z.cast("double")
+    )
+    est = F.when(
+        (raw <= F.lit(2.5 * HLL_M)) & (zeros > 0),
+        F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / zeros.cast("double")),
+    ).otherwise(raw)
+    exact = events.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("long").alias("n_exact")
+    )
+    sk = per.select("event_type", round_half_up(est, 4).alias("n_est"))
+    return exact.join(sk, "event_type").select(
+        "event_type",
+        "n_exact",
+        "n_est",
+        round_half_up(
+            F.abs(F.col("n_est") - F.col("n_exact").cast("double"))
+            / F.col("n_exact").cast("double"),
+            4,
+        ).alias("rel_err"),
+    )
+
+
+def q_hll_users_per_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return hll_users_per_event_type(load_table(spark, sf_dir, "events"))
+
+
+_M = HLL_M
+_SHIFT_POW = 1 << HLL_SHIFT
+
+SQL_HLL_USERS_PER_EVENT_TYPE = f"""
+WITH hashed AS (
+  SELECT event_type,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::UBIGINT::BIGINT % {_M} AS reg,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 9, 8))::UBIGINT::BIGINT AS v
+  FROM events
+),
+regs AS (
+  SELECT event_type, reg,
+         max(CASE WHEN v = 0 THEN 33 ELSE 33 - length(bin(v)) END) AS m_j
+  FROM hashed GROUP BY event_type, reg
+),
+per AS (
+  SELECT event_type,
+         CAST(sum(({_SHIFT_POW}::BIGINT >> m_j)) AS BIGINT) AS z_present,
+         CAST(count(*) AS BIGINT) AS n_present
+  FROM regs GROUP BY event_type
+),
+sk AS (
+  SELECT event_type,
+         floor((CASE WHEN ({_HLL_ALPHA_NUM} / (1.0 + {_HLL_ALPHA_DEN} / {float(_M)}))
+                          * {float(_M * _M)} * {float(_SHIFT_POW)}
+                          / CAST(z_present + ({_M} - n_present) * {_SHIFT_POW}::BIGINT AS DOUBLE)
+                          <= {2.5 * _M}
+                     AND ({_M} - n_present) > 0
+                THEN {float(_M)} * ln({float(_M)} / CAST({_M} - n_present AS DOUBLE))
+                ELSE ({_HLL_ALPHA_NUM} / (1.0 + {_HLL_ALPHA_DEN} / {float(_M)}))
+                     * {float(_M * _M)} * {float(_SHIFT_POW)}
+                     / CAST(z_present + ({_M} - n_present) * {_SHIFT_POW}::BIGINT AS DOUBLE)
+                END) * 10000.0 + 0.5) / 10000.0 AS n_est
+  FROM per
+)
+SELECT e.event_type, e.n_exact, sk.n_est,
+       floor(abs(sk.n_est - CAST(e.n_exact AS DOUBLE)) / CAST(e.n_exact AS DOUBLE)
+             * 10000.0 + 0.5) / 10000.0 AS rel_err
+FROM (SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact
+      FROM events GROUP BY event_type) e
+JOIN sk USING (event_type)
+"""
+
+
+QUERIES = {"hll_users_per_event_type": q_hll_users_per_event_type}
+ORACLES = {"hll_users_per_event_type": SQL_HLL_USERS_PER_EVENT_TYPE}
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch heavy hitters: d=3 hash rows x w=1024 counters over the
+# token stream, probed for the exact top-10 words. The counter build
+# groups by (row, hash % w) — BOUNDED 3072 keys with map-side combine, so
+# the sketch never shuffles by word (word frequency is maximally skewed;
+# the exact side's word groupBy exists only as the calibration readout).
+# est >= exact always (collisions only add), asserted in tests.
+# ---------------------------------------------------------------------------
+
+CMS_D = 3
+CMS_W = 1024
+CMS_TOP = 10
+
+
+def _cms_idx(row_col, word_col) -> F.Column:
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat(row_col.cast("string"), F.lit("|"), word_col)), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % CMS_W
+    )
+
+
+def cms_heavy_hitters(documents: DataFrame) -> DataFrame:
+    toks = documents.select(
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("word")
+    )
+    rows3 = toks.select(
+        "word", F.explode(F.array(*[F.lit(r) for r in range(CMS_D)])).alias("r")
+    )
+    counters = rows3.groupBy(
+        "r", _cms_idx(F.col("r"), F.col("word")).alias("idx")
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    top = (
+        toks.groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_exact"))
+        .orderBy(F.desc("n_exact"), F.asc("word"))
+        .limit(CMS_TOP)
+    )
+    probes = top.select(
+        "word",
+        "n_exact",
+        F.explode(F.array(*[F.lit(r) for r in range(CMS_D)])).alias("r"),
+    ).select("word", "n_exact", "r", _cms_idx(F.col("r"), F.col("word")).alias("idx"))
+    return (
+        F.broadcast(probes)
+        .join(counters, ["r", "idx"])
+        .groupBy("word", "n_exact")
+        .agg(F.min("c").cast("long").alias("n_est"))
+        .select(
+            "word",
+            "n_exact",
+            "n_est",
+            (F.col("n_est") - F.col("n_exact")).cast("long").alias("overcount"),
+        )
+    )
+
+
+def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cms_heavy_hitters(load_table(spark, sf_dir, "documents"))
+
+
+SQL_CMS_HEAVY_HITTERS = f"""
+WITH toks AS (
+  SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word
+  FROM documents
+),
+rows3 AS (
+  SELECT word, r FROM toks, range(0, {CMS_D}) t(r)
+),
+counters AS (
+  SELECT r,
+         ('0x' || substr(md5(CAST(r AS VARCHAR) || '|' || word), 1, 8))::UBIGINT::BIGINT
+           % {CMS_W} AS idx,
+         CAST(count(*) AS BIGINT) AS c
+  FROM rows3 GROUP BY 1, 2
+),
+top AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS n_exact
+  FROM toks GROUP BY word
+  ORDER BY n_exact DESC, word ASC LIMIT {CMS_TOP}
+),
+probes AS (
+  SELECT word, n_exact, r,
+         ('0x' || substr(md5(CAST(r AS VARCHAR) || '|' || word), 1, 8))::UBIGINT::BIGINT
+           % {CMS_W} AS idx
+  FROM top, range(0, {CMS_D}) t(r)
+)
+SELECT p.word, p.n_exact,
+       CAST(min(c.c) AS BIGINT) AS n_est,
+       CAST(min(c.c) - p.n_exact AS BIGINT) AS overcount
+FROM probes p JOIN counters c ON p.r = c.r AND p.idx = c.idx
+GROUP BY p.word, p.n_exact
+"""
+
+QUERIES["cms_heavy_hitters"] = q_cms_heavy_hitters
+ORACLES["cms_heavy_hitters"] = SQL_CMS_HEAVY_HITTERS

@@ -56,6 +56,7 @@ MODULE_ORDER = [
     "warehouse",
     "curation",
     "streamingq",
+    "sketches",
 ]
 
 # Round-3 sweep priority (exactly fills the 50-slot window):

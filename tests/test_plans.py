@@ -440,3 +440,76 @@ def test_ivf_second_probe_finds_planted_cross_list_neighbor(spark):
     p2 = {(r["q_id"], r["d_id"]) for r in ivf_probe2_topk(df, n_queries=1).collect()}
     assert (0, 8) not in p1   # nprobe=1 can't see across lists
     assert (0, 8) in p2       # nprobe=2 probes B's list and finds it
+
+
+def test_chunk_dedup_is_equi_join_not_pairs(spark, sf_dir):
+    """Chunk dedup must generate candidates via the chunk equi-join —
+    never a cartesian/nested-loop over documents."""
+    plan = _plan(all_queries()["chunk_dedup"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_dsir_vocab_joins_are_broadcast(spark, sf_dir):
+    """The token stream joins the (tiny) vocab log-ratio table broadcast —
+    a shuffle of the exploded token stream keyed by word would be the
+    scale bug (word frequency is maximally skewed)."""
+    plan = _plan(all_queries()["dsir_weights"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_pq_codes_is_zero_shuffle_single_scan(spark, sf_dir):
+    """PQ encoding = one scan -> one Arrow pass. Training happens in the
+    driver round-trips before this plan exists; the registered encode plan
+    must have no join and no exchange, and read embeddings exactly once."""
+    df = all_queries()["pq_codes"](spark, sf_dir)
+    plan = _plan(df)
+    assert "Join" not in plan
+    assert "Exchange" not in plan
+    assert _scan_count(df) == 1
+
+
+def test_gopher_flags_single_scan(spark, sf_dir):
+    """All rule flags are columns of ONE documents scan + one agg."""
+    df = all_queries()["gopher_quality_flags"](spark, sf_dir)
+    assert _scan_count(df) == 1
+    assert "Join" not in _plan(df)
+
+
+def test_funnel_last_stage_equals_training_corpus(spark, sf_dir):
+    """The funnel's near_dedup row is the same gate as training_corpus —
+    shared expressions, so the counts can never drift apart."""
+    q = all_queries()
+    funnel = {r["stage"]: r["n_docs"] for r in q["quality_filter_funnel"](spark, sf_dir).collect()}
+    assert funnel["near_dedup"] == q["training_corpus"](spark, sf_dir).count()
+    assert (
+        funnel["raw"] >= funnel["lang_en"] >= funnel["quality"]
+        >= funnel["min_tokens"] >= funnel["near_dedup"]
+    )
+
+
+def test_ann_recall_monotone_in_nprobe_eval(spark, sf_dir):
+    """The recall-eval op itself must show nprobe=2 recall >= nprobe=1
+    (same invariant the similarity tests assert on the probe plans)."""
+    rows = {r["nprobe"]: r for r in all_queries()["ann_recall_eval"](spark, sf_dir).collect()}
+    assert rows[2]["n_hits"] >= rows[1]["n_hits"]
+    assert 0.0 <= rows[1]["recall"] <= 1.0
+
+
+def test_cms_never_undercounts(spark, sf_dir):
+    """Count-Min estimates are exact counts plus collision mass — an
+    estimate below the exact count means the sketch is broken."""
+    rows = all_queries()["cms_heavy_hitters"](spark, sf_dir).collect()
+    assert rows
+    assert all(r["n_est"] >= r["n_exact"] for r in rows)
+    assert all(r["overcount"] == r["n_est"] - r["n_exact"] for r in rows)
+
+
+def test_hll_error_within_theory(spark, sf_dir):
+    """HLL(m=512) standard error is ~4.6%; allow 4 sigma. Also the sketch
+    build must never shuffle raw user_ids: the aggregation state is
+    bounded by (event_type x 512 registers)."""
+    rows = all_queries()["hll_users_per_event_type"](spark, sf_dir).collect()
+    assert rows
+    assert all(r["rel_err"] <= 0.20 for r in rows)
