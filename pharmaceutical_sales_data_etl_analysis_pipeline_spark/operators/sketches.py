@@ -241,3 +241,135 @@ GROUP BY p.word, p.n_exact
 
 QUERIES["cms_heavy_hitters"] = q_cms_heavy_hitters
 ORACLES["cms_heavy_hitters"] = SQL_CMS_HEAVY_HITTERS
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter decontamination prefilter: the benchmark shingle set as a
+# k=3 / m=16384-bit Bloom filter, probed by every corpus shingle — the
+# broadcast structure that makes eval-set decontamination feasible at
+# 100 TB (the full bench shingle set may not broadcast; its Bloom bits
+# always do: m bits regardless of corpus size, tune m to the eval set).
+# Reported per source: probe volume, Bloom hits, exact hits, and the
+# realized false-positive rate. A Bloom filter NEVER misses a true member
+# (asserted in tests: n_bloom >= n_exact per source); false positives
+# only cost re-verification — exactly the contract a prefilter needs.
+# ---------------------------------------------------------------------------
+
+BLOOM_K = 3
+BLOOM_M = 16384
+_BLOOM_BENCH = 50  # same eval slice as corpusops.contamination_check
+
+
+def _bloom_idx(r_col, shingle_col) -> F.Column:
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(r_col.cast("string"), F.lit("|"), shingle_col)), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % BLOOM_M
+    )
+
+
+def bloom_prefilter_stats(documents: DataFrame) -> DataFrame:
+    from .dedup import with_shingles
+
+    sh = with_shingles(documents).join(
+        documents.select("doc_id", "source"), "doc_id"
+    )
+    bench = sh.filter(F.col("doc_id") < _BLOOM_BENCH).select("shingle").distinct()
+    ks = F.explode(F.array(*[F.lit(r) for r in range(BLOOM_K)])).alias("r")
+    bits = bench.select(ks, "shingle").select(
+        _bloom_idx(F.col("r"), F.col("shingle")).alias("idx"), "r"
+    ).distinct()
+    corpus = sh.filter(F.col("doc_id") >= _BLOOM_BENCH)
+    probes = corpus.select("doc_id", "source", "shingle", ks).select(
+        "doc_id", "source", "shingle", "r", _bloom_idx(F.col("r"), F.col("shingle")).alias("idx")
+    )
+    hits = (
+        probes.join(F.broadcast(bits), ["r", "idx"], "left_semi")
+        .groupBy("doc_id", "source", "shingle")
+        .agg(F.count(F.lit(1)).alias("k_hits"))
+        .filter(F.col("k_hits") == BLOOM_K)
+        .select("doc_id", "source", "shingle", F.lit(1).alias("bloom_hit"))
+    )
+    exact = corpus.join(F.broadcast(bench), "shingle", "left_semi").select(
+        "doc_id", "source", "shingle", F.lit(1).alias("exact_hit")
+    )
+    per = (
+        corpus.select("doc_id", "source", "shingle")
+        .join(hits, ["doc_id", "source", "shingle"], "left")
+        .join(exact, ["doc_id", "source", "shingle"], "left")
+    )
+    n = F.count(F.lit(1)).cast("long")
+    nb = F.sum(F.coalesce(F.col("bloom_hit"), F.lit(0))).cast("long")
+    ne = F.sum(F.coalesce(F.col("exact_hit"), F.lit(0))).cast("long")
+    return per.groupBy("source").agg(
+        n.alias("n_probes"),
+        nb.alias("n_bloom_hits"),
+        ne.alias("n_exact_hits"),
+        round_half_up((nb - ne).cast("double") / n.cast("double"), 6).alias("fp_rate"),
+    )
+
+
+def q_bloom_prefilter_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bloom_prefilter_stats(load_table(spark, sf_dir, "documents"))
+
+
+def _bloom_sql() -> str:
+    from .dedup import SQL_SHINGLES_CTE
+
+    return f"""
+WITH {SQL_SHINGLES_CTE},
+sh AS (
+  SELECT s.doc_id, d.source, s.shingle
+  FROM shingled s JOIN documents d ON s.doc_id = d.doc_id
+),
+bench AS (
+  SELECT DISTINCT shingle FROM sh WHERE doc_id < {_BLOOM_BENCH}
+),
+bits AS (
+  SELECT DISTINCT r,
+         ('0x' || substr(md5(CAST(r AS VARCHAR) || '|' || shingle), 1, 8))::UBIGINT::BIGINT
+           % {BLOOM_M} AS idx
+  FROM bench, range(0, {BLOOM_K}) t(r)
+),
+corpus AS (
+  SELECT * FROM sh WHERE doc_id >= {_BLOOM_BENCH}
+),
+probes AS (
+  SELECT doc_id, source, shingle, r,
+         ('0x' || substr(md5(CAST(r AS VARCHAR) || '|' || shingle), 1, 8))::UBIGINT::BIGINT
+           % {BLOOM_M} AS idx
+  FROM corpus, range(0, {BLOOM_K}) t(r)
+),
+hits AS (
+  SELECT doc_id, source, shingle, 1 AS bloom_hit
+  FROM probes p
+  WHERE EXISTS (SELECT 1 FROM bits b WHERE b.r = p.r AND b.idx = p.idx)
+  GROUP BY doc_id, source, shingle
+  HAVING count(*) = {BLOOM_K}
+),
+exact AS (
+  SELECT doc_id, source, shingle, 1 AS exact_hit
+  FROM corpus WHERE shingle IN (SELECT shingle FROM bench)
+)
+SELECT c.source,
+       CAST(count(*) AS BIGINT) AS n_probes,
+       CAST(sum(coalesce(h.bloom_hit, 0)) AS BIGINT) AS n_bloom_hits,
+       CAST(sum(coalesce(e.exact_hit, 0)) AS BIGINT) AS n_exact_hits,
+       floor(CAST(sum(coalesce(h.bloom_hit, 0)) - sum(coalesce(e.exact_hit, 0)) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS fp_rate
+FROM corpus c
+LEFT JOIN hits h ON c.doc_id = h.doc_id AND c.source = h.source AND c.shingle = h.shingle
+LEFT JOIN exact e ON c.doc_id = e.doc_id AND c.source = e.source AND c.shingle = e.shingle
+GROUP BY c.source
+"""
+
+
+SQL_BLOOM_PREFILTER_STATS = _bloom_sql()
+
+QUERIES["bloom_prefilter_stats"] = q_bloom_prefilter_stats
+ORACLES["bloom_prefilter_stats"] = SQL_BLOOM_PREFILTER_STATS

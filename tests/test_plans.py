@@ -513,3 +513,12 @@ def test_hll_error_within_theory(spark, sf_dir):
     rows = all_queries()["hll_users_per_event_type"](spark, sf_dir).collect()
     assert rows
     assert all(r["rel_err"] <= 0.20 for r in rows)
+
+
+def test_bloom_never_misses_true_members(spark, sf_dir):
+    """A Bloom filter has no false negatives: every exact hit must also be
+    a Bloom hit, per source."""
+    rows = all_queries()["bloom_prefilter_stats"](spark, sf_dir).collect()
+    assert rows
+    assert all(r["n_bloom_hits"] >= r["n_exact_hits"] for r in rows)
+    assert all(0.0 <= r["fp_rate"] <= 1.0 for r in rows)
