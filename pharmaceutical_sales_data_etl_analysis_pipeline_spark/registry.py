@@ -132,6 +132,16 @@ PRIORITY = [
     "ivf_list_sizes",
 ]
 
+# r4 PRIORITY candidates (added late in r3, no driver row yet — rotate
+# these in next round, plus any plan changed after this freeze):
+#   gopher_quality_flags, chunk_dedup, dsir_weights, quality_filter_funnel
+#   (curation.py); ann_recall_eval, pq_codes (similarity.py);
+#   minhash_calibration (dedup.py); stream_tumbling_hourly (streamingq.py);
+#   hll_users_per_event_type, cms_heavy_hitters, bloom_prefilter_stats
+#   (sketches.py); kmeans_clusters / semdedup_candidates / ivf_* also
+#   changed plans in r3 AFTER the sweep freeze (Arrow _assign) — they are
+#   in this round's PRIORITY already, so their r3 rows cover the new plan.
+
 
 def _collect() -> tuple[dict[str, QueryFn], dict[str, str]]:
     merged_q: dict[str, QueryFn] = {}
