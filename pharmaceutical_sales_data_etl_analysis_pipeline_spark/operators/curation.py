@@ -411,3 +411,184 @@ SQL_QUALITY_FILTER_FUNNEL = _funnel_sql()
 
 QUERIES["quality_filter_funnel"] = q_quality_filter_funnel
 ORACLES["quality_filter_funnel"] = SQL_QUALITY_FILTER_FUNNEL
+
+
+# ---------------------------------------------------------------------------
+# Bigram LM score (perplexity proxy): per-doc mean -ln p(w_i | w_{i-1})
+# under an add-one-smoothed corpus bigram model — the KenLM-style quality
+# signal pretraining pipelines use to rank documents, expressed exactly.
+# Model tables are corpus-level aggs over a BOUNDED vocabulary (unigram
+# |V|, bigram <= |V|^2 — both broadcastable; at open-vocab scale, hash-
+# bucket the tail as with dsir_weights). Per-token -ln p is computed once
+# per DISTINCT bigram from exact BIGINT rationals, rounded to 6dp
+# decimals; the per-doc reduce is an exact decimal sum — the dsir
+# discipline, so results are bit-identical across engines and layouts.
+# ---------------------------------------------------------------------------
+
+
+def bigram_logprob(documents: DataFrame) -> DataFrame:
+    words = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    bi = (
+        documents.select("doc_id", words.alias("words"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "CASE WHEN size(words) >= 2 THEN "
+                    "transform(sequence(1, size(words) - 1), "
+                    "          i -> struct(words[i-1] AS w1, words[i] AS w2)) "
+                    "ELSE array() END"
+                )
+            ).alias("b"),
+        )
+        .select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    )
+    # model tables: bigram counts + unigram (context) counts + vocab size
+    bigrams = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("long").alias("cb"))
+    unigrams = bigrams.groupBy("w1").agg(F.sum("cb").cast("long").alias("cu"))
+    vsize = documents.select(
+        F.explode(words).alias("w")
+    ).agg(F.countDistinct("w").cast("long").alias("v"))
+    # -ln p(w2|w1) = ln((cu + v) / (cb + 1)), one exact rational per bigram
+    scores = (
+        bigrams.join(unigrams, "w1")
+        .crossJoin(F.broadcast(vsize))
+        .select(
+            "w1",
+            "w2",
+            round_half_up(
+                F.log(
+                    (F.col("cu") + F.col("v")).cast("double")
+                    / (F.col("cb") + 1).cast("double")
+                ),
+                6,
+            ).cast("decimal(18,6)").alias("nll"),
+        )
+    )
+    return (
+        bi.join(F.broadcast(scores), ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            round_half_up(
+                F.sum("nll").cast("decimal(28,6)").cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("mean_nll"),
+        )
+    )
+
+
+def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bigram_logprob(load_table(spark, sf_dir, "documents"))
+
+
+SQL_BIGRAM_LOGPROB = """
+WITH w AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS words
+  FROM documents
+),
+bi AS (
+  SELECT doc_id,
+         unnest(CASE WHEN len(words) >= 2 THEN
+                  list_transform(range(1, len(words)),
+                                 i -> struct_pack(w1 := words[i], w2 := words[i+1]))
+                ELSE [] END) AS b
+  FROM w
+),
+pairs AS (
+  SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM bi
+),
+bigrams AS (
+  SELECT w1, w2, CAST(count(*) AS BIGINT) AS cb FROM pairs GROUP BY w1, w2
+),
+unigrams AS (
+  SELECT w1, CAST(sum(cb) AS BIGINT) AS cu FROM bigrams GROUP BY w1
+),
+vsize AS (
+  SELECT CAST(count(DISTINCT word) AS BIGINT) AS v
+  FROM (SELECT unnest(words) AS word FROM w) t
+),
+scores AS (
+  SELECT w1, w2,
+         CAST(floor(ln(CAST(cu + v AS DOUBLE) / CAST(cb + 1 AS DOUBLE))
+                    * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(18,6)) AS nll
+  FROM bigrams JOIN unigrams USING (w1), vsize
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       floor(CAST(CAST(sum(nll) AS DECIMAL(28,6)) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS mean_nll
+FROM pairs JOIN scores USING (w1, w2)
+GROUP BY doc_id
+"""
+
+QUERIES["bigram_logprob"] = q_bigram_logprob
+ORACLES["bigram_logprob"] = SQL_BIGRAM_LOGPROB
+
+
+# ---------------------------------------------------------------------------
+# Entity resolution: near-matching part names by edit distance with
+# blocking — the catalog-dedup step of a product-master pipeline. Two
+# scale levers, both in the plan: (1) DEDUPE FIRST — pairs are generated
+# over DISTINCT names (64 at sf0.01), never over the 2000-row part table;
+# (2) BLOCKING — candidates come from an equi-join on the name's last
+# token, so pair volume is sum of per-block squares, not |names|^2.
+# levenshtein() is the same DP metric in Spark and DuckDB — exact integer
+# parity. The blocked plan can only MISS cross-block pairs (documented
+# recall bound of last-token blocking); everything emitted is verified by
+# the true edit distance.
+# ---------------------------------------------------------------------------
+
+LEV_MAX = 4
+
+
+def part_name_near_matches(part: DataFrame) -> DataFrame:
+    names = part.groupBy("p_name").agg(F.count(F.lit(1)).cast("long").alias("n_parts"))
+    blocked = names.select(
+        "p_name",
+        "n_parts",
+        F.element_at(F.split(F.col("p_name"), " "), -1).alias("block"),
+    )
+    a, b = blocked.alias("a"), blocked.alias("b")
+    lev = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+    return (
+        a.join(
+            b,
+            (F.col("a.block") == F.col("b.block"))
+            & (F.col("a.p_name") < F.col("b.p_name")),
+        )
+        .filter(lev <= LEV_MAX)
+        .select(
+            F.col("a.p_name").alias("name_a"),
+            F.col("b.p_name").alias("name_b"),
+            lev.cast("int").alias("edit_dist"),
+            F.col("a.n_parts").alias("n_parts_a"),
+            F.col("b.n_parts").alias("n_parts_b"),
+        )
+    )
+
+
+def q_part_name_near_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return part_name_near_matches(load_table(spark, sf_dir, "part"))
+
+
+SQL_PART_NAME_NEAR_MATCHES = f"""
+WITH names AS (
+  SELECT p_name, CAST(count(*) AS BIGINT) AS n_parts FROM part GROUP BY p_name
+),
+blocked AS (
+  SELECT p_name, n_parts,
+         list_extract(string_split(p_name, ' '), len(string_split(p_name, ' '))) AS block
+  FROM names
+)
+SELECT a.p_name AS name_a, b.p_name AS name_b,
+       CAST(levenshtein(a.p_name, b.p_name) AS INT) AS edit_dist,
+       a.n_parts AS n_parts_a, b.n_parts AS n_parts_b
+FROM blocked a
+JOIN blocked b ON a.block = b.block AND a.p_name < b.p_name
+WHERE levenshtein(a.p_name, b.p_name) <= {LEV_MAX}
+"""
+
+QUERIES["part_name_near_matches"] = q_part_name_near_matches
+ORACLES["part_name_near_matches"] = SQL_PART_NAME_NEAR_MATCHES
