@@ -732,3 +732,171 @@ FROM scored
 
 QUERIES["price_quantity_corr"] = q_price_quantity_corr
 ORACLES["price_quantity_corr"] = SQL_PRICE_QUANTITY_CORR
+
+
+# ---------------------------------------------------------------------------
+# Skyline (Pareto frontier) — r3
+
+
+def _skyline_pdf(pdf):
+    """Exact 2-D skyline (minimize p_retailprice AND p_size) of one pandas
+    frame. A row survives iff no other row is <= in both dims and < in at
+    least one; duplicate (price, size) points all survive (neither
+    dominates the other under strict-in-one-dim dominance)."""
+    import numpy as np
+
+    if len(pdf) == 0:
+        return pdf
+    per_price_min = pdf.groupby("p_retailprice")["p_size"].min()
+    prices = per_price_min.index.to_numpy()
+    order = np.argsort(prices, kind="mergesort")
+    mins = per_price_min.to_numpy()[order]
+    prefix = np.minimum.accumulate(mins)
+    strict = np.concatenate(([np.iinfo(np.int64).max], prefix[:-1]))
+    strict_map = dict(zip(prices[order], strict))
+    sm = pdf["p_retailprice"].map(strict_map)
+    ms = pdf.groupby("p_retailprice")["p_size"].transform("min")
+    return pdf[(pdf["p_size"] == ms) & (pdf["p_size"] < sm)]
+
+
+def skyline_parts(part: DataFrame) -> DataFrame:
+    """Pareto frontier of parts minimizing (p_retailprice, p_size).
+
+    The classic distributed skyline: phase 1 computes the skyline of each
+    input partition in parallel (mapInPandas, comparisons only — no FP
+    arithmetic, so bit-exact vs any engine); the local skyline of a subset
+    is a superset of the global skyline's points in that subset, so no
+    survivor is lost. Phase 2 merges the survivors — at most
+    |skyline| x n_partitions rows, here tens — with one repartition(1)
+    (a shuffle barrier, NOT coalesce(1), so phase 1 keeps its scan
+    parallelism) and the same pandas kernel. At 100 TB phase 1 reads all
+    data in parallel and phase 2 sees kilobytes: the inherent shape of
+    skyline merging (the frontier of a 2-D point set with bounded integer
+    y is itself bounded by |distinct y|).
+    """
+    cols = ["p_partkey", "p_retailprice", "p_size"]
+    schema = "p_partkey bigint, p_retailprice double, p_size int"
+
+    def local(it):
+        import pandas as pd
+
+        frames = [pdf for pdf in it]
+        if frames:
+            yield _skyline_pdf(pd.concat(frames, ignore_index=True))
+
+    base = part.select(*cols)
+    survivors = base.mapInPandas(local, schema)
+    return (
+        survivors.repartition(1)
+        .mapInPandas(local, schema)
+        .orderBy("p_retailprice", "p_partkey")
+    )
+
+
+def q_skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return skyline_parts(load_table(spark, sf_dir, "part"))
+
+
+SQL_SKYLINE_PARTS = """
+WITH pm AS (
+  SELECT p_retailprice AS pr, MIN(p_size) AS ms FROM part GROUP BY p_retailprice
+),
+pf AS (
+  SELECT pr, ms,
+         MIN(ms) OVER (ORDER BY pr ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS sm
+  FROM pm
+)
+SELECT p.p_partkey, p.p_retailprice, p.p_size
+FROM part p JOIN pf ON p.p_retailprice = pf.pr
+WHERE p.p_size = pf.ms AND (pf.sm IS NULL OR p.p_size < pf.sm)
+ORDER BY p.p_retailprice, p.p_partkey
+"""
+
+QUERIES["skyline_parts"] = q_skyline_parts
+ORACLES["skyline_parts"] = SQL_SKYLINE_PARTS
+
+
+# ---------------------------------------------------------------------------
+# Z-order (Morton) layout stats — r3
+
+_ZBITS = 16
+
+
+def _spread_sql(e: str) -> str:
+    """Interleave-ready bit spread of a 16-bit value (classic magic-number
+    sequence); identical integer ops in Spark SQL and DuckDB."""
+    s = f"CAST({e} AS BIGINT)"
+    s = f"(({s} | ({s} << 8)) & 16711935)"        # 0x00FF00FF
+    s = f"(({s} | ({s} << 4)) & 252645135)"       # 0x0F0F0F0F
+    s = f"(({s} | ({s} << 2)) & 858993459)"       # 0x33333333
+    s = f"(({s} | ({s} << 1)) & 1431655765)"      # 0x55555555
+    return s
+
+
+def zorder_bucket_stats(orders: DataFrame) -> DataFrame:
+    """Per-Z-order-bucket min/max envelopes over (custkey, order day).
+
+    Computes the Morton interleave of (o_custkey mod 2^16, days-since-epoch
+    mod 2^16), buckets the 32-bit code by its top 16 bits (the (x>>8, y>>8) macro-cell) (the file-grain a
+    Z-order clustered write would produce), and reports each bucket's row
+    count and min/max of BOTH dimensions — the parquet footer stats a
+    scan would prune on. The point of Z-ordering: each bucket's envelope
+    is tight in both dims simultaneously, so predicates on either column
+    skip most files; a single-column sort gives tight envelopes in one
+    dim only. Pure integer bit arithmetic (shift/and/or/mod) — exact in
+    any engine; one groupBy shuffle on the bucket key. At 100 TB this is
+    the layout-key computation for the clustered write path
+    (`df.repartitionByRange(F.col("z")).sortWithinPartitions("z")`).
+    """
+    # epoch-day via integer micros (repo-wide exact time-math convention;
+    # non-negative epochs so div == floor-div, see eventsops.py precondition)
+    day = "(unix_micros(o_orderdate) div 86400000000)"
+    x = f"(o_custkey % {1 << _ZBITS})"
+    y = f"(({day}) % {1 << _ZBITS})"
+    z = f"({_spread_sql(x)} | ({_spread_sql(y)} << 1))"
+    return (
+        orders.selectExpr(
+            f"{z} AS zcode",
+            "o_custkey",
+            f"{day} AS oday",
+        )
+        .selectExpr("zcode >> 16 AS zbucket", "o_custkey", "oday")
+        .groupBy("zbucket")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("o_custkey").alias("min_cust"),
+            F.max("o_custkey").alias("max_cust"),
+            F.min("oday").alias("min_day"),
+            F.max("oday").alias("max_day"),
+        )
+        .orderBy("zbucket")
+    )
+
+
+def q_zorder_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return zorder_bucket_stats(load_table(spark, sf_dir, "orders"))
+
+
+def _sql_spread(e: str) -> str:
+    return _spread_sql(e)
+
+
+_SQL_DAY = "(epoch_us(o_orderdate) // 86400000000)"
+
+SQL_ZORDER_BUCKET_STATS = f"""
+WITH z AS (
+  SELECT ({_sql_spread(f"(o_custkey % {1 << _ZBITS})")}
+          | ({_sql_spread(f"(({_SQL_DAY}) % {1 << _ZBITS})")} << 1)) AS zcode,
+         o_custkey,
+         {_SQL_DAY} AS oday
+  FROM orders
+)
+SELECT zcode >> 16 AS zbucket,
+       CAST(count(*) AS BIGINT) AS n,
+       MIN(o_custkey) AS min_cust, MAX(o_custkey) AS max_cust,
+       MIN(oday) AS min_day, MAX(oday) AS max_day
+FROM z GROUP BY zcode >> 16 ORDER BY zbucket
+"""
+
+QUERIES["zorder_bucket_stats"] = q_zorder_bucket_stats
+ORACLES["zorder_bucket_stats"] = SQL_ZORDER_BUCKET_STATS

@@ -1,0 +1,156 @@
+"""Iterative graph analytics (r3): deterministic fixed-point PageRank over
+the product co-purchase graph.
+
+Complements `neardup_components` (label propagation): components answer
+"which docs are the same", PageRank answers "which nodes are central" —
+the standard importance prior for corpus curation (rank pages/products by
+link centrality before sampling).
+
+FP discipline: classic PageRank sums double contributions, whose value
+depends on reduction order — unusable for a bit-exact oracle and for
+run-to-run stability on a cluster. Here scores are BIGINT fixed-point
+(SCALE = 10^12): the damping update is
+
+    new(v) = (15 * SCALE) // (100 * N)  +  sum over in-edges (u,v) of
+             (85 * score(u)) // (100 * outdeg(u))
+
+— all integer multiply / floor-divide / sum, exact and order-independent,
+so Spark and DuckDB produce identical scores bit-for-bit. 85 * SCALE
+= 8.5e13 << 2^63, no overflow. Truncation loses mass (scores no longer
+sum to exactly SCALE) but ranking semantics are preserved and the whole
+computation is reproducible anywhere.
+
+Scale: per-order pair expansion is bounded by order width (TPC-H ≤ 7
+lines/order → ≤ 42 directed pairs), so edge generation is linear in
+lineitem. Edges are DISTINCT (src,dst) — one shuffle — then
+localCheckpoint'd: the three iterations re-read the materialized edge
+partitions instead of re-deriving the self-join each pass (and the
+checkpoint truncates the lineage that would otherwise double per
+iteration). Each iteration is one equi-join edges ⋈ scores on src plus a
+groupBy(dst) sum — the standard Pregel-style distributed PageRank; at
+100 TB both shuffles key on partkey and AQE handles the skewed
+best-seller parts.
+
+Reference parity: the reference pipeline has no graph operator; this is
+part of the large-scale training-data-pipeline extension surface
+(centrality prior for corpus sampling).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+
+PR_SCALE = 10**12
+PR_ITERS = 3
+PR_TOPK = 20
+
+
+def copurchase_edges(lineitem: DataFrame) -> DataFrame:
+    """Distinct directed (src, dst) part pairs co-occurring in an order.
+
+    Symmetric by construction (both (a,b) and (b,a) appear), so every
+    node has outdeg == indeg >= 1.
+    """
+    a = lineitem.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("src"))
+    b = lineitem.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("dst"))
+    return (
+        a.join(b, "ok")
+        .where(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+
+
+def pagerank_fixedpoint(lineitem: DataFrame, iters: int = PR_ITERS, topk: int = PR_TOPK) -> DataFrame:
+    """Top-k parts by fixed-point PageRank on the co-purchase graph.
+
+    Returns (p_partkey, outdeg, pr_score) — pr_score is the exact BIGINT
+    fixed-point score after `iters` damped iterations.
+    """
+    # one shuffle to build + dedup edges, then pin them: every iteration
+    # re-reads these partitions instead of replaying the self-join
+    edges = copurchase_edges(lineitem).repartition("src").localCheckpoint()
+    deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+    nodes = deg.select(F.col("src").alias("node"), "outdeg").localCheckpoint()
+    n = nodes.count()
+
+    base = (15 * PR_SCALE) // (100 * n)
+    # scores carries outdeg so each iteration is exactly one join + one agg
+    scores = nodes.select("node", "outdeg", F.lit(PR_SCALE // n).cast("long").alias("score"))
+    for _ in range(iters):
+        contrib = (
+            edges.join(scores, edges.src == scores.node)
+            .select(
+                F.col("dst"),
+                F.expr("(85 * score) div (100 * outdeg)").cast("long").alias("c"),
+            )
+            .groupBy("dst")
+            .agg(F.sum("c").alias("in_sum"))
+        )
+        scores = nodes.join(contrib, nodes.node == contrib.dst, "left").select(
+            "node",
+            "outdeg",
+            (F.lit(base) + F.coalesce(F.col("in_sum"), F.lit(0))).cast("long").alias("score"),
+        )
+    return (
+        scores.select(F.col("node").alias("p_partkey"), "outdeg", F.col("score").alias("pr_score"))
+        .orderBy(F.desc("pr_score"), F.asc("p_partkey"))
+        .limit(topk)
+    )
+
+
+def q_pagerank_fixedpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pagerank_fixedpoint(load_table(spark, sf_dir, "lineitem"))
+
+
+SQL_PAGERANK_FIXEDPOINT = f"""
+WITH edges AS (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+  WHERE a.l_partkey <> b.l_partkey
+),
+deg AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg FROM edges GROUP BY src),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM deg),
+s0 AS (
+  SELECT src AS node, outdeg,
+         CAST({PR_SCALE} AS BIGINT) // (SELECT n FROM n) AS score
+  FROM deg
+),
+s1 AS (
+  SELECT d.src AS node, d.outdeg,
+         (15 * CAST({PR_SCALE} AS BIGINT)) // (100 * (SELECT n FROM n))
+         + COALESCE(c.in_sum, 0) AS score
+  FROM deg d LEFT JOIN (
+    SELECT e.dst, sum((85 * s.score) // (100 * s.outdeg)) AS in_sum
+    FROM edges e JOIN s0 s ON e.src = s.node GROUP BY e.dst
+  ) c ON d.src = c.dst
+),
+s2 AS (
+  SELECT d.src AS node, d.outdeg,
+         (15 * CAST({PR_SCALE} AS BIGINT)) // (100 * (SELECT n FROM n))
+         + COALESCE(c.in_sum, 0) AS score
+  FROM deg d LEFT JOIN (
+    SELECT e.dst, sum((85 * s.score) // (100 * s.outdeg)) AS in_sum
+    FROM edges e JOIN s1 s ON e.src = s.node GROUP BY e.dst
+  ) c ON d.src = c.dst
+),
+s3 AS (
+  SELECT d.src AS node, d.outdeg,
+         (15 * CAST({PR_SCALE} AS BIGINT)) // (100 * (SELECT n FROM n))
+         + COALESCE(c.in_sum, 0) AS score
+  FROM deg d LEFT JOIN (
+    SELECT e.dst, sum((85 * s.score) // (100 * s.outdeg)) AS in_sum
+    FROM edges e JOIN s2 s ON e.src = s.node GROUP BY e.dst
+  ) c ON d.src = c.dst
+)
+SELECT node AS p_partkey, outdeg, CAST(score AS BIGINT) AS pr_score
+FROM s3
+ORDER BY pr_score DESC, p_partkey ASC
+LIMIT {PR_TOPK}
+"""
+
+QUERIES = {"pagerank_fixedpoint": q_pagerank_fixedpoint}
+ORACLES = {"pagerank_fixedpoint": SQL_PAGERANK_FIXEDPOINT}

@@ -57,6 +57,7 @@ MODULE_ORDER = [
     "curation",
     "streamingq",
     "sketches",
+    "graphops",
 ]
 
 # Round-3 sweep priority (exactly fills the 50-slot window):
@@ -138,7 +139,8 @@ PRIORITY = [
 #   (curation.py); ann_recall_eval, pq_codes (similarity.py);
 #   minhash_calibration (dedup.py); stream_tumbling_hourly (streamingq.py);
 #   hll_users_per_event_type, cms_heavy_hitters, bloom_prefilter_stats
-#   (sketches.py); kmeans_clusters / semdedup_candidates / ivf_* also
+#   (sketches.py); pagerank_fixedpoint (graphops.py); skyline_parts,
+#   zorder_bucket_stats (analytic.py); kmeans_clusters / semdedup_candidates / ivf_* also
 #   changed plans in r3 AFTER the sweep freeze (Arrow _assign) — they are
 #   in this round's PRIORITY already, so their r3 rows cover the new plan.
 

@@ -522,3 +522,75 @@ def test_bloom_never_misses_true_members(spark, sf_dir):
     assert rows
     assert all(r["n_bloom_hits"] >= r["n_exact_hits"] for r in rows)
     assert all(0.0 <= r["fp_rate"] <= 1.0 for r in rows)
+
+
+def test_pagerank_iterations_are_joins_not_cartesian(spark, sf_dir):
+    """Every PageRank iteration must be an equi-join on the src key plus a
+    hash-agg on dst — a CartesianProduct or BroadcastNestedLoopJoin would
+    mean the join condition was lost."""
+    df = all_queries()["pagerank_fixedpoint"](spark, sf_dir)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pagerank_scores_are_exact_integers_summing_below_scale(spark, sf_dir):
+    """Fixed-point truncation only ever LOSES mass: the top-k scores are
+    positive BIGINTs and each is below SCALE (no node absorbs everything
+    in a symmetric co-purchase graph)."""
+    from pharmaceutical_sales_data_etl_analysis_pipeline_spark.operators.graphops import PR_SCALE
+
+    rows = all_queries()["pagerank_fixedpoint"](spark, sf_dir).collect()
+    assert rows, "pagerank returned no rows"
+    for r in rows:
+        assert 0 < r.pr_score < PR_SCALE
+        assert isinstance(r.pr_score, int)
+
+
+def test_skyline_phase1_keeps_scan_parallelism(spark, sf_dir):
+    """The merge stage must be repartition(1) (a shuffle barrier), never
+    coalesce(1) — coalesce propagates upstream and would serialize the
+    phase-1 partition-local skylines (the neardup_components r1 bug)."""
+    df = all_queries()["skyline_parts"](spark, sf_dir)
+    plan = _plan(df)
+    assert "Coalesce" not in plan
+    assert "Exchange" in plan  # the explicit single-partition shuffle barrier
+
+
+def test_skyline_is_mutually_non_dominated(spark, sf_dir):
+    rows = all_queries()["skyline_parts"](spark, sf_dir).collect()
+    assert rows
+    pts = [(r.p_retailprice, r.p_size) for r in rows]
+    for i, (pa, sa) in enumerate(pts):
+        for j, (pb, sb) in enumerate(pts):
+            if i != j:
+                dominated = pb <= pa and sb <= sa and (pb < pa or sb < sa)
+                assert not dominated, f"{pts[j]} dominates {pts[i]}"
+
+
+def test_zorder_single_shuffle_single_scan(spark, sf_dir):
+    df = all_queries()["zorder_bucket_stats"](spark, sf_dir)
+    assert _scan_count(df) == 1
+    plan = _plan(df)
+    # one partial+final hash agg pair over one bucket-key exchange (plus
+    # the presentation sort's range exchange)
+    assert plan.count("Exchange") <= 4
+
+
+def test_zorder_envelopes_tighter_than_single_dim_sort(spark, sf_dir):
+    """The point of Z-ordering: bucket envelopes are bounded in BOTH dims.
+    Verify each bucket's custkey envelope spans at most 2^8 distinct
+    residues worth of the 16-bit grid (the macro-cell width) when mapped
+    into the Z-grid — i.e. the layout actually localizes both columns."""
+    rows = all_queries()["zorder_bucket_stats"](spark, sf_dir).collect()
+    assert rows
+    cell = 1 << 8
+    grid = 1 << 16
+    for r in rows:
+        # raw values fit the 16-bit grid at test SFs, so min/max of the raw
+        # column ARE the masked envelope: a bucket fixes the top 8 bits of
+        # both dims, so each envelope sits inside one 256-wide macro-cell
+        if r.max_cust < grid:
+            assert r.min_cust // cell == r.max_cust // cell, f"bucket {r.zbucket} cust envelope spans cells"
+        if r.max_day < grid:
+            assert r.min_day // cell == r.max_day // cell, f"bucket {r.zbucket} day envelope spans cells"
