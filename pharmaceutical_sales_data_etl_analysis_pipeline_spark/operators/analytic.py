@@ -738,27 +738,6 @@ ORACLES["price_quantity_corr"] = SQL_PRICE_QUANTITY_CORR
 # Skyline (Pareto frontier) — r3
 
 
-def _skyline_pdf(pdf):
-    """Exact 2-D skyline (minimize p_retailprice AND p_size) of one pandas
-    frame. A row survives iff no other row is <= in both dims and < in at
-    least one; duplicate (price, size) points all survive (neither
-    dominates the other under strict-in-one-dim dominance)."""
-    import numpy as np
-
-    if len(pdf) == 0:
-        return pdf
-    per_price_min = pdf.groupby("p_retailprice")["p_size"].min()
-    prices = per_price_min.index.to_numpy()
-    order = np.argsort(prices, kind="mergesort")
-    mins = per_price_min.to_numpy()[order]
-    prefix = np.minimum.accumulate(mins)
-    strict = np.concatenate(([np.iinfo(np.int64).max], prefix[:-1]))
-    strict_map = dict(zip(prices[order], strict))
-    sm = pdf["p_retailprice"].map(strict_map)
-    ms = pdf.groupby("p_retailprice")["p_size"].transform("min")
-    return pdf[(pdf["p_size"] == ms) & (pdf["p_size"] < sm)]
-
-
 def skyline_parts(part: DataFrame) -> DataFrame:
     """Pareto frontier of parts minimizing (p_retailprice, p_size).
 
@@ -777,12 +756,35 @@ def skyline_parts(part: DataFrame) -> DataFrame:
     cols = ["p_partkey", "p_retailprice", "p_size"]
     schema = "p_partkey bigint, p_retailprice double, p_size int"
 
+    # kernel defined INSIDE the closure so cloudpickle serializes it by
+    # value — a module-level helper pickles by reference and the driver's
+    # vanilla-session workers can't import this package (verify SKILL.md
+    # "pickling gotchas"; same reason the UDTF/DataSource classes are
+    # function-local)
     def local(it):
+        import numpy as np
         import pandas as pd
+
+        def sky(pdf):
+            # Exact 2-D skyline (minimize p_retailprice AND p_size): a row
+            # survives iff no other row is <= in both dims and < in at
+            # least one; duplicate (price, size) points all survive.
+            if len(pdf) == 0:
+                return pdf
+            per_price_min = pdf.groupby("p_retailprice")["p_size"].min()
+            prices = per_price_min.index.to_numpy()
+            order = np.argsort(prices, kind="mergesort")
+            mins = per_price_min.to_numpy()[order]
+            prefix = np.minimum.accumulate(mins)
+            strict = np.concatenate(([np.iinfo(np.int64).max], prefix[:-1]))
+            strict_map = dict(zip(prices[order], strict))
+            sm = pdf["p_retailprice"].map(strict_map)
+            ms = pdf.groupby("p_retailprice")["p_size"].transform("min")
+            return pdf[(pdf["p_size"] == ms) & (pdf["p_size"] < sm)]
 
         frames = [pdf for pdf in it]
         if frames:
-            yield _skyline_pdf(pd.concat(frames, ignore_index=True))
+            yield sky(pd.concat(frames, ignore_index=True))
 
     base = part.select(*cols)
     survivors = base.mapInPandas(local, schema)
