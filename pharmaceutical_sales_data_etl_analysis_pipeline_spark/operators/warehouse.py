@@ -670,3 +670,90 @@ LIMIT {BASKET_TOP}
 
 QUERIES["basket_affinity"] = q_basket_affinity
 ORACLES["basket_affinity"] = SQL_BASKET_AFFINITY
+
+
+# ---------------------------------------------------------------------------
+# Referential-integrity audit — r3
+
+# (fk_name, child table, fk column, parent table, pk column) for every FK
+# edge in the star/snowflake. Order here is the output order.
+FK_EDGES = [
+    ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("customer.c_nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier.s_nationkey->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation.n_regionkey->region", "nation", "n_regionkey", "region", "r_regionkey"),
+]
+
+
+def fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orphan audit for every foreign-key edge, in one result.
+
+    The scale-correct construction: each child is first collapsed to its
+    DISTINCT key space with per-key row counts (one hash-agg, map-side
+    combined), and the anti-join against the parent's projected key column
+    runs over |distinct keys| rows — NEVER the raw fact rows. At 100 TB
+    lineitem that's the difference between anti-joining 600B rows and
+    ~1.5B keys; parent sides are pruned to the single pk column so the
+    small dims (nation/region) broadcast. Output per FK:
+    (fk_name, child_rows, distinct_keys, orphan_keys, orphan_rows) —
+    integer-exact, the governance dashboard row.
+    """
+    out = None
+    for fk_name, child, fk, parent, pk in FK_EDGES:
+        keyed = (
+            load_table(spark, sf_dir, child)
+            .where(F.col(fk).isNotNull())
+            .groupBy(F.col(fk).alias("k"))
+            .agg(F.count("*").alias("rows_per_key"))
+        )
+        parent_keys = load_table(spark, sf_dir, parent).select(F.col(pk).alias("k")).distinct()
+        orphans = keyed.join(parent_keys, "k", "left_anti")
+        row = (
+            keyed.agg(
+                F.sum("rows_per_key").cast("long").alias("child_rows"),
+                F.count("*").cast("long").alias("distinct_keys"),
+            )
+            .crossJoin(
+                orphans.agg(
+                    F.count("*").cast("long").alias("orphan_keys"),
+                    F.coalesce(F.sum("rows_per_key"), F.lit(0)).cast("long").alias("orphan_rows"),
+                )
+            )
+            .select(F.lit(fk_name).alias("fk_name"), "child_rows", "distinct_keys", "orphan_keys", "orphan_rows")
+        )
+        out = row if out is None else out.unionAll(row)
+    return out
+
+
+def q_fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return fk_integrity_audit(spark, sf_dir)
+
+
+def _fk_audit_sql_one(fk_name: str, child: str, fk: str, parent: str, pk: str) -> str:
+    return f"""
+SELECT '{fk_name}' AS fk_name,
+       (SELECT CAST(count(*) AS BIGINT) FROM {child} WHERE {fk} IS NOT NULL) AS child_rows,
+       (SELECT CAST(count(DISTINCT {fk}) AS BIGINT) FROM {child} WHERE {fk} IS NOT NULL) AS distinct_keys,
+       CAST(count(*) FILTER (WHERE o.k IS NOT NULL) AS BIGINT) AS orphan_keys,
+       CAST(COALESCE(sum(o.rows_per_key), 0) AS BIGINT) AS orphan_rows
+FROM (SELECT 1) one
+LEFT JOIN (
+  SELECT c.{fk} AS k, CAST(count(*) AS BIGINT) AS rows_per_key
+  FROM {child} c
+  WHERE c.{fk} IS NOT NULL
+    AND NOT EXISTS (SELECT 1 FROM {parent} p WHERE p.{pk} = c.{fk})
+  GROUP BY c.{fk}
+) o ON TRUE
+GROUP BY 1
+"""
+
+
+SQL_FK_INTEGRITY_AUDIT = "\nUNION ALL\n".join(
+    _fk_audit_sql_one(*edge) for edge in FK_EDGES
+)
+
+QUERIES["fk_integrity_audit"] = q_fk_integrity_audit
+ORACLES["fk_integrity_audit"] = SQL_FK_INTEGRITY_AUDIT
