@@ -610,3 +610,93 @@ def test_price_quantity_corr_degenerate_group_is_null(spark):
     assert out[1996]["qty_price_corr"] is None and out[1996]["ols_slope"] is None
     assert out[1997]["qty_price_corr"] is None and out[1997]["ols_slope"] is None
     assert out[1998]["qty_price_corr"] == 1.0 and out[1998]["ols_slope"] is not None
+
+
+part_points_strategy = st.lists(
+    st.tuples(st.floats(1.0, 100.0, allow_nan=False, allow_infinity=False),
+              st.integers(1, 20)),
+    min_size=1,
+    max_size=40,
+)
+
+
+@SETTLE
+@given(pts=part_points_strategy)
+def test_skyline_matches_bruteforce_dominance(spark, pts):
+    """The two-phase distributed skyline equals the O(n²) brute-force
+    Pareto frontier under strict-in-one-dim dominance, including duplicate
+    points (both survive) and arbitrary partition splits."""
+    from pharmaceutical_sales_data_etl_analysis_pipeline_spark.operators.analytic import (
+        skyline_parts,
+    )
+
+    schema = T.StructType([
+        T.StructField("p_partkey", T.LongType()),
+        T.StructField("p_retailprice", T.DoubleType()),
+        T.StructField("p_size", T.IntegerType()),
+    ])
+    rows = [(i, float(p), int(s)) for i, (p, s) in enumerate(pts)]
+    df = spark.createDataFrame(rows, schema).repartition(4)
+    got = sorted((r.p_partkey, r.p_retailprice, r.p_size)
+                 for r in skyline_parts(df).collect())
+    expect = sorted(
+        (i, p, s)
+        for i, p, s in rows
+        if not any(
+            (p2 <= p and s2 <= s and (p2 < p or s2 < s))
+            for j, p2, s2 in rows
+            if j != i
+        )
+    )
+    assert got == expect
+
+
+@SETTLE
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 8), st.integers(0, 8)).filter(lambda e: e[0] != e[1]),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_pagerank_fixed_point_mass_and_parity(spark, edges):
+    """Fixed-point PageRank invariants on arbitrary co-occurrence graphs:
+    (a) truncation only loses mass — total score never exceeds SCALE and
+    stays above the damped lower bound; (b) the Spark result equals a
+    driver-side pure-Python evaluation of the same integer recurrence."""
+    from pharmaceutical_sales_data_etl_analysis_pipeline_spark.operators.graphops import (
+        PR_SCALE,
+        pagerank_fixedpoint,
+    )
+
+    # encode each undirected pair as a 2-line "order" so copurchase_edges
+    # derives exactly the symmetrized edge set
+    schema = T.StructType([
+        T.StructField("l_orderkey", T.LongType()),
+        T.StructField("l_partkey", T.LongType()),
+    ])
+    rows = []
+    for ok, (a, b) in enumerate(edges):
+        rows += [(ok, a), (ok, b)]
+    li = spark.createDataFrame(rows, schema)
+    got = {r.p_partkey: r.pr_score
+           for r in pagerank_fixedpoint(li, topk=100).collect()}
+
+    # pure-python reference of the identical recurrence
+    eset = set()
+    for a, b in edges:
+        eset.add((a, b)); eset.add((b, a))
+    nodes = sorted({a for a, _ in eset})
+    out = {u: sum(1 for s, _ in eset if s == u) for u in nodes}
+    n = len(nodes)
+    score = {u: PR_SCALE // n for u in nodes}
+    base = (15 * PR_SCALE) // (100 * n)
+    for _ in range(3):
+        new = {u: base for u in nodes}
+        for s, d in eset:
+            new[d] += (85 * score[s]) // (100 * out[s])
+        score = new
+    assert got == score
+    total = sum(score.values())
+    assert total <= PR_SCALE
+    assert total >= (15 * PR_SCALE) // 100 - n  # damped floor minus truncation
