@@ -757,3 +757,127 @@ SQL_FK_INTEGRITY_AUDIT = "\nUNION ALL\n".join(
 
 QUERIES["fk_integrity_audit"] = q_fk_integrity_audit
 ORACLES["fk_integrity_audit"] = SQL_FK_INTEGRITY_AUDIT
+
+
+# ---------------------------------------------------------------------------
+# Point-in-time (feature-store) join — r3
+
+def pit_feature_join(events: DataFrame) -> DataFrame:
+    """Each click joined to the SCD2 state version valid AT click time —
+    the feature-store point-in-time join that prevents feature leakage
+    (never reads a dimension version from the future).
+
+    Construction: equi-join on user_id against the versioned dimension
+    (scd2_intervals output) with the half-open interval predicate
+    valid_from <= ts < valid_to as a post-join filter — the standard PIT
+    shape when the dimension is a separate versioned table (the as-of
+    operator's union-tag trick needs fact+changelog co-sortable in one
+    stream). Each fact matches at most one version (intervals partition
+    the timeline per user; zero-width versions from same-ts changes match
+    nothing). One shuffle on user_id; per-user version counts are small so
+    the range filter is cheap; LEFT keeps pre-first-version clicks with
+    NULL features. At 100 TB: broadcast nothing, AQE handles hot users.
+    """
+    dim = scd2_intervals(events)
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    cond = (
+        (clicks.user_id == dim.user_id)
+        & (dim.valid_from <= clicks.ts)
+        & (dim.valid_to.isNull() | (clicks.ts < dim.valid_to))
+    )
+    return clicks.join(dim, cond, "left").select(
+        clicks.event_id,
+        clicks.user_id,
+        clicks.ts,
+        dim.version,
+        dim.state_value,
+        dim.valid_from.alias("feature_as_of"),
+    )
+
+
+def q_pit_feature_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pit_feature_join(load_table(spark, sf_dir, "events"))
+
+
+SQL_PIT_FEATURE_JOIN = """
+WITH dim AS (
+  SELECT user_id,
+         CAST(row_number() OVER w AS BIGINT) AS version,
+         value AS state_value,
+         ts AS valid_from,
+         lead(ts) OVER w AS valid_to
+  FROM events WHERE event_type = 'purchase'
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT c.event_id, c.user_id, c.ts,
+       d.version, d.state_value, d.valid_from AS feature_as_of
+FROM events c
+LEFT JOIN dim d
+  ON d.user_id = c.user_id
+ AND d.valid_from <= c.ts
+ AND (d.valid_to IS NULL OR c.ts < d.valid_to)
+WHERE c.event_type = 'click'
+"""
+
+QUERIES["pit_feature_join"] = q_pit_feature_join
+ORACLES["pit_feature_join"] = SQL_PIT_FEATURE_JOIN
+
+
+# ---------------------------------------------------------------------------
+# Leakage-safe train/val/test split — r3
+
+def leakage_safe_split(events: DataFrame) -> DataFrame:
+    """Group-wise (per-user) train/val/test assignment: every event of a
+    user lands in the SAME split, so no user's behavior leaks across the
+    boundary — the correct split discipline for user-level models (a
+    row-wise random split leaks history).
+
+    Deterministic md5 bucket of user_id (reproducible anywhere, no RNG
+    state); split sizes 80/10/10. Single scan + one hash-agg; the
+    assignment is a pure projection so at 100 TB the split is a free
+    column, not a shuffle.
+    """
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 100
+    )
+    split = (
+        F.when(bucket < 80, F.lit("train"))
+        .when(bucket < 90, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        events.select(split.alias("split"), "user_id", "event_id")
+        .groupBy("split")
+        .agg(
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+            F.count("*").cast("long").alias("n_events"),
+        )
+        .orderBy("split")
+    )
+
+
+def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return leakage_safe_split(load_table(spark, sf_dir, "events"))
+
+
+SQL_LEAKAGE_SAFE_SPLIT = """
+WITH b AS (
+  SELECT CASE
+           WHEN CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8)) AS UBIGINT) % 100 < 80 THEN 'train'
+           WHEN CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8)) AS UBIGINT) % 100 < 90 THEN 'val'
+           ELSE 'test'
+         END AS split,
+         user_id, event_id
+  FROM events
+)
+SELECT split,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM b GROUP BY split ORDER BY split
+"""
+
+QUERIES["leakage_safe_split"] = q_leakage_safe_split
+ORACLES["leakage_safe_split"] = SQL_LEAKAGE_SAFE_SPLIT

@@ -140,7 +140,8 @@ PRIORITY = [
 #   minhash_calibration (dedup.py); stream_tumbling_hourly (streamingq.py);
 #   hll_users_per_event_type, cms_heavy_hitters, bloom_prefilter_stats
 #   (sketches.py); pagerank_fixedpoint (graphops.py); skyline_parts,
-#   zorder_bucket_stats (analytic.py); fk_integrity_audit (warehouse.py);
+#   zorder_bucket_stats (analytic.py); fk_integrity_audit,
+#   pit_feature_join, leakage_safe_split (warehouse.py);
 #   kmeans_clusters / semdedup_candidates / ivf_* also
 #   changed plans in r3 AFTER the sweep freeze (Arrow _assign) — they are
 #   in this round's PRIORITY already, so their r3 rows cover the new plan.

@@ -594,3 +594,33 @@ def test_zorder_envelopes_tighter_than_single_dim_sort(spark, sf_dir):
             assert r.min_cust // cell == r.max_cust // cell, f"bucket {r.zbucket} cust envelope spans cells"
         if r.max_day < grid:
             assert r.min_day // cell == r.max_day // cell, f"bucket {r.zbucket} day envelope spans cells"
+
+
+def test_pit_join_is_keyed_not_nested_loop(spark, sf_dir):
+    """The PIT interval join must hash/sort-merge on user_id with the
+    interval predicate as a post-join filter — a nested-loop join means
+    the equi-key was lost and every fact scans every version."""
+    df = all_queries()["pit_feature_join"](spark, sf_dir)
+    plan = _plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_pit_join_matches_at_most_one_version_per_click(spark, sf_dir):
+    """SCD2 intervals partition each user's timeline, so the LEFT join
+    must preserve click cardinality exactly (no fan-out, no loss)."""
+    from pharmaceutical_sales_data_etl_analysis_pipeline_spark.catalog import load_table
+
+    clicks = load_table(spark, sf_dir, "events").where("event_type = 'click'").count()
+    assert all_queries()["pit_feature_join"](spark, sf_dir).count() == clicks
+
+
+def test_leakage_split_partitions_users_exactly(spark, sf_dir):
+    """Splits are user-disjoint and exhaustive: per-split user counts sum
+    to the global distinct-user count (a user straddling splits would
+    double-count)."""
+    from pharmaceutical_sales_data_etl_analysis_pipeline_spark.catalog import load_table
+
+    rows = all_queries()["leakage_safe_split"](spark, sf_dir).collect()
+    total = load_table(spark, sf_dir, "events").select("user_id").distinct().count()
+    assert sum(r.n_users for r in rows) == total
