@@ -54,10 +54,14 @@ def copurchase_edges(lineitem: DataFrame) -> DataFrame:
     Symmetric by construction (both (a,b) and (b,a) appear), so every
     node has outdeg == indeg >= 1.
     """
-    a = lineitem.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("src"))
-    b = lineitem.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("dst"))
+    # groupBy + in-row pair expansion beats the orderkey self-join ~2x:
+    # ONE shuffle (the groupBy) instead of shuffling both join sides, and
+    # the width² expansion is bounded by lines-per-order (<= 7 in spec
+    # TPC-H) so it's a cheap map-side flatMap, never a blow-up
+    sets = lineitem.groupBy("l_orderkey").agg(F.collect_set("l_partkey").alias("ps"))
     return (
-        a.join(b, "ok")
+        sets.select(F.explode("ps").alias("src"), "ps")
+        .select("src", F.explode("ps").alias("dst"))
         .where(F.col("src") != F.col("dst"))
         .select("src", "dst")
         .distinct()
@@ -90,6 +94,11 @@ def pagerank_fixedpoint(lineitem: DataFrame, iters: int = PR_ITERS, topk: int = 
             .groupBy("dst")
             .agg(F.sum("c").alias("in_sum"))
         )
+        # no per-iteration checkpoint: the 3-iteration DAG is a linear
+        # chain executed by ONE action, so nothing is recomputed (measured:
+        # checkpointing each pass only added its materialization cost).
+        # Only `edges` is referenced once per iteration — that's what the
+        # single localCheckpoint above pins.
         scores = nodes.join(contrib, nodes.node == contrib.dst, "left").select(
             "node",
             "outdeg",
