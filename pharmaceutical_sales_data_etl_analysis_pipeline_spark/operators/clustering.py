@@ -161,3 +161,76 @@ ORACLES = {
     "kmeans_clusters": SQL_KMEANS_CLUSTERS,
     "semdedup_candidates": SQL_SEMDEDUP_CANDIDATES,
 }
+
+
+# ---------------------------------------------------------------------------
+# Supervised embedding evaluation: cluster-label purity — r3
+
+def cluster_label_purity(embeddings: DataFrame) -> DataFrame:
+    """Per-cluster label purity: how well unsupervised k-means structure
+    recovers the labeled classes — the standard supervised health check
+    for an embedding space before it's trusted for semantic dedup or
+    retrieval (a purity near 1/|labels| means the embeddings carry no
+    class signal and SemDeDup pruning is random).
+
+    Integer-exact by construction: n_total / n_majority are counts, the
+    majority label ties break to the lowest label id, and purity is ONE
+    double division of exact integers (identical in any engine). The
+    per-(cluster,label) contingency agg is map-side combined; the window
+    runs over K x |labels| rows — tiny at any corpus size.
+    """
+    asg = kmeans_assignments(embeddings).select("vec_id", "cluster_id")
+    cont = (
+        embeddings.select("vec_id", "label")
+        .join(asg, "vec_id")
+        .groupBy("cluster_id", "label")
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = Window.partitionBy("cluster_id").orderBy(F.desc("cnt"), F.asc("label"))
+    return (
+        cont.withColumn("rn", F.row_number().over(w))
+        .groupBy("cluster_id")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_total"),
+            F.max(F.when(F.col("rn") == 1, F.col("cnt"))).cast("long").alias("n_majority"),
+            F.max(F.when(F.col("rn") == 1, F.col("label"))).cast("int").alias("majority_label"),
+        )
+        .select(
+            F.col("cluster_id").cast("int").alias("cluster_id"),
+            "n_total",
+            "n_majority",
+            "majority_label",
+            (F.col("n_majority").cast("double") / F.col("n_total").cast("double")).alias("purity"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
+def q_cluster_label_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cluster_label_purity(load_table(spark, sf_dir, "embeddings"))
+
+
+SQL_CLUSTER_LABEL_PURITY = f"""
+WITH {kmeans_cte()},
+cont AS (
+  SELECT CAST(a1.cluster AS INT) AS cluster_id, e.label, CAST(count(*) AS BIGINT) AS cnt
+  FROM a1 JOIN embeddings e ON e.vec_id = a1.vec_id
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY cluster_id ORDER BY cnt DESC, label ASC) AS rn
+  FROM cont
+)
+SELECT cluster_id,
+       CAST(sum(cnt) AS BIGINT) AS n_total,
+       CAST(max(CASE WHEN rn = 1 THEN cnt END) AS BIGINT) AS n_majority,
+       CAST(max(CASE WHEN rn = 1 THEN label END) AS INT) AS majority_label,
+       CAST(max(CASE WHEN rn = 1 THEN cnt END) AS DOUBLE)
+         / CAST(sum(cnt) AS DOUBLE) AS purity
+FROM ranked
+GROUP BY cluster_id
+ORDER BY cluster_id
+"""
+
+QUERIES["cluster_label_purity"] = q_cluster_label_purity
+ORACLES["cluster_label_purity"] = SQL_CLUSTER_LABEL_PURITY
