@@ -848,3 +848,95 @@ GROUP BY user_id
 
 QUERIES["session_conversion"] = q_session_conversion
 ORACLES["session_conversion"] = SQL_SESSION_CONVERSION
+
+
+# ---------------------------------------------------------------------------
+# Session path mining — r3
+
+PATH_PREFIX_LEN = 5
+PATH_TOPK = 20
+
+
+def session_paths_topk(events: DataFrame) -> DataFrame:
+    """Top-k most common session journeys: the first PATH_PREFIX_LEN
+    event types of each session, in exact event order, counted across all
+    sessions — the path-mining readout behind funnel design ("what do
+    users actually do?").
+
+    Order discipline: collect_list order after a shuffle is
+    NON-deterministic, so the per-session sequence is materialized as
+    array_sort over (ts, event_id, type) structs — sorted IN the row,
+    deterministic on any partitioning — then truncated and joined.
+    The agg shuffles one slim struct per event, grouped on
+    (user_id, session_seq); the path count agg runs over |sessions| rows.
+    Top-k via TakeOrdered, no global sort. Reuses sessionize's single
+    user-keyed window shuffle (SCALE.md: derived session analytics never
+    re-scan events beyond their base rollup).
+    """
+    s = sessionize(events)
+    # pre-truncate to the first PATH_PREFIX_LEN events per session BEFORE
+    # collecting: bounds per-group agg state to 5 slim structs even for
+    # pathological million-event sessions. The (user_id, session_seq)
+    # window reuses sessionize's user_id hash partitioning (subset rule —
+    # no second shuffle; the array_sort keeps the collected order
+    # deterministic regardless of partitioning).
+    w_sess = Window.partitionBy("user_id", "session_seq").orderBy("ts", "event_id")
+    paths = (
+        s.withColumn("rn", F.row_number().over(w_sess))
+        .where(F.col("rn") <= PATH_PREFIX_LEN)
+        .groupBy("user_id", "session_seq")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("ts"), F.col("event_id"), F.col("event_type")))
+            ).alias("evs")
+        )
+        .select(
+            F.array_join(F.transform("evs", lambda e: e.event_type), ">").alias("path")
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count("*").cast("long").alias("n_sessions"))
+        .orderBy(F.desc("n_sessions"), F.asc("path"))
+        .limit(PATH_TOPK)
+    )
+
+
+def q_session_paths_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return session_paths_topk(load_table(spark, sf_dir, "events"))
+
+
+SQL_SESSION_PATHS_TOPK = f"""
+WITH flagged AS (
+  SELECT user_id, event_id, ts, event_type,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > {SESSION_GAP_US}
+              THEN 1 ELSE 0 END AS boundary
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, event_id, ts, event_type,
+         sum(boundary) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+  FROM flagged
+),
+ranked AS (
+  SELECT user_id, session_seq, event_type,
+         row_number() OVER (PARTITION BY user_id, session_seq
+                            ORDER BY ts, event_id) AS rn
+  FROM sess
+),
+paths AS (
+  SELECT string_agg(event_type, '>' ORDER BY rn) AS path
+  FROM ranked WHERE rn <= {PATH_PREFIX_LEN}
+  GROUP BY user_id, session_seq
+)
+SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+FROM paths GROUP BY path
+ORDER BY n_sessions DESC, path ASC
+LIMIT {PATH_TOPK}
+"""
+
+QUERIES["session_paths_topk"] = q_session_paths_topk
+ORACLES["session_paths_topk"] = SQL_SESSION_PATHS_TOPK
