@@ -951,7 +951,7 @@ def holt_linear_forecast(orders: DataFrame) -> DataFrame:
     fold = F.expr(
         f"""
         aggregate(
-          slice(series, 3, size(series) - 2),
+          slice(series, 2, size(series) - 1),
           named_struct('l', series[0].y, 'b', series[1].y - series[0].y),
           (acc, e) -> named_struct(
             'l', {a} * e.y + (1.0 - {a}) * (acc.l + acc.b),
@@ -960,10 +960,9 @@ def holt_linear_forecast(orders: DataFrame) -> DataFrame:
           acc -> acc)
         """
     ).alias("st")
-    # note: the first fold step consumes series[3..]; seeds use y0,y1 —
-    # but Holt's first UPDATE applies to y1 itself after seeding. The
-    # convention here (seed on y0/y1, fold from y2) matches the oracle
-    # exactly, which is the contract that matters for parity.
+    # standard Holt convention: seed (l0, b0) from y0/y1, then the first
+    # UPDATE applies to y1 itself (fold runs over series[1:]), so with two
+    # points level = y1 and forecast = y1 + trend.
     return (
         yearly.select("status", F.size("series").cast("int").alias("n_years"), fold)
         .select(
@@ -1000,7 +999,7 @@ folded AS (
   SELECT status, len(ys) AS n_years,
          list_reduce(
            list_concat([[ys[1], ys[2] - ys[1]]],
-                       list_transform(ys[3:], y -> [y, CAST(0.0 AS DOUBLE)])),
+                       list_transform(ys[2:], y -> [y, CAST(0.0 AS DOUBLE)])),
            (acc, e) -> [
              {HOLT_ALPHA} * e[1] + (1.0 - {HOLT_ALPHA}) * (acc[1] + acc[2]),
              {HOLT_BETA} * (({HOLT_ALPHA} * e[1] + (1.0 - {HOLT_ALPHA}) * (acc[1] + acc[2])) - acc[1])

@@ -80,6 +80,12 @@ def pagerank_fixedpoint(lineitem: DataFrame, iters: int = PR_ITERS, topk: int = 
     deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
     nodes = deg.select(F.col("src").alias("node"), "outdeg").localCheckpoint()
     n = nodes.count()
+    if n == 0:
+        # edgeless input (no order has two distinct parts): empty result
+        # with the stable output schema, not a ZeroDivisionError
+        return nodes.sparkSession.createDataFrame(
+            [], "p_partkey bigint, outdeg bigint, pr_score bigint"
+        )
 
     base = (15 * PR_SCALE) // (100 * n)
     # scores carries outdeg so each iteration is exactly one join + one agg

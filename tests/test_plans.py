@@ -624,3 +624,53 @@ def test_leakage_split_partitions_users_exactly(spark, sf_dir):
     rows = all_queries()["leakage_safe_split"](spark, sf_dir).collect()
     total = load_table(spark, sf_dir, "events").select("user_id").distinct().count()
     assert sum(r.n_users for r in rows) == total
+
+
+def test_pagerank_edgeless_graph_returns_empty_with_schema(spark):
+    """An input where no order contains two distinct parts has no graph:
+    the operator must return an empty frame with the stable schema, not
+    divide by zero."""
+    from pyspark.sql import types as T
+
+    from pharmaceutical_sales_data_etl_analysis_pipeline_spark.operators.graphops import (
+        pagerank_fixedpoint,
+    )
+
+    schema = T.StructType([
+        T.StructField("l_orderkey", T.LongType()),
+        T.StructField("l_partkey", T.LongType()),
+    ])
+    li = spark.createDataFrame([(1, 10), (2, 20)], schema)
+    out = pagerank_fixedpoint(li)
+    assert out.columns == ["p_partkey", "outdeg", "pr_score"]
+    assert out.count() == 0
+
+
+def test_holt_single_observation_groups_are_excluded(spark):
+    """A status with one yearly observation has no trend seed — both the
+    Spark plan and the oracle drop it rather than emitting NaN/NULL."""
+    from pyspark.sql import types as T
+
+    from pharmaceutical_sales_data_etl_analysis_pipeline_spark.operators.analytic import (
+        holt_linear_forecast,
+    )
+
+    schema = T.StructType([
+        T.StructField("o_orderstatus", T.StringType()),
+        T.StructField("o_orderdate", T.TimestampType()),
+        T.StructField("o_totalprice", T.DoubleType()),
+    ])
+    import datetime as dt
+
+    rows = [
+        ("O", dt.datetime(1995, 6, 1), 10.0),
+        ("O", dt.datetime(1996, 6, 1), 12.0),
+        ("F", dt.datetime(1995, 6, 1), 5.0),  # single year -> excluded
+    ]
+    out = holt_linear_forecast(spark.createDataFrame(rows, schema)).collect()
+    assert [r.status for r in out] == ["O"]
+    assert out[0].n_years == 2
+    # two points, one update step on y1: l1 = 0.5*12 + 0.5*(10+2) = 12,
+    # b1 = 0.3*(12-10) + 0.7*2 = 2 -> forecast 14
+    assert out[0].level == 12.0 and out[0].trend == 2.0
+    assert out[0].forecast_next == 14.0
