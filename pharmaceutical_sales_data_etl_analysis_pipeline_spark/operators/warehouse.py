@@ -881,3 +881,72 @@ FROM b GROUP BY split ORDER BY split
 
 QUERIES["leakage_safe_split"] = q_leakage_safe_split
 ORACLES["leakage_safe_split"] = SQL_LEAKAGE_SAFE_SPLIT
+
+
+# ---------------------------------------------------------------------------
+# Incremental aggregate (materialized-view) maintenance — r3
+
+def incremental_agg_maintenance(events: DataFrame) -> DataFrame:
+    """Materialized-view maintenance without recompute: an hourly rollup
+    held as a snapshot is advanced by aggregating ONLY the delta batch and
+    merging — the core of every incremental warehouse pipeline (the
+    foreachBatch MERGE in streaming/upsert.py is the streaming twin).
+
+    The oracle is NOT a translation of this plan: it recomputes the rollup
+    from scratch over base ∪ delta. Equality therefore PROVES the
+    incremental path is exact — which only holds because the merged
+    measures are DECIMAL sums and counts (associative, order-independent);
+    a double accumulator would drift per batch boundary (ADVICE r2 on
+    upsert.py). Base/delta split: event_id % 4 (deterministic stand-ins
+    for 'snapshot' and 'new arrivals'). Cost: |delta| scan + a merge join
+    on the rollup key — never touches base fact rows, the whole point at
+    100 TB.
+    """
+    hour = F.date_trunc("hour", F.col("ts")).alias("hour")
+    dec = F.col("value").cast("decimal(28,10)")
+
+    def rollup(df):
+        return df.groupBy(F.col("event_type"), hour).agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(dec).alias("total"),
+        )
+
+    base = rollup(events.where(F.col("event_id") % 4 != 0))
+    delta = rollup(events.where(F.col("event_id") % 4 == 0))
+    merged = (
+        base.alias("b")
+        .join(delta.alias("d"), ["event_type", "hour"], "full_outer")
+        .select(
+            "event_type",
+            "hour",
+            (F.coalesce(F.col("b.n"), F.lit(0)) + F.coalesce(F.col("d.n"), F.lit(0)))
+            .cast("long")
+            .alias("n"),
+            (
+                F.coalesce(F.col("b.total"), F.lit(0).cast("decimal(28,10)"))
+                + F.coalesce(F.col("d.total"), F.lit(0).cast("decimal(28,10)"))
+            ).alias("total_dec"),
+        )
+        .select(
+            "event_type", "hour", "n", F.col("total_dec").cast("double").alias("total")
+        )
+    )
+    return merged
+
+
+def q_incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return incremental_agg_maintenance(load_table(spark, sf_dir, "events"))
+
+
+# full recompute over ALL rows — deliberately NOT the incremental plan
+SQL_INCREMENTAL_AGG_MAINTENANCE = """
+SELECT event_type,
+       date_trunc('hour', ts) AS hour,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(value AS DECIMAL(28,10))) AS DOUBLE) AS total
+FROM events
+GROUP BY 1, 2
+"""
+
+QUERIES["incremental_agg_maintenance"] = q_incremental_agg_maintenance
+ORACLES["incremental_agg_maintenance"] = SQL_INCREMENTAL_AGG_MAINTENANCE
