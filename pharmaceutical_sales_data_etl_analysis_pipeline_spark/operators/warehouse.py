@@ -950,3 +950,61 @@ GROUP BY 1, 2
 
 QUERIES["incremental_agg_maintenance"] = q_incremental_agg_maintenance
 ORACLES["incremental_agg_maintenance"] = SQL_INCREMENTAL_AGG_MAINTENANCE
+
+
+# ---------------------------------------------------------------------------
+# Functional-dependency discovery — r3
+
+# candidate (lhs -> rhs) dependencies over orders; a holds/violates report
+# is the Metanome-style profiling primitive behind schema inference and
+# key detection.
+FD_CANDIDATES = [
+    ("o_orderkey", "o_custkey"),      # holds: orderkey is the PK
+    ("o_orderkey", "o_orderstatus"),  # holds
+    ("o_custkey", "o_orderstatus"),   # violated: customers change status
+    ("o_custkey", "o_orderpriority"), # violated
+    ("o_orderstatus", "o_orderpriority"),  # violated
+]
+
+
+def fd_discovery(orders: DataFrame) -> DataFrame:
+    """Violation counts for candidate functional dependencies lhs -> rhs.
+
+    Per candidate: ONE hash-agg on lhs computing countDistinct(rhs) —
+    map-side combined, |lhs groups| output rows — then a count of groups
+    with >1 distinct rhs. Integer-exact; each candidate is an independent
+    branch over a column-pruned scan (at 100 TB batch candidates per scan
+    by lhs to amortize — the shuffles differ per lhs so branching is the
+    honest shape). An FD 'holds' iff n_violating_groups = 0.
+    """
+    out = None
+    for lhs, rhs in FD_CANDIDATES:
+        g = orders.groupBy(F.col(lhs)).agg(F.countDistinct(F.col(rhs)).alias("ndv"))
+        row = g.agg(
+            F.lit(f"{lhs}->{rhs}").alias("fd"),
+            F.count("*").cast("long").alias("n_lhs_groups"),
+            F.sum(F.when(F.col("ndv") > 1, 1).otherwise(0)).cast("long").alias("n_violating_groups"),
+            F.max("ndv").cast("long").alias("max_rhs_per_lhs"),
+        )
+        out = row if out is None else out.unionAll(row)
+    return out
+
+
+def q_fd_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return fd_discovery(load_table(spark, sf_dir, "orders"))
+
+
+def _fd_sql_one(lhs: str, rhs: str) -> str:
+    return f"""
+SELECT '{lhs}->{rhs}' AS fd,
+       CAST(count(*) AS BIGINT) AS n_lhs_groups,
+       CAST(sum(CASE WHEN ndv > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating_groups,
+       CAST(max(ndv) AS BIGINT) AS max_rhs_per_lhs
+FROM (SELECT {lhs}, count(DISTINCT {rhs}) AS ndv FROM orders GROUP BY {lhs}) g
+"""
+
+
+SQL_FD_DISCOVERY = "\nUNION ALL\n".join(_fd_sql_one(l, r) for l, r in FD_CANDIDATES)
+
+QUERIES["fd_discovery"] = q_fd_discovery
+ORACLES["fd_discovery"] = SQL_FD_DISCOVERY
