@@ -940,3 +940,60 @@ LIMIT {PATH_TOPK}
 
 QUERIES["session_paths_topk"] = q_session_paths_topk
 ORACLES["session_paths_topk"] = SQL_SESSION_PATHS_TOPK
+
+
+# ---------------------------------------------------------------------------
+# Conversation assembly: collapse each user's event stream into ONE ordered
+# transcript row — the SFT/chat-data assembly shape (raw interaction logs ->
+# one training document per conversation). Construction: collect_list of
+# (epoch_us, event_id, event_type) structs, sort_array for a deterministic
+# in-row order (struct compare = us, then event_id — unique, so layout
+# never matters), then a sequential in-row fold to the transcript string.
+# The transcript is emitted as md5 (rows stay narrow; the full string is
+# what a real pipeline would write) plus the first turn as a readable probe.
+#
+# Scale: one user-keyed shuffle; per-user state is bounded by events-per-
+# user (same bound session_paths_topk documents). Users with pathological
+# event counts would need per-day sub-conversations — the split key exists
+# (epoch day), not registered.
+# ---------------------------------------------------------------------------
+
+def conversation_assembly(events: DataFrame) -> DataFrame:
+    turn = F.struct(
+        F.unix_micros(F.col("ts")).alias("us"),
+        F.col("event_id").alias("eid"),
+        F.col("event_type").alias("et"),
+    )
+    per_user = events.groupBy("user_id").agg(
+        F.sort_array(F.collect_list(turn)).alias("turns")
+    )
+    line = "concat(s.et, '@', CAST(s.us AS STRING))"
+    return per_user.select(
+        "user_id",
+        F.size("turns").cast("int").alias("n_turns"),
+        F.md5(F.expr(f"array_join(transform(turns, s -> {line}), '|')")).alias(
+            "transcript_md5"
+        ),
+        F.expr(
+            "concat(turns[0].et, '@', CAST(turns[0].us AS STRING))"
+        ).alias("first_turn"),
+    )
+
+
+def q_conversation_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return conversation_assembly(load_table(spark, sf_dir, "events"))
+
+
+SQL_CONVERSATION_ASSEMBLY = """
+SELECT user_id,
+       CAST(count(*) AS INT) AS n_turns,
+       md5(string_agg(event_type || '@' || CAST(epoch_us(ts) AS VARCHAR), '|'
+                      ORDER BY ts, event_id)) AS transcript_md5,
+       (array_agg(event_type || '@' || CAST(epoch_us(ts) AS VARCHAR)
+                  ORDER BY ts, event_id))[1] AS first_turn
+FROM events
+GROUP BY user_id
+"""
+
+QUERIES["conversation_assembly"] = q_conversation_assembly
+ORACLES["conversation_assembly"] = SQL_CONVERSATION_ASSEMBLY

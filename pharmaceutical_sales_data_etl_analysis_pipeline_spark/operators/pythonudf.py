@@ -198,3 +198,70 @@ FROM kept
 
 QUERIES["udtf_sentences"] = q_udtf_sentences
 ORACLES["udtf_sentences"] = SQL_UDTF_SENTENCES
+
+
+# ---------------------------------------------------------------------------
+# Grouped-aggregate pandas_udf (Series -> scalar): the last Python UDF shape
+# not yet exercised (scalar / grouped-map / map / UDTF are above and in
+# multimodal.py). Per event_type: exact integer-cents sum + max + count.
+#
+# Determinism discipline: floats never cross the Python boundary. The cents
+# quantization floor(value*100 + 0.5) happens JVM-side (identical expression
+# in the oracle), and numpy only performs int64 arithmetic — exact and
+# order-independent, so the UDAF result is layout-invariant on any cluster.
+#
+# Scale note: GROUPED_AGG pandas UDFs have NO partial aggregation — every
+# row shuffles to its group's reducer (unlike built-in sum/max, which
+# combine map-side). Fine for bounded group fan-in; for 100 TB hot paths
+# pre-aggregate with built-ins and reserve the UDAF for the exotic tail.
+# ---------------------------------------------------------------------------
+
+def grouped_agg_pandas(events: DataFrame) -> DataFrame:
+    def build_udafs():
+        import numpy as np
+        import pandas as pd
+
+        from pyspark.sql.functions import pandas_udf
+
+        @pandas_udf("long")
+        def sum_cents(c: pd.Series) -> int:
+            return int(c.to_numpy(dtype=np.int64).sum())
+
+        @pandas_udf("long")
+        def max_cents(c: pd.Series) -> int:
+            return int(c.to_numpy(dtype=np.int64).max())
+
+        @pandas_udf("long")
+        def n_rows(c: pd.Series) -> int:
+            return int(len(c))
+
+        return sum_cents, max_cents, n_rows
+
+    sum_cents, max_cents, n_rows = build_udafs()
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    return (
+        events.select("event_type", cents.alias("cents"))
+        .groupBy("event_type")
+        .agg(
+            n_rows(F.col("cents")).alias("n_events"),
+            sum_cents(F.col("cents")).alias("total_cents"),
+            max_cents(F.col("cents")).alias("max_cents"),
+        )
+    )
+
+
+def q_grouped_agg_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return grouped_agg_pandas(load_table(spark, sf_dir, "events"))
+
+
+SQL_GROUPED_AGG_PANDAS = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents,
+       CAST(max(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS max_cents
+FROM events
+GROUP BY event_type
+"""
+
+QUERIES["grouped_agg_pandas"] = q_grouped_agg_pandas
+ORACLES["grouped_agg_pandas"] = SQL_GROUPED_AGG_PANDAS

@@ -943,3 +943,102 @@ SQL_PQ_CODES = _pq_sql()
 
 QUERIES["pq_codes"] = q_pq_codes
 ORACLES["pq_codes"] = SQL_PQ_CODES
+
+
+# ---------------------------------------------------------------------------
+# Embedding mean-centering (ANN preprocessing): subtract the corpus-mean
+# vector, report pre/post norms — the standard recall-improving transform
+# before IVF/PQ training (centering spreads cosine mass away from the
+# dominant direction).
+#
+# The cross-row per-dim mean is the only global statistic. Determinism:
+# float sums re-associate across partitions, so the mean is computed from
+# QUANTIZED integer components (floor(x * 2^20 + 0.5) as BIGINT — same
+# discipline as kmeans_core's exact centroid sums): 64 literal per-dim
+# LongType sums in ONE aggregate pass (no posexplode — the N×D row blowup
+# and its shuffle never exist), then mean_i = CAST(sum AS DOUBLE) /
+# (n * 2^20), exact for n·2^20 < 2^53. The 1-row mean joins back via
+# broadcast nested-loop (kilobytes); centered components and norms are
+# per-row sequential IEEE folds — bit-identical in the oracle.
+# ---------------------------------------------------------------------------
+
+CENTER_SCALE = 1 << 20
+
+
+def embedding_center(embeddings: DataFrame) -> DataFrame:
+    qcomp = [
+        F.floor(F.element_at("embedding", i + 1).cast("double") * CENTER_SCALE + F.lit(0.5))
+        .cast("long")
+        .alias(f"q{i}")
+        for i in range(DIM)
+    ]
+    sums = (
+        embeddings.select(*qcomp)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            *[F.sum(f"q{i}").alias(f"s{i}") for i in range(DIM)],
+        )
+        .select(
+            F.array(*[
+                (F.col(f"s{i}").cast("double")
+                 / (F.col("n").cast("double") * F.lit(float(CENTER_SCALE))))
+                for i in range(DIM)
+            ]).alias("mean_vec")
+        )
+    )
+    centered = F.zip_with(
+        F.col("embedding"), F.col("mean_vec"), lambda x, m: x.cast("double") - m
+    )
+    return (
+        embeddings.join(F.broadcast(sums))
+        .select(
+            "vec_id",
+            round_half_up(_norm(F.col("embedding")), 9).alias("pre_norm"),
+            round_half_up(
+                F.sqrt(_fold(F.transform(centered, lambda c: c * c))), 9
+            ).alias("centered_norm"),
+            round_half_up(_fold(centered), 9).alias("centered_sum"),
+        )
+    )
+
+
+def q_embedding_center(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return embedding_center(load_table(spark, sf_dir, "embeddings"))
+
+
+SQL_EMBEDDING_CENTER = f"""
+WITH base AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings
+),
+q AS (
+  SELECT vec_id, list_transform(e, x -> CAST(floor(x * {CENTER_SCALE} + 0.5) AS BIGINT)) AS qe
+  FROM base
+),
+sums AS (
+  SELECT u.i AS dim, SUM(qe[u.i]) AS s
+  FROM q, LATERAL unnest(generate_series(1, {DIM})) AS u(i)
+  GROUP BY u.i
+),
+meanv AS (
+  SELECT list(CAST(s AS DOUBLE)
+              / (CAST((SELECT count(*) FROM embeddings) AS DOUBLE) * {CENTER_SCALE}.0)
+              ORDER BY dim) AS m
+  FROM sums
+),
+cent AS (
+  SELECT vec_id, e,
+         list_transform(range(1, {DIM} + 1), i -> e[i] - mv.m[i]) AS c
+  FROM base, meanv mv
+)
+SELECT vec_id,
+       floor(sqrt(list_reduce(list_transform(e, x -> x * x), (acc, x) -> acc + x))
+             * 1000000000.0 + 0.5) / 1000000000.0 AS pre_norm,
+       floor(sqrt(list_reduce(list_transform(c, x -> x * x), (acc, x) -> acc + x))
+             * 1000000000.0 + 0.5) / 1000000000.0 AS centered_norm,
+       floor(list_reduce(c, (acc, x) -> acc + x)
+             * 1000000000.0 + 0.5) / 1000000000.0 AS centered_sum
+FROM cent
+"""
+
+QUERIES["embedding_center"] = q_embedding_center
+ORACLES["embedding_center"] = SQL_EMBEDDING_CENTER

@@ -246,11 +246,67 @@ FROM documents
 """
 
 
+# ---------------------------------------------------------------------------
+# BPE pair-merge statistics: the first iteration of byte-pair-encoding
+# tokenizer training — count adjacent token pairs corpus-wide, emit the
+# top merges. At tokenizer-training scale this IS the distributed job (the
+# merge loop re-runs it); one scan -> in-row pair expansion (no self-join,
+# no posexplode position join) -> word-count-shaped hash agg (map-side
+# partial combine bounds the shuffle by distinct pairs per partition, not
+# rows) -> TakeOrdered top-k. Guard: sequence(1, n-1) would DESCEND for
+# n=1 (Spark generates reversed ranges), hence the size >= 2 filter.
+# ---------------------------------------------------------------------------
+
+PAIR_TOPK = 20
+
+
+def bpe_pair_stats(documents: DataFrame, k: int = PAIR_TOPK) -> DataFrame:
+    toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit(TOKEN_RE), F.lit(0))
+    pairs = (
+        documents.select(toks.alias("t"))
+        .filter(F.size("t") >= 2)
+        # Spark [] subscript is 0-based (element_at is 1-based): t[i-1],t[i]
+        .select(
+            F.explode(
+                F.expr("transform(sequence(1, size(t) - 1), i -> concat(t[i-1], ' ', t[i]))")
+            ).alias("pair")
+        )
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("pair"))
+        .limit(k)
+    )
+
+
+def q_bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bpe_pair_stats(load_table(spark, sf_dir, "documents"))
+
+
+SQL_BPE_PAIR_STATS = f"""
+WITH toks AS (
+  SELECT regexp_extract_all(lower(text), '{TOKEN_RE}') AS t FROM documents
+),
+pairs AS (
+  SELECT t[i] || ' ' || t[i + 1] AS pair
+  FROM toks, LATERAL unnest(generate_series(1, len(t) - 1)) AS u(i)
+  WHERE len(t) >= 2
+)
+SELECT pair, CAST(count(*) AS BIGINT) AS cnt
+FROM pairs
+GROUP BY pair
+ORDER BY cnt DESC, pair ASC
+LIMIT {PAIR_TOPK}
+"""
+
+
 QUERIES = {
     "token_counts": q_token_counts,
     "text_quality": q_text_quality,
     "lang_id": q_lang_id,
     "fingerprints": q_fingerprints,
+    "bpe_pair_stats": q_bpe_pair_stats,
 }
 
 ORACLES = {
@@ -258,4 +314,5 @@ ORACLES = {
     "text_quality": SQL_TEXT_QUALITY,
     "lang_id": SQL_LANG_ID,
     "fingerprints": SQL_FINGERPRINTS,
+    "bpe_pair_stats": SQL_BPE_PAIR_STATS,
 }

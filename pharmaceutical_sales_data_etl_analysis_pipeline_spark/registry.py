@@ -142,7 +142,11 @@ PRIORITY = [
 #   (sketches.py); pagerank_fixedpoint (graphops.py); skyline_parts,
 #   zorder_bucket_stats (analytic.py); fk_integrity_audit,
 #   pit_feature_join, leakage_safe_split (warehouse.py);
-#   cluster_label_purity (clustering.py); session_paths_topk (eventsops.py); holt_linear_forecast (analytic.py); incremental_agg_maintenance, fd_discovery (warehouse.py);
+#   cluster_label_purity (clustering.py); session_paths_topk,
+#   conversation_assembly (eventsops.py); holt_linear_forecast (analytic.py);
+#   incremental_agg_maintenance, fd_discovery (warehouse.py);
+#   grouped_agg_pandas (pythonudf.py); bpe_pair_stats (textops.py);
+#   embedding_center (similarity.py);
 #   kmeans_clusters / semdedup_candidates / ivf_* also
 #   changed plans in r3 AFTER the sweep freeze (Arrow _assign) — they are
 #   in this round's PRIORITY already, so their r3 rows cover the new plan.
