@@ -997,3 +997,80 @@ GROUP BY user_id
 
 QUERIES["conversation_assembly"] = q_conversation_assembly
 ORACLES["conversation_assembly"] = SQL_CONVERSATION_ASSEMBLY
+
+
+# ---------------------------------------------------------------------------
+# Seasonal decomposition (hour-of-day profile): per (event_type, hour-of-
+# day) mean / variance plus the seasonal index (hour mean / series mean) —
+# the classic additive-seasonality readout and the input to seasonal
+# anomaly baselines (complements hourly_anomalies' trailing z-score).
+#
+# Exactness: per-bucket first and second moments are DECIMAL sums (order-
+# independent; value² is computed in IEEE double first — identical in both
+# engines — then cast); the series totals reuse those bucket sums through
+# a window over the 24 hod rows (decimal again), so the only float ops are
+# the final per-row divisions — identical expressions in the oracle.
+# Shape: ONE shuffle on (event_type, hod) — 120 groups with map-side
+# partial aggregation; the window runs inside 24-row partitions.
+# ---------------------------------------------------------------------------
+
+def seasonal_decompose(events: DataFrame) -> DataFrame:
+    hod = (F.expr(f"unix_micros(ts) div {HOUR_US}") % 24).cast("int")
+    base = events.groupBy(F.col("event_type"), hod.alias("hod")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast(VAL_DEC)).alias("s1d"),
+        F.sum((F.col("value") * F.col("value")).cast(VAL_DEC)).alias("s2d"),
+    )
+    w = Window.partitionBy("event_type")
+    hod_mean = F.col("s1d").cast("double") / F.col("n").cast("double")
+    series_mean = F.sum("s1d").over(w).cast("double") / F.sum("n").over(w).cast("double")
+    hod_var = (
+        F.col("s2d").cast("double") / F.col("n").cast("double") - hod_mean * hod_mean
+    )
+    return base.select(
+        "event_type",
+        "hod",
+        F.col("n").cast("long").alias("n"),
+        _round6(hod_mean).alias("hod_mean"),
+        _round6(hod_var).alias("hod_var"),
+        _round6(hod_mean / series_mean).alias("seasonal_index"),
+    )
+
+
+def _round6(c):
+    return F.floor(c * F.lit(1_000_000.0) + F.lit(0.5)) / F.lit(1_000_000.0)
+
+
+def q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return seasonal_decompose(load_table(spark, sf_dir, "events"))
+
+
+SQL_SEASONAL_DECOMPOSE = f"""
+WITH base AS (
+  SELECT event_type,
+         CAST((epoch_us(ts) // {HOUR_US}) % 24 AS INT) AS hod,
+         CAST(count(*) AS BIGINT) AS n,
+         SUM(CAST(value AS DECIMAL(28,10))) AS s1d,
+         SUM(CAST(value * value AS DECIMAL(28,10))) AS s2d
+  FROM events
+  GROUP BY event_type, (epoch_us(ts) // {HOUR_US}) % 24
+),
+m AS (
+  SELECT event_type, hod, n,
+         CAST(s1d AS DOUBLE) / CAST(n AS DOUBLE) AS hod_mean,
+         CAST(s2d AS DOUBLE) / CAST(n AS DOUBLE)
+           - (CAST(s1d AS DOUBLE) / CAST(n AS DOUBLE))
+             * (CAST(s1d AS DOUBLE) / CAST(n AS DOUBLE)) AS hod_var,
+         CAST(SUM(s1d) OVER (PARTITION BY event_type) AS DOUBLE)
+           / CAST(SUM(n) OVER (PARTITION BY event_type) AS DOUBLE) AS series_mean
+  FROM base
+)
+SELECT event_type, hod, n,
+       floor(hod_mean * 1000000.0 + 0.5) / 1000000.0 AS hod_mean,
+       floor(hod_var * 1000000.0 + 0.5) / 1000000.0 AS hod_var,
+       floor((hod_mean / series_mean) * 1000000.0 + 0.5) / 1000000.0 AS seasonal_index
+FROM m
+"""
+
+QUERIES["seasonal_decompose"] = q_seasonal_decompose
+ORACLES["seasonal_decompose"] = SQL_SEASONAL_DECOMPOSE

@@ -42,6 +42,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..functions.numeric import round_half_up
 
 PR_SCALE = 10**12
 PR_ITERS = 3
@@ -169,3 +170,108 @@ LIMIT {PR_TOPK}
 
 QUERIES = {"pagerank_fixedpoint": q_pagerank_fixedpoint}
 ORACLES = {"pagerank_fixedpoint": SQL_PAGERANK_FIXEDPOINT}
+
+
+# ---------------------------------------------------------------------------
+# Triangle / clustering-coefficient statistics (r3): the second classic
+# graph kernel after PageRank — transitivity of the co-purchase graph
+# (how often two parts bought with a common third are bought together).
+#
+# Orientation trick (the scale-critical part): counting each triangle once
+# via a total order over nodes. Ordering by (degree, node) instead of raw
+# node id is the standard power-law defense (compact-forward / Latapy):
+# every edge points low-degree -> high-degree, so a hub with degree d
+# contributes wedges bounded by its LOW-degree neighbors' forward degrees,
+# not d² — the wedge join stays near-linear in edges times arboricity
+# rather than quadratic in hub degree. The degree table is one tiny
+# (node, deg) relation — broadcast both attachments.
+#
+# All outputs are integer counts (exact, order-independent); the global
+# clustering coefficient is one integer-derived double division, identical
+# in the oracle.
+# ---------------------------------------------------------------------------
+
+
+def graph_triangle_stats(lineitem: DataFrame) -> DataFrame:
+    und = copurchase_edges(lineitem)  # symmetric directed, distinct
+    deg = und.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).select(
+        F.col("src").alias("node"), "deg"
+    )
+    # orient each undirected edge from the (deg, id)-smaller endpoint
+    e = (
+        und.join(F.broadcast(deg.withColumnRenamed("node", "src")
+                             .withColumnRenamed("deg", "sdeg")), "src")
+        .join(F.broadcast(deg.withColumnRenamed("node", "dst")
+                          .withColumnRenamed("deg", "ddeg")), "dst")
+        .filter(
+            (F.col("sdeg") < F.col("ddeg"))
+            | ((F.col("sdeg") == F.col("ddeg")) & (F.col("src") < F.col("dst")))
+        )
+        .select(F.col("src").alias("u"), F.col("dst").alias("v"))
+    )
+    w = e.alias("e1").join(
+        e.alias("e2"), F.col("e1.v") == F.col("e2.u")
+    ).select(F.col("e1.u").alias("a"), F.col("e1.v").alias("b"), F.col("e2.v").alias("c"))
+    tri = w.join(
+        e.alias("e3"), (F.col("a") == F.col("e3.u")) & (F.col("c") == F.col("e3.v"))
+    )
+    summary = (
+        deg.agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            (F.sum("deg") / F.lit(2)).cast("long").alias("n_edges"),
+            F.sum(F.expr("deg * (deg - 1) div 2")).cast("long").alias("n_wedges"),
+        )
+        .join(tri.agg(F.count(F.lit(1)).alias("n_triangles")))
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_wedges",
+            "n_triangles",
+            round_half_up(
+                F.lit(3.0) * F.col("n_triangles").cast("double")
+                / F.col("n_wedges").cast("double"),
+                9,
+            ).alias("global_clustering"),
+        )
+    )
+    return summary
+
+
+def q_graph_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return graph_triangle_stats(load_table(spark, sf_dir, "lineitem"))
+
+
+SQL_GRAPH_TRIANGLE_STATS = """
+WITH und AS (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+  WHERE a.l_partkey <> b.l_partkey
+),
+deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS deg FROM und GROUP BY src),
+e AS (
+  SELECT u.src AS u, u.dst AS v
+  FROM und u
+  JOIN deg ds ON u.src = ds.node
+  JOIN deg dd ON u.dst = dd.node
+  WHERE ds.deg < dd.deg OR (ds.deg = dd.deg AND u.src < u.dst)
+),
+tri AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_triangles
+  FROM e e1 JOIN e e2 ON e1.v = e2.u
+            JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+),
+summ AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+         CAST(sum(deg) / 2 AS BIGINT) AS n_edges,
+         CAST(sum(deg * (deg - 1) // 2) AS BIGINT) AS n_wedges
+  FROM deg
+)
+SELECT n_nodes, n_edges, n_wedges, n_triangles,
+       floor((CAST(3 AS DOUBLE) * CAST(n_triangles AS DOUBLE)
+              / CAST(n_wedges AS DOUBLE)) * 1000000000.0 + 0.5)
+         / 1000000000.0 AS global_clustering
+FROM summ, tri
+"""
+
+QUERIES["graph_triangle_stats"] = q_graph_triangle_stats
+ORACLES["graph_triangle_stats"] = SQL_GRAPH_TRIANGLE_STATS
