@@ -674,3 +674,70 @@ def test_holt_single_observation_groups_are_excluded(spark):
     # b1 = 0.3*(12-10) + 0.7*2 = 2 -> forecast 14
     assert out[0].level == 12.0 and out[0].trend == 2.0
     assert out[0].forecast_next == 14.0
+
+
+# --- late-r3 additions: plan guards for the new op batch ------------------
+
+def test_bpe_pair_stats_is_wordcount_shaped(spark, sf_dir):
+    """One documents scan, partial+final hash agg (map-side combine), and a
+    TakeOrdered top-k — no self-join, no posexplode position join."""
+    df = all_queries()["bpe_pair_stats"](spark, sf_dir)
+    tree = df._jdf.queryExecution().executedPlan().toString()
+    assert _scan_count(df) == 1
+    assert "TakeOrderedAndProject" in tree
+    assert "Join" not in tree
+    # both partial and final aggregation present = map-side combine active
+    assert tree.count("HashAggregate") >= 2
+
+
+def test_embedding_center_no_explode_single_broadcast(spark, sf_dir):
+    """Per-dim sums are 64 literal aggregates over one scan (no N×D
+    posexplode row blowup); the 1-row mean attaches by broadcast."""
+    df = all_queries()["embedding_center"](spark, sf_dir)
+    tree = df._jdf.queryExecution().executedPlan().toString()
+    assert "Generate" not in tree          # no explode/posexplode anywhere
+    assert "BroadcastNestedLoopJoin" in tree
+    assert "SortMergeJoin" not in tree
+
+
+def test_conversation_assembly_single_user_shuffle(spark, sf_dir):
+    """Transcript assembly = one user-keyed exchange; ordering happens
+    in-row (sort_array), so no global Sort node below the aggregation."""
+    df = all_queries()["conversation_assembly"](spark, sf_dir)
+    tree = df._jdf.queryExecution().executedPlan().toString()
+    assert sum(1 for ln in tree.splitlines() if "Exchange hashpartitioning" in ln) == 1
+    assert "Join" not in tree
+
+
+def test_graph_triangle_stats_degree_joins_broadcast(spark, sf_dir):
+    """Degree-ordered orientation attaches the tiny (node, deg) relation by
+    broadcast on both endpoints — the edge relation itself is never
+    sort-merge-joined against the degree table."""
+    df = all_queries()["graph_triangle_stats"](spark, sf_dir)
+    tree = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in tree
+
+
+def test_grouped_agg_pandas_is_arrow_aggregation(spark, sf_dir):
+    """The UDAF runs as Arrow-batched python aggregation (no row-at-a-time
+    BatchEvalPython), and quantization to cents happens JVM-side before the
+    Python boundary."""
+    df = all_queries()["grouped_agg_pandas"](spark, sf_dir)
+    tree = df._jdf.queryExecution().executedPlan().toString()
+    # node name drifted across Spark versions: 3.x AggregateInPandas,
+    # 4.1 ArrowAggregatePython — both are the Arrow-batched UDAF operator
+    assert "AggregateInPandas" in tree or "ArrowAggregatePython" in tree
+    assert "BatchEvalPython" not in tree
+    # cents quantization (FLOOR) sits below the exchange, JVM-side
+    assert "FLOOR" in tree
+
+
+def test_seasonal_decompose_one_shuffle_then_window(spark, sf_dir):
+    """Moments aggregate in one (event_type, hod) exchange with partial
+    aggregation; the series-total window adds no extra full-data shuffle
+    (it runs over the 120 aggregated rows)."""
+    df = all_queries()["seasonal_decompose"](spark, sf_dir)
+    tree = df._jdf.queryExecution().executedPlan().toString()
+    assert _scan_count(df) == 1
+    assert tree.count("HashAggregate") >= 2
+    assert "Window" in tree
