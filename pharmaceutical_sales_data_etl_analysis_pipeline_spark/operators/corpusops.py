@@ -1289,3 +1289,106 @@ SQL_DEDUP_RATE_BY_SOURCE = _dedup_rate_sql()
 
 QUERIES["dedup_rate_by_source"] = q_dedup_rate_by_source
 ORACLES["dedup_rate_by_source"] = SQL_DEDUP_RATE_BY_SOURCE
+
+
+# ---------------------------------------------------------------------------
+# Reciprocal-rank fusion (r3): fuse two retrieval signals — lexical match
+# (query-term frequency) and a quality prior — into one candidate ranking,
+# RRF(d) = Σ 1/(60 + rank_i(d)). The standard data-selection / hybrid-
+# search combiner (fuses top-k LISTS, never full-corpus ranks).
+#
+# Scale shape: each retriever is scan -> TakeOrderedAndProject(FUSE_POOL)
+# — no global sort; ranks are then row_numbers INSIDE the fixed-size pool
+# (a single bounded partition of 100 rows, constant at any corpus size).
+# The fusion itself is a full-outer join of two 100-row lists. A missing
+# rank contributes 0 — the convention for list-based RRF.
+# ---------------------------------------------------------------------------
+
+RRF_K = 60
+FUSE_POOL = 100
+FUSE_TOPK = 20
+QUERY_TERMS = ("join", "hash", "vector")
+_QT_RE = r"\b(join|hash|vector)\b"
+
+
+def rank_fusion(documents: DataFrame) -> DataFrame:
+    def pool(score_col, score_name: str, rank_name: str) -> DataFrame:
+        top = (
+            documents.select("doc_id", score_col.alias(score_name))
+            .orderBy(F.desc(score_name), F.asc("doc_id"))
+            .limit(FUSE_POOL)
+        )
+        w = Window.orderBy(F.desc(score_name), F.asc("doc_id"))
+        return top.select(
+            "doc_id", F.row_number().over(w).cast("int").alias(rank_name)
+        )
+
+    from .textops import quality_score_col
+
+    qtf = F.size(F.regexp_extract_all(F.lower(F.col("text")), F.lit(_QT_RE), F.lit(0)))
+    a = pool(qtf.cast("int"), "qtf", "rank_lex")
+    b = pool(quality_score_col(F.col("text")), "q", "rank_quality")
+    rrf = F.coalesce(
+        F.lit(1.0) / (F.lit(float(RRF_K)) + F.col("rank_lex").cast("double")), F.lit(0.0)
+    ) + F.coalesce(
+        F.lit(1.0) / (F.lit(float(RRF_K)) + F.col("rank_quality").cast("double")),
+        F.lit(0.0),
+    )
+    return (
+        a.join(b, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            "rank_lex",
+            "rank_quality",
+            round_half_up(rrf, 9).alias("rrf_score"),
+        )
+        .orderBy(F.desc("rrf_score"), F.asc("doc_id"))
+        .limit(FUSE_TOPK)
+    )
+
+
+def q_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return rank_fusion(load_table(spark, sf_dir, "documents"))
+
+
+SQL_RANK_FUSION = f"""
+WITH lex AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(lower(text), '{_QT_RE}')) AS INT) AS qtf
+  FROM documents
+  ORDER BY qtf DESC, doc_id ASC LIMIT {FUSE_POOL}
+),
+lexr AS (
+  SELECT doc_id, CAST(row_number() OVER (ORDER BY qtf DESC, doc_id ASC) AS INT) AS rank_lex
+  FROM lex
+),
+qual AS (
+  SELECT doc_id, {{QSCORE}} AS q
+  FROM documents
+  ORDER BY q DESC, doc_id ASC LIMIT {FUSE_POOL}
+),
+qualr AS (
+  SELECT doc_id, CAST(row_number() OVER (ORDER BY q DESC, doc_id ASC) AS INT) AS rank_quality
+  FROM qual
+),
+fused AS (
+  SELECT COALESCE(l.doc_id, r.doc_id) AS doc_id, l.rank_lex, r.rank_quality,
+         COALESCE(1.0 / ({RRF_K}.0 + CAST(l.rank_lex AS DOUBLE)), 0.0)
+         + COALESCE(1.0 / ({RRF_K}.0 + CAST(r.rank_quality AS DOUBLE)), 0.0) AS rrf
+  FROM lexr l FULL OUTER JOIN qualr r ON l.doc_id = r.doc_id
+)
+SELECT doc_id, rank_lex, rank_quality,
+       floor(rrf * 1000000000.0 + 0.5) / 1000000000.0 AS rrf_score
+FROM fused
+ORDER BY rrf_score DESC, doc_id ASC
+LIMIT {FUSE_TOPK}
+"""
+
+# splice the single-source quality-score SQL twin in (same helper every
+# quality consumer uses, so the formula can't drift)
+from .textops import quality_score_sql as _qss  # noqa: E402
+
+SQL_RANK_FUSION = SQL_RANK_FUSION.replace("{QSCORE}", _qss("text"))
+
+QUERIES["rank_fusion"] = q_rank_fusion
+ORACLES["rank_fusion"] = SQL_RANK_FUSION

@@ -1008,3 +1008,49 @@ SQL_FD_DISCOVERY = "\nUNION ALL\n".join(_fd_sql_one(l, r) for l, r in FD_CANDIDA
 
 QUERIES["fd_discovery"] = q_fd_discovery
 ORACLES["fd_discovery"] = SQL_FD_DISCOVERY
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity audit (r3, governance): group sizes over a quasi-identifier
+# tuple — the standard re-identification risk readout before releasing or
+# training on user-adjacent data. A combo with n < K is risky; n_nation
+# (the one-level generalization: drop the segment) shows the anonymity
+# gained by coarsening, i.e. the next rung of the generalization ladder.
+#
+# Shape: one hash agg on the quasi-identifier (125 combos), then a window
+# over <= 25-row nation partitions — no full-data second pass, no global
+# sort. At 100 TB the agg is the only data-sized stage.
+# ---------------------------------------------------------------------------
+
+K_ANON = 5
+
+
+def k_anonymity_audit(customer: DataFrame, k: int = K_ANON) -> DataFrame:
+    combos = customer.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("c_nationkey")
+    return combos.select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.col("n").cast("long").alias("n"),
+        (F.col("n") < k).alias("risky"),
+        F.sum("n").over(w).cast("long").alias("n_nation"),
+    )
+
+
+def q_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return k_anonymity_audit(load_table(spark, sf_dir, "customer"))
+
+
+SQL_K_ANONYMITY_AUDIT = f"""
+SELECT c_nationkey, c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n,
+       count(*) < {K_ANON} AS risky,
+       CAST(SUM(count(*)) OVER (PARTITION BY c_nationkey) AS BIGINT) AS n_nation
+FROM customer
+GROUP BY c_nationkey, c_mktsegment
+"""
+
+QUERIES["k_anonymity_audit"] = q_k_anonymity_audit
+ORACLES["k_anonymity_audit"] = SQL_K_ANONYMITY_AUDIT
