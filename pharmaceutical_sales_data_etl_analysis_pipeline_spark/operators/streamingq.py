@@ -63,3 +63,66 @@ def stream_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {"stream_tumbling_hourly": stream_tumbling_hourly}
 # stream/batch parity IS the check: the oracle is the batch rollup's SQL
 ORACLES = {"stream_tumbling_hourly": SQL_TUMBLING_HOURLY}
+
+
+# ---------------------------------------------------------------------------
+# Second streaming entry (r3): exact dedup as a stream. The corpus-prep
+# gate people actually run incrementally — fingerprint every arriving
+# document and maintain the distinct-content table. Deterministic by
+# construction: the survivor is min(doc_id) and the multiplicity a count
+# (both order/batch-independent aggregates), unlike raw streaming
+# dropDuplicates whose surviving ROW depends on arrival order. Same
+# availableNow/complete/foreachBatch topology as stream_tumbling_hourly;
+# unbounded operation would switch to update mode + MERGE (the
+# streaming/upsert.py path) with the identical aggregation.
+# ---------------------------------------------------------------------------
+
+
+def stream_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .load(sf_dir)
+    )
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    dedup = (
+        stream.select(F.md5(norm).alias("fingerprint"), "doc_id")
+        .groupBy("fingerprint")
+        .agg(
+            F.min("doc_id").alias("first_doc_id"),
+            F.count(F.lit(1)).cast("long").alias("n_copies"),
+        )
+    )
+
+    base = tempfile.mkdtemp(prefix="stream_dedup_")
+    out_dir = os.path.join(base, "result")
+    ckpt_dir = os.path.join(base, "checkpoint")
+
+    def write_epoch(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(out_dir)
+
+    (
+        dedup.writeStream.outputMode("complete")
+        .foreachBatch(write_epoch)
+        .option("checkpointLocation", ckpt_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    return spark.read.parquet(out_dir)
+
+
+SQL_STREAM_EXACT_DEDUP = """
+SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint,
+       CAST(min(doc_id) AS BIGINT) AS first_doc_id,
+       CAST(count(*) AS BIGINT) AS n_copies
+FROM documents
+GROUP BY 1
+"""
+
+QUERIES["stream_exact_dedup"] = stream_exact_dedup
+ORACLES["stream_exact_dedup"] = SQL_STREAM_EXACT_DEDUP

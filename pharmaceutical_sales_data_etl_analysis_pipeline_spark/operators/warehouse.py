@@ -1054,3 +1054,57 @@ GROUP BY c_nationkey, c_mktsegment
 
 QUERIES["k_anonymity_audit"] = q_k_anonymity_audit
 ORACLES["k_anonymity_audit"] = SQL_K_ANONYMITY_AUDIT
+
+
+# ---------------------------------------------------------------------------
+# Calendar dimension generator (r3): the one warehouse table every star
+# schema needs that comes from NO source — generated, not scanned. Built on
+# spark.range (a parallel source: rows are split across tasks by id range,
+# so a century of days — or a span of seconds — generates distributed, not
+# as one driver-side literal array). Day-of-week uses epoch-day arithmetic
+# ((days + 3) % 7 + 1, anchored on 1970-01-01 = Thursday) — engine-neutral,
+# immune to locale/WEEK_START settings on either side.
+# ---------------------------------------------------------------------------
+
+CAL_START = "1995-01-01"
+CAL_N_DAYS = 731  # 1995-01-01 .. 1996-12-31
+
+
+def calendar_dim(spark: SparkSession) -> DataFrame:
+    d = F.date_add(F.lit(CAL_START).cast("date"), F.col("id").cast("int"))
+    days = F.datediff(d, F.lit("1970-01-01").cast("date"))
+    dow_iso = ((days + F.lit(3)) % 7) + 1
+    return spark.range(CAL_N_DAYS).select(
+        d.cast("string").alias("cal_date"),
+        F.year(d).cast("int").alias("year"),
+        F.quarter(d).cast("int").alias("quarter"),
+        F.month(d).cast("int").alias("month"),
+        F.dayofmonth(d).cast("int").alias("day"),
+        dow_iso.cast("int").alias("dow_iso"),
+        (dow_iso >= F.lit(6)).alias("is_weekend"),
+    )
+
+
+def q_calendar_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return calendar_dim(spark)
+
+
+SQL_CALENDAR_DIM = f"""
+WITH ids AS (
+  SELECT unnest(generate_series(0, {CAL_N_DAYS - 1})) AS id
+),
+d AS (
+  SELECT (DATE '{CAL_START}' + CAST(id AS INT)) AS cal_date FROM ids
+)
+SELECT CAST(cal_date AS VARCHAR) AS cal_date,
+       CAST(year(cal_date) AS INT) AS year,
+       CAST(quarter(cal_date) AS INT) AS quarter,
+       CAST(month(cal_date) AS INT) AS month,
+       CAST(day(cal_date) AS INT) AS day,
+       CAST(((cal_date - DATE '1970-01-01' + 3) % 7) + 1 AS INT) AS dow_iso,
+       ((cal_date - DATE '1970-01-01' + 3) % 7) + 1 >= 6 AS is_weekend
+FROM d
+"""
+
+QUERIES["calendar_dim"] = q_calendar_dim
+ORACLES["calendar_dim"] = SQL_CALENDAR_DIM
