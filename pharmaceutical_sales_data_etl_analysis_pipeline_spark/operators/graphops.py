@@ -239,10 +239,16 @@ def graph_triangle_stats(lineitem: DataFrame) -> DataFrame:
             "n_edges",
             "n_wedges",
             "n_triangles",
-            round_half_up(
-                F.lit(3.0) * F.col("n_triangles").cast("double")
-                / F.col("n_wedges").cast("double"),
-                9,
+            # a wedge-free graph (every node degree <= 1) has no defined
+            # transitivity: NULL, not a DIVIDE_BY_ZERO under ANSI mode
+            # (edge case surfaced by the brute-force property test)
+            F.when(
+                F.col("n_wedges") > 0,
+                round_half_up(
+                    F.lit(3.0) * F.col("n_triangles").cast("double")
+                    / F.col("n_wedges").cast("double"),
+                    9,
+                ),
             ).alias("global_clustering"),
         )
     )
@@ -279,9 +285,11 @@ summ AS (
   FROM deg
 )
 SELECT n_nodes, n_edges, n_wedges, n_triangles,
-       floor((CAST(3 AS DOUBLE) * CAST(n_triangles AS DOUBLE)
-              / CAST(n_wedges AS DOUBLE)) * 1000000000.0 + 0.5)
-         / 1000000000.0 AS global_clustering
+       CASE WHEN n_wedges > 0 THEN
+         floor((CAST(3 AS DOUBLE) * CAST(n_triangles AS DOUBLE)
+                / CAST(n_wedges AS DOUBLE)) * 1000000000.0 + 0.5)
+           / 1000000000.0
+       END AS global_clustering
 FROM summ, tri
 """
 

@@ -700,3 +700,117 @@ def test_pagerank_fixed_point_mass_and_parity(spark, edges):
     total = sum(score.values())
     assert total <= PR_SCALE
     assert total >= (15 * PR_SCALE) // 100 - n  # damped floor minus truncation
+
+
+@SETTLE
+@given(
+    edges=st.sets(
+        st.tuples(st.integers(1, 12), st.integers(1, 12)).filter(lambda p: p[0] < p[1]),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_triangle_stats_match_bruteforce(spark, edges):
+    """Degree-ordered oriented counting equals brute-force triangle
+    enumeration, and the wedge identity sum C(deg,2) holds, on arbitrary
+    small graphs (same 2-line-order encoding as the pagerank property)."""
+    from itertools import combinations
+
+    from pharmaceutical_sales_data_etl_analysis_pipeline_spark.operators.graphops import (
+        graph_triangle_stats,
+    )
+
+    schema = T.StructType([
+        T.StructField("l_orderkey", T.LongType()),
+        T.StructField("l_partkey", T.LongType()),
+    ])
+    rows = []
+    for ok, (a, b) in enumerate(edges):
+        rows += [(ok, a), (ok, b)]
+    li = spark.createDataFrame(rows, schema)
+    got = graph_triangle_stats(li).collect()[0]
+
+    eset = {frozenset(p) for p in edges}
+    nodes = sorted({x for p in edges for x in p})
+    deg = {u: sum(1 for e in eset if u in e) for u in nodes}
+    tri = sum(
+        1
+        for a, b, c in combinations(nodes, 3)
+        if {frozenset((a, b)), frozenset((b, c)), frozenset((a, c))} <= eset
+    )
+    assert got.n_nodes == len(nodes)
+    assert got.n_edges == len(eset)
+    assert got.n_wedges == sum(d * (d - 1) // 2 for d in deg.values())
+    assert got.n_triangles == tri
+
+
+def test_conversation_assembly_partition_invariant(spark, sf_dir):
+    """The transcript md5 is identical under any input partitioning — the
+    in-row sort_array makes layout irrelevant (the property raw
+    collect_list would NOT have)."""
+    from pharmaceutical_sales_data_etl_analysis_pipeline_spark.catalog import load_table
+    from pharmaceutical_sales_data_etl_analysis_pipeline_spark.operators.eventsops import (
+        conversation_assembly,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    a = {r.user_id: (r.transcript_md5, r.n_turns)
+         for r in conversation_assembly(ev).collect()}
+    b = {r.user_id: (r.transcript_md5, r.n_turns)
+         for r in conversation_assembly(ev.repartition(7, "event_type")).collect()}
+    assert a == b
+    assert sum(n for _, n in a.values()) == ev.count()
+
+
+def test_seasonal_decompose_identities(spark, sf_dir):
+    """Bucket counts tile the table; variance is non-negative up to fp
+    cancellation; the n-weighted mean of seasonal_index is 1 (each
+    series' hour means average back to the series mean)."""
+    from pharmaceutical_sales_data_etl_analysis_pipeline_spark.catalog import load_table
+    from pharmaceutical_sales_data_etl_analysis_pipeline_spark.operators.eventsops import (
+        seasonal_decompose,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    rows = seasonal_decompose(ev).collect()
+    assert sum(r.n for r in rows) == ev.count()
+    assert all(0 <= r.hod <= 23 for r in rows)
+    assert all(r.hod_var >= -1e-6 for r in rows)
+    by_type: dict = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append(r)
+    for grp in by_type.values():
+        n_tot = sum(r.n for r in grp)
+        wmean = sum(r.seasonal_index * r.n for r in grp) / n_tot
+        assert abs(wmean - 1.0) < 1e-4  # rounding of the published columns
+
+
+def test_calendar_dim_structure(spark):
+    """731 days, weekday cycle of period 7, weekend flag consistent, and
+    the first day of the span is a Sunday (1995-01-01)."""
+    from pharmaceutical_sales_data_etl_analysis_pipeline_spark.operators.warehouse import (
+        calendar_dim,
+    )
+
+    rows = calendar_dim(spark).orderBy("cal_date").collect()
+    assert len(rows) == 731
+    assert rows[0].cal_date == "1995-01-01" and rows[0].dow_iso == 7
+    for i, r in enumerate(rows):
+        assert r.dow_iso == (rows[0].dow_iso - 1 + i) % 7 + 1
+        assert r.is_weekend == (r.dow_iso >= 6)
+
+
+def test_k_anonymity_sums_tile_table(spark, sf_dir):
+    from pharmaceutical_sales_data_etl_analysis_pipeline_spark.catalog import load_table
+    from pharmaceutical_sales_data_etl_analysis_pipeline_spark.operators.warehouse import (
+        k_anonymity_audit,
+    )
+
+    cust = load_table(spark, sf_dir, "customer")
+    rows = k_anonymity_audit(cust).collect()
+    assert sum(r.n for r in rows) == cust.count()
+    nation_tot: dict = {}
+    for r in rows:
+        nation_tot.setdefault(r.c_nationkey, 0)
+        nation_tot[r.c_nationkey] += r.n
+    assert all(r.n_nation == nation_tot[r.c_nationkey] for r in rows)
