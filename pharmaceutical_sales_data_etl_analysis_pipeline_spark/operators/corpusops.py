@@ -1392,3 +1392,80 @@ SQL_RANK_FUSION = SQL_RANK_FUSION.replace("{QSCORE}", _qss("text"))
 
 QUERIES["rank_fusion"] = q_rank_fusion
 ORACLES["rank_fusion"] = SQL_RANK_FUSION
+
+
+# ---------------------------------------------------------------------------
+# Source vocabulary overlap (r3, governance): Jaccard similarity between
+# the distinct-word sets of every source pair — the "which feeds duplicate
+# each other" matrix that drives source-level dedup decisions before
+# document-level near-dedup runs.
+#
+# Scale: the pair join is on WORD over per-source DISTINCT vocabularies
+# (vocab-bounded — corpus size falls out after the distinct), the same
+# bounding argument as term_lift_pairs; per-source sizes broadcast back.
+# Intersections materialize only for pairs sharing >= 1 word (inner join
+# semantics — disjoint pairs carry no row, documented).
+# ---------------------------------------------------------------------------
+
+
+def source_overlap(documents: DataFrame) -> DataFrame:
+    sw = documents.select(
+        "source",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("word"),
+    ).distinct()
+    per = sw.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n_words"))
+    inter = (
+        sw.select(F.col("source").alias("source_a"), "word")
+        .join(sw.select(F.col("source").alias("source_b"), "word"), "word")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    )
+    return (
+        inter.join(F.broadcast(per.withColumnRenamed("source", "source_a")
+                               .withColumnRenamed("n_words", "n_a")), "source_a")
+        .join(F.broadcast(per.withColumnRenamed("source", "source_b")
+                          .withColumnRenamed("n_words", "n_b")), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_a",
+            "n_b",
+            "n_common",
+            round_half_up(
+                F.col("n_common").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return source_overlap(load_table(spark, sf_dir, "documents"))
+
+
+SQL_SOURCE_OVERLAP = """
+WITH sw AS (
+  SELECT DISTINCT source,
+         unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word
+  FROM documents
+),
+per AS (SELECT source, CAST(count(*) AS BIGINT) AS n_words FROM sw GROUP BY source),
+inter AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         CAST(count(*) AS BIGINT) AS n_common
+  FROM sw a JOIN sw b ON a.word = b.word AND a.source < b.source
+  GROUP BY a.source, b.source
+)
+SELECT i.source_a, i.source_b, pa.n_words AS n_a, pb.n_words AS n_b, i.n_common,
+       floor((CAST(i.n_common AS DOUBLE)
+              / CAST(pa.n_words + pb.n_words - i.n_common AS DOUBLE))
+             * 1000000.0 + 0.5) / 1000000.0 AS jaccard
+FROM inter i
+JOIN per pa ON i.source_a = pa.source
+JOIN per pb ON i.source_b = pb.source
+"""
+
+QUERIES["source_overlap"] = q_source_overlap
+ORACLES["source_overlap"] = SQL_SOURCE_OVERLAP

@@ -1511,3 +1511,84 @@ FROM ranked
 
 QUERIES["key_skew_report"] = q_key_skew_report
 ORACLES["key_skew_report"] = SQL_KEY_SKEW_REPORT
+
+
+# ---------------------------------------------------------------------------
+# Distribution drift (r3, data quality): total-variation distance between
+# the order-priority mix of two adjacent years — the rational-arithmetic
+# stand-in for PSI/KL drift monitors (those need log; TVD = ½·Σ|p−q| is
+# exact in IEEE given exact counts, so the oracle matches bit-for-bit).
+# Per-category shares and |p-q| contributions plus the whole-set TVD via
+# a window over the 5 category rows. One scan, one tiny agg. The TVD sum
+# runs over QUANTIZED integer contributions (floats summed across rows
+# would depend on accumulation order — same discipline as every
+# cross-row sum in this repo).
+# ---------------------------------------------------------------------------
+
+DRIFT_YEAR_A = 1995
+DRIFT_YEAR_B = 1996
+
+
+def distribution_drift(orders: DataFrame) -> DataFrame:
+    yr = F.year("o_orderdate")
+    base = (
+        orders.filter(yr.isin(DRIFT_YEAR_A, DRIFT_YEAR_B))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum(F.when(yr == DRIFT_YEAR_A, 1).otherwise(0)).cast("long").alias("n_a"),
+            F.sum(F.when(yr == DRIFT_YEAR_B, 1).otherwise(0)).cast("long").alias("n_b"),
+        )
+    )
+    w = Window.partitionBy()
+    p = F.col("n_a").cast("double") / F.sum("n_a").over(w).cast("double")
+    q = F.col("n_b").cast("double") / F.sum("n_b").over(w).cast("double")
+    contrib_q = F.floor(F.abs(p - q) * F.lit(1_000_000_000.0) + F.lit(0.5)).cast("long")
+    return base.select(
+        "o_orderpriority",
+        "n_a",
+        "n_b",
+        _round9(p).alias("share_a"),
+        _round9(q).alias("share_b"),
+        (contrib_q.cast("double") / F.lit(1_000_000_000.0)).alias("abs_diff"),
+        (
+            F.lit(0.5) * F.sum(contrib_q).over(w).cast("double")
+            / F.lit(1_000_000_000.0)
+        ).alias("tvd"),
+    )
+
+
+def _round9(c):
+    return F.floor(c * F.lit(1_000_000_000.0) + F.lit(0.5)) / F.lit(1_000_000_000.0)
+
+
+def q_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return distribution_drift(load_table(spark, sf_dir, "orders"))
+
+
+SQL_DISTRIBUTION_DRIFT = f"""
+WITH base AS (
+  SELECT o_orderpriority,
+         CAST(sum(CASE WHEN year(o_orderdate) = {DRIFT_YEAR_A} THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(sum(CASE WHEN year(o_orderdate) = {DRIFT_YEAR_B} THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+  FROM orders
+  WHERE year(o_orderdate) IN ({DRIFT_YEAR_A}, {DRIFT_YEAR_B})
+  GROUP BY o_orderpriority
+),
+m AS (
+  SELECT o_orderpriority, n_a, n_b,
+         CAST(n_a AS DOUBLE) / CAST(SUM(n_a) OVER () AS DOUBLE) AS p,
+         CAST(n_b AS DOUBLE) / CAST(SUM(n_b) OVER () AS DOUBLE) AS q
+  FROM base
+)
+SELECT o_orderpriority, n_a, n_b,
+       floor(p * 1000000000.0 + 0.5) / 1000000000.0 AS share_a,
+       floor(q * 1000000000.0 + 0.5) / 1000000000.0 AS share_b,
+       CAST(CAST(floor(abs(p - q) * 1000000000.0 + 0.5) AS BIGINT) AS DOUBLE)
+         / 1000000000.0 AS abs_diff,
+       0.5 * CAST(SUM(CAST(floor(abs(p - q) * 1000000000.0 + 0.5) AS BIGINT)) OVER () AS DOUBLE)
+         / 1000000000.0 AS tvd
+FROM m
+"""
+
+QUERIES["distribution_drift"] = q_distribution_drift
+ORACLES["distribution_drift"] = SQL_DISTRIBUTION_DRIFT

@@ -148,8 +148,8 @@ PRIORITY = [
 #   grouped_agg_pandas (pythonudf.py); bpe_pair_stats (textops.py);
 #   embedding_center (similarity.py); graph_triangle_stats (graphops.py);
 #   seasonal_decompose (eventsops.py); k_anonymity_audit, calendar_dim
-#   (warehouse.py); rank_fusion (corpusops.py); stream_exact_dedup
-#   (streamingq.py);
+#   (warehouse.py); rank_fusion, source_overlap (corpusops.py);
+#   stream_exact_dedup (streamingq.py); distribution_drift (tpch.py);
 #   kmeans_clusters / semdedup_candidates / ivf_* also
 #   changed plans in r3 AFTER the sweep freeze (Arrow _assign) — they are
 #   in this round's PRIORITY already, so their r3 rows cover the new plan.
