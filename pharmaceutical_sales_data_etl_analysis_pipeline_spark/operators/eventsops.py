@@ -1074,3 +1074,76 @@ FROM m
 
 QUERIES["seasonal_decompose"] = q_seasonal_decompose
 ORACLES["seasonal_decompose"] = SQL_SEASONAL_DECOMPOSE
+
+
+# ---------------------------------------------------------------------------
+# A/B experiment lift (r3): deterministic md5 arm assignment (user-level,
+# same bucket discipline as warehouse.leakage_safe_split so a user never
+# straddles arms) + exact-decimal per-arm purchase metrics + arm B's lift
+# over arm A. The analysis half of an experimentation pipeline —
+# assignment is a pure projection (free at any scale), the rollup one
+# 2-group agg, the lift a window over the 2 result rows.
+# Variance/significance deliberately out of scope: the engine's job is
+# the exact sums a stats layer consumes.
+# ---------------------------------------------------------------------------
+
+def ab_test_lift(events: DataFrame) -> DataFrame:
+    arm_bucket = (
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 2
+    )
+    arm = F.when(arm_bucket == 0, F.lit("A")).otherwise(F.lit("B"))
+    per_arm = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(arm.alias("arm"), "user_id", "value")
+        .groupBy("arm")
+        .agg(
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+            F.count(F.lit(1)).cast("long").alias("n_purchases"),
+            _vsum("value", "total_value"),
+        )
+    )
+    w = Window.partitionBy()
+    mean = F.col("total_value") / F.col("n_purchases").cast("double")
+    # exactly one A row -> max over {mean, NULL} is deterministic
+    mean_a = F.max(F.when(F.col("arm") == "A", mean)).over(w)
+    return per_arm.select(
+        "arm",
+        "n_users",
+        "n_purchases",
+        "total_value",
+        _round6(mean).alias("mean_value"),
+        _round6(mean / mean_a - F.lit(1.0)).alias("lift_vs_a"),
+    )
+
+
+def q_ab_test_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ab_test_lift(load_table(spark, sf_dir, "events"))
+
+
+SQL_AB_TEST_LIFT = """
+WITH per_arm AS (
+  SELECT CASE WHEN CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8)) AS UBIGINT) % 2 = 0
+              THEN 'A' ELSE 'B' END AS arm,
+         CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+         CAST(count(*) AS BIGINT) AS n_purchases,
+         CAST(SUM(CAST(value AS DECIMAL(28,10))) AS DOUBLE) AS total_value
+  FROM events
+  WHERE event_type = 'purchase'
+  GROUP BY 1
+),
+m AS (
+  SELECT arm, n_users, n_purchases, total_value,
+         total_value / CAST(n_purchases AS DOUBLE) AS mean_v,
+         MAX(CASE WHEN arm = 'A'
+                  THEN total_value / CAST(n_purchases AS DOUBLE) END) OVER () AS mean_a
+  FROM per_arm
+)
+SELECT arm, n_users, n_purchases, total_value,
+       floor(mean_v * 1000000.0 + 0.5) / 1000000.0 AS mean_value,
+       floor((mean_v / mean_a - 1.0) * 1000000.0 + 0.5) / 1000000.0 AS lift_vs_a
+FROM m
+"""
+
+QUERIES["ab_test_lift"] = q_ab_test_lift
+ORACLES["ab_test_lift"] = SQL_AB_TEST_LIFT

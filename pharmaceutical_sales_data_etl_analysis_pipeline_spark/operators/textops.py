@@ -316,3 +316,70 @@ ORACLES = {
     "fingerprints": SQL_FINGERPRINTS,
     "bpe_pair_stats": SQL_BPE_PAIR_STATS,
 }
+
+
+# ---------------------------------------------------------------------------
+# Language-ID confusion matrix (r3): the supervised evaluation of lang_id
+# against the corpus's labeled `lang` column — per (true, predicted) cell
+# count plus the true-label recall share. The health check a real
+# pipeline runs before trusting a heuristic classifier for mixture
+# weighting. One scan + one tiny agg (<= 6x5 cells); recall is a window
+# over per-label partitions of <= 6 rows.
+# ---------------------------------------------------------------------------
+
+def lang_id_confusion(documents: DataFrame) -> DataFrame:
+    from pyspark.sql import Window
+
+    cells = documents.select(
+        F.col("lang").alias("true_lang"),
+        predicted_lang_col(F.col("text")).alias("predicted_lang"),
+    ).groupBy("true_lang", "predicted_lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    w = Window.partitionBy("true_lang")
+    return cells.select(
+        "true_lang",
+        "predicted_lang",
+        "n",
+        F.floor(
+            (F.col("n").cast("double") / F.sum("n").over(w).cast("double"))
+            * F.lit(1_000_000.0)
+            + F.lit(0.5)
+        ).cast("long").alias("share_ppm"),
+        (F.col("true_lang") == F.col("predicted_lang")).alias("correct"),
+    )
+
+
+def q_lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lang_id_confusion(load_table(spark, sf_dir, "documents"))
+
+
+def _lang_confusion_sql() -> str:
+    score = {
+        k: f"len(regexp_extract_all(lower(text), '{pat}'))"
+        for k, pat in LANG_STOPWORDS.items()
+    }
+    mx = "greatest(" + ", ".join(score[k] for k in LANG_PRIORITY) + ")"
+    case = "CASE " + " ".join(
+        f"WHEN {score[k]} = {mx} AND {mx} > 0 THEN '{k}'" for k in LANG_PRIORITY
+    ) + " ELSE 'und' END"
+    return f"""
+WITH cells AS (
+  SELECT lang AS true_lang, {case} AS predicted_lang,
+         CAST(count(*) AS BIGINT) AS n
+  FROM documents
+  GROUP BY lang, {case}
+)
+SELECT true_lang, predicted_lang, n,
+       CAST(floor((CAST(n AS DOUBLE)
+                   / CAST(SUM(n) OVER (PARTITION BY true_lang) AS DOUBLE))
+                  * 1000000.0 + 0.5) AS BIGINT) AS share_ppm,
+       true_lang = predicted_lang AS correct
+FROM cells
+"""
+
+
+SQL_LANG_ID_CONFUSION = _lang_confusion_sql()
+
+QUERIES["lang_id_confusion"] = q_lang_id_confusion
+ORACLES["lang_id_confusion"] = SQL_LANG_ID_CONFUSION
