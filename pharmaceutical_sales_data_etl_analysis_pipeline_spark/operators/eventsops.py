@@ -1147,3 +1147,79 @@ FROM m
 
 QUERIES["ab_test_lift"] = q_ab_test_lift
 ORACLES["ab_test_lift"] = SQL_AB_TEST_LIFT
+
+
+# ---------------------------------------------------------------------------
+# Tolerance dedup (r3): collapse near-duplicate event deliveries — same
+# (user, type) arriving within DEDUP_TOL_US of the previous KEPT event is
+# an at-least-once redelivery, not a new fact. This is the batch form of
+# streaming dropDuplicatesWithinWatermark (streaming/joins.py): the lag
+# is against the previous SURVIVOR, which a plain lag() can't express —
+# it needs the "keep if gap from last kept > tol" recurrence. For tol <=
+# min-true-event-spacing the survivor set equals the simpler adjacent-gap
+# filter; here the general form rides the session-boundary trick: marking
+# gap > tol as boundaries and keeping the FIRST row of each run is exactly
+# the recurrence for runs of piled-up deliveries (each run's survivor is
+# its first row; rows within a run are within tol of the run head only if
+# deliveries pile tighter than tol — the redelivery model).
+# One (user_id, event_type)-keyed shuffle; windows reuse it.
+# ---------------------------------------------------------------------------
+
+DEDUP_TOL_US = 60 * 1_000_000  # 60 s redelivery window
+
+
+def event_dedup_tolerance(events: DataFrame) -> DataFrame:
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    boundary = F.when(gap.isNull() | (gap > DEDUP_TOL_US), 1).otherwise(0)
+    runs = events.select(
+        "user_id", "event_type", "ts", "event_id", boundary.alias("b")
+    ).withColumn(
+        "run_id",
+        F.sum("b").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return (
+        runs.groupBy("user_id", "event_type", "run_id")
+        .agg(
+            F.min(F.struct("ts", "event_id")).alias("first"),
+            F.count(F.lit(1)).cast("long").alias("n_deliveries"),
+        )
+        .select(
+            "user_id",
+            "event_type",
+            F.col("first.event_id").alias("kept_event_id"),
+            (F.col("n_deliveries") - 1).cast("long").alias("n_dropped"),
+        )
+    )
+
+
+def q_event_dedup_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return event_dedup_tolerance(load_table(spark, sf_dir, "events"))
+
+
+SQL_EVENT_DEDUP_TOLERANCE = f"""
+WITH flagged AS (
+  SELECT user_id, event_type, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > {DEDUP_TOL_US}
+              THEN 1 ELSE 0 END AS b
+  FROM events
+  WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+),
+runs AS (
+  SELECT user_id, event_type, ts, event_id,
+         sum(b) OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
+  FROM flagged
+)
+SELECT user_id, event_type,
+       (array_agg(event_id ORDER BY ts, event_id))[1] AS kept_event_id,
+       CAST(count(*) - 1 AS BIGINT) AS n_dropped
+FROM runs
+GROUP BY user_id, event_type, run_id
+"""
+
+QUERIES["event_dedup_tolerance"] = q_event_dedup_tolerance
+ORACLES["event_dedup_tolerance"] = SQL_EVENT_DEDUP_TOLERANCE
