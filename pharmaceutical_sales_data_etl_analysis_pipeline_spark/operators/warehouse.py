@@ -1108,3 +1108,82 @@ FROM d
 
 QUERIES["calendar_dim"] = q_calendar_dim
 ORACLES["calendar_dim"] = SQL_CALENDAR_DIM
+
+
+# ---------------------------------------------------------------------------
+# Table content hash (r3): one order-independent digest per table — the
+# content-addressable fingerprint behind snapshot diffing, cache
+# invalidation, and replica verification ("did the copy arrive intact?"
+# without sorting either side). Complements table_diff (which says WHAT
+# changed): hash inequality is the O(1)-output change detector.
+#
+# Digest = exact DECIMAL(38,0) sum of a 48-bit integer derived from each
+# row's md5 (row identity = all columns joined on a \x01 separator, NULL
+# spelled as \x00NULL so it can't collide with a real string) + the row
+# count. Addition is commutative/associative and the decimal accumulator
+# cannot overflow below ~10^23 rows, so ANY partitioning/order yields the
+# identical digest — exactly the property a distributed fingerprint
+# needs. (Collisions of the sum-of-48-bit construction are the accepted
+# tradeoff; once inequality fires, table_diff localizes the change.)
+# One scan per table, 1-row output each.
+#
+# String-canonicalization contract: row identity casts every column to
+# string. Spark prints DOUBLE >= 1e7 in E-notation while DuckDB never
+# does; the corpus's doubles are bounded < 1e6 (checked), and an ingest
+# carrying larger magnitudes must canonicalize numerics (e.g. cast to
+# DECIMAL with fixed scale) on BOTH sides before fingerprinting.
+# ---------------------------------------------------------------------------
+
+_HASH_TABLES = ("orders", "lineitem", "documents")
+
+
+def _content_hash(df: DataFrame, name: str) -> DataFrame:
+    cols = [
+        F.coalesce(F.col(c).cast("string"), F.lit("\u0000NULL")) for c in df.columns
+    ]
+    row48 = F.conv(
+        F.substring(F.md5(F.concat_ws("\u0001", *cols)), 1, 12), 16, 10
+    ).cast("decimal(38,0)")
+    return df.agg(
+        F.lit(name).alias("table_name"),
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(row48).cast("decimal(38,0)").cast("string").alias("content_hash"),
+    )
+
+
+def table_content_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    parts = [_content_hash(load_table(spark, sf_dir, t), t) for t in _HASH_TABLES]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _content_hash_sql(table: str, cols: list[str]) -> str:
+    concat = ", ".join(
+        f"COALESCE(CAST({c} AS VARCHAR), chr(0) || 'NULL')" for c in cols
+    )
+    return f"""
+SELECT '{table}' AS table_name,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(CAST(('0x' || substr(md5(concat_ws(chr(1), {concat})), 1, 12))
+                          AS UBIGINT) AS DECIMAL(38,0))) AS VARCHAR) AS content_hash
+FROM {table}
+"""
+
+
+_HASH_COLS = {
+    "orders": ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+               "o_orderdate", "o_orderpriority"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+                 "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+                 "l_returnflag", "l_linestatus", "l_shipdate"],
+    "documents": ["doc_id", "text", "lang", "source", "n_chars"],
+}
+
+SQL_TABLE_CONTENT_HASH = "\nUNION ALL\n".join(
+    _content_hash_sql(t, _HASH_COLS[t]) for t in _HASH_TABLES
+)
+
+QUERIES["table_content_hash"] = table_content_hash
+ORACLES["table_content_hash"] = SQL_TABLE_CONTENT_HASH

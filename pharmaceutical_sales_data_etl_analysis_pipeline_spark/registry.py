@@ -151,7 +151,7 @@ PRIORITY = [
 #   (warehouse.py); rank_fusion, source_overlap (corpusops.py);
 #   stream_exact_dedup (streamingq.py); distribution_drift (tpch.py);
 #   lang_id_confusion (textops.py); ab_test_lift, event_dedup_tolerance
-#   (eventsops.py);
+#   (eventsops.py); table_content_hash (warehouse.py);
 #   kmeans_clusters / semdedup_candidates / ivf_* also
 #   changed plans in r3 AFTER the sweep freeze (Arrow _assign) — they are
 #   in this round's PRIORITY already, so their r3 rows cover the new plan.
