@@ -814,3 +814,57 @@ def test_k_anonymity_sums_tile_table(spark, sf_dir):
         nation_tot.setdefault(r.c_nationkey, 0)
         nation_tot[r.c_nationkey] += r.n
     assert all(r.n_nation == nation_tot[r.c_nationkey] for r in rows)
+
+
+def test_table_content_hash_partition_invariant(spark, sf_dir):
+    """The digest is a commutative sum — any repartitioning yields the
+    identical hash (the property that makes it a distributed fingerprint),
+    and a single changed row changes it."""
+    from pharmaceutical_sales_data_etl_analysis_pipeline_spark.catalog import load_table
+    from pharmaceutical_sales_data_etl_analysis_pipeline_spark.operators.warehouse import (
+        _content_hash,
+    )
+
+    src = load_table(spark, sf_dir, "orders")
+    a = _content_hash(src, "orders").collect()[0]
+    b = _content_hash(src.repartition(13, "o_orderstatus"), "orders").collect()[0]
+    assert (a.n_rows, a.content_hash) == (b.n_rows, b.content_hash)
+    mutated = src.withColumn(
+        "o_totalprice",
+        F.when(F.col("o_orderkey") == src.select(F.min("o_orderkey")).collect()[0][0],
+               F.col("o_totalprice") + 1).otherwise(F.col("o_totalprice")),
+    )
+    c = _content_hash(mutated, "orders").collect()[0]
+    assert c.content_hash != a.content_hash and c.n_rows == a.n_rows
+
+
+def test_event_dedup_tolerance_run_semantics(spark):
+    """Hand-built stream: deliveries 0s,10s,70s,75s,200s (same user/type)
+    with tol=60s → runs {0,10},{70,75},{200}? No: 70s is 60s after 10s
+    (gap 60 NOT > 60 → same run). Verify the exact run partition the
+    recurrence defines: gaps of 10,60,5,125 → boundaries at 0s and 200s
+    only → 2 survivors."""
+    import datetime as dt
+
+    from pyspark.sql import types as T2
+
+    from pharmaceutical_sales_data_etl_analysis_pipeline_spark.operators.eventsops import (
+        event_dedup_tolerance,
+    )
+
+    base = dt.datetime(2020, 1, 1)
+    offs = [0, 10, 70, 75, 200]
+    rows = [(i, base + dt.timedelta(seconds=s), 1, "click", 1.0, "{}")
+            for i, s in enumerate(offs)]
+    schema = T2.StructType([
+        T2.StructField("event_id", T2.LongType()),
+        T2.StructField("ts", T2.TimestampType()),
+        T2.StructField("user_id", T2.LongType()),
+        T2.StructField("event_type", T2.StringType()),
+        T2.StructField("value", T2.DoubleType()),
+        T2.StructField("props", T2.StringType()),
+    ])
+    ev = spark.createDataFrame(rows, schema)
+    got = sorted((r.kept_event_id, r.n_dropped)
+                 for r in event_dedup_tolerance(ev).collect())
+    assert got == [(0, 3), (4, 0)]
