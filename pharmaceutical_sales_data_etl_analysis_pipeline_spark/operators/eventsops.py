@@ -1038,7 +1038,9 @@ def seasonal_decompose(events: DataFrame) -> DataFrame:
 
 
 def _round6(c):
-    return F.floor(c * F.lit(1_000_000.0) + F.lit(0.5)) / F.lit(1_000_000.0)
+    from ..functions.numeric import round_half_up
+
+    return round_half_up(c, 6)
 
 
 def q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:

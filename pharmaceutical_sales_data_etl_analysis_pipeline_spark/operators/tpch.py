@@ -1558,7 +1558,9 @@ def distribution_drift(orders: DataFrame) -> DataFrame:
 
 
 def _round9(c):
-    return F.floor(c * F.lit(1_000_000_000.0) + F.lit(0.5)) / F.lit(1_000_000_000.0)
+    from ..functions.numeric import round_half_up
+
+    return round_half_up(c, 9)
 
 
 def q_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
