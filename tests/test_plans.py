@@ -741,3 +741,44 @@ def test_seasonal_decompose_one_shuffle_then_window(spark, sf_dir):
     assert _scan_count(df) == 1
     assert tree.count("HashAggregate") >= 2
     assert "Window" in tree
+
+
+def test_aqe_splits_skewed_sort_merge_join(spark):
+    """The 100 TB skew story is config + AQE (session.py enables
+    spark.sql.adaptive.skewJoin); this asserts the mechanism actually
+    fires: a join keyed 90% onto one value, with thresholds scaled down to
+    test-data size and broadcast disabled to force SMJ, must execute as
+    SortMergeJoin(skew=true) over an AQEShuffleRead-skewed exchange.
+    Complements salted_user_totals (the MANUAL skew defense for
+    aggregations, where AQE skew handling does not apply)."""
+    saved = {}
+    tuned = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "65536",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32768",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2.0",
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize": "4096",
+    }
+    for k, v in tuned.items():
+        saved[k] = spark.conf.get(k, None)
+        spark.conf.set(k, v)
+    try:
+        left = spark.range(0, 300_000).select(
+            F.when(F.col("id") % 100 < 90, F.lit(1)).otherwise(F.col("id")).alias("k"),
+            F.col("id").alias("v"),
+        )
+        right = spark.range(0, 5_000).select(
+            (F.col("id") % 1000).alias("k"), F.col("id").alias("w")
+        )
+        j = left.join(right, "k")
+        j.collect()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "SortMergeJoin(skew=true)" in plan
+        assert "AQEShuffleRead skewed" in plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
