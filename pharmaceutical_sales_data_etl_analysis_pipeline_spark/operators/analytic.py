@@ -1017,3 +1017,148 @@ ORDER BY status
 
 QUERIES["holt_linear_forecast"] = q_holt_linear_forecast
 ORACLES["holt_linear_forecast"] = SQL_HOLT_LINEAR_FORECAST
+
+
+# ---------------------------------------------------------------------------
+# Multi-touch attribution (r3): split each purchase's value EQUALLY across
+# the user's click events in the trailing 30-minute window — the linear
+# attribution model (first/last-touch are the asof_purchase_before_click
+# degenerate cases). Two stages: (1) purchase⋈click band join on user_id
+# with the time-band post-filter — the equi-key carries the shuffle, the
+# band only filters (same shape as events_within_5min; at 100 TB add
+# coarse time-bucket keys to cut the per-user fan-in); (2) per-purchase
+# click count via a window on the join output, credit = value / n_touches.
+# Credit conservation (sum credit = sum attributed purchase value) is the
+# property test; exactness: value is DECIMAL-summed, the division is one
+# double op per row.
+# ---------------------------------------------------------------------------
+
+ATTRIB_WINDOW_US = 30 * 60 * 1_000_000
+
+
+def multi_touch_attribution(events: DataFrame) -> DataFrame:
+    p = events.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id"), F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_ts"), F.col("value"),
+    )
+    c = events.filter(F.col("event_type") == "click").select(
+        F.col("user_id"), F.col("event_id").alias("click_id"),
+        F.col("ts").alias("c_ts"),
+    )
+    gap = F.unix_micros(F.col("p_ts")) - F.unix_micros(F.col("c_ts"))
+    touched = p.join(c, "user_id").filter((gap > 0) & (gap <= ATTRIB_WINDOW_US))
+    w = Window.partitionBy("purchase_id")
+    return touched.select(
+        "user_id",
+        "purchase_id",
+        "click_id",
+        (F.col("value") / F.count(F.lit(1)).over(w).cast("double")).alias("credit"),
+        F.count(F.lit(1)).over(w).cast("long").alias("n_touches"),
+    )
+
+
+def q_multi_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return multi_touch_attribution(load_table(spark, sf_dir, "events"))
+
+
+SQL_MULTI_TOUCH_ATTRIBUTION = f"""
+WITH touched AS (
+  SELECT p.user_id, p.event_id AS purchase_id, c.event_id AS click_id, p.value
+  FROM events p JOIN events c
+    ON p.user_id = c.user_id
+   AND p.event_type = 'purchase' AND c.event_type = 'click'
+   AND epoch_us(p.ts) - epoch_us(c.ts) > 0
+   AND epoch_us(p.ts) - epoch_us(c.ts) <= {ATTRIB_WINDOW_US}
+)
+SELECT user_id, purchase_id, click_id,
+       value / CAST(COUNT(*) OVER (PARTITION BY purchase_id) AS DOUBLE) AS credit,
+       CAST(COUNT(*) OVER (PARTITION BY purchase_id) AS BIGINT) AS n_touches
+FROM touched
+"""
+
+QUERIES["multi_touch_attribution"] = q_multi_touch_attribution
+ORACLES["multi_touch_attribution"] = SQL_MULTI_TOUCH_ATTRIBUTION
+
+
+# ---------------------------------------------------------------------------
+# Weekly churn (r3): per ISO-ish week (epoch-day // 7 — engine-neutral, no
+# locale WEEK_START), the active users, plus how many of the PREVIOUS
+# week's actives did not return (churned) and how many are first-ever
+# (new). Construction: distinct (user, week) → self-join on week+1 for
+# churn (left anti via null count), min-week per user for new. Two
+# shuffles over the distinct activity table (users × weeks, much smaller
+# than events); the week spine is dense here — a production run would
+# left-join a generated week spine (calendar_dim pattern) to keep empty
+# weeks visible.
+# ---------------------------------------------------------------------------
+
+WEEK_US = 7 * 86_400 * 1_000_000
+
+
+def weekly_churn(events: DataFrame) -> DataFrame:
+    uw = events.select(
+        "user_id", F.expr(f"unix_micros(ts) div {WEEK_US}").alias("week")
+    ).distinct()
+    first = uw.groupBy("user_id").agg(F.min("week").alias("first_week"))
+    act = uw.groupBy("week").agg(F.count(F.lit(1)).cast("long").alias("n_active"))
+    new = (
+        uw.join(first, "user_id")
+        .filter(F.col("week") == F.col("first_week"))
+        .groupBy("week")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_new"))
+    )
+    # retained(w) = users active in BOTH w and w+1; churned(w) = active(w) - retained(w)
+    retained = (
+        uw.alias("a")
+        .join(
+            uw.alias("b"),
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("b.week") == F.col("a.week") + 1),
+        )
+        .groupBy(F.col("a.week").alias("week"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_retained"))
+    )
+    return (
+        act.join(new, "week", "left")
+        .join(retained, "week", "left")
+        .select(
+            F.col("week").cast("long").alias("week"),
+            "n_active",
+            F.coalesce(F.col("n_new"), F.lit(0)).cast("long").alias("n_new"),
+            (F.col("n_active") - F.coalesce(F.col("n_retained"), F.lit(0)))
+            .cast("long")
+            .alias("n_churned_next"),
+        )
+    )
+
+
+def q_weekly_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return weekly_churn(load_table(spark, sf_dir, "events"))
+
+
+SQL_WEEKLY_CHURN = f"""
+WITH uw AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // {WEEK_US} AS week FROM events
+),
+first AS (SELECT user_id, MIN(week) AS first_week FROM uw GROUP BY user_id),
+act AS (SELECT week, CAST(count(*) AS BIGINT) AS n_active FROM uw GROUP BY week),
+new AS (
+  SELECT u.week, CAST(count(*) AS BIGINT) AS n_new
+  FROM uw u JOIN first f ON u.user_id = f.user_id AND u.week = f.first_week
+  GROUP BY u.week
+),
+retained AS (
+  SELECT a.week, CAST(count(*) AS BIGINT) AS n_retained
+  FROM uw a JOIN uw b ON a.user_id = b.user_id AND b.week = a.week + 1
+  GROUP BY a.week
+)
+SELECT CAST(act.week AS BIGINT) AS week, act.n_active,
+       CAST(COALESCE(new.n_new, 0) AS BIGINT) AS n_new,
+       CAST(act.n_active - COALESCE(retained.n_retained, 0) AS BIGINT) AS n_churned_next
+FROM act
+LEFT JOIN new ON act.week = new.week
+LEFT JOIN retained ON act.week = retained.week
+"""
+
+QUERIES["weekly_churn"] = q_weekly_churn
+ORACLES["weekly_churn"] = SQL_WEEKLY_CHURN
