@@ -868,3 +868,30 @@ def test_event_dedup_tolerance_run_semantics(spark):
     got = sorted((r.kept_event_id, r.n_dropped)
                  for r in event_dedup_tolerance(ev).collect())
     assert got == [(0, 3), (4, 0)]
+
+
+def test_multi_touch_attribution_conserves_value(spark, sf_dir):
+    """Sum of credits equals the summed value of attributed purchases (each
+    purchase's value splits exactly across its touches), every purchase
+    appears with one consistent n_touches, and credit * n_touches
+    reconstructs the purchase value."""
+    from collections import defaultdict
+
+    from pharmaceutical_sales_data_etl_analysis_pipeline_spark.catalog import load_table
+    from pharmaceutical_sales_data_etl_analysis_pipeline_spark.operators.analytic import (
+        multi_touch_attribution,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    rows = multi_touch_attribution(ev).collect()
+    per_purchase = defaultdict(list)
+    for r in rows:
+        per_purchase[r.purchase_id].append(r)
+    values = {r.event_id: r.value
+              for r in ev.filter(F.col("event_type") == "purchase")
+                        .select("event_id", "value").collect()}
+    for pid, touches in per_purchase.items():
+        n = touches[0].n_touches
+        assert len(touches) == n
+        total = sum(t.credit for t in touches)
+        assert abs(total - values[pid]) < 1e-9 * max(1.0, abs(values[pid]))
