@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from ..functions.numeric import money_sum, money_sum_sql
+from ..functions.numeric import money_sum, money_sum_sql, round_half_up
 
 VAL_DEC = "decimal(28,10)"
 N_SALT = 8
@@ -1162,3 +1162,82 @@ LEFT JOIN retained ON act.week = retained.week
 
 QUERIES["weekly_churn"] = q_weekly_churn
 ORACLES["weekly_churn"] = SQL_WEEKLY_CHURN
+
+
+# ---------------------------------------------------------------------------
+# Continuous (interpolated) percentiles (r3): the PERCENTILE_CONT
+# complement to percentile_disc_prices — median and p90 by linear
+# interpolation between the two bracketing order statistics, spelled out
+# explicitly (rank positions + one interpolation formula) so neither
+# engine's built-in percentile convention is trusted. Same shape as the
+# disc variant: per-priority window rank + conditional agg; the
+# interpolation is per-group scalar math on the 5-row rollup.
+# ---------------------------------------------------------------------------
+
+def percentile_cont_prices(orders: DataFrame) -> DataFrame:
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice")
+    ranked = orders.select(
+        "o_orderpriority",
+        "o_totalprice",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("o_orderpriority")).alias("n"),
+    )
+
+    def cont(p: float, alias: str):
+        # pos = (n-1)*p + 1 (1-based); value = lo + (pos-floor(pos))*(hi-lo).
+        # Inside the aggregates pos is built from the per-row n (constant
+        # within the group); the outer interpolation rebuilds it from
+        # max(n) so every top-level expression is aggregate-valued.
+        pos_row = (F.col("n").cast("double") - F.lit(1.0)) * F.lit(p) + F.lit(1.0)
+        lo = F.max(
+            F.when(F.col("rn") == F.floor(pos_row).cast("long"), F.col("o_totalprice"))
+        )
+        hi = F.max(
+            F.when(F.col("rn") == F.ceil(pos_row).cast("long"), F.col("o_totalprice"))
+        )
+        pos_agg = (F.max("n").cast("double") - F.lit(1.0)) * F.lit(p) + F.lit(1.0)
+        frac = pos_agg - F.floor(pos_agg)
+        return round_half_up(lo + frac * (hi - lo), 6).alias(alias)
+
+    return (
+        ranked.groupBy("o_orderpriority")
+        .agg(
+            cont(0.5, "p50_cont"),
+            cont(0.9, "p90_cont"),
+            F.max("n").cast("long").alias("n_orders"),
+        )
+    )
+
+
+def q_percentile_cont_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return percentile_cont_prices(load_table(spark, sf_dir, "orders"))
+
+
+def _cont_sql(p: float, alias: str) -> str:
+    pos = f"((CAST(n AS DOUBLE) - 1.0) * {p} + 1.0)"
+    pos_agg = f"((CAST(MAX(n) AS DOUBLE) - 1.0) * {p} + 1.0)"
+    lo = f"MAX(CASE WHEN rn = CAST(floor({pos}) AS BIGINT) THEN o_totalprice END)"
+    hi = f"MAX(CASE WHEN rn = CAST(ceil({pos}) AS BIGINT) THEN o_totalprice END)"
+    return (
+        f"floor(({lo} + ({pos_agg} - floor({pos_agg})) * ({hi} - {lo})) * 1000000.0 + 0.5)"
+        f" / 1000000.0 AS {alias}"
+    )
+
+
+SQL_PERCENTILE_CONT_PRICES = f"""
+WITH ranked AS (
+  SELECT o_orderpriority, o_totalprice,
+         row_number() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice) AS rn,
+         COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+  FROM orders
+)
+SELECT o_orderpriority,
+       {_cont_sql(0.5, 'p50_cont')},
+       {_cont_sql(0.9, 'p90_cont')},
+       CAST(MAX(n) AS BIGINT) AS n_orders
+FROM ranked
+GROUP BY o_orderpriority
+"""
+
+QUERIES["percentile_cont_prices"] = q_percentile_cont_prices
+ORACLES["percentile_cont_prices"] = SQL_PERCENTILE_CONT_PRICES

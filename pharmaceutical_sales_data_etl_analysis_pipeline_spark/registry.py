@@ -152,7 +152,7 @@ PRIORITY = [
 #   stream_exact_dedup (streamingq.py); distribution_drift (tpch.py);
 #   lang_id_confusion (textops.py); ab_test_lift, event_dedup_tolerance
 #   (eventsops.py); table_content_hash (warehouse.py);
-#   multi_touch_attribution, weekly_churn (analytic.py);
+#   multi_touch_attribution, weekly_churn, percentile_cont_prices (analytic.py);
 #   kmeans_clusters / semdedup_candidates / ivf_* also
 #   changed plans in r3 AFTER the sweep freeze (Arrow _assign) — they are
 #   in this round's PRIORITY already, so their r3 rows cover the new plan.
