@@ -782,3 +782,11 @@ def test_aqe_splits_skewed_sort_merge_join(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_rank_fusion_pools_are_take_ordered(spark, sf_dir):
+    """Each retriever ends in TakeOrderedAndProject (no global Sort of the
+    corpus); the only windows run inside the bounded 100-row pools."""
+    df = all_queries()["rank_fusion"](spark, sf_dir)
+    tree = df._jdf.queryExecution().executedPlan().toString()
+    assert tree.count("TakeOrderedAndProject") >= 2
