@@ -895,3 +895,19 @@ def test_multi_touch_attribution_conserves_value(spark, sf_dir):
         assert len(touches) == n
         total = sum(t.credit for t in touches)
         assert abs(total - values[pid]) < 1e-9 * max(1.0, abs(values[pid]))
+
+
+def test_weekly_churn_count_algebra(spark, sf_dir):
+    """n_new over all weeks = distinct users; churned(w) = active(w) -
+    retained(w) is within [0, n_active]; week 0's n_new = n_active."""
+    from pharmaceutical_sales_data_etl_analysis_pipeline_spark.catalog import load_table
+    from pharmaceutical_sales_data_etl_analysis_pipeline_spark.operators.analytic import (
+        weekly_churn,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    rows = sorted(weekly_churn(ev).collect(), key=lambda r: r.week)
+    assert sum(r.n_new for r in rows) == ev.select("user_id").distinct().count()
+    assert rows[0].n_new == rows[0].n_active
+    for r in rows:
+        assert 0 <= r.n_churned_next <= r.n_active
