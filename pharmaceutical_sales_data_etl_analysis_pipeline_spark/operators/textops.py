@@ -383,3 +383,67 @@ SQL_LANG_ID_CONFUSION = _lang_confusion_sql()
 
 QUERIES["lang_id_confusion"] = q_lang_id_confusion
 ORACLES["lang_id_confusion"] = SQL_LANG_ID_CONFUSION
+
+
+# ---------------------------------------------------------------------------
+# Token Gini diversity (r3): vocabulary concentration per document,
+# 1 - Σ (tf/total)² — the rational-arithmetic diversity signal (entropy
+# without log, which is deliberately banned repo-wide: libm log differs
+# across engines; squares and one division are IEEE-exact). Low diversity
+# = repetitive/templated text — complements repetition_ratio (which
+# detects repeated n-grams; this detects skewed unigram mass). Shape:
+# explode → (doc, word) count → per-doc Σtf²/total² — two hash aggs, the
+# word-level one map-side combined.
+# ---------------------------------------------------------------------------
+
+def token_gini_diversity(documents: DataFrame) -> DataFrame:
+    words = documents.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("word"),
+    )
+    tf = words.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    per_doc = tf.groupBy("doc_id").agg(
+        F.sum("tf").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct"),
+        F.sum(F.col("tf") * F.col("tf")).cast("long").alias("sum_tf2"),
+    )
+    gini = F.lit(1.0) - (
+        F.col("sum_tf2").cast("double")
+        / (F.col("n_tokens").cast("double") * F.col("n_tokens").cast("double"))
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_tokens",
+        "n_distinct",
+        round_half_up(gini, 6).alias("gini_diversity"),
+    )
+
+
+def q_token_gini_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return token_gini_diversity(load_table(spark, sf_dir, "documents"))
+
+
+SQL_TOKEN_GINI_DIVERSITY = """
+WITH words AS (
+  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, word, count(*) AS tf FROM words GROUP BY doc_id, word
+),
+per_doc AS (
+  SELECT doc_id,
+         CAST(SUM(tf) AS BIGINT) AS n_tokens,
+         CAST(count(*) AS BIGINT) AS n_distinct,
+         CAST(SUM(tf * tf) AS BIGINT) AS sum_tf2
+  FROM tf GROUP BY doc_id
+)
+SELECT doc_id, n_tokens, n_distinct,
+       floor((1.0 - CAST(sum_tf2 AS DOUBLE)
+              / (CAST(n_tokens AS DOUBLE) * CAST(n_tokens AS DOUBLE)))
+             * 1000000.0 + 0.5) / 1000000.0 AS gini_diversity
+FROM per_doc
+"""
+
+QUERIES["token_gini_diversity"] = q_token_gini_diversity
+ORACLES["token_gini_diversity"] = SQL_TOKEN_GINI_DIVERSITY
