@@ -24,7 +24,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from ..functions.numeric import money_sum, money_sum_sql
+from ..functions.numeric import money_sum, money_sum_sql, round_half_up
 
 # ---------------------------------------------------------------------------
 # MERGE upsert (SCD type 1): apply a daily batch of per-customer spend to
@@ -1187,3 +1187,113 @@ SQL_TABLE_CONTENT_HASH = "\nUNION ALL\n".join(
 
 QUERIES["table_content_hash"] = table_content_hash
 ORACLES["table_content_hash"] = SQL_TABLE_CONTENT_HASH
+
+
+# ---------------------------------------------------------------------------
+# ID gap analysis (r3, data quality): holes in a supposedly-dense key
+# sequence — the "did ingestion drop rows?" check every CDC/batch loader
+# runs. lead() over the sorted distinct key space emits each gap as
+# [after, before] with its width; summary derivable by the consumer.
+# Shape: distinct keys (fact rows collapse first) + one ordered window.
+# The global orderBy window is the honest cost of gap detection; at
+# 100 TB run it per key-range bucket (range-partitioned window) — the
+# construction is identical, partitionBy(bucket) added.
+# ---------------------------------------------------------------------------
+
+def id_gap_analysis(orders: DataFrame) -> DataFrame:
+    keys = orders.select(F.col("o_orderkey").alias("k")).distinct()
+    w = Window.orderBy("k")
+    nxt = F.lead("k").over(w)
+    return (
+        keys.select("k", nxt.alias("nk"))
+        .filter(F.col("nk") > F.col("k") + 1)
+        .select(
+            F.col("k").alias("gap_after"),
+            F.col("nk").alias("gap_before"),
+            (F.col("nk") - F.col("k") - 1).cast("long").alias("missing"),
+        )
+    )
+
+
+def q_id_gap_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # registered over the F-status subset: the full o_orderkey space is
+    # dense (0 gaps -> a vacuous hash), while the subset's keyspace is
+    # gap-rich, so the driver row checks real gap output end-to-end
+    orders = load_table(spark, sf_dir, "orders")
+    return id_gap_analysis(orders.filter(F.col("o_orderstatus") == "F"))
+
+
+SQL_ID_GAP_ANALYSIS = """
+WITH keys AS (SELECT DISTINCT o_orderkey AS k FROM orders WHERE o_orderstatus = 'F'),
+paired AS (SELECT k, lead(k) OVER (ORDER BY k) AS nk FROM keys)
+SELECT k AS gap_after, nk AS gap_before,
+       CAST(nk - k - 1 AS BIGINT) AS missing
+FROM paired
+WHERE nk > k + 1
+"""
+
+QUERIES["id_gap_analysis"] = q_id_gap_analysis
+ORACLES["id_gap_analysis"] = SQL_ID_GAP_ANALYSIS
+
+
+# ---------------------------------------------------------------------------
+# Supplier-concentration HHI (r3): per part, the Herfindahl index of
+# supplier share of supplied quantity — the single-source dependency risk
+# readout (HHI -> 1 means one supplier carries the part). Exactness: the
+# cross-supplier sum runs over DECIMAL squares (quantities are exact
+# cents, so q² is an exact decimal; a double Σ(share²) would depend on
+# accumulation order), with ONE double division at the end:
+# HHI = Σq² / Q². Two hash aggs keyed (part, supplier) then part — both
+# map-side combined; per-part supplier fan-in is bounded (TPC-H ≤ 4).
+# ---------------------------------------------------------------------------
+
+def supplier_hhi(lineitem: DataFrame) -> DataFrame:
+    per_ps = lineitem.groupBy("l_partkey", "l_suppkey").agg(
+        # widened sum cast back down to (18,2): |q| is tiny, and the
+        # narrow operand keeps q*q inside decimal(38) on both engines
+        F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+        .cast("decimal(18,2)")
+        .alias("q")
+    )
+    per_part = per_ps.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_suppliers"),
+        F.sum("q").cast("decimal(18,2)").alias("qt"),
+        F.sum(F.col("q") * F.col("q")).alias("sum_q2"),
+    )
+    hhi = F.col("sum_q2").cast("double") / (
+        F.col("qt") * F.col("qt")
+    ).cast("double")
+    return per_part.select(
+        "l_partkey",
+        "n_suppliers",
+        F.col("qt").cast("double").alias("total_qty"),
+        round_half_up(hhi, 6).alias("hhi"),
+    )
+
+
+def q_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return supplier_hhi(load_table(spark, sf_dir, "lineitem"))
+
+
+SQL_SUPPLIER_HHI = """
+WITH per_ps AS (
+  SELECT l_partkey, l_suppkey,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS q
+  FROM lineitem GROUP BY l_partkey, l_suppkey
+),
+per_part AS (
+  SELECT l_partkey,
+         CAST(count(*) AS BIGINT) AS n_suppliers,
+         CAST(SUM(q) AS DECIMAL(18,2)) AS qt,
+         SUM(q * q) AS sum_q2
+  FROM per_ps GROUP BY l_partkey
+)
+SELECT l_partkey, n_suppliers,
+       CAST(qt AS DOUBLE) AS total_qty,
+       floor((CAST(sum_q2 AS DOUBLE) / CAST(qt * qt AS DOUBLE)) * 1000000.0 + 0.5)
+         / 1000000.0 AS hhi
+FROM per_part
+"""
+
+QUERIES["supplier_hhi"] = q_supplier_hhi
+ORACLES["supplier_hhi"] = SQL_SUPPLIER_HHI
