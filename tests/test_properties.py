@@ -911,3 +911,18 @@ def test_weekly_churn_count_algebra(spark, sf_dir):
     assert rows[0].n_new == rows[0].n_active
     for r in rows:
         assert 0 <= r.n_churned_next <= r.n_active
+
+
+def test_supplier_hhi_bounds(spark, sf_dir):
+    """1/n_suppliers <= HHI <= 1 for every part (equality at perfectly
+    even split / single supplier), and n_suppliers >= 1."""
+    from pharmaceutical_sales_data_etl_analysis_pipeline_spark.catalog import load_table
+    from pharmaceutical_sales_data_etl_analysis_pipeline_spark.operators.warehouse import (
+        supplier_hhi,
+    )
+
+    rows = supplier_hhi(load_table(spark, sf_dir, "lineitem")).collect()
+    assert rows
+    for r in rows:
+        assert r.n_suppliers >= 1
+        assert 1.0 / r.n_suppliers - 1e-6 <= r.hhi <= 1.0 + 1e-6
