@@ -22,7 +22,7 @@ dsir_weights — rounded to 4dp, boundary risk negligible).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
@@ -373,3 +373,139 @@ SQL_BLOOM_PREFILTER_STATS = _bloom_sql()
 
 QUERIES["bloom_prefilter_stats"] = q_bloom_prefilter_stats
 ORACLES["bloom_prefilter_stats"] = SQL_BLOOM_PREFILTER_STATS
+
+
+# ---------------------------------------------------------------------------
+# Histogram quantile sketch + calibration (r3): the mergeable-quantile
+# member of the sketch family (HLL=distinct, CMS=frequency, Bloom=member,
+# MinHash=similarity, this=quantiles). A B-bucket equi-width histogram is
+# the deterministic, order-independent, trivially mergeable sketch
+# (bucket counts are integer sums); the approximate quantile is the lower
+# edge of the first bucket whose cumulative count crosses ceil(p·n).
+# Like minhash_calibration, the op reports the sketch estimate NEXT TO
+# the exact order statistic and the error — the judge of whether B is
+# adequate for the distribution. Bound: |approx − exact| < bucket width.
+#
+# Scale: histogram build is one map-side-combined agg (B=64 cells);
+# min/max ride the same pass; the exact comparator is the only ordered
+# construction and exists purely as calibration.
+# ---------------------------------------------------------------------------
+
+QS_BUCKETS = 64
+QS_PERCENTILES = (50, 90)
+
+
+def histogram_quantile_calibration(orders: DataFrame) -> DataFrame:
+    ext = orders.agg(
+        F.min("o_totalprice").alias("mn"),
+        F.max("o_totalprice").alias("mx"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    x = F.col("o_totalprice")
+    width = (F.col("mx") - F.col("mn")) / F.lit(float(QS_BUCKETS))
+    idx = F.least(
+        F.lit(QS_BUCKETS - 1),
+        F.floor((x - F.col("mn")) / width).cast("int"),
+    )
+    hist = (
+        orders.join(F.broadcast(ext))
+        .groupBy(idx.alias("b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    wcum = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = hist.select("b", F.sum("c").over(wcum).alias("cum"))
+
+    w_exact = Window.orderBy("o_totalprice")
+    ranked = orders.select(
+        "o_totalprice", F.row_number().over(w_exact).alias("rn")
+    )
+
+    outs = []
+    for p in QS_PERCENTILES:
+        target = F.ceil(F.col("n").cast("double") * F.lit(p / 100.0)).cast("long")
+        approx_b = (
+            cum.join(F.broadcast(ext))
+            .filter(F.col("cum") >= target)
+            .agg(F.min("b").alias("ab"))
+        )
+        approx_val = (
+            approx_b.join(F.broadcast(ext))
+            .select(
+                (F.col("mn") + F.col("ab").cast("double")
+                 * ((F.col("mx") - F.col("mn")) / F.lit(float(QS_BUCKETS))))
+                .alias("approx"),
+                ((F.col("mx") - F.col("mn")) / F.lit(float(QS_BUCKETS))).alias("bwidth"),
+            )
+        )
+        exact_val = (
+            ranked.join(F.broadcast(ext))
+            .filter(
+                F.col("rn")
+                == F.ceil(F.col("n").cast("double") * F.lit(p / 100.0)).cast("long")
+            )
+            .select(F.col("o_totalprice").alias("exact"))
+        )
+        outs.append(
+            approx_val.join(exact_val).select(
+                F.lit(p).cast("int").alias("pct"),
+                round_half_up(F.col("approx"), 6).alias("approx_value"),
+                F.col("exact").alias("exact_value"),
+                round_half_up(F.abs(F.col("approx") - F.col("exact")), 6).alias("abs_err"),
+                round_half_up(F.col("bwidth"), 6).alias("error_bound"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+def q_histogram_quantile_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return histogram_quantile_calibration(load_table(spark, sf_dir, "orders"))
+
+
+def _qs_sql_one(p: int) -> str:
+    return f"""
+SELECT CAST({p} AS INT) AS pct,
+       floor((mn + CAST(ab AS DOUBLE) * ((mx - mn) / {QS_BUCKETS}.0)) * 1000000.0 + 0.5)
+         / 1000000.0 AS approx_value,
+       (SELECT o_totalprice FROM ranked
+        WHERE rn = CAST(ceil(CAST((SELECT n FROM ext) AS DOUBLE) * {p / 100.0}) AS BIGINT))
+         AS exact_value,
+       floor(abs((mn + CAST(ab AS DOUBLE) * ((mx - mn) / {QS_BUCKETS}.0))
+                 - (SELECT o_totalprice FROM ranked
+                    WHERE rn = CAST(ceil(CAST((SELECT n FROM ext) AS DOUBLE) * {p / 100.0}) AS BIGINT)))
+             * 1000000.0 + 0.5) / 1000000.0 AS abs_err,
+       floor(((mx - mn) / {QS_BUCKETS}.0) * 1000000.0 + 0.5) / 1000000.0 AS error_bound
+FROM ext,
+     (SELECT MIN(b) AS ab FROM cum
+      WHERE cumc >= CAST(ceil(CAST((SELECT n FROM ext) AS DOUBLE) * {p / 100.0}) AS BIGINT)) t
+"""
+
+
+SQL_HISTOGRAM_QUANTILE_CALIBRATION = f"""
+WITH ext AS (
+  SELECT MIN(o_totalprice) AS mn, MAX(o_totalprice) AS mx, count(*) AS n FROM orders
+),
+hist AS (
+  SELECT LEAST({QS_BUCKETS - 1},
+               CAST(floor((o_totalprice - ext.mn)
+                          / ((ext.mx - ext.mn) / {QS_BUCKETS}.0)) AS INT)) AS b,
+         CAST(count(*) AS BIGINT) AS c
+  FROM orders, ext
+  GROUP BY 1
+),
+cum AS (
+  SELECT b, SUM(c) OVER (ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumc
+  FROM hist
+),
+ranked AS (
+  SELECT o_totalprice, row_number() OVER (ORDER BY o_totalprice) AS rn FROM orders
+)
+{_qs_sql_one(50)}
+UNION ALL
+{_qs_sql_one(90)}
+"""
+
+QUERIES["histogram_quantile_calibration"] = q_histogram_quantile_calibration
+ORACLES["histogram_quantile_calibration"] = SQL_HISTOGRAM_QUANTILE_CALIBRATION

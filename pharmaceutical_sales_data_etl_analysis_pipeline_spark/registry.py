@@ -152,7 +152,7 @@ PRIORITY = [
 #   stream_exact_dedup (streamingq.py); distribution_drift (tpch.py);
 #   lang_id_confusion, token_gini_diversity (textops.py); ab_test_lift, event_dedup_tolerance
 #   (eventsops.py); table_content_hash, id_gap_analysis, supplier_hhi
-#   (warehouse.py);
+#   (warehouse.py); histogram_quantile_calibration (sketches.py);
 #   multi_touch_attribution, weekly_churn, percentile_cont_prices (analytic.py);
 #   kmeans_clusters / semdedup_candidates / ivf_* also
 #   changed plans in r3 AFTER the sweep freeze (Arrow _assign) — they are
