@@ -1225,3 +1225,56 @@ GROUP BY user_id, event_type, run_id
 
 QUERIES["event_dedup_tolerance"] = q_event_dedup_tolerance
 ORACLES["event_dedup_tolerance"] = SQL_EVENT_DEDUP_TOLERANCE
+
+
+# ---------------------------------------------------------------------------
+# Value-RANGE window frame (r3): trailing 24-hour per-event running sum
+# via RANGE BETWEEN <value> PRECEDING — the frame type the rest of the
+# repo's windows don't exercise (ROWS frames count rows; RANGE frames
+# bound by ORDER-BY value distance, here epoch seconds, so variable-width
+# event spacing is handled by the frame itself — no spine join, no
+# self-join). One user-keyed shuffle; the frame is evaluated within each
+# user's sorted run. Exactness: DECIMAL running sums; the frame ORDER BY
+# key is integer epoch-seconds. NOTE RANGE requires a single numeric
+# order key, and ties (same second) share a frame — both engines agree on
+# that semantics, and the output keys on event_id so tied rows are
+# distinct rows with identical sums.
+# ---------------------------------------------------------------------------
+
+DAY_S = 86_400
+
+
+def range_frame_daily_sum(events: DataFrame) -> DataFrame:
+    base = events.select(
+        "user_id", "event_id",
+        F.expr("unix_micros(ts) div 1000000").alias("sec"),
+        F.col("value").cast(VAL_DEC).alias("v"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("sec")
+        .rangeBetween(-(DAY_S - 1), Window.currentRow)
+    )
+    return base.select(
+        "user_id",
+        "event_id",
+        F.sum("v").over(w).cast("double").alias("trailing_24h_value"),
+        F.count(F.lit(1)).over(w).cast("long").alias("trailing_24h_events"),
+    )
+
+
+def q_range_frame_daily_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return range_frame_daily_sum(load_table(spark, sf_dir, "events"))
+
+
+SQL_RANGE_FRAME_DAILY_SUM = f"""
+SELECT user_id, event_id,
+       CAST(SUM(CAST(value AS DECIMAL(28,10))) OVER w AS DOUBLE) AS trailing_24h_value,
+       CAST(COUNT(*) OVER w AS BIGINT) AS trailing_24h_events
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts) // 1000000
+             RANGE BETWEEN {DAY_S - 1} PRECEDING AND CURRENT ROW)
+"""
+
+QUERIES["range_frame_daily_sum"] = q_range_frame_daily_sum
+ORACLES["range_frame_daily_sum"] = SQL_RANGE_FRAME_DAILY_SUM

@@ -150,7 +150,8 @@ PRIORITY = [
 #   seasonal_decompose (eventsops.py); k_anonymity_audit, calendar_dim
 #   (warehouse.py); rank_fusion, source_overlap (corpusops.py);
 #   stream_exact_dedup (streamingq.py); distribution_drift (tpch.py);
-#   lang_id_confusion, token_gini_diversity (textops.py); ab_test_lift, event_dedup_tolerance
+#   lang_id_confusion, token_gini_diversity (textops.py); ab_test_lift,
+#   event_dedup_tolerance, range_frame_daily_sum
 #   (eventsops.py); table_content_hash, id_gap_analysis, supplier_hhi
 #   (warehouse.py); histogram_quantile_calibration (sketches.py);
 #   multi_touch_attribution, weekly_churn, percentile_cont_prices (analytic.py);
