@@ -50,3 +50,13 @@ def test_warehouse_demo_runs():
     assert proc.returncode == 0, proc.stderr[-2000:]
     assert "state after 3 batches" in proc.stdout
     assert "compacted 16 files -> 1" in proc.stdout
+
+
+def test_governance_demo_runs():
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "examples", "governance_demo.py")],
+        capture_output=True, text=True, timeout=600,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "k-anonymity" in out.stdout
+    assert "content hashes" in out.stdout

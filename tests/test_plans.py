@@ -790,3 +790,21 @@ def test_rank_fusion_pools_are_take_ordered(spark, sf_dir):
     df = all_queries()["rank_fusion"](spark, sf_dir)
     tree = df._jdf.queryExecution().executedPlan().toString()
     assert tree.count("TakeOrderedAndProject") >= 2
+
+
+def test_late_r3_batch4_plan_shapes(spark, sf_dir):
+    """gini: two hash aggs, no join; hhi: two hash aggs, no join;
+    tolerance dedup: exactly one (user,type) exchange; range-frame sum:
+    one user-keyed exchange + a Window, no join."""
+    q = all_queries()
+    for name in ("token_gini_diversity", "supplier_hhi"):
+        tree = q[name](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        assert "Join" not in tree, name
+        assert tree.count("HashAggregate") >= 2, name
+    for name in ("event_dedup_tolerance", "range_frame_daily_sum"):
+        tree = q[name](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        assert "Join" not in tree, name
+        assert (
+            sum(1 for ln in tree.splitlines() if "Exchange hashpartitioning" in ln) == 1
+        ), name
+        assert "Window" in tree, name
