@@ -665,3 +665,57 @@ ORACLES = {
     "date_parse_roundtrip": SQL_DATE_PARSE_ROUNDTRIP,
     "corpus_counts": SQL_CORPUS_COUNTS,
 }
+
+
+# ---------------------------------------------------------------------------
+# SQL front-end, analytic shape (r3): a literal spark.sql() text with CTE +
+# aggregation + window share — proving the SQL surface handles the full
+# analytic grammar, not just the star CTAS (product_facts_sql). Determinism
+# in SQL TEXT needs two engine-literal rules the DataFrame API hides:
+# Spark parses bare decimal literals (0.5, 1000000.0) as DECIMAL, so the
+# Spark text spells doubles as 1e6 / 0.5D; and the window share sums
+# DECIMAL (a double window sum would be accumulation-order dependent).
+# ---------------------------------------------------------------------------
+
+SPARK_SQL_YEARLY_SHARE = """
+WITH yearly AS (
+  SELECT year(o_orderdate) AS yr,
+         o_orderpriority AS prio,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS total_dec,
+         CAST(COUNT(*) AS BIGINT) AS n_orders
+  FROM orders_v
+  GROUP BY year(o_orderdate), o_orderpriority
+)
+SELECT CAST(yr AS INT) AS yr, prio, n_orders,
+       CAST(total_dec AS DOUBLE) AS total,
+       floor((CAST(total_dec AS DOUBLE)
+              / CAST(SUM(total_dec) OVER (PARTITION BY yr) AS DOUBLE))
+             * 1e6 + 0.5D) / 1e6 AS share_of_year
+FROM yearly
+"""
+
+
+def q_sql_yearly_priority_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    return spark.sql(SPARK_SQL_YEARLY_SHARE)
+
+
+SQL_YEARLY_PRIORITY_SHARE = """
+WITH yearly AS (
+  SELECT year(o_orderdate) AS yr,
+         o_orderpriority AS prio,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS total_dec,
+         CAST(COUNT(*) AS BIGINT) AS n_orders
+  FROM orders
+  GROUP BY year(o_orderdate), o_orderpriority
+)
+SELECT CAST(yr AS INT) AS yr, prio, n_orders,
+       CAST(total_dec AS DOUBLE) AS total,
+       floor((CAST(total_dec AS DOUBLE)
+              / CAST(SUM(total_dec) OVER (PARTITION BY yr) AS DOUBLE))
+             * 1000000.0 + 0.5) / 1000000.0 AS share_of_year
+FROM yearly
+"""
+
+QUERIES["sql_yearly_priority_share"] = q_sql_yearly_priority_share
+ORACLES["sql_yearly_priority_share"] = SQL_YEARLY_PRIORITY_SHARE
