@@ -370,3 +370,54 @@ GROUP BY 1
 
 QUERIES["variant_props"] = q_variant_props
 ORACLES["variant_props"] = SQL_VARIANT_PROPS
+
+
+# ---------------------------------------------------------------------------
+# MAP-type surface (r3): the one Spark complex type the registry had not
+# exercised (arrays, structs, and VARIANT are covered above). Builds a
+# map from columns, then drives the map API — element_at lookup,
+# map_keys/map_values, size, map_concat, map_filter, transform_values —
+# projecting every result to a scalar/string so the cross-engine compare
+# stays value-level (the ORACLE verifies the semantics from first
+# principles rather than mirroring map internals: map results are fully
+# determined by the input columns, so the expected scalars are direct
+# expressions — same oracle philosophy as the pandas-UDF twins).
+# All zero-shuffle projections.
+# ---------------------------------------------------------------------------
+
+def map_functions(part: DataFrame) -> DataFrame:
+    m = F.map_from_arrays(
+        F.array(F.lit("brand"), F.lit("type")),
+        F.array(F.col("p_brand"), F.col("p_type")),
+    )
+    mc = F.map_concat(m, F.create_map(F.lit("name"), F.col("p_name")))
+    filtered = F.map_filter(mc, lambda k, v: k != F.lit("type"))
+    upper_vals = F.transform_values(mc, lambda k, v: F.upper(v))
+    return part.select(
+        "p_partkey",
+        F.element_at(m, F.lit("brand")).alias("brand_val"),
+        F.size(m).cast("int").alias("m_size"),
+        F.array_join(F.array_sort(F.map_keys(m)), ",").alias("keys_csv"),
+        F.size(mc).cast("int").alias("mc_size"),
+        F.size(filtered).cast("int").alias("filtered_size"),
+        F.element_at(upper_vals, F.lit("name")).alias("name_upper"),
+    )
+
+
+def q_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return map_functions(load_table(spark, sf_dir, "part"))
+
+
+SQL_MAP_FUNCTIONS = """
+SELECT p_partkey,
+       p_brand AS brand_val,
+       CAST(2 AS INT) AS m_size,
+       'brand,type' AS keys_csv,
+       CAST(3 AS INT) AS mc_size,
+       CAST(2 AS INT) AS filtered_size,
+       upper(p_name) AS name_upper
+FROM part
+"""
+
+QUERIES["map_functions"] = q_map_functions
+ORACLES["map_functions"] = SQL_MAP_FUNCTIONS

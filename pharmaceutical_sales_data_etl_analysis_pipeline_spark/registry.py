@@ -155,7 +155,7 @@ PRIORITY = [
 #   (eventsops.py); table_content_hash, id_gap_analysis, supplier_hhi
 #   (warehouse.py); histogram_quantile_calibration (sketches.py);
 #   multi_touch_attribution, weekly_churn, percentile_cont_prices (analytic.py);
-#   sql_yearly_priority_share (relational.py);
+#   sql_yearly_priority_share (relational.py); map_functions (scalarfuncs.py);
 #   kmeans_clusters / semdedup_candidates / ivf_* also
 #   changed plans in r3 AFTER the sweep freeze (Arrow _assign) — they are
 #   in this round's PRIORITY already, so their r3 rows cover the new plan.
