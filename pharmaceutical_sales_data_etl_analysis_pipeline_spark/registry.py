@@ -134,7 +134,12 @@ PRIORITY = [
 ]
 
 # r4 PRIORITY candidates (added late in r3, no driver row yet — rotate
-# these in next round, plus any plan changed after this freeze):
+# these in next round, plus any plan changed after this freeze).
+# COUNT CONTRACT (checked end-of-r3): exactly 50 registered queries have
+# no r1/r2 row and are not in this round's PRIORITY — the r4 window fits
+# them EXACTLY (97 r1/r2-verified + 45 newly-verified-in-r3 + these 50 =
+# all 192). Query additions in r4 should be balanced against re-sweep
+# needs, since the window has zero spare slots. The list:
 #   gopher_quality_flags, chunk_dedup, dsir_weights, quality_filter_funnel
 #   (curation.py); ann_recall_eval, pq_codes (similarity.py);
 #   minhash_calibration (dedup.py); stream_tumbling_hourly (streamingq.py);
