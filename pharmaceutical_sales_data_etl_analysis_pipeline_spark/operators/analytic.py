@@ -1118,14 +1118,22 @@ def weekly_churn(events: DataFrame) -> DataFrame:
         .groupBy(F.col("a.week").alias("week"))
         .agg(F.count(F.lit(1)).cast("long").alias("n_retained"))
     )
+    wmax = uw.agg(F.max("week").alias("wmax"))
     return (
         act.join(new, "week", "left")
         .join(retained, "week", "left")
+        .join(F.broadcast(wmax))
         .select(
             F.col("week").cast("long").alias("week"),
             "n_active",
             F.coalesce(F.col("n_new"), F.lit(0)).cast("long").alias("n_new"),
-            (F.col("n_active") - F.coalesce(F.col("n_retained"), F.lit(0)))
+            # the final week has no week+1 data: churn is unknowable, not
+            # 100% — emit NULL instead of letting coalesce(retained, 0)
+            # fabricate a full-churn spike at the series end
+            F.when(
+                F.col("week") < F.col("wmax"),
+                F.col("n_active") - F.coalesce(F.col("n_retained"), F.lit(0)),
+            )
             .cast("long")
             .alias("n_churned_next"),
         )
@@ -1154,7 +1162,9 @@ retained AS (
 )
 SELECT CAST(act.week AS BIGINT) AS week, act.n_active,
        CAST(COALESCE(new.n_new, 0) AS BIGINT) AS n_new,
-       CAST(act.n_active - COALESCE(retained.n_retained, 0) AS BIGINT) AS n_churned_next
+       CAST(CASE WHEN act.week < (SELECT MAX(week) FROM uw)
+                 THEN act.n_active - COALESCE(retained.n_retained, 0)
+            END AS BIGINT) AS n_churned_next
 FROM act
 LEFT JOIN new ON act.week = new.week
 LEFT JOIN retained ON act.week = retained.week

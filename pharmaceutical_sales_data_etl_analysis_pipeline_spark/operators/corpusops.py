@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from .textops import ws_words_col
 from ..functions.numeric import round_half_up
 from .dedup import minhash_lsh_candidates
 
@@ -265,7 +266,7 @@ def _word_rows(documents: DataFrame) -> DataFrame:
     lowercased text — one row per occurrence."""
     return documents.select(
         "doc_id",
-        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("word"),
+        F.explode(ws_words_col(F.col("text"))).alias("word"),
     )
 
 
@@ -524,7 +525,7 @@ def repetition_ratio(documents: DataFrame) -> DataFrame:
     from .dedup import GRAM_ARRAY_EXPR
 
     grams = documents.select(
-        "doc_id", F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("words")
+        "doc_id", ws_words_col(F.col("text")).alias("words")
     ).select(
         "doc_id",
         F.explode(F.expr(GRAM_ARRAY_EXPR)).alias("gram"),
@@ -1411,7 +1412,7 @@ ORACLES["rank_fusion"] = SQL_RANK_FUSION
 def source_overlap(documents: DataFrame) -> DataFrame:
     sw = documents.select(
         "source",
-        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("word"),
+        F.explode(ws_words_col(F.col("text"))).alias("word"),
     ).distinct()
     per = sw.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n_words"))
     inter = (

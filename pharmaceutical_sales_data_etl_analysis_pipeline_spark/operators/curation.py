@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from .textops import ws_words_col
 from ..functions.numeric import round_half_up
 from .textops import STOPWORD_RE
 
@@ -55,7 +56,7 @@ def gopher_quality_flags(documents: DataFrame) -> DataFrame:
       r3 stopword presence   — >= 2 DISTINCT stopwords from the shared list
     """
     t = F.col("text")
-    words = F.split(F.lower(F.trim(t)), r"\s+")
+    words = ws_words_col(t)
     n_words = F.size(words).cast("double")
     nonspace = F.length(F.regexp_replace(t, r"\s", "")).cast("double")
     mean_len = nonspace / n_words
@@ -127,7 +128,7 @@ CHUNK_TOKENS = 10
 def _chunks(documents: DataFrame) -> DataFrame:
     """(doc_id, chunk) — disjoint CHUNK_TOKENS-token windows, docs shorter
     than one chunk drop out (same convention as the shingle ops)."""
-    words = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    words = ws_words_col(F.col("text"))
     k = CHUNK_TOKENS
     chunk_arr = F.expr(
         f"transform(sequence(1, size(words) div {k}), "
@@ -213,7 +214,7 @@ def _doc_words(documents: DataFrame) -> DataFrame:
     return documents.select(
         "doc_id",
         "lang",
-        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("word"),
+        F.explode(ws_words_col(F.col("text"))).alias("word"),
     )
 
 
@@ -427,7 +428,7 @@ ORACLES["quality_filter_funnel"] = SQL_QUALITY_FILTER_FUNNEL
 
 
 def bigram_logprob(documents: DataFrame) -> DataFrame:
-    words = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    words = ws_words_col(F.col("text"))
     bi = (
         documents.select("doc_id", words.alias("words"))
         .select(

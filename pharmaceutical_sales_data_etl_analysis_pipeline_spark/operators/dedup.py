@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from .textops import ws_words_col
 from ..functions.numeric import round_half_up
 
 N_HASHES = 8  # minhash signature width
@@ -36,7 +37,7 @@ SIMHASH_BITS = 32
 
 def with_words(documents: DataFrame) -> DataFrame:
     return documents.select(
-        "doc_id", F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("words")
+        "doc_id", ws_words_col(F.col("text")).alias("words")
     )
 
 

@@ -1152,19 +1152,21 @@ ORACLES["ab_test_lift"] = SQL_AB_TEST_LIFT
 
 
 # ---------------------------------------------------------------------------
-# Tolerance dedup (r3): collapse near-duplicate event deliveries — same
-# (user, type) arriving within DEDUP_TOL_US of the previous KEPT event is
-# an at-least-once redelivery, not a new fact. This is the batch form of
-# streaming dropDuplicatesWithinWatermark (streaming/joins.py): the lag
-# is against the previous SURVIVOR, which a plain lag() can't express —
-# it needs the "keep if gap from last kept > tol" recurrence. For tol <=
-# min-true-event-spacing the survivor set equals the simpler adjacent-gap
-# filter; here the general form rides the session-boundary trick: marking
-# gap > tol as boundaries and keeping the FIRST row of each run is exactly
-# the recurrence for runs of piled-up deliveries (each run's survivor is
-# its first row; rows within a run are within tol of the run head only if
-# deliveries pile tighter than tol — the redelivery model).
-# One (user_id, event_type)-keyed shuffle; windows reuse it.
+# Tolerance dedup (r3): BURST COLLAPSING — collapse each chain of same-
+# (user, type) deliveries whose inter-arrival gaps are all <= DEDUP_TOL_US
+# into its first event (a redelivery storm keeps re-sending until acked,
+# so the whole transitive chain is one logical event). Semantics to be
+# precise about (they differ and both are legitimate):
+#   - THIS op: runs are the transitive closure of "gap <= tol" — a chain
+#     at 0s,40s,80s with tol=60s is ONE run (survivor 0s), even though
+#     80s is >tol from the survivor.
+#   - "keep if gap from last KEPT > tol" (the dropDuplicatesWithinWatermark
+#     -style recurrence) would keep 0s AND 80s; that recurrence is
+#     order-dependent per key and would need an in-row fold (see
+#     holt_linear_forecast) rather than the window construction here.
+# Construction: gap > tol marks a run head, the cumulative head count
+# labels runs, each run's first row survives. One (user_id, event_type)-
+# keyed shuffle; lag/run-sum/agg all reuse it.
 # ---------------------------------------------------------------------------
 
 DEDUP_TOL_US = 60 * 1_000_000  # 60 s redelivery window

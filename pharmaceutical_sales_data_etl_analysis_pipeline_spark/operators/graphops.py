@@ -230,8 +230,12 @@ def graph_triangle_stats(lineitem: DataFrame) -> DataFrame:
     summary = (
         deg.agg(
             F.count(F.lit(1)).alias("n_nodes"),
-            (F.sum("deg") / F.lit(2)).cast("long").alias("n_edges"),
-            F.sum(F.expr("deg * (deg - 1) div 2")).cast("long").alias("n_wedges"),
+            # edgeless input: zero rows -> NULL sums; report 0 counts (the
+            # same hardening pagerank got for this input class)
+            F.coalesce((F.sum("deg") / F.lit(2)).cast("long"), F.lit(0)).alias("n_edges"),
+            F.coalesce(
+                F.sum(F.expr("deg * (deg - 1) div 2")).cast("long"), F.lit(0)
+            ).alias("n_wedges"),
         )
         .join(tri.agg(F.count(F.lit(1)).alias("n_triangles")))
         .select(
@@ -280,8 +284,8 @@ tri AS (
 ),
 summ AS (
   SELECT CAST(count(*) AS BIGINT) AS n_nodes,
-         CAST(sum(deg) / 2 AS BIGINT) AS n_edges,
-         CAST(sum(deg * (deg - 1) // 2) AS BIGINT) AS n_wedges
+         CAST(COALESCE(sum(deg) / 2, 0) AS BIGINT) AS n_edges,
+         CAST(COALESCE(sum(deg * (deg - 1) // 2), 0) AS BIGINT) AS n_wedges
   FROM deg
 )
 SELECT n_nodes, n_edges, n_wedges, n_triangles,

@@ -239,8 +239,13 @@ def grouped_agg_pandas(events: DataFrame) -> DataFrame:
 
     sum_cents, max_cents, n_rows = build_udafs()
     cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    # metrics are over NON-NULL values on both sides: a NULL value would
+    # reach pandas as NaN (long-with-nulls -> float64) and crash the int64
+    # conversion, while SQL aggregates silently skip it — filtering makes
+    # the contract total instead of an undocumented precondition
     return (
-        events.select("event_type", cents.alias("cents"))
+        events.filter(F.col("value").isNotNull())
+        .select("event_type", cents.alias("cents"))
         .groupBy("event_type")
         .agg(
             n_rows(F.col("cents")).alias("n_events"),
@@ -260,6 +265,7 @@ SELECT event_type,
        CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents,
        CAST(max(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS max_cents
 FROM events
+WHERE value IS NOT NULL
 GROUP BY event_type
 """
 

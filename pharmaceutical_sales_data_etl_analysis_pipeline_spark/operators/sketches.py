@@ -22,10 +22,13 @@ dsir_weights — rounded to 4dp, boundary risk negligible).
 
 from __future__ import annotations
 
+import functools
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from .textops import ws_words_col
 from ..functions.numeric import round_half_up
 
 HLL_M = 512          # registers (b=9); std error ~1.04/sqrt(512) = 4.6%
@@ -169,7 +172,7 @@ def _cms_idx(row_col, word_col) -> F.Column:
 
 def cms_heavy_hitters(documents: DataFrame) -> DataFrame:
     toks = documents.select(
-        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("word")
+        F.explode(ws_words_col(F.col("text"))).alias("word")
     )
     rows3 = toks.select(
         "word", F.explode(F.array(*[F.lit(r) for r in range(CMS_D)])).alias("r")
@@ -415,43 +418,49 @@ def histogram_quantile_calibration(orders: DataFrame) -> DataFrame:
     wcum = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, Window.currentRow)
     cum = hist.select("b", F.sum("c").over(wcum).alias("cum"))
 
-    w_exact = Window.orderBy("o_totalprice")
-    ranked = orders.select(
-        "o_totalprice", F.row_number().over(w_exact).alias("rn")
-    )
+    # ONE pass for every percentile: each target rank / bucket threshold is
+    # a conditional aggregate over the same cum / ranked relations, so the
+    # orders scan, the histogram, and the global row_number sort each run
+    # once regardless of len(QS_PERCENTILES) (the loop-per-percentile form
+    # re-ran the global sort per percentile — measured as the dominant
+    # cost of this op).
+    def target(p: int):
+        return F.ceil(F.col("n").cast("double") * F.lit(p / 100.0)).cast("long")
 
+    approx_row = (
+        cum.join(F.broadcast(ext))
+        .agg(*[
+            F.min(F.when(F.col("cum") >= target(p), F.col("b"))).alias(f"ab{p}")
+            for p in QS_PERCENTILES
+        ])
+    )
+    w_exact = Window.orderBy("o_totalprice")
+    ranked = orders.select("o_totalprice", F.row_number().over(w_exact).alias("rn"))
+    exact_row = (
+        ranked.join(F.broadcast(ext))
+        .filter(
+            functools.reduce(
+                lambda a, b: a | b,
+                [F.col("rn") == target(p) for p in QS_PERCENTILES],
+            )
+        )
+        .agg(*[
+            F.max(F.when(F.col("rn") == target(p), F.col("o_totalprice"))).alias(f"ex{p}")
+            for p in QS_PERCENTILES
+        ])
+    )
+    one = approx_row.join(exact_row).join(F.broadcast(ext))
+    bwidth = (F.col("mx") - F.col("mn")) / F.lit(float(QS_BUCKETS))
     outs = []
     for p in QS_PERCENTILES:
-        target = F.ceil(F.col("n").cast("double") * F.lit(p / 100.0)).cast("long")
-        approx_b = (
-            cum.join(F.broadcast(ext))
-            .filter(F.col("cum") >= target)
-            .agg(F.min("b").alias("ab"))
-        )
-        approx_val = (
-            approx_b.join(F.broadcast(ext))
-            .select(
-                (F.col("mn") + F.col("ab").cast("double")
-                 * ((F.col("mx") - F.col("mn")) / F.lit(float(QS_BUCKETS))))
-                .alias("approx"),
-                ((F.col("mx") - F.col("mn")) / F.lit(float(QS_BUCKETS))).alias("bwidth"),
-            )
-        )
-        exact_val = (
-            ranked.join(F.broadcast(ext))
-            .filter(
-                F.col("rn")
-                == F.ceil(F.col("n").cast("double") * F.lit(p / 100.0)).cast("long")
-            )
-            .select(F.col("o_totalprice").alias("exact"))
-        )
+        approx = F.col("mn") + F.col(f"ab{p}").cast("double") * bwidth
         outs.append(
-            approx_val.join(exact_val).select(
+            one.select(
                 F.lit(p).cast("int").alias("pct"),
-                round_half_up(F.col("approx"), 6).alias("approx_value"),
-                F.col("exact").alias("exact_value"),
-                round_half_up(F.abs(F.col("approx") - F.col("exact")), 6).alias("abs_err"),
-                round_half_up(F.col("bwidth"), 6).alias("error_bound"),
+                round_half_up(approx, 6).alias("approx_value"),
+                F.col(f"ex{p}").alias("exact_value"),
+                round_half_up(F.abs(approx - F.col(f"ex{p}")), 6).alias("abs_err"),
+                round_half_up(bwidth, 6).alias("error_bound"),
             )
         )
     out = outs[0]

@@ -44,6 +44,15 @@ def ws_tokens_col(t) -> F.Column:
     return F.size(F.split(F.trim(t), r"\s+")).cast("int")
 
 
+def ws_words_col(t) -> F.Column:
+    """Lowercased whitespace-word array — THE canonical word tokenization
+    shared by every vocab/overlap/diversity/shingle consumer (10 call
+    sites across 5 modules; SQL twin: string_split_regex(lower(trim(x)),
+    '\\s+')). Centralized so a normalization tweak cannot silently
+    diverge word sets between ops."""
+    return F.split(F.lower(F.trim(t)), r"\s+")
+
+
 def quality_score_col(t) -> F.Column:
     # Precondition: non-empty text (the ratios divide by n_chars/n_tokens;
     # an empty document is a DIVIDE_BY_ZERO under ANSI mode). The corpus
@@ -399,7 +408,7 @@ ORACLES["lang_id_confusion"] = SQL_LANG_ID_CONFUSION
 def token_gini_diversity(documents: DataFrame) -> DataFrame:
     words = documents.select(
         "doc_id",
-        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("word"),
+        F.explode(ws_words_col(F.col("text"))).alias("word"),
     )
     tf = words.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
     per_doc = tf.groupBy("doc_id").agg(

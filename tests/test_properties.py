@@ -840,10 +840,11 @@ def test_table_content_hash_partition_invariant(spark, sf_dir):
 
 def test_event_dedup_tolerance_run_semantics(spark):
     """Hand-built stream: deliveries 0s,10s,70s,75s,200s (same user/type)
-    with tol=60s → runs {0,10},{70,75},{200}? No: 70s is 60s after 10s
-    (gap 60 NOT > 60 → same run). Verify the exact run partition the
-    recurrence defines: gaps of 10,60,5,125 → boundaries at 0s and 200s
-    only → 2 survivors."""
+    with tol=60s. Burst-collapsing (transitive-chain) semantics: gaps are
+    10,60,5,125 and a gap of exactly tol does NOT break the chain, so
+    {0,10,70,75} is ONE run (survivor 0s, 3 dropped) and {200} another —
+    even though 70s/75s are >tol from the survivor (the documented
+    difference vs a last-kept recurrence, which would keep 0 and 70)."""
     import datetime as dt
 
     from pyspark.sql import types as T2
@@ -909,7 +910,10 @@ def test_weekly_churn_count_algebra(spark, sf_dir):
     rows = sorted(weekly_churn(ev).collect(), key=lambda r: r.week)
     assert sum(r.n_new for r in rows) == ev.select("user_id").distinct().count()
     assert rows[0].n_new == rows[0].n_active
-    for r in rows:
+    # the final week has no week+1 data: churn must be NULL, not a
+    # fabricated 100%-churn spike
+    assert rows[-1].n_churned_next is None
+    for r in rows[:-1]:
         assert 0 <= r.n_churned_next <= r.n_active
 
 
