@@ -30,9 +30,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from .textops import ws_words_col
 from ..functions.numeric import round_half_up
-from .textops import STOPWORD_RE
+from .textops import STOPWORD_RE, ws_words_col
 
 # ---------------------------------------------------------------------------
 # Gopher/C4-style rule flags. Thresholds tuned to be discriminative on the
