@@ -24,6 +24,7 @@ from ..catalog import load_table
 from .textops import ws_words_col
 from ..functions.numeric import round_half_up
 from .dedup import minhash_lsh_candidates
+from .pin import pin
 
 EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 LONGNUM_RE = r"\d{6,}"
@@ -158,16 +159,16 @@ def neardup_components(
     pairs = minhash_lsh_candidates(documents).filter(
         F.col("est_jaccard") >= COMPONENT_MIN_J
     )
-    # Undirected edge list, both directions. localCheckpoint truncates the
-    # growing iterative lineage (without it, plan analysis dominates after a
-    # few rounds) and materializes the graph so the one count() that sizes
-    # the partitioning is nearly free (narrow re-sizes then stack on the
-    # checkpointed blocks without a second materialization).
-    edges = (
+    # Undirected edge list, both directions, pinned (pin.py: parquet table
+    # under SPARK_GRAFT_PIN=table, else localCheckpoint): every iteration
+    # re-reads the graph, and the one count() that sizes the partitioning
+    # is nearly free on the materialized copy (narrow re-sizes then stack
+    # on it without a second materialization).
+    edges = pin(
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .unionByName(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
-        .distinct()
-        .localCheckpoint()
+        .distinct(),
+        "neardup_edges",
     )
     n_parts = _graph_partitions(edges.count(), rows_per_partition)
     edges = _sized(edges, n_parts, "dst")
@@ -1002,10 +1003,10 @@ def bm25_topk_terms(documents: DataFrame, k: int = BM25_K) -> DataFrame:
     # the explode once per consumer subtree: measured 4 scans of documents
     # in the un-checkpointed plan, with no AQE exchange reuse.)
     words = _word_rows(documents)
-    tf = (
+    tf = pin(
         words.groupBy("doc_id", "word")
-        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
-        .localCheckpoint()
+        .agg(F.count(F.lit(1)).cast("long").alias("tf")),
+        "bm25_tf",
     )
     w_doc = Window.partitionBy("doc_id")
     w_word = Window.partitionBy("word")
@@ -1156,13 +1157,13 @@ def term_lift_pairs(documents: DataFrame, k: int = LIFT_TOP) -> DataFrame:
     # as a window aggregate before the join (no dfreq join-back branch).
     # Un-checkpointed, Spark recomputed the tokenization once per subtree —
     # measured 9 scans of documents with zero AQE exchange reuse.
-    wd = (
+    wd = pin(
         _word_rows(documents)
         .join(F.broadcast(vocab), F.col("word") == F.col("vword"))
         .select("doc_id", "word")
         .distinct()
-        .withColumn("c", F.count(F.lit(1)).over(Window.partitionBy("word")))
-        .localCheckpoint()
+        .withColumn("c", F.count(F.lit(1)).over(Window.partitionBy("word"))),
+        "term_lift_wd",
     )
     a, b = wd.alias("a"), wd.alias("b")
     cxy = (

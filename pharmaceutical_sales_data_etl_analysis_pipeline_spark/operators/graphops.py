@@ -43,6 +43,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..functions.numeric import round_half_up
+from .pin import pin
 
 PR_SCALE = 10**12
 PR_ITERS = 3
@@ -77,9 +78,9 @@ def pagerank_fixedpoint(lineitem: DataFrame, iters: int = PR_ITERS, topk: int = 
     """
     # one shuffle to build + dedup edges, then pin them: every iteration
     # re-reads these partitions instead of replaying the self-join
-    edges = copurchase_edges(lineitem).repartition("src").localCheckpoint()
+    edges = pin(copurchase_edges(lineitem).repartition("src"), "pagerank_edges")
     deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
-    nodes = deg.select(F.col("src").alias("node"), "outdeg").localCheckpoint()
+    nodes = pin(deg.select(F.col("src").alias("node"), "outdeg"), "pagerank_nodes")
     n = nodes.count()
     if n == 0:
         # edgeless input (no order has two distinct parts): empty result
@@ -208,11 +209,11 @@ def graph_triangle_stats(lineitem: DataFrame) -> DataFrame:
             | ((F.col("sdeg") == F.col("ddeg")) & (F.col("src") < F.col("dst")))
         )
         .select(F.col("src").alias("u"), F.col("dst").alias("v"))
-        # referenced three times below (e1/e2/closing e3): pin once instead
-        # of replaying the edge-gen shuffle per reference (same eager-exec
-        # contract as pagerank's edge checkpoint — documented in registry.py)
-        .localCheckpoint()
     )
+    # referenced three times below (e1/e2/closing e3): pin once instead
+    # of replaying the edge-gen shuffle per reference (same eager-exec
+    # contract as pagerank's edge pin — documented in registry.py)
+    e = pin(e, "triangle_edges")
     # broadcast the oriented edges for BOTH the wedge-gen and closing
     # joins: the wedge expansion (sum of forward-deg², ~49M rows at sf0.1)
     # then streams map-side through two broadcast hash joins and collapses
@@ -222,10 +223,23 @@ def graph_triangle_stats(lineitem: DataFrame) -> DataFrame:
     # probe keys on ONE packed BIGINT (u·2³² + v, keys < 2³¹) instead of a
     # two-column composite — measured ~1.6x on the 49M-probe join.
     pack = F.lit(1 << 32)
+
+    def _pack(a, b):
+        # runtime guard (not just a comment contract): ids at or above 2^31
+        # would alias packed keys and silently miscount triangles — fail
+        # loudly instead. assert_true returns NULL when the predicate
+        # holds (else throws); folding it into the consumed expression via
+        # when() keeps column pruning from dropping the check.
+        ok = F.assert_true(
+            (a >= 0) & (a < F.lit(1 << 31)) & (b >= 0) & (b < F.lit(1 << 31)),
+            F.lit("graph_triangle_stats: node id outside [0, 2^31) aliases packed join keys"),
+        )
+        return F.when(ok.isNull(), a * pack + b)
+
     w = e.alias("e1").join(
         F.broadcast(e.alias("e2")), F.col("e1.v") == F.col("e2.u")
-    ).select((F.col("e1.u") * pack + F.col("e2.v")).alias("ac"))
-    ekeys = e.select((F.col("u") * pack + F.col("v")).alias("ac"))
+    ).select(_pack(F.col("e1.u"), F.col("e2.v")).alias("ac"))
+    ekeys = e.select(_pack(F.col("u"), F.col("v")).alias("ac"))
     tri = w.join(F.broadcast(ekeys), "ac")
     summary = (
         deg.agg(

@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from .distrank import with_global_rank
 from .textops import ws_words_col
 from ..functions.numeric import round_half_up
 
@@ -420,10 +421,10 @@ def histogram_quantile_calibration(orders: DataFrame) -> DataFrame:
 
     # ONE pass for every percentile: each target rank / bucket threshold is
     # a conditional aggregate over the same cum / ranked relations, so the
-    # orders scan, the histogram, and the global row_number sort each run
-    # once regardless of len(QS_PERCENTILES) (the loop-per-percentile form
-    # re-ran the global sort per percentile — measured as the dominant
-    # cost of this op).
+    # orders scan, the histogram, and the distributed exact-rank pass each
+    # run once regardless of len(QS_PERCENTILES) (the loop-per-percentile
+    # form re-ran the rank per percentile — measured as the dominant cost
+    # of this op).
     def target(p: int):
         return F.ceil(F.col("n").cast("double") * F.lit(p / 100.0)).cast("long")
 
@@ -434,8 +435,17 @@ def histogram_quantile_calibration(orders: DataFrame) -> DataFrame:
             for p in QS_PERCENTILES
         ])
     )
-    w_exact = Window.orderBy("o_totalprice")
-    ranked = orders.select("o_totalprice", F.row_number().over(w_exact).alias("rn"))
+    # exact comparator rank via the shared distributed construction (range
+    # exchange + per-partition row_number + broadcast offsets) instead of a
+    # global row_number window over the whole orders table — measured as
+    # this op's dominant cost in r3, and a single-partition sort at scale.
+    # o_orderkey tie-breaks equal prices; the value AT a rank is invariant
+    # to tie order, so the result is unchanged.
+    ranked = with_global_rank(
+        orders.select("o_totalprice", "o_orderkey"),
+        [F.asc("o_totalprice"), F.asc("o_orderkey")],
+        "rn",
+    ).select("o_totalprice", "rn")
     exact_row = (
         ranked.join(F.broadcast(ext))
         .filter(

@@ -21,13 +21,28 @@ map-side-combined aggregation as the batch `tumbling_hourly`
 
 from __future__ import annotations
 
+import atexit
 import os
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 
 from ..catalog import normalize_event_ts
 from .eventsops import SQL_TUMBLING_HOURLY, tumbling_hourly
+
+
+def _scratch_dir(prefix: str) -> str:
+    """Per-invocation output/checkpoint scratch, reclaimed at process exit.
+
+    Cleanup must be deferred (not try/finally): the returned DataFrame
+    reads the result parquet lazily, so the caller may collect long after
+    this builder returns. atexit bounds the leak to one process lifetime
+    instead of one per invocation accumulating across sweeps/test runs.
+    """
+    base = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    return base
 
 
 def stream_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -42,7 +57,7 @@ def stream_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     # same TIMESTAMP(NANOS) reader-drift normalization as the batch path
     rollup = tumbling_hourly(normalize_event_ts(stream))
 
-    base = tempfile.mkdtemp(prefix="stream_tumbling_")
+    base = _scratch_dir("stream_tumbling_")
     out_dir = os.path.join(base, "result")
     ckpt_dir = os.path.join(base, "checkpoint")
 
@@ -98,7 +113,7 @@ def stream_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-    base = tempfile.mkdtemp(prefix="stream_dedup_")
+    base = _scratch_dir("stream_dedup_")
     out_dir = os.path.join(base, "result")
     ckpt_dir = os.path.join(base, "checkpoint")
 

@@ -1450,37 +1450,54 @@ ORACLES = {
 # ---------------------------------------------------------------------------
 # Join-key skew report: the diagnostic a 100 TB engine runs BEFORE a big
 # join — per-key row counts summarized into max/percentile shares, telling
-# you whether the key needs salting or AQE skew handling. Two tiny aggs
-# over the keyed counts; the percentile is the explicit row_number form
-# (engine-portable, no percentile-convention dependence).
+# you whether the key needs salting or AQE skew handling. The percentile
+# is the explicit rank form (engine-portable, no percentile-convention
+# dependence), computed with the shared distributed-rank construction
+# (r4: the r3 form ranked and totaled via unpartitioned windows over the
+# per-key counts — ironic for the pre-join skew diagnostic; n_keys/
+# n_rows/max now come from one scalar hash agg, broadcast back).
 # ---------------------------------------------------------------------------
 
 def key_skew_report(orders: DataFrame) -> DataFrame:
     from ..functions.numeric import round_half_up
+    from .distrank import with_global_rank
 
     per_key = orders.groupBy("o_custkey").agg(
         F.count(F.lit(1)).cast("long").alias("n")
     )
-    w = Window.orderBy(F.asc("n"), F.asc("o_custkey"))
-    ranked = per_key.select(
-        "n",
-        F.row_number().over(w).alias("rn"),
-        F.count(F.lit(1)).over(Window.partitionBy()).alias("k"),
-        F.sum("n").over(Window.partitionBy()).alias("total"),
+    ranked = with_global_rank(
+        per_key, [F.asc("n"), F.asc("o_custkey")], "rn"
     )
-    return ranked.groupBy().agg(
-        F.max("k").cast("long").alias("n_keys"),
-        F.max("total").cast("long").alias("n_rows"),
-        F.max("n").cast("long").alias("max_key_rows"),
+    totals = per_key.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("n").cast("long").alias("total"),
+        F.max("n").cast("long").alias("mx"),
+    )
+    picks = (
+        ranked.crossJoin(F.broadcast(totals))
+        .filter(
+            (F.col("rn") == F.ceil(F.col("k") * 0.5))
+            | (F.col("rn") == F.ceil(F.col("k") * 0.99))
+        )
+        .groupBy()
+        .agg(
+            F.max(F.when(F.col("rn") == F.ceil(F.col("k") * 0.5), F.col("n")))
+            .cast("long")
+            .alias("p50_key_rows"),
+            F.max(F.when(F.col("rn") == F.ceil(F.col("k") * 0.99), F.col("n")))
+            .cast("long")
+            .alias("p99_key_rows"),
+        )
+    )
+    return picks.crossJoin(F.broadcast(totals)).select(
+        F.col("k").alias("n_keys"),
+        F.col("total").alias("n_rows"),
+        F.col("mx").alias("max_key_rows"),
         round_half_up(
-            F.max("n").cast("double") / F.max("total").cast("double"), 6
+            F.col("mx").cast("double") / F.col("total").cast("double"), 6
         ).alias("max_key_share"),
-        F.max(F.when(F.col("rn") == F.ceil(F.col("k") * 0.5), F.col("n")))
-        .cast("long")
-        .alias("p50_key_rows"),
-        F.max(F.when(F.col("rn") == F.ceil(F.col("k") * 0.99), F.col("n")))
-        .cast("long")
-        .alias("p99_key_rows"),
+        "p50_key_rows",
+        "p99_key_rows",
     )
 
 

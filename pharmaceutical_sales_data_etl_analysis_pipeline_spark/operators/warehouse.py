@@ -20,11 +20,13 @@ per doc.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..catalog import load_table
+from ..catalog import SCHEMAS, load_table
 from ..functions.numeric import money_sum, money_sum_sql, round_half_up
+from .distrank import ntile_from_rank, with_global_rank
+from .pin import pin
 
 # ---------------------------------------------------------------------------
 # MERGE upsert (SCD type 1): apply a daily batch of per-customer spend to
@@ -474,38 +476,11 @@ ORACLES["table_diff"] = SQL_TABLE_DIFF
 # ---------------------------------------------------------------------------
 
 
-def _with_global_rank(df: DataFrame, order_cols: list, out: str) -> DataFrame:
-    """Exact 1-based global rank under the total order `order_cols`
-    (which must be tie-free) without a single-partition sort."""
-    ranged = df.repartitionByRange(*order_cols).withColumn(
-        "_pid", F.spark_partition_id()
-    )
-    local = ranged.withColumn(
-        "_rn", F.row_number().over(Window.partitionBy("_pid").orderBy(*order_cols))
-    )
-    counts = ranged.groupBy("_pid").agg(F.count(F.lit(1)).alias("_cnt"))
-    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = counts.select(
-        "_pid", F.coalesce(F.sum("_cnt").over(w_off), F.lit(0)).alias("_off")
-    )
-    return (
-        local.join(F.broadcast(offsets), "_pid")
-        .withColumn(out, (F.col("_off") + F.col("_rn")).cast("long"))
-        .drop("_pid", "_rn", "_off")
-    )
-
-
-def _ntile_from_rank(rank: Column, n: Column, k: int) -> Column:
-    """Exact ntile(k) bucket of 1-based `rank` among `n` rows: the first
-    n%k buckets hold n/k+1 rows, the rest n/k (Spark's and DuckDB's rule)."""
-    q = (n / k).cast("long")
-    r = n % k
-    big = r * (q + 1)  # rows covered by the size-(q+1) buckets
-    return (
-        F.when(rank <= big, ((rank - 1) / (q + 1)).cast("long") + 1)
-        .otherwise(r + ((rank - 1 - big) / q).cast("long") + 1)
-        .cast("int")
-    )
+# shared distributed-rank construction (moved to distrank.py in r4 so the
+# quantile/percentile comparators in sketches.py / tpch.py reuse it);
+# local aliases keep existing call sites and tests stable
+_with_global_rank = with_global_rank
+_ntile_from_rank = ntile_from_rank
 
 
 def rfm_segments(orders: DataFrame) -> DataFrame:
@@ -606,13 +581,13 @@ def basket_affinity(lineitem: DataFrame, orders: DataFrame,
     blocks in executor-local (non-replicated) storage."""
     from ..functions.numeric import round_half_up
 
-    op = (
+    op = pin(
         lineitem.select(
             F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("part")
         )
         .distinct()
-        .withColumn("c", F.count(F.lit(1)).over(Window.partitionBy("part")))
-        .localCheckpoint()
+        .withColumn("c", F.count(F.lit(1)).over(Window.partitionBy("part"))),
+        "basket_op",
     )
     a, b = op.alias("a"), op.alias("b")
     cxy = (
@@ -1172,13 +1147,11 @@ FROM {table}
 """
 
 
+# oracle column lists derived from catalog.SCHEMAS (field names in schema
+# order — exactly what load_table gives the Spark side's df.columns), so a
+# catalog schema change cannot desynchronize the two engines' row identity
 _HASH_COLS = {
-    "orders": ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
-               "o_orderdate", "o_orderpriority"],
-    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
-                 "l_quantity", "l_extendedprice", "l_discount", "l_tax",
-                 "l_returnflag", "l_linestatus", "l_shipdate"],
-    "documents": ["doc_id", "text", "lang", "source", "n_chars"],
+    t: [f.name for f in SCHEMAS[t].fields] for t in _HASH_TABLES
 }
 
 SQL_TABLE_CONTENT_HASH = "\nUNION ALL\n".join(
@@ -1190,22 +1163,47 @@ ORACLES["table_content_hash"] = SQL_TABLE_CONTENT_HASH
 
 
 # ---------------------------------------------------------------------------
-# ID gap analysis (r3, data quality): holes in a supposedly-dense key
-# sequence — the "did ingestion drop rows?" check every CDC/batch loader
-# runs. lead() over the sorted distinct key space emits each gap as
-# [after, before] with its width; summary derivable by the consumer.
-# Shape: distinct keys (fact rows collapse first) + one ordered window.
-# The global orderBy window is the honest cost of gap detection; at
-# 100 TB run it per key-range bucket (range-partitioned window) — the
-# construction is identical, partitionBy(bucket) added.
+# ID gap analysis (r4 de-globalized, data quality): holes in a
+# supposedly-dense key sequence — the "did ingestion drop rows?" check
+# every CDC/batch loader runs. Emits each gap as [after, before] with its
+# width; summary derivable by the consumer.
+#
+# Shape: distinct keys (fact rows collapse first), then the two-level
+# bucketed window the r3 comment prescribed instead of a global
+# lead() OVER (ORDER BY k): keys hash into fixed-width buckets
+# (k div GAP_BUCKET), within-bucket gaps come from lead() partitioned by
+# bucket (bounded state, fully distributed), and cross-bucket gaps from a
+# lead() over the per-bucket min/max summary — a relation of
+# n_keys/GAP_BUCKET rows, the same P-row scale as the offsets window in
+# with_global_rank. Empty buckets between occupied ones fall out of the
+# summary lead automatically (last key of bucket i pairs with the first
+# key of the next OCCUPIED bucket). At 100 TB size GAP_BUCKET so the
+# summary stays driver-scale (e.g. 2^20 keys/bucket → 10^8 keys of
+# summary per 10^14 keyspace); recurse the construction if it doesn't.
 # ---------------------------------------------------------------------------
+
+GAP_BUCKET = 4096  # keys per bucket; small enough that sf0.01 exercises
+                   # the cross-bucket boundary path (~15 occupied buckets)
+
 
 def id_gap_analysis(orders: DataFrame) -> DataFrame:
     keys = orders.select(F.col("o_orderkey").alias("k")).distinct()
-    w = Window.orderBy("k")
-    nxt = F.lead("k").over(w)
+    bucketed = keys.withColumn(
+        "_b", F.floor(F.col("k") / F.lit(GAP_BUCKET)).cast("long")
+    )
+    w_in = Window.partitionBy("_b").orderBy("k")
+    within = bucketed.select(
+        "k", F.lead("k").over(w_in).alias("nk")
+    ).filter(F.col("nk").isNotNull())
+    bounds = bucketed.groupBy("_b").agg(
+        F.min("k").alias("bmin"), F.max("k").alias("bmax")
+    )
+    w_cross = Window.orderBy("_b")
+    cross = bounds.select(
+        F.col("bmax").alias("k"), F.lead("bmin").over(w_cross).alias("nk")
+    ).filter(F.col("nk").isNotNull())
     return (
-        keys.select("k", nxt.alias("nk"))
+        within.unionByName(cross)
         .filter(F.col("nk") > F.col("k") + 1)
         .select(
             F.col("k").alias("gap_after"),

@@ -20,14 +20,18 @@ tests/test_oracle_parity.py pins the exact query count as a second guard.
 EAGER-EXECUTION NOTE: most entries are pure plan builders (calling the
 function runs no Spark jobs until an action). Exceptions, documented at
 their definitions, run jobs at BUILD time: queries whose plan reuses an
-intermediate across branches via localCheckpoint (basket_affinity,
-bm25_topk_terms, term_lift_pairs, neardup_components and its dependents
+intermediate across branches via operators/pin.py (basket_affinity,
+bm25_topk_terms, term_lift_pairs, pagerank_fixedpoint,
+graph_triangle_stats, neardup_components and its dependents
 training_corpus/dedup_survivors/dedup_rate_by_source) and queries whose
 parameters derive from the data via driver round-trips (kmeans_clusters,
 semdedup_candidates, ivf_*: corpus count / seeds / centroid sums).
-Checkpointed intermediates live in executor-local storage: plan-only
-consumers pay the compute, and a lost executor invalidates the blocks —
-at cluster scale prefer persisting such intermediates to a table.
+pin() defaults to localCheckpoint (executor-local blocks — fine in
+local[*]); set SPARK_GRAFT_PIN=table to materialize those intermediates
+to durable scratch parquet instead, the cluster-scale mode (survives
+executor loss; read-back re-shuffles once where checkpoint blocks kept
+partitioning — delta measured in BENCH_NOTES.md). Loop-internal
+iterative states remain localCheckpoint by design (pin.py docstring).
 """
 
 from __future__ import annotations
@@ -60,110 +64,90 @@ MODULE_ORDER = [
     "graphops",
 ]
 
-# Round-3 sweep priority (exactly fills the 50-slot window):
-# - the 45 queries with no driver row in r1 OR r2 (everything added after
-#   the r2 PRIORITY freeze — the registry.py:112-125 list the r2 comment
-#   named),
-# - the 5 whose plans changed this round: simhash_near_dups /
-#   embedding_near_dups / ngram_jaccard (subset caps lifted, Arrow
-#   verify), ivf_probe_topk / ivf_list_sizes (learned k-means centroids).
-#   kmeans_clusters / semdedup_candidates / rfm_segments /
-#   embedding_quantize / ivf_probe2_topk also changed but already sit in
-#   the never-swept 45.
-# Everything r1/r2 already verified and unchanged since is protected by
+# Round-4 sweep priority (exactly fills the 50-slot window): the 50
+# registered queries with NO driver row anywhere in r1 ∪ r2 ∪ r3 —
+# computed as all_queries() minus the union of CORRECTNESS_r0{1,2,3}.json
+# keys (verified exactly 50 at r4 start; the r3 comment's candidate list
+# matched). Zero NEW queries were added in r4, per the r3 verdict's
+# zero-spare-slots contract, so after this sweep all 192 registered
+# queries have a green driver row.
+# Three of these plans were ALSO de-globalized this round (r3 verdict
+# ask #2: histogram_quantile_calibration, id_gap_analysis,
+# key_skew_report — key_skew_report already had an r3 row, but it sits in
+# the first 50 by module order anyway; the other two are in this list).
+# Everything r1-r3 already verified and unchanged since is protected by
 # the local harness (tests/test_oracle_parity.py, same compare, sf0.001).
 PRIORITY = [
-    # never-swept: tpch tail
-    "tpch_q17",
-    "tpch_q21",
-    "tpch_q2",
-    "tpch_q9",
-    "tpch_q20",
-    # never-swept: corpus ops
-    "repetition_ratio",
-    "domain_mixture_weights",
-    "sequence_packing",
-    "quality_deciles",
-    "incremental_neardup",
-    "oov_rate",
-    "dataset_cards",
-    "inverted_index",
-    "bm25_topk_terms",
-    "term_lift_pairs",
-    "weighted_sample",
-    "dedup_rate_by_source",
-    # never-swept: clustering / similarity
-    "kmeans_clusters",
-    "semdedup_candidates",
-    "embedding_quantize",
-    "ivf_probe2_topk",
-    # never-swept: multimodal / python surface
-    "multimodal_resize",
-    "udtf_sentences",
-    # never-swept: warehouse maintenance
-    "merge_upsert",
-    "scd2_intervals",
-    "cohort_retention",
-    "ohlc_bars",
-    "stratified_sample",
-    "doc_chunks",
-    "table_diff",
-    "rfm_segments",
-    "basket_affinity",
-    # never-swept: event-time tail
-    "rolling_7d_actives",
-    "twap_per_user",
-    "interpolate_hourly",
-    "event_transitions",
-    "activity_heatmap",
-    "hourly_anomalies",
-    "session_conversion",
-    # never-swept: analytic/scalar tail
-    "unpivot_status_year",
-    "ntile_quartiles",
-    "array_functions",
-    "variant_props",
-    "price_quantity_corr",
-    "key_skew_report",
-    # changed plans this round (had r1/r2 rows; need fresh ones)
-    "simhash_near_dups",
-    "embedding_near_dups",
-    "ngram_jaccard",
-    "ivf_probe_topk",
-    "ivf_list_sizes",
+    # tpch / relational / scalar tail
+    "distribution_drift",
+    "sql_yearly_priority_share",
+    "map_functions",
+    # corpus ops tail
+    "rank_fusion",
+    "source_overlap",
+    # python UDF surface
+    "grouped_agg_pandas",
+    # analytic tail
+    "skyline_parts",
+    "zorder_bucket_stats",
+    "holt_linear_forecast",
+    "multi_touch_attribution",
+    "weekly_churn",
+    "percentile_cont_prices",
+    # dedup / similarity tail
+    "minhash_calibration",
+    "ann_recall_eval",
+    "pq_codes",
+    "embedding_center",
+    "part_name_near_matches",
+    # textops tail
+    "bpe_pair_stats",
+    "lang_id_confusion",
+    "token_gini_diversity",
+    "bigram_logprob",
+    # event-time tail
+    "session_paths_topk",
+    "conversation_assembly",
+    "seasonal_decompose",
+    "ab_test_lift",
+    "event_dedup_tolerance",
+    "range_frame_daily_sum",
+    # clustering tail
+    "cluster_label_purity",
+    # warehouse maintenance tail
+    "fk_integrity_audit",
+    "pit_feature_join",
+    "leakage_safe_split",
+    "incremental_agg_maintenance",
+    "fd_discovery",
+    "k_anonymity_audit",
+    "calendar_dim",
+    "table_content_hash",
+    "id_gap_analysis",
+    "supplier_hhi",
+    # curation
+    "gopher_quality_flags",
+    "chunk_dedup",
+    "dsir_weights",
+    "quality_filter_funnel",
+    # streaming-as-query
+    "stream_tumbling_hourly",
+    "stream_exact_dedup",
+    # sketches
+    "hll_users_per_event_type",
+    "cms_heavy_hitters",
+    "bloom_prefilter_stats",
+    "histogram_quantile_calibration",
+    # graph
+    "pagerank_fixedpoint",
+    "graph_triangle_stats",
 ]
 
-# r4 PRIORITY candidates (added late in r3, no driver row yet — rotate
-# these in next round, plus any plan changed after this freeze).
-# COUNT CONTRACT (checked end-of-r3): exactly 50 registered queries have
-# no r1/r2 row and are not in this round's PRIORITY — the r4 window fits
-# them EXACTLY (97 r1/r2-verified + 45 newly-verified-in-r3 + these 50 =
-# all 192). Query additions in r4 should be balanced against re-sweep
-# needs, since the window has zero spare slots. The list:
-#   gopher_quality_flags, chunk_dedup, dsir_weights, quality_filter_funnel
-#   (curation.py); ann_recall_eval, pq_codes (similarity.py);
-#   minhash_calibration (dedup.py); stream_tumbling_hourly (streamingq.py);
-#   hll_users_per_event_type, cms_heavy_hitters, bloom_prefilter_stats
-#   (sketches.py); pagerank_fixedpoint (graphops.py); skyline_parts,
-#   zorder_bucket_stats (analytic.py); fk_integrity_audit,
-#   pit_feature_join, leakage_safe_split (warehouse.py);
-#   cluster_label_purity (clustering.py); session_paths_topk,
-#   conversation_assembly (eventsops.py); holt_linear_forecast (analytic.py);
-#   incremental_agg_maintenance, fd_discovery (warehouse.py);
-#   grouped_agg_pandas (pythonudf.py); bpe_pair_stats (textops.py);
-#   embedding_center (similarity.py); graph_triangle_stats (graphops.py);
-#   seasonal_decompose (eventsops.py); k_anonymity_audit, calendar_dim
-#   (warehouse.py); rank_fusion, source_overlap (corpusops.py);
-#   stream_exact_dedup (streamingq.py); distribution_drift (tpch.py);
-#   lang_id_confusion, token_gini_diversity (textops.py); ab_test_lift,
-#   event_dedup_tolerance, range_frame_daily_sum
-#   (eventsops.py); table_content_hash, id_gap_analysis, supplier_hhi
-#   (warehouse.py); histogram_quantile_calibration (sketches.py);
-#   multi_touch_attribution, weekly_churn, percentile_cont_prices (analytic.py);
-#   sql_yearly_priority_share (relational.py); map_functions (scalarfuncs.py);
-#   kmeans_clusters / semdedup_candidates / ivf_* also
-#   changed plans in r3 AFTER the sweep freeze (Arrow _assign) — they are
-#   in this round's PRIORITY already, so their r3 rows cover the new plan.
+# COUNT CONTRACT (checked at r4 freeze): r1∪r2∪r3 driver rows cover 142
+# distinct queries; the 50 above are exactly the complement within the
+# 192 registered. After the r4 sweep every registered query will have a
+# driver row, so the r5 window is free for (a) re-sweeping any plan that
+# changes and (b) new queries, in that priority order.
 
 
 def _collect() -> tuple[dict[str, QueryFn], dict[str, str]]:

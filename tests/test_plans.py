@@ -808,3 +808,67 @@ def test_late_r3_batch4_plan_shapes(spark, sf_dir):
             sum(1 for ln in tree.splitlines() if "Exchange hashpartitioning" in ln) == 1
         ), name
         assert "Window" in tree, name
+
+
+# ---------------------------------------------------------------------------
+# Repo-wide plan lint (r4): the per-op scale assertions above catch known
+# shapes; this walks EVERY registered plan and fails on the anti-patterns
+# the r2/r3 fixes retired, so a new op can't silently reintroduce them:
+#   (a) CartesianProduct (every crossJoin in the package must broadcast a
+#       tiny aggregate → BroadcastNestedLoopJoin);
+#   (b) an Exchange SinglePartition whose subtree carries base-table rows
+#       — the single-partition shuffle behind global sorts/windows. Legit
+#       SP exchanges carry aggregated or limited output (scalar aggs, the
+#       P-row offsets relation of distrank.with_global_rank, bounded hour
+#       spines), recognized by walking past pass-through nodes (Project/
+#       Filter/codegen wrappers) to the first reducing node.
+# Documented exemptions only — each entry must say why the SP exchange is
+# bounded.
+# ---------------------------------------------------------------------------
+
+_SP_REDUCING = (
+    "HashAggregate",
+    "SortAggregate",
+    "ObjectHashAggregate",
+    "LocalLimit",
+    "TakeOrderedAndProject",
+)
+_SP_PASSTHROUGH = ("Project", "Filter", "ColumnarToRow", "InputAdapter", "WholeStageCodegen")
+
+_PLAN_LINT_EXEMPT = {
+    # SP exchange carries phase-1 local-skyline survivors (≤|skyline|·P
+    # rows, the distributed-skyline merge shape), produced by the reducing
+    # mapInPandas kernel — not base rows.
+    "skyline_parts",
+}
+
+
+def _lint_plan(tree: str) -> list:
+    viols = []
+    if "CartesianProduct" in tree:
+        viols.append("CartesianProduct")
+    lines = tree.splitlines()
+    for i, ln in enumerate(lines):
+        if "Exchange SinglePartition" not in ln:
+            continue
+        j = i + 1
+        while j < len(lines) and any(
+            p in lines[j] for p in _SP_PASSTHROUGH
+        ) and not any(r in lines[j] for r in _SP_REDUCING):
+            j += 1
+        child = lines[j] if j < len(lines) else ""
+        if not any(r in child for r in _SP_REDUCING):
+            viols.append("single-partition exchange over: " + child.strip()[:100])
+    return viols
+
+
+def test_plan_lint_all_registered_queries(spark, sf_dir):
+    bad = {}
+    for name, fn in all_queries().items():
+        if name in _PLAN_LINT_EXEMPT:
+            continue
+        tree = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        viols = _lint_plan(tree)
+        if viols:
+            bad[name] = viols
+    assert not bad, bad
