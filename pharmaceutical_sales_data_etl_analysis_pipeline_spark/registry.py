@@ -148,6 +148,18 @@ PRIORITY = [
 # 192 registered. After the r4 sweep every registered query will have a
 # driver row, so the r5 window is free for (a) re-sweeping any plan that
 # changes and (b) new queries, in that priority order.
+#
+# r5 PRIORITY candidates (plans changed in r4 but NOT in this window —
+# they have older driver rows; local harness re-verified the new plans
+# at sf0.001 AND sf0.01 this round):
+#   key_skew_report (tpch.py — percentiles via distrank.with_global_rank
+#   instead of unpartitioned windows; r3 row covers the old plan).
+# NOT needing re-sweep despite source edits: the pin() call sites
+# (basket_affinity, bm25_topk_terms, term_lift_pairs, pagerank_fixedpoint,
+# neardup_components + dependents) — default mode is byte-identical
+# localCheckpoint, so the executed plan is unchanged; table_content_hash —
+# _HASH_COLS now derives from catalog.SCHEMAS but the derived list is
+# identical, so both engines' SQL/plan are unchanged.
 
 
 def _collect() -> tuple[dict[str, QueryFn], dict[str, str]]:
