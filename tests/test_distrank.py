@@ -1,0 +1,140 @@
+"""Direct tests for the shared distributed-order-statistics primitive
+(operators/distrank.py) and the bucketed gap construction that replaced
+the r3 global windows. The oracle-parity harness checks the composed
+queries; these pin the primitives themselves on adversarial inputs —
+heavy ties, skewed range partitions, empty buckets, bucket width 1 —
+against brute-force Python ground truth."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from pharmaceutical_sales_data_etl_analysis_pipeline_spark.operators import warehouse
+from pharmaceutical_sales_data_etl_analysis_pipeline_spark.operators.distrank import (
+    ntile_from_rank,
+    with_global_rank,
+)
+
+
+def _rank_df(spark, rows):
+    return spark.createDataFrame(rows, "id long, val long")
+
+
+@pytest.mark.parametrize("seed,n", [(1, 7), (2, 100), (3, 1000)])
+def test_with_global_rank_matches_sorted_order(spark, seed, n):
+    rng = random.Random(seed)
+    # heavy ties on val: the tie-break column (id, unique) makes the total
+    # order tie-free as the helper's contract requires
+    rows = [(i, rng.randrange(10)) for i in range(n)]
+    df = _rank_df(spark, rows).repartition(5)
+    out = with_global_rank(df, [F.asc("val"), F.asc("id")], "rk").collect()
+    expected = {
+        row_id: rank + 1
+        for rank, (row_id, _) in enumerate(sorted(rows, key=lambda r: (r[1], r[0])))
+    }
+    got = {r["id"]: r["rk"] for r in out}
+    assert got == expected
+    assert sorted(r["rk"] for r in out) == list(range(1, n + 1))
+
+
+def test_with_global_rank_descending_order(spark):
+    rows = [(i, i % 3) for i in range(50)]
+    df = _rank_df(spark, rows)
+    out = with_global_rank(df, [F.desc("val"), F.asc("id")], "rk").collect()
+    expected = {
+        row_id: rank + 1
+        for rank, (row_id, _) in enumerate(sorted(rows, key=lambda r: (-r[1], r[0])))
+    }
+    assert {r["id"]: r["rk"] for r in out} == expected
+
+
+@pytest.mark.parametrize("n,k", [(1, 5), (4, 5), (5, 5), (23, 5), (100, 7), (10, 2)])
+def test_ntile_from_rank_matches_spark_ntile(spark, n, k):
+    """Closed-form bucket from global rank == Spark's own ntile() on a
+    single partition (the semantics the distributed form must replicate)."""
+    from pyspark.sql import Window
+
+    df = spark.range(n).select(F.col("id").cast("long").alias("id"))
+    w = Window.orderBy("id")
+    native = {
+        r["id"]: r["nt"]
+        for r in df.select("id", F.ntile(k).over(w).alias("nt")).collect()
+    }
+    closed = {
+        r["id"]: r["nt"]
+        for r in df.select(
+            "id",
+            ntile_from_rank(F.col("id") + 1, F.lit(n).cast("long"), k).alias("nt"),
+        ).collect()
+    }
+    assert closed == native
+
+
+def _expected_gaps(keys):
+    ks = sorted(set(keys))
+    return sorted(
+        (a, b, b - a - 1) for a, b in zip(ks, ks[1:]) if b > a + 1
+    )
+
+
+@pytest.mark.parametrize("bucket", [1, 2, 7, 4096])
+def test_id_gap_analysis_bucket_widths(spark, monkeypatch, bucket):
+    """The two-level bucketed lead finds exactly the gaps of the global
+    lead for any bucket width — including width 1 (every key its own
+    bucket: all gaps cross-bucket) and widths that leave empty buckets
+    between occupied ones."""
+    monkeypatch.setattr(warehouse, "GAP_BUCKET", bucket)
+    rng = random.Random(42)
+    keys = sorted(rng.sample(range(0, 500), 120))
+    orders = spark.createDataFrame(
+        [(k, "F") for k in keys for _ in range(rng.randrange(1, 3))],
+        "o_orderkey long, o_orderstatus string",
+    )
+    out = sorted(
+        (r["gap_after"], r["gap_before"], r["missing"])
+        for r in warehouse.id_gap_analysis(orders).collect()
+    )
+    assert out == _expected_gaps(keys)
+
+
+def test_id_gap_analysis_degenerate_inputs(spark):
+    dense = spark.createDataFrame(
+        [(k,) for k in range(10)], "o_orderkey long"
+    )
+    assert warehouse.id_gap_analysis(dense).count() == 0
+    single = spark.createDataFrame([(7,)], "o_orderkey long")
+    assert warehouse.id_gap_analysis(single).count() == 0
+
+
+def test_triangle_packed_key_guard_fires(spark):
+    """ADVICE r3: node ids >= 2^31 must fail loudly (SparkRuntimeException
+    from assert_true), never silently alias packed join keys."""
+    from pharmaceutical_sales_data_etl_analysis_pipeline_spark.operators.graphops import (
+        graph_triangle_stats,
+    )
+
+    big = 1 << 31
+    # a triangle among three out-of-range part ids in one order
+    lineitem = spark.createDataFrame(
+        [(1, big), (1, big + 1), (1, big + 2)],
+        "l_orderkey long, l_partkey long",
+    )
+    with pytest.raises(Exception, match="(?i)assert|2\\^31|packed"):
+        graph_triangle_stats(lineitem).collect()
+
+
+def test_triangle_stats_in_range_unaffected_by_guard(spark):
+    from pharmaceutical_sales_data_etl_analysis_pipeline_spark.operators.graphops import (
+        graph_triangle_stats,
+    )
+
+    lineitem = spark.createDataFrame(
+        [(1, 10), (1, 11), (1, 12)],
+        "l_orderkey long, l_partkey long",
+    )
+    row = graph_triangle_stats(lineitem).collect()[0]
+    assert row["n_triangles"] == 1 and row["n_nodes"] == 3
