@@ -54,3 +54,25 @@ def test_driver_sweep_priority_order():
     head = set(list(entrymod.queries().keys())[:50])
     missing = set(PRIORITY) - head
     assert not missing, f"priority queries outside the 50-entry sweep window: {missing}"
+
+
+def test_no_query_left_permanently_unswept():
+    """Rotation invariant: every registered query either already has a
+    driver correctness row (any CORRECTNESS_r*.json) or sits in the
+    first-50 window the next sweep will cover. If this fails, a query was
+    added without rotating PRIORITY and would never get driver-verified."""
+    import glob
+    import json
+    import os
+
+    import __spark_entry__ as entrymod
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    swept: set = set()
+    for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        with open(path) as f:
+            rows = json.load(f)
+        swept |= {k for k, v in rows.items() if v.get("err") is None}
+    names = list(entrymod.queries().keys())
+    uncovered = [n for n in names if n not in swept and n not in names[:50]]
+    assert not uncovered, f"queries with no driver row and outside the sweep window: {uncovered}"
