@@ -116,9 +116,14 @@ def main() -> None:
     # timings are not comparable with r1/r2 rounds under the same name.
     # The buckets keep the headline total but also report the like-for-like
     # subtotal; BENCH_NOTES.md carries the narrative.
+    # buckets are ALWAYS computed over the HEADLINE set, even when
+    # SPARK_GRAFT_BENCH_ALL timed the full registry — otherwise the
+    # "shared_vs_r2" label would silently cover a different query basis
+    # and round-over-round diffs of the field would be meaningless
     workload_changed = {"simhash_near_dups", "embedding_near_dups"}
     shared = round(
-        sum(v for k, v in timings.items() if k not in workload_changed), 3
+        sum(v for k, v in timings.items() if k in HEADLINE and k not in workload_changed),
+        3,
     )
     changed = round(
         sum(v for k, v in timings.items() if k in workload_changed), 3
@@ -132,6 +137,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "buckets": {
+                    "basis": "headline",
                     "shared_vs_r2": shared,
                     "workload_changed_vs_r2": changed,
                 },

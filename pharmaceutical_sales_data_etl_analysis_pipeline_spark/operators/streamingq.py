@@ -21,28 +21,17 @@ map-side-combined aggregation as the batch `tumbling_hourly`
 
 from __future__ import annotations
 
-import atexit
 import os
-import shutil
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 
 from ..catalog import normalize_event_ts
 from .eventsops import SQL_TUMBLING_HOURLY, tumbling_hourly
 
-
-def _scratch_dir(prefix: str) -> str:
-    """Per-invocation output/checkpoint scratch, reclaimed at process exit.
-
-    Cleanup must be deferred (not try/finally): the returned DataFrame
-    reads the result parquet lazily, so the caller may collect long after
-    this builder returns. atexit bounds the leak to one process lifetime
-    instead of one per invocation accumulating across sweeps/test runs.
-    """
-    base = tempfile.mkdtemp(prefix=prefix)
-    atexit.register(shutil.rmtree, base, ignore_errors=True)
-    return base
+# per-invocation scratch under the shared reclaimed-at-exit base — the
+# returned DataFrame reads the result parquet lazily, so cleanup must be
+# deferred to process exit, exactly pin.scratch_dir's contract
+from .pin import scratch_dir as _scratch_dir
 
 
 def stream_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -72,9 +72,10 @@ MODULE_ORDER = [
 # zero-spare-slots contract, so after this sweep all 192 registered
 # queries have a green driver row.
 # Three of these plans were ALSO de-globalized this round (r3 verdict
-# ask #2: histogram_quantile_calibration, id_gap_analysis,
-# key_skew_report — key_skew_report already had an r3 row, but it sits in
-# the first 50 by module order anyway; the other two are in this list).
+# ask #2): histogram_quantile_calibration and id_gap_analysis are in this
+# window, so their r4 rows cover the new plans. key_skew_report is NOT —
+# it has an r3 row (for the old plan) and the window had zero spare
+# slots; it is the one r5 re-sweep candidate (see note below PRIORITY).
 # Everything r1-r3 already verified and unchanged since is protected by
 # the local harness (tests/test_oracle_parity.py, same compare, sf0.001).
 PRIORITY = [

@@ -72,7 +72,18 @@ def test_no_query_left_permanently_unswept():
     for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
         with open(path) as f:
             rows = json.load(f)
-        swept |= {k for k, v in rows.items() if v.get("err") is None}
+        # a row counts only if it is GREEN: ran without error AND matched
+        # the oracle (a ran-but-mismatched row must force the query back
+        # into a future window, not satisfy the invariant). hash_match is
+        # None for rows-only checks (no oracle) — rows_match carries those.
+        swept |= {
+            k
+            for k, v in rows.items()
+            if v.get("err") is None
+            and v.get("rows_match") is True
+            and v.get("schema_match") in (True, None)
+            and v.get("hash_match") in (True, None)
+        }
     names = list(entrymod.queries().keys())
     uncovered = [n for n in names if n not in swept and n not in names[:50]]
     assert not uncovered, f"queries with no driver row and outside the sweep window: {uncovered}"

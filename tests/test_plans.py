@@ -863,12 +863,28 @@ def _lint_plan(tree: str) -> list:
 
 
 def test_plan_lint_all_registered_queries(spark, sf_dir):
+    """Lints BOTH the final plan of every registered query AND every
+    pre-materialization plan routed through pin() (lineage truncation
+    would otherwise hide a pinned subcomputation's anti-patterns behind a
+    bare Scan ExistingRDD/parquet node). Known residual blind spot:
+    eagerly-built intermediates that do NOT pass through pin() (k-means
+    driver round-trips, loop-internal localCheckpoints) — those are
+    covered by their modules' per-op assertions, not this walk."""
+    from pharmaceutical_sales_data_etl_analysis_pipeline_spark.operators import pin as pinmod
+
     bad = {}
     for name, fn in all_queries().items():
         if name in _PLAN_LINT_EXEMPT:
             continue
-        tree = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        pinmod._LINT_CAPTURE = []
+        try:
+            tree = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+            captured = list(pinmod._LINT_CAPTURE)
+        finally:
+            pinmod._LINT_CAPTURE = None
         viols = _lint_plan(tree)
+        for label, sub in captured:
+            viols += [f"pin:{label} -> {v}" for v in _lint_plan(sub)]
         if viols:
             bad[name] = viols
     assert not bad, bad
