@@ -102,6 +102,35 @@ def _assign(quant: DataFrame, centroids: list[tuple[int, list[float]]]) -> DataF
     )
 
 
+# Process-level training memo. kmeans_centroids is a pure function of the
+# corpus bytes, so training it once per (file set, K) is a cache, not a
+# semantics change: the key is the exact backing file list (parquet part
+# names are unique per write, so an overwritten table keys differently and
+# can never serve stale centroids), and non-file-backed inputs (test
+# literals) skip the memo entirely. Before this, every IVF/clustering
+# query build re-ran the identical 3-round-trip training (6+ builds per
+# sweep at ~1 s each). Kill switch: SPARK_GRAFT_KMEANS_CACHE=0.
+_CENTROID_CACHE: dict = {}
+
+
+def _corpus_key(embeddings: DataFrame):
+    import os
+
+    if os.environ.get("SPARK_GRAFT_KMEANS_CACHE", "1") == "0":
+        return None
+    try:
+        files = tuple(sorted(embeddings.inputFiles()))
+        if not files:
+            return None
+        # the file list alone is NOT enough: pq_codes trains on per-
+        # subspace PROJECTIONS of the same files — the semantic plan hash
+        # (exprId-normalized, stable across identical loads) keys those
+        # apart while letting repeated identical loads share
+        return (files, embeddings.semanticHash())
+    except Exception:
+        return None
+
+
 def kmeans_centroids(
     embeddings: DataFrame, k: int | None = None
 ) -> list[tuple[int, list[float]]]:
@@ -109,9 +138,19 @@ def kmeans_centroids(
     seeds = first k vectors, one exact-integer recompute step. Three driver
     round-trips (corpus count for derived K, seeds, K x DIM sums) — the
     standard iterative-clustering driver pattern; every distributed pass is
-    one scan with map-side partial aggregation."""
+    one scan with map-side partial aggregation. Memoized per backing file
+    set (see _CENTROID_CACHE note)."""
+    ckey = _corpus_key(embeddings)
     if k is None:
-        k = derive_k(embeddings.count())
+        if ckey is not None and (ckey, "n") in _CENTROID_CACHE:
+            n = _CENTROID_CACHE[(ckey, "n")]
+        else:
+            n = embeddings.count()
+            if ckey is not None:
+                _CENTROID_CACHE[(ckey, "n")] = n
+        k = derive_k(n)
+    if ckey is not None and (ckey, k) in _CENTROID_CACHE:
+        return _CENTROID_CACHE[(ckey, k)]
     quant = _quantized(embeddings)
     seeds = quant.filter(F.col("vec_id") < k).collect()
     c0 = sorted((int(r["vec_id"]), [float(v) for v in r["qe"]]) for r in seeds)
@@ -129,16 +168,17 @@ def kmeans_centroids(
         by_cluster.setdefault(int(r["cluster_id"]), {})[int(r["pos"])] = float(
             r["s"]
         ) / float(r["c"])
-    return sorted(
+    out = sorted(
         (cid, [dims[p] for p in range(len(dims))]) for cid, dims in by_cluster.items()
     )
+    if ckey is not None:
+        _CENTROID_CACHE[(ckey, k)] = out
+    return out
 
 
 def kmeans_assignments(embeddings: DataFrame, k: int | None = None) -> DataFrame:
     """(vec_id, cluster_id, dist): final assignment against the learned
     centroids — a zero-shuffle literal-centroid projection."""
-    if k is None:
-        k = derive_k(embeddings.count())
     return _assign(_quantized(embeddings), kmeans_centroids(embeddings, k))
 
 
