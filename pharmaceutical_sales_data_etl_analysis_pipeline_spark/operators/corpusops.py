@@ -151,11 +151,36 @@ def _sized(df: DataFrame, n_parts: int, key: str) -> DataFrame:
     return df
 
 
+# DataFrame-valued build memo (buildcache.py keying): four registered
+# queries (this one, dedup_survivors, training_corpus,
+# quality_filter_funnel) each re-ran the full LSH + label-propagation
+# chain at build time. The labels are a pure function of the corpus bytes
+# and the listed parameters; the key additionally pins the SparkSession
+# (a DataFrame is session-tied) and the pin mode (so a local-vs-table
+# comparison run really executes both paths). SPARK_GRAFT_BUILD_CACHE=0
+# disables.
+_COMPONENTS_CACHE: dict = {}
+
+
 def neardup_components(
     documents: DataFrame,
     max_iters: int = 50,
     rows_per_partition: int = EDGE_ROWS_PER_PARTITION,
 ) -> DataFrame:
+    import os
+
+    from .buildcache import corpus_key
+
+    ckey = corpus_key(
+        documents,
+        id(documents.sparkSession),
+        max_iters,
+        rows_per_partition,
+        COMPONENT_MIN_J,
+        os.environ.get("SPARK_GRAFT_PIN", "local"),
+    )
+    if ckey is not None and ckey in _COMPONENTS_CACHE:
+        return _COMPONENTS_CACHE[ckey]
     pairs = minhash_lsh_candidates(documents).filter(
         F.col("est_jaccard") >= COMPONENT_MIN_J
     )
@@ -216,7 +241,10 @@ def neardup_components(
         labels = new_labels
         if changed == 0:
             break
-    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("component"))
+    out = labels.select(F.col("node").alias("doc_id"), F.col("label").alias("component"))
+    if ckey is not None:
+        _COMPONENTS_CACHE[ckey] = out
+    return out
 
 
 def q_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:

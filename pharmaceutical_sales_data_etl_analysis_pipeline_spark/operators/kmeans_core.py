@@ -102,33 +102,17 @@ def _assign(quant: DataFrame, centroids: list[tuple[int, list[float]]]) -> DataF
     )
 
 
-# Process-level training memo. kmeans_centroids is a pure function of the
-# corpus bytes, so training it once per (file set, K) is a cache, not a
-# semantics change: the key is the exact backing file list (parquet part
-# names are unique per write, so an overwritten table keys differently and
-# can never serve stale centroids), and non-file-backed inputs (test
-# literals) skip the memo entirely. Before this, every IVF/clustering
-# query build re-ran the identical 3-round-trip training (6+ builds per
-# sweep at ~1 s each). Kill switch: SPARK_GRAFT_KMEANS_CACHE=0.
+# Process-level training memo (see buildcache.py for the keying rules).
+# Before this, every IVF/clustering query build re-ran the identical
+# 3-round-trip training (6+ builds per sweep at ~1 s each). Kill switch:
+# SPARK_GRAFT_BUILD_CACHE=0.
 _CENTROID_CACHE: dict = {}
 
 
 def _corpus_key(embeddings: DataFrame):
-    import os
+    from .buildcache import corpus_key
 
-    if os.environ.get("SPARK_GRAFT_KMEANS_CACHE", "1") == "0":
-        return None
-    try:
-        files = tuple(sorted(embeddings.inputFiles()))
-        if not files:
-            return None
-        # the file list alone is NOT enough: pq_codes trains on per-
-        # subspace PROJECTIONS of the same files — the semantic plan hash
-        # (exprId-normalized, stable across identical loads) keys those
-        # apart while letting repeated identical loads share
-        return (files, embeddings.semanticHash())
-    except Exception:
-        return None
+    return corpus_key(embeddings)
 
 
 def kmeans_centroids(

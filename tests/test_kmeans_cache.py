@@ -44,14 +44,51 @@ def test_non_file_input_skips_cache(spark):
 
 
 def test_kill_switch(spark, sf_dir):
-    saved = os.environ.get("SPARK_GRAFT_KMEANS_CACHE")
-    os.environ["SPARK_GRAFT_KMEANS_CACHE"] = "0"
+    saved = os.environ.get("SPARK_GRAFT_BUILD_CACHE")
+    os.environ["SPARK_GRAFT_BUILD_CACHE"] = "0"
     try:
         kmeans_core._CENTROID_CACHE.clear()
         kmeans_core.kmeans_centroids(load_table(spark, sf_dir, "embeddings"))
         assert not kmeans_core._CENTROID_CACHE
     finally:
         if saved is None:
-            os.environ.pop("SPARK_GRAFT_KMEANS_CACHE", None)
+            os.environ.pop("SPARK_GRAFT_BUILD_CACHE", None)
         else:
-            os.environ["SPARK_GRAFT_KMEANS_CACHE"] = saved
+            os.environ["SPARK_GRAFT_BUILD_CACHE"] = saved
+
+
+def test_components_cache_shares_across_consumers(spark, sf_dir):
+    from pharmaceutical_sales_data_etl_analysis_pipeline_spark.operators import corpusops
+
+    corpusops._COMPONENTS_CACHE.clear()
+    docs = lambda: __import__(
+        "pharmaceutical_sales_data_etl_analysis_pipeline_spark.catalog", fromlist=["load_table"]
+    ).load_table(spark, sf_dir, "documents")
+    first = corpusops.neardup_components(docs())
+    assert len(corpusops._COMPONENTS_CACHE) == 1
+    second = corpusops.neardup_components(docs())
+    assert second is first  # cache hit, no re-propagation
+    rows1 = sorted(map(tuple, first.collect()))
+    corpusops._COMPONENTS_CACHE.clear()
+    rows2 = sorted(map(tuple, corpusops.neardup_components(docs()).collect()))
+    assert rows1 == rows2  # cached and fresh builds agree
+
+
+def test_components_cache_keys_on_pin_mode(spark, sf_dir):
+    from pharmaceutical_sales_data_etl_analysis_pipeline_spark.catalog import load_table
+    from pharmaceutical_sales_data_etl_analysis_pipeline_spark.operators import corpusops
+
+    saved = os.environ.get("SPARK_GRAFT_PIN")
+    corpusops._COMPONENTS_CACHE.clear()
+    try:
+        os.environ["SPARK_GRAFT_PIN"] = "local"
+        a = corpusops.neardup_components(load_table(spark, sf_dir, "documents"))
+        os.environ["SPARK_GRAFT_PIN"] = "table"
+        b = corpusops.neardup_components(load_table(spark, sf_dir, "documents"))
+    finally:
+        if saved is None:
+            os.environ.pop("SPARK_GRAFT_PIN", None)
+        else:
+            os.environ["SPARK_GRAFT_PIN"] = saved
+    assert b is not a  # a mode flip must rebuild, not serve the other mode
+    assert len(corpusops._COMPONENTS_CACHE) == 2
