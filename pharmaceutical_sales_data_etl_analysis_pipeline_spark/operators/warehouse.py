@@ -685,17 +685,20 @@ def fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("*").alias("rows_per_key"))
         )
         parent_keys = load_table(spark, sf_dir, parent).select(F.col(pk).alias("k")).distinct()
-        orphans = keyed.join(parent_keys, "k", "left_anti")
+        # r4: one LEFT join + one agg per edge instead of the anti-join
+        # branch pair — the totals and the orphan stats read the keyed
+        # relation once (was: two scans of every child per edge; 21 → 14
+        # parquet scans across the 7 edges). Orphan = no parent hit.
+        miss = F.col("_hit").isNull()
         row = (
-            keyed.agg(
+            keyed.join(parent_keys.withColumn("_hit", F.lit(1)), "k", "left")
+            .agg(
                 F.sum("rows_per_key").cast("long").alias("child_rows"),
                 F.count("*").cast("long").alias("distinct_keys"),
-            )
-            .crossJoin(
-                orphans.agg(
-                    F.count("*").cast("long").alias("orphan_keys"),
-                    F.coalesce(F.sum("rows_per_key"), F.lit(0)).cast("long").alias("orphan_rows"),
-                )
+                F.count(F.when(miss, 1)).cast("long").alias("orphan_keys"),
+                F.coalesce(F.sum(F.when(miss, F.col("rows_per_key"))), F.lit(0))
+                .cast("long")
+                .alias("orphan_rows"),
             )
             .select(F.lit(fk_name).alias("fk_name"), "child_rows", "distinct_keys", "orphan_keys", "orphan_rows")
         )
