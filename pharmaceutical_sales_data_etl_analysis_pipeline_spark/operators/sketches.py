@@ -280,37 +280,38 @@ def _bloom_idx(r_col, shingle_col) -> F.Column:
 def bloom_prefilter_stats(documents: DataFrame) -> DataFrame:
     from .dedup import with_shingles
 
-    sh = with_shingles(documents).join(
-        documents.select("doc_id", "source"), "doc_id"
-    )
-    bench = sh.filter(F.col("doc_id") < _BLOOM_BENCH).select("shingle").distinct()
+    # r4 single-pass restructure: the r3 form semi-joined hit/exact
+    # subsets and LEFT-joined them back onto a third read of the corpus
+    # relation (10 parquet scans). Marker left-joins keep every probe row
+    # in ONE stream — (doc, shingle) is unique by construction
+    # (array_distinct shingles), so the per-shingle groupBy reproduces
+    # exactly one row per corpus shingle and the aggregate is
+    # value-identical. The benchmark side never needs the source column,
+    # so its branch skips the source join entirely.
+    shing = with_shingles(documents)
+    bench = shing.filter(F.col("doc_id") < _BLOOM_BENCH).select("shingle").distinct()
     ks = F.explode(F.array(*[F.lit(r) for r in range(BLOOM_K)])).alias("r")
     bits = bench.select(ks, "shingle").select(
         _bloom_idx(F.col("r"), F.col("shingle")).alias("idx"), "r"
     ).distinct()
-    corpus = sh.filter(F.col("doc_id") >= _BLOOM_BENCH)
+    corpus = shing.filter(F.col("doc_id") >= _BLOOM_BENCH).join(
+        documents.select("doc_id", "source"), "doc_id"
+    )
     probes = corpus.select("doc_id", "source", "shingle", ks).select(
         "doc_id", "source", "shingle", "r", _bloom_idx(F.col("r"), F.col("shingle")).alias("idx")
     )
-    hits = (
-        probes.join(F.broadcast(bits), ["r", "idx"], "left_semi")
+    per_shingle = (
+        probes.join(F.broadcast(bits.withColumn("_b", F.lit(1))), ["r", "idx"], "left")
         .groupBy("doc_id", "source", "shingle")
-        .agg(F.count(F.lit(1)).alias("k_hits"))
-        .filter(F.col("k_hits") == BLOOM_K)
-        .select("doc_id", "source", "shingle", F.lit(1).alias("bloom_hit"))
+        .agg(F.sum(F.coalesce(F.col("_b"), F.lit(0))).alias("k_hits"))
     )
-    exact = corpus.join(F.broadcast(bench), "shingle", "left_semi").select(
-        "doc_id", "source", "shingle", F.lit(1).alias("exact_hit")
-    )
-    per = (
-        corpus.select("doc_id", "source", "shingle")
-        .join(hits, ["doc_id", "source", "shingle"], "left")
-        .join(exact, ["doc_id", "source", "shingle"], "left")
+    marked = per_shingle.join(
+        F.broadcast(bench.withColumn("_e", F.lit(1))), "shingle", "left"
     )
     n = F.count(F.lit(1)).cast("long")
-    nb = F.sum(F.coalesce(F.col("bloom_hit"), F.lit(0))).cast("long")
-    ne = F.sum(F.coalesce(F.col("exact_hit"), F.lit(0))).cast("long")
-    return per.groupBy("source").agg(
+    nb = F.sum((F.col("k_hits") == BLOOM_K).cast("long")).cast("long")
+    ne = F.sum(F.coalesce(F.col("_e"), F.lit(0))).cast("long")
+    return marked.groupBy("source").agg(
         n.alias("n_probes"),
         nb.alias("n_bloom_hits"),
         ne.alias("n_exact_hits"),
