@@ -391,9 +391,15 @@ ORACLES["bloom_prefilter_stats"] = SQL_BLOOM_PREFILTER_STATS
 # the exact order statistic and the error — the judge of whether B is
 # adequate for the distribution. Bound: |approx − exact| < bucket width.
 #
-# Scale: histogram build is one map-side-combined agg (B=64 cells);
-# min/max ride the same pass; the exact comparator is the only ordered
-# construction and exists purely as calibration.
+# Scale (r4 two-phase selection): histogram build is one map-side-
+# combined agg (B=64 cells); min/max ride a first scalar pass. The EXACT
+# comparator is the textbook distributed selection: the 64-row cumulative
+# histogram (collected driver-side — the same tiny-driver-round-trip
+# class as the k-means seeds) locates the bucket containing each target
+# rank, and the distributed rank then runs only over that bucket's
+# ~n/B rows instead of the whole relation. No full-table ordered pass
+# exists at any scale; EAGER at build time (ext + 64-row histogram
+# collect — registry eager-exec note).
 # ---------------------------------------------------------------------------
 
 QS_BUCKETS = 64
@@ -401,77 +407,70 @@ QS_PERCENTILES = (50, 90)
 
 
 def histogram_quantile_calibration(orders: DataFrame) -> DataFrame:
+    import math
+
     ext = orders.agg(
         F.min("o_totalprice").alias("mn"),
         F.max("o_totalprice").alias("mx"),
         F.count(F.lit(1)).alias("n"),
-    )
+    ).first()
+    n = int(ext["n"]) if ext["n"] is not None else 0
+    spark = orders.sparkSession
+    schema = ("pct int, approx_value double, exact_value double, "
+              "abs_err double, error_bound double")
+    if n == 0:
+        return spark.createDataFrame([], schema)
+    mn, mx = float(ext["mn"]), float(ext["mx"])
+    # literal arithmetic below mirrors the r3 column expressions operator-
+    # for-operator (same IEEE ops on the same doubles), so every reported
+    # value is bit-identical to the oracle's in-SQL computation
+    width = (mx - mn) / float(QS_BUCKETS)
     x = F.col("o_totalprice")
-    width = (F.col("mx") - F.col("mn")) / F.lit(float(QS_BUCKETS))
     idx = F.least(
         F.lit(QS_BUCKETS - 1),
-        F.floor((x - F.col("mn")) / width).cast("int"),
+        F.floor((x - F.lit(mn)) / F.lit(width)).cast("int"),
     )
-    hist = (
-        orders.join(F.broadcast(ext))
-        .groupBy(idx.alias("b"))
+    hist = sorted(
+        (int(r["b"]), int(r["c"]))
+        for r in orders.groupBy(idx.alias("b"))
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .collect()
     )
-    wcum = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    cum = hist.select("b", F.sum("c").over(wcum).alias("cum"))
+    cum = []
+    acc = 0
+    for b, c in hist:
+        acc += c
+        cum.append((b, acc))
 
-    # ONE pass for every percentile: each target rank / bucket threshold is
-    # a conditional aggregate over the same cum / ranked relations, so the
-    # orders scan, the histogram, and the distributed exact-rank pass each
-    # run once regardless of len(QS_PERCENTILES) (the loop-per-percentile
-    # form re-ran the rank per percentile — measured as the dominant cost
-    # of this op).
-    def target(p: int):
-        return F.ceil(F.col("n").cast("double") * F.lit(p / 100.0)).cast("long")
-
-    approx_row = (
-        cum.join(F.broadcast(ext))
-        .agg(*[
-            F.min(F.when(F.col("cum") >= target(p), F.col("b"))).alias(f"ab{p}")
-            for p in QS_PERCENTILES
-        ])
-    )
-    # exact comparator rank via the shared distributed construction (range
-    # exchange + per-partition row_number + broadcast offsets) instead of a
-    # global row_number window over the whole orders table — measured as
-    # this op's dominant cost in r3, and a single-partition sort at scale.
-    # o_orderkey tie-breaks equal prices; the value AT a rank is invariant
-    # to tie order, so the result is unchanged.
-    ranked = with_global_rank(
-        orders.select("o_totalprice", "o_orderkey"),
-        [F.asc("o_totalprice"), F.asc("o_orderkey")],
-        "rn",
-    ).select("o_totalprice", "rn")
-    exact_row = (
-        ranked.join(F.broadcast(ext))
-        .filter(
-            functools.reduce(
-                lambda a, b: a | b,
-                [F.col("rn") == target(p) for p in QS_PERCENTILES],
-            )
-        )
-        .agg(*[
-            F.max(F.when(F.col("rn") == target(p), F.col("o_totalprice"))).alias(f"ex{p}")
-            for p in QS_PERCENTILES
-        ])
-    )
-    one = approx_row.join(exact_row).join(F.broadcast(ext))
-    bwidth = (F.col("mx") - F.col("mn")) / F.lit(float(QS_BUCKETS))
     outs = []
     for p in QS_PERCENTILES:
-        approx = F.col("mn") + F.col(f"ab{p}").cast("double") * bwidth
+        t = int(math.ceil(float(n) * (p / 100.0)))
+        before = 0
+        bsel = cum[-1][0]
+        for b, c_acc in cum:
+            if c_acc >= t:
+                bsel = b
+                break
+            before = c_acc
+        k = t - before  # k-th smallest within bucket bsel
+        approx = mn + float(bsel) * width
+        # distributed rank over the ONE bucket holding the target rank
+        # (~n/B rows); same idx expression as the histogram, so bucket
+        # membership can never drift at a float boundary
+        ranked = with_global_rank(
+            orders.filter(idx == bsel).select("o_totalprice", "o_orderkey"),
+            [F.asc("o_totalprice"), F.asc("o_orderkey")],
+            "rn",
+        )
         outs.append(
-            one.select(
+            ranked.filter(F.col("rn") == k)
+            .agg(F.max("o_totalprice").alias("ex"))
+            .select(
                 F.lit(p).cast("int").alias("pct"),
-                round_half_up(approx, 6).alias("approx_value"),
-                F.col(f"ex{p}").alias("exact_value"),
-                round_half_up(F.abs(approx - F.col(f"ex{p}")), 6).alias("abs_err"),
-                round_half_up(bwidth, 6).alias("error_bound"),
+                round_half_up(F.lit(approx), 6).alias("approx_value"),
+                F.col("ex").alias("exact_value"),
+                round_half_up(F.abs(F.lit(approx) - F.col("ex")), 6).alias("abs_err"),
+                round_half_up(F.lit(width), 6).alias("error_bound"),
             )
         )
     out = outs[0]

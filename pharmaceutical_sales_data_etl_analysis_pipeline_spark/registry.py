@@ -25,7 +25,9 @@ bm25_topk_terms, term_lift_pairs, pagerank_fixedpoint,
 graph_triangle_stats, neardup_components and its dependents
 training_corpus/dedup_survivors/dedup_rate_by_source) and queries whose
 parameters derive from the data via driver round-trips (kmeans_clusters,
-semdedup_candidates, ivf_*: corpus count / seeds / centroid sums).
+semdedup_candidates, ivf_*: corpus count / seeds / centroid sums;
+histogram_quantile_calibration: 3-scalar extent + 64-row histogram for
+the two-phase exact-selection comparator).
 pin() defaults to localCheckpoint (executor-local blocks — fine in
 local[*]); set SPARK_GRAFT_PIN=table to materialize those intermediates
 to durable scratch parquet instead, the cluster-scale mode (survives
