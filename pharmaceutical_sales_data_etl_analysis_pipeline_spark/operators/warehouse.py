@@ -498,8 +498,11 @@ def rfm_segments(orders: DataFrame) -> DataFrame:
     )
     # one independent narrow rank frame per metric (NOT chained — chaining
     # nests each stage's two-branch plan inside the next and the static
-    # plan grows exponentially); the per-metric range exchange is shared
-    # between the rank and count branches via ReusedExchange at runtime
+    # plan grows exponentially). NOTE (r4, measured): AQE does NOT emit
+    # ReusedExchange across the rank/count branches here (0 in the final
+    # adaptive plan), so each metric's frame re-derives the per-customer
+    # rollup twice — acceptable because the re-read relation is the
+    # |customers|-row rollup, never the orders fact
     rk_r = _with_global_rank(
         base.select("custkey", "recency_days"),
         [F.asc("recency_days"), F.asc("custkey")],
