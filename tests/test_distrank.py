@@ -138,3 +138,41 @@ def test_triangle_stats_in_range_unaffected_by_guard(spark):
     )
     row = graph_triangle_stats(lineitem).collect()[0]
     assert row["n_triangles"] == 1 and row["n_nodes"] == 3
+
+
+def _hist_quantile(spark, prices):
+    from pharmaceutical_sales_data_etl_analysis_pipeline_spark.operators.sketches import (
+        histogram_quantile_calibration,
+    )
+
+    orders = spark.createDataFrame(
+        [(float(p), i) for i, p in enumerate(prices)],
+        "o_totalprice double, o_orderkey long",
+    )
+    return {
+        r["pct"]: r["exact_value"]
+        for r in histogram_quantile_calibration(orders).collect()
+    }
+
+
+def test_two_phase_quantile_matches_sorted_order_statistic(spark):
+    """The bucket-pruned exact comparator must equal the k-th smallest of
+    the fully sorted data (k = ceil(p*n/100)) — including when the target
+    rank is the first or last row of its bucket."""
+    import math
+
+    for prices in (
+        list(range(1, 101)),                      # uniform, ranks at bucket edges
+        [1] * 50 + [2] * 50,                      # heavy ties straddling buckets
+        [10 ** (i % 5) for i in range(1, 200)],   # skewed magnitudes
+        [5.0, 7.0],                               # n < buckets
+    ):
+        got = _hist_quantile(spark, prices)
+        s = sorted(float(p) for p in prices)
+        for pct, val in got.items():
+            k = math.ceil(len(s) * pct / 100.0)
+            assert val == s[k - 1], (prices[:5], pct, val, s[k - 1])
+
+
+def test_two_phase_quantile_empty_input(spark):
+    assert _hist_quantile(spark, []) == {}
