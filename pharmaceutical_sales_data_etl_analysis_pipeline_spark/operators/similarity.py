@@ -790,8 +790,17 @@ ORACLES["ivf_probe2_topk"] = SQL_IVF_PROBE2_TOPK
 
 def ann_recall_eval(embeddings: DataFrame, n_queries: int = N_QUERIES,
                     k: int = TOP_K) -> DataFrame:
+    from .pin import pin
+
     cents = _learned_centroids(embeddings)
-    exact = cosine_topk(embeddings, n_queries, k).select("q_id", "d_id")
+    # r4: pin the brute-force ground truth — it appeared as FOUR subtree
+    # copies in the composed plan (a semi-join and a count agg per probe
+    # path), each re-running the O(corpus x queries) exact scoring; the
+    # pinned relation is k x n_queries rows, evaluated once (EAGER at
+    # build, same contract as the centroid training it sits next to)
+    exact = pin(
+        cosine_topk(embeddings, n_queries, k).select("q_id", "d_id"), "ann_exact"
+    )
     parts = []
     for nprobe in (1, IVF_NPROBE):
         approx = ivf_probe_topk(embeddings, n_queries, k, nprobe, cents).select(
