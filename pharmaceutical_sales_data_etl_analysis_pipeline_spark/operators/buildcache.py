@@ -17,6 +17,14 @@ function of the key, never a semantics change:
 Non-file-backed inputs (test literals, in-memory frames) return None —
 no caching. Kill switch: SPARK_GRAFT_BUILD_CACHE=0 disables every build
 memo (the sweep-verification escape hatch).
+
+GROWTH CAVEAT: the memo dicts are process-level; DataFrame-valued
+entries strong-reference their SparkSession, so entries keyed to a
+stopped session would keep its Python wrapper alive in a long-lived
+multi-session process. memo_put() therefore bounds each cache with
+FIFO eviction (insertion order == dict order) — correctness is
+unaffected (eviction only forces a rebuild), and MEMO_CAP is far above
+what one session's registered queries ever insert.
 """
 
 from __future__ import annotations
@@ -24,6 +32,17 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame
+
+
+MEMO_CAP = 64
+
+
+def memo_put(cache: dict, key, value, cap: int = MEMO_CAP):
+    """Insert with FIFO eviction so process-level memo dicts stay bounded
+    (see GROWTH CAVEAT in the module docstring)."""
+    while len(cache) >= cap:
+        cache.pop(next(iter(cache)))
+    cache[key] = value
 
 
 def corpus_key(df: DataFrame, *extra):

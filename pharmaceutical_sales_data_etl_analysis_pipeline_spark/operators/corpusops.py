@@ -243,7 +243,9 @@ def neardup_components(
             break
     out = labels.select(F.col("node").alias("doc_id"), F.col("label").alias("component"))
     if ckey is not None:
-        _COMPONENTS_CACHE[ckey] = out
+        from .buildcache import memo_put
+
+        memo_put(_COMPONENTS_CACHE, ckey, out)
     return out
 
 

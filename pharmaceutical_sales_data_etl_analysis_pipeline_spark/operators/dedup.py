@@ -705,3 +705,83 @@ GROUP BY jaccard_bin
 
 QUERIES["minhash_calibration"] = q_minhash_calibration
 ORACLES["minhash_calibration"] = SQL_MINHASH_CALIBRATION
+
+
+# ---------------------------------------------------------------------------
+# Substring-level exact dedup (r5): the Lee et al. 2022 "Deduplicating
+# Training Data Makes Language Models Better" modality — repeated token
+# spans of length >= SPAN_K ACROSS documents. Their single-node tool
+# builds a suffix array; the distributed re-expression is k-gram
+# fingerprinting: every document emits one fingerprint per SPAN_K-token
+# window (md5 of the space-joined window), and a hash aggregation on the
+# fingerprint finds every span occurring in >= 2 distinct documents. A
+# maximal repeat of L >= SPAN_K tokens surfaces as its L - SPAN_K + 1
+# constituent k-grams — recall is exact for spans >= SPAN_K by
+# construction (no sampling, no LSH).
+#
+# 100 TB shape: the window explode is linear (one row per token position,
+# 12-byte doc_id + 32-hex fingerprint after the md5 projection — the
+# document text is NOT carried through the shuffle), and the groupBy is
+# word-count-shaped with map-side partial aggregation on a uniform
+# 128-bit key space. No suffix array, no driver-side state, no sort.
+# Reference parity anchor: the reference dedups reps by first occurrence
+# (LoadXML2DB.ChatterjeeP.R:67-86, row-level); this op extends the same
+# exact-dedup contract below row granularity, per SURVEY §7's
+# LLM-pipeline mandate.
+# ---------------------------------------------------------------------------
+
+SPAN_K = 8  # tokens per fingerprinted window
+
+
+def substring_dedup_spans(documents: DataFrame, span_k: int = SPAN_K) -> DataFrame:
+    toks = documents.select(
+        "doc_id", F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("t")
+    ).filter(F.size("t") >= span_k)
+    # sequence(1, size-k+1) ascends because size >= k is pre-filtered
+    # (sequence DESCENDS when end < start — the n=1 footgun)
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(t) - {span_k} + 1),"
+                f" i -> md5(encode(array_join(slice(t, i, {span_k}), ' '), 'UTF-8')))"
+            )
+        ).alias("fingerprint"),
+    )
+    return (
+        grams.groupBy("fingerprint")
+        .agg(
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+            F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
+
+
+def q_substring_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return substring_dedup_spans(load_table(spark, sf_dir, "documents"))
+
+
+SQL_SUBSTRING_DEDUP_SPANS = f"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t FROM documents
+),
+grams AS (
+  SELECT doc_id, md5(array_to_string(t[u.i:u.i + {SPAN_K} - 1], ' ')) AS fingerprint
+  FROM toks, LATERAL unnest(generate_series(1, len(t) - {SPAN_K} + 1)) u(i)
+  WHERE len(t) >= {SPAN_K}
+)
+SELECT fingerprint,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_occurrences,
+       MIN(doc_id) AS first_doc,
+       MAX(doc_id) AS last_doc
+FROM grams
+GROUP BY fingerprint
+HAVING count(DISTINCT doc_id) >= 2
+"""
+
+QUERIES["substring_dedup_spans"] = q_substring_dedup_spans
+ORACLES["substring_dedup_spans"] = SQL_SUBSTRING_DEDUP_SPANS

@@ -131,7 +131,9 @@ def kmeans_centroids(
         else:
             n = embeddings.count()
             if ckey is not None:
-                _CENTROID_CACHE[(ckey, "n")] = n
+                from .buildcache import memo_put
+
+                memo_put(_CENTROID_CACHE, (ckey, "n"), n)
         k = derive_k(n)
     if ckey is not None and (ckey, k) in _CENTROID_CACHE:
         return _CENTROID_CACHE[(ckey, k)]
@@ -156,7 +158,9 @@ def kmeans_centroids(
         (cid, [dims[p] for p in range(len(dims))]) for cid, dims in by_cluster.items()
     )
     if ckey is not None:
-        _CENTROID_CACHE[(ckey, k)] = out
+        from .buildcache import memo_put
+
+        memo_put(_CENTROID_CACHE, (ckey, k), out)
     return out
 
 

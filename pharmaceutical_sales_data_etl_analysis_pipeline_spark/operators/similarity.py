@@ -167,10 +167,11 @@ def q_lsh_bucket_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return b.groupBy("bucket").agg(F.count(F.lit(1)).cast("long").alias("n_vectors"))
 
 
-def _lsh_cte() -> str:
+def _lsh_cte(src: str = "embeddings") -> str:
     """DuckDB CTEs `base(vec_id, e)` + `buckets(vec_id, bucket)`, re-deriving
     the hyperplane weights via md5 (same values as _plane_weights) and
-    folding in the same element order as the Spark side."""
+    folding in the same element order as the Spark side. `src` lets the
+    planted-pair variant read a derived relation instead of the raw table."""
     projections = ",\n         ".join(
         "list_reduce(list_transform(range(1, len(e) + 1), "
         f"i -> CAST(((ascii(substr(md5('{p}_' || CAST(i - 1 AS VARCHAR)), 1, 1)) % 2) * 2 - 1) AS DOUBLE) * e[i]), "
@@ -182,7 +183,7 @@ def _lsh_cte() -> str:
     )
     return f"""
 base AS (
-  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM {src}
 ),
 proj AS (
   SELECT vec_id,
@@ -414,8 +415,9 @@ def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the exact all-pairs ground truth (embedding_near_dups_allpairs) is a
 # test-side measurement, not a parity claim — ANN recall is documented,
 # not certified.
-SQL_EMBEDDING_NEAR_DUPS = f"""
-WITH {_lsh_cte()},
+def _neardup_sql(src: str = "embeddings") -> str:
+    return f"""
+WITH {_lsh_cte(src)},
 sub AS (
   SELECT b.vec_id, b.e, k.bucket
   FROM base b JOIN buckets k ON b.vec_id = k.vec_id
@@ -438,6 +440,48 @@ scored AS (
 )
 SELECT vec_a, vec_b, cosine FROM scored WHERE cosine >= {NEARDUP_MIN_COS}
 """
+
+
+SQL_EMBEDDING_NEAR_DUPS = _neardup_sql()
+
+
+# ---------------------------------------------------------------------------
+# Planted-pair variant: the r4 verdict noted embedding_near_dups' driver
+# row matches its oracle with ZERO rows at sf0.01 (no genuine pair clears
+# cosine >= 0.9 there — both engines agree on empty, but the evidence is
+# vacuous). This variant UNIONs the corpus with PLANT_N exact copies of
+# its first vectors under shifted ids — entirely in-plan on BOTH engines
+# (the read-only parquet is never touched) — so the identical LSH
+# multi-probe + Arrow verify machinery provably CATCHES each planted pair
+# (Hamming 0, cosine 1.0) and emits exactly PLANT_N rows at every sf:
+# non-vacuous driver evidence for the whole family.
+# ---------------------------------------------------------------------------
+
+PLANT_N = 20
+PLANT_OFFSET = 1_000_000  # clears any real vec_id at any tested sf
+
+
+def _with_planted(embeddings: DataFrame) -> DataFrame:
+    base = embeddings.select("vec_id", "embedding")
+    planted = embeddings.filter(F.col("vec_id") < PLANT_N).select(
+        (F.col("vec_id") + F.lit(PLANT_OFFSET)).cast("long").alias("vec_id"),
+        "embedding",
+    )
+    return base.unionByName(planted)
+
+
+def q_embedding_near_dups_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return embedding_near_dups(_with_planted(load_table(spark, sf_dir, "embeddings")))
+
+
+_PLANTED_SRC = (
+    f"(SELECT vec_id, embedding FROM embeddings "
+    f"UNION ALL "
+    f"SELECT vec_id + {PLANT_OFFSET} AS vec_id, embedding FROM embeddings "
+    f"WHERE vec_id < {PLANT_N}) AS planted_src"
+)
+
+SQL_EMBEDDING_NEAR_DUPS_PLANTED = _neardup_sql(_PLANTED_SRC)
 
 
 # ---------------------------------------------------------------------------
@@ -632,6 +676,7 @@ QUERIES = {
     "lsh_bucket_sizes": q_lsh_bucket_sizes,
     "lsh_probe_topk": q_lsh_probe_topk,
     "embedding_near_dups": q_embedding_near_dups,
+    "embedding_near_dups_planted": q_embedding_near_dups_planted,
     "ivf_list_sizes": q_ivf_list_sizes,
     "ivf_probe_topk": q_ivf_probe_topk,
 }
@@ -641,6 +686,7 @@ ORACLES = {
     "lsh_bucket_sizes": SQL_LSH_BUCKET_SIZES,
     "lsh_probe_topk": SQL_LSH_PROBE_TOPK,
     "embedding_near_dups": SQL_EMBEDDING_NEAR_DUPS,
+    "embedding_near_dups_planted": SQL_EMBEDDING_NEAR_DUPS_PLANTED,
     "ivf_list_sizes": SQL_IVF_LIST_SIZES,
     "ivf_probe_topk": SQL_IVF_PROBE_TOPK,
 }
@@ -778,79 +824,6 @@ ORACLES["ivf_probe2_topk"] = SQL_IVF_PROBE2_TOPK
 
 
 # ---------------------------------------------------------------------------
-# ANN recall evaluation: the harness every vector-index deployment runs
-# before flipping traffic — recall@k of the IVF probe paths against the
-# exact brute-force baseline, per nprobe. Train ONCE, probe twice, semi-
-# join each approximate top-k against the exact top-k on (q_id, d_id).
-# Output is 2 tiny rows; every join is an equi-join on (q_id, d_id) over
-# k*n_queries rows, so the eval itself is free at any corpus size (the
-# cost is the two probe plans it measures).
-# ---------------------------------------------------------------------------
-
-
-def ann_recall_eval(embeddings: DataFrame, n_queries: int = N_QUERIES,
-                    k: int = TOP_K) -> DataFrame:
-    from .pin import pin
-
-    cents = _learned_centroids(embeddings)
-    # r4: pin the brute-force ground truth — it appeared as FOUR subtree
-    # copies in the composed plan (a semi-join and a count agg per probe
-    # path), each re-running the O(corpus x queries) exact scoring; the
-    # pinned relation is k x n_queries rows, evaluated once (EAGER at
-    # build, same contract as the centroid training it sits next to)
-    exact = pin(
-        cosine_topk(embeddings, n_queries, k).select("q_id", "d_id"), "ann_exact"
-    )
-    parts = []
-    for nprobe in (1, IVF_NPROBE):
-        approx = ivf_probe_topk(embeddings, n_queries, k, nprobe, cents).select(
-            "q_id", "d_id"
-        )
-        hits = approx.join(exact, ["q_id", "d_id"], "left_semi")
-        parts.append(
-            hits.agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
-            .crossJoin(
-                F.broadcast(exact.agg(F.count(F.lit(1)).cast("long").alias("n_exact")))
-            )
-            .select(
-                F.lit(nprobe).cast("int").alias("nprobe"),
-                "n_exact",
-                "n_hits",
-                round_half_up(
-                    F.col("n_hits").cast("double") / F.col("n_exact").cast("double"), 6
-                ).alias("recall"),
-            )
-        )
-    return parts[0].unionAll(parts[1])
-
-
-def q_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return ann_recall_eval(load_table(spark, sf_dir, "embeddings"))
-
-
-SQL_ANN_RECALL_EVAL = f"""
-WITH exact AS ({SQL_COSINE_TOPK}),
-a1 AS ({SQL_IVF_PROBE_TOPK}),
-a2 AS ({SQL_IVF_PROBE2_TOPK}),
-ex AS (SELECT CAST(count(*) AS BIGINT) AS n_exact FROM exact)
-SELECT CAST(1 AS INT) AS nprobe, n_exact,
-       CAST((SELECT count(*) FROM a1 JOIN exact USING (q_id, d_id)) AS BIGINT) AS n_hits,
-       floor(CAST((SELECT count(*) FROM a1 JOIN exact USING (q_id, d_id)) AS DOUBLE)
-             / CAST(n_exact AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS recall
-FROM ex
-UNION ALL
-SELECT CAST({IVF_NPROBE} AS INT) AS nprobe, n_exact,
-       CAST((SELECT count(*) FROM a2 JOIN exact USING (q_id, d_id)) AS BIGINT) AS n_hits,
-       floor(CAST((SELECT count(*) FROM a2 JOIN exact USING (q_id, d_id)) AS DOUBLE)
-             / CAST(n_exact AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS recall
-FROM ex
-"""
-
-QUERIES["ann_recall_eval"] = q_ann_recall_eval
-ORACLES["ann_recall_eval"] = SQL_ANN_RECALL_EVAL
-
-
-# ---------------------------------------------------------------------------
 # Product quantization (PQ): the memory-compression half of a production
 # IVF-PQ vector index (Jegou et al. 2011). Split DIM=64 into M=4 subspaces
 # of 16 dims; learn a 16-entry codebook per subspace with the shared
@@ -875,8 +848,12 @@ PQ_K = 16       # codebook entries per subspace (4-bit codes)
 _PQ_OUT = "vec_id long, code0 int, code1 int, code2 int, code3 int, recon_err double"
 
 
-def pq_codes(embeddings: DataFrame) -> DataFrame:
-    from .kmeans_core import _QUANT2, _quantized, kmeans_centroids
+def _pq_codebooks(embeddings: DataFrame) -> list[tuple[list[int], list[list[float]]]]:
+    """Per-subspace (code ids, centroid matrix) in quantized units — shared
+    by pq_codes (encoding) and ivf_pq_probe_topk (asymmetric-distance
+    lookup); kmeans_centroids memoizes per backing-file set, so the second
+    caller trains nothing."""
+    from .kmeans_core import kmeans_centroids
 
     books = []
     for mi in range(PQ_M):
@@ -886,6 +863,13 @@ def pq_codes(embeddings: DataFrame) -> DataFrame:
         )
         cents = sorted(kmeans_centroids(sub, PQ_K))
         books.append(([c for c, _ in cents], [ce for _, ce in cents]))
+    return books
+
+
+def pq_codes(embeddings: DataFrame) -> DataFrame:
+    from .kmeans_core import _QUANT2, _quantized
+
+    books = _pq_codebooks(embeddings)
 
     def encode(batches):
         import numpy as np
@@ -952,6 +936,287 @@ SQL_PQ_CODES = _pq_sql()
 
 QUERIES["pq_codes"] = q_pq_codes
 ORACLES["pq_codes"] = SQL_PQ_CODES
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ probe (r5): the two halves composed into the full FAISS IVF-PQ
+# shape (Jegou et al. 2011) — coarse quantizer routes each query to its
+# nprobe nearest inverted lists; candidates in those lists are ranked by
+# ASYMMETRIC distance (exact query subvector vs the doc's PQ-code
+# centroid — the doc's raw vector is never read at this stage); only the
+# top IVFPQ_RERANK shortlist fetches raw vectors for the exact-cosine
+# rerank.
+#
+# 100 TB shape: the ADC stage scans the NARROW codes table (4 ints/row,
+# 16x smaller than raw vectors) joined to broadcast queries on the
+# centroid key; codebooks ride the task closure as literal maps
+# (M x PQ_K x PQ_SUBDIM doubles — a bit-budget constant); the raw-vector
+# fetch is a broadcast semi-sized join of <= n_queries x rerank ids.
+# That IS the reason IVF-PQ exists: candidate scoring touches compressed
+# codes only.
+#
+# Parity: ADC terms are per-subspace sequential IEEE folds over quantized
+# units ((q_i - c_i)^2 in dim order), summed left-assoc across subspaces
+# — the oracle's list_reduce + `+` chain performs the identical op
+# sequence, and shortlist/final ties break on d_id, so both engines pick
+# identical shortlists and identical top-k.
+# ---------------------------------------------------------------------------
+
+IVFPQ_RERANK = 50
+
+
+def ivf_pq_probe_topk(embeddings: DataFrame, n_queries: int = N_QUERIES,
+                      k: int = TOP_K, nprobe: int = IVF_NPROBE,
+                      rerank: int = IVFPQ_RERANK,
+                      cents: DataFrame | None = None) -> DataFrame:
+    from .kmeans_core import _QUANT
+
+    if cents is None:
+        cents = _learned_centroids(embeddings)
+    assign = ivf_assignments(embeddings, cents)
+    codes = pq_codes(embeddings).select(
+        "vec_id", *[f"code{mi}" for mi in range(PQ_M)]
+    )
+    books = _pq_codebooks(embeddings)
+    # code -> sub-centroid literal maps (the ADC lookup tables)
+    luts = [
+        F.create_map(
+            *[
+                part
+                for cid, ce in zip(ids, cmat)
+                for part in (F.lit(int(cid)), F.array(*[F.lit(float(v)) for v in ce]))
+            ]
+        )
+        for ids, cmat in books
+    ]
+    docs = assign.join(codes, "vec_id").select(
+        F.col("vec_id").alias("d_id"),
+        F.col("centroid_id").alias("d_cent"),
+        *[F.col(f"code{mi}") for mi in range(PQ_M)],
+    )
+    qvecs = embeddings.filter(F.col("vec_id") < n_queries).select(
+        "vec_id", "embedding", _norm(F.col("embedding")).alias("v_norm")
+    )
+    probes = _centroid_topn(cents, qvecs, nprobe)
+    q_qe = F.transform(
+        F.col("q_emb"),
+        lambda x: F.floor(x.cast("double") * F.lit(_QUANT) + F.lit(0.5)).cast("long"),
+    )
+    queries = (
+        qvecs.select(
+            F.col("vec_id"),
+            F.col("embedding").alias("q_emb"),
+            F.col("v_norm").alias("q_norm"),
+        )
+        .join(probes, "vec_id")
+        .select(
+            F.col("vec_id").alias("q_id"), "q_emb", "q_norm",
+            q_qe.alias("q_qe"),
+            F.col("centroid_id").alias("q_cent"),
+        )
+    )
+    cand = docs.join(
+        F.broadcast(queries),
+        (F.col("q_cent") == F.col("d_cent")) & (F.col("q_id") != F.col("d_id")),
+    )
+    # ADC: per-subspace (q - codebook[code])^2 fold in dim order, summed
+    # left-assoc across the M subspaces
+    adc = None
+    for mi in range(PQ_M):
+        ce = F.element_at(luts[mi], F.col(f"code{mi}"))
+        qs = F.slice(F.col("q_qe"), mi * PQ_SUBDIM + 1, PQ_SUBDIM)
+        term = _fold(
+            F.zip_with(
+                qs, ce, lambda x, c: (x.cast("double") - c) * (x.cast("double") - c)
+            )
+        )
+        adc = term if adc is None else adc + term
+    w_adc = Window.partitionBy("q_id").orderBy(F.asc("adc"), F.asc("d_id"))
+    shortlist = (
+        cand.select("q_id", "d_id", "q_emb", "q_norm", adc.alias("adc"))
+        .withColumn("rn", F.row_number().over(w_adc))
+        .filter(F.col("rn") <= rerank)
+        .select("q_id", "d_id", "q_emb", "q_norm")
+    )
+    # raw doc vectors fetched ONLY for the shortlist
+    dvecs = embeddings.select(
+        F.col("vec_id").alias("d_id"),
+        F.col("embedding").alias("d_emb"),
+        _norm(F.col("embedding")).alias("d_norm"),
+    )
+    rescored = dvecs.join(F.broadcast(shortlist), "d_id").select(
+        "q_id",
+        "d_id",
+        round_half_up(
+            _dot(F.col("q_emb"), F.col("d_emb")) / (F.col("q_norm") * F.col("d_norm")), 9
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("d_id"))
+    return (
+        rescored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("q_id", "d_id", "cosine", F.col("rnk").cast("int").alias("rnk"))
+    )
+
+
+def q_ivf_pq_probe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ivf_pq_probe_topk(load_table(spark, sf_dir, "embeddings"))
+
+
+def _ivfpq_sql() -> str:
+    from .kmeans_core import kmeans_sub_cte
+
+    subs = ",".join(
+        kmeans_sub_cte(f"s{mi}", mi * PQ_SUBDIM, PQ_SUBDIM, PQ_K) for mi in range(PQ_M)
+    )
+
+    def qdist(mi: int) -> str:
+        lo = mi * PQ_SUBDIM
+        return (
+            f"list_reduce(list_transform(range(1, {PQ_SUBDIM + 1}), "
+            f"i -> (CAST(qq.qe[{lo} + i] AS DOUBLE) - cb{mi}.ce[i]) "
+            f"* (CAST(qq.qe[{lo} + i] AS DOUBLE) - cb{mi}.ce[i])), "
+            f"(acc, x) -> acc + x)"
+        )
+
+    adc_terms = " + ".join(qdist(mi) for mi in range(PQ_M))
+    code_joins = "\n  ".join(
+        f"JOIN a1_s{mi} ds{mi} ON ds{mi}.vec_id = d.vec_id "
+        f"JOIN c1_s{mi} cb{mi} ON cb{mi}.cluster = ds{mi}.cluster"
+        for mi in range(PQ_M)
+    )
+    return f"""
+WITH {_ivf_cte()},{subs},
+qprobes AS (
+  SELECT vec_id AS q_id, c_id AS centroid_id
+  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, c_id ASC) AS rn
+        FROM cscored WHERE vec_id < {N_QUERIES}) t
+  WHERE rn <= {IVF_NPROBE}
+),
+adc AS (
+  SELECT p.q_id, d.vec_id AS d_id, {adc_terms} AS adc
+  FROM qprobes p
+  JOIN assign d ON p.centroid_id = d.centroid_id AND d.vec_id <> p.q_id
+  {code_joins}
+  JOIN q qq ON qq.vec_id = p.q_id
+),
+shortlist AS (
+  SELECT q_id, d_id
+  FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY adc ASC, d_id ASC) AS rn
+        FROM adc) t
+  WHERE rn <= {IVFPQ_RERANK}
+),
+rescored AS (
+  SELECT s.q_id, s.d_id,
+         floor((list_reduce(list_transform(range(1, len(qb.e) + 1), i -> qb.e[i] * db.e[i]),
+                            (acc, x) -> acc + x)
+                / (qn.nrm * dn.nrm)) * 1000000000.0 + 0.5) / 1000000000.0 AS cosine
+  FROM shortlist s
+  JOIN base qb ON qb.vec_id = s.q_id
+  JOIN base db ON db.vec_id = s.d_id
+  JOIN norms qn ON qn.vec_id = s.q_id
+  JOIN norms dn ON dn.vec_id = s.d_id
+)
+SELECT q_id, d_id, cosine, CAST(rnk AS INT) AS rnk
+FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, d_id ASC) AS rnk
+      FROM rescored) t
+WHERE rnk <= {TOP_K}
+"""
+
+
+SQL_IVF_PQ_PROBE_TOPK = _ivfpq_sql()
+
+QUERIES["ivf_pq_probe_topk"] = q_ivf_pq_probe_topk
+ORACLES["ivf_pq_probe_topk"] = SQL_IVF_PQ_PROBE_TOPK
+
+
+# ---------------------------------------------------------------------------
+# ANN recall evaluation: the harness every vector-index deployment runs
+# before flipping traffic — recall@k of every ANN variant against the
+# exact brute-force baseline. Train ONCE, probe per variant, semi-join
+# each approximate top-k against the exact top-k on (q_id, d_id).
+# r5 adds the ivf_pq row, so the table now spans the full recall/cost
+# ladder: ivf_flat@1 <= ivf_flat@2 (more lists probed) and
+# ivf_pq@2 <= ivf_flat@2 (pq ranks a SUBSET of flat@2's candidates —
+# set-monotone hits, asserted in tests). Output is 3 tiny rows; the eval
+# itself is equi-joins over k*n_queries rows — free at any corpus size
+# (the cost is the probe plans it measures).
+# ---------------------------------------------------------------------------
+
+
+def ann_recall_eval(embeddings: DataFrame, n_queries: int = N_QUERIES,
+                    k: int = TOP_K) -> DataFrame:
+    from .pin import pin
+
+    cents = _learned_centroids(embeddings)
+    # r4: pin the brute-force ground truth — it appeared as one subtree
+    # copy per variant branch (a semi-join and a count agg each), every
+    # copy re-running the O(corpus x queries) exact scoring; the pinned
+    # relation is k x n_queries rows, evaluated once (EAGER at build,
+    # same contract as the centroid training it sits next to)
+    exact = pin(
+        cosine_topk(embeddings, n_queries, k).select("q_id", "d_id"), "ann_exact"
+    )
+    variants = [
+        ("ivf_flat", 1, ivf_probe_topk(embeddings, n_queries, k, 1, cents)),
+        ("ivf_flat", IVF_NPROBE,
+         ivf_probe_topk(embeddings, n_queries, k, IVF_NPROBE, cents)),
+        ("ivf_pq", IVF_NPROBE,
+         ivf_pq_probe_topk(embeddings, n_queries, k, IVF_NPROBE, IVFPQ_RERANK, cents)),
+    ]
+    parts = []
+    for name, nprobe, approx in variants:
+        hits = approx.select("q_id", "d_id").join(exact, ["q_id", "d_id"], "left_semi")
+        parts.append(
+            hits.agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+            .crossJoin(
+                F.broadcast(exact.agg(F.count(F.lit(1)).cast("long").alias("n_exact")))
+            )
+            .select(
+                F.lit(name).alias("variant"),
+                F.lit(nprobe).cast("int").alias("nprobe"),
+                "n_exact",
+                "n_hits",
+                round_half_up(
+                    F.col("n_hits").cast("double") / F.col("n_exact").cast("double"), 6
+                ).alias("recall"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
+
+
+def q_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ann_recall_eval(load_table(spark, sf_dir, "embeddings"))
+
+
+def _recall_row_sql(variant: str, nprobe: int, rel: str) -> str:
+    return f"""
+SELECT '{variant}' AS variant, CAST({nprobe} AS INT) AS nprobe, n_exact,
+       CAST((SELECT count(*) FROM {rel} JOIN exact USING (q_id, d_id)) AS BIGINT) AS n_hits,
+       floor(CAST((SELECT count(*) FROM {rel} JOIN exact USING (q_id, d_id)) AS DOUBLE)
+             / CAST(n_exact AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS recall
+FROM ex
+"""
+
+
+SQL_ANN_RECALL_EVAL = f"""
+WITH exact AS ({SQL_COSINE_TOPK}),
+a1 AS ({SQL_IVF_PROBE_TOPK}),
+a2 AS ({SQL_IVF_PROBE2_TOPK}),
+a3 AS ({SQL_IVF_PQ_PROBE_TOPK}),
+ex AS (SELECT CAST(count(*) AS BIGINT) AS n_exact FROM exact)
+{_recall_row_sql("ivf_flat", 1, "a1")}
+UNION ALL
+{_recall_row_sql("ivf_flat", IVF_NPROBE, "a2")}
+UNION ALL
+{_recall_row_sql("ivf_pq", IVF_NPROBE, "a3")}
+"""
+
+QUERIES["ann_recall_eval"] = q_ann_recall_eval
+ORACLES["ann_recall_eval"] = SQL_ANN_RECALL_EVAL
 
 
 # ---------------------------------------------------------------------------

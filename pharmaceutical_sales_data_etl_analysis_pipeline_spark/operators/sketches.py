@@ -430,9 +430,14 @@ def histogram_quantile_calibration(orders: DataFrame) -> DataFrame:
         F.lit(QS_BUCKETS - 1),
         F.floor((x - F.lit(mn)) / F.lit(width)).cast("int"),
     )
+    # idx is NULL for NULL prices → drop those histogram rows (and keep n
+    # consistent by counting only non-null prices); without the filter a
+    # NULL bucket row crashes int(r["b"]) driver-side with a cryptic
+    # TypeError instead of producing a clean result.
     hist = sorted(
         (int(r["b"]), int(r["c"]))
-        for r in orders.groupBy(idx.alias("b"))
+        for r in orders.filter(x.isNotNull())
+        .groupBy(idx.alias("b"))
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
         .collect()
     )

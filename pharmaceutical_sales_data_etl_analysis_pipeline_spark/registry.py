@@ -27,7 +27,8 @@ training_corpus/dedup_survivors/dedup_rate_by_source) and queries whose
 parameters derive from the data via driver round-trips (kmeans_clusters,
 semdedup_candidates, ivf_*: corpus count / seeds / centroid sums;
 histogram_quantile_calibration: 3-scalar extent + 64-row histogram for
-the two-phase exact-selection comparator).
+the two-phase exact-selection comparator; ann_recall_eval: the pinned
+brute-force ground-truth pass it ranks every ANN variant against).
 pin() defaults to localCheckpoint (executor-local blocks — fine in
 local[*]); set SPARK_GRAFT_PIN=table to materialize those intermediates
 to durable scratch parquet instead, the cluster-scale mode (survives
@@ -66,103 +67,34 @@ MODULE_ORDER = [
     "graphops",
 ]
 
-# Round-4 sweep priority (exactly fills the 50-slot window): the 50
-# registered queries with NO driver row anywhere in r1 ∪ r2 ∪ r3 —
-# computed as all_queries() minus the union of CORRECTNESS_r0{1,2,3}.json
-# keys (verified exactly 50 at r4 start; the r3 comment's candidate list
-# matched). Zero NEW queries were added in r4, per the r3 verdict's
-# zero-spare-slots contract, so after this sweep all 192 registered
-# queries have a green driver row.
-# Three of these plans were ALSO de-globalized this round (r3 verdict
-# ask #2): histogram_quantile_calibration and id_gap_analysis are in this
-# window, so their r4 rows cover the new plans. key_skew_report is NOT —
-# it has an r3 row (for the old plan) and the window had zero spare
-# slots; it is the one r5 re-sweep candidate (see note below PRIORITY).
-# Everything r1-r3 already verified and unchanged since is protected by
-# the local harness (tests/test_oracle_parity.py, same compare, sf0.001).
+# Round-5 sweep priority. After the r4 sweep every registered query has
+# a green driver row (r1∪r2∪r3∪r4, latest-wins), so the r5 window is
+# spent per the r4 verdict's priority order:
+#   (a) the ONE re-sweep debt: key_skew_report (its r3 row covers the
+#       pre-distrank plan; the r4-rewritten plan needs its own row);
+#   (b) queries ADDED or PLAN-CHANGED this round (new r5 ops:
+#       ivf_pq_probe_topk, substring_dedup_spans, embedding_near_dups_planted;
+#       plan-changed: ann_recall_eval — ivf_pq added to its variant
+#       table; histogram_quantile_calibration — null-bucket guard now
+#       filters the histogram input, a plan change on the 64-row
+#       driver-side build);
+#   (c) the remaining ~44 slots deliberately refresh the OLDEST driver
+#       rows: the r1-swept head of the registry follows in MODULE_ORDER
+#       (tpch onward), giving those three-round-old rows fresh evidence
+#       at zero opportunity cost.
 PRIORITY = [
-    # tpch / relational / scalar tail
-    "distribution_drift",
-    "sql_yearly_priority_share",
-    "map_functions",
-    # corpus ops tail
-    "rank_fusion",
-    "source_overlap",
-    # python UDF surface
-    "grouped_agg_pandas",
-    # analytic tail
-    "skyline_parts",
-    "zorder_bucket_stats",
-    "holt_linear_forecast",
-    "multi_touch_attribution",
-    "weekly_churn",
-    "percentile_cont_prices",
-    # dedup / similarity tail
-    "minhash_calibration",
+    # (a) the one standing re-sweep debt from r4
+    "key_skew_report",
+    # (b) new in r5 / plan-changed in r5
+    "ivf_pq_probe_topk",
+    "substring_dedup_spans",
+    "embedding_near_dups_planted",
     "ann_recall_eval",
-    "pq_codes",
-    "embedding_center",
-    "part_name_near_matches",
-    # textops tail
-    "bpe_pair_stats",
-    "lang_id_confusion",
-    "token_gini_diversity",
-    "bigram_logprob",
-    # event-time tail
-    "session_paths_topk",
-    "conversation_assembly",
-    "seasonal_decompose",
-    "ab_test_lift",
-    "event_dedup_tolerance",
-    "range_frame_daily_sum",
-    # clustering tail
-    "cluster_label_purity",
-    # warehouse maintenance tail
-    "fk_integrity_audit",
-    "pit_feature_join",
-    "leakage_safe_split",
-    "incremental_agg_maintenance",
-    "fd_discovery",
-    "k_anonymity_audit",
-    "calendar_dim",
-    "table_content_hash",
-    "id_gap_analysis",
-    "supplier_hhi",
-    # curation
-    "gopher_quality_flags",
-    "chunk_dedup",
-    "dsir_weights",
-    "quality_filter_funnel",
-    # streaming-as-query
-    "stream_tumbling_hourly",
-    "stream_exact_dedup",
-    # sketches
-    "hll_users_per_event_type",
-    "cms_heavy_hitters",
-    "bloom_prefilter_stats",
     "histogram_quantile_calibration",
-    # graph
-    "pagerank_fixedpoint",
-    "graph_triangle_stats",
 ]
-
-# COUNT CONTRACT (checked at r4 freeze): r1∪r2∪r3 driver rows cover 142
-# distinct queries; the 50 above are exactly the complement within the
-# 192 registered. After the r4 sweep every registered query will have a
-# driver row, so the r5 window is free for (a) re-sweeping any plan that
-# changes and (b) new queries, in that priority order.
-#
-# r5 PRIORITY candidates (plans changed in r4 but NOT in this window —
-# they have older driver rows; local harness re-verified the new plans
-# at sf0.001 AND sf0.01 this round):
-#   key_skew_report (tpch.py — percentiles via distrank.with_global_rank
-#   instead of unpartitioned windows; r3 row covers the old plan).
-# NOT needing re-sweep despite source edits: the pin() call sites
-# (basket_affinity, bm25_topk_terms, term_lift_pairs, pagerank_fixedpoint,
-# neardup_components + dependents) — default mode is byte-identical
-# localCheckpoint, so the executed plan is unchanged; table_content_hash —
-# _HASH_COLS now derives from catalog.SCHEMAS but the derived list is
-# identical, so both engines' SQL/plan are unchanged.
+# (c) is implicit: _collect() appends the rest in MODULE_ORDER, so the
+# window's remaining slots fall on the tpch/scalarfuncs/corpusops head —
+# exactly the queries whose newest driver rows date from r1.
 
 
 def _collect() -> tuple[dict[str, QueryFn], dict[str, str]]:

@@ -9,7 +9,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pharmaceutical_sales_data_etl_analysis_pipeline_spark.session import get_spark
 
-SF_SMOKE = "/root/testdata/sf0.001"
+SF_SMOKE = os.environ.get("SPARK_GRAFT_SMOKE_DIR", "/root/testdata/sf0.001")
 SF_CORRECTNESS = "/root/testdata/sf0.01"
 
 

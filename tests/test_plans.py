@@ -490,11 +490,81 @@ def test_funnel_last_stage_equals_training_corpus(spark, sf_dir):
 
 
 def test_ann_recall_monotone_in_nprobe_eval(spark, sf_dir):
-    """The recall-eval op itself must show nprobe=2 recall >= nprobe=1
-    (same invariant the similarity tests assert on the probe plans)."""
-    rows = {r["nprobe"]: r for r in all_queries()["ann_recall_eval"](spark, sf_dir).collect()}
-    assert rows[2]["n_hits"] >= rows[1]["n_hits"]
-    assert 0.0 <= rows[1]["recall"] <= 1.0
+    """The recall-eval op itself must show the full recall/cost ladder:
+    flat@2 >= flat@1 (more lists probed), and flat@2 >= pq@2 — the PQ
+    path exact-reranks a SUBSET of flat@2's candidate set (its ADC
+    shortlist), and hits against a fixed ground truth are set-monotone
+    in the candidate set."""
+    rows = {
+        (r["variant"], r["nprobe"]): r
+        for r in all_queries()["ann_recall_eval"](spark, sf_dir).collect()
+    }
+    assert rows[("ivf_flat", 2)]["n_hits"] >= rows[("ivf_flat", 1)]["n_hits"]
+    assert rows[("ivf_flat", 2)]["n_hits"] >= rows[("ivf_pq", 2)]["n_hits"]
+    assert 0.0 <= rows[("ivf_pq", 2)]["recall"] <= 1.0
+
+
+def test_ivf_pq_equals_flat_when_shortlist_covers_lists(spark, sf_dir):
+    """With rerank >= the largest probed-candidate count, the ADC
+    shortlist keeps EVERY candidate, so the exact rerank must reproduce
+    ivf_flat@same-nprobe exactly — pinning the two halves (ADC ranking,
+    exact rerank) together: any drift in code assignment, LUT lookup, or
+    shortlist tie-break would break the equality."""
+    from pharmaceutical_sales_data_etl_analysis_pipeline_spark.catalog import load_table as lt
+    from pharmaceutical_sales_data_etl_analysis_pipeline_spark.operators.similarity import (
+        ivf_pq_probe_topk,
+        ivf_probe_topk,
+    )
+
+    emb = lt(spark, sf_dir, "embeddings")
+    n = emb.count()
+    flat = {tuple(r) for r in ivf_probe_topk(emb, nprobe=2).collect()}
+    pq_all = {tuple(r) for r in ivf_pq_probe_topk(emb, nprobe=2, rerank=n).collect()}
+    assert pq_all == flat
+
+
+def test_substring_dedup_finds_planted_repeated_span(spark):
+    """Planted repeated-span check (Lee et al. shape): an 8-token span
+    shared by two docs must surface with n_docs=2; a doc-internal repeat
+    must NOT (cross-doc contract: n_docs >= 2); unique text yields no
+    fingerprints."""
+    from pharmaceutical_sales_data_etl_analysis_pipeline_spark.operators.dedup import (
+        substring_dedup_spans,
+    )
+
+    span = "alpha bravo charlie delta echo foxtrot golf hotel"
+    rows = [
+        (1, f"intro words then {span} and a tail"),
+        (2, f"{span} opens this second document entirely differently"),
+        (3, "unique text one two three four five six seven eight nine"),
+        # doc-internal repeat only — must not appear (n_docs == 1)
+        (4, f"self repeat indigo juliett kilo lima mike november oscar papa "
+            f"then indigo juliett kilo lima mike november oscar papa"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = substring_dedup_spans(df).collect()
+    assert any(r["n_docs"] == 2 and r["first_doc"] == 1 and r["last_doc"] == 2 for r in got)
+    # every reported fingerprint is cross-doc
+    assert all(r["n_docs"] >= 2 for r in got)
+    # doc 4's internal repeat stayed out: all cross-doc spans involve docs 1/2
+    assert all(r["first_doc"] == 1 and r["last_doc"] == 2 for r in got)
+
+
+def test_embedding_near_dups_planted_catches_all_plants(spark, sf_dir):
+    """The registered planted variant must emit exactly the PLANT_N
+    (original, copy) pairs at smoke scale — non-vacuous evidence the
+    multi-probe + verify path CATCHES pairs, not just agrees on empty."""
+    from pharmaceutical_sales_data_etl_analysis_pipeline_spark.operators.similarity import (
+        PLANT_N,
+        PLANT_OFFSET,
+        q_embedding_near_dups_planted,
+    )
+
+    rows = q_embedding_near_dups_planted(spark, sf_dir).collect()
+    pairs = {(r["vec_a"], r["vec_b"]) for r in rows}
+    assert {(i, i + PLANT_OFFSET) for i in range(PLANT_N)} <= pairs
+    planted = [r for r in rows if r["vec_b"] >= PLANT_OFFSET]
+    assert all(r["cosine"] >= 0.999999 for r in planted)
 
 
 def test_cms_never_undercounts(spark, sf_dir):

@@ -33,19 +33,19 @@ assert e.entry(spark).count() > 0
 qs = e.queries()
 for name in ["skyline_parts", "udtf_sentences", "multimodal_resize",
              "grouped_agg_pandas", "pandas_normalized_text", "kmeans_clusters"]:
-    n = qs[name](spark, "/root/testdata/sf0.001").count()
+    n = qs[name](spark, {sf!r}).count()
     assert n >= 0, name
     print("ok", name, n)
 print("VANILLA-OK")
 """
 
 
-def test_contract_survives_bare_session_subprocess():
+def test_contract_survives_bare_session_subprocess(sf_dir):
     import os
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     proc = subprocess.run(
-        [sys.executable, "-c", _PROBE.format(repo=repo)],
+        [sys.executable, "-c", _PROBE.format(repo=repo, sf=sf_dir)],
         cwd="/tmp",
         capture_output=True,
         text=True,
