@@ -761,7 +761,12 @@ def skyline_parts(part: DataFrame) -> DataFrame:
     # vanilla-session workers can't import this package (verify SKILL.md
     # "pickling gotchas"; same reason the UDTF/DataSource classes are
     # function-local)
-    def local(it):
+    # the `_reduce` suffix is a lint contract (tests/test_plans.py): a
+    # SinglePartition exchange is only acceptable when its child is a
+    # row-count-REDUCING operator, and this kernel's name asserts that
+    # property for the plan walker (phase-1 emits per-partition skylines,
+    # <= |skyline| rows each).
+    def skyline_local_reduce(it):
         import numpy as np
         import pandas as pd
 
@@ -787,10 +792,10 @@ def skyline_parts(part: DataFrame) -> DataFrame:
             yield sky(pd.concat(frames, ignore_index=True))
 
     base = part.select(*cols)
-    survivors = base.mapInPandas(local, schema)
+    survivors = base.mapInPandas(skyline_local_reduce, schema)
     return (
         survivors.repartition(1)
-        .mapInPandas(local, schema)
+        .mapInPandas(skyline_local_reduce, schema)
         .orderBy("p_retailprice", "p_partkey")
     )
 

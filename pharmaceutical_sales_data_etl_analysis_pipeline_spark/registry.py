@@ -91,6 +91,10 @@ PRIORITY = [
     "embedding_near_dups_planted",
     "ann_recall_eval",
     "histogram_quantile_calibration",
+    # kernel renamed skyline_local_reduce for the exemption-free plan
+    # lint's naming contract — node label changed in the executed plan
+    # (semantics identical), so re-sweep for bookkeeping hygiene
+    "skyline_parts",
 ]
 # (c) is implicit: _collect() appends the rest in MODULE_ORDER, so the
 # window's remaining slots fall on the tpch/scalarfuncs/corpusops head —
