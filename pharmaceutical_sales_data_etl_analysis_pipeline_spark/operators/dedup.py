@@ -19,7 +19,7 @@ Reference parity: exact dedup generalizes LoadXML2DB.ChatterjeeP.R:112-135
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
@@ -433,66 +433,107 @@ SQL_SIMHASH = _simhash_sql()
 
 
 # ---------------------------------------------------------------------------
-# SimHash near-dup pairs: Hamming distance ≤ 6 over the FULL corpus.
-# (r2 kept a doc_id<2000 subset cap to protect the DuckDB oracle's
-# quadratic all-pairs verify; the driver's correctness scale is sf0.01 =
-# 500 docs, where all-pairs is trivial, so r3 lifts the cap — the
-# registered Spark plan now runs the production full-corpus shape and the
-# bench at sf0.1 exercises it on 5000 docs.)
+# SimHash near-dup pairs — the Manku et al. construction (WWW'07,
+# "Detecting Near-Duplicates for Web Crawling"): 64-bit fingerprint,
+# Hamming distance ≤ 3, candidate index = exact match on one of 4
+# 16-bit blocks.
 #
-# Registered plan = banded LSH (the 100 TB shape), NOT an all-pairs join:
-# split the 32-bit signature into 8 bands of 4 bits. Hamming ≤ 6 flips
-# touch at most 6 bands, leaving ≥ 2 bands untouched — so at least one of
-# the C(8,2)=28 band PAIRS is identical on both docs (pigeonhole; exact
-# recall, no approximation). Each doc emits 28 (pair_idx, 8-bit band_key)
-# rows; candidates come from an equi-join on (pair_idx, band_key) and the
-# exact Hamming check then removes false positives. A qualifying pair can
-# collide in several band pairs → distinct after the verify.
+# r5 REDESIGN, from the measured sf0.1→sf1.0 scale ladder: the previous
+# contract (32-bit signature, Hamming ≤ 6) is OUTPUT-quadratic — two
+# random 32-bit fingerprints land within Hamming 6 at rate
+# C(32,≤6)/2^32 ≈ 2.7e-4, so output grew 90× for 10× docs (4,136 →
+# 373,646 rows; ~90% birthday-paradox noise, not near-dups) and
+# candidates grew 97× (1.45M → 141.7M through the 8-bit band-pair keys).
+# No plan can fix a contract whose answer set is Θ(n²). Manku et al.'s
+# published answer is exactly this parameter move: longer fingerprints,
+# tighter radius. At 64 bits / Hamming ≤ 3 the random-pair rate is
+# C(64,≤3)/2^64 ≈ 2.4e-15 — zero noise pairs below ~10^7 docs, so the
+# output is true near-dups only and scales linearly with the corpus.
 #
-# Candidate volume per bucket ~ n / 2^8 per pair index vs n/2 for all-pairs:
-# the join is shuffle-hash/sort-merge on 28×256 keys (AQE splits skewed
-# buckets), never a cartesian. simhash_near_dups_allpairs keeps the
-# quadratic form test-side as the ground-truth calibration.
+# Exact recall by pigeonhole: ≤ 3 flips touch ≤ 3 of the 4 blocks, so at
+# least one 16-bit block is intact on both docs. Each doc emits 4
+# (block_idx, block_key) rows; candidates come from the equi-join on
+# them (never a cartesian) and the exact Hamming check removes false
+# positives. Random candidate rate 4/2^16 ≈ 6e-5 per pair — measured at
+# sf1: ~0.08M candidate rows where the 32-bit band-pair index produced
+# 141.7M. The fingerprint rides as two 32-bit halves (sim_lo, sim_hi)
+# so every value stays inside non-negative signed-long range in BOTH
+# engines — no unsigned-overflow edge at bit 63.
 # ---------------------------------------------------------------------------
 
-HAMMING_MAX = 6
-SIMHASH_BANDS = 8  # 4 bits each over the 32-bit signature
-_BAND_PAIRS = [
-    (i, j) for i in range(SIMHASH_BANDS) for j in range(i + 1, SIMHASH_BANDS)
-]
+HAMMING_MAX = 3
+SIM64_BLOCKS = 4  # 16 bits each over the 64-bit fingerprint
 
 
-def simhash_band_pairs(sig: DataFrame) -> DataFrame:
-    """(doc_id, simhash, pair_idx, band_key): 28 rows per doc, band_key =
-    band_i * 16 + band_j packed into 8 bits. One stack() projection —
-    zero-shuffle candidate-key generation."""
-    stack_args = ", ".join(
-        f"{p}, (shiftright(simhash, {4 * i}) & 15) * 16 + (shiftright(simhash, {4 * j}) & 15)"
-        for p, (i, j) in enumerate(_BAND_PAIRS)
+def simhash64(documents: DataFrame) -> DataFrame:
+    """(doc_id, sim_lo, sim_hi): 64-bit SimHash as two 32-bit halves.
+    Same vote construction as simhash(), with the mask widened to the
+    first 16 hex chars of md5(shingle) — one md5 per shingle (subexpression
+    elimination shares it across all 64 bit votes), map-side partial agg."""
+    feats = with_shingles(documents)
+    mask_lo = F.conv(F.substring(F.md5(F.col("shingle")), 1, 8), 16, 10).cast("long")
+    mask_hi = F.conv(F.substring(F.md5(F.col("shingle")), 9, 8), 16, 10).cast("long")
+    bit_aggs = [
+        F.sum(F.shiftright(mask_lo, j).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"lo{j}")
+        for j in range(32)
+    ] + [
+        F.sum(F.shiftright(mask_hi, j).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"hi{j}")
+        for j in range(32)
+    ]
+    votes = feats.groupBy("doc_id").agg(*bit_aggs)
+    sig_lo = sum(
+        F.when(F.col(f"lo{j}") > 0, F.lit(2 ** j).cast("long")).otherwise(F.lit(0).cast("long"))
+        for j in range(32)
     )
+    sig_hi = sum(
+        F.when(F.col(f"hi{j}") > 0, F.lit(2 ** j).cast("long")).otherwise(F.lit(0).cast("long"))
+        for j in range(32)
+    )
+    return votes.select(
+        "doc_id",
+        sig_lo.cast("long").alias("sim_lo"),
+        sig_hi.cast("long").alias("sim_hi"),
+    )
+
+
+def simhash64_blocks(sig: DataFrame) -> DataFrame:
+    """(doc_id, sim_lo, sim_hi, block_idx, block_key): 4 rows per doc, one
+    16-bit block each. One stack() projection — zero-shuffle key generation."""
     return sig.select(
         "doc_id",
-        "simhash",
-        F.expr(f"stack({len(_BAND_PAIRS)}, {stack_args}) AS (pair_idx, band_key)"),
+        "sim_lo",
+        "sim_hi",
+        F.expr(
+            "stack(4, "
+            "0, sim_lo & 65535, "
+            "1, shiftright(sim_lo, 16) & 65535, "
+            "2, sim_hi & 65535, "
+            "3, shiftright(sim_hi, 16) & 65535) AS (block_idx, block_key)"
+        ),
     )
+
+
+def _sim64_hamming() -> Column:
+    return F.bit_count(
+        F.col("a.sim_lo").bitwiseXOR(F.col("b.sim_lo"))
+    ) + F.bit_count(F.col("a.sim_hi").bitwiseXOR(F.col("b.sim_hi")))
 
 
 def simhash_near_dups(documents: DataFrame) -> DataFrame:
-    sig = simhash(documents)
-    keys = simhash_band_pairs(sig)
+    sig = simhash64(documents)
+    keys = simhash64_blocks(sig)
     a, b = keys.alias("a"), keys.alias("b")
-    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
     return (
         a.join(
             b,
-            (F.col("a.pair_idx") == F.col("b.pair_idx"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
+            (F.col("a.block_idx") == F.col("b.block_idx"))
+            & (F.col("a.block_key") == F.col("b.block_key"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            ham.cast("int").alias("hamming"),
+            _sim64_hamming().cast("int").alias("hamming"),
         )
         .filter(F.col("hamming") <= HAMMING_MAX)
         .distinct()
@@ -500,17 +541,16 @@ def simhash_near_dups(documents: DataFrame) -> DataFrame:
 
 
 def simhash_near_dups_allpairs(documents: DataFrame) -> DataFrame:
-    """Quadratic ground truth (test-side only — calibration for the banded
+    """Quadratic ground truth (test-side only — calibration for the blocked
     plan; identical output guaranteed by the pigeonhole argument above)."""
-    sig = simhash(documents)
+    sig = simhash64(documents)
     a, b = sig.alias("a"), sig.alias("b")
-    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
     return (
         a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            ham.cast("int").alias("hamming"),
+            _sim64_hamming().cast("int").alias("hamming"),
         )
         .filter(F.col("hamming") <= HAMMING_MAX)
     )
@@ -520,15 +560,92 @@ def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_dups(load_table(spark, sf_dir, "documents"))
 
 
-SQL_SIMHASH_NEAR_DUPS = f"""
-WITH sig AS (
-  SELECT * FROM ({SQL_SIMHASH}) s
-)
+def _simhash64_sig_cte(source: str = "documents") -> str:
+    """DuckDB CTEs ending in sig(doc_id, sim_lo, sim_hi) — the same
+    64 bit votes from the first 16 hex chars of md5(shingle)."""
+    vote_cols = ",\n         ".join(
+        [
+            f"sum((((('0x' || substr(md5(shingle), 1, 8))::UBIGINT::BIGINT >> {j}) & 1) * 2 - 1)) AS lo{j}"
+            for j in range(32)
+        ]
+        + [
+            f"sum((((('0x' || substr(md5(shingle), 9, 8))::UBIGINT::BIGINT >> {j}) & 1) * 2 - 1)) AS hi{j}"
+            for j in range(32)
+        ]
+    )
+    sig_lo = " + ".join(
+        f"CASE WHEN lo{j} > 0 THEN CAST({2 ** j} AS BIGINT) ELSE 0 END" for j in range(32)
+    )
+    sig_hi = " + ".join(
+        f"CASE WHEN hi{j} > 0 THEN CAST({2 ** j} AS BIGINT) ELSE 0 END" for j in range(32)
+    )
+    return f"""
+shingled AS (
+{gram_cte_sql(source, distinct=True)}
+),
+votes AS (
+  SELECT doc_id,
+         {vote_cols}
+  FROM shingled
+  GROUP BY doc_id
+),
+sig AS (
+  SELECT doc_id, CAST({sig_lo} AS BIGINT) AS sim_lo, CAST({sig_hi} AS BIGINT) AS sim_hi
+  FROM votes
+)"""
+
+
+def _simhash_near_dups_sql(source: str = "documents") -> str:
+    ham = "bit_count(xor(a.sim_lo, b.sim_lo)) + bit_count(xor(a.sim_hi, b.sim_hi))"
+    return f"""
+WITH {_simhash64_sig_cte(source)}
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+       CAST({ham} AS INT) AS hamming
 FROM sig a JOIN sig b ON a.doc_id < b.doc_id
-WHERE bit_count(xor(a.simhash, b.simhash)) <= {HAMMING_MAX}
+WHERE {ham} <= {HAMMING_MAX}
 """
+
+
+SQL_SIMHASH_NEAR_DUPS = _simhash_near_dups_sql()
+
+
+# ---------------------------------------------------------------------------
+# Planted-pair variant: with the honest 64-bit/Hamming≤3 contract the
+# natural corpus has ZERO qualifying pairs at sf0.01 (no noise pairs is
+# the point of the redesign) — both engines agree on empty, but that
+# driver evidence would be vacuous. Same remedy as
+# embedding_near_dups_planted: UNION the corpus with DOC_PLANT_N exact
+# copies of its first documents under shifted doc_ids, entirely in-plan
+# on BOTH engines, so the identical block-index machinery provably
+# catches each planted pair (Hamming 0) and the driver row is non-empty
+# at every sf.
+# ---------------------------------------------------------------------------
+
+DOC_PLANT_N = 20
+DOC_PLANT_OFFSET = 10_000_000  # clears any real doc_id at any tested sf
+
+
+def _with_planted_docs(documents: DataFrame) -> DataFrame:
+    base = documents.select("doc_id", "text")
+    planted = documents.filter(F.col("doc_id") < DOC_PLANT_N).select(
+        (F.col("doc_id") + F.lit(DOC_PLANT_OFFSET)).cast("long").alias("doc_id"),
+        "text",
+    )
+    return base.unionByName(planted)
+
+
+def q_simhash_near_dups_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash_near_dups(_with_planted_docs(load_table(spark, sf_dir, "documents")))
+
+
+_PLANTED_DOCS_SRC = (
+    f"(SELECT doc_id, text FROM documents "
+    f"UNION ALL "
+    f"SELECT doc_id + {DOC_PLANT_OFFSET} AS doc_id, text FROM documents "
+    f"WHERE doc_id < {DOC_PLANT_N}) AS planted_docs"
+)
+
+SQL_SIMHASH_NEAR_DUPS_PLANTED = _simhash_near_dups_sql(_PLANTED_DOCS_SRC)
 
 
 # ---------------------------------------------------------------------------
@@ -596,6 +713,7 @@ QUERIES = {
     "minhash_lsh_candidates": q_minhash_lsh_candidates,
     "simhash": q_simhash,
     "simhash_near_dups": q_simhash_near_dups,
+    "simhash_near_dups_planted": q_simhash_near_dups_planted,
     "ngram_jaccard": q_ngram_jaccard,
     "incremental_neardup": q_incremental_neardup,
 }
@@ -606,6 +724,7 @@ ORACLES = {
     "minhash_lsh_candidates": SQL_MINHASH_LSH_CANDIDATES,
     "simhash": SQL_SIMHASH,
     "simhash_near_dups": SQL_SIMHASH_NEAR_DUPS,
+    "simhash_near_dups_planted": SQL_SIMHASH_NEAR_DUPS_PLANTED,
     "ngram_jaccard": SQL_NGRAM_JACCARD,
     "incremental_neardup": SQL_INCREMENTAL_NEARDUP,
 }

@@ -282,44 +282,88 @@ WHERE rnk <= {TOP_K}
 
 # ---------------------------------------------------------------------------
 # Embedding near-dup pairs: cosine ≥ threshold over the FULL corpus.
-# (r2 capped the input at vec_id<500 to bound the oracle; sf0.01 has 500
-# vectors so the cap was a no-op at correctness scale — r3 lifts it so the
-# registered plan and the sf0.1 bench run the production shape on the
-# whole table. The oracle's candidate predicate is the same LSH Hamming
-# contract, linear via bucket join on the Spark side.)
 #
-# Registered plan = the LSH production path, not an all-pairs join:
-# candidates come from the sign-LSH bucket join (multi-probe: side A emits,
-# per vector, its 8-bit bucket code XORed with every mask of ≤ 2 bits —
-# 1+8+28 = 37 probe rows — so an equi-join on probe = B's bucket catches
-# every pair whose codes differ on ≤ 2 of the 8 hyperplanes), then the
-# exact cosine verify keeps only true near-dups. A pair's code-XOR is a
-# single fixed mask, so each candidate pair appears exactly once — no
-# distinct needed.
+# r5 REDESIGN, from the measured sf0.1→sf1.0 scale ladder: the r3 plan
+# (multi-probe Hamming ≤ 2 over the 8-plane bucket code) has a FIXED
+# 256-bucket key space, so its candidate volume is Θ(n²): a random pair
+# collides with probability 37/256 ≈ 14.5% regardless of corpus size —
+# measured 299k → 30.0M candidates (100×) for 10× vectors, and the
+# verify stage (two embedding re-attach joins + Arrow cosine over every
+# candidate) inherits the quadratic. More data must mean more buckets.
 #
-# Recall: a cos ≥ 0.9 pair disagrees on a given hyperplane w.p.
-# acos(0.9)/π ≈ 0.144, so P(code Hamming > 2) ≈ 9% at the 0.9 boundary
-# and falls fast for closer pairs; raise PROBE_HAMMING (or add hash
-# tables) for stricter recall. embedding_near_dups_allpairs keeps the
+# New index = the classic AND-OR sign-LSH of Indyk–Motwani/Gionis et al.
+# (and FALCONN's multi-table construction): a 32-plane sign code per
+# vector (same md5-derived ±1 hyperplanes as the 8-plane bucket ops,
+# extended to planes 0..31), and NEARDUP_TABLES=20 hash tables, table l
+# keyed on the 14-bit subcode selected by the literal plane-mask
+# NEARDUP_MASKS[l] (AND over 14 planes per table, OR across 20 tables).
+# Candidates = pairs agreeing exactly on ≥ 1 masked subcode — an
+# equi-join on (table_idx, masked_code); a pair can match several tables
+# so candidates dedup BEFORE the embedding re-attach. Then the exact
+# cosine verify keeps only true near-dups (precision is exact; the
+# SQL oracle states this same candidate contract, so driver parity holds
+# on any corpus).
+#
+# Rates at the cos 0.9 boundary (per-plane disagreement acos(0.9)/π ≈
+# 0.144): per-table match 0.856^14 ≈ 0.113, miss-all-20 ≈ 0.887^20 ≈ 9%
+# — the same ~91% recall the old plan had. Random pairs (per-plane 1/2):
+# ≤ 20·2⁻¹⁴ ≈ 1.2e-3 — 120× fewer candidates than the old fixed-256
+# space at sf1, and the gap widens with n (more tables/bits can be added
+# as the corpus grows; the contract is the literal mask list, so the
+# oracle follows mechanically). embedding_near_dups_allpairs keeps the
 # exact quadratic form test-side as ground truth/calibration.
 # ---------------------------------------------------------------------------
 
 NEARDUP_MIN_COS = 0.9
-PROBE_HAMMING = 2
-_PROBE_MASKS = (
-    [0]
-    + [1 << i for i in range(LSH_PLANES)]
-    + [(1 << i) | (1 << j) for i in range(LSH_PLANES) for j in range(i + 1, LSH_PLANES)]
-)
+NEARDUP_PLANES = 32     # sign-code width for the near-dup index
+NEARDUP_MASK_BITS = 14  # planes ANDed per table
+NEARDUP_TABLES = 20     # tables ORed
+
+
+def _mask_planes(table: int) -> list[int]:
+    """The NEARDUP_MASK_BITS planes of table `table`: a deterministic
+    md5-ranked shuffle of the 32 planes — engine-portable because only
+    the resulting literal masks reach either engine."""
+    ranked = sorted(
+        range(NEARDUP_PLANES),
+        key=lambda p: hashlib.md5(f"neardup_mask_{table}_{p}".encode()).hexdigest(),
+    )
+    return sorted(ranked[:NEARDUP_MASK_BITS])
+
+
+NEARDUP_MASKS = [
+    sum(1 << p for p in _mask_planes(l)) for l in range(NEARDUP_TABLES)
+]
+
+
+def neardup_code_col(emb: Column) -> Column:
+    """32-plane sign code (long) — lsh_bucket_col's construction widened
+    to NEARDUP_PLANES; planes 0..7 coincide with the bucket ops' planes."""
+    sig = sum(
+        F.when(
+            _fold(
+                F.zip_with(
+                    emb,
+                    F.array(*[F.lit(w) for w in _plane_weights(p)]),
+                    lambda x, w: w * x.cast("double"),
+                )
+            )
+            > 0,
+            F.lit(2 ** p).cast("long"),
+        ).otherwise(F.lit(0).cast("long"))
+        for p in range(NEARDUP_PLANES)
+    )
+    return sig.cast("long")
 
 
 _NEARDUP_OUT = "vec_a long, vec_b long, cosine double"
 
 
 def embedding_near_dups(embeddings: DataFrame) -> DataFrame:
-    """Candidates from the multi-probe bucket equi-join on (vec_id, probe)
-    keys ONLY — the 37x probe explode duplicates 12 bytes per row, not the
-    embedding vector — then embeddings re-attach by vec_id for the verify.
+    """Candidates from the 20-table masked-subcode equi-join on
+    (table_idx, masked_code) keys ONLY — the 20× table explode duplicates
+    ~16 bytes per row, not the embedding vector — deduped, then embeddings
+    re-attach by vec_id for the verify.
 
     Verify is an Arrow-vectorized mapInPandas, not the JVM `_dot` fold:
     Spark's higher-order array functions are CodegenFallback (interpreted,
@@ -330,26 +374,40 @@ def embedding_near_dups(embeddings: DataFrame) -> DataFrame:
     exact IEEE op order of the JVM fold and DuckDB's list_reduce — the
     cosine stays bit-identical to the oracle.
 
-    At 100 TB: candidate generation is a shuffle hash join on int keys, the
-    two embedding attaches are vec_id equi-joins (linear), and the verify
-    streams Arrow batches — no quadratic stage anywhere.
+    At 100 TB: candidate generation is a shuffle hash join on (int, long)
+    keys whose collision rate is set by the mask width (grow tables/bits
+    with the corpus — the key space is not fixed), the two embedding
+    attaches are vec_id equi-joins (linear), and the verify streams Arrow
+    batches over the deduped candidate set.
     """
     coded = embeddings.select(
-        "vec_id", lsh_bucket_col(F.col("embedding")).alias("bucket")
+        "vec_id", neardup_code_col(F.col("embedding")).alias("code")
     )
-    probes = coded.select(
-        "vec_id",
-        F.explode(F.array(*[F.lit(m) for m in _PROBE_MASKS])).alias("mask"),
-        "bucket",
-    ).select("vec_id", F.col("bucket").bitwiseXOR(F.col("mask")).alias("probe"))
-    a, b = probes.alias("a"), coded.alias("b")
-    cand = a.join(
-        b,
-        (F.col("a.probe") == F.col("b.bucket"))
-        & (F.col("a.vec_id") < F.col("b.vec_id")),
-    ).select(
-        F.col("a.vec_id").alias("vec_a"),
-        F.col("b.vec_id").alias("vec_b"),
+    tables = F.array(
+        *[
+            F.struct(
+                F.lit(l).cast("int").alias("tbl"),
+                F.col("code").bitwiseAND(F.lit(NEARDUP_MASKS[l]).cast("long")).alias("mkey"),
+            )
+            for l in range(NEARDUP_TABLES)
+        ]
+    )
+    keys = coded.select("vec_id", F.explode(tables).alias("kv")).select(
+        "vec_id", F.col("kv.tbl").alias("tbl"), F.col("kv.mkey").alias("mkey")
+    )
+    a, b = keys.alias("a"), keys.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.tbl") == F.col("b.tbl"))
+            & (F.col("a.mkey") == F.col("b.mkey"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+        )
+        .distinct()  # a pair can agree on several tables; verify once
     )
     ea = embeddings.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"))
     eb = embeddings.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"))
@@ -405,22 +463,53 @@ def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_dups(load_table(spark, sf_dir, "embeddings"))
 
 
-# The oracle states the registered plan's EXACT contract — pairs with
-# sign-LSH code Hamming distance <= PROBE_HAMMING *and* cosine >= 0.9 —
-# re-deriving the same md5 hyperplane codes in SQL (the code identity is
-# itself oracle-verified by lsh_bucket_sizes). The multi-probe mask join
-# is equivalent to the Hamming predicate (mask = xor(code_a, code_b),
-# enumerated for all <=2-bit patterns), so this parity is guaranteed on
-# ANY data, not vacuously on a corpus with no qualifying pairs. Recall vs
-# the exact all-pairs ground truth (embedding_near_dups_allpairs) is a
-# test-side measurement, not a parity claim — ANN recall is documented,
-# not certified.
-def _neardup_sql(src: str = "embeddings") -> str:
+# The oracle states the registered plan's EXACT contract — pairs whose
+# 32-plane sign codes agree on at least one of the NEARDUP_MASKS plane
+# subsets *and* cosine >= 0.9 — re-deriving the same md5 hyperplane codes
+# in SQL (planes 0..7 of the identical construction are oracle-verified
+# by lsh_bucket_sizes) and testing the literal masks with BIGINT AND.
+# Parity is therefore guaranteed on ANY data, not vacuously on a corpus
+# with no qualifying pairs. Recall vs the exact all-pairs ground truth
+# (embedding_near_dups_allpairs) is a test-side measurement, not a
+# parity claim — ANN recall is documented, not certified.
+
+
+def _neardup_code_cte(src: str = "embeddings") -> str:
+    """DuckDB CTEs base(vec_id, e) + codes(vec_id, code): the 32-plane
+    sign code, same md5 weights and fold order as neardup_code_col."""
+    projections = ",\n         ".join(
+        "list_reduce(list_transform(range(1, len(e) + 1), "
+        f"i -> CAST(((ascii(substr(md5('{p}_' || CAST(i - 1 AS VARCHAR)), 1, 1)) % 2) * 2 - 1) AS DOUBLE) * e[i]), "
+        f"(acc, x) -> acc + x) AS proj{p}"
+        for p in range(NEARDUP_PLANES)
+    )
+    sig = " + ".join(
+        f"CASE WHEN proj{p} > 0 THEN CAST({2 ** p} AS BIGINT) ELSE 0 END"
+        for p in range(NEARDUP_PLANES)
+    )
     return f"""
-WITH {_lsh_cte(src)},
+base AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM {src}
+),
+proj AS (
+  SELECT vec_id,
+         {projections}
+  FROM base
+),
+codes AS (
+  SELECT vec_id, CAST({sig} AS BIGINT) AS code FROM proj
+)"""
+
+
+def _neardup_sql(src: str = "embeddings") -> str:
+    any_table = " OR ".join(
+        f"(a.code & {m}) = (b.code & {m})" for m in NEARDUP_MASKS
+    )
+    return f"""
+WITH {_neardup_code_cte(src)},
 sub AS (
-  SELECT b.vec_id, b.e, k.bucket
-  FROM base b JOIN buckets k ON b.vec_id = k.vec_id
+  SELECT b.vec_id, b.e, k.code
+  FROM base b JOIN codes k ON b.vec_id = k.vec_id
 ),
 norms AS (
   SELECT vec_id,
@@ -434,7 +523,7 @@ scored AS (
                 / (na.nrm * nb.nrm)) * 1000000000.0 + 0.5) / 1000000000.0 AS cosine
   FROM sub a
   JOIN sub b ON a.vec_id < b.vec_id
-            AND bit_count(xor(a.bucket, b.bucket)) <= {PROBE_HAMMING}
+            AND ({any_table})
   JOIN norms na ON a.vec_id = na.vec_id
   JOIN norms nb ON b.vec_id = nb.vec_id
 )

@@ -73,21 +73,29 @@ MODULE_ORDER = [
 #   (a) the ONE re-sweep debt: key_skew_report (its r3 row covers the
 #       pre-distrank plan; the r4-rewritten plan needs its own row);
 #   (b) queries ADDED or PLAN-CHANGED this round (new r5 ops:
-#       ivf_pq_probe_topk, substring_dedup_spans, embedding_near_dups_planted;
+#       ivf_pq_probe_topk, substring_dedup_spans, embedding_near_dups_planted,
+#       simhash_near_dups_planted; CONTRACT-changed after the measured
+#       sf1 ladder found their output/candidates quadratic:
+#       simhash_near_dups — now the Manku et al. 64-bit/Hamming≤3
+#       block index; embedding_near_dups (+_planted) — now 20-table
+#       masked-subcode AND-OR sign-LSH over a 32-plane code;
 #       plan-changed: ann_recall_eval — ivf_pq added to its variant
 #       table; histogram_quantile_calibration — null-bucket guard now
 #       filters the histogram input, a plan change on the 64-row
 #       driver-side build);
-#   (c) the remaining ~44 slots deliberately refresh the OLDEST driver
+#   (c) the remaining ~40 slots deliberately refresh the OLDEST driver
 #       rows: the r1-swept head of the registry follows in MODULE_ORDER
 #       (tpch onward), giving those three-round-old rows fresh evidence
 #       at zero opportunity cost.
 PRIORITY = [
     # (a) the one standing re-sweep debt from r4
     "key_skew_report",
-    # (b) new in r5 / plan-changed in r5
+    # (b) new in r5 / contract- or plan-changed in r5
     "ivf_pq_probe_topk",
     "substring_dedup_spans",
+    "simhash_near_dups",
+    "simhash_near_dups_planted",
+    "embedding_near_dups",
     "embedding_near_dups_planted",
     "ann_recall_eval",
     "histogram_quantile_calibration",

@@ -165,25 +165,62 @@ def test_training_corpus_fuses_signals_into_one_scan(spark, sf_dir):
     assert plan.count("documents.parquet") <= 2, plan
 
 
-def test_simhash_near_dups_is_banded_not_cartesian(spark, sf_dir):
-    """The registered near-dup plan must candidate via the band-pair
+def test_simhash_near_dups_is_blocked_not_cartesian(spark, sf_dir):
+    """The registered near-dup plan must candidate via the 16-bit-block
     equi-join — never an all-pairs cartesian/nested-loop."""
     plan = _plan(all_queries()["simhash_near_dups"](spark, sf_dir))
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
 
 
-def test_simhash_banded_equals_allpairs(spark, sf_dir):
+def test_simhash_blocked_equals_allpairs(spark, sf_dir):
+    """Exact recall of the Manku block index: the equi-join plan and the
+    quadratic ground truth agree row-for-row on the natural corpus (which
+    may legitimately have zero Hamming<=3 pairs — zero NOISE pairs is the
+    point of the 64-bit contract; non-vacuity lives in the planted test)."""
     from pharmaceutical_sales_data_etl_analysis_pipeline_spark.operators.dedup import (
         q_simhash_near_dups,
         simhash_near_dups_allpairs,
     )
     from pharmaceutical_sales_data_etl_analysis_pipeline_spark.catalog import load_table as lt
 
-    banded = sorted(map(tuple, q_simhash_near_dups(spark, sf_dir).collect()))
+    blocked = sorted(map(tuple, q_simhash_near_dups(spark, sf_dir).collect()))
     exact = sorted(map(tuple, simhash_near_dups_allpairs(lt(spark, sf_dir, "documents")).collect()))
-    assert banded == exact
-    assert len(banded) > 0  # non-vacuous: the corpus does contain near-dups
+    assert blocked == exact
+
+
+def test_simhash_planted_near_dups_found(spark, sf_dir):
+    """Non-vacuous recall: every planted exact copy (Hamming 0) must pair
+    with its original, and the blocked plan must match the quadratic
+    ground truth on the planted corpus too."""
+    from pharmaceutical_sales_data_etl_analysis_pipeline_spark.operators.dedup import (
+        DOC_PLANT_N,
+        DOC_PLANT_OFFSET,
+        _with_planted_docs,
+        simhash_near_dups_allpairs,
+    )
+    from pharmaceutical_sales_data_etl_analysis_pipeline_spark.catalog import load_table as lt
+
+    got = sorted(map(tuple, all_queries()["simhash_near_dups_planted"](spark, sf_dir).collect()))
+    exact = sorted(
+        map(
+            tuple,
+            simhash_near_dups_allpairs(
+                _with_planted_docs(lt(spark, sf_dir, "documents"))
+            ).collect(),
+        )
+    )
+    assert got == exact
+    pairs = {(a, b) for a, b, _ in got}
+    planted_ids = {
+        r.doc_id
+        for r in lt(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < DOC_PLANT_N)
+        .select("doc_id")
+        .collect()
+    }
+    for i in sorted(planted_ids):
+        assert (i, i + DOC_PLANT_OFFSET) in pairs, f"planted copy of doc {i} not found"
 
 
 def test_embedding_near_dups_is_bucketed_not_cartesian(spark, sf_dir):

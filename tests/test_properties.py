@@ -115,37 +115,44 @@ def test_key_repair_prefixes_exactly_once(spark, ids):
 
 
 # ---------------------------------------------------------------------------
-# Banded SimHash recall guarantee (pure Python — no Spark): for ANY 32-bit
-# signature and ANY set of <= HAMMING_MAX bit flips, the flipped signature
-# shares at least one (pair_idx, band_key) with the original — the
-# pigeonhole argument simhash_near_dups' equi-join relies on for exact
-# recall. Hypothesis hammers the full flip space, not just the fixtures.
+# Blocked SimHash recall guarantee (pure Python — no Spark): for ANY
+# 64-bit fingerprint and ANY set of <= HAMMING_MAX (=3) bit flips, the
+# flipped fingerprint shares at least one (block_idx, 16-bit block_key)
+# with the original — the Manku et al. pigeonhole argument
+# simhash_near_dups' equi-join relies on for exact recall. Hypothesis
+# hammers the full flip space, not just the fixtures.
 # ---------------------------------------------------------------------------
 
 
-def _band_pair_keys(sig: int):
+def _block_keys(sig64: int):
     from pharmaceutical_sales_data_etl_analysis_pipeline_spark.operators.dedup import (
-        _BAND_PAIRS,
+        SIM64_BLOCKS,
     )
 
-    return {
-        (p, ((sig >> (4 * i)) & 15) * 16 + ((sig >> (4 * j)) & 15))
-        for p, (i, j) in enumerate(_BAND_PAIRS)
-    }
+    return {(b, (sig64 >> (16 * b)) & 0xFFFF) for b in range(SIM64_BLOCKS)}
 
 
 @settings(max_examples=300, deadline=None)
 @given(
-    sig=st.integers(0, 2**32 - 1),
-    flips=st.sets(st.integers(0, 31), min_size=1, max_size=6),
+    sig=st.integers(0, 2**64 - 1),
+    flips=st.sets(st.integers(0, 63), min_size=1, max_size=3),
 )
-def test_band_pair_pigeonhole_guarantees_recall(sig, flips):
+def test_block_pigeonhole_guarantees_recall(sig, flips):
     other = sig
     for b in flips:
         other ^= 1 << b
-    assert _band_pair_keys(sig) & _band_pair_keys(other), (
-        f"no shared band pair for sig={sig:#x} flips={sorted(flips)}"
+    assert _block_keys(sig) & _block_keys(other), (
+        f"no shared block for sig={sig:#x} flips={sorted(flips)}"
     )
+
+
+def test_block_index_tightness_four_flips_can_miss():
+    """The exact boundary of the 4-block index (Manku et al.): one flip
+    in EACH 16-bit block (Hamming 4) shares no key — HAMMING_MAX=3 is the
+    largest radius this index certifies."""
+    sig = 0
+    other = (1 << 0) | (1 << 16) | (1 << 32) | (1 << 48)
+    assert not (_block_keys(sig) & _block_keys(other))
 
 
 # ---------------------------------------------------------------------------
