@@ -198,6 +198,28 @@ def events_source_schema(spark: SparkSession, path: str) -> T.StructType:
     return spark.read.parquet(path).schema
 
 
+def stream_table_source(
+    spark: SparkSession, sf_dir: str, name: str, schema: T.StructType
+) -> DataFrame:
+    """readStream over {sf_dir}/{name}.parquet in EITHER on-disk layout:
+    the driver testdata ships each table as a single FILE named
+    `{name}.parquet` (the file stream source wants a directory, so
+    glob-filter within sf_dir), while Spark-written datasets — the
+    scaleup.py sf1 rung, any real warehouse — are DIRECTORIES of part
+    files (load the directory itself; a glob filter on the dir name
+    would match no files and silently yield an empty stream). The
+    local-fs isdir probe is correct for this repo's contract (local
+    parquet testdata); an object-store deployment passes directories,
+    taking the first branch unconditionally."""
+    import os as _os
+
+    path = f"{sf_dir}/{name}.parquet"
+    reader = spark.readStream.format("parquet").schema(schema)
+    if _os.path.isdir(path):
+        return reader.load(path)
+    return reader.option("pathGlobFilter", f"{name}.parquet").load(sf_dir)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one corpus table with its declared schema."""
     if name == "events":

@@ -25,7 +25,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 
-from ..catalog import normalize_event_ts
+from ..catalog import normalize_event_ts, stream_table_source
 from .eventsops import SQL_TUMBLING_HOURLY, tumbling_hourly
 
 # per-invocation scratch under the shared reclaimed-at-exit base — the
@@ -37,12 +37,7 @@ from .pin import scratch_dir as _scratch_dir
 def stream_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Run the hourly rollup as a bounded stream; return the final state."""
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    stream = (
-        spark.readStream.format("parquet")
-        .schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .load(sf_dir)
-    )
+    stream = stream_table_source(spark, sf_dir, "events", schema)
     # same TIMESTAMP(NANOS) reader-drift normalization as the batch path
     rollup = tumbling_hourly(normalize_event_ts(stream))
 
@@ -86,12 +81,7 @@ def stream_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
-    stream = (
-        spark.readStream.format("parquet")
-        .schema(schema)
-        .option("pathGlobFilter", "documents.parquet")
-        .load(sf_dir)
-    )
+    stream = stream_table_source(spark, sf_dir, "documents", schema)
     norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
     dedup = (
         stream.select(F.md5(norm).alias("fingerprint"), "doc_id")

@@ -169,3 +169,20 @@ def upscale(spark: SparkSession, src_dir: str, out_dir: str, factor: int = 10) -
             for p in parts[1:]:
                 out = out.unionByName(p)
         out.write.mode("overwrite").parquet(f"{out_dir}/{t}.parquet")
+
+
+if __name__ == "__main__":  # pragma: no cover - thin CLI over upscale()
+    import sys
+
+    src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    dst = sys.argv[2] if len(sys.argv) > 2 else ".scratch/sf1"
+    factor = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+    spark = (
+        SparkSession.builder.master("local[*]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .appName("scaleup")
+        .getOrCreate()
+    )
+    upscale(spark, src, dst, factor)
+    print(f"wrote {dst} = {factor}x {src}")
+    spark.stop()

@@ -11,19 +11,19 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import events_source_schema, normalize_event_ts
+from ..catalog import events_source_schema, normalize_event_ts, stream_table_source
 from ..operators.eventsops import VAL_DEC
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream of the events table (ns timestamps → micros,
     mirroring catalog.load_table). sf_dir is the scale-factor directory;
-    the file source wants a directory, so glob-filter to events.parquet."""
+    catalog.stream_table_source picks the right source shape for the
+    single-file (driver testdata) vs directory (Spark-written) layout."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = (
-        spark.readStream.schema(events_source_schema(spark, f"{sf_dir}/events.parquet"))
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
+    raw = stream_table_source(
+        spark, sf_dir, "events",
+        events_source_schema(spark, f"{sf_dir}/events.parquet"),
     )
     return normalize_event_ts(raw)
 
