@@ -485,3 +485,30 @@ def test_stream_outer_attribution_emits_unmatched_after_watermark(spark, tmp_pat
     assert rows[1]["purchase_id"] == 2          # matched inside the band
     assert rows[1]["purchase_value"] == 9.5
     assert 3 in rows and rows[3]["purchase_id"] is None  # outer NULL emitted
+
+
+def test_stream_source_handles_directory_layout(spark, sf_dir, tmp_path):
+    """catalog.stream_table_source must read a Spark-WRITTEN table (a
+    directory of part files — the scaleup.py sf1 layout and any real
+    warehouse) identically to the driver testdata's single-file layout;
+    the old pathGlobFilter-only form silently streamed ZERO rows from a
+    directory (caught by the r5 all-196 sf1 pass)."""
+    from pharmaceutical_sales_data_etl_analysis_pipeline_spark.operators.streamingq import (
+        stream_exact_dedup,
+    )
+
+    # re-write the documents table in directory layout under a scratch sf dir
+    docs = load_table(spark, sf_dir, "documents")
+    dir_sf = str(tmp_path / "sfdir")
+    docs.write.mode("overwrite").parquet(f"{dir_sf}/documents.parquet")
+
+    single = {
+        (r["fingerprint"], r["first_doc_id"], r["n_copies"])
+        for r in stream_exact_dedup(spark, sf_dir).collect()
+    }
+    directory = {
+        (r["fingerprint"], r["first_doc_id"], r["n_copies"])
+        for r in stream_exact_dedup(spark, dir_sf).collect()
+    }
+    assert len(directory) > 0
+    assert directory == single
