@@ -35,14 +35,35 @@ Q3_DATE = "1998-03-15"
 Q3_SEGMENT = "BUILDING"
 
 
+MICRO = 1_000_000  # 6dp fixed-point unit for the exact-sum construction
+
+
+def _micro(col):
+    """Exact integer micro-units of the 6dp-rounded value: cast to
+    DECIMAL(18,6) (per-row rounding proven bit-identical across engines),
+    scale by 10^6 (exact decimal multiply), store as DECIMAL(38,0)."""
+    return (col.cast(DEC) * F.lit(MICRO)).cast("decimal(38,0)")
+
+
+def _exact_sum(col):
+    """Engine-exact decimal sum emitted as double. The r5 sf1 sweep caught
+    the old form (SUM(DECIMAL) -> CAST AS DOUBLE): once a group's sum
+    exceeds 2^53 micro-units (~9e9 in value units — any money sum at
+    scale), the two engines' decimal->double conversions double-round
+    differently (1-ulp disagreement on tpch_q1's sum_charge at sf1,
+    invisible at sf0.1). Summing exact INTEGER micro-units and converting
+    that one integer to double makes the conversion a single correctly-
+    rounded IEEE operation in both engines; the final /1e6 is the same
+    IEEE divide on the same double."""
+    return F.sum(_micro(col)).cast("double") / F.lit(1000000.0)
+
+
 def _dsum(col, alias: str):
-    return F.sum(col.cast(DEC)).cast("double").alias(alias)
+    return _exact_sum(col).alias(alias)
 
 
 def _davg(col, alias: str):
-    return (
-        F.sum(col.cast(DEC)).cast("double") / F.count(F.lit(1)).cast("double")
-    ).alias(alias)
+    return (_exact_sum(col) / F.count(F.lit(1)).cast("double")).alias(alias)
 
 
 # ---------------------------------------------------------------------------
@@ -76,13 +97,13 @@ def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_TPCH_Q1 = f"""
 SELECT l_returnflag, l_linestatus,
-       CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS sum_base_price,
-       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS sum_disc_price,
-       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(28,6))) AS DOUBLE) AS sum_charge,
-       CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_qty,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_price,
-       CAST(SUM(CAST(l_discount AS DECIMAL(28,6))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_disc,
+       (CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(28,6)) * 1000000 AS DECIMAL(38,0))) AS DOUBLE) / 1000000.0) AS sum_qty,
+       (CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(28,6)) * 1000000 AS DECIMAL(38,0))) AS DOUBLE) / 1000000.0) AS sum_base_price,
+       (CAST(SUM(CAST(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6)) * 1000000 AS DECIMAL(38,0))) AS DOUBLE) / 1000000.0) AS sum_disc_price,
+       (CAST(SUM(CAST(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(28,6)) * 1000000 AS DECIMAL(38,0))) AS DOUBLE) / 1000000.0) AS sum_charge,
+       (CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(28,6)) * 1000000 AS DECIMAL(38,0))) AS DOUBLE) / 1000000.0) / CAST(COUNT(*) AS DOUBLE) AS avg_qty,
+       (CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(28,6)) * 1000000 AS DECIMAL(38,0))) AS DOUBLE) / 1000000.0) / CAST(COUNT(*) AS DOUBLE) AS avg_price,
+       (CAST(SUM(CAST(CAST(l_discount AS DECIMAL(28,6)) * 1000000 AS DECIMAL(38,0))) AS DOUBLE) / 1000000.0) / CAST(COUNT(*) AS DOUBLE) AS avg_disc,
        CAST(COUNT(*) AS BIGINT) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '{Q1_CUTOFF} 00:00:00'
@@ -112,7 +133,7 @@ def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_TPCH_Q6 = f"""
-SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+SELECT (CAST(SUM(CAST(CAST(l_extendedprice * l_discount AS DECIMAL(28,6)) * 1000000 AS DECIMAL(38,0))) AS DOUBLE) / 1000000.0) AS revenue
 FROM lineitem
 WHERE year(l_shipdate) = {Q6_YEAR}
   AND l_discount >= 0.05 AND l_discount <= 0.07
@@ -156,7 +177,7 @@ SQL_TPCH_Q3 = f"""
 SELECT l_orderkey,
        strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS o_orderdate,
        o_orderpriority,
-       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+       (CAST(SUM(CAST(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6)) * 1000000 AS DECIMAL(38,0))) AS DOUBLE) / 1000000.0) AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -278,7 +299,7 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_TPCH_Q5 = f"""
 SELECT n_name,
-       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+       (CAST(SUM(CAST(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6)) * 1000000 AS DECIMAL(38,0))) AS DOUBLE) / 1000000.0) AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN supplier ON l_suppkey = s_suppkey
@@ -488,7 +509,7 @@ SQL_TPCH_Q7 = f"""
 SELECT sn.n_name AS supp_nation,
        cn.n_name AS cust_nation,
        year(l_shipdate) AS l_year,
-       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+       (CAST(SUM(CAST(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6)) * 1000000 AS DECIMAL(38,0))) AS DOUBLE) / 1000000.0) AS revenue
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
 JOIN supplier ON l_suppkey = s_suppkey
@@ -539,10 +560,7 @@ def tpch_q8(
         .join(F.broadcast(supp_nat), F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy(F.year("o_orderdate").alias("o_year"))
         .agg(
-            (
-                F.sum(nation_rev.cast(DEC)).cast("double")
-                / F.sum(rev.cast(DEC)).cast("double")
-            ).alias("mkt_share")
+            (_exact_sum(nation_rev) / _exact_sum(rev)).alias("mkt_share")
         )
         .orderBy("o_year")
     )
@@ -562,10 +580,10 @@ def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_TPCH_Q8 = f"""
 SELECT year(o_orderdate) AS o_year,
-       CAST(SUM(CAST(CASE WHEN sn.n_name = '{Q8_NATION}'
+       (CAST(SUM(CAST(CAST(CASE WHEN sn.n_name = '{Q8_NATION}'
                           THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END
-                     AS DECIMAL(28,6))) AS DOUBLE)
-       / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE)
+                     AS DECIMAL(28,6)) * 1000000 AS DECIMAL(38,0))) AS DOUBLE) / 1000000.0)
+       / (CAST(SUM(CAST(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6)) * 1000000 AS DECIMAL(38,0))) AS DOUBLE) / 1000000.0)
          AS mkt_share
 FROM lineitem
 JOIN part     ON l_partkey = p_partkey
@@ -624,7 +642,7 @@ def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_TPCH_Q10 = f"""
 SELECT c_custkey, c_name, c_acctbal, n_name,
-       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+       (CAST(SUM(CAST(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6)) * 1000000 AS DECIMAL(38,0))) AS DOUBLE) / 1000000.0) AS revenue
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -705,8 +723,7 @@ def tpch_q14(part: DataFrame, lineitem: DataFrame) -> DataFrame:
               F.col("l_partkey") == F.col("p_partkey"))
         .agg(
             (
-                F.lit(100.0) * F.sum(promo.cast(DEC)).cast("double")
-                / F.sum(rev.cast(DEC)).cast("double")
+                F.lit(100.0) * _exact_sum(promo) / _exact_sum(rev)
             ).alias("promo_revenue_pct")
         )
     )
@@ -719,10 +736,10 @@ def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_TPCH_Q14 = f"""
-SELECT 100.0 * CAST(SUM(CAST(CASE WHEN p_type = 'PROMO'
+SELECT 100.0 * (CAST(SUM(CAST(CAST(CASE WHEN p_type = 'PROMO'
                                   THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END
-                             AS DECIMAL(28,6))) AS DOUBLE)
-       / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE)
+                             AS DECIMAL(28,6)) * 1000000 AS DECIMAL(38,0))) AS DOUBLE) / 1000000.0)
+       / (CAST(SUM(CAST(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6)) * 1000000 AS DECIMAL(38,0))) AS DOUBLE) / 1000000.0)
          AS promo_revenue_pct
 FROM lineitem
 JOIN part ON l_partkey = p_partkey
@@ -807,7 +824,7 @@ def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_TPCH_Q19 = """
-SELECT CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+SELECT (CAST(SUM(CAST(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6)) * 1000000 AS DECIMAL(38,0))) AS DOUBLE) / 1000000.0) AS revenue
 FROM lineitem
 JOIN part ON l_partkey = p_partkey
 WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 30)
@@ -841,9 +858,7 @@ def tpch_q11(
         .groupBy("l_partkey")
         .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "part_value"))
     )
-    total = contrib.agg(
-        F.sum(F.col("part_value").cast(DEC)).cast("double").alias("total_value")
-    )
+    total = contrib.agg(_exact_sum(F.col("part_value")).alias("total_value"))
     return (
         contrib.crossJoin(F.broadcast(total))
         .filter(F.col("part_value") > F.col("total_value") * Q11_FRACTION)
@@ -863,7 +878,7 @@ def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_TPCH_Q11 = f"""
 WITH contrib AS (
   SELECT l_partkey,
-         CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS part_value
+         (CAST(SUM(CAST(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6)) * 1000000 AS DECIMAL(38,0))) AS DOUBLE) / 1000000.0) AS part_value
   FROM lineitem
   JOIN supplier ON l_suppkey = s_suppkey
   JOIN nation   ON s_nationkey = n_nationkey
@@ -872,7 +887,7 @@ WITH contrib AS (
 )
 SELECT l_partkey, part_value
 FROM contrib
-WHERE part_value > (SELECT CAST(SUM(CAST(part_value AS DECIMAL(28,6))) AS DOUBLE) FROM contrib) * {Q11_FRACTION}
+WHERE part_value > (SELECT (CAST(SUM(CAST(CAST(part_value AS DECIMAL(28,6)) * 1000000 AS DECIMAL(38,0))) AS DOUBLE) / 1000000.0) FROM contrib) * {Q11_FRACTION}
 ORDER BY part_value DESC, l_partkey ASC
 """
 
@@ -890,7 +905,7 @@ Q22_BIG_ORDER = 450_000.0
 def tpch_q22(customer: DataFrame, orders: DataFrame) -> DataFrame:
     avg_bal = customer.filter(F.col("c_acctbal") > 0).agg(
         (
-            F.sum(F.col("c_acctbal").cast(DEC)).cast("double")
+            _exact_sum(F.col("c_acctbal"))
             / F.count(F.lit(1)).cast("double")
         ).alias("avg_bal")
     )
@@ -917,9 +932,9 @@ def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_TPCH_Q22 = f"""
 SELECT c_mktsegment,
        CAST(count(*) AS BIGINT) AS numcust,
-       CAST(SUM(CAST(c_acctbal AS DECIMAL(28,6))) AS DOUBLE) AS totacctbal
+       (CAST(SUM(CAST(CAST(c_acctbal AS DECIMAL(28,6)) * 1000000 AS DECIMAL(38,0))) AS DOUBLE) / 1000000.0) AS totacctbal
 FROM customer
-WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(28,6))) AS DOUBLE)
+WHERE c_acctbal > (SELECT (CAST(SUM(CAST(CAST(c_acctbal AS DECIMAL(28,6)) * 1000000 AS DECIMAL(38,0))) AS DOUBLE) / 1000000.0)
                           / CAST(COUNT(*) AS DOUBLE)
                    FROM customer WHERE c_acctbal > 0)
   AND NOT EXISTS (SELECT 1 FROM orders
@@ -1005,7 +1020,7 @@ def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_TPCH_Q15 = f"""
 WITH revenue AS (
   SELECT l_suppkey,
-         CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS total_revenue
+         (CAST(SUM(CAST(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6)) * 1000000 AS DECIMAL(38,0))) AS DOUBLE) / 1000000.0) AS total_revenue
   FROM lineitem
   WHERE l_shipdate >= TIMESTAMP '{Q15_FROM} 00:00:00'
     AND l_shipdate <  TIMESTAMP '{Q15_TO} 00:00:00'
@@ -1032,7 +1047,7 @@ def tpch_q17(part: DataFrame, lineitem: DataFrame) -> DataFrame:
     li = lineitem.join(F.broadcast(brand_parts), F.col("l_partkey") == F.col("p_partkey"))
     avg_qty = li.groupBy("l_partkey").agg(
         (
-            F.sum(F.col("l_quantity").cast(DEC)).cast("double")
+            _exact_sum(F.col("l_quantity"))
             / F.count(F.lit(1)).cast("double")
         ).alias("avg_qty")
     ).select(F.col("l_partkey").alias("aq_partkey"), "avg_qty")
@@ -1040,7 +1055,7 @@ def tpch_q17(part: DataFrame, lineitem: DataFrame) -> DataFrame:
         li.join(F.broadcast(avg_qty), F.col("l_partkey") == F.col("aq_partkey"))
         .filter(F.col("l_quantity") < F.lit(0.4) * F.col("avg_qty"))
         .agg(
-            (F.sum(F.col("l_extendedprice").cast(DEC)).cast("double") / F.lit(7.0)).alias(
+            (_exact_sum(F.col("l_extendedprice")) / F.lit(7.0)).alias(
                 "avg_yearly"
             )
         )
@@ -1061,10 +1076,10 @@ WITH li AS (
 ),
 aq AS (
   SELECT l_partkey,
-         CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_qty
+         (CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(28,6)) * 1000000 AS DECIMAL(38,0))) AS DOUBLE) / 1000000.0) / CAST(COUNT(*) AS DOUBLE) AS avg_qty
   FROM li GROUP BY 1
 )
-SELECT CAST(SUM(CAST(li.l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) / 7.0 AS avg_yearly
+SELECT (CAST(SUM(CAST(CAST(li.l_extendedprice AS DECIMAL(28,6)) * 1000000 AS DECIMAL(38,0))) AS DOUBLE) / 1000000.0) / 7.0 AS avg_yearly
 FROM li JOIN aq ON li.l_partkey = aq.l_partkey
 WHERE li.l_quantity < 0.4 * aq.avg_qty
 """
@@ -1287,9 +1302,9 @@ def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_TPCH_Q9 = f"""
 SELECT n_name AS nation,
        CAST(year(o_orderdate) AS INT) AS o_year,
-       CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+       (CAST(SUM(CAST(CAST(l_extendedprice * (1 - l_discount)
                      - {Q9_COST_FRACTION} * p_retailprice * l_quantity
-                AS DECIMAL(28,6))) AS DOUBLE) AS sum_profit
+                AS DECIMAL(28,6)) * 1000000 AS DECIMAL(38,0))) AS DOUBLE) / 1000000.0) AS sum_profit
 FROM lineitem
 JOIN part     ON l_partkey = p_partkey
 JOIN supplier ON l_suppkey = s_suppkey
@@ -1369,12 +1384,12 @@ WITH li AS (
 ),
 per_supp AS (
   SELECT p_partkey, l_suppkey,
-         CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS supp_qty
+         (CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(28,6)) * 1000000 AS DECIMAL(38,0))) AS DOUBLE) / 1000000.0) AS supp_qty
   FROM li GROUP BY 1, 2
 ),
 per_part AS (
   SELECT p_partkey,
-         CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS part_qty
+         (CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(28,6)) * 1000000 AS DECIMAL(38,0))) AS DOUBLE) / 1000000.0) AS part_qty
   FROM li GROUP BY 1
 ),
 dominant AS (
