@@ -20,16 +20,29 @@ from pyspark.sql import functions as F
 # to (28,2)/(38,2) automatically in Spark/DuckDB.
 MONEY_DECIMAL = "decimal(18,2)"
 
+# r5: the final decimal->double conversion is the one step that is NOT
+# engine-identical once the sum passes 2^53 scaled units — Spark's
+# BigDecimal.doubleValue and DuckDB's int128 path double-round
+# differently (caught by the sf1 sweep on tpch_q1). Money sums therefore
+# scale to exact INTEGER cents (DECIMAL(38,0)), sum exactly, convert the
+# single integer to double (one correctly-rounded IEEE conversion in
+# both engines), and divide by 100 (same IEEE op on the same double).
+
 
 def money_sum(col: Column | str, alias: str) -> Column:
-    """Exact, order-independent SUM for money columns, returned as DOUBLE."""
+    """Exact, order-independent SUM for money columns, returned as DOUBLE
+    via the conversion-exact integer-cents construction."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.sum(c.cast(MONEY_DECIMAL)).cast("double").alias(alias)
+    cents = (c.cast(MONEY_DECIMAL) * F.lit(100)).cast("decimal(38,0)")
+    return (F.sum(cents).cast("double") / F.lit(100.0)).alias(alias)
 
 
 def money_sum_sql(expr: str, alias: str) -> str:
     """DuckDB/ANSI twin of money_sum (same rounding, same result bits)."""
-    return f"CAST(SUM(CAST({expr} AS DECIMAL(18,2))) AS DOUBLE) AS {alias}"
+    return (
+        f"(CAST(SUM(CAST(CAST({expr} AS DECIMAL(18,2)) * 100 AS DECIMAL(38,0))) AS DOUBLE)"
+        f" / 100.0) AS {alias}"
+    )
 
 
 def bigint_sum(col: Column | str, alias: str) -> Column:

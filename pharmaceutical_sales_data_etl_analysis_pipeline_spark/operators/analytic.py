@@ -29,13 +29,22 @@ VAL_DEC = "decimal(28,10)"
 N_SALT = 8
 
 
+# r5 conversion-exact form (see functions/numeric.py money_sum): the
+# per-value cast narrows to (18,10) — identical rounding for |x| < 1e8,
+# and (18,10) x (12,0) stays inside DECIMAL(38) for the exact scaling.
 def _vsum(col, alias: str):
     c = F.col(col) if isinstance(col, str) else col
-    return F.sum(c.cast(VAL_DEC)).cast("double").alias(alias)
+    units = (c.cast("decimal(18,10)") * F.lit(10_000_000_000).cast("decimal(12,0)")).cast(
+        "decimal(38,0)"
+    )
+    return (F.sum(units).cast("double") / F.lit(1e10)).alias(alias)
 
 
 def _vsum_sql(expr: str, alias: str) -> str:
-    return f"CAST(SUM(CAST({expr} AS DECIMAL(28,10))) AS DOUBLE) AS {alias}"
+    return (
+        f"(CAST(SUM(CAST(CAST({expr} AS DECIMAL(18,10)) * 10000000000 AS DECIMAL(38,0))) AS DOUBLE)"
+        f" / 10000000000.0) AS {alias}"
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -95,7 +104,7 @@ def q_pivot_status_year(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_PIVOT_STATUS_YEAR = "\n".join(
     ["SELECT CAST(year(o_orderdate) AS BIGINT) AS year,"]
     + [
-        "       CAST(SUM(CASE WHEN o_orderstatus = '%s' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS total_%s%s"
+        "       (CAST(SUM(CASE WHEN o_orderstatus = '%s' THEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS DECIMAL(38,0)) END) AS DOUBLE) / 100.0) AS total_%s%s"
         % (s, s.lower(), "," if i < len(STATUSES) - 1 else "")
         for i, s in enumerate(STATUSES)
     ]
@@ -374,7 +383,7 @@ def q_conditional_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_CONDITIONAL_AGGREGATES = """
 SELECT event_type,
-       CAST(SUM(CAST(value AS DECIMAL(28,10))) FILTER (WHERE value > 100) AS DOUBLE) AS high_value_sum,
+       (CAST(SUM(CAST(CAST(value AS DECIMAL(18,10)) * 10000000000 AS DECIMAL(38,0))) FILTER (WHERE value > 100) AS DOUBLE) / 10000000000.0) AS high_value_sum,
        CAST(COUNT(*) FILTER (WHERE value > 100) AS BIGINT) AS n_high,
        CAST(COUNT(*) AS BIGINT) AS n_total,
        MIN(value) AS min_value,
@@ -511,7 +520,7 @@ SELECT CAST(year(o_orderdate) AS {year_t}) AS year,
        o_orderstatus,
        CAST(GROUPING(year(o_orderdate)) * 2 + GROUPING(o_orderstatus) AS INT) AS level,
        CAST(count(*) AS BIGINT) AS n_orders,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+       (CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS DECIMAL(38,0))) AS DOUBLE) / 100.0) AS total_price
 FROM orders
 GROUP BY GROUPING SETS ((year(o_orderdate), o_orderstatus), (year(o_orderdate)), ())
 """
@@ -584,7 +593,7 @@ def q_unpivot_status_year(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_UNPIVOT_STATUS_YEAR = """
 SELECT CAST(year(o_orderdate) AS BIGINT) AS year,
        'total_' || lower(o_orderstatus) AS status_col,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+       (CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS DECIMAL(38,0))) AS DOUBLE) / 100.0) AS total
 FROM orders
 GROUP BY 1, 2
 """

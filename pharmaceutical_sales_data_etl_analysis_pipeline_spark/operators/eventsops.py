@@ -34,12 +34,21 @@ SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 min
 VAL_DEC = "decimal(18,10)"
 
 
+# r5 conversion-exact form (see functions/numeric.py money_sum): sum
+# exact integer 10^-10-units so the decimal->double conversion is a
+# single correctly-rounded op in both engines at any group size.
 def _vsum(col: str, alias: str):
-    return F.sum(F.col(col).cast(VAL_DEC)).cast("double").alias(alias)
+    units = (F.col(col).cast(VAL_DEC) * F.lit(10_000_000_000).cast("decimal(12,0)")).cast(
+        "decimal(38,0)"
+    )
+    return (F.sum(units).cast("double") / F.lit(1e10)).alias(alias)
 
 
 def _vsum_sql(expr: str, alias: str) -> str:
-    return f"CAST(SUM(CAST({expr} AS DECIMAL(28,10))) AS DOUBLE) AS {alias}"
+    return (
+        f"(CAST(SUM(CAST(CAST({expr} AS DECIMAL(18,10)) * 10000000000 AS DECIMAL(38,0))) AS DOUBLE)"
+        f" / 10000000000.0) AS {alias}"
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1016,16 +1025,23 @@ ORACLES["conversation_assembly"] = SQL_CONVERSATION_ASSEMBLY
 
 def seasonal_decompose(events: DataFrame) -> DataFrame:
     hod = (F.expr(f"unix_micros(ts) div {HOUR_US}") % 24).cast("int")
+    scale = F.lit(10_000_000_000).cast("decimal(12,0)")
+    u1 = (F.col("value").cast(VAL_DEC) * scale).cast("decimal(38,0)")
+    u2 = ((F.col("value") * F.col("value")).cast(VAL_DEC) * scale).cast("decimal(38,0)")
     base = events.groupBy(F.col("event_type"), hod.alias("hod")).agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(F.col("value").cast(VAL_DEC)).alias("s1d"),
-        F.sum((F.col("value") * F.col("value")).cast(VAL_DEC)).alias("s2d"),
+        F.sum(u1).alias("s1u"),
+        F.sum(u2).alias("s2u"),
     )
     w = Window.partitionBy("event_type")
-    hod_mean = F.col("s1d").cast("double") / F.col("n").cast("double")
-    series_mean = F.sum("s1d").over(w).cast("double") / F.sum("n").over(w).cast("double")
+    hod_mean = F.col("s1u").cast("double") / F.lit(1e10) / F.col("n").cast("double")
+    series_mean = (
+        F.sum("s1u").over(w).cast("double") / F.lit(1e10)
+        / F.sum("n").over(w).cast("double")
+    )
     hod_var = (
-        F.col("s2d").cast("double") / F.col("n").cast("double") - hod_mean * hod_mean
+        F.col("s2u").cast("double") / F.lit(1e10) / F.col("n").cast("double")
+        - hod_mean * hod_mean
     )
     return base.select(
         "event_type",
@@ -1052,18 +1068,18 @@ WITH base AS (
   SELECT event_type,
          CAST((epoch_us(ts) // {HOUR_US}) % 24 AS INT) AS hod,
          CAST(count(*) AS BIGINT) AS n,
-         SUM(CAST(value AS DECIMAL(28,10))) AS s1d,
-         SUM(CAST(value * value AS DECIMAL(28,10))) AS s2d
+         SUM(CAST(CAST(value AS DECIMAL(18,10)) * 10000000000 AS DECIMAL(38,0))) AS s1u,
+         SUM(CAST(CAST(value * value AS DECIMAL(18,10)) * 10000000000 AS DECIMAL(38,0))) AS s2u
   FROM events
   GROUP BY event_type, (epoch_us(ts) // {HOUR_US}) % 24
 ),
 m AS (
   SELECT event_type, hod, n,
-         CAST(s1d AS DOUBLE) / CAST(n AS DOUBLE) AS hod_mean,
-         CAST(s2d AS DOUBLE) / CAST(n AS DOUBLE)
-           - (CAST(s1d AS DOUBLE) / CAST(n AS DOUBLE))
-             * (CAST(s1d AS DOUBLE) / CAST(n AS DOUBLE)) AS hod_var,
-         CAST(SUM(s1d) OVER (PARTITION BY event_type) AS DOUBLE)
+         CAST(s1u AS DOUBLE) / 10000000000.0 / CAST(n AS DOUBLE) AS hod_mean,
+         CAST(s2u AS DOUBLE) / 10000000000.0 / CAST(n AS DOUBLE)
+           - (CAST(s1u AS DOUBLE) / 10000000000.0 / CAST(n AS DOUBLE))
+             * (CAST(s1u AS DOUBLE) / 10000000000.0 / CAST(n AS DOUBLE)) AS hod_var,
+         CAST(SUM(s1u) OVER (PARTITION BY event_type) AS DOUBLE) / 10000000000.0
            / CAST(SUM(n) OVER (PARTITION BY event_type) AS DOUBLE) AS series_mean
   FROM base
 )
@@ -1129,7 +1145,7 @@ WITH per_arm AS (
               THEN 'A' ELSE 'B' END AS arm,
          CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
          CAST(count(*) AS BIGINT) AS n_purchases,
-         CAST(SUM(CAST(value AS DECIMAL(28,10))) AS DOUBLE) AS total_value
+         (CAST(SUM(CAST(CAST(value AS DECIMAL(18,10)) * 10000000000 AS DECIMAL(38,0))) AS DOUBLE) / 10000000000.0) AS total_value
   FROM events
   WHERE event_type = 'purchase'
   GROUP BY 1

@@ -217,7 +217,12 @@ def ohlc_bars(events: DataFrame) -> DataFrame:
         F.max("value").alias("high"),
         F.min("value").alias("low"),
         F.max(F.when(F.col("rn_d") == 1, F.col("value"))).alias("close"),
-        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("volume"),
+        (
+            F.sum(
+                (F.col("value").cast("decimal(18,6)") * F.lit(1_000_000)).cast("decimal(38,0)")
+            ).cast("double")
+            / F.lit(1000000.0)
+        ).alias("volume"),
         F.count(F.lit(1)).cast("long").alias("n_events"),
     )
 
@@ -240,7 +245,7 @@ SELECT bar_hour,
        max(value) AS high,
        min(value) AS low,
        max(CASE WHEN rn_d = 1 THEN value END) AS close,
-       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS volume,
+       (CAST(sum(CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS DECIMAL(38,0))) AS DOUBLE) / 1000000.0) AS volume,
        CAST(count(*) AS BIGINT) AS n_events
 FROM flagged
 GROUP BY bar_hour
@@ -884,12 +889,14 @@ def incremental_agg_maintenance(events: DataFrame) -> DataFrame:
     100 TB.
     """
     hour = F.date_trunc("hour", F.col("ts")).alias("hour")
-    dec = F.col("value").cast("decimal(28,10)")
+    units = (
+        F.col("value").cast("decimal(18,10)") * F.lit(10_000_000_000).cast("decimal(12,0)")
+    ).cast("decimal(38,0)")
 
     def rollup(df):
         return df.groupBy(F.col("event_type"), hour).agg(
             F.count("*").cast("long").alias("n"),
-            F.sum(dec).alias("total"),
+            F.sum(units).alias("total"),
         )
 
     base = rollup(events.where(F.col("event_id") % 4 != 0))
@@ -904,12 +911,15 @@ def incremental_agg_maintenance(events: DataFrame) -> DataFrame:
             .cast("long")
             .alias("n"),
             (
-                F.coalesce(F.col("b.total"), F.lit(0).cast("decimal(28,10)"))
-                + F.coalesce(F.col("d.total"), F.lit(0).cast("decimal(28,10)"))
-            ).alias("total_dec"),
+                F.coalesce(F.col("b.total"), F.lit(0).cast("decimal(38,0)"))
+                + F.coalesce(F.col("d.total"), F.lit(0).cast("decimal(38,0)"))
+            ).alias("total_units"),
         )
         .select(
-            "event_type", "hour", "n", F.col("total_dec").cast("double").alias("total")
+            "event_type",
+            "hour",
+            "n",
+            (F.col("total_units").cast("double") / F.lit(1e10)).alias("total"),
         )
     )
     return merged
@@ -924,7 +934,7 @@ SQL_INCREMENTAL_AGG_MAINTENANCE = """
 SELECT event_type,
        date_trunc('hour', ts) AS hour,
        CAST(count(*) AS BIGINT) AS n,
-       CAST(sum(CAST(value AS DECIMAL(28,10))) AS DOUBLE) AS total
+       (CAST(sum(CAST(CAST(value AS DECIMAL(18,10)) * 10000000000 AS DECIMAL(38,0))) AS DOUBLE) / 10000000000.0) AS total
 FROM events
 GROUP BY 1, 2
 """
