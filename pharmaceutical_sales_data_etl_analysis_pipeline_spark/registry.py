@@ -107,6 +107,21 @@ PRIORITY = [
 # (c) is implicit: _collect() appends the rest in MODULE_ORDER, so the
 # window's remaining slots fall on the tpch/scalarfuncs/corpusops head —
 # exactly the queries whose newest driver rows date from r1.
+#
+# r6 PRIORITY candidates (plan-changed in r5 OUTSIDE the r5 window —
+# the conversion-exact integer-units sum landed in the shared helpers
+# money_sum/_vsum late in r5, changing the executed plan of every
+# consumer; enumerated by walking all out-of-window analyzed plans for
+# the decimal(38,0) micro-sum marker; all are value-identical at driver
+# sfs and were locally hash-verified at sf0.001/sf0.01 AND sf1):
+#   cube_sales, pivot_status_year, conditional_aggregates,
+#   grouping_sets_sales, unpivot_status_year, product_facts,
+#   product_facts_sql, rep_facts, quarterly_totals, filter_conjunction,
+#   top1_product, top5_rep_years, key_repair_join, rollup_year_quarter,
+#   top3_parts_per_brand, tumbling_hourly, sliding_hourly,
+#   session_stats, top5_users_by_value, seasonal_decompose,
+#   ab_test_lift, merge_upsert, ohlc_bars, rfm_segments,
+#   incremental_agg_maintenance, table_content_hash
 
 
 def _collect() -> tuple[dict[str, QueryFn], dict[str, str]]:
