@@ -774,10 +774,14 @@ def minhash_calibration(documents: DataFrame) -> DataFrame:
         .alias("err"),
     )
     n = F.count(F.lit(1)).cast("long")
+    # conversion-exact integer-units sum (functions/numeric.money_sum
+    # rationale): bins grow with candidate volume, so the decimal sum is
+    # converted to double as one exact integer, never a scaled decimal
+    err_units = (F.col("err") * F.lit(1_000_000)).cast("decimal(38,0)")
     return binned.groupBy("jaccard_bin").agg(
         n.alias("n_pairs"),
         round_half_up(
-            F.sum("err").cast("decimal(28,6)").cast("double") / n.cast("double"), 6
+            F.sum(err_units).cast("double") / F.lit(1000000.0) / n.cast("double"), 6
         ).alias("mean_abs_err"),
     )
 
@@ -816,7 +820,7 @@ binned AS (
 )
 SELECT jaccard_bin,
        CAST(count(*) AS BIGINT) AS n_pairs,
-       floor(CAST(CAST(sum(err) AS DECIMAL(28,6)) AS DOUBLE)
+       floor(CAST(sum(CAST(err * 1000000 AS DECIMAL(38,0))) AS DOUBLE) / 1000000.0
              / CAST(count(*) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS mean_abs_err
 FROM binned
 GROUP BY jaccard_bin

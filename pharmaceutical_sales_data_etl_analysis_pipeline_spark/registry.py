@@ -121,7 +121,8 @@ PRIORITY = [
 #   top3_parts_per_brand, tumbling_hourly, sliding_hourly,
 #   session_stats, top5_users_by_value, seasonal_decompose,
 #   ab_test_lift, merge_upsert, ohlc_bars, rfm_segments,
-#   incremental_agg_maintenance, table_content_hash
+#   incremental_agg_maintenance, table_content_hash,
+#   minhash_calibration (same construction, converted after the walk)
 
 
 def _collect() -> tuple[dict[str, QueryFn], dict[str, str]]:
