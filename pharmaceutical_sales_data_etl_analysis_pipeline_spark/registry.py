@@ -67,62 +67,83 @@ MODULE_ORDER = [
     "graphops",
 ]
 
-# Round-5 sweep priority. After the r4 sweep every registered query has
-# a green driver row (r1∪r2∪r3∪r4, latest-wins), so the r5 window is
-# spent per the r4 verdict's priority order:
-#   (a) the ONE re-sweep debt: key_skew_report (its r3 row covers the
-#       pre-distrank plan; the r4-rewritten plan needs its own row);
-#   (b) queries ADDED or PLAN-CHANGED this round (new r5 ops:
-#       ivf_pq_probe_topk, substring_dedup_spans, embedding_near_dups_planted,
-#       simhash_near_dups_planted; CONTRACT-changed after the measured
-#       sf1 ladder found their output/candidates quadratic:
-#       simhash_near_dups — now the Manku et al. 64-bit/Hamming≤3
-#       block index; embedding_near_dups (+_planted) — now 20-table
-#       masked-subcode AND-OR sign-LSH over a 32-plane code;
-#       plan-changed: ann_recall_eval — ivf_pq added to its variant
-#       table; histogram_quantile_calibration — null-bucket guard now
-#       filters the histogram input, a plan change on the 64-row
-#       driver-side build);
-#   (c) the remaining ~40 slots deliberately refresh the OLDEST driver
-#       rows: the r1-swept head of the registry follows in MODULE_ORDER
-#       (tpch onward), giving those three-round-old rows fresh evidence
-#       at zero opportunity cost.
+# Round-6 sweep priority. After r5 the union r1∪…∪r5 (latest-wins) is
+# 196/196 green with zero standing failures, so the r6 window clears
+# the one enumerated debt class and spends the rest on staleness:
+#   (a) the 27 queries whose EXECUTED PLAN changed late in r5, after
+#       the r5 sweep window was fixed — the conversion-exact
+#       integer-units sum landed in the shared money helpers
+#       (functions/numeric.money_sum, eventsops/analytic _vsum,
+#       tpch._exact_sum), changing every consumer's physical plan.
+#       All were locally hash-verified at sf0.001/sf0.01 AND sf1, but
+#       the bar is a green driver row per executed plan (the r4
+#       key_skew_report precedent, ×27);
+#   (b) the remaining 23 slots refresh the OLDEST driver rows: of the
+#       28 queries whose newest row still dates from r1, the first 23
+#       in name order. The 5 left over (status_set_ops, text_quality,
+#       token_counts, union_all_bag, value_histogram) are the r7
+#       refresh head — record them in the r7 candidates note below.
 PRIORITY = [
-    # (a) the one standing re-sweep debt from r4
-    "key_skew_report",
-    # (b) new in r5 / contract- or plan-changed in r5
-    "ivf_pq_probe_topk",
-    "substring_dedup_spans",
-    "simhash_near_dups",
-    "simhash_near_dups_planted",
-    "embedding_near_dups",
-    "embedding_near_dups_planted",
-    "ann_recall_eval",
-    "histogram_quantile_calibration",
-    # kernel renamed skyline_local_reduce for the exemption-free plan
-    # lint's naming contract — node label changed in the executed plan
-    # (semantics identical), so re-sweep for bookkeeping hygiene
-    "skyline_parts",
+    # (a) exact-sum plan-changed late in r5 (registry walk, see above)
+    "cube_sales",
+    "pivot_status_year",
+    "conditional_aggregates",
+    "grouping_sets_sales",
+    "unpivot_status_year",
+    "product_facts",
+    "product_facts_sql",
+    "rep_facts",
+    "quarterly_totals",
+    "filter_conjunction",
+    "top1_product",
+    "top5_rep_years",
+    "key_repair_join",
+    "rollup_year_quarter",
+    "top3_parts_per_brand",
+    "tumbling_hourly",
+    "sliding_hourly",
+    "session_stats",
+    "top5_users_by_value",
+    "seasonal_decompose",
+    "ab_test_lift",
+    "merge_upsert",
+    "ohlc_bars",
+    "rfm_segments",
+    "incremental_agg_maintenance",
+    "table_content_hash",
+    "minhash_calibration",
+    # (b) oldest driver rows (latest row r1), first 23 in name order
+    "binary_envelope",
+    "corpus_counts",
+    "cosine_topk",
+    "customers_with_orders",
+    "customers_without_orders",
+    "date_parse_roundtrip",
+    "exact_dedup",
+    "fingerprints",
+    "first_order_per_customer",
+    "full_outer_reconciliation",
+    "funnel_signup_view_purchase",
+    "hourly_gapfill",
+    "lang_id",
+    "lookup_join_nulls",
+    "lsh_bucket_sizes",
+    "lsh_probe_topk",
+    "minhash_lsh_candidates",
+    "minhash_signatures",
+    "moving_avg_customer",
+    "multimodal_frames",
+    "product_surrogate_keys",
+    "props_k_stats",
+    "simhash",
 ]
-# (c) is implicit: _collect() appends the rest in MODULE_ORDER, so the
-# window's remaining slots fall on the tpch/scalarfuncs/corpusops head —
-# exactly the queries whose newest driver rows date from r1.
-#
-# r6 PRIORITY candidates (plan-changed in r5 OUTSIDE the r5 window —
-# the conversion-exact integer-units sum landed in the shared helpers
-# money_sum/_vsum late in r5, changing the executed plan of every
-# consumer; enumerated by walking all out-of-window analyzed plans for
-# the decimal(38,0) micro-sum marker; all are value-identical at driver
-# sfs and were locally hash-verified at sf0.001/sf0.01 AND sf1):
-#   cube_sales, pivot_status_year, conditional_aggregates,
-#   grouping_sets_sales, unpivot_status_year, product_facts,
-#   product_facts_sql, rep_facts, quarterly_totals, filter_conjunction,
-#   top1_product, top5_rep_years, key_repair_join, rollup_year_quarter,
-#   top3_parts_per_brand, tumbling_hourly, sliding_hourly,
-#   session_stats, top5_users_by_value, seasonal_decompose,
-#   ab_test_lift, merge_upsert, ohlc_bars, rfm_segments,
-#   incremental_agg_maintenance, table_content_hash,
-#   minhash_calibration (same construction, converted after the walk)
+# r7 PRIORITY candidates (staleness head after the r6 sweep): the 5
+# r1-rows that did not fit the r6 window — status_set_ops,
+# text_quality, token_counts, union_all_bag, value_histogram — then
+# the r2-row cohort (asof_purchase_before_click, contamination_check,
+# dedup_survivors, distinct_counts, events_within_5min, …).
+# Queries ADDED or PLAN-CHANGED during r6 must be PREPENDED here per
+# the rotation invariant (they outrank staleness refreshes).
 
 
 def _collect() -> tuple[dict[str, QueryFn], dict[str, str]]:
