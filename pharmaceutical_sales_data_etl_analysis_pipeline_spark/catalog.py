@@ -207,15 +207,26 @@ def stream_table_source(
     glob-filter within sf_dir), while Spark-written datasets — the
     scaleup.py sf1 rung, any real warehouse — are DIRECTORIES of part
     files (load the directory itself; a glob filter on the dir name
-    would match no files and silently yield an empty stream). The
-    local-fs isdir probe is correct for this repo's contract (local
-    parquet testdata); an object-store deployment passes directories,
-    taking the first branch unconditionally."""
-    import os as _os
+    would match no files and silently yield an empty stream).
 
+    The layout probe goes through the Hadoop FileSystem API, which
+    resolves by URI scheme — os.path.isdir is always False for
+    s3a://, gs:// etc., which would misroute an object-store directory
+    table into the glob branch and silently stream zero rows (the
+    exact silent-empty failure this function exists to prevent). A
+    missing path fails loudly here instead of as an empty stream."""
     path = f"{sf_dir}/{name}.parquet"
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(hpath):
+        raise FileNotFoundError(
+            f"stream_table_source: {path} does not exist on its "
+            f"filesystem ({fs.getScheme()}); refusing to start a stream "
+            f"that would silently yield zero rows"
+        )
     reader = spark.readStream.format("parquet").schema(schema)
-    if _os.path.isdir(path):
+    if fs.getFileStatus(hpath).isDirectory():
         return reader.load(path)
     return reader.option("pathGlobFilter", f"{name}.parquet").load(sf_dir)
 

@@ -30,7 +30,20 @@ SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 min
 # per-value cast (precision>18 boxes to BigDecimal; measured ~1.5x slower
 # on wide aggregations — see operators/tpch.py DEC). The SUM accumulator
 # auto-widens, so sums stay exact and bit-identical to the oracle's
-# DECIMAL(28,10) per-value form. Bound: |value| < 1e8 (corpus: < 1e3).
+# DECIMAL(28,10) per-value form.
+#
+# DATA-CONTRACT INVARIANT: |value| < 1e8 (and, for seasonal_decompose's
+# value*value term, |value| < 1e4). DECIMAL(18,10) holds 8 integer
+# digits. Under Spark 4's ANSI default (this repo never disables it) an
+# out-of-range value makes the cast THROW — loud, and consistent with
+# the DuckDB oracle erroring; only a legacy spark.sql.ansi.enabled=false
+# deployment would degrade to the silent NULL-drop wrong-answer mode.
+# tests/test_eventsops_domain.py pins BOTH halves: every sf rung and
+# up-scaled rung stays in-domain with >=4 orders of headroom (|value| <
+# 1e3, preserved verbatim by scaleup.py), and the overflow path raises
+# rather than dropping. A deployment with wider values must widen
+# VAL_DEC (and every _vsum_sql twin) in lockstep — see
+# functions/numeric.py for the same contract on money.
 VAL_DEC = "decimal(18,10)"
 
 

@@ -409,10 +409,16 @@ QS_PERCENTILES = (50, 90)
 def histogram_quantile_calibration(orders: DataFrame) -> DataFrame:
     import math
 
+    # count(o_totalprice), not count(*): n must range over the same
+    # non-null subset the histogram below is built from, or the rank
+    # target t = ceil(n*p/100) can exceed the filtered cumulative
+    # histogram when NULL prices exist (empty exact-rank row). min/max
+    # already ignore NULLs, so every phase agrees on the domain; the
+    # oracle mirrors with count(o_totalprice) + IS NOT NULL filters.
     ext = orders.agg(
         F.min("o_totalprice").alias("mn"),
         F.max("o_totalprice").alias("mx"),
-        F.count(F.lit(1)).alias("n"),
+        F.count("o_totalprice").alias("n"),
     ).first()
     n = int(ext["n"]) if ext["n"] is not None else 0
     spark = orders.sparkSession
@@ -430,10 +436,10 @@ def histogram_quantile_calibration(orders: DataFrame) -> DataFrame:
         F.lit(QS_BUCKETS - 1),
         F.floor((x - F.lit(mn)) / F.lit(width)).cast("int"),
     )
-    # idx is NULL for NULL prices → drop those histogram rows (and keep n
-    # consistent by counting only non-null prices); without the filter a
-    # NULL bucket row crashes int(r["b"]) driver-side with a cryptic
-    # TypeError instead of producing a clean result.
+    # idx is NULL for NULL prices → drop those histogram rows (n above
+    # counts only non-null prices, so the two stay consistent); without
+    # the filter a NULL bucket row crashes int(r["b"]) driver-side with
+    # a cryptic TypeError instead of producing a clean result.
     hist = sorted(
         (int(r["b"]), int(r["c"]))
         for r in orders.filter(x.isNotNull())
@@ -509,7 +515,8 @@ FROM ext,
 
 SQL_HISTOGRAM_QUANTILE_CALIBRATION = f"""
 WITH ext AS (
-  SELECT MIN(o_totalprice) AS mn, MAX(o_totalprice) AS mx, count(*) AS n FROM orders
+  SELECT MIN(o_totalprice) AS mn, MAX(o_totalprice) AS mx,
+         count(o_totalprice) AS n FROM orders
 ),
 hist AS (
   SELECT LEAST({QS_BUCKETS - 1},
@@ -517,6 +524,7 @@ hist AS (
                           / ((ext.mx - ext.mn) / {QS_BUCKETS}.0)) AS INT)) AS b,
          CAST(count(*) AS BIGINT) AS c
   FROM orders, ext
+  WHERE o_totalprice IS NOT NULL
   GROUP BY 1
 ),
 cum AS (
@@ -524,7 +532,8 @@ cum AS (
   FROM hist
 ),
 ranked AS (
-  SELECT o_totalprice, row_number() OVER (ORDER BY o_totalprice) AS rn FROM orders
+  SELECT o_totalprice, row_number() OVER (ORDER BY o_totalprice) AS rn
+  FROM orders WHERE o_totalprice IS NOT NULL
 )
 {_qs_sql_one(50)}
 UNION ALL

@@ -83,8 +83,12 @@ def _suffix(col: str, r: int):
 
 
 def _mutate_text(r: int):
-    """~20% of tokens get a replica-specific suffix (hash-gated on token,
-    position and replica) — deterministic, engine-independent output."""
+    """~50% of tokens get a replica-specific suffix (hash-gated on token,
+    position and replica; pmod(...,2)=0 gate) — deterministic,
+    engine-independent output. 50% is deliberate: the first cut's 20%
+    left replicas within simhash/minhash near-dup thresholds of their
+    source (the measured pathology test_replicas_are_not_near_duplicates
+    pins against)."""
     if r == 0:
         return F.col("text")
     toks = F.split(F.col("text"), r"\s+")
