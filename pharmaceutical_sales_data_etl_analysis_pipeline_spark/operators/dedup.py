@@ -462,7 +462,57 @@ SQL_SIMHASH = _simhash_sql()
 # ---------------------------------------------------------------------------
 
 HAMMING_MAX = 3
-SIM64_BLOCKS = 4  # 16 bits each over the 64-bit fingerprint
+
+# r6: the block partition is CORPUS-DERIVED (the r5 verdict's design
+# debt — a fixed 4×16-bit split keys only 2^16 values, so random block
+# collisions go quadratic past ~10^6 docs). Manku et al.'s general form:
+# split the 64-bit fingerprint into B blocks; ≤3 flips touch ≤3 blocks,
+# so any near-dup pair agrees exactly on SOME (B-3)-block combination —
+# index every C(B,3) combination as one packed equi-join key. Exact
+# recall by pigeonhole at every B (hypothesis-tested); the all-pairs
+# ORACLE is untouched because the output contract (Hamming ≤ 3) never
+# mentions blocks — only the Spark physical plan moves with the corpus.
+# Derivation (integer-only, one count() round-trip at build):
+#   need(n) = min(ceil_log2(n) + 4, 52); B(n) = smallest config whose
+#   WEAKEST key (64 minus the 3 widest blocks) has >= need(n) bits.
+# Key width grows with log n, so random candidates per table stay
+# <= n/16; table count C(B,3) is <= 560 (B=16, n ~ 2^48 — four orders
+# past any real corpus). tests/test_lsh_derivation.py pins the ladder.
+SIM_BLOCK_CONFIGS = (4, 5, 6, 8, 10, 16)
+SIM_BITS_HEADROOM = 4
+SIM64_BLOCKS = 4  # the driver-sf config (n <= 2^12): identical to r5
+
+
+def _sim_ceil_log2(n: int) -> int:
+    return (n - 1).bit_length() if n > 1 else 0
+
+
+def sim_block_widths(b: int) -> list[int]:
+    """Block i covers bits [offset_i, offset_i + width_i) of the 64-bit
+    fingerprint, widths differing by at most 1 (wider blocks first)."""
+    return [64 // b + (1 if i < 64 % b else 0) for i in range(b)]
+
+
+def sim_min_key_bits(b: int) -> int:
+    """Width of the WEAKEST table key: 64 minus the 3 widest blocks."""
+    ws = sorted(sim_block_widths(b), reverse=True)
+    return 64 - sum(ws[:3])
+
+
+def derive_sim_blocks(n: int) -> int:
+    need = min(_sim_ceil_log2(n) + SIM_BITS_HEADROOM, sim_min_key_bits(SIM_BLOCK_CONFIGS[-1]))
+    for b in SIM_BLOCK_CONFIGS:
+        if sim_min_key_bits(b) >= need:
+            return b
+    return SIM_BLOCK_CONFIGS[-1]
+
+
+def sim_key_tables(b: int) -> list[tuple[int, ...]]:
+    """The C(b,3) kept-block combinations, lexicographic — table t's key
+    is the packed concatenation of blocks in combination t."""
+    import itertools
+
+    return list(itertools.combinations(range(b), b - 3))
 
 
 def simhash64(documents: DataFrame) -> DataFrame:
@@ -496,19 +546,34 @@ def simhash64(documents: DataFrame) -> DataFrame:
     )
 
 
-def simhash64_blocks(sig: DataFrame) -> DataFrame:
-    """(doc_id, sim_lo, sim_hi, block_idx, block_key): 4 rows per doc, one
-    16-bit block each. One stack() projection — zero-shuffle key generation."""
-    return sig.select(
+def simhash64_blocks(sig: DataFrame, blocks: int = SIM64_BLOCKS) -> DataFrame:
+    """(doc_id, sim_lo, sim_hi, block_idx, block_key): C(blocks,3) rows
+    per doc — table t's key packs the block values of kept-combination t
+    into one BIGINT (<= 52 bits, so it stays a non-negative long). One
+    stack() projection over shiftrightunsigned of the recombined 64-bit
+    fingerprint — zero-shuffle key generation. blocks=4 reproduces the
+    r5 plan's values exactly (each key = one 16-bit block)."""
+    widths = sim_block_widths(blocks)
+    offsets = [sum(widths[:i]) for i in range(blocks)]
+    entries = []
+    for t, combo in enumerate(sim_key_tables(blocks)):
+        shift = 0
+        parts = []
+        for j in combo:
+            parts.append(
+                f"((shiftrightunsigned(sim64, {offsets[j]}) & {(1 << widths[j]) - 1}) * {1 << shift})"
+            )
+            shift += widths[j]
+        entries.append(f"{t}, {' + '.join(parts)}")
+    n_tables = len(entries)
+    return sig.withColumn(
+        "sim64", F.col("sim_lo").bitwiseOR(F.shiftleft(F.col("sim_hi"), 32))
+    ).select(
         "doc_id",
         "sim_lo",
         "sim_hi",
         F.expr(
-            "stack(4, "
-            "0, sim_lo & 65535, "
-            "1, shiftright(sim_lo, 16) & 65535, "
-            "2, sim_hi & 65535, "
-            "3, shiftright(sim_hi, 16) & 65535) AS (block_idx, block_key)"
+            f"stack({n_tables}, " + ", ".join(entries) + ") AS (block_idx, block_key)"
         ),
     )
 
@@ -519,9 +584,16 @@ def _sim64_hamming() -> Column:
     ) + F.bit_count(F.col("a.sim_hi").bitwiseXOR(F.col("b.sim_hi")))
 
 
-def simhash_near_dups(documents: DataFrame) -> DataFrame:
+def simhash_near_dups(documents: DataFrame, n_override: int | None = None) -> DataFrame:
+    """EAGER at build: one count() round-trip derives the block partition
+    (the kmeans_clusters pattern — registry eager-exec note). The OUTPUT
+    contract (Hamming <= 3 pairs) is block-independent, so the all-pairs
+    oracle needs no derivation twin; only the physical plan moves with
+    the corpus. `n_override` exists for tests exercising a specific
+    derivation rung on a tiny corpus."""
+    n = documents.count() if n_override is None else n_override
     sig = simhash64(documents)
-    keys = simhash64_blocks(sig)
+    keys = simhash64_blocks(sig, derive_sim_blocks(n))
     a, b = keys.alias("a"), keys.alias("b")
     return (
         a.join(

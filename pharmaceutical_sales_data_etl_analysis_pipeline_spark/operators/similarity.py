@@ -23,6 +23,7 @@ bucket signature with AQE skew handling.
 from __future__ import annotations
 
 import hashlib
+import math as _math
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -292,11 +293,11 @@ WHERE rnk <= {TOP_K}
 # candidate) inherits the quadratic. More data must mean more buckets.
 #
 # New index = the classic AND-OR sign-LSH of Indyk–Motwani/Gionis et al.
-# (and FALCONN's multi-table construction): a 32-plane sign code per
-# vector (same md5-derived ±1 hyperplanes as the 8-plane bucket ops,
-# extended to planes 0..31), and NEARDUP_TABLES=20 hash tables, table l
-# keyed on the 14-bit subcode selected by the literal plane-mask
-# NEARDUP_MASKS[l] (AND over 14 planes per table, OR across 20 tables).
+# (and FALCONN's multi-table construction): a sign code per vector (same
+# md5-derived ±1 hyperplanes as the 8-plane bucket ops, extended to the
+# derived plane count), and ntables hash tables, table l keyed on the
+# kbits-bit subcode selected by its derived plane-mask (AND over kbits
+# planes per table, OR across the tables).
 # Candidates = pairs agreeing exactly on ≥ 1 masked subcode — an
 # equi-join on (table_idx, masked_code); a pair can match several tables
 # so candidates dedup BEFORE the embedding re-attach. Then the exact
@@ -304,41 +305,102 @@ WHERE rnk <= {TOP_K}
 # SQL oracle states this same candidate contract, so driver parity holds
 # on any corpus).
 #
-# Rates at the cos 0.9 boundary (per-plane disagreement acos(0.9)/π ≈
-# 0.144): per-table match 0.856^14 ≈ 0.113, miss-all-20 ≈ 0.887^20 ≈ 9%
-# — the same ~91% recall the old plan had. Random pairs (per-plane 1/2):
-# ≤ 20·2⁻¹⁴ ≈ 1.2e-3 — 120× fewer candidates than the old fixed-256
-# space at sf1, and the gap widens with n (more tables/bits can be added
-# as the corpus grows; the contract is the literal mask list, so the
-# oracle follows mechanically). embedding_near_dups_allpairs keeps the
-# exact quadratic form test-side as ground truth/calibration.
+# r6: the AND-OR parameters are CORPUS-DERIVED (the r5 verdict's design
+# debt — fixed literals meant a 100 TB run would need manual retuning).
+# The derivation is the kmeans_clusters pattern: one driver round-trip
+# counts the corpus, integer-only formulas (bit_length — exactly
+# length(bin(n-1)) in DuckDB, so the oracle derives the SAME parameters
+# from count(*) with no cross-engine float risk) pick
+#   kbits(n)  = clamp(ceil_log2(n) + 4, 14, 48)   -- 2^kbits >= 16·n, so
+#               random pairs collide on a table at <= 1/(32n): candidates
+#               stay ~linear per table as the corpus grows;
+#   planes(n) = 32 while kbits <= 24, else 62     -- the code widens ahead
+#               of the mask so tables keep plane diversity (correlated
+#               tables would break the OR-recall independence);
+#   ntables(kbits) = ceil(ln δ / ln(1 - p1^kbits)), δ = 0.09, p1 =
+#               1 - acos(0.9)/π ≈ 0.856 -- boundary recall stays ~91% at
+#               every corpus size. ntables grows as n^ρ, ρ =
+#               ln(1/p1)/ln 2 ≈ 0.224 (the Indyk–Motwani exponent), so
+#               total work is Θ(n^{1+ρ}) — the published optimum for this
+#               (p1, p2); at extreme n a multi-probe variant would trade
+#               tables for probes, documented not implemented.
+# The table of ntables values is computed ONCE here (floats never cross
+# an engine boundary: both engines consume the same baked integers — the
+# Spark plan as literal masks, the oracle as a CASE on its derived
+# kbits). At the driver sfs (n<=520) the derivation reproduces r5's
+# exact literals (kbits=14, 20 tables, same md5 masks), so the contract
+# only MOVES where the corpus does. Saturation: kbits caps at 48
+# (n ≈ 2.8e14 vectors — four orders past 100 TB of 64-dim floats).
+# tests/test_lsh_derivation.py pins the ladder invariants.
 # ---------------------------------------------------------------------------
 
 NEARDUP_MIN_COS = 0.9
-NEARDUP_PLANES = 32     # sign-code width for the near-dup index
-NEARDUP_MASK_BITS = 14  # planes ANDed per table
-NEARDUP_TABLES = 20     # tables ORed
+NEARDUP_MIN_BITS = 14       # floor: the r5 contract at driver sfs
+NEARDUP_BITS_HEADROOM = 4   # 2^kbits >= 16n
+NEARDUP_MAX_BITS = 48       # saturation (n ~ 2.8e14)
+NEARDUP_NARROW_MAX_BITS = 24
+NEARDUP_PLANES_NARROW = 32
+NEARDUP_PLANES_WIDE = 62    # < 63: every mask stays a non-negative long
+NEARDUP_RECALL_DELTA = 0.09
+
+_NEARDUP_P1 = 1.0 - _math.acos(NEARDUP_MIN_COS) / _math.pi
 
 
-def _mask_planes(table: int) -> list[int]:
-    """The NEARDUP_MASK_BITS planes of table `table`: a deterministic
-    md5-ranked shuffle of the 32 planes — engine-portable because only
-    the resulting literal masks reach either engine."""
+def _ceil_log2(n: int) -> int:
+    return (n - 1).bit_length() if n > 1 else 0
+
+
+def neardup_mask_bits(n: int) -> int:
+    return max(
+        NEARDUP_MIN_BITS,
+        min(NEARDUP_MAX_BITS, _ceil_log2(n) + NEARDUP_BITS_HEADROOM),
+    )
+
+
+def neardup_planes(n: int) -> int:
+    return (
+        NEARDUP_PLANES_NARROW
+        if neardup_mask_bits(n) <= NEARDUP_NARROW_MAX_BITS
+        else NEARDUP_PLANES_WIDE
+    )
+
+
+def _tables_for_bits(kbits: int) -> int:
+    p_match = _NEARDUP_P1 ** kbits
+    return int(_math.ceil(_math.log(NEARDUP_RECALL_DELTA) / _math.log(1.0 - p_match)))
+
+
+# kbits -> table count, baked once; both engines consume these integers
+NEARDUP_TABLES_BY_BITS = {
+    k: _tables_for_bits(k) for k in range(NEARDUP_MIN_BITS, NEARDUP_MAX_BITS + 1)
+}
+
+
+def _mask_planes(table: int, kbits: int, planes: int) -> list[int]:
+    """The kbits planes of table `table`: a deterministic md5-ranked
+    shuffle of the `planes` available planes — engine-portable because
+    the oracle re-derives the identical ranking with SQL md5()."""
     ranked = sorted(
-        range(NEARDUP_PLANES),
+        range(planes),
         key=lambda p: hashlib.md5(f"neardup_mask_{table}_{p}".encode()).hexdigest(),
     )
-    return sorted(ranked[:NEARDUP_MASK_BITS])
+    return sorted(ranked[:kbits])
 
 
-NEARDUP_MASKS = [
-    sum(1 << p for p in _mask_planes(l)) for l in range(NEARDUP_TABLES)
-]
+def derive_neardup_params(n: int) -> tuple[int, int, list[int]]:
+    """(planes, kbits, masks) for an n-vector corpus."""
+    kbits = neardup_mask_bits(n)
+    planes = neardup_planes(n)
+    masks = [
+        sum(1 << p for p in _mask_planes(l, kbits, planes))
+        for l in range(NEARDUP_TABLES_BY_BITS[kbits])
+    ]
+    return planes, kbits, masks
 
 
-def neardup_code_col(emb: Column) -> Column:
-    """32-plane sign code (long) — lsh_bucket_col's construction widened
-    to NEARDUP_PLANES; planes 0..7 coincide with the bucket ops' planes."""
+def neardup_code_col(emb: Column, planes: int = NEARDUP_PLANES_NARROW) -> Column:
+    """`planes`-plane sign code (long) — lsh_bucket_col's construction
+    widened; planes 0..7 coincide with the bucket ops' planes."""
     sig = sum(
         F.when(
             _fold(
@@ -351,7 +413,7 @@ def neardup_code_col(emb: Column) -> Column:
             > 0,
             F.lit(2 ** p).cast("long"),
         ).otherwise(F.lit(0).cast("long"))
-        for p in range(NEARDUP_PLANES)
+        for p in range(planes)
     )
     return sig.cast("long")
 
@@ -359,11 +421,15 @@ def neardup_code_col(emb: Column) -> Column:
 _NEARDUP_OUT = "vec_a long, vec_b long, cosine double"
 
 
-def embedding_near_dups(embeddings: DataFrame) -> DataFrame:
-    """Candidates from the 20-table masked-subcode equi-join on
-    (table_idx, masked_code) keys ONLY — the 20× table explode duplicates
-    ~16 bytes per row, not the embedding vector — deduped, then embeddings
-    re-attach by vec_id for the verify.
+def embedding_near_dups(embeddings: DataFrame, n_override: int | None = None) -> DataFrame:
+    """Candidates from the corpus-derived masked-subcode equi-join on
+    (table_idx, masked_code) keys ONLY — the ntables× table explode
+    duplicates ~16 bytes per row, not the embedding vector — deduped,
+    then embeddings re-attach by vec_id for the verify. EAGER at build:
+    one count() round-trip derives (planes, kbits, masks) — the
+    kmeans_clusters pattern (registry eager-exec note). `n_override`
+    exists for tests that exercise a specific rung of the derivation
+    (e.g. the wide-planes tier) on a tiny corpus.
 
     Verify is an Arrow-vectorized mapInPandas, not the JVM `_dot` fold:
     Spark's higher-order array functions are CodegenFallback (interpreted,
@@ -380,16 +446,18 @@ def embedding_near_dups(embeddings: DataFrame) -> DataFrame:
     attaches are vec_id equi-joins (linear), and the verify streams Arrow
     batches over the deduped candidate set.
     """
+    n = embeddings.count() if n_override is None else n_override
+    planes, _kbits, masks = derive_neardup_params(n)
     coded = embeddings.select(
-        "vec_id", neardup_code_col(F.col("embedding")).alias("code")
+        "vec_id", neardup_code_col(F.col("embedding"), planes).alias("code")
     )
     tables = F.array(
         *[
             F.struct(
                 F.lit(l).cast("int").alias("tbl"),
-                F.col("code").bitwiseAND(F.lit(NEARDUP_MASKS[l]).cast("long")).alias("mkey"),
+                F.col("code").bitwiseAND(F.lit(mask).cast("long")).alias("mkey"),
             )
-            for l in range(NEARDUP_TABLES)
+            for l, mask in enumerate(masks)
         ]
     )
     keys = coded.select("vec_id", F.explode(tables).alias("kv")).select(
@@ -464,28 +532,84 @@ def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # The oracle states the registered plan's EXACT contract — pairs whose
-# 32-plane sign codes agree on at least one of the NEARDUP_MASKS plane
-# subsets *and* cosine >= 0.9 — re-deriving the same md5 hyperplane codes
-# in SQL (planes 0..7 of the identical construction are oracle-verified
-# by lsh_bucket_sizes) and testing the literal masks with BIGINT AND.
+# sign codes agree on at least one derived mask's plane subset *and*
+# cosine >= 0.9 — and DERIVES the parameters the same way the Spark
+# side does: kbits from count(*) via length(bin(n-1)) (== Python
+# bit_length, integer-exact), ntables from the same baked integer
+# table, and each mask by ranking md5('neardup_mask_l_p') over the
+# derived plane range (verified == hashlib ranking). Planes 0..7 of
+# the code construction are oracle-verified by lsh_bucket_sizes.
 # Parity is therefore guaranteed on ANY data, not vacuously on a corpus
 # with no qualifying pairs. Recall vs the exact all-pairs ground truth
 # (embedding_near_dups_allpairs) is a test-side measurement, not a
 # parity claim — ANN recall is documented, not certified.
 
 
-def _neardup_code_cte(src: str = "embeddings") -> str:
-    """DuckDB CTEs base(vec_id, e) + codes(vec_id, code): the 32-plane
-    sign code, same md5 weights and fold order as neardup_code_col."""
-    projections = ",\n         ".join(
-        "list_reduce(list_transform(range(1, len(e) + 1), "
-        f"i -> CAST(((ascii(substr(md5('{p}_' || CAST(i - 1 AS VARCHAR)), 1, 1)) % 2) * 2 - 1) AS DOUBLE) * e[i]), "
-        f"(acc, x) -> acc + x) AS proj{p}"
-        for p in range(NEARDUP_PLANES)
+def _neardup_params_cte(src: str, n_override: int | None = None) -> str:
+    """CTEs nd_p(kbits, planes, ntables) + nd_masks(l, mask): the SQL
+    twin of derive_neardup_params, from count(*) over `src` (or the
+    literal n_override in tests)."""
+    ntables_case = " ".join(
+        f"WHEN {k} THEN {t}" for k, t in sorted(NEARDUP_TABLES_BY_BITS.items())
     )
+    n_src = (
+        f"(SELECT count(*) AS n FROM {src})"
+        if n_override is None
+        else f"(SELECT CAST({n_override} AS BIGINT) AS n)"
+    )
+    lmax = NEARDUP_TABLES_BY_BITS[NEARDUP_MAX_BITS]
+    return f"""
+nd_p AS (
+  SELECT kbits,
+         CASE WHEN kbits <= {NEARDUP_NARROW_MAX_BITS}
+              THEN {NEARDUP_PLANES_NARROW} ELSE {NEARDUP_PLANES_WIDE} END AS planes,
+         CASE kbits {ntables_case} END AS ntables
+  FROM (
+    SELECT greatest({NEARDUP_MIN_BITS}, least({NEARDUP_MAX_BITS},
+             CASE WHEN n <= 1 THEN 0 ELSE length(bin(n - 1)) END
+               + {NEARDUP_BITS_HEADROOM})) AS kbits
+    FROM {n_src}
+  )
+),
+nd_masks AS (
+  SELECT l,
+         SUM(CASE WHEN rnk <= (SELECT kbits FROM nd_p)
+                  THEN (CAST(1 AS BIGINT) << CAST(p AS INT))
+                  ELSE CAST(0 AS BIGINT) END) AS mask
+  FROM (
+    SELECT l, p,
+           row_number() OVER (
+             PARTITION BY l
+             ORDER BY md5('neardup_mask_' || CAST(l AS VARCHAR) || '_' || CAST(p AS VARCHAR))
+           ) AS rnk
+    FROM range(0, {lmax}) t(l), range(0, {NEARDUP_PLANES_WIDE}) s(p)
+    WHERE l < (SELECT ntables FROM nd_p) AND p < (SELECT planes FROM nd_p)
+  )
+  GROUP BY l
+)"""
+
+
+def _neardup_code_cte(src: str = "embeddings") -> str:
+    """DuckDB CTEs base(vec_id, e) + codes(vec_id, code): the sign code,
+    same md5 weights and fold order as neardup_code_col. All 62 plane
+    projections are emitted; the wide tier (p >= 32) is gated on the
+    derived planes so the narrow tier pays nothing for it, and masks
+    never reference planes beyond the derived width, so a 62-bit SQL
+    code and a 32-plane Spark code agree on every masked comparison."""
+    projs = []
+    for p in range(NEARDUP_PLANES_WIDE):
+        fold = (
+            "list_reduce(list_transform(range(1, len(e) + 1), "
+            f"i -> CAST(((ascii(substr(md5('{p}_' || CAST(i - 1 AS VARCHAR)), 1, 1)) % 2) * 2 - 1) AS DOUBLE) * e[i]), "
+            "(acc, x) -> acc + x)"
+        )
+        if p >= NEARDUP_PLANES_NARROW:
+            fold = f"CASE WHEN (SELECT planes FROM nd_p) > {NEARDUP_PLANES_NARROW} THEN {fold} ELSE 0.0 END"
+        projs.append(f"{fold} AS proj{p}")
+    projections = ",\n         ".join(projs)
     sig = " + ".join(
         f"CASE WHEN proj{p} > 0 THEN CAST({2 ** p} AS BIGINT) ELSE 0 END"
-        for p in range(NEARDUP_PLANES)
+        for p in range(NEARDUP_PLANES_WIDE)
     )
     return f"""
 base AS (
@@ -501,12 +625,10 @@ codes AS (
 )"""
 
 
-def _neardup_sql(src: str = "embeddings") -> str:
-    any_table = " OR ".join(
-        f"(a.code & {m}) = (b.code & {m})" for m in NEARDUP_MASKS
-    )
+def _neardup_sql(src: str = "embeddings", n_override: int | None = None) -> str:
     return f"""
-WITH {_neardup_code_cte(src)},
+WITH {_neardup_params_cte(src, n_override)},
+{_neardup_code_cte(src)},
 sub AS (
   SELECT b.vec_id, b.e, k.code
   FROM base b JOIN codes k ON b.vec_id = k.vec_id
@@ -516,16 +638,25 @@ norms AS (
          sqrt(list_reduce(list_transform(e, x -> x * x), (acc, x) -> acc + x)) AS nrm
   FROM sub
 ),
+nd_keys AS (
+  SELECT s.vec_id, m.l, s.code & m.mask AS mkey
+  FROM sub s, nd_masks m
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
+  FROM nd_keys a
+  JOIN nd_keys b ON a.l = b.l AND a.mkey = b.mkey AND a.vec_id < b.vec_id
+),
 scored AS (
-  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+  SELECT c.va AS vec_a, c.vb AS vec_b,
          floor((list_reduce(list_transform(range(1, len(a.e) + 1), i -> a.e[i] * b.e[i]),
                             (acc, x) -> acc + x)
                 / (na.nrm * nb.nrm)) * 1000000000.0 + 0.5) / 1000000000.0 AS cosine
-  FROM sub a
-  JOIN sub b ON a.vec_id < b.vec_id
-            AND ({any_table})
-  JOIN norms na ON a.vec_id = na.vec_id
-  JOIN norms nb ON b.vec_id = nb.vec_id
+  FROM cand c
+  JOIN sub a ON c.va = a.vec_id
+  JOIN sub b ON c.vb = b.vec_id
+  JOIN norms na ON c.va = na.vec_id
+  JOIN norms nb ON c.vb = nb.vec_id
 )
 SELECT vec_a, vec_b, cosine FROM scored WHERE cosine >= {NEARDUP_MIN_COS}
 """

@@ -120,3 +120,106 @@ GROUP BY 1
 
 QUERIES["stream_exact_dedup"] = stream_exact_dedup
 ORACLES["stream_exact_dedup"] = SQL_STREAM_EXACT_DEDUP
+
+
+# ---------------------------------------------------------------------------
+# Third + fourth streaming entries (r6, VERDICT ask #4): the two broad-
+# surface shapes that were tested but unregistered — the stream-stream
+# attribution join and dropDuplicatesWithinWatermark — each run as an
+# availableNow bounded stream with an exact batch oracle.
+#
+# Determinism arguments (why a streaming plan can carry a hash-exact
+# oracle):
+# - attribution: an INNER stream-stream join emits exactly the matching
+#   pairs; watermarks only bound STATE (eviction), never which matches
+#   emit on a full replay — so the output multiset equals the batch
+#   self-join whatever the batching. Append mode, epochs appended.
+# - dedup-within-watermark: duplicates are PLANTED by exploding ~10% of
+#   rows into two identical copies IN THE SAME INPUT ROW, so both copies
+#   always land in the same micro-batch and the in-batch state lookup
+#   drops the second copy deterministically (no cross-batch watermark-
+#   expiry race — the failure mode that makes arrival-order-dependent
+#   streaming dedup un-oracle-able). Exactly one copy of every event
+#   survives, so the oracle is the events table itself and the ROW COUNT
+#   proves the operator collapsed the planted 10% (input > output).
+# ---------------------------------------------------------------------------
+
+DEDUP_PLANT_MOD = 10  # every 10th event_id arrives twice
+
+
+def _run_append_stream(spark: SparkSession, streaming_df: DataFrame, prefix: str) -> DataFrame:
+    """availableNow + append-mode foreachBatch appender; read back with
+    the plan's own schema (robust to an all-empty epoch)."""
+    base = _scratch_dir(prefix)
+    out_dir = os.path.join(base, "result")
+    ckpt_dir = os.path.join(base, "checkpoint")
+
+    def write_epoch(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df.write.mode("append").parquet(out_dir)
+
+    (
+        streaming_df.writeStream.outputMode("append")
+        .foreachBatch(write_epoch)
+        .option("checkpointLocation", ckpt_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    return spark.read.schema(streaming_df.schema).parquet(out_dir)
+
+
+def stream_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.joins import click_purchase_attribution
+
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = normalize_event_ts(stream_table_source(spark, sf_dir, "events", schema))
+    return _run_append_stream(
+        spark, click_purchase_attribution(stream), "stream_attrib_"
+    )
+
+
+def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from ..streaming.joins import dedup_stream_within_watermark
+
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = normalize_event_ts(stream_table_source(spark, sf_dir, "events", schema))
+    cols = stream.columns
+    planted = stream.withColumn(
+        "_copy",
+        F.explode(
+            F.when(
+                F.col("event_id") % DEDUP_PLANT_MOD == 0,
+                F.array(F.lit(1), F.lit(2)),
+            ).otherwise(F.array(F.lit(1)))
+        ),
+    ).select(*cols)
+    return _run_append_stream(
+        spark, dedup_stream_within_watermark(planted), "stream_wmdedup_"
+    )
+
+
+SQL_STREAM_CLICK_ATTRIBUTION = """
+SELECT c.user_id AS user_id,
+       c.event_id AS click_id,
+       c.ts AS click_ts,
+       p.event_id AS purchase_id,
+       p.ts AS purchase_ts,
+       p.value AS purchase_value
+FROM events c
+JOIN events p
+  ON p.user_id = c.user_id
+ AND c.event_type = 'click' AND p.event_type = 'purchase'
+ AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+"""
+
+# exactly one survivor per planted pair == the original table
+SQL_STREAM_DEDUP_WITHIN_WATERMARK = """
+SELECT event_id, ts, user_id, event_type, value, props FROM events
+"""
+
+QUERIES["stream_click_attribution"] = stream_click_attribution
+ORACLES["stream_click_attribution"] = SQL_STREAM_CLICK_ATTRIBUTION
+QUERIES["stream_dedup_within_watermark"] = stream_dedup_within_watermark
+ORACLES["stream_dedup_within_watermark"] = SQL_STREAM_DEDUP_WITHIN_WATERMARK

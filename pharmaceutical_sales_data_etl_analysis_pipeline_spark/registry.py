@@ -26,6 +26,10 @@ graph_triangle_stats, neardup_components and its dependents
 training_corpus/dedup_survivors/dedup_rate_by_source) and queries whose
 parameters derive from the data via driver round-trips (kmeans_clusters,
 semdedup_candidates, ivf_*: corpus count / seeds / centroid sums;
+simhash_near_dups / embedding_near_dups and their _planted variants:
+one count() that picks the corpus-derived LSH partition — block count /
+mask width / table count; the oracle re-derives the same integers from
+count(*), or is block-independent (simhash's all-pairs contract);
 histogram_quantile_calibration: 3-scalar extent + 64-row histogram for
 the two-phase exact-selection comparator; ann_recall_eval: the pinned
 brute-force ground-truth pass it ranks every ANN variant against).
@@ -78,12 +82,26 @@ MODULE_ORDER = [
 #       All were locally hash-verified at sf0.001/sf0.01 AND sf1, but
 #       the bar is a green driver row per executed plan (the r4
 #       key_skew_report precedent, ×27);
-#   (b) the remaining 23 slots refresh the OLDEST driver rows: of the
-#       28 queries whose newest row still dates from r1, the first 23
-#       in name order. The 5 left over (status_set_ops, text_quality,
+#   (c) PREPENDED per the rotation invariant: the queries r6 itself
+#       added or plan-changed — the two new streaming entries, and the
+#       four near-dup queries whose index parameters became
+#       corpus-derived (embedding_near_dups' ORACLE text changed too:
+#       it now re-derives kbits/ntables/masks from count(*));
+#   (b) the remaining 17 slots refresh the OLDEST driver rows: of the
+#       28 queries whose newest row still dates from r1, the first 17
+#       in name order. The 11 left over (minhash_signatures,
+#       moving_avg_customer, multimodal_frames, product_surrogate_keys,
+#       props_k_stats, simhash, status_set_ops, text_quality,
 #       token_counts, union_all_bag, value_histogram) are the r7
 #       refresh head — record them in the r7 candidates note below.
 PRIORITY = [
+    # (c) r6-new / r6-plan-changed (rotation invariant: outrank refreshes)
+    "stream_click_attribution",
+    "stream_dedup_within_watermark",
+    "embedding_near_dups",
+    "embedding_near_dups_planted",
+    "simhash_near_dups",
+    "simhash_near_dups_planted",
     # (a) exact-sum plan-changed late in r5 (registry walk, see above)
     "cube_sales",
     "pivot_status_year",
@@ -130,18 +148,14 @@ PRIORITY = [
     "lsh_bucket_sizes",
     "lsh_probe_topk",
     "minhash_lsh_candidates",
-    "minhash_signatures",
-    "moving_avg_customer",
-    "multimodal_frames",
-    "product_surrogate_keys",
-    "props_k_stats",
-    "simhash",
 ]
-# r7 PRIORITY candidates (staleness head after the r6 sweep): the 5
-# r1-rows that did not fit the r6 window — status_set_ops,
-# text_quality, token_counts, union_all_bag, value_histogram — then
-# the r2-row cohort (asof_purchase_before_click, contamination_check,
-# dedup_survivors, distinct_counts, events_within_5min, …).
+# r7 PRIORITY candidates (staleness head after the r6 sweep): the 11
+# r1-rows that did not fit the r6 window — minhash_signatures,
+# moving_avg_customer, multimodal_frames, product_surrogate_keys,
+# props_k_stats, simhash, status_set_ops, text_quality, token_counts,
+# union_all_bag, value_histogram — then the r2-row cohort
+# (asof_purchase_before_click, contamination_check, dedup_survivors,
+# distinct_counts, events_within_5min, …).
 # Queries ADDED or PLAN-CHANGED during r6 must be PREPENDED here per
 # the rotation invariant (they outrank staleness refreshes).
 

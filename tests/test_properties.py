@@ -116,43 +116,64 @@ def test_key_repair_prefixes_exactly_once(spark, ids):
 
 # ---------------------------------------------------------------------------
 # Blocked SimHash recall guarantee (pure Python — no Spark): for ANY
-# 64-bit fingerprint and ANY set of <= HAMMING_MAX (=3) bit flips, the
-# flipped fingerprint shares at least one (block_idx, 16-bit block_key)
-# with the original — the Manku et al. pigeonhole argument
-# simhash_near_dups' equi-join relies on for exact recall. Hypothesis
-# hammers the full flip space, not just the fixtures.
+# 64-bit fingerprint, ANY block config B in SIM_BLOCK_CONFIGS, and ANY
+# set of <= HAMMING_MAX (=3) bit flips, the flipped fingerprint shares
+# at least one (table_idx, packed block_key) with the original — the
+# Manku et al. pigeonhole argument simhash_near_dups' equi-join relies
+# on for exact recall AT EVERY RUNG of the r6 corpus-derived ladder.
+# Hypothesis hammers the full flip space, not just the fixtures.
 # ---------------------------------------------------------------------------
 
 
-def _block_keys(sig64: int):
+def _block_keys(sig64: int, b: int):
+    """Pure-Python twin of simhash64_blocks' packed keys for config b."""
     from pharmaceutical_sales_data_etl_analysis_pipeline_spark.operators.dedup import (
-        SIM64_BLOCKS,
+        sim_block_widths,
+        sim_key_tables,
     )
 
-    return {(b, (sig64 >> (16 * b)) & 0xFFFF) for b in range(SIM64_BLOCKS)}
+    widths = sim_block_widths(b)
+    offsets = [sum(widths[:i]) for i in range(b)]
+    keys = set()
+    for t, combo in enumerate(sim_key_tables(b)):
+        shift, key = 0, 0
+        for j in combo:
+            key += ((sig64 >> offsets[j]) & ((1 << widths[j]) - 1)) << shift
+            shift += widths[j]
+        keys.add((t, key))
+    return keys
 
 
 @settings(max_examples=300, deadline=None)
 @given(
     sig=st.integers(0, 2**64 - 1),
     flips=st.sets(st.integers(0, 63), min_size=1, max_size=3),
+    cfg=st.sampled_from((4, 5, 6, 8, 10, 16)),
 )
-def test_block_pigeonhole_guarantees_recall(sig, flips):
+def test_block_pigeonhole_guarantees_recall(sig, flips, cfg):
     other = sig
     for b in flips:
         other ^= 1 << b
-    assert _block_keys(sig) & _block_keys(other), (
-        f"no shared block for sig={sig:#x} flips={sorted(flips)}"
+    assert _block_keys(sig, cfg) & _block_keys(other, cfg), (
+        f"no shared key for sig={sig:#x} flips={sorted(flips)} blocks={cfg}"
     )
 
 
 def test_block_index_tightness_four_flips_can_miss():
-    """The exact boundary of the 4-block index (Manku et al.): one flip
-    in EACH 16-bit block (Hamming 4) shares no key — HAMMING_MAX=3 is the
-    largest radius this index certifies."""
-    sig = 0
-    other = (1 << 0) | (1 << 16) | (1 << 32) | (1 << 48)
-    assert not (_block_keys(sig) & _block_keys(other))
+    """The exact boundary of the block index at every config (Manku et
+    al.): one flip in EACH of 4 distinct blocks (Hamming 4) shares no
+    key, because every kept combination excludes only 3 blocks —
+    HAMMING_MAX=3 is the largest radius any C(B,3) index certifies."""
+    from pharmaceutical_sales_data_etl_analysis_pipeline_spark.operators.dedup import (
+        SIM_BLOCK_CONFIGS,
+        sim_block_widths,
+    )
+
+    for b in SIM_BLOCK_CONFIGS:
+        widths = sim_block_widths(b)
+        offsets = [sum(widths[:i]) for i in range(b)]
+        other = sum(1 << offsets[j] for j in range(4))
+        assert not (_block_keys(0, b) & _block_keys(other, b)), f"blocks={b}"
 
 
 # ---------------------------------------------------------------------------

@@ -64,3 +64,51 @@ def test_embedding_replicas_leave_neardup_range(spark, sf_dir, scaled_dir):
     base = qs["embedding_near_dups"](spark, sf_dir).count()
     scaled = qs["embedding_near_dups"](spark, scaled_dir).count()
     assert scaled <= max(base, 1) * FACTOR * 2, (base, scaled)
+
+
+# ---------------------------------------------------------------------------
+# Planted-variant / up-scaler coupling (r6, VERDICT ask #6): the
+# *_planted near-dup queries UNION literal rows under shifted ids inside
+# both engines' plans. Two invariants keep that coupling sound at every
+# rung the ladder measures:
+#   1. planted sets are O(1) — literal constants, never corpus-scaled;
+#   2. planted id ranges can never collide with real ids produced by the
+#      up-scaler at any measured rung (largest = sf0.1 x 100 = sf10).
+# Today's constants satisfy both with wide margin; this pins the margin
+# so a future re-tune fails loudly instead of silently double-keying.
+# ---------------------------------------------------------------------------
+
+MAX_MEASURED_FACTOR = 100  # sf0.1 -> sf10, the largest local rung
+
+
+def test_planted_sets_are_constant_size():
+    from pharmaceutical_sales_data_etl_analysis_pipeline_spark.operators.dedup import (
+        DOC_PLANT_N,
+    )
+    from pharmaceutical_sales_data_etl_analysis_pipeline_spark.operators.similarity import (
+        PLANT_N,
+    )
+
+    assert DOC_PLANT_N <= 32 and PLANT_N <= 32
+
+
+def test_planted_ids_clear_upscaled_ranges(spark, sf_dir):
+    from pharmaceutical_sales_data_etl_analysis_pipeline_spark.operators.dedup import (
+        DOC_PLANT_N,
+        DOC_PLANT_OFFSET,
+    )
+    from pharmaceutical_sales_data_etl_analysis_pipeline_spark.operators.similarity import (
+        PLANT_N,
+        PLANT_OFFSET,
+    )
+
+    # sf0.1 is the ladder's up-scale SOURCE; ids are dense 0..n-1, so the
+    # max real id at factor f is n*f - 1 (test_keys_stay_unique +
+    # test_row_counts_scale_exactly pin the density/stride)
+    n_docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet").count()
+    n_vecs = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet").count()
+    assert n_docs * MAX_MEASURED_FACTOR <= DOC_PLANT_OFFSET
+    assert n_vecs * MAX_MEASURED_FACTOR <= PLANT_OFFSET
+    # and the planted block itself stays inside long range trivially
+    assert DOC_PLANT_OFFSET + DOC_PLANT_N < 2**62
+    assert PLANT_OFFSET + PLANT_N < 2**62
