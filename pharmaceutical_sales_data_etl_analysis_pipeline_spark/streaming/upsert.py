@@ -14,7 +14,10 @@ is a minimal honest version of what Delta/Iceberg MERGE does underneath
 Scale: the per-batch merge is one full-outer shuffle join on the key —
 proportional to |state| + |batch|. For 100 TB state a real deployment
 partitions snapshots by key range so a batch only rewrites touched
-partitions; the snapshot-versioning contract here is unchanged by that.
+partitions; streaming/partitioned_upsert.py implements exactly that
+(bucket-hashed copy-on-write with a manifest commit) and is the
+scale-path successor of this module — this one stays as the minimal
+readable form of the versioned-snapshot contract.
 """
 
 from __future__ import annotations

@@ -1,0 +1,179 @@
+"""Bucket-partitioned copy-on-write MERGE (streaming/partitioned_upsert):
+equivalence with the batch aggregate AND the scale property itself — a
+micro-batch rewrites ONLY the buckets its keys land in, verified at the
+file-system level, plus replay idempotence, time travel, and retention."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from pharmaceutical_sales_data_etl_analysis_pipeline_spark.catalog import load_table
+from pharmaceutical_sales_data_etl_analysis_pipeline_spark.streaming.partitioned_upsert import (
+    N_BUCKETS,
+    bucket_of,
+    expire_partitioned_versions,
+    merge_batch_into_partitioned_state,
+    read_latest_partitioned_state,
+    read_partitioned_state_version,
+    run_partitioned_incremental_merge,
+)
+
+
+def _orders_kv(spark, sf_dir):
+    return load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("key"), F.col("o_totalprice").alias("amount")
+    )
+
+
+def _expected(orders):
+    return orders.groupBy("key").agg(
+        F.sum(F.col("amount").cast("decimal(18,2)")).cast("double").alias("total"),
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+    )
+
+
+def _assert_state_equals(got, expected):
+    assert got.count() == expected.count()
+    diff = got.alias("g").join(expected.alias("e"), "key", "full_outer").filter(
+        F.col("g.total").isNull()
+        | F.col("e.total").isNull()
+        | (F.col("g.total") != F.col("e.total"))
+        | (F.col("g.n_rows") != F.col("e.n_rows"))
+    )
+    assert diff.count() == 0
+
+
+def _manifest_files(state_dir: str) -> list[str]:
+    """Committed manifest files only (the local FS adds .crc sidecars)."""
+    mdir = os.path.join(state_dir, "manifests")
+    return sorted(
+        f for f in os.listdir(mdir) if f.startswith("v") and f.endswith(".json")
+    )
+
+
+def _bucket_versions(state_dir: str) -> dict[str, list[str]]:
+    """{bucket_name: sorted version dirs on disk} — the rewrite ledger."""
+    broot = os.path.join(state_dir, "buckets")
+    if not os.path.isdir(broot):
+        return {}
+    return {
+        b: sorted(os.listdir(os.path.join(broot, b)))
+        for b in sorted(os.listdir(broot))
+    }
+
+
+def test_partitioned_merge_equals_batch_aggregate(spark, sf_dir, tmp_path):
+    """End-to-end through the stream: folded state == one-shot aggregate."""
+    orders = _orders_kv(spark, sf_dir)
+    src = tmp_path / "batches"
+    src.mkdir()
+    for i in range(3):
+        orders.filter(F.col("key") % 3 == i).toPandas().to_parquet(
+            str(src / f"b{i}.parquet"), index=False
+        )
+    state = str(tmp_path / "state")
+    run_partitioned_incremental_merge(spark, str(src), state, str(tmp_path / "ckpt"))
+    _assert_state_equals(read_latest_partitioned_state(spark, state), _expected(orders))
+    # one manifest per micro-batch (ignore the local FS's .crc sidecars)
+    assert len(_manifest_files(state)) == 3
+
+
+def test_untouched_buckets_are_not_rewritten(spark, sf_dir, tmp_path):
+    """THE copy-on-write property: a second batch whose keys land in one
+    bucket leaves every other bucket's version dirs untouched on disk."""
+    orders = _orders_kv(spark, sf_dir)
+    state = str(tmp_path / "state")
+    merge_batch_into_partitioned_state(spark, state, orders, 0)
+    before = _bucket_versions(state)
+    assert len(before) > 1  # the corpus spreads over multiple buckets
+
+    # pick one real key -> its bucket; batch 1 touches only that bucket
+    some_key = orders.select("key").first()["key"]
+    target_bucket = (
+        spark.range(1)
+        .select(bucket_of(F.lit(some_key).cast("long")).alias("b"))
+        .first()["b"]
+    )
+    delta = spark.createDataFrame([(int(some_key), 10.0)], "key long, amount double")
+    merge_batch_into_partitioned_state(spark, state, delta, 1)
+
+    after = _bucket_versions(state)
+    target = f"b{target_bucket:04d}"
+    assert after[target] == before[target] + ["v000000001"]
+    for b in after:
+        if b != target:
+            assert after[b] == before[b], f"untouched bucket {b} was rewritten"
+
+    # and the merged read is still exactly the batch aggregate + the delta
+    expected = _expected(orders.unionByName(delta))
+    _assert_state_equals(read_latest_partitioned_state(spark, state), expected)
+
+
+def test_replay_is_idempotent(spark, sf_dir, tmp_path):
+    """Re-running a batch (crash-before-checkpoint) merges into the
+    strictly-older manifest again: same final state, no double count."""
+    orders = _orders_kv(spark, sf_dir)
+    state = str(tmp_path / "state")
+    b0 = orders.filter(F.col("key") % 2 == 0)
+    b1 = orders.filter(F.col("key") % 2 == 1)
+    merge_batch_into_partitioned_state(spark, state, b0, 0)
+    merge_batch_into_partitioned_state(spark, state, b1, 1)
+    merge_batch_into_partitioned_state(spark, state, b1, 1)  # replay
+    _assert_state_equals(read_latest_partitioned_state(spark, state), _expected(orders))
+
+
+def test_time_travel_reads_each_committed_fold(spark, sf_dir, tmp_path):
+    orders = _orders_kv(spark, sf_dir)
+    state = str(tmp_path / "state")
+    b0 = orders.filter(F.col("key") % 2 == 0)
+    merge_batch_into_partitioned_state(spark, state, b0, 0)
+    merge_batch_into_partitioned_state(spark, state, orders.filter(F.col("key") % 2 == 1), 1)
+    _assert_state_equals(read_partitioned_state_version(spark, state, 0), _expected(b0))
+    _assert_state_equals(read_partitioned_state_version(spark, state, 1), _expected(orders))
+    assert read_partitioned_state_version(spark, state, 7) is None
+
+
+def test_retention_keeps_referenced_bucket_versions(spark, sf_dir, tmp_path):
+    """After expiry, the kept manifests' union of bucket references is
+    intact (latest state still readable and correct); unreferenced bucket
+    versions and old manifests are gone."""
+    orders = _orders_kv(spark, sf_dir)
+    state = str(tmp_path / "state")
+    for i in range(4):
+        merge_batch_into_partitioned_state(
+            spark, state, orders.filter(F.col("key") % 4 == i), i
+        )
+    deleted = expire_partitioned_versions(spark, state, keep=2)
+    assert deleted > 0
+    manifests = _manifest_files(state)
+    assert manifests == ["v000000002.json", "v000000003.json"]
+    _assert_state_equals(read_latest_partitioned_state(spark, state), _expected(orders))
+    # every surviving bucket version is referenced by a kept manifest
+    import json as _json
+
+    live = set()
+    for m in manifests:
+        with open(os.path.join(state, "manifests", m)) as f:
+            doc = _json.load(f)
+        for b, v in doc["buckets"].items():
+            live.add((f"b{int(b):04d}", v))
+    for b, versions in _bucket_versions(state).items():
+        for v in versions:
+            assert (b, v) in live
+
+
+def test_bucket_count_drift_fails_loudly(spark, sf_dir, tmp_path, monkeypatch):
+    import pharmaceutical_sales_data_etl_analysis_pipeline_spark.streaming.partitioned_upsert as pu
+
+    orders = _orders_kv(spark, sf_dir)
+    state = str(tmp_path / "state")
+    merge_batch_into_partitioned_state(spark, state, orders, 0)
+    monkeypatch.setattr(pu, "N_BUCKETS", N_BUCKETS * 2)
+    try:
+        pu.merge_batch_into_partitioned_state(spark, state, orders, 1)
+    except ValueError as e:
+        assert "n_buckets" in str(e)
+    else:
+        raise AssertionError("re-bucketing must not be implicit")
