@@ -40,12 +40,16 @@ def main() -> None:
 
     # same warmup ladder as bench.py: tiny-corpus pass compiles the
     # generated code, one untimed target-sf pass pays HotSpot C2 + cold
-    # page cache, then the timed pass measures steady state
+    # page cache, then the timed pass measures steady state.
+    # SPARK_GRAFT_PROBE_NO_TARGET_WARMUP=1 skips the target-sf pass — for
+    # multi-minute rungs the timed run amortizes C2 itself and the double
+    # execution would dominate wall-clock.
     warm_dir = "/root/testdata/sf0.001"
     for name in names:
         queries[name](spark, warm_dir).write.format("noop").mode("overwrite").save()
-    for name in names:
-        queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    if not os.environ.get("SPARK_GRAFT_PROBE_NO_TARGET_WARMUP"):
+        for name in names:
+            queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     rows: dict[str, int] = {}

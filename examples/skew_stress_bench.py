@@ -41,7 +41,11 @@ SKEW_CONFS = {
 }
 
 
-def timed(fn, reps=3):
+def timed(fn, reps=None):
+    # SPARK_GRAFT_SKEW_REPS trims repetitions for the large rungs (r6 runs
+    # the ladder to 100M rows, where best-of-3 on every variant would cost
+    # more wall-clock than the extra rep buys in stability)
+    reps = reps or int(os.environ.get("SPARK_GRAFT_SKEW_REPS", "3"))
     best = float("inf")
     for _ in range(reps):
         t0 = time.monotonic()

@@ -49,6 +49,25 @@ PR_SCALE = 10**12
 PR_ITERS = 3
 PR_TOPK = 20
 
+# graph_triangle_stats join-strategy bounds, derived per run from the
+# directed-pair upper bound (sum of k·(k−1) over lines-per-order):
+#   bound <= TRI_BROADCAST_PAIR_MAX: broadcast the oriented edge list for
+#     wedge-gen AND closing (zero wedge shuffle). 32M pairs -> <= 16M
+#     oriented edges ≈ 400–500 MB serialized, under the 1 GiB default
+#     spark.driver.maxResultSize. Measured: sf1 bound 24.0M fits; sf10
+#     bound 240M FAILED unconditionally broadcast (caught by the r6
+#     decade probe).
+#   bound <= TRI_BLOOM_PAIR_MAX: shuffled wedge-gen, but the closing
+#     join's wedge side is first pruned map-side by a broadcast Bloom
+#     filter over the packed edge keys (~bound/2 bytes ≈ 128 MB at the
+#     sf10 rung — an order of magnitude smaller than the raw edge list),
+#     then closed exactly. Caps where the bloom itself stops fitting the
+#     broadcast budget (~512 MB).
+#   above: plain shuffled closing join — linear per decade by
+#     construction, needs cluster-aggregate (not single-box) spill disk.
+TRI_BROADCAST_PAIR_MAX = 32_000_000
+TRI_BLOOM_PAIR_MAX = 1_000_000_000
+
 
 def copurchase_edges(lineitem: DataFrame) -> DataFrame:
     """Distinct directed (src, dst) part pairs co-occurring in an order.
@@ -184,8 +203,14 @@ ORACLES = {"pagerank_fixedpoint": SQL_PAGERANK_FIXEDPOINT}
 # every edge points low-degree -> high-degree, so a hub with degree d
 # contributes wedges bounded by its LOW-degree neighbors' forward degrees,
 # not d² — the wedge join stays near-linear in edges times arboricity
-# rather than quadratic in hub degree. The degree table is one tiny
-# (node, deg) relation — broadcast both attachments.
+# rather than quadratic in hub degree.
+#
+# Join strategy is DERIVED from the data (r6): a one-agg upper bound on
+# the pair count picks broadcast joins (edge list collected once, wedge
+# intermediate never shuffled) below TRI_BROADCAST_PAIR_MAX, and the
+# shuffled compact-forward closing joins above it — the unconditional
+# broadcast was measured failing at the sf10 rung (120M oriented edges
+# vs the 1 GiB driver.maxResultSize).
 #
 # All outputs are integer counts (exact, order-independent); the global
 # clustering coefficient is one integer-derived double division, identical
@@ -195,15 +220,38 @@ ORACLES = {"pagerank_fixedpoint": SQL_PAGERANK_FIXEDPOINT}
 
 def graph_triangle_stats(lineitem: DataFrame) -> DataFrame:
     und = copurchase_edges(lineitem)  # symmetric directed, distinct
+    # Join-strategy probe (one cheap agg, same eager-parameter class as
+    # kmeans' corpus count): sum of k·(k−1) over lines-per-order is an
+    # UPPER BOUND on the directed co-purchase pairs BEFORE the distinct,
+    # hence on |und| and on the oriented edge list (|e| <= bound/2). The
+    # broadcast plan below collects the edge list to the driver, so it is
+    # only legal while that bound stays comfortably under
+    # spark.driver.maxResultSize — the r6 sf10 rung caught the
+    # unconditional broadcast failing at 239M pairs (~120M oriented edges,
+    # ~3.6 GB serialized vs the 1 GiB default). Wrong-side cost of the
+    # bound's slack is performance only, never a failure: an over-estimate
+    # just takes the shuffle path early.
+    pair_bound = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.coalesce(F.sum(F.expr("c * (c - 1)")), F.lit(0)).alias("b"))
+        .first()["b"]
+    )
+    small = pair_bound <= TRI_BROADCAST_PAIR_MAX
+    bc = F.broadcast if small else (lambda df: df)
     deg = und.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).select(
         F.col("src").alias("node"), "deg"
     )
-    # orient each undirected edge from the (deg, id)-smaller endpoint
+    # orient each undirected edge from the (deg, id)-smaller endpoint.
+    # deg is node-count-sized (smaller than edges but still data-sized):
+    # broadcast only under the same derived bound; on the big path the
+    # SMJ attach is AQE-convertible back to broadcast at runtime if deg's
+    # actual shuffle stats turn out tiny.
     e = (
-        und.join(F.broadcast(deg.withColumnRenamed("node", "src")
-                             .withColumnRenamed("deg", "sdeg")), "src")
-        .join(F.broadcast(deg.withColumnRenamed("node", "dst")
-                          .withColumnRenamed("deg", "ddeg")), "dst")
+        und.join(bc(deg.withColumnRenamed("node", "src")
+                    .withColumnRenamed("deg", "sdeg")), "src")
+        .join(bc(deg.withColumnRenamed("node", "dst")
+                 .withColumnRenamed("deg", "ddeg")), "dst")
         .filter(
             (F.col("sdeg") < F.col("ddeg"))
             | ((F.col("sdeg") == F.col("ddeg")) & (F.col("src") < F.col("dst")))
@@ -214,14 +262,18 @@ def graph_triangle_stats(lineitem: DataFrame) -> DataFrame:
     # of replaying the edge-gen shuffle per reference (same eager-exec
     # contract as pagerank's edge pin — documented in registry.py)
     e = pin(e, "triangle_edges")
-    # broadcast the oriented edges for BOTH the wedge-gen and closing
-    # joins: the wedge expansion (sum of forward-deg², ~49M rows at sf0.1)
-    # then streams map-side through two broadcast hash joins and collapses
-    # into the count — the 49M-row intermediate is never shuffled. Valid
-    # while the oriented edge list fits in executor memory (~16 B/edge);
-    # past that, repartition on u and let AQE pick sort-merge. The closing
-    # probe keys on ONE packed BIGINT (u·2³² + v, keys < 2³¹) instead of a
-    # two-column composite — measured ~1.6x on the 49M-probe join.
+    # SMALL path: broadcast the oriented edges for BOTH the wedge-gen and
+    # closing joins — the wedge expansion (sum of forward-deg², ~49M rows
+    # at sf0.1) streams map-side through two broadcast hash joins and
+    # collapses into the count without ever shuffling.
+    # BIG path (bound above TRI_BROADCAST_PAIR_MAX): plain equi-joins —
+    # sort-merge with the wedge intermediate shuffled on the packed key,
+    # i.e. the standard distributed compact-forward/MapReduce triangle
+    # closing (Cohen 2009; Park & Chung 2013 shape) that survives any
+    # scale; AQE's skew split covers hub-heavy wedge partitions.
+    # The closing probe keys on ONE packed BIGINT (u·2³² + v, keys < 2³¹)
+    # instead of a two-column composite — measured ~1.6x on the 49M-probe
+    # join.
     pack = F.lit(1 << 32)
 
     def _pack(a, b):
@@ -237,10 +289,56 @@ def graph_triangle_stats(lineitem: DataFrame) -> DataFrame:
         return F.when(ok.isNull(), a * pack + b)
 
     w = e.alias("e1").join(
-        F.broadcast(e.alias("e2")), F.col("e1.v") == F.col("e2.u")
+        bc(e.alias("e2")), F.col("e1.v") == F.col("e2.u")
     ).select(_pack(F.col("e1.u"), F.col("e2.v")).alias("ac"))
     ekeys = e.select(_pack(F.col("u"), F.col("v")).alias("ac"))
-    tri = w.join(F.broadcast(ekeys), "ac")
+    if not small and pair_bound <= TRI_BLOOM_PAIR_MAX:
+        # MEDIUM tier: the closing join's left side is the full wedge
+        # expansion (10x the edge count per decade here; 4.9B rows at the
+        # sf10 rung ≈ 40 GB of shuffle+spill — it filled the box's disk).
+        # Pre-filter it MAP-SIDE with a broadcast Bloom filter over the
+        # packed edge keys, the published distributed-triangle reducer
+        # (semi-join pruning; Spark's own runtime bloom-filter join does
+        # exactly this but caps the build side far below 100M+ keys).
+        # Only ~FPR·|wedges| false positives plus the true closures reach
+        # the exact closing join, which removes the false positives —
+        # correctness never depends on the filter. Sizing: m ≈ 8 bits per
+        # possible edge (pair_bound/2), k=2 hashes -> FPR ≈ 1-2%; the
+        # packed (word -> 64-bit mask) table is m/8 bytes ≈ bound/2 B —
+        # ~15 MB at sf1-scale bounds, 128 MB at the sf10 rung, broadcast-
+        # able far beyond where the raw edge list (16+ B/edge) stopped.
+        m_bits = 1 << max(20, min(31, (4 * int(pair_bound)).bit_length()))
+        words = (
+            ekeys.select(
+                F.explode(
+                    F.array(
+                        F.pmod(F.xxhash64(F.col("ac"), F.lit(1)), F.lit(m_bits)),
+                        F.pmod(F.xxhash64(F.col("ac"), F.lit(2)), F.lit(m_bits)),
+                    )
+                ).alias("bit")
+            )
+            .select(
+                F.shiftright(F.col("bit"), 6).alias("w"),
+                F.expr("shiftleft(CAST(1 AS BIGINT), CAST(bit % 64 AS INT))").alias("mask"),
+            )
+            .groupBy("w")
+            .agg(F.bit_or("mask").alias("bits"))
+        )
+
+        def _probe(wdf: DataFrame, seed: int) -> DataFrame:
+            return (
+                wdf.withColumn(
+                    "bit", F.pmod(F.xxhash64(F.col("ac"), F.lit(seed)), F.lit(m_bits))
+                )
+                .withColumn("w", F.shiftright(F.col("bit"), 6))
+                .withColumn("m", F.expr("shiftleft(CAST(1 AS BIGINT), CAST(bit % 64 AS INT))"))
+                .join(F.broadcast(words), "w")
+                .filter(F.col("bits").bitwiseAND(F.col("m")) != 0)
+                .select("ac")
+            )
+
+        w = _probe(_probe(w, 1), 2)
+    tri = w.join(bc(ekeys), "ac")
     summary = (
         deg.agg(
             F.count(F.lit(1)).alias("n_nodes"),

@@ -32,7 +32,10 @@ mask width / table count; the oracle re-derives the same integers from
 count(*), or is block-independent (simhash's all-pairs contract);
 histogram_quantile_calibration: 3-scalar extent + 64-row histogram for
 the two-phase exact-selection comparator; ann_recall_eval: the pinned
-brute-force ground-truth pass it ranks every ANN variant against).
+brute-force ground-truth pass it ranks every ANN variant against;
+graph_triangle_stats: one pair-bound agg that derives the broadcast-vs-
+shuffle join strategy — the unconditional edge broadcast failed at the
+r6 sf10 rung).
 pin() defaults to localCheckpoint (executor-local blocks — fine in
 local[*]); set SPARK_GRAFT_PIN=table to materialize those intermediates
 to durable scratch parquet instead, the cluster-scale mode (survives
@@ -96,6 +99,7 @@ MODULE_ORDER = [
 #       refresh head — record them in the r7 candidates note below.
 PRIORITY = [
     # (c) r6-new / r6-plan-changed (rotation invariant: outrank refreshes)
+    "graph_triangle_stats",  # r6: join strategy now derived from pair bound
     "stream_click_attribution",
     "stream_dedup_within_watermark",
     "embedding_near_dups",
@@ -147,9 +151,13 @@ PRIORITY = [
     "lookup_join_nulls",
     "lsh_bucket_sizes",
     "lsh_probe_topk",
-    "minhash_lsh_candidates",
+    # minhash_lsh_candidates was slot 50 until graph_triangle_stats'
+    # r6 plan change (derived join strategy) claimed a (c) slot per the
+    # rotation invariant; it moves to the r7 refresh head below.
 ]
-# r7 PRIORITY candidates (staleness head after the r6 sweep): the 11
+# r7 PRIORITY candidates (staleness head after the r6 sweep):
+# minhash_lsh_candidates (displaced from the r6 window by the
+# graph_triangle_stats plan change), then the 11
 # r1-rows that did not fit the r6 window — minhash_signatures,
 # moving_avg_customer, multimodal_frames, product_surrogate_keys,
 # props_k_stats, simhash, status_set_ops, text_quality, token_counts,

@@ -176,3 +176,39 @@ def test_two_phase_quantile_matches_sorted_order_statistic(spark):
 
 def test_two_phase_quantile_empty_input(spark):
     assert _hist_quantile(spark, []) == {}
+
+
+def test_triangle_strategy_tiers_agree_and_follow_the_derived_bound(
+    spark, sf_dir, monkeypatch
+):
+    """r6: the triangle kernel derives its join strategy from a pair-count
+    bound (the unconditional edge broadcast failed at the sf10 rung; the
+    unfiltered shuffled closing join then filled the box's spill disk).
+    All three tiers — edge-broadcast, bloom-prefiltered closing, plain
+    shuffled closing — must return identical stats, and each tier's
+    FORCED hints must match its contract (physical selection beyond the
+    hints belongs to Catalyst/AQE)."""
+    import pharmaceutical_sales_data_etl_analysis_pipeline_spark.operators.graphops as g
+    from pharmaceutical_sales_data_etl_analysis_pipeline_spark.catalog import load_table
+
+    def _hints(df):
+        return df._jdf.queryExecution().analyzed().toString().count("strategy=broadcast")
+
+    li = load_table(spark, sf_dir, "lineitem")
+    small_df = g.graph_triangle_stats(li)
+    small = small_df.collect()[0]
+    # wedge + closing edge-broadcast hints (the two deg-attach hints sit
+    # inside the pinned edge subtree, seen as a LogicalRDD here)
+    assert _hints(small_df) >= 2
+
+    monkeypatch.setattr(g, "TRI_BROADCAST_PAIR_MAX", 0)  # tier 2: bloom
+    med_df = g.graph_triangle_stats(li)
+    assert small.asDict() == med_df.collect()[0].asDict()
+    # exactly the two bloom-probe broadcasts; the data-sized edge relation
+    # is never hint-broadcast on this tier
+    assert _hints(med_df) == 2
+
+    monkeypatch.setattr(g, "TRI_BLOOM_PAIR_MAX", 0)  # tier 3: plain shuffle
+    big_df = g.graph_triangle_stats(li)
+    assert small.asDict() == big_df.collect()[0].asDict()
+    assert _hints(big_df) == 0
