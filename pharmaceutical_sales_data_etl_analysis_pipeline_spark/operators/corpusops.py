@@ -351,6 +351,16 @@ TFIDF_K = 3
 def tfidf_topk_terms(documents: DataFrame, k: int = TFIDF_K) -> DataFrame:
     words = _word_rows(documents)
     tf = words.groupBy("doc_id", "word").agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    # pin tf: df is derived FROM tf, but without the pin Catalyst rewrites
+    # the df branch into its own scan -> explode -> distinct chain (the
+    # groupBy-over-groupBy decomposition), tokenizing and aggregating the
+    # whole corpus TWICE. The r6 sf10 rung measured the duplicate chain +
+    # an AQE mis-coalesce of its hyper-compressible word exchange (20M
+    # dictionary-coded rows -> 1.5 MB -> one 26 s task) at 4-6x wall; the
+    # pinned form is a single tokenize/aggregate pass and runs the
+    # reported 36-44 s rung in ~7 s. Same eager-exec contract as the
+    # other pin users (registry.py note).
+    tf = pin(tf, "tfidf_tf")
     df_ = tf.groupBy("word").agg(F.count(F.lit(1)).cast("long").alias("df"))
     n_docs = documents.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
     scored = (

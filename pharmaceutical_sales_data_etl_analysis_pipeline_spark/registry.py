@@ -22,8 +22,8 @@ function runs no Spark jobs until an action). Exceptions, documented at
 their definitions, run jobs at BUILD time: queries whose plan reuses an
 intermediate across branches via operators/pin.py (basket_affinity,
 bm25_topk_terms, term_lift_pairs, pagerank_fixedpoint,
-graph_triangle_stats, neardup_components and its dependents
-training_corpus/dedup_survivors/dedup_rate_by_source) and queries whose
+graph_triangle_stats, tfidf_topk_terms, neardup_components and its
+dependents training_corpus/dedup_survivors/dedup_rate_by_source) and queries whose
 parameters derive from the data via driver round-trips (kmeans_clusters,
 semdedup_candidates, ivf_*: corpus count / seeds / centroid sums;
 simhash_near_dups / embedding_near_dups and their _planted variants:
@@ -100,6 +100,7 @@ MODULE_ORDER = [
 PRIORITY = [
     # (c) r6-new / r6-plan-changed (rotation invariant: outrank refreshes)
     "graph_triangle_stats",  # r6: join strategy now derived from pair bound
+    "tfidf_topk_terms",  # r6: tf pinned (kills Catalyst's duplicate df chain)
     "stream_click_attribution",
     "stream_dedup_within_watermark",
     "embedding_near_dups",
@@ -150,14 +151,15 @@ PRIORITY = [
     "lang_id",
     "lookup_join_nulls",
     "lsh_bucket_sizes",
-    "lsh_probe_topk",
-    # minhash_lsh_candidates was slot 50 until graph_triangle_stats'
-    # r6 plan change (derived join strategy) claimed a (c) slot per the
-    # rotation invariant; it moves to the r7 refresh head below.
+    # lsh_probe_topk and minhash_lsh_candidates were slots 49-50 until
+    # the graph_triangle_stats (derived join strategy) and
+    # tfidf_topk_terms (pinned tf) r6 plan changes claimed (c) slots per
+    # the rotation invariant; both move to the r7 refresh head below.
 ]
 # r7 PRIORITY candidates (staleness head after the r6 sweep):
-# minhash_lsh_candidates (displaced from the r6 window by the
-# graph_triangle_stats plan change), then the 11
+# lsh_probe_topk and minhash_lsh_candidates (displaced from the r6
+# window by the graph_triangle_stats/tfidf_topk_terms plan changes),
+# then the 11
 # r1-rows that did not fit the r6 window — minhash_signatures,
 # moving_avg_customer, multimodal_frames, product_surrogate_keys,
 # props_k_stats, simhash, status_set_ops, text_quality, token_counts,
