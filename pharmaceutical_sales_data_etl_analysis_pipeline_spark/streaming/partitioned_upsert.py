@@ -10,17 +10,22 @@ partition the state by key so a batch only rewrites touched partitions.
 Layout (plain parquet + a JSON manifest, no Delta/Iceberg jars):
 
     state_dir/
-      buckets/b{B:04d}/v{batch_id:09d}/   bucket B's keys as of that batch
-      manifests/v{batch_id:09d}.json      {"batch_id": N, "n_buckets": K,
+      buckets/b{B}/v{batch_id:09d}/       bucket B's keys as of that batch
+      manifests/v{batch_id:09d}.json      {"batch_id": N, "range_width": W,
                                            "buckets": {"B": "v...", ...}}
 
-A key lives in bucket pmod(xxhash64(key), n_buckets) — hash, not range,
-so a hot key range cannot concentrate rewrites. Each micro-batch:
+A key lives in bucket floor(key / RANGE_WIDTH) — RANGE, not hash: hash
+bucketing scatters any delta bigger than the bucket count into EVERY
+bucket (measured — see RANGE_WIDTH), while contiguous ranges let the
+realistic clustered/CDC delta rewrite only the ranges it touches. The
+bucket id space is sparse and unbounded, so the key domain needs no
+up-front declaration. Each micro-batch:
 
   1. aggregates the batch per key (exact DECIMAL fold, the repo's
      money-sum discipline) and tags each key with its bucket;
-  2. collects the TOUCHED bucket ids (bounded by n_buckets, a contract
-     parameter — never by |state| or |batch|);
+  2. collects the TOUCHED bucket ids (bounded by the delta's key span
+     over RANGE_WIDTH, and by the populated-range count — never by
+     |state| rows or |batch| rows);
   3. full-outer-merges the delta against ONLY those buckets' current
      versions, in ONE Spark job, written partitioned by bucket to a
      staging dir, then moved into per-bucket version dirs (O(touched)
@@ -60,17 +65,31 @@ from pyspark.sql import types as T
 from ..sources.maintenance import _fs_and_path
 from .upsert import STATE_SCHEMA, _as_read_view
 
-N_BUCKETS = 16  # contract parameter: size so one bucket ~ a few GB at scale
+# Contract parameter: keys per bucket (RANGE partitioning, not hash).
+# The first cut of this module hash-bucketed keys, and the honest bench
+# falsified it immediately: ANY delta larger than the bucket count
+# scatters into EVERY bucket under a hash (a 10k-key batch over 16
+# buckets rewrote MORE bytes than the full-rewrite baseline — 64 vs
+# 55 MB/update). Range buckets have the same worst case for uniformly
+# random deltas but let CLUSTERED deltas — the realistic CDC shape,
+# where change keys concentrate in recent id ranges — touch only their
+# few ranges. This is exactly why production table formats partition /
+# data-skip on key ranges and reach for deletion vectors, not hashes,
+# for update locality. Size so one bucket ~ a few GB at 100 TB.
+RANGE_WIDTH = 1_000_000
 
 _BUCKETED_SCHEMA = T.StructType(
-    list(STATE_SCHEMA.fields) + [T.StructField("bucket", T.IntegerType())]
+    list(STATE_SCHEMA.fields) + [T.StructField("bucket", T.LongType())]
 )
 
 
 def bucket_of(key_col):
     """The partitioning function, shared by writer and any bucket-pruned
-    point-lookup reader: hash-mod, deterministic across sessions."""
-    return F.pmod(F.xxhash64(key_col), F.lit(N_BUCKETS)).cast("int")
+    point-lookup reader: contiguous key ranges of RANGE_WIDTH keys. The
+    bucket id space is unbounded/sparse (only ranges that hold keys get a
+    directory + manifest entry), so the key domain never needs declaring
+    up front."""
+    return F.floor(key_col / F.lit(RANGE_WIDTH)).cast("long")
 
 
 # --- manifest I/O (JVM FileSystem API: works on any scheme) ---------------
@@ -139,7 +158,7 @@ def _latest_manifest(
 
 def _bucket_paths(state_dir: str, manifest: dict) -> list[str]:
     return [
-        f"{state_dir}/buckets/b{int(b):04d}/{v}"
+        f"{state_dir}/buckets/b{int(b)}/{v}"
         for b, v in sorted(manifest["buckets"].items(), key=lambda kv: int(kv[0]))
     ]
 
@@ -185,8 +204,8 @@ def merge_batch_into_partitioned_state(
 
     Only buckets that receive at least one delta key are read, merged and
     rewritten; every other bucket's manifest pointer carries over. The
-    touched-bucket collect is bounded by N_BUCKETS (a contract parameter),
-    never by data volume."""
+    touched-bucket collect is bounded by the delta's key span over
+    RANGE_WIDTH (and by the populated-range count), never by row volume."""
     delta = (
         batch_df.groupBy(F.col("key"))
         .agg(
@@ -197,16 +216,16 @@ def merge_batch_into_partitioned_state(
     )
     touched = sorted(r["bucket"] for r in delta.select("bucket").distinct().collect())
     prev = _latest_manifest(spark, state_dir, before_batch_id=batch_id)
-    if prev is not None and prev["n_buckets"] != N_BUCKETS:
-        # re-bucketing is a rewrite-the-table migration, never an implicit
-        # merge under a different hash — fail loudly
+    if prev is not None and prev["range_width"] != RANGE_WIDTH:
+        # re-ranging is a rewrite-the-table migration, never an implicit
+        # merge under a different partitioning — fail loudly
         raise ValueError(
-            f"state bucketed with n_buckets={prev['n_buckets']}, code has {N_BUCKETS}"
+            f"state ranged with range_width={prev['range_width']}, code has {RANGE_WIDTH}"
         )
     prev_buckets: dict[str, str] = dict(prev["buckets"]) if prev else {}
 
     prev_touched_paths = [
-        f"{state_dir}/buckets/b{b:04d}/{prev_buckets[str(b)]}"
+        f"{state_dir}/buckets/b{b}/{prev_buckets[str(b)]}"
         for b in touched
         if str(b) in prev_buckets
     ]
@@ -247,8 +266,8 @@ def merge_batch_into_partitioned_state(
     vname = f"v{batch_id:09d}"
     for b in touched:
         src = hpath(f"{staging}/bucket={b}")
-        dst_dir = hpath(f"{state_dir}/buckets/b{b:04d}")
-        dst = hpath(f"{state_dir}/buckets/b{b:04d}/{vname}")
+        dst_dir = hpath(f"{state_dir}/buckets/b{b}")
+        dst = hpath(f"{state_dir}/buckets/b{b}/{vname}")
         fs.mkdirs(dst_dir)
         if fs.exists(dst):  # replay of a crashed attempt: replace its orphan
             fs.delete(dst, True)
@@ -268,7 +287,7 @@ def merge_batch_into_partitioned_state(
     _write_manifest(
         spark,
         state_dir,
-        {"batch_id": batch_id, "n_buckets": N_BUCKETS, "buckets": new_buckets},
+        {"batch_id": batch_id, "range_width": RANGE_WIDTH, "buckets": new_buckets},
     )
 
 
@@ -315,7 +334,7 @@ def expire_partitioned_versions(spark: SparkSession, state_dir: str, keep: int =
     for v in kept_manifests:
         m = _read_manifest(spark, state_dir, v)
         for b, bv in m["buckets"].items():
-            live.add(f"b{int(b):04d}/{bv}")
+            live.add(f"b{int(b)}/{bv}")
 
     fs, _, jvm = _fs_and_path(spark, state_dir)
     hpath = jvm.org.apache.hadoop.fs.Path

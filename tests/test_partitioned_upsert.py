@@ -10,8 +10,10 @@ import os
 from pyspark.sql import functions as F
 
 from pharmaceutical_sales_data_etl_analysis_pipeline_spark.catalog import load_table
+import pytest
+
+import pharmaceutical_sales_data_etl_analysis_pipeline_spark.streaming.partitioned_upsert as pu
 from pharmaceutical_sales_data_etl_analysis_pipeline_spark.streaming.partitioned_upsert import (
-    N_BUCKETS,
     bucket_of,
     expire_partitioned_versions,
     merge_batch_into_partitioned_state,
@@ -19,6 +21,14 @@ from pharmaceutical_sales_data_etl_analysis_pipeline_spark.streaming.partitioned
     read_partitioned_state_version,
     run_partitioned_incremental_merge,
 )
+
+
+@pytest.fixture(autouse=True)
+def _small_ranges(monkeypatch):
+    """The sf0.001 custkey domain is ~150 ids; shrink RANGE_WIDTH so the
+    corpus spans multiple range buckets (the default 1M-wide ranges are
+    sized for production key domains)."""
+    monkeypatch.setattr(pu, "RANGE_WIDTH", 16)
 
 
 def _orders_kv(spark, sf_dir):
@@ -100,7 +110,7 @@ def test_untouched_buckets_are_not_rewritten(spark, sf_dir, tmp_path):
     merge_batch_into_partitioned_state(spark, state, delta, 1)
 
     after = _bucket_versions(state)
-    target = f"b{target_bucket:04d}"
+    target = f"b{target_bucket}"
     assert after[target] == before[target] + ["v000000001"]
     for b in after:
         if b != target:
@@ -158,22 +168,20 @@ def test_retention_keeps_referenced_bucket_versions(spark, sf_dir, tmp_path):
         with open(os.path.join(state, "manifests", m)) as f:
             doc = _json.load(f)
         for b, v in doc["buckets"].items():
-            live.add((f"b{int(b):04d}", v))
+            live.add((f"b{int(b)}", v))
     for b, versions in _bucket_versions(state).items():
         for v in versions:
             assert (b, v) in live
 
 
-def test_bucket_count_drift_fails_loudly(spark, sf_dir, tmp_path, monkeypatch):
-    import pharmaceutical_sales_data_etl_analysis_pipeline_spark.streaming.partitioned_upsert as pu
-
+def test_range_width_drift_fails_loudly(spark, sf_dir, tmp_path, monkeypatch):
     orders = _orders_kv(spark, sf_dir)
     state = str(tmp_path / "state")
     merge_batch_into_partitioned_state(spark, state, orders, 0)
-    monkeypatch.setattr(pu, "N_BUCKETS", N_BUCKETS * 2)
+    monkeypatch.setattr(pu, "RANGE_WIDTH", 32)
     try:
         pu.merge_batch_into_partitioned_state(spark, state, orders, 1)
     except ValueError as e:
-        assert "n_buckets" in str(e)
+        assert "range_width" in str(e)
     else:
-        raise AssertionError("re-bucketing must not be implicit")
+        raise AssertionError("re-ranging must not be implicit")
