@@ -36,6 +36,12 @@ def main() -> None:
     sf_dir, names = sys.argv[1], sys.argv[2:]
     spark = get_spark("decade-probe")
     spark.sparkContext.setLogLevel("ERROR")
+    # big rungs shuffle tens of GB per execution and the driver's large
+    # heap almost never GCs, so shuffle files linger until the disk fills
+    # (measured at the sf10 triangle rung) — release them on a timer
+    spark.sparkContext._jsc.sc().conf().set(
+        "spark.cleaner.periodicGC.interval", "60s"
+    )
     queries = all_queries()
 
     # same warmup ladder as bench.py: tiny-corpus pass compiles the
