@@ -223,3 +223,102 @@ QUERIES["stream_click_attribution"] = stream_click_attribution
 ORACLES["stream_click_attribution"] = SQL_STREAM_CLICK_ATTRIBUTION
 QUERIES["stream_dedup_within_watermark"] = stream_dedup_within_watermark
 ORACLES["stream_dedup_within_watermark"] = SQL_STREAM_DEDUP_WITHIN_WATERMARK
+
+
+# ---------------------------------------------------------------------------
+# Fifth streaming entry (r6): the bucket-partitioned copy-on-write MERGE's
+# change data feed, driver-verified. Two deterministic micro-batches fold
+# into the CoW state table (streaming/partitioned_upsert.py — the
+# foreachBatch body of run_partitioned_incremental_merge; the readStream
+# wrapper itself is exercised by tests/test_partitioned_upsert.py):
+#   batch 0: per-customer 1992-1995 order spend (the initial load),
+#   batch 1: 1996+ spend as upserts PLUS delete tombstones for every
+#            batch-0 customer with custkey % 10 == 0 ("replace" CDC:
+#            tombstone discards prior state, same-batch upserts re-insert
+#            from zero).
+# The query returns partitioned_state_changes(v0, v1) — the manifest-
+# pruned CDF (only buckets whose pointer changed are read; at 100 TB a
+# point-update batch's feed costs O(touched buckets), not O(|state|)).
+# The oracle recomputes both versions and their diff in plain SQL; the
+# decimal folds are exact on both engines so the DOUBLE read boundary
+# hashes identically.
+# ---------------------------------------------------------------------------
+
+CDF_TOMBSTONE_MOD = 10  # batch-0 custkeys ≡ 0 (mod 10) get tombstoned
+
+
+def cow_merge_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from ..catalog import load_table
+    from ..streaming.partitioned_upsert import (
+        merge_batch_into_partitioned_state,
+        partitioned_state_changes,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("key"),
+        F.col("o_totalprice").alias("amount"),
+        "o_orderdate",
+    )
+    cut = F.lit("1996-01-01")
+    b0 = orders.filter(F.col("o_orderdate") < cut).drop("o_orderdate")
+    upserts = (
+        orders.filter(F.col("o_orderdate") >= cut)
+        .drop("o_orderdate")
+        .withColumn("op", F.lit("upsert"))
+    )
+    tombstones = (
+        b0.select("key")
+        .distinct()
+        .filter(F.col("key") % CDF_TOMBSTONE_MOD == 0)
+        .select("key", F.lit(0.0).alias("amount"), F.lit("delete").alias("op"))
+    )
+
+    base = _scratch_dir("cow_cdf_")
+    state = _os.path.join(base, "state")
+    merge_batch_into_partitioned_state(spark, state, b0, 0)
+    merge_batch_into_partitioned_state(spark, state, upserts.unionByName(tombstones), 1)
+    return partitioned_state_changes(spark, state, 0, 1)
+
+
+SQL_COW_MERGE_CHANGES = f"""
+WITH v0 AS (
+  SELECT o_custkey AS key,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS total,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM orders WHERE o_orderdate < DATE '1996-01-01' GROUP BY 1
+), up AS (
+  SELECT o_custkey AS key,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS total,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM orders WHERE o_orderdate >= DATE '1996-01-01' GROUP BY 1
+), v1 AS (
+  SELECT COALESCE(v0.key, up.key) AS key,
+         CASE WHEN v0.key IS NOT NULL AND v0.key % {CDF_TOMBSTONE_MOD} = 0
+              THEN up.total
+              ELSE COALESCE(v0.total, CAST(0 AS DECIMAL(18,2)))
+                   + COALESCE(up.total, CAST(0 AS DECIMAL(18,2))) END AS total,
+         CASE WHEN v0.key IS NOT NULL AND v0.key % {CDF_TOMBSTONE_MOD} = 0
+              THEN up.n ELSE COALESCE(v0.n, 0) + COALESCE(up.n, 0) END AS n
+  FROM v0 FULL OUTER JOIN up ON v0.key = up.key
+), v1f AS (
+  SELECT * FROM v1 WHERE total IS NOT NULL
+)
+SELECT COALESCE(a.key, b.key) AS key,
+       CASE WHEN a.key IS NULL THEN 'insert'
+            WHEN b.key IS NULL THEN 'delete'
+            ELSE 'update' END AS change_type,
+       CAST(a.total AS DOUBLE) AS old_total,
+       CAST(b.total AS DOUBLE) AS new_total,
+       CAST(a.n AS BIGINT) AS old_n_rows,
+       CAST(b.n AS BIGINT) AS new_n_rows
+FROM v0 a FULL OUTER JOIN v1f b ON a.key = b.key
+WHERE a.key IS NULL OR b.key IS NULL
+   OR a.total <> b.total OR a.n <> b.n
+"""
+
+QUERIES["cow_merge_changes"] = cow_merge_changes
+ORACLES["cow_merge_changes"] = SQL_COW_MERGE_CHANGES

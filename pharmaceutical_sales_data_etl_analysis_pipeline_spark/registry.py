@@ -99,6 +99,7 @@ MODULE_ORDER = [
 #       refresh head — record them in the r7 candidates note below.
 PRIORITY = [
     # (c) r6-new / r6-plan-changed (rotation invariant: outrank refreshes)
+    "cow_merge_changes",  # r6: CoW MERGE change-data-feed (tombstones + prune)
     "graph_triangle_stats",  # r6: join strategy now derived from pair bound
     "tfidf_topk_terms",  # r6: tf pinned (kills Catalyst's duplicate df chain)
     "stream_click_attribution",
@@ -150,15 +151,17 @@ PRIORITY = [
     "hourly_gapfill",
     "lang_id",
     "lookup_join_nulls",
-    "lsh_bucket_sizes",
     # lsh_probe_topk and minhash_lsh_candidates were slots 49-50 until
     # the graph_triangle_stats (derived join strategy) and
     # tfidf_topk_terms (pinned tf) r6 plan changes claimed (c) slots per
-    # the rotation invariant; both move to the r7 refresh head below.
+    # the rotation invariant; lsh_bucket_sizes was slot 50 until the
+    # late-r6 cow_merge_changes registration claimed it. All move to the
+    # r7 refresh head below.
 ]
 # r7 PRIORITY candidates (staleness head after the r6 sweep):
-# lsh_probe_topk and minhash_lsh_candidates (displaced from the r6
-# window by the graph_triangle_stats/tfidf_topk_terms plan changes),
+# lsh_bucket_sizes, lsh_probe_topk and minhash_lsh_candidates (displaced
+# from the r6 window by the cow_merge_changes registration and the
+# graph_triangle_stats/tfidf_topk_terms plan changes),
 # then the 11
 # r1-rows that did not fit the r6 window — minhash_signatures,
 # moving_avg_customer, multimodal_frames, product_surrogate_keys,

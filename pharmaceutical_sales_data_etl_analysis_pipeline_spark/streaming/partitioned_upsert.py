@@ -52,6 +52,28 @@ writer per state table (micro-batches are serial within a stream — the
 same single-writer contract upsert.py has).
 
 Same read boundary as upsert.py: DECIMAL(18,2) in state, DOUBLE out.
+
+Beyond MERGE + time travel + retention, the module carries the remaining
+three primitives a production table format pairs with copy-on-write —
+each one manifest-pruned so its cost scales with the CHANGE, not the
+table:
+
+- DELETE tombstones: a batch row with op='delete' discards the key's
+  prior state; upsert rows for the same key in the same batch re-insert
+  from zero (orderless "replace" CDC semantics — deterministic under
+  Spark's unordered batch evaluation, documented at
+  merge_batch_into_partitioned_state).
+- Change data feed: partitioned_state_changes diffs two committed
+  versions reading ONLY buckets whose manifest pointer differs — at
+  100 TB a point-update CDC feed reads GBs, not the table (the generic
+  snapshot diff, operators/warehouse.table_diff, must scan both full
+  snapshots; this is its manifest-pruned successor).
+- Compaction (OPTIMIZE): many small per-task files accumulate in a hot
+  bucket's versions; compact_partitioned_state rewrites only
+  over-fragmented buckets to one file each and commits a manifest with
+  the SAME batch_id (suffix 'x{seq}' — logically the identical state,
+  physically fewer files), so replay and time-travel semantics are
+  untouched.
 """
 
 from __future__ import annotations
@@ -128,7 +150,9 @@ def _write_manifest(spark: SparkSession, state_dir: str, manifest: dict) -> None
     fs, _, jvm = _fs_and_path(spark, state_dir)
     mdir = jvm.org.apache.hadoop.fs.Path(_manifest_dir(state_dir))
     fs.mkdirs(mdir)
-    name = f"v{manifest['batch_id']:09d}.json"
+    seq = manifest.get("compaction_seq")
+    suffix = f"x{seq}" if seq else ""
+    name = f"v{manifest['batch_id']:09d}{suffix}.json"
     tmp = jvm.org.apache.hadoop.fs.Path(f"{_manifest_dir(state_dir)}/.{name}.tmp")
     final = jvm.org.apache.hadoop.fs.Path(f"{_manifest_dir(state_dir)}/{name}")
     out = fs.create(tmp, True)
@@ -142,12 +166,22 @@ def _write_manifest(spark: SparkSession, state_dir: str, manifest: dict) -> None
         raise IOError(f"manifest commit failed: {final}")
 
 
+def _batch_id_of(manifest_name: str) -> int:
+    """Manifest names are v{batch_id:09d} for merge commits and
+    v{batch_id:09d}x{seq} for compaction commits of the same logical
+    state; both sort lexicographically in commit order (the plain name is
+    a strict prefix of its compactions)."""
+    return int(manifest_name[1:].split("x")[0])
+
+
 def _latest_manifest(
     spark: SparkSession, state_dir: str, before_batch_id: int | None = None
 ) -> dict | None:
     versions = _list_manifests(spark, state_dir)
     if before_batch_id is not None:
-        versions = [v for v in versions if int(v[1:]) < before_batch_id]
+        # compaction commits carry their source batch_id: a replayed batch N
+        # may merge against a compaction of N-1 (same logical state)
+        versions = [v for v in versions if _batch_id_of(v) < before_batch_id]
     if not versions:
         return None
     return _read_manifest(spark, state_dir, versions[-1])
@@ -185,12 +219,15 @@ def read_partitioned_state_version(
     spark: SparkSession, state_dir: str, batch_id: int
 ) -> DataFrame | None:
     """Time travel: the state exactly as committed by micro-batch batch_id
-    (manifests, like bucket versions, are immutable once committed)."""
-    name = f"v{batch_id:09d}"
-    if name not in _list_manifests(spark, state_dir):
+    (manifests, like bucket versions, are immutable once committed). A
+    compaction of that batch's state is the same logical state with fewer
+    files — the newest commit for the batch_id wins, so time travel keeps
+    working after the plain commit is vacuumed."""
+    names = [v for v in _list_manifests(spark, state_dir) if _batch_id_of(v) == batch_id]
+    if not names:
         return None
     return _as_read_view(
-        _read_manifest_state(spark, state_dir, _read_manifest(spark, state_dir, name))
+        _read_manifest_state(spark, state_dir, _read_manifest(spark, state_dir, names[-1]))
     )
 
 
@@ -205,15 +242,39 @@ def merge_batch_into_partitioned_state(
     Only buckets that receive at least one delta key are read, merged and
     rewritten; every other bucket's manifest pointer carries over. The
     touched-bucket collect is bounded by the delta's key span over
-    RANGE_WIDTH (and by the populated-range count), never by row volume."""
-    delta = (
-        batch_df.groupBy(F.col("key"))
-        .agg(
-            F.sum(F.col("amount").cast("decimal(18,2)")).alias("d_total"),
-            F.count(F.lit(1)).cast("long").alias("d_rows"),
+    RANGE_WIDTH (and by the populated-range count), never by row volume.
+
+    DELETE tombstones: if the batch carries an `op` column, rows with
+    op='delete' discard the key's prior state; the key's op!='delete'
+    rows (if any) then fold from zero. The semantics are orderless WITHIN
+    a batch by design — "replace" CDC, deterministic under Spark's
+    unordered evaluation (ordered op logs need a sequence column and
+    belong to a different contract). A delete of an absent key is a
+    no-op; a key whose batch rows are all tombstones leaves the state."""
+    if "op" in batch_df.columns:
+        is_upsert = F.col("op") != F.lit("delete")
+        delta = (
+            batch_df.groupBy(F.col("key"))
+            .agg(
+                # NULL when the key has only tombstones in the batch
+                F.sum(
+                    F.when(is_upsert, F.col("amount")).cast("decimal(18,2)")
+                ).alias("d_total"),
+                F.count(F.when(is_upsert, F.lit(1))).cast("long").alias("d_rows"),
+                F.max(~is_upsert).alias("d_reset"),
+            )
+            .withColumn("bucket", bucket_of(F.col("key")))
         )
-        .withColumn("bucket", bucket_of(F.col("key")))
-    )
+    else:
+        delta = (
+            batch_df.groupBy(F.col("key"))
+            .agg(
+                F.sum(F.col("amount").cast("decimal(18,2)")).alias("d_total"),
+                F.count(F.lit(1)).cast("long").alias("d_rows"),
+                F.lit(False).alias("d_reset"),
+            )
+            .withColumn("bucket", bucket_of(F.col("key")))
+        )
     touched = sorted(r["bucket"] for r in delta.select("bucket").distinct().collect())
     prev = _latest_manifest(spark, state_dir, before_batch_id=batch_id)
     if prev is not None and prev["range_width"] != RANGE_WIDTH:
@@ -237,18 +298,32 @@ def merge_batch_into_partitioned_state(
         )
         zero = F.lit(0).cast("decimal(18,2)")
         p, d = prev_df.alias("p"), delta.alias("d")
-        merged = p.join(d, F.col("p.key") == F.col("d.key"), "full_outer").select(
-            F.coalesce(F.col("p.key"), F.col("d.key")).alias("key"),
-            (F.coalesce(F.col("p.total"), zero) + F.coalesce(F.col("d.d_total"), zero))
-            .cast("decimal(18,2)")
-            .alias("total"),
-            (F.coalesce(F.col("p.n_rows"), F.lit(0)) + F.coalesce(F.col("d.d_rows"), F.lit(0)))
-            .cast("long")
-            .alias("n_rows"),
-            F.coalesce(F.col("p.bucket"), F.col("d.bucket")).alias("bucket"),
+        reset = F.coalesce(F.col("d.d_reset"), F.lit(False))
+        merged = (
+            p.join(d, F.col("p.key") == F.col("d.key"), "full_outer")
+            .select(
+                F.coalesce(F.col("p.key"), F.col("d.key")).alias("key"),
+                # reset: prior state discarded, batch upserts fold from zero
+                # (NULL total if the batch held only tombstones — dropped below)
+                F.when(reset, F.col("d.d_total"))
+                .otherwise(
+                    F.coalesce(F.col("p.total"), zero) + F.coalesce(F.col("d.d_total"), zero)
+                )
+                .cast("decimal(18,2)")
+                .alias("total"),
+                F.when(reset, F.col("d.d_rows"))
+                .otherwise(
+                    F.coalesce(F.col("p.n_rows"), F.lit(0))
+                    + F.coalesce(F.col("d.d_rows"), F.lit(0))
+                )
+                .cast("long")
+                .alias("n_rows"),
+                F.coalesce(F.col("p.bucket"), F.col("d.bucket")).alias("bucket"),
+            )
+            .filter(F.col("total").isNotNull())
         )
     else:
-        merged = delta.select(
+        merged = delta.filter(F.col("d_total").isNotNull()).select(
             "key",
             F.col("d_total").cast("decimal(18,2)").alias("total"),
             F.col("d_rows").alias("n_rows"),
@@ -264,6 +339,7 @@ def merge_batch_into_partitioned_state(
     fs, _, jvm = _fs_and_path(spark, state_dir)
     hpath = jvm.org.apache.hadoop.fs.Path
     vname = f"v{batch_id:09d}"
+    new_buckets = dict(prev_buckets)
     for b in touched:
         src = hpath(f"{staging}/bucket={b}")
         dst_dir = hpath(f"{state_dir}/buckets/b{b}")
@@ -274,16 +350,18 @@ def merge_batch_into_partitioned_state(
         if fs.exists(src):
             if not fs.rename(src, dst):
                 raise IOError(f"bucket move failed: {src} -> {dst}")
+            new_buckets[str(b)] = vname
+        elif "op" in batch_df.columns:
+            # tombstones emptied the whole bucket: the range holds no keys
+            # any more, so the manifest drops its pointer (the old version
+            # dir stays for time travel until retention removes it)
+            new_buckets.pop(str(b), None)
         else:
-            # a touched bucket whose merged content is empty cannot happen
+            # without tombstones an empty touched bucket cannot happen
             # (full_outer keeps every prev and delta key) — fail loudly
             # rather than silently dropping a bucket from the manifest
             raise IOError(f"staging bucket missing for touched bucket {b}: {src}")
     fs.delete(hpath(staging), True)
-
-    new_buckets = dict(prev_buckets)
-    for b in touched:
-        new_buckets[str(b)] = vname
     _write_manifest(
         spark,
         state_dir,
@@ -354,3 +432,191 @@ def expire_partitioned_versions(spark: SparkSession, state_dir: str, keep: int =
         fs.delete(hpath(f"{_manifest_dir(state_dir)}/{v}.json"), False)
         deleted += 1
     return deleted
+
+
+# --- change data feed (manifest-pruned) --------------------------------------
+
+
+def _manifest_for_batch(spark: SparkSession, state_dir: str, batch_id: int) -> dict:
+    names = [v for v in _list_manifests(spark, state_dir) if _batch_id_of(v) == batch_id]
+    if not names:
+        raise ValueError(f"no committed manifest for batch_id={batch_id} in {state_dir}")
+    # a compaction of the batch is the same logical state — newest wins
+    return _read_manifest(spark, state_dir, names[-1])
+
+
+def changed_bucket_ids(from_manifest: dict, to_manifest: dict) -> list[int]:
+    """Buckets whose version pointer differs between the two commits (or
+    exists in only one) — the ONLY buckets a change feed must read. Pure
+    so tests can assert the pruning set without touching the FS."""
+    a, b = from_manifest["buckets"], to_manifest["buckets"]
+    return sorted(int(k) for k in (set(a) | set(b)) if a.get(k) != b.get(k))
+
+
+def partitioned_state_changes(
+    spark: SparkSession, state_dir: str, from_batch_id: int, to_batch_id: int
+) -> DataFrame:
+    """Change data feed between two committed versions: one row per key
+    whose state differs, classified insert/update/delete, with old/new
+    values (totals as DOUBLE at the read boundary, like every reader).
+
+    The manifest prune is the point: only buckets whose pointer changed
+    between the two commits are read — a point-update batch's CDF costs
+    O(touched buckets), never O(|state|). (Contrast
+    operators/warehouse.table_diff, the generic two-full-snapshot diff.)
+    A rewritten bucket can still contain untouched keys (a batch updates
+    one key of a thousand in its range; compaction rewrites with zero
+    changes) — those fall out of the per-key comparison below."""
+    m_from = _manifest_for_batch(spark, state_dir, from_batch_id)
+    m_to = _manifest_for_batch(spark, state_dir, to_batch_id)
+    changed = changed_bucket_ids(m_from, m_to)
+
+    schema = T.StructType(
+        [
+            T.StructField("key", T.LongType()),
+            T.StructField("change_type", T.StringType()),
+            T.StructField("old_total", T.DoubleType()),
+            T.StructField("new_total", T.DoubleType()),
+            T.StructField("old_n_rows", T.LongType()),
+            T.StructField("new_n_rows", T.LongType()),
+        ]
+    )
+    if not changed:
+        return spark.createDataFrame([], schema)
+
+    def side(manifest: dict) -> DataFrame | None:
+        paths = [
+            f"{state_dir}/buckets/b{b}/{manifest['buckets'][str(b)]}"
+            for b in changed
+            if str(b) in manifest["buckets"]
+        ]
+        if not paths:
+            return None
+        return spark.read.schema(STATE_SCHEMA).parquet(*paths)
+
+    old, new = side(m_from), side(m_to)
+    if old is None and new is None:  # changed buckets but neither side has data
+        return spark.createDataFrame([], schema)
+    if old is None:
+        return new.select(
+            "key",
+            F.lit("insert").alias("change_type"),
+            F.lit(None).cast("double").alias("old_total"),
+            F.col("total").cast("double").alias("new_total"),
+            F.lit(None).cast("long").alias("old_n_rows"),
+            F.col("n_rows").alias("new_n_rows"),
+        )
+    if new is None:
+        return old.select(
+            "key",
+            F.lit("delete").alias("change_type"),
+            F.col("total").cast("double").alias("old_total"),
+            F.lit(None).cast("double").alias("new_total"),
+            F.col("n_rows").alias("old_n_rows"),
+            F.lit(None).cast("long").alias("new_n_rows"),
+        )
+    o, n = old.alias("o"), new.alias("n")
+    j = o.join(n, F.col("o.key") == F.col("n.key"), "full_outer")
+    return j.select(
+        F.coalesce(F.col("o.key"), F.col("n.key")).alias("key"),
+        F.when(F.col("o.key").isNull(), F.lit("insert"))
+        .when(F.col("n.key").isNull(), F.lit("delete"))
+        .when(
+            (F.col("o.total") != F.col("n.total"))
+            | (F.col("o.n_rows") != F.col("n.n_rows")),
+            F.lit("update"),
+        )
+        .otherwise(F.lit("unchanged"))
+        .alias("change_type"),
+        F.col("o.total").cast("double").alias("old_total"),
+        F.col("n.total").cast("double").alias("new_total"),
+        F.col("o.n_rows").alias("old_n_rows"),
+        F.col("n.n_rows").alias("new_n_rows"),
+    ).filter(F.col("change_type") != "unchanged")
+
+
+# --- compaction (OPTIMIZE twin) ----------------------------------------------
+
+
+def _bucket_data_file_count(fs, jvm, bucket_version_dir: str) -> int:
+    p = jvm.org.apache.hadoop.fs.Path(bucket_version_dir)
+    if not fs.exists(p):
+        return 0
+    return sum(
+        1
+        for s in fs.listStatus(p)
+        if s.isFile() and str(s.getPath().getName()).endswith(".parquet")
+    )
+
+
+def compact_partitioned_state(
+    spark: SparkSession, state_dir: str, max_files: int = 1
+) -> int:
+    """OPTIMIZE twin: rewrite every bucket whose latest version holds more
+    than `max_files` parquet data files down to one file per bucket, and
+    commit a manifest with the SAME batch_id suffixed 'x{seq}' — the
+    identical logical state, physically defragmented. Untouched buckets
+    keep their pointers; replay/time-travel semantics are unchanged
+    because _batch_id_of treats the compaction as its source batch.
+
+    Returns the number of buckets compacted. Scale shape: the read is
+    pruned to the fragmented buckets; one repartition(bucket) shuffle
+    sizes output files 1:1 per bucket — at 100 TB this is the same
+    bin-packing rewrite OPTIMIZE performs, run bucket-local."""
+    versions = _list_manifests(spark, state_dir)
+    if not versions:
+        return 0
+    latest_name = versions[-1]
+    manifest = _read_manifest(spark, state_dir, latest_name)
+    fs, _, jvm = _fs_and_path(spark, state_dir)
+    fragmented = [
+        int(b)
+        for b, v in manifest["buckets"].items()
+        if _bucket_data_file_count(fs, jvm, f"{state_dir}/buckets/b{int(b)}/{v}") > max_files
+    ]
+    if not fragmented:
+        return 0
+
+    batch_id = manifest["batch_id"]
+    seq = 1 + sum(1 for v in versions if _batch_id_of(v) == batch_id and "x" in v)
+    vname = f"v{batch_id:09d}x{seq}"
+
+    src_paths = [
+        f"{state_dir}/buckets/b{b}/{manifest['buckets'][str(b)]}" for b in fragmented
+    ]
+    df = (
+        spark.read.schema(STATE_SCHEMA)
+        .parquet(*src_paths)
+        .withColumn("bucket", bucket_of(F.col("key")))
+    )
+    staging = f"{state_dir}/.staging/{vname}"
+    # repartition BY bucket -> each bucket's rows land in exactly one task
+    # -> exactly one data file per bucket directory
+    df.repartition(F.col("bucket")).write.mode("overwrite").partitionBy("bucket").parquet(
+        staging
+    )
+
+    hpath = jvm.org.apache.hadoop.fs.Path
+    new_buckets = dict(manifest["buckets"])
+    for b in fragmented:
+        src = hpath(f"{staging}/bucket={b}")
+        dst = hpath(f"{state_dir}/buckets/b{b}/{vname}")
+        fs.mkdirs(hpath(f"{state_dir}/buckets/b{b}"))
+        if fs.exists(dst):
+            fs.delete(dst, True)
+        if not fs.exists(src) or not fs.rename(src, dst):
+            raise IOError(f"compaction move failed for bucket {b}: {src} -> {dst}")
+        new_buckets[str(b)] = vname
+    fs.delete(hpath(staging), True)
+
+    _write_manifest(
+        spark,
+        state_dir,
+        {
+            "batch_id": batch_id,
+            "compaction_seq": seq,
+            "range_width": manifest["range_width"],
+            "buckets": new_buckets,
+        },
+    )
+    return len(fragmented)

@@ -15,8 +15,11 @@ import pytest
 import pharmaceutical_sales_data_etl_analysis_pipeline_spark.streaming.partitioned_upsert as pu
 from pharmaceutical_sales_data_etl_analysis_pipeline_spark.streaming.partitioned_upsert import (
     bucket_of,
+    changed_bucket_ids,
+    compact_partitioned_state,
     expire_partitioned_versions,
     merge_batch_into_partitioned_state,
+    partitioned_state_changes,
     read_latest_partitioned_state,
     read_partitioned_state_version,
     run_partitioned_incremental_merge,
@@ -172,6 +175,131 @@ def test_retention_keeps_referenced_bucket_versions(spark, sf_dir, tmp_path):
     for b, versions in _bucket_versions(state).items():
         for v in versions:
             assert (b, v) in live
+
+
+def test_delete_tombstones_replace_semantics(spark, tmp_path):
+    """op='delete' discards prior state; same-batch upserts re-insert from
+    zero; a fully-emptied bucket loses its manifest pointer; deleting an
+    absent key is a no-op. (RANGE_WIDTH=16: keys 1,2 -> bucket 0;
+    17,21 -> bucket 1; 40 -> bucket 2.)"""
+    state = str(tmp_path / "state")
+    b0 = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (17, 5.0), (17, 7.0), (40, 1.0)],
+        "key long, amount double",
+    )
+    merge_batch_into_partitioned_state(spark, state, b0, 0)
+    b1 = spark.createDataFrame(
+        [
+            (2, 0.0, "delete"),  # plain delete; bucket 0 keeps key 1
+            (17, 0.0, "delete"),
+            (17, 100.0, "upsert"),  # reset-then-reinsert, orderless
+            (40, 0.0, "delete"),  # empties bucket 2 entirely
+            (99, 0.0, "delete"),  # delete of an absent key: no-op
+            (21, 3.0, "upsert"),  # plain insert into existing bucket 1
+        ],
+        "key long, amount double, op string",
+    )
+    merge_batch_into_partitioned_state(spark, state, b1, 1)
+    got = {
+        r["key"]: (r["total"], r["n_rows"])
+        for r in read_latest_partitioned_state(spark, state).collect()
+    }
+    assert got == {1: (10.0, 1), 17: (100.0, 1), 21: (3.0, 1)}
+    # bucket 2 (only key 40) was emptied: its pointer left the manifest
+    m1 = pu._manifest_for_batch(spark, state, 1)
+    assert set(m1["buckets"]) == {"0", "1"}
+    # time travel still shows the pre-delete state
+    v0 = {
+        r["key"]: (r["total"], r["n_rows"])
+        for r in read_partitioned_state_version(spark, state, 0).collect()
+    }
+    assert v0 == {1: (10.0, 1), 2: (20.0, 1), 17: (12.0, 2), 40: (1.0, 1)}
+
+
+def test_change_feed_classifies_and_prunes(spark, tmp_path):
+    """CDF reads ONLY buckets whose pointer changed (asserted on the pure
+    helper), classifies insert/update/delete, and drops untouched keys
+    that merely live in a rewritten bucket."""
+    state = str(tmp_path / "state")
+    b0 = spark.createDataFrame(
+        [(1, 10.0), (3, 30.0), (17, 5.0)], "key long, amount double"
+    )
+    merge_batch_into_partitioned_state(spark, state, b0, 0)
+    b1 = spark.createDataFrame(
+        [(1, 5.0, "upsert"), (3, 0.0, "delete"), (33, 7.0, "upsert")],
+        "key long, amount double, op string",
+    )
+    merge_batch_into_partitioned_state(spark, state, b1, 1)
+
+    m0 = pu._manifest_for_batch(spark, state, 0)
+    m1 = pu._manifest_for_batch(spark, state, 1)
+    # bucket 1 (key 17) untouched -> pruned from the feed entirely
+    assert changed_bucket_ids(m0, m1) == [0, 2]
+
+    rows = {r["key"]: r for r in partitioned_state_changes(spark, state, 0, 1).collect()}
+    assert set(rows) == {1, 3, 33}  # 17 pruned, nothing unchanged leaks
+    assert rows[1]["change_type"] == "update"
+    assert (rows[1]["old_total"], rows[1]["new_total"]) == (10.0, 15.0)
+    assert (rows[1]["old_n_rows"], rows[1]["new_n_rows"]) == (1, 2)
+    assert rows[3]["change_type"] == "delete"
+    assert (rows[3]["old_total"], rows[3]["new_total"]) == (30.0, None)
+    assert rows[33]["change_type"] == "insert"
+    assert (rows[33]["old_total"], rows[33]["new_total"]) == (None, 7.0)
+
+    with pytest.raises(ValueError, match="no committed manifest"):
+        partitioned_state_changes(spark, state, 0, 7)
+
+
+def test_compaction_defragments_without_changing_state(spark, sf_dir, tmp_path):
+    """OPTIMIZE twin: fragmented buckets (one file per writing task) are
+    rewritten to one file each under a same-batch_id 'x' commit; the
+    logical state, time travel, replay, and the change feed all carry on
+    as if nothing happened — because logically nothing did."""
+    orders = _orders_kv(spark, sf_dir)
+    state = str(tmp_path / "state")
+    # AQE would coalesce the tiny shuffle to one task (one file per
+    # bucket); disable it for the write so buckets really fragment
+    old_aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        merge_batch_into_partitioned_state(spark, state, orders, 0)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
+
+    def files_per_bucket():
+        m = pu._latest_manifest(spark, state)
+        out = {}
+        for b, v in m["buckets"].items():
+            d = os.path.join(state, "buckets", f"b{int(b)}", v)
+            out[b] = sum(1 for f in os.listdir(d) if f.endswith(".parquet"))
+        return out
+
+    before = files_per_bucket()
+    assert any(n > 1 for n in before.values()), f"expected fragmentation, got {before}"
+
+    n = compact_partitioned_state(spark, state, max_files=1)
+    assert n == sum(1 for c in before.values() if c > 1)
+    assert all(c == 1 for c in files_per_bucket().values())
+    assert compact_partitioned_state(spark, state, max_files=1) == 0  # idempotent
+
+    expected = _expected(orders)
+    _assert_state_equals(read_latest_partitioned_state(spark, state), expected)
+    # time travel resolves batch 0 to its compaction (same logical state)
+    _assert_state_equals(read_partitioned_state_version(spark, state, 0), expected)
+    assert "v000000000x1.json" in _manifest_files(state)
+
+    # a later merge keys off the compacted pointers and the change feed
+    # across (merge 0 .. merge 1) sees exactly the delta key
+    some_key = int(orders.select("key").first()["key"])
+    delta = spark.createDataFrame([(some_key, 10.0)], "key long, amount double")
+    merge_batch_into_partitioned_state(spark, state, delta, 1)
+    _assert_state_equals(
+        read_latest_partitioned_state(spark, state),
+        _expected(orders.unionByName(delta)),
+    )
+    feed = partitioned_state_changes(spark, state, 0, 1).collect()
+    assert [r["key"] for r in feed] == [some_key]
+    assert feed[0]["change_type"] == "update"
 
 
 def test_range_width_drift_fails_loudly(spark, sf_dir, tmp_path, monkeypatch):
