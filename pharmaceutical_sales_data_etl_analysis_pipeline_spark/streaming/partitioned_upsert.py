@@ -403,11 +403,24 @@ def expire_partitioned_versions(spark: SparkSession, state_dir: str, keep: int =
 
     keep clamps to >= 2 for the same replay-idempotence reason as
     upsert.expire_state_versions: a replayed latest batch must still find
-    its strictly-older predecessor."""
+    its strictly-older predecessor.
+
+    `keep` counts DISTINCT batch ids, not manifest files: a compaction
+    commit shares its source batch's id, and keeping [vN, vNx1] while
+    dropping vN-1 would leave a replayed batch N with no strictly-older
+    predecessor — it would silently merge as an initial load. Within a
+    kept batch only the newest commit survives (readers always pick the
+    newest commit per batch id, so a plain manifest superseded by its
+    compaction is unreachable — vacuuming it frees the fragmented
+    pre-compaction files too)."""
     versions = _list_manifests(spark, state_dir)
     keep = max(keep, 2)
-    doomed_manifests = versions[:-keep] if len(versions) > keep else []
-    kept_manifests = versions[-keep:]
+    newest_per_batch: dict[int, str] = {}
+    for v in versions:  # lexicographic == (batch_id, compaction_seq) order
+        newest_per_batch[_batch_id_of(v)] = v
+    kept_batch_ids = sorted(newest_per_batch)[-keep:]
+    kept_manifests = [newest_per_batch[b] for b in kept_batch_ids]
+    doomed_manifests = [v for v in versions if v not in set(kept_manifests)]
     live: set[str] = set()  # "bucket/version" pairs still referenced
     for v in kept_manifests:
         m = _read_manifest(spark, state_dir, v)

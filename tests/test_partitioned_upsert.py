@@ -302,6 +302,46 @@ def test_compaction_defragments_without_changing_state(spark, sf_dir, tmp_path):
     assert feed[0]["change_type"] == "update"
 
 
+def test_retention_counts_batches_not_manifests(spark, sf_dir, tmp_path):
+    """Compaction x retention interplay: keep=2 means two DISTINCT batch
+    ids. The naive last-2-manifests cut would keep [v2, v2x1] (one
+    logical batch twice) and drop v1 — after which a replayed batch 2
+    finds no strictly-older predecessor and silently merges as an
+    initial load. Also: within a kept batch, the plain manifest
+    superseded by its compaction is unreachable and must be vacuumed
+    along with its fragmented files."""
+    orders = _orders_kv(spark, sf_dir)
+    state = str(tmp_path / "state")
+    b0 = orders.filter(F.col("key") % 3 == 0)
+    b1 = orders.filter(F.col("key") % 3 == 1)
+    b2 = orders.filter(F.col("key") % 3 == 2)
+    merge_batch_into_partitioned_state(spark, state, b0, 0)
+    merge_batch_into_partitioned_state(spark, state, b1, 1)
+    old_aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        merge_batch_into_partitioned_state(spark, state, b2, 2)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
+    assert compact_partitioned_state(spark, state, max_files=1) > 0
+    assert _manifest_files(state) == [
+        "v000000000.json",
+        "v000000001.json",
+        "v000000002.json",
+        "v000000002x1.json",
+    ]
+
+    expire_partitioned_versions(spark, state, keep=2)
+    # batches 1 and 2 survive; batch 2's plain commit (superseded by its
+    # compaction) is vacuumed, batch 0 ages out
+    assert _manifest_files(state) == ["v000000001.json", "v000000002x1.json"]
+
+    # the replay-idempotence contract holds THROUGH retention+compaction:
+    # a replayed batch 2 merges against batch 1's manifest again
+    merge_batch_into_partitioned_state(spark, state, b2, 2)
+    _assert_state_equals(read_latest_partitioned_state(spark, state), _expected(orders))
+
+
 def test_range_width_drift_fails_loudly(spark, sf_dir, tmp_path, monkeypatch):
     orders = _orders_kv(spark, sf_dir)
     state = str(tmp_path / "state")
