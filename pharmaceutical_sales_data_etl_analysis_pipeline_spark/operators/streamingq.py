@@ -322,3 +322,102 @@ WHERE a.key IS NULL OR b.key IS NULL
 
 QUERIES["cow_merge_changes"] = cow_merge_changes
 ORACLES["cow_merge_changes"] = SQL_COW_MERGE_CHANGES
+
+
+# ---------------------------------------------------------------------------
+# Zone-map entries (r6): the CoW manifest's per-bucket file statistics,
+# driver-verified through both read paths they power. Shared fixture: the
+# per-customer spend state folded in two micro-batches (pre-1996 load,
+# then 1996+ upserts) with a 100-key range width so even sf0.01's ~1.5k
+# custkeys spread over ~15 buckets — batch 1 then exercises BOTH stats
+# recomputation (touched buckets) and stats inheritance (untouched ones)
+# in the exact layout the driver hashes.
+#   - cow_manifest_summary: COUNT/SUM/MIN/MAX of the state answered from
+#     manifest stats alone (test_manifest_summary_is_metadata_only proves
+#     the data files are never read) — at 100 TB a metadata lookup, not a
+#     table scan. The decimal fold is exact on both engines, so the one
+#     DOUBLE cast at the boundary hashes identically.
+#   - cow_keyrange_lookup: a key-range scan pruned by bucket arithmetic +
+#     min/max zone maps; at 100 TB a point lookup reads one bucket (GBs),
+#     not the table.
+# ---------------------------------------------------------------------------
+
+COW_FIXTURE_RANGE_WIDTH = 100  # test-SF fixture width; production uses RANGE_WIDTH
+
+
+def _build_cow_spend_state(spark: SparkSession, sf_dir: str) -> str:
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from ..catalog import load_table
+    from ..streaming.partitioned_upsert import merge_batch_into_partitioned_state
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("key"),
+        F.col("o_totalprice").alias("amount"),
+        "o_orderdate",
+    )
+    cut = F.lit("1996-01-01")
+    state = _os.path.join(_scratch_dir("cow_zonemap_"), "state")
+    merge_batch_into_partitioned_state(
+        spark,
+        state,
+        orders.filter(F.col("o_orderdate") < cut).drop("o_orderdate"),
+        0,
+        range_width=COW_FIXTURE_RANGE_WIDTH,
+    )
+    merge_batch_into_partitioned_state(
+        spark,
+        state,
+        orders.filter(F.col("o_orderdate") >= cut).drop("o_orderdate"),
+        1,
+        range_width=COW_FIXTURE_RANGE_WIDTH,
+    )
+    return state
+
+
+def cow_manifest_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.partitioned_upsert import partitioned_state_summary
+
+    return partitioned_state_summary(spark, _build_cow_spend_state(spark, sf_dir))
+
+
+# key range for the lookup: three fixture buckets' worth of customers
+COW_LOOKUP_LO, COW_LOOKUP_HI = 250, 549
+
+
+def cow_keyrange_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.partitioned_upsert import read_partitioned_state_keyrange
+
+    return read_partitioned_state_keyrange(
+        spark, _build_cow_spend_state(spark, sf_dir), COW_LOOKUP_LO, COW_LOOKUP_HI
+    )
+
+
+SQL_COW_MANIFEST_SUMMARY = """
+WITH st AS (
+  SELECT o_custkey AS key,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+  FROM orders GROUP BY 1
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+       CAST(SUM(total) AS DOUBLE) AS sum_total,
+       CAST(MIN(total) AS DOUBLE) AS min_total,
+       CAST(MAX(total) AS DOUBLE) AS max_total
+FROM st
+"""
+
+SQL_COW_KEYRANGE_LOOKUP = f"""
+SELECT o_custkey AS key,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM orders
+WHERE o_custkey BETWEEN {COW_LOOKUP_LO} AND {COW_LOOKUP_HI}
+GROUP BY 1
+"""
+
+QUERIES["cow_manifest_summary"] = cow_manifest_summary
+ORACLES["cow_manifest_summary"] = SQL_COW_MANIFEST_SUMMARY
+QUERIES["cow_keyrange_lookup"] = cow_keyrange_lookup
+ORACLES["cow_keyrange_lookup"] = SQL_COW_KEYRANGE_LOOKUP

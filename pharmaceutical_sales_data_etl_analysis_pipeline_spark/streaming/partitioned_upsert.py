@@ -54,7 +54,7 @@ same single-writer contract upsert.py has).
 Same read boundary as upsert.py: DECIMAL(18,2) in state, DOUBLE out.
 
 Beyond MERGE + time travel + retention, the module carries the remaining
-three primitives a production table format pairs with copy-on-write —
+four primitives a production table format pairs with copy-on-write —
 each one manifest-pruned so its cost scales with the CHANGE, not the
 table:
 
@@ -74,6 +74,14 @@ table:
   the SAME batch_id (suffix 'x{seq}' — logically the identical state,
   physically fewer files), so replay and time-travel semantics are
   untouched.
+- Zone-map stats (file statistics): each commit records per-bucket
+  n_keys / exact decimal sum / min-max of key and total, computed by one
+  read-back job over only the touched buckets. They power
+  partitioned_state_summary (COUNT/SUM/MIN/MAX answered from manifest
+  kilobytes — Delta's stats-based aggregate shortcut) and
+  read_partitioned_state_keyrange (point lookups and key-range scans
+  read only the buckets whose zone maps overlap — GBs at 100 TB, not
+  the table).
 """
 
 from __future__ import annotations
@@ -105,13 +113,15 @@ _BUCKETED_SCHEMA = T.StructType(
 )
 
 
-def bucket_of(key_col):
+def bucket_of(key_col, range_width: int | None = None):
     """The partitioning function, shared by writer and any bucket-pruned
     point-lookup reader: contiguous key ranges of RANGE_WIDTH keys. The
     bucket id space is unbounded/sparse (only ranges that hold keys get a
     directory + manifest entry), so the key domain never needs declaring
-    up front."""
-    return F.floor(key_col / F.lit(RANGE_WIDTH)).cast("long")
+    up front. `range_width` overrides the module default — readers pass
+    the width RECORDED IN THE MANIFEST so pruning arithmetic always
+    matches the width the state was actually written with."""
+    return F.floor(key_col / F.lit(range_width or RANGE_WIDTH)).cast("long")
 
 
 # --- manifest I/O (JVM FileSystem API: works on any scheme) ---------------
@@ -235,7 +245,11 @@ def read_partitioned_state_version(
 
 
 def merge_batch_into_partitioned_state(
-    spark: SparkSession, state_dir: str, batch_df: DataFrame, batch_id: int
+    spark: SparkSession,
+    state_dir: str,
+    batch_df: DataFrame,
+    batch_id: int,
+    range_width: int | None = None,
 ) -> None:
     """foreachBatch body: copy-on-write merge of one micro-batch.
 
@@ -250,7 +264,21 @@ def merge_batch_into_partitioned_state(
     a batch by design — "replace" CDC, deterministic under Spark's
     unordered evaluation (ordered op logs need a sequence column and
     belong to a different contract). A delete of an absent key is a
-    no-op; a key whose batch rows are all tombstones leaves the state."""
+    no-op; a key whose batch rows are all tombstones leaves the state.
+
+    `range_width` sizes the key ranges for a NEW state table (defaults to
+    the module contract constant); for an existing table it must match
+    the width recorded in the manifest — re-ranging stays a loud error.
+
+    Every commit also records per-bucket ZONE-MAP STATS in the manifest
+    (n_keys, exact decimal sum_total, min/max of key and total), computed
+    by one read-back job over ONLY the touched buckets' fresh files —
+    O(|change|), never O(|state|). Untouched buckets inherit their stats
+    pointer-style, so stats stay exact across commits and enable
+    manifest-only aggregates (partitioned_state_summary) and stats-pruned
+    scans (read_partitioned_state_keyrange) — the plain-parquet twin of
+    Delta/Iceberg file statistics."""
+    width = range_width or RANGE_WIDTH
     if "op" in batch_df.columns:
         is_upsert = F.col("op") != F.lit("delete")
         delta = (
@@ -263,7 +291,7 @@ def merge_batch_into_partitioned_state(
                 F.count(F.when(is_upsert, F.lit(1))).cast("long").alias("d_rows"),
                 F.max(~is_upsert).alias("d_reset"),
             )
-            .withColumn("bucket", bucket_of(F.col("key")))
+            .withColumn("bucket", bucket_of(F.col("key"), width))
         )
     else:
         delta = (
@@ -273,15 +301,15 @@ def merge_batch_into_partitioned_state(
                 F.count(F.lit(1)).cast("long").alias("d_rows"),
                 F.lit(False).alias("d_reset"),
             )
-            .withColumn("bucket", bucket_of(F.col("key")))
+            .withColumn("bucket", bucket_of(F.col("key"), width))
         )
     touched = sorted(r["bucket"] for r in delta.select("bucket").distinct().collect())
     prev = _latest_manifest(spark, state_dir, before_batch_id=batch_id)
-    if prev is not None and prev["range_width"] != RANGE_WIDTH:
+    if prev is not None and prev["range_width"] != width:
         # re-ranging is a rewrite-the-table migration, never an implicit
         # merge under a different partitioning — fail loudly
         raise ValueError(
-            f"state ranged with range_width={prev['range_width']}, code has {RANGE_WIDTH}"
+            f"state ranged with range_width={prev['range_width']}, code has {width}"
         )
     prev_buckets: dict[str, str] = dict(prev["buckets"]) if prev else {}
 
@@ -294,7 +322,7 @@ def merge_batch_into_partitioned_state(
         prev_df = (
             spark.read.schema(STATE_SCHEMA)
             .parquet(*prev_touched_paths)
-            .withColumn("bucket", bucket_of(F.col("key")))
+            .withColumn("bucket", bucket_of(F.col("key"), width))
         )
         zero = F.lit(0).cast("decimal(18,2)")
         p, d = prev_df.alias("p"), delta.alias("d")
@@ -362,11 +390,70 @@ def merge_batch_into_partitioned_state(
             # rather than silently dropping a bucket from the manifest
             raise IOError(f"staging bucket missing for touched bucket {b}: {src}")
     fs.delete(hpath(staging), True)
+
+    # zone-map stats: one read-back job over ONLY the freshly written
+    # bucket versions (their parquet is page-cache-hot); untouched buckets
+    # inherit their stats entry exactly like they inherit their pointer
+    prev_stats: dict[str, dict] = dict(prev.get("stats", {})) if prev else {}
+    new_stats = {b: s for b, s in prev_stats.items() if b in new_buckets}
+    written = sorted(b for b in touched if new_buckets.get(str(b)) == vname)
+    if written:
+        fresh = _bucket_stats(
+            spark,
+            [f"{state_dir}/buckets/b{b}/{vname}" for b in written],
+            width,
+        )
+        # a written bucket with no stats row would mean an empty parquet
+        # dir slipped past the tombstone branch — surface it
+        missing = set(written) - set(fresh)
+        if missing:
+            raise IOError(f"stats read-back found no rows for buckets {sorted(missing)}")
+        new_stats.update({str(b): fresh[b] for b in written})
     _write_manifest(
         spark,
         state_dir,
-        {"batch_id": batch_id, "range_width": RANGE_WIDTH, "buckets": new_buckets},
+        {
+            "batch_id": batch_id,
+            "range_width": width,
+            "buckets": new_buckets,
+            "stats": new_stats,
+        },
     )
+
+
+def _bucket_stats(
+    spark: SparkSession, version_dirs: list[str], width: int
+) -> dict[int, dict]:
+    """Per-bucket zone-map stats over the given bucket-version dirs: one
+    Spark job, O(given buckets). Decimal aggregates serialize as strings
+    so the manifest JSON stays exact (sum of DECIMAL(18,2) widens to
+    (28,2) under Spark's sum — no precision loss to record)."""
+    rows = (
+        spark.read.schema(STATE_SCHEMA)
+        .parquet(*version_dirs)
+        .withColumn("bucket", bucket_of(F.col("key"), width))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum("total").alias("sum_total"),
+            F.min("total").alias("min_total"),
+            F.max("total").alias("max_total"),
+            F.min("key").alias("min_key"),
+            F.max("key").alias("max_key"),
+        )
+        .collect()
+    )
+    return {
+        int(r["bucket"]): {
+            "n_keys": int(r["n_keys"]),
+            "sum_total": str(r["sum_total"]),
+            "min_total": str(r["min_total"]),
+            "max_total": str(r["max_total"]),
+            "min_key": int(r["min_key"]),
+            "max_key": int(r["max_key"]),
+        }
+        for r in rows
+    }
 
 
 def run_partitioned_incremental_merge(
@@ -548,6 +635,126 @@ def partitioned_state_changes(
     ).filter(F.col("change_type") != "unchanged")
 
 
+# --- zone-map readers (manifest stats) ---------------------------------------
+
+
+def keyrange_bucket_ids(manifest: dict, key_lo: int, key_hi: int) -> list[str]:
+    """The buckets a [key_lo, key_hi] scan must read: range arithmetic
+    (bucket ids floor(lo/W)..floor(hi/W)) intersected with each
+    candidate's min_key/max_key zone map; stats-less buckets are
+    conservatively kept. Pure so tests can assert the pruning set without
+    touching the FS (same pattern as changed_bucket_ids)."""
+    width = manifest["range_width"]
+    stats = manifest.get("stats", {})
+    b_lo, b_hi = key_lo // width, key_hi // width
+    return sorted(
+        (
+            b
+            for b in manifest["buckets"]
+            if b_lo <= int(b) <= b_hi
+            and (
+                b not in stats
+                or (stats[b]["min_key"] <= key_hi and stats[b]["max_key"] >= key_lo)
+            )
+        ),
+        key=int,
+    )
+
+
+def partitioned_state_summary(
+    spark: SparkSession, state_dir: str, batch_id: int | None = None
+) -> DataFrame:
+    """Table-level aggregates answered from the MANIFEST, not the data:
+    COUNT(*), exact SUM(total), MIN/MAX(total) fold over the per-bucket
+    zone-map stats — kilobytes of JSON on the driver, zero data files
+    read. At 100 TB this is the difference between a metadata lookup and
+    a full table scan (Delta answers SELECT COUNT(*) the same way, from
+    Add-file stats). The decimal fold uses Python's exact Decimal — same
+    conversion-exact discipline as the engine's money sums — and casts to
+    DOUBLE only at the read boundary.
+
+    Buckets whose manifest entry predates zone-map stats (or a whole
+    pre-stats manifest) fall back to ONE scan job over just those
+    buckets, so the cost tracks the un-statted fraction — and a later
+    commit or compaction of those buckets heals them forward."""
+    from decimal import Decimal
+
+    manifest = (
+        _latest_manifest(spark, state_dir)
+        if batch_id is None
+        else _manifest_for_batch(spark, state_dir, batch_id)
+    )
+    schema = T.StructType(
+        [
+            T.StructField("n_keys", T.LongType()),
+            T.StructField("sum_total", T.DoubleType()),
+            T.StructField("min_total", T.DoubleType()),
+            T.StructField("max_total", T.DoubleType()),
+        ]
+    )
+    if manifest is None or not manifest["buckets"]:
+        return spark.createDataFrame([(0, None, None, None)], schema)
+    stats = manifest.get("stats", {})
+    missing = [b for b in manifest["buckets"] if b not in stats]
+    folded = dict(stats)
+    if missing:
+        folded.update(
+            {
+                str(b): s
+                for b, s in _bucket_stats(
+                    spark,
+                    [
+                        f"{state_dir}/buckets/b{int(b)}/{manifest['buckets'][b]}"
+                        for b in missing
+                    ],
+                    manifest["range_width"],
+                ).items()
+            }
+        )
+    n = sum(s["n_keys"] for s in folded.values())
+    total = sum(Decimal(s["sum_total"]) for s in folded.values())
+    lo = min(Decimal(s["min_total"]) for s in folded.values())
+    hi = max(Decimal(s["max_total"]) for s in folded.values())
+    return spark.createDataFrame([(n, float(total), float(lo), float(hi))], schema)
+
+
+def read_partitioned_state_keyrange(
+    spark: SparkSession,
+    state_dir: str,
+    key_lo: int,
+    key_hi: int,
+    batch_id: int | None = None,
+) -> DataFrame:
+    """Key-range scan pruned to the buckets that can hold [key_lo,
+    key_hi]: first by range arithmetic (bucket ids floor(lo/W) ..
+    floor(hi/W) — free, no stats needed), then by each candidate's
+    min_key/max_key zone map (a populated range whose actual keys all
+    fall outside the predicate is skipped even though its id overlaps).
+    A point lookup at 100 TB reads ONE bucket — a few GB — instead of the
+    table; this is the read-side payoff of range (not hash) bucketing.
+    Buckets without stats are conservatively read (pre-stats manifests);
+    the exact filter on `key` makes pruning a pure optimization either
+    way. DOUBLE at the read boundary like every other reader."""
+    if key_hi < key_lo:
+        raise ValueError(f"empty key range: [{key_lo}, {key_hi}]")
+    manifest = (
+        _latest_manifest(spark, state_dir)
+        if batch_id is None
+        else _manifest_for_batch(spark, state_dir, batch_id)
+    )
+    if manifest is None or not manifest["buckets"]:
+        return _as_read_view(spark.createDataFrame([], STATE_SCHEMA))
+    keep = keyrange_bucket_ids(manifest, key_lo, key_hi)
+    if not keep:
+        return _as_read_view(spark.createDataFrame([], STATE_SCHEMA))
+    paths = [f"{state_dir}/buckets/b{int(b)}/{manifest['buckets'][b]}" for b in keep]
+    return _as_read_view(
+        spark.read.schema(STATE_SCHEMA)
+        .parquet(*paths)
+        .filter(F.col("key").between(F.lit(key_lo), F.lit(key_hi)))
+    )
+
+
 # --- compaction (OPTIMIZE twin) ----------------------------------------------
 
 
@@ -600,7 +807,7 @@ def compact_partitioned_state(
     df = (
         spark.read.schema(STATE_SCHEMA)
         .parquet(*src_paths)
-        .withColumn("bucket", bucket_of(F.col("key")))
+        .withColumn("bucket", bucket_of(F.col("key"), manifest["range_width"]))
     )
     staging = f"{state_dir}/.staging/{vname}"
     # repartition BY bucket -> each bucket's rows land in exactly one task
@@ -630,6 +837,10 @@ def compact_partitioned_state(
             "compaction_seq": seq,
             "range_width": manifest["range_width"],
             "buckets": new_buckets,
+            # identical logical state -> stats carry over byte-for-byte
+            # (a pre-stats manifest compacts to a pre-stats manifest;
+            # partitioned_state_summary scan-falls-back per bucket)
+            "stats": dict(manifest.get("stats", {})),
         },
     )
     return len(fragmented)

@@ -353,3 +353,131 @@ def test_range_width_drift_fails_loudly(spark, sf_dir, tmp_path, monkeypatch):
         assert "range_width" in str(e)
     else:
         raise AssertionError("re-ranging must not be implicit")
+
+
+def test_zone_map_stats_follow_pointer_semantics(spark, tmp_path):
+    """Each commit's manifest carries per-bucket zone-map stats that are
+    exact vs a direct recompute; untouched buckets INHERIT their stats
+    entry (pointer semantics), tombstone-emptied buckets drop it, and a
+    compaction carries the whole dict byte-for-byte (same logical
+    state). (RANGE_WIDTH=16: keys 1,2 -> bucket 0; 17 -> 1; 40 -> 2.)"""
+    state = str(tmp_path / "state")
+    b0 = spark.createDataFrame(
+        [(1, 10.0), (2, 20.5), (17, 5.0), (17, 7.0), (40, 1.0)],
+        "key long, amount double",
+    )
+    merge_batch_into_partitioned_state(spark, state, b0, 0)
+    m0 = pu._manifest_for_batch(spark, state, 0)
+    assert m0["stats"]["0"] == {
+        "n_keys": 2,
+        "sum_total": "30.50",
+        "min_total": "10.00",
+        "max_total": "20.50",
+        "min_key": 1,
+        "max_key": 2,
+    }
+    assert m0["stats"]["1"]["sum_total"] == "12.00"  # 5.0+7.0 folded per key
+    b1 = spark.createDataFrame(
+        [(17, 1.0, "upsert"), (40, 0.0, "delete")],
+        "key long, amount double, op string",
+    )
+    merge_batch_into_partitioned_state(spark, state, b1, 1)
+    m1 = pu._manifest_for_batch(spark, state, 1)
+    assert m1["stats"]["0"] == m0["stats"]["0"]  # untouched: inherited
+    assert m1["stats"]["1"]["sum_total"] == "13.00"  # rewritten: recomputed
+    assert "2" not in m1["stats"] and "2" not in m1["buckets"]  # emptied
+    compacted = compact_partitioned_state(spark, state, max_files=0)
+    assert compacted >= 1
+    mx = pu._latest_manifest(spark, state)
+    assert mx.get("compaction_seq") and mx["stats"] == m1["stats"]
+
+
+def test_manifest_summary_is_metadata_only(spark, sf_dir, tmp_path):
+    """partitioned_state_summary answers COUNT/SUM/MIN/MAX from manifest
+    stats alone: it stays exact after every data file is DELETED — the
+    kilobytes-vs-table-scan property that makes it viable at 100 TB."""
+    import shutil
+
+    orders = _orders_kv(spark, sf_dir)
+    state = str(tmp_path / "state")
+    merge_batch_into_partitioned_state(spark, state, orders, 0)
+    truth = (
+        read_latest_partitioned_state(spark, state)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            # decimal-exact fold then one cast: the summary's contract
+            # (a plain double sum drifts in the last ulp — the manifest
+            # path is the MORE exact of the two)
+            F.sum(F.col("total").cast("decimal(18,2)")).cast("double").alias("s"),
+            F.min("total").alias("lo"),
+            F.max("total").alias("hi"),
+        )
+        .first()
+    )
+    shutil.rmtree(os.path.join(state, "buckets"))  # no data files remain
+    got = pu.partitioned_state_summary(spark, state).first()
+    assert got["n_keys"] == truth["n"]
+    assert got["sum_total"] == truth["s"]
+    assert (got["min_total"], got["max_total"]) == (truth["lo"], truth["hi"])
+
+
+def test_summary_scan_fallback_for_pre_stats_manifests(spark, sf_dir, tmp_path):
+    """A manifest written before zone-map stats existed (simulated by
+    stripping the dict) still summarizes correctly via the per-bucket
+    scan fallback — cost tracks the un-statted fraction, not the table."""
+    orders = _orders_kv(spark, sf_dir)
+    state = str(tmp_path / "state")
+    merge_batch_into_partitioned_state(spark, state, orders, 0)
+    with_stats = pu.partitioned_state_summary(spark, state).first()
+    m = pu._manifest_for_batch(spark, state, 0)
+    m.pop("stats")
+    pu._write_manifest(spark, state, m)
+    assert pu.partitioned_state_summary(spark, state).first() == with_stats
+
+
+def test_keyrange_scan_prunes_by_arithmetic_and_zone_map(spark, tmp_path):
+    """read_partitioned_state_keyrange reads only buckets whose id range
+    AND zone map overlap the predicate: results equal a full-state
+    filter, the pure pruning set is assertable, and a sparse bucket whose
+    id overlaps but whose actual keys don't is skipped."""
+    state = str(tmp_path / "state")
+    # bucket 0: keys 1,2; bucket 1: only key 30 (sparse: ids 16..31);
+    # bucket 3: key 50
+    b0 = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (30, 5.0), (50, 9.0)], "key long, amount double"
+    )
+    merge_batch_into_partitioned_state(spark, state, b0, 0)
+    m = pu._manifest_for_batch(spark, state, 0)
+    # [17, 25] overlaps bucket 1's ID RANGE but not its zone map (only
+    # key 30 lives there) -> pruned to nothing by stats
+    assert pu.keyrange_bucket_ids(m, 17, 25) == []
+    assert pu.keyrange_bucket_ids(m, 17, 30) == ["1"]
+    assert pu.keyrange_bucket_ids(m, 0, 64) == ["0", "1", "3"]
+    # stats-less buckets are conservatively kept
+    m_nostats = {k: v for k, v in m.items() if k != "stats"}
+    assert pu.keyrange_bucket_ids(m_nostats, 17, 25) == ["1"]
+
+    got = {r["key"]: r["total"] for r in
+           pu.read_partitioned_state_keyrange(spark, state, 2, 30).collect()}
+    assert got == {2: 20.0, 30: 5.0}
+    assert pu.read_partitioned_state_keyrange(spark, state, 17, 25).count() == 0
+    with pytest.raises(ValueError, match="empty key range"):
+        pu.read_partitioned_state_keyrange(spark, state, 5, 4)
+
+
+def test_explicit_range_width_parameter(spark, tmp_path):
+    """A state table created with an explicit range_width keeps it in the
+    manifest; later merges must repeat it (module-default drift fails
+    loudly) and every reader picks the width up from the manifest."""
+    state = str(tmp_path / "state")
+    rows = spark.createDataFrame([(3, 1.0), (9, 2.0)], "key long, amount double")
+    merge_batch_into_partitioned_state(spark, state, rows, 0, range_width=4)
+    m0 = pu._manifest_for_batch(spark, state, 0)
+    assert m0["range_width"] == 4 and set(m0["buckets"]) == {"0", "2"}
+    with pytest.raises(ValueError, match="range_width"):
+        # module default (monkeypatched 16) != the table's declared 4
+        merge_batch_into_partitioned_state(spark, state, rows, 1)
+    merge_batch_into_partitioned_state(spark, state, rows, 1, range_width=4)
+    got = {r["key"]: r["total"] for r in
+           pu.read_partitioned_state_keyrange(spark, state, 8, 9).collect()}
+    assert got == {9: 4.0}
