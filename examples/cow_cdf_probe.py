@@ -100,6 +100,35 @@ def main() -> None:
             lambda: pu.partitioned_state_changes(spark, state, 0, 1).count()
         )
         t_full = timed(lambda: full_snapshot_diff(spark, state).count())
+
+        # zone-map bonus round: table aggregates from the manifest vs a scan
+        def scan_summary():
+            st = pu.read_latest_partitioned_state(spark, state)
+            return st.agg(
+                F.count(F.lit(1)),
+                F.sum(F.col("total").cast("decimal(18,2)")).cast("double"),
+                F.min("total"),
+                F.max("total"),
+            ).collect()[0]
+
+        manifest_row = pu.partitioned_state_summary(spark, state).collect()[0]
+        scan_row = scan_summary()
+        assert manifest_row["n_keys"] == scan_row[0] and manifest_row["sum_total"] == scan_row[1]
+        t_meta = timed(lambda: pu.partitioned_state_summary(spark, state).collect())
+        t_scan = timed(scan_summary)
+        for variant, sec in (("manifest_summary", t_meta), ("full_scan_aggregate", t_scan)):
+            print(
+                json.dumps(
+                    {
+                        "experiment": "cow_summary",
+                        "variant": variant,
+                        "n_keys": n_keys,
+                        "buckets_total": n_buckets,
+                        "buckets_read": 0 if variant == "manifest_summary" else n_buckets,
+                        "sec": sec,
+                    }
+                )
+            )
         for variant, sec in (("manifest_pruned_cdf", t_cdf), ("full_snapshot_diff", t_full)):
             print(
                 json.dumps(
