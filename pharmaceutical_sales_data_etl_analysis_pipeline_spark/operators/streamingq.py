@@ -342,10 +342,20 @@ ORACLES["cow_merge_changes"] = SQL_COW_MERGE_CHANGES
 #     not the table.
 # ---------------------------------------------------------------------------
 
-COW_FIXTURE_RANGE_WIDTH = 100  # test-SF fixture width; production uses RANGE_WIDTH
+# Fixture width derivation: per the repo's contract-parameters-derive-
+# from-corpus-size doctrine (kmeans K, LSH planes/tables), the bucket
+# width follows the key domain so the bucket COUNT stays ~fixed at every
+# SF. A constant width would make bucket count — and the merge's
+# O(buckets) rename/manifest work — grow linearly with the corpus, a
+# fixture-induced super-linearity the sf0.1->sf1 ladder would flag.
+# Results are width-invariant (the oracle never sees the layout); width
+# only decides how much pruning the driver run exercises.
+COW_FIXTURE_TARGET_BUCKETS = 16
+COW_FIXTURE_MIN_WIDTH = 100  # sf0.01 floor: keeps >= ~15 buckets there
 
 
 def _build_cow_spend_state(spark: SparkSession, sf_dir: str) -> str:
+    import math as _math
     import os as _os
 
     from pyspark.sql import functions as F
@@ -358,6 +368,11 @@ def _build_cow_spend_state(spark: SparkSession, sf_dir: str) -> str:
         F.col("o_totalprice").alias("amount"),
         "o_orderdate",
     )
+    max_key = orders.agg(F.max("key")).first()[0]
+    width = max(
+        COW_FIXTURE_MIN_WIDTH,
+        _math.ceil((max_key + 1) / COW_FIXTURE_TARGET_BUCKETS),
+    )
     cut = F.lit("1996-01-01")
     state = _os.path.join(_scratch_dir("cow_zonemap_"), "state")
     merge_batch_into_partitioned_state(
@@ -365,14 +380,14 @@ def _build_cow_spend_state(spark: SparkSession, sf_dir: str) -> str:
         state,
         orders.filter(F.col("o_orderdate") < cut).drop("o_orderdate"),
         0,
-        range_width=COW_FIXTURE_RANGE_WIDTH,
+        range_width=width,
     )
     merge_batch_into_partitioned_state(
         spark,
         state,
         orders.filter(F.col("o_orderdate") >= cut).drop("o_orderdate"),
         1,
-        range_width=COW_FIXTURE_RANGE_WIDTH,
+        range_width=width,
     )
     return state
 

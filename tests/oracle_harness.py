@@ -32,9 +32,14 @@ class CompareResult:
 
 
 def duckdb_conn(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    import os
+
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        src = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(src):  # Spark-written rungs (scaleup.py) are dirs
+            src = f"{src}/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
     return con
 
 
