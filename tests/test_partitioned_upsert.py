@@ -481,3 +481,115 @@ def test_explicit_range_width_parameter(spark, tmp_path):
     got = {r["key"]: r["total"] for r in
            pu.read_partitioned_state_keyrange(spark, state, 8, 9).collect()}
     assert got == {9: 4.0}
+
+
+# --- randomized CDC-sequence property (hypothesis) --------------------------
+
+from decimal import Decimal
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_batch_strategy = st.lists(
+    st.tuples(
+        st.integers(0, 40),  # keys span buckets 0-2 at RANGE_WIDTH=16
+        st.integers(-10**6, 10**6),  # cents: exact under double->DECIMAL(18,2)
+        st.sampled_from(["upsert", "upsert", "upsert", "delete"]),
+    ),
+    min_size=0,
+    max_size=12,
+)
+
+
+def _model_apply(state: dict, batch: list) -> None:
+    """Reference fold of one batch under the module's replace-CDC contract:
+    any tombstone for a key discards prior state; the key's same-batch
+    upserts (orderless) then fold from zero."""
+    per_key: dict = {}
+    for key, cents, op in batch:
+        tot, n, reset = per_key.get(key, (Decimal(0), 0, False))
+        if op == "delete":
+            per_key[key] = (tot, n, True)
+        else:
+            per_key[key] = (tot + Decimal(cents) / 100, n + 1, reset)
+    for key, (dt, dn, reset) in per_key.items():
+        if reset:
+            if dn:
+                state[key] = (dt, dn)
+            else:
+                state.pop(key, None)
+        else:
+            ot, on = state.get(key, (Decimal(0), 0))
+            state[key] = (ot + dt, on + dn)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(batches=st.lists(_batch_strategy, min_size=1, max_size=3))
+def test_cow_merge_matches_reference_fold(spark, tmp_path_factory, batches):
+    """Any CDC sequence of upserts+tombstones folds to the reference model
+    — state, manifest zone-map stats, metadata-only summary, keyrange
+    scan, and a replay of the final batch all agree with it."""
+    state_dir = str(tmp_path_factory.mktemp("cow_prop") / "state")
+    model: dict = {}
+    for i, batch in enumerate(batches):
+        df = spark.createDataFrame(
+            [(k, c / 100, op) for k, c, op in batch] or [(0, 0.0, "delete")],
+            "key long, amount double, op string",
+        )
+        merge_batch_into_partitioned_state(spark, state_dir, df, i)
+        _model_apply(model, batch if batch else [(0, 0, "delete")])
+
+    def assert_state_is_model():
+        st_df = read_latest_partitioned_state(spark, state_dir)
+        got = (
+            {}  # None-when-empty read contract (all keys tombstoned)
+            if st_df is None
+            else {
+                r["key"]: (Decimal(str(r["total"])), r["n_rows"])
+                for r in st_df.collect()
+            }
+        )
+        want = {k: (t, n) for k, (t, n) in model.items()}
+        assert got == want
+
+        m = pu._latest_manifest(spark, state_dir)
+        # zone-map stats == recompute from the model, bucket by bucket
+        by_bucket: dict = {}
+        for k, (t, n) in model.items():
+            by_bucket.setdefault(k // pu.RANGE_WIDTH, []).append((k, t))
+        assert set(m["stats"]) == {str(b) for b in by_bucket}
+        for b, kts in by_bucket.items():
+            s = m["stats"][str(b)]
+            assert s["n_keys"] == len(kts)
+            assert Decimal(s["sum_total"]) == sum(t for _, t in kts)
+            assert s["min_key"] == min(k for k, _ in kts)
+            assert s["max_key"] == max(k for k, _ in kts)
+            assert Decimal(s["min_total"]) == min(t for _, t in kts)
+            assert Decimal(s["max_total"]) == max(t for _, t in kts)
+
+        srow = pu.partitioned_state_summary(spark, state_dir).first()
+        assert srow["n_keys"] == len(model)
+        if model:
+            assert srow["sum_total"] == float(sum(t for t, _ in model.values()))
+            assert srow["min_total"] == float(min(t for t, _ in model.values()))
+            assert srow["max_total"] == float(max(t for t, _ in model.values()))
+
+        kr = {
+            r["key"] for r in
+            pu.read_partitioned_state_keyrange(spark, state_dir, 8, 23).collect()
+        }
+        assert kr == {k for k in model if 8 <= k <= 23}
+
+    assert_state_is_model()
+    # replay of the final batch is byte-idempotent at every surface above
+    last = len(batches) - 1
+    df = spark.createDataFrame(
+        [(k, c / 100, op) for k, c, op in batches[last]] or [(0, 0.0, "delete")],
+        "key long, amount double, op string",
+    )
+    merge_batch_into_partitioned_state(spark, state_dir, df, last)
+    assert_state_is_model()
