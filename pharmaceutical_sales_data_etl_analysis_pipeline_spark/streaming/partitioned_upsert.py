@@ -54,9 +54,9 @@ same single-writer contract upsert.py has).
 Same read boundary as upsert.py: DECIMAL(18,2) in state, DOUBLE out.
 
 Beyond MERGE + time travel + retention, the module carries the remaining
-four primitives a production table format pairs with copy-on-write —
-each one manifest-pruned so its cost scales with the CHANGE, not the
-table:
+primitives a production table format pairs with copy-on-write — each one
+manifest-pruned so its cost scales with the CHANGE, not the table
+(except re-ranging, a full rewrite by contract):
 
 - DELETE tombstones: a batch row with op='delete' discards the key's
   prior state; upsert rows for the same key in the same batch re-insert
@@ -82,6 +82,11 @@ table:
   read_partitioned_state_keyrange (point lookups and key-range scans
   read only the buckets whose zone maps overlap — GBs at 100 TB, not
   the table).
+- Re-range migration (re-clustering twin): rerange_partitioned_state
+  rewrites the latest state onto a new range width as an explicit,
+  committed, full-table operation — the loud drift error's named
+  migration path. Time travel to old-width commits keeps working;
+  crash-replay interplay is pinned safe in tests.
 """
 
 from __future__ import annotations
@@ -307,9 +312,10 @@ def merge_batch_into_partitioned_state(
     prev = _latest_manifest(spark, state_dir, before_batch_id=batch_id)
     if prev is not None and prev["range_width"] != width:
         # re-ranging is a rewrite-the-table migration, never an implicit
-        # merge under a different partitioning — fail loudly
+        # merge under a different partitioning — fail loudly and name it
         raise ValueError(
-            f"state ranged with range_width={prev['range_width']}, code has {width}"
+            f"state ranged with range_width={prev['range_width']}, code has "
+            f"{width}; migrate explicitly with rerange_partitioned_state"
         )
     prev_buckets: dict[str, str] = dict(prev["buckets"]) if prev else {}
 
@@ -844,3 +850,105 @@ def compact_partitioned_state(
         },
     )
     return len(fragmented)
+
+
+def rerange_partitioned_state(
+    spark: SparkSession, state_dir: str, new_width: int
+) -> int:
+    """Re-range migration (liquid-reclustering twin): rewrite the LATEST
+    state onto a new range width and commit it — the explicit operation
+    the merge's range_width drift error points at. This is a full-table
+    rewrite BY CONTRACT (any key may change buckets when the width
+    does): one shuffle partitioned by the new bucket id, the same shape
+    a table format's re-clustering/OPTIMIZE FULL pays. Use it when the
+    width chosen at table creation stops matching the key domain — the
+    exact tuning the zone-map fixture derives automatically up front.
+
+    Commits like a compaction: SAME batch_id under the next 'x{seq}'
+    suffix — the identical logical state, physically re-partitioned —
+    so time travel to older batches keeps reading the OLD-width
+    manifests untouched, and retention eventually vacuums the old-width
+    bucket dirs once no kept manifest references them. Zone-map stats
+    are recomputed for every new bucket (one read-back job, same as a
+    merge's — here O(table) because the rewrite is O(table)).
+
+    Crash-replay interplay (test_replay_after_rerange): a replay of the
+    final batch with the stream's OLD width merges against its old-width
+    predecessor and recommits the plain manifest — which the re-range's
+    'x{seq}' commit supersedes (newest-per-batch wins), so the state is
+    untouched; a replay with the NEW width hits the old-width
+    predecessor and fails with the drift error. Either way, never
+    silent corruption. Returns the new bucket count."""
+    versions = _list_manifests(spark, state_dir)
+    if not versions:
+        raise ValueError(f"no committed state to re-range in {state_dir}")
+    manifest = _read_manifest(spark, state_dir, versions[-1])
+    if manifest["range_width"] == new_width:
+        return len(manifest["buckets"])
+    if not manifest["buckets"]:
+        # empty table: just commit the width change
+        batch_id = manifest["batch_id"]
+        seq = 1 + sum(1 for v in versions if _batch_id_of(v) == batch_id and "x" in v)
+        _write_manifest(
+            spark,
+            state_dir,
+            {
+                "batch_id": batch_id,
+                "compaction_seq": seq,
+                "range_width": new_width,
+                "buckets": {},
+                "stats": {},
+            },
+        )
+        return 0
+
+    batch_id = manifest["batch_id"]
+    seq = 1 + sum(1 for v in versions if _batch_id_of(v) == batch_id and "x" in v)
+    vname = f"v{batch_id:09d}x{seq}"
+
+    df = (
+        spark.read.schema(STATE_SCHEMA)
+        .parquet(*_bucket_paths(state_dir, manifest))
+        .withColumn("bucket", bucket_of(F.col("key"), new_width))
+    )
+    staging = f"{state_dir}/.staging/{vname}"
+    df.repartition(F.col("bucket")).write.mode("overwrite").partitionBy(
+        "bucket"
+    ).parquet(staging)
+
+    fs, _, jvm = _fs_and_path(spark, state_dir)
+    hpath = jvm.org.apache.hadoop.fs.Path
+    new_bucket_ids = sorted(
+        int(str(s.getPath().getName()).split("=")[1])
+        for s in fs.listStatus(hpath(staging))
+        if s.isDirectory() and str(s.getPath().getName()).startswith("bucket=")
+    )
+    new_buckets: dict[str, str] = {}
+    for b in new_bucket_ids:
+        src = hpath(f"{staging}/bucket={b}")
+        dst = hpath(f"{state_dir}/buckets/b{b}/{vname}")
+        fs.mkdirs(hpath(f"{state_dir}/buckets/b{b}"))
+        if fs.exists(dst):
+            fs.delete(dst, True)
+        if not fs.rename(src, dst):
+            raise IOError(f"re-range move failed for bucket {b}: {src} -> {dst}")
+        new_buckets[str(b)] = vname
+    fs.delete(hpath(staging), True)
+
+    stats = _bucket_stats(
+        spark,
+        [f"{state_dir}/buckets/b{b}/{vname}" for b in new_bucket_ids],
+        new_width,
+    )
+    _write_manifest(
+        spark,
+        state_dir,
+        {
+            "batch_id": batch_id,
+            "compaction_seq": seq,
+            "range_width": new_width,
+            "buckets": new_buckets,
+            "stats": {str(b): s for b, s in stats.items()},
+        },
+    )
+    return len(new_buckets)

@@ -593,3 +593,75 @@ def test_cow_merge_matches_reference_fold(spark, tmp_path_factory, batches):
     )
     merge_batch_into_partitioned_state(spark, state_dir, df, last)
     assert_state_is_model()
+
+
+def test_rerange_migration(spark, tmp_path):
+    """rerange_partitioned_state rewrites the latest state onto a new
+    width: same logical state, re-derived buckets + zone maps, keyrange
+    pruning under the new arithmetic, time travel to pre-migration
+    batches untouched, and the drift error now names a migration path."""
+    state = str(tmp_path / "state")
+    rows = [(k, float(k)) for k in (1, 2, 17, 21, 40, 63)]
+    b0 = spark.createDataFrame(rows, "key long, amount double")
+    merge_batch_into_partitioned_state(spark, state, b0, 0)
+    b1 = spark.createDataFrame([(2, 1.0)], "key long, amount double")
+    merge_batch_into_partitioned_state(spark, state, b1, 1)
+    before = {r["key"]: (r["total"], r["n_rows"])
+              for r in read_latest_partitioned_state(spark, state).collect()}
+
+    n = pu.rerange_partitioned_state(spark, state, 8)
+    m = pu._latest_manifest(spark, state)
+    assert m["range_width"] == 8 and n == len(m["buckets"])
+    # width 8: keys {1,2}->b0, 17->b2, 21->b2, 40->b5, 63->b7
+    assert set(m["buckets"]) == {"0", "2", "5", "7"}
+    assert m["stats"]["2"]["n_keys"] == 2  # recomputed under new width
+    after = {r["key"]: (r["total"], r["n_rows"])
+             for r in read_latest_partitioned_state(spark, state).collect()}
+    assert after == before
+    assert pu.keyrange_bucket_ids(m, 40, 40) == ["5"]
+    got = {r["key"] for r in
+           pu.read_partitioned_state_keyrange(spark, state, 16, 21).collect()}
+    assert got == {17, 21}
+    # time travel to batch 0 reads the OLD-width commit untouched
+    v0 = {r["key"]: r["n_rows"]
+          for r in read_partitioned_state_version(spark, state, 0).collect()}
+    assert v0 == {k: 1 for k, _ in rows}
+    # summary survives the migration (manifest-only, new stats)
+    assert pu.partitioned_state_summary(spark, state).first()["n_keys"] == 6
+
+    # same-width re-range is a no-op; merges must now use the new width
+    assert pu.rerange_partitioned_state(spark, state, 8) == len(m["buckets"])
+    b2 = spark.createDataFrame([(63, 1.0)], "key long, amount double")
+    with pytest.raises(ValueError, match="range_width"):
+        merge_batch_into_partitioned_state(spark, state, b2, 2)  # old default 16
+    merge_batch_into_partitioned_state(spark, state, b2, 2, range_width=8)
+    assert read_latest_partitioned_state(spark, state).filter(
+        F.col("key") == 63).first()["total"] == 64.0
+
+
+def test_replay_after_rerange(spark, tmp_path):
+    """Crash-replay of the final batch after a re-range: with the OLD
+    width it recommits a plain manifest that the re-range commit
+    supersedes (newest-per-batch wins — state unchanged); with the NEW
+    width the predecessor's width mismatches and it fails loudly. Either
+    way, never silent corruption."""
+    state = str(tmp_path / "state")
+    b0 = spark.createDataFrame([(1, 1.0), (40, 2.0)], "key long, amount double")
+    merge_batch_into_partitioned_state(spark, state, b0, 0)
+    b1 = spark.createDataFrame([(1, 3.0)], "key long, amount double")
+    merge_batch_into_partitioned_state(spark, state, b1, 1)
+    pu.rerange_partitioned_state(spark, state, 8)
+    want = {r["key"]: (r["total"], r["n_rows"])
+            for r in read_latest_partitioned_state(spark, state).collect()}
+
+    # replay with the stream's old width: superseded commit, state intact
+    merge_batch_into_partitioned_state(spark, state, b1, 1)
+    m = pu._latest_manifest(spark, state)
+    assert m["range_width"] == 8  # the re-range commit still wins
+    got = {r["key"]: (r["total"], r["n_rows"])
+           for r in read_latest_partitioned_state(spark, state).collect()}
+    assert got == want
+
+    # replay with the new width: loud drift error (predecessor is old-width)
+    with pytest.raises(ValueError, match="range_width"):
+        merge_batch_into_partitioned_state(spark, state, b1, 1, range_width=8)
