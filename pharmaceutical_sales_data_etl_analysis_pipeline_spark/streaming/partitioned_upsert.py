@@ -467,9 +467,12 @@ def run_partitioned_incremental_merge(
     source_dir: str,
     state_dir: str,
     checkpoint_dir: str,
+    range_width: int | None = None,
 ) -> None:
     """Stream (key, amount) parquet batch files into the bucket-partitioned
-    state table; availableNow drains pending files then stops."""
+    state table; availableNow drains pending files then stops.
+    `range_width` sizes a NEW table's ranges (and must match an existing
+    table's manifest) — same contract as the foreachBatch body."""
     src_schema = T.StructType(
         [T.StructField("key", T.LongType()), T.StructField("amount", T.DoubleType())]
     )
@@ -480,7 +483,9 @@ def run_partitioned_incremental_merge(
     )
     q = (
         stream.writeStream.foreachBatch(
-            lambda df, bid: merge_batch_into_partitioned_state(spark, state_dir, df, bid)
+            lambda df, bid: merge_batch_into_partitioned_state(
+                spark, state_dir, df, bid, range_width=range_width
+            )
         )
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
