@@ -884,6 +884,8 @@ def rerange_partitioned_state(
     untouched; a replay with the NEW width hits the old-width
     predecessor and fails with the drift error. Either way, never
     silent corruption. Returns the new bucket count."""
+    if new_width < 1:
+        raise ValueError(f"range_width must be >= 1, got {new_width}")
     versions = _list_manifests(spark, state_dir)
     if not versions:
         raise ValueError(f"no committed state to re-range in {state_dir}")
