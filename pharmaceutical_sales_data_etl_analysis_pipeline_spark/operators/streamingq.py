@@ -248,6 +248,7 @@ CDF_TOMBSTONE_MOD = 10  # batch-0 custkeys ≡ 0 (mod 10) get tombstoned
 
 
 def cow_merge_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math as _math
     import os as _os
 
     from pyspark.sql import functions as F
@@ -262,6 +263,15 @@ def cow_merge_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_custkey").alias("key"),
         F.col("o_totalprice").alias("amount"),
         "o_orderdate",
+    )
+    # same corpus-derived fixture width as _build_cow_spend_state, so the
+    # driver row exercises the CDF's manifest-diff pruning over a REAL
+    # multi-bucket layout (the production 1M default would put every
+    # sf0.01 custkey in one bucket and make the pruning path vacuous)
+    max_key = orders.agg(F.max("key")).first()[0]
+    width = max(
+        COW_FIXTURE_MIN_WIDTH,
+        _math.ceil((max_key + 1) / COW_FIXTURE_TARGET_BUCKETS),
     )
     cut = F.lit("1996-01-01")
     b0 = orders.filter(F.col("o_orderdate") < cut).drop("o_orderdate")
@@ -279,8 +289,10 @@ def cow_merge_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     base = _scratch_dir("cow_cdf_")
     state = _os.path.join(base, "state")
-    merge_batch_into_partitioned_state(spark, state, b0, 0)
-    merge_batch_into_partitioned_state(spark, state, upserts.unionByName(tombstones), 1)
+    merge_batch_into_partitioned_state(spark, state, b0, 0, range_width=width)
+    merge_batch_into_partitioned_state(
+        spark, state, upserts.unionByName(tombstones), 1, range_width=width
+    )
     return partitioned_state_changes(spark, state, 0, 1)
 
 
