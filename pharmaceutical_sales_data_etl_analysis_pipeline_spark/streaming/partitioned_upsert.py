@@ -49,7 +49,11 @@ rename is atomic on local FS/HDFS but copy+delete on S3 — a real
 deployment fronts the manifest pointer with a conditional-put commit
 (what Delta's log store / Iceberg's catalog provide); and there is one
 writer per state table (micro-batches are serial within a stream — the
-same single-writer contract upsert.py has).
+same single-writer contract upsert.py has). The contract's violation is
+DETECTED, not assumed away: each merge snapshots the manifest listing
+with its basis read and aborts the commit (ConcurrentCommitError) if
+any foreign commit appears before its own — best-effort optimistic
+concurrency, not mutual exclusion (see _assert_no_concurrent_commit).
 
 Same read boundary as upsert.py: DECIMAL(18,2) in state, DOUBLE out.
 
@@ -189,17 +193,50 @@ def _batch_id_of(manifest_name: str) -> int:
     return int(manifest_name[1:].split("x")[0])
 
 
-def _latest_manifest(
+def _latest_manifest_name(
     spark: SparkSession, state_dir: str, before_batch_id: int | None = None
-) -> dict | None:
+) -> str | None:
     versions = _list_manifests(spark, state_dir)
     if before_batch_id is not None:
         # compaction commits carry their source batch_id: a replayed batch N
         # may merge against a compaction of N-1 (same logical state)
         versions = [v for v in versions if _batch_id_of(v) < before_batch_id]
-    if not versions:
-        return None
-    return _read_manifest(spark, state_dir, versions[-1])
+    return versions[-1] if versions else None
+
+
+def _latest_manifest(
+    spark: SparkSession, state_dir: str, before_batch_id: int | None = None
+) -> dict | None:
+    name = _latest_manifest_name(spark, state_dir, before_batch_id)
+    return None if name is None else _read_manifest(spark, state_dir, name)
+
+
+class ConcurrentCommitError(RuntimeError):
+    """A foreign commit landed on the merge basis between snapshot read
+    and commit — the single-writer contract was violated."""
+
+
+def _assert_no_concurrent_commit(
+    spark: SparkSession, state_dir: str, batch_id: int, snapshot: tuple
+) -> None:
+    """Best-effort optimistic concurrency check (the plain-FS stand-in
+    for a conditional-put log store): just before committing batch N,
+    require the manifest listing to be exactly what it was when the
+    merge snapshotted its basis — ANY new name means a foreign writer
+    committed mid-merge, and committing anyway would either drop their
+    deltas from the lineage (their batch < N) or have already-started
+    readers of their commit silently lose ours (their batch > N). NOT
+    mutual exclusion — two writers can still pass the check in the same
+    instant; true exclusion needs the conditional-put commit the module
+    docstring names. This converts the documented single-writer
+    assumption's violation from silent data loss into a loud error."""
+    now = tuple(_list_manifests(spark, state_dir))
+    if now != snapshot:
+        raise ConcurrentCommitError(
+            f"manifest listing changed during the merge of batch {batch_id}: "
+            f"{sorted(set(now) ^ set(snapshot))} — concurrent writer "
+            "detected; the state table has a single-writer contract"
+        )
 
 
 # --- read path -------------------------------------------------------------
@@ -309,7 +346,14 @@ def merge_batch_into_partitioned_state(
             .withColumn("bucket", bucket_of(F.col("key"), width))
         )
     touched = sorted(r["bucket"] for r in delta.select("bucket").distinct().collect())
-    prev = _latest_manifest(spark, state_dir, before_batch_id=batch_id)
+    # one listing serves both the merge basis and the optimistic-commit
+    # snapshot, so the two cannot disagree with each other
+    listing_snapshot = tuple(_list_manifests(spark, state_dir))
+    older = [v for v in listing_snapshot if _batch_id_of(v) < batch_id]
+    basis_name = older[-1] if older else None
+    prev = (
+        None if basis_name is None else _read_manifest(spark, state_dir, basis_name)
+    )
     if prev is not None and prev["range_width"] != width:
         # re-ranging is a rewrite-the-table migration, never an implicit
         # merge under a different partitioning — fail loudly and name it
@@ -415,6 +459,7 @@ def merge_batch_into_partitioned_state(
         if missing:
             raise IOError(f"stats read-back found no rows for buckets {sorted(missing)}")
         new_stats.update({str(b): fresh[b] for b in written})
+    _assert_no_concurrent_commit(spark, state_dir, batch_id, listing_snapshot)
     _write_manifest(
         spark,
         state_dir,

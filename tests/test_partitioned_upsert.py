@@ -665,3 +665,41 @@ def test_replay_after_rerange(spark, tmp_path):
     # replay with the new width: loud drift error (predecessor is old-width)
     with pytest.raises(ValueError, match="range_width"):
         merge_batch_into_partitioned_state(spark, state, b1, 1, range_width=8)
+
+
+def test_concurrent_commit_detected(spark, tmp_path, monkeypatch):
+    """A foreign manifest landing between the merge's basis snapshot and
+    its commit aborts the commit loudly (ConcurrentCommitError) instead
+    of silently dropping the foreign deltas from the lineage; the
+    aborted batch's manifest is never written, so its staged bucket
+    versions stay invisible to every reader."""
+    state = str(tmp_path / "state")
+    b0 = spark.createDataFrame([(1, 1.0), (17, 2.0)], "key long, amount double")
+    merge_batch_into_partitioned_state(spark, state, b0, 0)
+
+    real = pu._bucket_stats
+
+    def hostile(spark_, dirs, width):
+        out = real(spark_, dirs, width)
+        # a second writer commits while our merge is in flight (after the
+        # basis snapshot, before the manifest commit)
+        pu._write_manifest(
+            spark,
+            state,
+            {"batch_id": 5, "range_width": 16, "buckets": {}, "stats": {}},
+        )
+        return out
+
+    monkeypatch.setattr(pu, "_bucket_stats", hostile)
+    b1 = spark.createDataFrame([(1, 10.0)], "key long, amount double")
+    with pytest.raises(pu.ConcurrentCommitError, match="concurrent writer"):
+        merge_batch_into_partitioned_state(spark, state, b1, 1)
+    monkeypatch.setattr(pu, "_bucket_stats", real)
+    # batch 1 never committed: no v1 manifest, reads see the foreign commit
+    assert "v000000001.json" not in _manifest_files(state)
+    assert read_latest_partitioned_state(spark, state) is None  # empty v5
+    # and the replayed batch 1 (now with a quiet table) commits cleanly
+    merge_batch_into_partitioned_state(spark, state, b1, 6)
+    got = {r["key"]: r["total"]
+           for r in read_latest_partitioned_state(spark, state).collect()}
+    assert got == {1: 10.0}
