@@ -144,6 +144,42 @@ def main() -> None:
                     }
                 )
             )
+
+        # scattered-update round: every RANGE touched. CoW must rewrite
+        # every bucket (its measured boundary); the merge-on-read append
+        # writes O(|batch|). Both applied to a fresh copy of the v1 state.
+        def du(path):
+            total = 0
+            for root, _, files in os.walk(path):
+                total += sum(os.path.getsize(os.path.join(root, f)) for f in files)
+            return total
+
+        scattered = spark.range(n_updates).select(
+            (F.col("id") * (n_keys // n_updates)).alias("key"),
+            F.lit(1.0).alias("amount"),
+        )
+        for variant in ("cow_merge", "mor_append"):
+            s2 = os.path.join(base, f"state_{variant}")
+            shutil.copytree(state, s2)
+            before = du(s2)
+            t0 = time.monotonic()
+            if variant == "cow_merge":
+                pu.merge_batch_into_partitioned_state(spark, s2, scattered, 2)
+            else:
+                pu.append_delta_batch(spark, s2, scattered, 2)
+            sec = round(time.monotonic() - t0, 3)
+            print(
+                json.dumps(
+                    {
+                        "experiment": "scattered_update",
+                        "variant": variant,
+                        "n_keys": n_keys,
+                        "n_updates": n_updates,
+                        "mb_written": round((du(s2) - before) / 1e6, 1),
+                        "sec": sec,
+                    }
+                )
+            )
     finally:
         shutil.rmtree(base, ignore_errors=True)
 

@@ -448,3 +448,89 @@ QUERIES["cow_manifest_summary"] = cow_manifest_summary
 ORACLES["cow_manifest_summary"] = SQL_COW_MANIFEST_SUMMARY
 QUERIES["cow_keyrange_lookup"] = cow_keyrange_lookup
 ORACLES["cow_keyrange_lookup"] = SQL_COW_KEYRANGE_LOOKUP
+
+
+# ---------------------------------------------------------------------------
+# Merge-on-read entry (r6): the scattered-update answer to the CoW
+# boundary. Batch 0 loads per-customer pre-1996 spend copy-on-write;
+# batch 1 APPENDS the 1996+ spend as a merge-on-read delta — including
+# tombstones for custkey % CDF_TOMBSTONE_MOD == 0 — writing O(|batch|)
+# with ZERO bucket rewrites (fs-asserted in tests). The query returns
+# the DELTA-ERA READ: read_latest folds base + pending deltas with one
+# key-partitioned shuffle (window and groupBy share the exchange), so
+# the driver hashes the exact sequenced-fold plan a 100 TB MoR reader
+# would run. The oracle recomputes the replace-CDC fold in SQL.
+# ---------------------------------------------------------------------------
+
+
+def mor_scattered_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math as _math
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from ..catalog import load_table
+    from ..streaming.partitioned_upsert import (
+        append_delta_batch,
+        merge_batch_into_partitioned_state,
+        read_latest_partitioned_state,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("key"),
+        F.col("o_totalprice").alias("amount"),
+        "o_orderdate",
+    )
+    max_key = orders.agg(F.max("key")).first()[0]
+    width = max(
+        COW_FIXTURE_MIN_WIDTH,
+        _math.ceil((max_key + 1) / COW_FIXTURE_TARGET_BUCKETS),
+    )
+    cut = F.lit("1996-01-01")
+    b0 = orders.filter(F.col("o_orderdate") < cut).drop("o_orderdate")
+    delta = (
+        orders.filter(F.col("o_orderdate") >= cut)
+        .drop("o_orderdate")
+        .withColumn("op", F.lit("upsert"))
+        .unionByName(
+            b0.select("key")
+            .distinct()
+            .filter(F.col("key") % CDF_TOMBSTONE_MOD == 0)
+            .select("key", F.lit(0.0).alias("amount"), F.lit("delete").alias("op"))
+        )
+    )
+    state = _os.path.join(_scratch_dir("mor_fold_"), "state")
+    merge_batch_into_partitioned_state(spark, state, b0, 0, range_width=width)
+    append_delta_batch(spark, state, delta, 1, range_width=width)
+    return read_latest_partitioned_state(spark, state)
+
+
+SQL_MOR_SCATTERED_FOLD = f"""
+WITH v0 AS (
+  SELECT o_custkey AS key,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS total,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM orders WHERE o_orderdate < DATE '1996-01-01' GROUP BY 1
+), up AS (
+  SELECT o_custkey AS key,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS total,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM orders WHERE o_orderdate >= DATE '1996-01-01' GROUP BY 1
+), v1 AS (
+  SELECT COALESCE(v0.key, up.key) AS key,
+         CASE WHEN v0.key IS NOT NULL AND v0.key % {CDF_TOMBSTONE_MOD} = 0
+              THEN up.total
+              ELSE COALESCE(v0.total, CAST(0 AS DECIMAL(18,2)))
+                   + COALESCE(up.total, CAST(0 AS DECIMAL(18,2))) END AS total,
+         CASE WHEN v0.key IS NOT NULL AND v0.key % {CDF_TOMBSTONE_MOD} = 0
+              THEN up.n ELSE COALESCE(v0.n, 0) + COALESCE(up.n, 0) END AS n
+  FROM v0 FULL OUTER JOIN up ON v0.key = up.key
+)
+SELECT key,
+       CAST(total AS DOUBLE) AS total,
+       CAST(n AS BIGINT) AS n_rows
+FROM v1 WHERE total IS NOT NULL
+"""
+
+QUERIES["mor_scattered_fold"] = mor_scattered_fold
+ORACLES["mor_scattered_fold"] = SQL_MOR_SCATTERED_FOLD

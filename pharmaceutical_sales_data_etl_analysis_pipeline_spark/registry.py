@@ -99,6 +99,7 @@ MODULE_ORDER = [
 #       refresh head — record them in the r7 candidates note below.
 PRIORITY = [
     # (c) r6-new / r6-plan-changed (rotation invariant: outrank refreshes)
+    "mor_scattered_fold",  # r6: merge-on-read delta append + sequenced fold read
     "cow_manifest_summary",  # r6: manifest-only aggregates from zone-map stats
     "cow_keyrange_lookup",  # r6: zone-map-pruned key-range scan
     "cow_merge_changes",  # r6: CoW MERGE change-data-feed (tombstones + prune)
@@ -150,22 +151,22 @@ PRIORITY = [
     "first_order_per_customer",
     "full_outer_reconciliation",
     "funnel_signup_view_purchase",
-    "hourly_gapfill",
     # lsh_probe_topk and minhash_lsh_candidates were slots 49-50 until
     # the graph_triangle_stats (derived join strategy) and
     # tfidf_topk_terms (pinned tf) r6 plan changes claimed (c) slots per
     # the rotation invariant; lsh_bucket_sizes was slot 50 until the
-    # late-r6 cow_merge_changes registration claimed it; lang_id and
-    # lookup_join_nulls held the last two slots until the zone-map
-    # registrations (cow_manifest_summary, cow_keyrange_lookup) claimed
-    # them. All move to the r7 refresh head below.
+    # late-r6 cow_merge_changes registration claimed it; lang_id,
+    # lookup_join_nulls and hourly_gapfill held the last three slots
+    # until the zone-map (cow_manifest_summary, cow_keyrange_lookup) and
+    # merge-on-read (mor_scattered_fold) registrations claimed them. All
+    # move to the r7 refresh head below.
 ]
 # r7 PRIORITY candidates (staleness head after the r6 sweep):
-# lang_id, lookup_join_nulls, lsh_bucket_sizes, lsh_probe_topk and
-# minhash_lsh_candidates (displaced from the r6 window by the
-# cow_merge_changes/cow_manifest_summary/cow_keyrange_lookup
-# registrations and the graph_triangle_stats/tfidf_topk_terms plan
-# changes), then the 11
+# hourly_gapfill, lang_id, lookup_join_nulls, lsh_bucket_sizes,
+# lsh_probe_topk and minhash_lsh_candidates (displaced from the r6
+# window by the cow_merge_changes/cow_manifest_summary/
+# cow_keyrange_lookup/mor_scattered_fold registrations and the
+# graph_triangle_stats/tfidf_topk_terms plan changes), then the 11
 # r1-rows that did not fit the r6 window — minhash_signatures,
 # moving_avg_customer, multimodal_frames, product_surrogate_keys,
 # props_k_stats, simhash, status_set_ops, text_quality, token_counts,

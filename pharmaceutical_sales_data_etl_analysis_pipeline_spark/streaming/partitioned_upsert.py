@@ -11,8 +11,10 @@ Layout (plain parquet + a JSON manifest, no Delta/Iceberg jars):
 
     state_dir/
       buckets/b{B}/v{batch_id:09d}/       bucket B's keys as of that batch
+      deltas/v{batch_id:09d}/             merge-on-read delta commits
       manifests/v{batch_id:09d}.json      {"batch_id": N, "range_width": W,
-                                           "buckets": {"B": "v...", ...}}
+                                           "buckets": {"B": "v...", ...},
+                                           "stats": {...}, "deltas": [...]}
 
 A key lives in bucket floor(key / RANGE_WIDTH) — RANGE, not hash: hash
 bucketing scatters any delta bigger than the bucket count into EVERY
@@ -91,13 +93,20 @@ manifest-pruned so its cost scales with the CHANGE, not the table
   committed, full-table operation — the loud drift error's named
   migration path. Time travel to old-width commits keeps working;
   crash-replay interplay is pinned safe in tests.
+- Merge-on-read (deletion-vector twin): append_delta_batch commits a
+  scattered batch as a delta file — O(|batch|) bytes, ZERO bucket
+  rewrites (the CoW path's measured boundary); readers fold base +
+  pending deltas in batch order with one key-partitioned shuffle, and
+  compact_deltas_into_base folds them in under an 'x' commit. Base-only
+  readers (summary/keyrange/CDF/compaction/re-range/CoW merge) refuse
+  loudly while deltas are pending rather than answering stale.
 """
 
 from __future__ import annotations
 
 import json
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -119,6 +128,20 @@ RANGE_WIDTH = 1_000_000
 
 _BUCKETED_SCHEMA = T.StructType(
     list(STATE_SCHEMA.fields) + [T.StructField("bucket", T.LongType())]
+)
+
+# merge-on-read delta file schema: one row per (key, batch) carrying the
+# batch's per-key fold plus the ordering column the sequenced read fold
+# needs (base snapshots participate as batch_id = -1)
+_DELTA_SCHEMA = T.StructType(
+    [
+        T.StructField("key", T.LongType()),
+        T.StructField("d_total", T.DecimalType(18, 2)),
+        T.StructField("d_rows", T.LongType()),
+        T.StructField("d_reset", T.BooleanType()),
+        T.StructField("batch_id", T.LongType()),
+        T.StructField("bucket", T.LongType()),
+    ]
 )
 
 
@@ -252,9 +275,54 @@ def _bucket_paths(state_dir: str, manifest: dict) -> list[str]:
 def _read_manifest_state(
     spark: SparkSession, state_dir: str, manifest: dict | None
 ) -> DataFrame | None:
-    if manifest is None or not manifest["buckets"]:
+    if manifest is None:
         return None
-    return spark.read.schema(STATE_SCHEMA).parquet(*_bucket_paths(state_dir, manifest))
+    base = (
+        spark.read.schema(STATE_SCHEMA).parquet(*_bucket_paths(state_dir, manifest))
+        if manifest["buckets"]
+        else None
+    )
+    deltas = manifest.get("deltas", [])
+    if not deltas:
+        return base
+    delta_rows = spark.read.schema(_DELTA_SCHEMA).parquet(
+        *[f"{state_dir}/deltas/{v}" for v in deltas]
+    )
+    return _fold_base_and_deltas(base, delta_rows)
+
+
+def _fold_base_and_deltas(
+    base: DataFrame | None, delta_rows: DataFrame
+) -> DataFrame | None:
+    """Sequenced merge-on-read fold: the base snapshot participates as
+    batch_id = -1; per key, the LAST reset batch (if any) discards every
+    older contribution (including the base), then the surviving rows'
+    folds sum. One hash shuffle on key — the window and the groupBy share
+    the partitioning, so Catalyst plans a single exchange."""
+    u = delta_rows.select("key", "d_total", "d_rows", "d_reset", "batch_id")
+    if base is not None:
+        u = u.unionByName(
+            base.select(
+                "key",
+                F.col("total").alias("d_total"),
+                F.col("n_rows").alias("d_rows"),
+                F.lit(False).alias("d_reset"),
+                F.lit(-1).cast("long").alias("batch_id"),
+            )
+        )
+    last_reset = F.max(
+        F.when(F.col("d_reset"), F.col("batch_id"))
+    ).over(Window.partitionBy("key"))
+    return (
+        u.withColumn("_r", last_reset)
+        .filter(F.col("_r").isNull() | (F.col("batch_id") >= F.col("_r")))
+        .groupBy("key")
+        .agg(
+            F.sum("d_total").cast("decimal(18,2)").alias("total"),
+            F.sum("d_rows").cast("long").alias("n_rows"),
+        )
+        .filter(F.col("total").isNotNull())
+    )
 
 
 def read_latest_partitioned_state(
@@ -284,6 +352,36 @@ def read_partitioned_state_version(
 
 
 # --- write path ------------------------------------------------------------
+
+
+def _aggregate_batch(batch_df: DataFrame, width: int) -> DataFrame:
+    """Per-key fold of one micro-batch under the replace-CDC contract —
+    shared by the copy-on-write merge and the merge-on-read append, so
+    both paths have identical batch semantics. d_total is NULL when the
+    key carries only tombstones in the batch; d_reset marks that the
+    key's prior state is discarded before this batch's fold applies."""
+    if "op" in batch_df.columns:
+        is_upsert = F.col("op") != F.lit("delete")
+        return (
+            batch_df.groupBy(F.col("key"))
+            .agg(
+                F.sum(
+                    F.when(is_upsert, F.col("amount")).cast("decimal(18,2)")
+                ).alias("d_total"),
+                F.count(F.when(is_upsert, F.lit(1))).cast("long").alias("d_rows"),
+                F.max(~is_upsert).alias("d_reset"),
+            )
+            .withColumn("bucket", bucket_of(F.col("key"), width))
+        )
+    return (
+        batch_df.groupBy(F.col("key"))
+        .agg(
+            F.sum(F.col("amount").cast("decimal(18,2)")).alias("d_total"),
+            F.count(F.lit(1)).cast("long").alias("d_rows"),
+            F.lit(False).alias("d_reset"),
+        )
+        .withColumn("bucket", bucket_of(F.col("key"), width))
+    )
 
 
 def merge_batch_into_partitioned_state(
@@ -321,30 +419,7 @@ def merge_batch_into_partitioned_state(
     scans (read_partitioned_state_keyrange) — the plain-parquet twin of
     Delta/Iceberg file statistics."""
     width = range_width or RANGE_WIDTH
-    if "op" in batch_df.columns:
-        is_upsert = F.col("op") != F.lit("delete")
-        delta = (
-            batch_df.groupBy(F.col("key"))
-            .agg(
-                # NULL when the key has only tombstones in the batch
-                F.sum(
-                    F.when(is_upsert, F.col("amount")).cast("decimal(18,2)")
-                ).alias("d_total"),
-                F.count(F.when(is_upsert, F.lit(1))).cast("long").alias("d_rows"),
-                F.max(~is_upsert).alias("d_reset"),
-            )
-            .withColumn("bucket", bucket_of(F.col("key"), width))
-        )
-    else:
-        delta = (
-            batch_df.groupBy(F.col("key"))
-            .agg(
-                F.sum(F.col("amount").cast("decimal(18,2)")).alias("d_total"),
-                F.count(F.lit(1)).cast("long").alias("d_rows"),
-                F.lit(False).alias("d_reset"),
-            )
-            .withColumn("bucket", bucket_of(F.col("key"), width))
-        )
+    delta = _aggregate_batch(batch_df, width)
     touched = sorted(r["bucket"] for r in delta.select("bucket").distinct().collect())
     # one listing serves both the merge basis and the optimistic-commit
     # snapshot, so the two cannot disagree with each other
@@ -361,6 +436,10 @@ def merge_batch_into_partitioned_state(
             f"state ranged with range_width={prev['range_width']}, code has "
             f"{width}; migrate explicitly with rerange_partitioned_state"
         )
+    if prev is not None:
+        # a CoW merge on top of pending deltas would order the new batch
+        # BEFORE them in the read fold (base participates as batch -1)
+        _require_no_pending_deltas(prev, "merge_batch_into_partitioned_state")
     prev_buckets: dict[str, str] = dict(prev["buckets"]) if prev else {}
 
     prev_touched_paths = [
@@ -565,10 +644,12 @@ def expire_partitioned_versions(spark: SparkSession, state_dir: str, keep: int =
     kept_manifests = [newest_per_batch[b] for b in kept_batch_ids]
     doomed_manifests = [v for v in versions if v not in set(kept_manifests)]
     live: set[str] = set()  # "bucket/version" pairs still referenced
+    live_deltas: set[str] = set()  # delta commits a kept manifest still folds
     for v in kept_manifests:
         m = _read_manifest(spark, state_dir, v)
         for b, bv in m["buckets"].items():
             live.add(f"b{int(b)}/{bv}")
+        live_deltas.update(m.get("deltas", []))
 
     fs, _, jvm = _fs_and_path(spark, state_dir)
     hpath = jvm.org.apache.hadoop.fs.Path
@@ -584,6 +665,13 @@ def expire_partitioned_versions(spark: SparkSession, state_dir: str, keep: int =
                 if f"{bname}/{vname}" not in live:
                     fs.delete(vstat.getPath(), True)
                     deleted += 1
+    droot = hpath(f"{state_dir}/deltas")
+    if fs.exists(droot):
+        for dstat in fs.listStatus(droot):
+            dname = str(dstat.getPath().getName())
+            if dstat.isDirectory() and dname not in live_deltas:
+                fs.delete(dstat.getPath(), True)
+                deleted += 1
     for v in doomed_manifests:
         fs.delete(hpath(f"{_manifest_dir(state_dir)}/{v}.json"), False)
         deleted += 1
@@ -625,6 +713,8 @@ def partitioned_state_changes(
     changes) — those fall out of the per-key comparison below."""
     m_from = _manifest_for_batch(spark, state_dir, from_batch_id)
     m_to = _manifest_for_batch(spark, state_dir, to_batch_id)
+    _require_no_pending_deltas(m_from, "partitioned_state_changes (from)")
+    _require_no_pending_deltas(m_to, "partitioned_state_changes (to)")
     changed = changed_bucket_ids(m_from, m_to)
 
     schema = T.StructType(
@@ -750,6 +840,7 @@ def partitioned_state_summary(
     )
     if manifest is None or not manifest["buckets"]:
         return spark.createDataFrame([(0, None, None, None)], schema)
+    _require_no_pending_deltas(manifest, "partitioned_state_summary")
     stats = manifest.get("stats", {})
     missing = [b for b in manifest["buckets"] if b not in stats]
     folded = dict(stats)
@@ -800,6 +891,7 @@ def read_partitioned_state_keyrange(
     )
     if manifest is None or not manifest["buckets"]:
         return _as_read_view(spark.createDataFrame([], STATE_SCHEMA))
+    _require_no_pending_deltas(manifest, "read_partitioned_state_keyrange")
     keep = keyrange_bucket_ids(manifest, key_lo, key_hi)
     if not keep:
         return _as_read_view(spark.createDataFrame([], STATE_SCHEMA))
@@ -844,6 +936,7 @@ def compact_partitioned_state(
         return 0
     latest_name = versions[-1]
     manifest = _read_manifest(spark, state_dir, latest_name)
+    _require_no_pending_deltas(manifest, "compact_partitioned_state")
     fs, _, jvm = _fs_and_path(spark, state_dir)
     fragmented = [
         int(b)
@@ -935,6 +1028,7 @@ def rerange_partitioned_state(
     if not versions:
         raise ValueError(f"no committed state to re-range in {state_dir}")
     manifest = _read_manifest(spark, state_dir, versions[-1])
+    _require_no_pending_deltas(manifest, "rerange_partitioned_state")
     if manifest["range_width"] == new_width:
         return len(manifest["buckets"])
     if not manifest["buckets"]:
@@ -1004,3 +1098,170 @@ def rerange_partitioned_state(
         },
     )
     return len(new_buckets)
+
+
+# --- merge-on-read (deletion-vector-style scattered updates) -----------------
+#
+# The copy-on-write MERGE's measured boundary (SCALE.md): a SCATTERED
+# delta touches every range bucket and rewrites more than the table.
+# Production formats answer with merge-on-read — append the delta, make
+# readers fold it, fold into the base occasionally. Same answer here on
+# the same manifest machinery:
+#
+#     state_dir/deltas/v{batch_id:09d}/    the batch's per-key fold
+#     manifest["deltas"] = [v..., ...]     ordered pending delta commits
+#
+# append_delta_batch writes O(|batch|) bytes regardless of how the keys
+# scatter; read_latest/read_version fold base + pending deltas with one
+# key-partitioned shuffle (window + groupBy share the exchange); and
+# compact_deltas_into_base folds the pending deltas into the buckets
+# they touch under a same-batch-id 'x' commit, restoring the zero-cost
+# read path. Manifest-pruned readers whose guarantees are base-only
+# (summary, keyrange, CDF, compaction, re-range) REFUSE while deltas are
+# pending — the honest contract, loud rather than stale.
+
+
+def append_delta_batch(
+    spark: SparkSession,
+    state_dir: str,
+    batch_df: DataFrame,
+    batch_id: int,
+    range_width: int | None = None,
+) -> None:
+    """Merge-on-read write path: commit one micro-batch as a DELTA file —
+    no bucket is read or rewritten, so a uniformly scattered batch costs
+    O(|batch|) instead of CoW's O(all touched buckets). Same replace-CDC
+    batch semantics as the merge (shared _aggregate_batch), same replay
+    idempotence (basis strictly older than batch_id; the delta file and
+    manifest rewrite to the same state), same optimistic concurrency
+    check at the commit point."""
+    listing_snapshot = tuple(_list_manifests(spark, state_dir))
+    older = [v for v in listing_snapshot if _batch_id_of(v) < batch_id]
+    basis_name = older[-1] if older else None
+    prev = (
+        None if basis_name is None else _read_manifest(spark, state_dir, basis_name)
+    )
+    width = range_width or (prev["range_width"] if prev else RANGE_WIDTH)
+    if prev is not None and prev["range_width"] != width:
+        raise ValueError(
+            f"state ranged with range_width={prev['range_width']}, code has "
+            f"{width}; migrate explicitly with rerange_partitioned_state"
+        )
+
+    vname = f"v{batch_id:09d}"
+    delta = (
+        _aggregate_batch(batch_df, width)
+        # SUM widened the fold to decimal(28,2); store at the state width
+        # (same cast boundary as the CoW merge's total column)
+        .withColumn("d_total", F.col("d_total").cast("decimal(18,2)"))
+        .withColumn("batch_id", F.lit(batch_id).cast("long"))
+    )
+    delta.select([f.name for f in _DELTA_SCHEMA.fields]).write.mode(
+        "overwrite"
+    ).parquet(f"{state_dir}/deltas/{vname}")
+
+    prev_deltas = list(prev.get("deltas", [])) if prev else []
+    _assert_no_concurrent_commit(spark, state_dir, batch_id, listing_snapshot)
+    _write_manifest(
+        spark,
+        state_dir,
+        {
+            "batch_id": batch_id,
+            "range_width": width,
+            "buckets": dict(prev["buckets"]) if prev else {},
+            "stats": dict(prev.get("stats", {})) if prev else {},
+            "deltas": sorted(set(prev_deltas) | {vname}),
+        },
+    )
+
+
+def compact_deltas_into_base(spark: SparkSession, state_dir: str) -> int:
+    """Fold every pending delta into the base buckets it touches and
+    commit the result under the latest batch's next 'x{seq}' name — the
+    same logical state with an empty delta list, so the manifest-pruned
+    readers work again. Cost is O(delta rows + touched buckets) — the
+    amortization that makes merge-on-read pay: N scattered batches cost
+    N appends plus ONE fold instead of N full-spread rewrites. Delta
+    files stay on disk for older-manifest time travel until retention
+    vacuums them. Returns the number of buckets rewritten."""
+    versions = _list_manifests(spark, state_dir)
+    if not versions:
+        return 0
+    manifest = _read_manifest(spark, state_dir, versions[-1])
+    deltas = manifest.get("deltas", [])
+    if not deltas:
+        return 0
+    width = manifest["range_width"]
+    batch_id = manifest["batch_id"]
+    seq = 1 + sum(1 for v in versions if _batch_id_of(v) == batch_id and "x" in v)
+    vname = f"v{batch_id:09d}x{seq}"
+
+    delta_rows = spark.read.schema(_DELTA_SCHEMA).parquet(
+        *[f"{state_dir}/deltas/{v}" for v in deltas]
+    )
+    touched = sorted(
+        r["bucket"] for r in delta_rows.select("bucket").distinct().collect()
+    )
+    base_paths = [
+        f"{state_dir}/buckets/b{b}/{manifest['buckets'][str(b)]}"
+        for b in touched
+        if str(b) in manifest["buckets"]
+    ]
+    base = (
+        spark.read.schema(STATE_SCHEMA).parquet(*base_paths) if base_paths else None
+    )
+    folded = _fold_base_and_deltas(base, delta_rows).withColumn(
+        "bucket", bucket_of(F.col("key"), width)
+    )
+    staging = f"{state_dir}/.staging/{vname}"
+    folded.repartition(F.col("bucket")).write.mode("overwrite").partitionBy(
+        "bucket"
+    ).parquet(staging)
+
+    fs, _, jvm = _fs_and_path(spark, state_dir)
+    hpath = jvm.org.apache.hadoop.fs.Path
+    new_buckets = dict(manifest["buckets"])
+    new_stats = dict(manifest.get("stats", {}))
+    written = []
+    for b in touched:
+        src = hpath(f"{staging}/bucket={b}")
+        dst = hpath(f"{state_dir}/buckets/b{b}/{vname}")
+        fs.mkdirs(hpath(f"{state_dir}/buckets/b{b}"))
+        if fs.exists(dst):
+            fs.delete(dst, True)
+        if fs.exists(src):
+            if not fs.rename(src, dst):
+                raise IOError(f"delta compaction move failed for bucket {b}")
+            new_buckets[str(b)] = vname
+            written.append(b)
+        else:  # tombstones emptied the bucket's fold entirely
+            new_buckets.pop(str(b), None)
+            new_stats.pop(str(b), None)
+    fs.delete(hpath(staging), True)
+
+    if written:
+        fresh = _bucket_stats(
+            spark, [f"{state_dir}/buckets/b{b}/{vname}" for b in written], width
+        )
+        new_stats.update({str(b): fresh[b] for b in written})
+    _write_manifest(
+        spark,
+        state_dir,
+        {
+            "batch_id": batch_id,
+            "compaction_seq": seq,
+            "range_width": width,
+            "buckets": new_buckets,
+            "stats": new_stats,
+            "deltas": [],
+        },
+    )
+    return len(touched)
+
+
+def _require_no_pending_deltas(manifest: dict, op: str) -> None:
+    if manifest.get("deltas"):
+        raise ValueError(
+            f"{op} requires a delta-free commit (pending merge-on-read deltas "
+            f"{manifest['deltas']}); run compact_deltas_into_base first"
+        )

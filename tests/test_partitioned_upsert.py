@@ -528,20 +528,39 @@ def _model_apply(state: dict, batch: list) -> None:
     deadline=None,
     suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
 )
-@given(batches=st.lists(_batch_strategy, min_size=1, max_size=3))
-def test_cow_merge_matches_reference_fold(spark, tmp_path_factory, batches):
+@given(
+    batches=st.lists(_batch_strategy, min_size=1, max_size=3),
+    n_append=st.integers(0, 3),
+)
+def test_cow_merge_matches_reference_fold(spark, tmp_path_factory, batches, n_append):
     """Any CDC sequence of upserts+tombstones folds to the reference model
     — state, manifest zone-map stats, metadata-only summary, keyrange
-    scan, and a replay of the final batch all agree with it."""
+    scan, and a replay of the final batch all agree with it. The last
+    min(n_append, len) batches go through the merge-on-read APPEND path
+    (folded by delta compaction before the full-surface asserts): both
+    write paths must realize the identical replace-CDC contract."""
     state_dir = str(tmp_path_factory.mktemp("cow_prop") / "state")
+    split = len(batches) - min(n_append, len(batches))
     model: dict = {}
     for i, batch in enumerate(batches):
         df = spark.createDataFrame(
             [(k, c / 100, op) for k, c, op in batch] or [(0, 0.0, "delete")],
             "key long, amount double, op string",
         )
-        merge_batch_into_partitioned_state(spark, state_dir, df, i)
+        if i < split:
+            merge_batch_into_partitioned_state(spark, state_dir, df, i)
+        else:
+            pu.append_delta_batch(spark, state_dir, df, i)
         _model_apply(model, batch if batch else [(0, 0, "delete")])
+    if split < len(batches):
+        # the fold READ path must already agree before any compaction
+        st_df = read_latest_partitioned_state(spark, state_dir)
+        got = {} if st_df is None else {
+            r["key"]: (Decimal(str(r["total"])), r["n_rows"])
+            for r in st_df.collect()
+        }
+        assert got == {k: (t, n) for k, (t, n) in model.items()}
+        pu.compact_deltas_into_base(spark, state_dir)
 
     def assert_state_is_model():
         st_df = read_latest_partitioned_state(spark, state_dir)
@@ -585,13 +604,18 @@ def test_cow_merge_matches_reference_fold(spark, tmp_path_factory, batches):
         assert kr == {k for k in model if 8 <= k <= 23}
 
     assert_state_is_model()
-    # replay of the final batch is byte-idempotent at every surface above
+    # replay of the final batch — through its ORIGINAL write path — is
+    # idempotent at every surface above (an append's replayed plain
+    # manifest is superseded by the compaction's x-commit)
     last = len(batches) - 1
     df = spark.createDataFrame(
         [(k, c / 100, op) for k, c, op in batches[last]] or [(0, 0.0, "delete")],
         "key long, amount double, op string",
     )
-    merge_batch_into_partitioned_state(spark, state_dir, df, last)
+    if last < split:
+        merge_batch_into_partitioned_state(spark, state_dir, df, last)
+    else:
+        pu.append_delta_batch(spark, state_dir, df, last)
     assert_state_is_model()
 
 
@@ -703,3 +727,94 @@ def test_concurrent_commit_detected(spark, tmp_path, monkeypatch):
     got = {r["key"]: r["total"]
            for r in read_latest_partitioned_state(spark, state).collect()}
     assert got == {1: 10.0}
+
+
+def test_mor_append_and_fold(spark, tmp_path):
+    """Merge-on-read: appends commit O(|batch|) delta files; the read
+    path folds base + deltas in batch order (tombstone resets honored
+    ACROSS batches); base-only readers refuse while deltas are pending;
+    compaction folds the deltas in and restores them; a replayed append
+    after compaction is superseded harmlessly."""
+    state = str(tmp_path / "state")
+    load = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (17, 5.0), (40, 1.0)], "key long, amount double"
+    )
+    merge_batch_into_partitioned_state(spark, state, load, 0)
+    b1 = spark.createDataFrame(
+        [(1, 5.0, "upsert"), (17, 0.0, "delete"), (99, 7.0, "upsert")],
+        "key long, amount double, op string",
+    )
+    pu.append_delta_batch(spark, state, b1, 1)
+    b2 = spark.createDataFrame(
+        [(17, 100.0, "upsert"), (2, 0.0, "delete")],
+        "key long, amount double, op string",
+    )
+    pu.append_delta_batch(spark, state, b2, 2)
+
+    want = {1: (15.0, 2), 17: (100.0, 1), 40: (1.0, 1), 99: (7.0, 1)}
+    got = {r["key"]: (r["total"], r["n_rows"])
+           for r in read_latest_partitioned_state(spark, state).collect()}
+    assert got == want
+    # time travel INTO the delta era folds only the deltas committed then
+    v1 = {r["key"]: (r["total"], r["n_rows"])
+          for r in read_partitioned_state_version(spark, state, 1).collect()}
+    assert v1 == {1: (15.0, 2), 2: (20.0, 1), 40: (1.0, 1), 99: (7.0, 1)}
+
+    for fn, args in [
+        (pu.partitioned_state_summary, (spark, state)),
+        (pu.read_partitioned_state_keyrange, (spark, state, 0, 50)),
+        (pu.partitioned_state_changes, (spark, state, 1, 2)),
+        (pu.rerange_partitioned_state, (spark, state, 8)),
+        (compact_partitioned_state, (spark, state)),
+        # and a CoW merge on top of pending deltas would misorder them
+        (merge_batch_into_partitioned_state, (spark, state, b2, 3)),
+    ]:
+        with pytest.raises(ValueError, match="compact_deltas_into_base"):
+            fn(*args)
+
+    assert pu.compact_deltas_into_base(spark, state) == 3  # buckets 0,1,6
+    got2 = {r["key"]: (r["total"], r["n_rows"])
+            for r in read_latest_partitioned_state(spark, state).collect()}
+    assert got2 == want
+    s = pu.partitioned_state_summary(spark, state).first()
+    assert (s["n_keys"], s["sum_total"]) == (4, 123.0)
+    assert {r["key"] for r in
+            pu.read_partitioned_state_keyrange(spark, state, 90, 100).collect()} == {99}
+
+    pu.append_delta_batch(spark, state, b2, 2)  # crash-replay after compaction
+    got3 = {r["key"]: (r["total"], r["n_rows"])
+            for r in read_latest_partitioned_state(spark, state).collect()}
+    assert got3 == want
+    # retention vacuums delta files once no kept manifest references them:
+    # kept v1 still folds deltas/v000000001 (so it survives); the replayed
+    # plain v2 manifest is superseded by the compaction, so deltas/v...2
+    # is unreferenced and goes
+    assert expire_partitioned_versions(spark, state, keep=2) > 0
+    remaining = sorted(
+        e.name for e in os.scandir(os.path.join(state, "deltas")) if e.is_dir()
+    )
+    assert remaining == ["v000000001"]
+    got4 = {r["key"]: (r["total"], r["n_rows"])
+            for r in read_latest_partitioned_state(spark, state).collect()}
+    assert got4 == want
+
+
+def test_mor_append_writes_no_buckets(spark, sf_dir, tmp_path):
+    """THE merge-on-read property, at the file-system level: a scattered
+    delta batch (every key range touched) appends ONE delta dir and
+    rewrites ZERO bucket versions — the write-amplification answer to
+    the CoW boundary the module measured (scattered batch over range
+    buckets rewrote more than the table)."""
+    orders = _orders_kv(spark, sf_dir)
+    state = str(tmp_path / "state")
+    merge_batch_into_partitioned_state(spark, state, orders, 0)
+    before = _bucket_versions(state)
+    # every key +1 cent: a delta touching EVERY bucket
+    scattered = orders.groupBy("key").agg(F.lit(0.01).alias("amount"))
+    pu.append_delta_batch(spark, state, scattered, 1)
+    assert _bucket_versions(state) == before  # zero bucket rewrites
+    assert sorted(os.listdir(os.path.join(state, "deltas"))) == ["v000000001"]
+    # and the fold still equals the batch-aggregate truth
+    expected = _expected(orders.unionByName(
+        orders.groupBy("key").agg(F.lit(0.01).alias("amount"))))
+    _assert_state_equals(read_latest_partitioned_state(spark, state), expected)
