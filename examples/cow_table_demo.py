@@ -90,6 +90,22 @@ def main() -> None:
         deleted = pu.expire_partitioned_versions(spark, state, keep=2)
         print(f"\nretention (keep last 2 batches): {deleted} dirs+manifests vacuumed")
         print("   latest rows:", pu.read_latest_partitioned_state(spark, state).count())
+
+        # merge-on-read: a SCATTERED batch (every range touched) appends a
+        # delta instead of rewriting every bucket
+        scattered = spark.range(100).select(
+            (F.col("id") * 10).alias("key"), F.lit(0.25).alias("amount")
+        )
+        pu.append_delta_batch(spark, state, scattered, 9)
+        md = pu._latest_manifest(spark, state)
+        print(f"\nmerge-on-read append: deltas pending {md['deltas']}, "
+              f"bucket pointers untouched")
+        show("delta-era read (base + deltas folded in batch order)",
+             pu.read_latest_partitioned_state(spark, state), 3)
+        n = pu.compact_deltas_into_base(spark, state)
+        print(f"delta compaction: folded into {n} buckets; "
+              "manifest-pruned readers restored:")
+        print("  ", pu.partitioned_state_summary(spark, state).first().asDict())
     finally:
         shutil.rmtree(base, ignore_errors=True)
 
