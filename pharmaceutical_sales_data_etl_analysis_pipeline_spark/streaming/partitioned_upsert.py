@@ -978,6 +978,7 @@ def compact_partitioned_state(
         new_buckets[str(b)] = vname
     fs.delete(hpath(staging), True)
 
+    _assert_no_concurrent_commit(spark, state_dir, batch_id, tuple(versions))
     _write_manifest(
         spark,
         state_dir,
@@ -1086,6 +1087,7 @@ def rerange_partitioned_state(
         [f"{state_dir}/buckets/b{b}/{vname}" for b in new_bucket_ids],
         new_width,
     )
+    _assert_no_concurrent_commit(spark, state_dir, batch_id, tuple(versions))
     _write_manifest(
         spark,
         state_dir,
@@ -1244,6 +1246,7 @@ def compact_deltas_into_base(spark: SparkSession, state_dir: str) -> int:
             spark, [f"{state_dir}/buckets/b{b}/{vname}" for b in written], width
         )
         new_stats.update({str(b): fresh[b] for b in written})
+    _assert_no_concurrent_commit(spark, state_dir, batch_id, tuple(versions))
     _write_manifest(
         spark,
         state_dir,
