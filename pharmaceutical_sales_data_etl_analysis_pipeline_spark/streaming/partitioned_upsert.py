@@ -193,7 +193,9 @@ def _write_manifest(spark: SparkSession, state_dir: str, manifest: dict) -> None
     mdir = jvm.org.apache.hadoop.fs.Path(_manifest_dir(state_dir))
     fs.mkdirs(mdir)
     seq = manifest.get("compaction_seq")
-    suffix = f"x{seq}" if seq else ""
+    # zero-pad: every consumer picks "the newest commit per batch id" by
+    # LEXICOGRAPHIC order, and an unpadded x10 would sort before x2
+    suffix = f"x{seq:04d}" if seq else ""
     name = f"v{manifest['batch_id']:09d}{suffix}.json"
     tmp = jvm.org.apache.hadoop.fs.Path(f"{_manifest_dir(state_dir)}/.{name}.tmp")
     final = jvm.org.apache.hadoop.fs.Path(f"{_manifest_dir(state_dir)}/{name}")
@@ -838,9 +840,10 @@ def partitioned_state_summary(
             T.StructField("max_total", T.DoubleType()),
         ]
     )
+    if manifest is not None:
+        _require_no_pending_deltas(manifest, "partitioned_state_summary")
     if manifest is None or not manifest["buckets"]:
         return spark.createDataFrame([(0, None, None, None)], schema)
-    _require_no_pending_deltas(manifest, "partitioned_state_summary")
     stats = manifest.get("stats", {})
     missing = [b for b in manifest["buckets"] if b not in stats]
     folded = dict(stats)
@@ -889,9 +892,10 @@ def read_partitioned_state_keyrange(
         if batch_id is None
         else _manifest_for_batch(spark, state_dir, batch_id)
     )
+    if manifest is not None:
+        _require_no_pending_deltas(manifest, "read_partitioned_state_keyrange")
     if manifest is None or not manifest["buckets"]:
         return _as_read_view(spark.createDataFrame([], STATE_SCHEMA))
-    _require_no_pending_deltas(manifest, "read_partitioned_state_keyrange")
     keep = keyrange_bucket_ids(manifest, key_lo, key_hi)
     if not keep:
         return _as_read_view(spark.createDataFrame([], STATE_SCHEMA))
@@ -948,7 +952,7 @@ def compact_partitioned_state(
 
     batch_id = manifest["batch_id"]
     seq = 1 + sum(1 for v in versions if _batch_id_of(v) == batch_id and "x" in v)
-    vname = f"v{batch_id:09d}x{seq}"
+    vname = f"v{batch_id:09d}x{seq:04d}"
 
     src_paths = [
         f"{state_dir}/buckets/b{b}/{manifest['buckets'][str(b)]}" for b in fragmented
@@ -1051,7 +1055,7 @@ def rerange_partitioned_state(
 
     batch_id = manifest["batch_id"]
     seq = 1 + sum(1 for v in versions if _batch_id_of(v) == batch_id and "x" in v)
-    vname = f"v{batch_id:09d}x{seq}"
+    vname = f"v{batch_id:09d}x{seq:04d}"
 
     df = (
         spark.read.schema(STATE_SCHEMA)
@@ -1196,7 +1200,7 @@ def compact_deltas_into_base(spark: SparkSession, state_dir: str) -> int:
     width = manifest["range_width"]
     batch_id = manifest["batch_id"]
     seq = 1 + sum(1 for v in versions if _batch_id_of(v) == batch_id and "x" in v)
-    vname = f"v{batch_id:09d}x{seq}"
+    vname = f"v{batch_id:09d}x{seq:04d}"
 
     delta_rows = spark.read.schema(_DELTA_SCHEMA).parquet(
         *[f"{state_dir}/deltas/{v}" for v in deltas]

@@ -286,7 +286,7 @@ def test_compaction_defragments_without_changing_state(spark, sf_dir, tmp_path):
     _assert_state_equals(read_latest_partitioned_state(spark, state), expected)
     # time travel resolves batch 0 to its compaction (same logical state)
     _assert_state_equals(read_partitioned_state_version(spark, state, 0), expected)
-    assert "v000000000x1.json" in _manifest_files(state)
+    assert "v000000000x0001.json" in _manifest_files(state)
 
     # a later merge keys off the compacted pointers and the change feed
     # across (merge 0 .. merge 1) sees exactly the delta key
@@ -328,13 +328,13 @@ def test_retention_counts_batches_not_manifests(spark, sf_dir, tmp_path):
         "v000000000.json",
         "v000000001.json",
         "v000000002.json",
-        "v000000002x1.json",
+        "v000000002x0001.json",
     ]
 
     expire_partitioned_versions(spark, state, keep=2)
     # batches 1 and 2 survive; batch 2's plain commit (superseded by its
     # compaction) is vacuumed, batch 0 ages out
-    assert _manifest_files(state) == ["v000000001.json", "v000000002x1.json"]
+    assert _manifest_files(state) == ["v000000001.json", "v000000002x0001.json"]
 
     # the replay-idempotence contract holds THROUGH retention+compaction:
     # a replayed batch 2 merges against batch 1's manifest again
@@ -818,3 +818,47 @@ def test_mor_append_writes_no_buckets(spark, sf_dir, tmp_path):
     expected = _expected(orders.unionByName(
         orders.groupBy("key").agg(F.lit(0.01).alias("amount"))))
     _assert_state_equals(read_latest_partitioned_state(spark, state), expected)
+
+
+def test_double_digit_compaction_seq_keeps_commit_order(spark, tmp_path):
+    """Commit names must sort lexicographically in commit order PAST nine
+    compactions of one batch: unpadded 'x10' would sort before 'x2' and
+    time travel / retention would resurrect a stale commit. The seq is
+    zero-padded; eleven successive commits of batch 0 stay ordered."""
+    state = str(tmp_path / "state")
+    for seq in range(1, 12):
+        pu._write_manifest(
+            spark,
+            state,
+            {
+                "batch_id": 0,
+                "compaction_seq": seq,
+                "range_width": 16,
+                "buckets": {},
+                "stats": {},
+                "marker": seq,
+            },
+        )
+    names = pu._list_manifests(spark, state)
+    assert len(names) == 11 and names == sorted(names)
+    assert pu._latest_manifest(spark, state)["marker"] == 11
+    assert pu._batch_id_of(names[-1]) == 0
+
+
+def test_append_only_table_guards_not_vacuous(spark, tmp_path):
+    """An append-only table (batch 0 through the MoR path, base empty)
+    must REFUSE manifest-only reads, not answer n_keys=0: the pending-
+    deltas guard runs before the empty-bucket early return."""
+    state = str(tmp_path / "state")
+    b0 = spark.createDataFrame([(1, 1.0), (40, 2.0)], "key long, amount double")
+    pu.append_delta_batch(spark, state, b0, 0)
+    with pytest.raises(ValueError, match="compact_deltas_into_base"):
+        pu.partitioned_state_summary(spark, state)
+    with pytest.raises(ValueError, match="compact_deltas_into_base"):
+        pu.read_partitioned_state_keyrange(spark, state, 0, 50)
+    # the fold read works, and compaction bootstraps the base from nothing
+    got = {r["key"]: r["total"]
+           for r in read_latest_partitioned_state(spark, state).collect()}
+    assert got == {1: 1.0, 40: 2.0}
+    assert pu.compact_deltas_into_base(spark, state) == 2
+    assert pu.partitioned_state_summary(spark, state).first()["n_keys"] == 2
