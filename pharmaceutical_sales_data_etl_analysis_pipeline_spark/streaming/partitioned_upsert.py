@@ -145,6 +145,52 @@ _DELTA_SCHEMA = T.StructType(
 )
 
 
+def _narrow_total_or_raise(wide, key_col, context: str):
+    """Cast a widened decimal fold back to the DECIMAL(18,2) state width,
+    DISTINGUISHING overflow from the NULL tombstone sentinel. Under
+    Spark's default non-ANSI mode the narrowing cast of an overflowing
+    sum yields NULL — the same value this module uses to mean "only
+    tombstones survived for this key" and then filters out, so an
+    overflowing key's state would silently vanish as if deleted. A NULL
+    that appears ONLY at the cast (wide value non-NULL, narrow NULL) is
+    overflow, never a tombstone — raise loudly instead of filtering
+    (ADVICE r6: partitioned_upsert 482/326). try_cast keeps the
+    NULL-on-overflow probe mode-independent (Spark 4's ANSI default
+    would otherwise throw inside the probe itself), so the error users
+    see is THIS one — naming the key and the tombstone distinction —
+    under both ANSI settings."""
+    narrow = wide.try_cast("decimal(18,2)")
+    return F.when(
+        wide.isNotNull() & narrow.isNull(),
+        F.raise_error(
+            F.concat(
+                F.lit(f"decimal(18,2) overflow in {context} for key "),
+                key_col.cast("string"),
+                F.lit(" (value "),
+                wide.cast("string"),
+                F.lit(") — not a tombstone; widen the state schema"),
+            )
+        ).cast("decimal(18,2)"),
+    ).otherwise(narrow)
+
+
+def _is_upsert_or_raise():
+    """op != 'delete' with NULL op a LOUD error instead of a silent drop:
+    a NULL-op row is neither an upsert nor a tombstone under three-valued
+    logic, so it would vanish from d_total/d_rows/d_reset without trace
+    on both write paths (ADVICE r6: partitioned_upsert 366)."""
+    return F.coalesce(
+        F.col("op") != F.lit("delete"),
+        F.raise_error(
+            F.concat(
+                F.lit("NULL op in CDC batch for key "),
+                F.col("key").cast("string"),
+                F.lit(" — op must be 'delete' or an upsert marker"),
+            )
+        ).cast("boolean"),
+    )
+
+
 def bucket_of(key_col, range_width: int | None = None):
     """The partitioning function, shared by writer and any bucket-pruned
     point-lookup reader: contiguous key ranges of RANGE_WIDTH keys. The
@@ -194,7 +240,19 @@ def _write_manifest(spark: SparkSession, state_dir: str, manifest: dict) -> None
     fs.mkdirs(mdir)
     seq = manifest.get("compaction_seq")
     # zero-pad: every consumer picks "the newest commit per batch id" by
-    # LEXICOGRAPHIC order, and an unpadded x10 would sort before x2
+    # LEXICOGRAPHIC order, and an unpadded x10 would sort before x2.
+    # Ordering is load-bearing (readers, retention, replay all pick the
+    # lexicographic max per batch), so a seq past the pad width must be
+    # a loud error — 'x10000' would sort BEFORE 'x9999' and silently
+    # roll every consumer back to the pre-compaction state.
+    if seq and seq > 9999:
+        raise ValueError(
+            f"compaction_seq {seq} exceeds the 4-digit zero-pad; name "
+            "ordering would break — 10,000 compactions of ONE batch's "
+            "state means the maintenance loop is misconfigured (merge "
+            "commits reset the suffix); widening the pad requires "
+            "renaming every existing manifest in lockstep"
+        )
     suffix = f"x{seq:04d}" if seq else ""
     name = f"v{manifest['batch_id']:09d}{suffix}.json"
     tmp = jvm.org.apache.hadoop.fs.Path(f"{_manifest_dir(state_dir)}/.{name}.tmp")
@@ -208,6 +266,24 @@ def _write_manifest(spark: SparkSession, state_dir: str, manifest: dict) -> None
         fs.delete(final, False)
     if not fs.rename(tmp, final):
         raise IOError(f"manifest commit failed: {final}")
+
+
+def _next_compaction_seq(versions: list[str], batch_id: int) -> int:
+    """Next 'x{seq}' suffix for a same-batch-id maintenance commit:
+    max existing seq + 1, NOT a count of existing 'x' names — after
+    retention vacuums superseded compactions (keeping only the newest
+    per batch), a count would regress below the survivor and the new
+    commit's name would sort BEFORE it, making the maintenance op a
+    silent no-op (newest-per-batch readers would keep the old
+    pointers)."""
+    return 1 + max(
+        (
+            int(v.split("x")[1])
+            for v in versions
+            if _batch_id_of(v) == batch_id and "x" in v
+        ),
+        default=0,
+    )
 
 
 def _batch_id_of(manifest_name: str) -> int:
@@ -254,7 +330,17 @@ def _assert_no_concurrent_commit(
     mutual exclusion — two writers can still pass the check in the same
     instant; true exclusion needs the conditional-put commit the module
     docstring names. This converts the documented single-writer
-    assumption's violation from silent data loss into a loud error."""
+    assumption's violation from silent data loss into a loud error.
+
+    Same-batch-id clobber hazard: the bucket move loop deletes an
+    existing dst version dir as "replay of a crashed attempt" BEFORE any
+    commit-time check can run, so a concurrent writer of the SAME batch
+    id that already committed would have its bucket files replaced
+    first and the violation detected only afterwards — detection cannot
+    undo that damage. Callers therefore run this check a second time
+    immediately BEFORE their destructive rename loop (cheap: one
+    listing) to shrink — not close — that window; closing it is exactly
+    what a conditional-put log store buys."""
     now = tuple(_list_manifests(spark, state_dir))
     if now != snapshot:
         raise ConcurrentCommitError(
@@ -320,8 +406,15 @@ def _fold_base_and_deltas(
         .filter(F.col("_r").isNull() | (F.col("batch_id") >= F.col("_r")))
         .groupBy("key")
         .agg(
-            F.sum("d_total").cast("decimal(18,2)").alias("total"),
+            F.sum("d_total").alias("_total_wide"),
             F.sum("d_rows").cast("long").alias("n_rows"),
+        )
+        .select(
+            "key",
+            _narrow_total_or_raise(
+                F.col("_total_wide"), F.col("key"), "merge-on-read fold"
+            ).alias("total"),
+            "n_rows",
         )
         .filter(F.col("total").isNotNull())
     )
@@ -363,7 +456,7 @@ def _aggregate_batch(batch_df: DataFrame, width: int) -> DataFrame:
     key carries only tombstones in the batch; d_reset marks that the
     key's prior state is discarded before this batch's fold applies."""
     if "op" in batch_df.columns:
-        is_upsert = F.col("op") != F.lit("delete")
+        is_upsert = _is_upsert_or_raise()
         return (
             batch_df.groupBy(F.col("key"))
             .agg(
@@ -458,18 +551,21 @@ def merge_batch_into_partitioned_state(
         zero = F.lit(0).cast("decimal(18,2)")
         p, d = prev_df.alias("p"), delta.alias("d")
         reset = F.coalesce(F.col("d.d_reset"), F.lit(False))
+        merged_key = F.coalesce(F.col("p.key"), F.col("d.key"))
+        # reset: prior state discarded, batch upserts fold from zero
+        # (NULL total if the batch held only tombstones — dropped below);
+        # the widened sum narrows back to (18,2) through the overflow
+        # guard so an overflowing key raises instead of "deleting" itself
+        merged_total_wide = F.when(reset, F.col("d.d_total")).otherwise(
+            F.coalesce(F.col("p.total"), zero) + F.coalesce(F.col("d.d_total"), zero)
+        )
         merged = (
             p.join(d, F.col("p.key") == F.col("d.key"), "full_outer")
             .select(
-                F.coalesce(F.col("p.key"), F.col("d.key")).alias("key"),
-                # reset: prior state discarded, batch upserts fold from zero
-                # (NULL total if the batch held only tombstones — dropped below)
-                F.when(reset, F.col("d.d_total"))
-                .otherwise(
-                    F.coalesce(F.col("p.total"), zero) + F.coalesce(F.col("d.d_total"), zero)
-                )
-                .cast("decimal(18,2)")
-                .alias("total"),
+                merged_key.alias("key"),
+                _narrow_total_or_raise(
+                    merged_total_wide, merged_key, "copy-on-write merge"
+                ).alias("total"),
                 F.when(reset, F.col("d.d_rows"))
                 .otherwise(
                     F.coalesce(F.col("p.n_rows"), F.lit(0))
@@ -495,6 +591,12 @@ def merge_batch_into_partitioned_state(
     staging = f"{state_dir}/.staging/v{batch_id:09d}"
     merged.write.mode("overwrite").partitionBy("bucket").parquet(staging)
 
+    # pre-rename snapshot check: the loop below deletes existing dst
+    # version dirs (crashed-replay replacement), which would clobber a
+    # same-batch-id concurrent writer's COMMITTED files before the
+    # commit-time check could see them — re-check the listing while it
+    # is still cheap to abort (see _assert_no_concurrent_commit)
+    _assert_no_concurrent_commit(spark, state_dir, batch_id, listing_snapshot)
     fs, _, jvm = _fs_and_path(spark, state_dir)
     hpath = jvm.org.apache.hadoop.fs.Path
     vname = f"v{batch_id:09d}"
@@ -951,7 +1053,7 @@ def compact_partitioned_state(
         return 0
 
     batch_id = manifest["batch_id"]
-    seq = 1 + sum(1 for v in versions if _batch_id_of(v) == batch_id and "x" in v)
+    seq = _next_compaction_seq(versions, batch_id)
     vname = f"v{batch_id:09d}x{seq:04d}"
 
     src_paths = [
@@ -969,6 +1071,9 @@ def compact_partitioned_state(
         staging
     )
 
+    # pre-rename snapshot check (same clobber-window rationale as the
+    # merge path; see _assert_no_concurrent_commit)
+    _assert_no_concurrent_commit(spark, state_dir, batch_id, tuple(versions))
     hpath = jvm.org.apache.hadoop.fs.Path
     new_buckets = dict(manifest["buckets"])
     for b in fragmented:
@@ -1039,7 +1144,7 @@ def rerange_partitioned_state(
     if not manifest["buckets"]:
         # empty table: just commit the width change
         batch_id = manifest["batch_id"]
-        seq = 1 + sum(1 for v in versions if _batch_id_of(v) == batch_id and "x" in v)
+        seq = _next_compaction_seq(versions, batch_id)
         _write_manifest(
             spark,
             state_dir,
@@ -1054,7 +1159,7 @@ def rerange_partitioned_state(
         return 0
 
     batch_id = manifest["batch_id"]
-    seq = 1 + sum(1 for v in versions if _batch_id_of(v) == batch_id and "x" in v)
+    seq = _next_compaction_seq(versions, batch_id)
     vname = f"v{batch_id:09d}x{seq:04d}"
 
     df = (
@@ -1067,6 +1172,9 @@ def rerange_partitioned_state(
         "bucket"
     ).parquet(staging)
 
+    # pre-rename snapshot check (same clobber-window rationale as the
+    # merge path; see _assert_no_concurrent_commit)
+    _assert_no_concurrent_commit(spark, state_dir, batch_id, tuple(versions))
     fs, _, jvm = _fs_and_path(spark, state_dir)
     hpath = jvm.org.apache.hadoop.fs.Path
     new_bucket_ids = sorted(
@@ -1158,8 +1266,15 @@ def append_delta_batch(
     delta = (
         _aggregate_batch(batch_df, width)
         # SUM widened the fold to decimal(28,2); store at the state width
-        # (same cast boundary as the CoW merge's total column)
-        .withColumn("d_total", F.col("d_total").cast("decimal(18,2)"))
+        # (same cast boundary as the CoW merge's total column, same
+        # overflow-vs-tombstone distinction: a batch whose own fold
+        # overflows (18,2) raises instead of writing a fake tombstone)
+        .withColumn(
+            "d_total",
+            _narrow_total_or_raise(
+                F.col("d_total"), F.col("key"), "merge-on-read delta append"
+            ),
+        )
         .withColumn("batch_id", F.lit(batch_id).cast("long"))
     )
     delta.select([f.name for f in _DELTA_SCHEMA.fields]).write.mode(
@@ -1199,7 +1314,7 @@ def compact_deltas_into_base(spark: SparkSession, state_dir: str) -> int:
         return 0
     width = manifest["range_width"]
     batch_id = manifest["batch_id"]
-    seq = 1 + sum(1 for v in versions if _batch_id_of(v) == batch_id and "x" in v)
+    seq = _next_compaction_seq(versions, batch_id)
     vname = f"v{batch_id:09d}x{seq:04d}"
 
     delta_rows = spark.read.schema(_DELTA_SCHEMA).parquet(
@@ -1224,6 +1339,9 @@ def compact_deltas_into_base(spark: SparkSession, state_dir: str) -> int:
         "bucket"
     ).parquet(staging)
 
+    # pre-rename snapshot check (same clobber-window rationale as the
+    # merge path; see _assert_no_concurrent_commit)
+    _assert_no_concurrent_commit(spark, state_dir, batch_id, tuple(versions))
     fs, _, jvm = _fs_and_path(spark, state_dir)
     hpath = jvm.org.apache.hadoop.fs.Path
     new_buckets = dict(manifest["buckets"])

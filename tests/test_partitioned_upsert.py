@@ -862,3 +862,113 @@ def test_append_only_table_guards_not_vacuous(spark, tmp_path):
     assert got == {1: 1.0, 40: 2.0}
     assert pu.compact_deltas_into_base(spark, state) == 2
     assert pu.partitioned_state_summary(spark, state).first()["n_keys"] == 2
+
+
+def test_overflow_raises_instead_of_tombstoning(spark, tmp_path):
+    """ADVICE r6: NULL doubles as the tombstone sentinel, and a
+    DECIMAL(18,2)-narrowing overflow also yields NULL (under non-ANSI
+    casts), so an overflowing key would silently vanish as if deleted.
+    The fold must DISTINGUISH: n_rows > 0 with a NULL-after-cast total is
+    overflow — a loud, key-naming error on every path (CoW merge, MoR
+    append of a self-overflowing batch, MoR read fold), never a delete.
+    9e15 is exact in double and fits (18,2); 2x it does not."""
+    big = 9.0e15  # < 2^53, < 10^16 - 0.01: exact and representable
+    # CoW: two merges whose running total overflows the state width
+    state = str(tmp_path / "cow")
+    merge_batch_into_partitioned_state(
+        spark, state, spark.createDataFrame([(1, big)], "key long, amount double"), 0
+    )
+    with pytest.raises(Exception, match="overflow in copy-on-write merge for key 1"):
+        merge_batch_into_partitioned_state(
+            spark, state, spark.createDataFrame([(1, big)], "key long, amount double"), 1
+        )
+    # the failed merge must NOT have committed: state still batch 0's
+    got = {r["key"]: r["total"] for r in read_latest_partitioned_state(spark, state).collect()}
+    assert got == {1: big}
+
+    # MoR: a single batch whose own per-key fold overflows the delta width
+    state2 = str(tmp_path / "mor_append")
+    with pytest.raises(Exception, match="overflow in merge-on-read delta append for key 7"):
+        pu.append_delta_batch(
+            spark,
+            state2,
+            spark.createDataFrame([(7, big), (7, big)], "key long, amount double"),
+            0,
+        )
+
+    # MoR: two individually-fine deltas whose READ fold overflows
+    state3 = str(tmp_path / "mor_fold")
+    pu.append_delta_batch(
+        spark, state3, spark.createDataFrame([(3, big)], "key long, amount double"), 0
+    )
+    pu.append_delta_batch(
+        spark, state3, spark.createDataFrame([(3, big)], "key long, amount double"), 1
+    )
+    with pytest.raises(Exception, match="overflow in merge-on-read fold for key 3"):
+        read_latest_partitioned_state(spark, state3).collect()
+
+    # a REAL tombstone (the sentinel the guard must not break): still works
+    state4 = str(tmp_path / "tomb")
+    merge_batch_into_partitioned_state(
+        spark, state4, spark.createDataFrame([(1, big)], "key long, amount double"), 0
+    )
+    merge_batch_into_partitioned_state(
+        spark,
+        state4,
+        spark.createDataFrame([(1, 0.0, "delete")], "key long, amount double, op string"),
+        1,
+    )
+    emptied = read_latest_partitioned_state(spark, state4)
+    assert emptied is None or emptied.count() == 0
+
+
+def test_null_op_fails_loudly(spark, tmp_path):
+    """ADVICE r6: a NULL op is neither an upsert (op != 'delete' is NULL)
+    nor a tombstone, so the row's amount would silently vanish from
+    d_total/d_rows/d_reset on BOTH write paths. It must raise, naming the
+    key, on CoW merge and MoR append alike."""
+    bad = spark.createDataFrame(
+        [(1, 10.0, "upsert"), (2, 20.0, None)], "key long, amount double, op string"
+    )
+    with pytest.raises(Exception, match="NULL op in CDC batch for key 2"):
+        merge_batch_into_partitioned_state(spark, str(tmp_path / "cow"), bad, 0)
+    with pytest.raises(Exception, match="NULL op in CDC batch for key 2"):
+        pu.append_delta_batch(spark, str(tmp_path / "mor"), bad, 0)
+    # and neither path committed anything
+    assert read_latest_partitioned_state(spark, str(tmp_path / "cow")) is None
+    assert read_latest_partitioned_state(spark, str(tmp_path / "mor")) is None
+
+
+def test_compaction_seq_overflow_is_loud(spark, tmp_path):
+    """ADVICE r6: 'x10000' sorts lexicographically BEFORE 'x9999', so a
+    seq past the 4-digit pad would silently roll readers/retention/replay
+    back to an older commit. _write_manifest refuses it."""
+    with pytest.raises(ValueError, match="compaction_seq 10000 exceeds"):
+        pu._write_manifest(
+            spark,
+            str(tmp_path / "state"),
+            {"batch_id": 0, "compaction_seq": 10000, "range_width": 16,
+             "buckets": {}, "stats": {}},
+        )
+    # 9999 itself is still fine (the last representable seq)
+    pu._write_manifest(
+        spark,
+        str(tmp_path / "state"),
+        {"batch_id": 0, "compaction_seq": 9999, "range_width": 16,
+         "buckets": {}, "stats": {}},
+    )
+    assert pu._list_manifests(spark, str(tmp_path / "state")) == ["v000000000x9999"]
+
+
+def test_next_compaction_seq_survives_retention():
+    """The next 'x' seq is max+1, not count+1: after retention vacuums
+    superseded compactions (keeping only the newest per batch), a count
+    would regress below the survivor and the new maintenance commit's
+    name would sort BEFORE it — a silently ineffective commit."""
+    # full history: count+1 == max+1, both fine
+    assert pu._next_compaction_seq(["v000000001", "v000000001x0001"], 1) == 2
+    # post-vacuum: only the newest compaction survives; count+1 would be
+    # 2 ('x0002' < 'x0005' -> silent no-op), max+1 is right
+    assert pu._next_compaction_seq(["v000000001x0005"], 1) == 6
+    # other batches' compactions don't leak into this batch's seq
+    assert pu._next_compaction_seq(["v000000000x0003", "v000000001"], 1) == 1
