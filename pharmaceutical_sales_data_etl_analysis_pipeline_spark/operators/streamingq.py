@@ -247,32 +247,13 @@ ORACLES["stream_dedup_within_watermark"] = SQL_STREAM_DEDUP_WITHIN_WATERMARK
 CDF_TOMBSTONE_MOD = 10  # batch-0 custkeys ≡ 0 (mod 10) get tombstoned
 
 
-def cow_merge_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import math as _math
-    import os as _os
-
+def _cdc_batches(orders: DataFrame):
+    """The shared two-batch CDC fixture: (initial load, upserts+tombstones).
+    The corpus-derived fixture width keeps the layout multi-bucket at
+    every SF (the production 1M default would put all sf0.01 custkeys in
+    one bucket and make manifest pruning vacuous)."""
     from pyspark.sql import functions as F
 
-    from ..catalog import load_table
-    from ..streaming.partitioned_upsert import (
-        merge_batch_into_partitioned_state,
-        partitioned_state_changes,
-    )
-
-    orders = load_table(spark, sf_dir, "orders").select(
-        F.col("o_custkey").alias("key"),
-        F.col("o_totalprice").alias("amount"),
-        "o_orderdate",
-    )
-    # same corpus-derived fixture width as _build_cow_spend_state, so the
-    # driver row exercises the CDF's manifest-diff pruning over a REAL
-    # multi-bucket layout (the production 1M default would put every
-    # sf0.01 custkey in one bucket and make the pruning path vacuous)
-    max_key = orders.agg(F.max("key")).first()[0]
-    width = max(
-        COW_FIXTURE_MIN_WIDTH,
-        _math.ceil((max_key + 1) / COW_FIXTURE_TARGET_BUCKETS),
-    )
     cut = F.lit("1996-01-01")
     b0 = orders.filter(F.col("o_orderdate") < cut).drop("o_orderdate")
     upserts = (
@@ -286,13 +267,21 @@ def cow_merge_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("key") % CDF_TOMBSTONE_MOD == 0)
         .select("key", F.lit(0.0).alias("amount"), F.lit("delete").alias("op"))
     )
+    return b0, upserts.unionByName(tombstones)
 
-    base = _scratch_dir("cow_cdf_")
-    state = _os.path.join(base, "state")
-    merge_batch_into_partitioned_state(spark, state, b0, 0, range_width=width)
-    merge_batch_into_partitioned_state(
-        spark, state, upserts.unionByName(tombstones), 1, range_width=width
+
+def cow_merge_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.partitioned_upsert import (
+        merge_batch_into_partitioned_state,
+        partitioned_state_changes,
     )
+
+    def build(orders: DataFrame, width: int, state: str) -> None:
+        b0, b1 = _cdc_batches(orders)
+        merge_batch_into_partitioned_state(spark, state, b0, 0, range_width=width)
+        merge_batch_into_partitioned_state(spark, state, b1, 1, range_width=width)
+
+    state = _memoized_state(spark, sf_dir, "cow_cdf", build)
     return partitioned_state_changes(spark, state, 0, 1)
 
 
@@ -365,43 +354,88 @@ ORACLES["cow_merge_changes"] = SQL_COW_MERGE_CHANGES
 COW_FIXTURE_TARGET_BUCKETS = 16
 COW_FIXTURE_MIN_WIDTH = 100  # sf0.01 floor: keeps >= ~15 buckets there
 
+# Memo for the on-disk CoW/MoR state fixtures (VERDICT r6: a 202-query
+# sweep paid the same two-merge build three times over — the most
+# expensive registered queries). The cached value is the committed state
+# DIRECTORY path — a pure function of the key: the exact orders file set
+# + semantic hash (overwritten testdata keys differently) + a fixture
+# tag, same discipline as the kmeans/components memos. The dir lives in
+# pin.scratch_dir space (reclaimed at process exit, like every lazily-
+# read query scratch), and the value holds no session reference, so any
+# in-process session can read it. SPARK_GRAFT_BUILD_CACHE=0 disables —
+# bench.py sets it, so the BUILD stays what bench measures.
+_COW_STATE_MEMO: dict = {}
 
-def _build_cow_spend_state(spark: SparkSession, sf_dir: str) -> str:
-    import math as _math
-    import os as _os
 
+def _cow_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     from ..catalog import load_table
-    from ..streaming.partitioned_upsert import merge_batch_into_partitioned_state
 
-    orders = load_table(spark, sf_dir, "orders").select(
+    return load_table(spark, sf_dir, "orders").select(
         F.col("o_custkey").alias("key"),
         F.col("o_totalprice").alias("amount"),
         "o_orderdate",
     )
+
+
+def _cow_fixture_width(orders: DataFrame) -> int:
+    import math as _math
+
+    from pyspark.sql import functions as F
+
     max_key = orders.agg(F.max("key")).first()[0]
-    width = max(
+    return max(
         COW_FIXTURE_MIN_WIDTH,
         _math.ceil((max_key + 1) / COW_FIXTURE_TARGET_BUCKETS),
     )
-    cut = F.lit("1996-01-01")
-    state = _os.path.join(_scratch_dir("cow_zonemap_"), "state")
-    merge_batch_into_partitioned_state(
-        spark,
-        state,
-        orders.filter(F.col("o_orderdate") < cut).drop("o_orderdate"),
-        0,
-        range_width=width,
-    )
-    merge_batch_into_partitioned_state(
-        spark,
-        state,
-        orders.filter(F.col("o_orderdate") >= cut).drop("o_orderdate"),
-        1,
-        range_width=width,
-    )
+
+
+def _memoized_state(spark: SparkSession, sf_dir: str, tag: str, build) -> str:
+    """Build (or reuse) an on-disk state fixture: `build(orders, width,
+    state_dir)` commits the fixture; the committed dir is memoized per
+    (orders files, semantic hash, tag). On a hit even the width-deriving
+    driver round-trip is skipped — the width is a pure function of the
+    same file set the key pins."""
+    import os as _os
+
+    from .buildcache import corpus_key, memo_put
+
+    orders = _cow_orders(spark, sf_dir)
+    key = corpus_key(orders, tag)
+    if key is not None and key in _COW_STATE_MEMO:
+        return _COW_STATE_MEMO[key]
+    width = _cow_fixture_width(orders)
+    state = _os.path.join(_scratch_dir(f"{tag}_"), "state")
+    build(orders, width, state)
+    if key is not None:
+        memo_put(_COW_STATE_MEMO, key, state)
     return state
+
+
+def _build_cow_spend_state(spark: SparkSession, sf_dir: str) -> str:
+    from pyspark.sql import functions as F
+
+    from ..streaming.partitioned_upsert import merge_batch_into_partitioned_state
+
+    def build(orders: DataFrame, width: int, state: str) -> None:
+        cut = F.lit("1996-01-01")
+        merge_batch_into_partitioned_state(
+            spark,
+            state,
+            orders.filter(F.col("o_orderdate") < cut).drop("o_orderdate"),
+            0,
+            range_width=width,
+        )
+        merge_batch_into_partitioned_state(
+            spark,
+            state,
+            orders.filter(F.col("o_orderdate") >= cut).drop("o_orderdate"),
+            1,
+            range_width=width,
+        )
+
+    return _memoized_state(spark, sf_dir, "cow_zonemap", build)
 
 
 def cow_manifest_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -464,44 +498,18 @@ ORACLES["cow_keyrange_lookup"] = SQL_COW_KEYRANGE_LOOKUP
 
 
 def mor_scattered_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import math as _math
-    import os as _os
-
-    from pyspark.sql import functions as F
-
-    from ..catalog import load_table
     from ..streaming.partitioned_upsert import (
         append_delta_batch,
         merge_batch_into_partitioned_state,
         read_latest_partitioned_state,
     )
 
-    orders = load_table(spark, sf_dir, "orders").select(
-        F.col("o_custkey").alias("key"),
-        F.col("o_totalprice").alias("amount"),
-        "o_orderdate",
-    )
-    max_key = orders.agg(F.max("key")).first()[0]
-    width = max(
-        COW_FIXTURE_MIN_WIDTH,
-        _math.ceil((max_key + 1) / COW_FIXTURE_TARGET_BUCKETS),
-    )
-    cut = F.lit("1996-01-01")
-    b0 = orders.filter(F.col("o_orderdate") < cut).drop("o_orderdate")
-    delta = (
-        orders.filter(F.col("o_orderdate") >= cut)
-        .drop("o_orderdate")
-        .withColumn("op", F.lit("upsert"))
-        .unionByName(
-            b0.select("key")
-            .distinct()
-            .filter(F.col("key") % CDF_TOMBSTONE_MOD == 0)
-            .select("key", F.lit(0.0).alias("amount"), F.lit("delete").alias("op"))
-        )
-    )
-    state = _os.path.join(_scratch_dir("mor_fold_"), "state")
-    merge_batch_into_partitioned_state(spark, state, b0, 0, range_width=width)
-    append_delta_batch(spark, state, delta, 1, range_width=width)
+    def build(orders: DataFrame, width: int, state: str) -> None:
+        b0, b1 = _cdc_batches(orders)
+        merge_batch_into_partitioned_state(spark, state, b0, 0, range_width=width)
+        append_delta_batch(spark, state, b1, 1, range_width=width)
+
+    state = _memoized_state(spark, sf_dir, "mor_fold", build)
     return read_latest_partitioned_state(spark, state)
 
 

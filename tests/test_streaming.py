@@ -512,3 +512,39 @@ def test_stream_source_handles_directory_layout(spark, sf_dir, tmp_path):
     }
     assert len(directory) > 0
     assert directory == single
+
+
+def test_cow_fixture_memoized_per_corpus(spark, sf_dir, monkeypatch):
+    """VERDICT r6: the four CoW/MoR queries rebuilt their two-merge state
+    fixture on EVERY invocation (the most expensive registered queries in
+    a sweep). The build is now memoized per (orders file set, semantic
+    hash, tag): repeated calls return the SAME committed state dir and
+    run zero merges; SPARK_GRAFT_BUILD_CACHE=0 disables (bench measures
+    the unmemoized build)."""
+    import pharmaceutical_sales_data_etl_analysis_pipeline_spark.operators.streamingq as sq
+    import pharmaceutical_sales_data_etl_analysis_pipeline_spark.streaming.partitioned_upsert as pu
+
+    monkeypatch.setattr(sq, "_COW_STATE_MEMO", {})
+    calls = {"n": 0}
+    real_merge = pu.merge_batch_into_partitioned_state
+
+    def counting_merge(*a, **kw):
+        calls["n"] += 1
+        return real_merge(*a, **kw)
+
+    monkeypatch.setattr(pu, "merge_batch_into_partitioned_state", counting_merge)
+    # streamingq binds the function at call time via module import
+    s1 = sq._build_cow_spend_state(spark, sf_dir)
+    assert calls["n"] == 2  # the two-batch build ran once
+    s2 = sq._build_cow_spend_state(spark, sf_dir)
+    assert s2 == s1 and calls["n"] == 2  # memo hit: zero extra merges
+    # distinct fixtures (different tag) key apart and build independently
+    sq.cow_merge_changes(spark, sf_dir)
+    n_after_cdf = calls["n"]
+    assert n_after_cdf == 4
+    sq.cow_merge_changes(spark, sf_dir)
+    assert calls["n"] == n_after_cdf  # second CDF call also memo-hits
+    # kill switch: no memo, fresh dir, merges re-run
+    monkeypatch.setenv("SPARK_GRAFT_BUILD_CACHE", "0")
+    s3 = sq._build_cow_spend_state(spark, sf_dir)
+    assert s3 != s1 and calls["n"] == n_after_cdf + 2
