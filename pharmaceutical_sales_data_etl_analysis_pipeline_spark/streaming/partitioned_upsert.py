@@ -46,16 +46,22 @@ the newest manifest STRICTLY OLDER than N (its own half-applied output
 is invisible — the manifest commit never happened) and rewrites the same
 bucket versions plus manifest to identical bytes-equivalent state.
 
-Honest caveats at real scale (documented, not hidden): the manifest
-rename is atomic on local FS/HDFS but copy+delete on S3 — a real
-deployment fronts the manifest pointer with a conditional-put commit
-(what Delta's log store / Iceberg's catalog provide); and there is one
-writer per state table (micro-batches are serial within a stream — the
-same single-writer contract upsert.py has). The contract's violation is
-DETECTED, not assumed away: each merge snapshots the manifest listing
-with its basis read and aborts the commit (ConcurrentCommitError) if
-any foreign commit appears before its own — best-effort optimistic
-concurrency, not mutual exclusion (see _assert_no_concurrent_commit).
+Commit protocol at real scale: every manifest list/read/publish routes
+through a pluggable ManifestLogStore (streaming/logstore.py — the seam
+Delta's LogStore / Iceberg's catalog swap occupy). The default
+HadoopRenameLogStore is the plain-FS optimistic check-then-rename:
+atomic publish on local FS/HDFS, DETECTION (not exclusion) of
+single-writer-contract violations — each writer snapshots the manifest
+listing with its basis read and the commit rejects
+(ConcurrentCommitError) if any foreign commit appears before its own.
+InProcessConditionalPutLogStore makes the check+publish pair atomic
+(per-table lock), giving true exclusion for every topology whose
+commits share one driver process — Structured Streaming's actual
+shape; multi-DRIVER writers need an external conditional-put arbiter
+behind the same interface (S3 If-None-Match, DynamoDB, a catalog
+service). On S3A do not run the rename store multi-writer: its rename
+is copy+delete. (See logstore.py; contract property-tested in
+tests/test_logstore.py.)
 
 Same read boundary as upsert.py: DECIMAL(18,2) in state, DOUBLE out.
 
@@ -104,14 +110,32 @@ manifest-pruned so its cost scales with the CHANGE, not the table
 
 from __future__ import annotations
 
-import json
-
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..sources.maintenance import _fs_and_path
+from .logstore import (
+    ConcurrentCommitError,
+    HadoopRenameLogStore,
+    ManifestLogStore,
+)
 from .upsert import STATE_SCHEMA, _as_read_view
+
+# The commit-protocol seam (see logstore.py): every manifest list/read/
+# publish below routes through this store. The default is the plain-FS
+# optimistic rename; swap in InProcessConditionalPutLogStore (or an
+# external-arbiter implementation of ManifestLogStore) to make the
+# check+publish pair atomic — the table layer is contract-agnostic.
+_LOG_STORE: ManifestLogStore = HadoopRenameLogStore()
+
+
+def set_log_store(store: ManifestLogStore) -> ManifestLogStore:
+    """Install a ManifestLogStore for every subsequent commit/read;
+    returns the previous store (so tests/deployments can restore it)."""
+    global _LOG_STORE
+    prev, _LOG_STORE = _LOG_STORE, store
+    return prev
 
 # Contract parameter: keys per bucket (RANGE partitioning, not hash).
 # The first cut of this module hash-bucketed keys, and the honest bench
@@ -210,41 +234,22 @@ def _manifest_dir(state_dir: str) -> str:
 
 
 def _list_manifests(spark: SparkSession, state_dir: str) -> list[str]:
-    fs, path, _ = _fs_and_path(spark, _manifest_dir(state_dir))
-    if not fs.exists(path):
-        return []
-    out = []
-    for s in fs.listStatus(path):
-        name = str(s.getPath().getName())
-        if s.isFile() and name.startswith("v") and name.endswith(".json"):
-            out.append(name[: -len(".json")])
-    return sorted(out)
+    return _LOG_STORE.list_commits(spark, _manifest_dir(state_dir))
 
 
 def _read_manifest(spark: SparkSession, state_dir: str, version: str) -> dict:
-    fs, _, jvm = _fs_and_path(spark, state_dir)
-    p = jvm.org.apache.hadoop.fs.Path(f"{_manifest_dir(state_dir)}/{version}.json")
-    stream = fs.open(p)
-    try:
-        raw = bytes(jvm.org.apache.commons.io.IOUtils.toByteArray(stream))
-    finally:
-        stream.close()
-    return json.loads(raw.decode("utf-8"))
+    return _LOG_STORE.read_commit(spark, _manifest_dir(state_dir), version)
 
 
-def _write_manifest(spark: SparkSession, state_dir: str, manifest: dict) -> None:
-    """Write tmp then rename: readers never observe a torn manifest. The
-    rename is the commit (atomic on local FS/HDFS; see module caveat)."""
-    fs, _, jvm = _fs_and_path(spark, state_dir)
-    mdir = jvm.org.apache.hadoop.fs.Path(_manifest_dir(state_dir))
-    fs.mkdirs(mdir)
+def _manifest_name(manifest: dict) -> str:
+    """Commit name for a manifest. Zero-padded 'x' suffix: every consumer
+    picks "the newest commit per batch id" by LEXICOGRAPHIC order, and an
+    unpadded x10 would sort before x2. Ordering is load-bearing (readers,
+    retention, replay all pick the lexicographic max per batch), so a seq
+    past the pad width must be a loud error — 'x10000' would sort BEFORE
+    'x9999' and silently roll every consumer back to the pre-compaction
+    state."""
     seq = manifest.get("compaction_seq")
-    # zero-pad: every consumer picks "the newest commit per batch id" by
-    # LEXICOGRAPHIC order, and an unpadded x10 would sort before x2.
-    # Ordering is load-bearing (readers, retention, replay all pick the
-    # lexicographic max per batch), so a seq past the pad width must be
-    # a loud error — 'x10000' would sort BEFORE 'x9999' and silently
-    # roll every consumer back to the pre-compaction state.
     if seq and seq > 9999:
         raise ValueError(
             f"compaction_seq {seq} exceeds the 4-digit zero-pad; name "
@@ -254,18 +259,24 @@ def _write_manifest(spark: SparkSession, state_dir: str, manifest: dict) -> None
             "renaming every existing manifest in lockstep"
         )
     suffix = f"x{seq:04d}" if seq else ""
-    name = f"v{manifest['batch_id']:09d}{suffix}.json"
-    tmp = jvm.org.apache.hadoop.fs.Path(f"{_manifest_dir(state_dir)}/.{name}.tmp")
-    final = jvm.org.apache.hadoop.fs.Path(f"{_manifest_dir(state_dir)}/{name}")
-    out = fs.create(tmp, True)
-    try:
-        out.write(bytearray(json.dumps(manifest, sort_keys=True).encode("utf-8")))
-    finally:
-        out.close()
-    if fs.exists(final):  # replay rewrites the same version: replace
-        fs.delete(final, False)
-    if not fs.rename(tmp, final):
-        raise IOError(f"manifest commit failed: {final}")
+    return f"v{manifest['batch_id']:09d}{suffix}"
+
+
+def _write_manifest(
+    spark: SparkSession,
+    state_dir: str,
+    manifest: dict,
+    expected: tuple | None = None,
+) -> None:
+    """Publish a manifest through the installed log store. `expected` is
+    the writer's basis listing snapshot: when given, the store must
+    reject the commit (ConcurrentCommitError) if any foreign commit
+    landed since — atomically, for a conditional-put store; optimistically
+    check-then-publish for the default rename store. expected=None is the
+    unconditional publish (tests, bootstrap paths)."""
+    _LOG_STORE.commit(
+        spark, _manifest_dir(state_dir), _manifest_name(manifest), manifest, expected
+    )
 
 
 def _next_compaction_seq(versions: list[str], batch_id: int) -> int:
@@ -312,9 +323,8 @@ def _latest_manifest(
     return None if name is None else _read_manifest(spark, state_dir, name)
 
 
-class ConcurrentCommitError(RuntimeError):
-    """A foreign commit landed on the merge basis between snapshot read
-    and commit — the single-writer contract was violated."""
+# ConcurrentCommitError now lives in logstore.py (imported above and
+# re-exported here for the existing import surface).
 
 
 def _assert_no_concurrent_commit(
@@ -642,7 +652,6 @@ def merge_batch_into_partitioned_state(
         if missing:
             raise IOError(f"stats read-back found no rows for buckets {sorted(missing)}")
         new_stats.update({str(b): fresh[b] for b in written})
-    _assert_no_concurrent_commit(spark, state_dir, batch_id, listing_snapshot)
     _write_manifest(
         spark,
         state_dir,
@@ -652,6 +661,7 @@ def merge_batch_into_partitioned_state(
             "buckets": new_buckets,
             "stats": new_stats,
         },
+        expected=listing_snapshot,
     )
 
 
@@ -777,7 +787,7 @@ def expire_partitioned_versions(spark: SparkSession, state_dir: str, keep: int =
                 fs.delete(dstat.getPath(), True)
                 deleted += 1
     for v in doomed_manifests:
-        fs.delete(hpath(f"{_manifest_dir(state_dir)}/{v}.json"), False)
+        _LOG_STORE.delete_commit(spark, _manifest_dir(state_dir), v)
         deleted += 1
     return deleted
 
@@ -1087,7 +1097,6 @@ def compact_partitioned_state(
         new_buckets[str(b)] = vname
     fs.delete(hpath(staging), True)
 
-    _assert_no_concurrent_commit(spark, state_dir, batch_id, tuple(versions))
     _write_manifest(
         spark,
         state_dir,
@@ -1101,6 +1110,7 @@ def compact_partitioned_state(
             # partitioned_state_summary scan-falls-back per bucket)
             "stats": dict(manifest.get("stats", {})),
         },
+        expected=tuple(versions),
     )
     return len(fragmented)
 
@@ -1155,6 +1165,7 @@ def rerange_partitioned_state(
                 "buckets": {},
                 "stats": {},
             },
+            expected=tuple(versions),
         )
         return 0
 
@@ -1199,7 +1210,6 @@ def rerange_partitioned_state(
         [f"{state_dir}/buckets/b{b}/{vname}" for b in new_bucket_ids],
         new_width,
     )
-    _assert_no_concurrent_commit(spark, state_dir, batch_id, tuple(versions))
     _write_manifest(
         spark,
         state_dir,
@@ -1210,6 +1220,7 @@ def rerange_partitioned_state(
             "buckets": new_buckets,
             "stats": {str(b): s for b, s in stats.items()},
         },
+        expected=tuple(versions),
     )
     return len(new_buckets)
 
@@ -1282,7 +1293,6 @@ def append_delta_batch(
     ).parquet(f"{state_dir}/deltas/{vname}")
 
     prev_deltas = list(prev.get("deltas", [])) if prev else []
-    _assert_no_concurrent_commit(spark, state_dir, batch_id, listing_snapshot)
     _write_manifest(
         spark,
         state_dir,
@@ -1293,6 +1303,7 @@ def append_delta_batch(
             "stats": dict(prev.get("stats", {})) if prev else {},
             "deltas": sorted(set(prev_deltas) | {vname}),
         },
+        expected=listing_snapshot,
     )
 
 
@@ -1368,7 +1379,6 @@ def compact_deltas_into_base(spark: SparkSession, state_dir: str) -> int:
             spark, [f"{state_dir}/buckets/b{b}/{vname}" for b in written], width
         )
         new_stats.update({str(b): fresh[b] for b in written})
-    _assert_no_concurrent_commit(spark, state_dir, batch_id, tuple(versions))
     _write_manifest(
         spark,
         state_dir,
@@ -1380,6 +1390,7 @@ def compact_deltas_into_base(spark: SparkSession, state_dir: str) -> int:
             "stats": new_stats,
             "deltas": [],
         },
+        expected=tuple(versions),
     )
     return len(touched)
 
