@@ -542,3 +542,74 @@ FROM v1 WHERE total IS NOT NULL
 
 QUERIES["mor_scattered_fold"] = mor_scattered_fold
 ORACLES["mor_scattered_fold"] = SQL_MOR_SCATTERED_FOLD
+
+
+# ---------------------------------------------------------------------------
+# Streaming MoR ingest (r7, VERDICT ask #5): the merge-on-read write
+# path driven END-TO-END by Structured Streaming — readStream over the
+# CDC batch files -> foreachBatch delta appends (O(|batch|) each, zero
+# bucket rewrites on the hot path) -> one amortized delta compaction ->
+# manifest-pruned base read. The CDC mirror of stream_exact_dedup's
+# batch-equivalence claim: the streamed table must equal the same
+# replace-CDC fold computed in one shot, so the oracle is
+# SQL_MOR_SCATTERED_FOLD verbatim (compaction is logically invisible —
+# same batch_id under an 'x' commit). Determinism: each logical CDC
+# batch is ONE source file (single-file rename publish below), so the
+# file stream's oldest-first delivery maps batch content to batch id
+# 1:1 and the tombstone/upsert sequencing is exactly the batch run's.
+# ---------------------------------------------------------------------------
+
+
+def _publish_single_file_batch(spark: SparkSession, df: DataFrame, src_dir: str, name: str) -> None:
+    """Write df as exactly ONE parquet file at {src_dir}/{name}.parquet
+    (coalesce-to-one staging write + a driver-side rename), so the file
+    stream source delivers it as exactly one micro-batch — the property
+    the CDC sequencing above relies on. Files publish in call order
+    (the source sorts unseen files oldest-first)."""
+    from ..sources.maintenance import _fs_and_path
+
+    tmp = f"{src_dir}/.staging_{name}"
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    fs, _, jvm = _fs_and_path(spark, src_dir)
+    hpath = jvm.org.apache.hadoop.fs.Path
+    part = [
+        str(s.getPath().getName())
+        for s in fs.listStatus(hpath(tmp))
+        if str(s.getPath().getName()).endswith(".parquet")
+    ]
+    if len(part) != 1:
+        raise IOError(f"expected one part file in {tmp}, found {part}")
+    if not fs.rename(hpath(f"{tmp}/{part[0]}"), hpath(f"{src_dir}/{name}.parquet")):
+        raise IOError(f"publish failed: {src_dir}/{name}.parquet")
+    fs.delete(hpath(tmp), True)
+
+
+def stream_mor_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from ..streaming.partitioned_upsert import (
+        read_latest_partitioned_state,
+        run_partitioned_mor_ingest,
+    )
+
+    def build(orders: DataFrame, width: int, state: str) -> None:
+        base = _os.path.dirname(state)
+        src = _os.path.join(base, "src")
+        b0, b1 = _cdc_batches(orders)
+        _publish_single_file_batch(
+            spark, b0.withColumn("op", F.lit("upsert")), src, "b0"
+        )
+        _publish_single_file_batch(spark, b1, src, "b1")
+        run_partitioned_mor_ingest(
+            spark, src, state, _os.path.join(base, "ckpt"), range_width=width
+        )
+
+    state = _memoized_state(spark, sf_dir, "stream_mor", build)
+    return read_latest_partitioned_state(spark, state)
+
+
+QUERIES["stream_mor_ingest"] = stream_mor_ingest
+# stream/batch parity IS the check: same fold as the batch MoR entry
+ORACLES["stream_mor_ingest"] = SQL_MOR_SCATTERED_FOLD

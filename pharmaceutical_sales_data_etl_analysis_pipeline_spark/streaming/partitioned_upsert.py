@@ -732,6 +732,54 @@ def run_partitioned_incremental_merge(
     q.awaitTermination()
 
 
+def run_partitioned_mor_ingest(
+    spark: SparkSession,
+    source_dir: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    range_width: int | None = None,
+    compact_after: bool = True,
+) -> None:
+    """Streaming merge-on-read ingest — the CDC mirror of
+    run_partitioned_incremental_merge: every micro-batch (key, amount,
+    op) commits as an O(|batch|) DELTA append (zero bucket reads or
+    rewrites on the hot path — the scattered-update shape CoW cannot
+    afford), and after the stream drains, the pending deltas fold into
+    the base buckets in ONE amortized compaction that restores the
+    manifest-pruned read surface. Replay idempotence is the table
+    contract's (a delta commit's basis is strictly older than its batch
+    id), so a crashed-and-replayed micro-batch rewrites the same delta
+    file and manifest. At 100 TB this is the steady-state CDC topology:
+    N appends + one fold instead of N full-spread rewrites; run the
+    compaction on whatever cadence read latency demands (readers stay
+    correct either way — read_latest folds pending deltas)."""
+    src_schema = T.StructType(
+        [
+            T.StructField("key", T.LongType()),
+            T.StructField("amount", T.DoubleType()),
+            T.StructField("op", T.StringType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(src_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(source_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda df, bid: append_delta_batch(
+                spark, state_dir, df, bid, range_width=range_width
+            )
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    if compact_after:
+        compact_deltas_into_base(spark, state_dir)
+
+
 def expire_partitioned_versions(spark: SparkSession, state_dir: str, keep: int = 3) -> int:
     """Retention (VACUUM twin): keep the newest `keep` manifests plus every
     bucket version any of them references; delete the rest. Returns the

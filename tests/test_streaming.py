@@ -548,3 +548,42 @@ def test_cow_fixture_memoized_per_corpus(spark, sf_dir, monkeypatch):
     monkeypatch.setenv("SPARK_GRAFT_BUILD_CACHE", "0")
     s3 = sq._build_cow_spend_state(spark, sf_dir)
     assert s3 != s1 and calls["n"] == n_after_cdf + 2
+
+
+def test_stream_mor_ingest_equals_batch_fold(spark, sf_dir, monkeypatch):
+    """End-to-end streaming merge-on-read: readStream -> foreachBatch
+    delta appends -> one compaction -> base read must equal the batch
+    MoR fold (mor_scattered_fold) value-for-value, AND the hot path must
+    write ZERO copy-on-write bucket versions — buckets appear only with
+    the compaction's 'x' commit."""
+    import os
+
+    import pharmaceutical_sales_data_etl_analysis_pipeline_spark.operators.streamingq as sq
+
+    monkeypatch.setattr(sq, "_COW_STATE_MEMO", {})
+    streamed = {
+        (r["key"]): (r["total"], r["n_rows"])
+        for r in sq.stream_mor_ingest(spark, sf_dir).collect()
+    }
+    batch = {
+        (r["key"]): (r["total"], r["n_rows"])
+        for r in sq.mor_scattered_fold(spark, sf_dir).collect()
+    }
+    assert len(streamed) > 0
+    assert streamed == batch
+
+    # fs-level shape: every bucket version dir is a compaction commit
+    # ('x' suffix) — the streamed micro-batches themselves never rewrote
+    # a bucket (the O(|batch|) hot-path claim)
+    state = sq._memoized_state(spark, sf_dir, "stream_mor", lambda *a: None)
+    broot = os.path.join(state, "buckets")
+    versions = {
+        v
+        for b in os.listdir(broot)
+        for v in os.listdir(os.path.join(broot, b))
+    }
+    assert versions and all("x" in v for v in versions)
+    # and both CDC micro-batches landed as delta commits
+    assert sorted(os.listdir(os.path.join(state, "deltas"))) == [
+        "v000000000", "v000000001",
+    ]
