@@ -212,3 +212,43 @@ def test_triangle_strategy_tiers_agree_and_follow_the_derived_bound(
     big_df = g.graph_triangle_stats(li)
     assert small.asDict() == big_df.collect()[0].asDict()
     assert _hints(big_df) == 0
+
+
+def test_triangle_shuffled_tier_derives_partition_width(spark, sf_dir, monkeypatch):
+    """r7: the shuffled tier's exchanges are sized from the EXACT wedge
+    volume (rows-per-task target), not the static conf — the sf10 rung
+    lost 1.5x to 32 static partitions. Pure derivation clamps to
+    [session conf, cap]; with a tiny rows-per-task the derived width
+    must show up as the wedge join's hashpartitioning count, and the
+    result stays tier-invariant."""
+    import pharmaceutical_sales_data_etl_analysis_pipeline_spark.operators.graphops as g
+    from pharmaceutical_sales_data_etl_analysis_pipeline_spark.catalog import load_table
+
+    # pure clamp behavior
+    assert g.derive_tri_shuffle_partitions(0, 32) == 32           # floor: conf
+    assert g.derive_tri_shuffle_partitions(4_900_000_000, 32) == 307  # sf10 shape
+    assert g.derive_tri_shuffle_partitions(10**12, 32) == g.TRI_MAX_SHUFFLE_PARTITIONS
+
+    li = load_table(spark, sf_dir, "lineitem")
+    baseline = g.graph_triangle_stats(li).collect()[0]
+
+    monkeypatch.setattr(g, "TRI_BROADCAST_PAIR_MAX", 0)   # force shuffled tier
+    monkeypatch.setattr(g, "TRI_BLOOM_PAIR_MAX", 0)       # plain closing
+    monkeypatch.setattr(g, "TRI_ROWS_PER_TASK", 100)      # tiny target
+    captured = {}
+    real = g.derive_tri_shuffle_partitions
+
+    def spy(wedge_rows, session_parts):
+        captured["out"] = real(wedge_rows, session_parts)
+        captured["in"] = (wedge_rows, session_parts)
+        return captured["out"]
+
+    monkeypatch.setattr(g, "derive_tri_shuffle_partitions", spy)
+    big_df = g.graph_triangle_stats(li)
+    # the probe measured a real wedge volume and, at 100 rows/task, the
+    # derived width must exceed the 8-partition session conf...
+    assert captured["in"][1] == 8 and captured["out"] > 8
+    # ...and that exact width is what the wedge-join exchanges carry
+    plan = big_df._jdf.queryExecution().executedPlan().toString()
+    assert f", {captured['out']})" in plan
+    assert baseline.asDict() == big_df.collect()[0].asDict()
