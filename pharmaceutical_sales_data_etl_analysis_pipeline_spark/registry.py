@@ -74,108 +74,87 @@ MODULE_ORDER = [
     "graphops",
 ]
 
-# Round-6 sweep priority. After r5 the union r1∪…∪r5 (latest-wins) is
-# 196/196 green with zero standing failures, so the r6 window clears
-# the one enumerated debt class and spends the rest on staleness:
-#   (a) the 27 queries whose EXECUTED PLAN changed late in r5, after
-#       the r5 sweep window was fixed — the conversion-exact
-#       integer-units sum landed in the shared money helpers
-#       (functions/numeric.money_sum, eventsops/analytic _vsum,
-#       tpch._exact_sum), changing every consumer's physical plan.
-#       All were locally hash-verified at sf0.001/sf0.01 AND sf1, but
-#       the bar is a green driver row per executed plan (the r4
-#       key_skew_report precedent, ×27);
-#   (c) PREPENDED per the rotation invariant: the queries r6 itself
-#       added or plan-changed — the two new streaming entries, and the
-#       four near-dup queries whose index parameters became
-#       corpus-derived (embedding_near_dups' ORACLE text changed too:
-#       it now re-derives kbits/ntables/masks from count(*));
-#   (b) the remaining 17 slots refresh the OLDEST driver rows: of the
-#       28 queries whose newest row still dates from r1, the first 17
-#       in name order. The 11 left over (minhash_signatures,
-#       moving_avg_customer, multimodal_frames, product_surrogate_keys,
-#       props_k_stats, simhash, status_set_ops, text_quality,
-#       token_counts, union_all_bag, value_histogram) are the r7
-#       refresh head — record them in the r7 candidates note below.
+# Round-7 sweep priority. After r6 the union r1∪…∪r6 (latest-wins) is
+# 202/202 green with zero standing failures, so the r7 window is pure
+# freshness plus the rotation-invariant prepends:
+#   (c) PREPENDED: r7's one new query (stream_mor_ingest) and the four
+#       table-format queries whose executed/build plans changed in r7
+#       (the decimal-overflow guard entered the MoR fold and the CoW
+#       merge write; the shared state fixture became memoized);
+#   (a) the six queries displaced from the r6 window by r6's own late
+#       registrations/plan changes (enumerated in the r6 candidates
+#       note): hourly_gapfill, lang_id, lookup_join_nulls,
+#       lsh_bucket_sizes, lsh_probe_topk, minhash_lsh_candidates;
+#   (b) the 11 remaining r1-rows, then the whole 14-query r2 cohort,
+#       then the first 14 r3-rows in name order — after this sweep no
+#       registered query's latest driver row predates r3.
 PRIORITY = [
-    # (c) r6-new / r6-plan-changed (rotation invariant: outrank refreshes)
-    "mor_scattered_fold",  # r6: merge-on-read delta append + sequenced fold read
-    "cow_manifest_summary",  # r6: manifest-only aggregates from zone-map stats
-    "cow_keyrange_lookup",  # r6: zone-map-pruned key-range scan
-    "cow_merge_changes",  # r6: CoW MERGE change-data-feed (tombstones + prune)
-    "graph_triangle_stats",  # r6: join strategy now derived from pair bound
-    "tfidf_topk_terms",  # r6: tf pinned (kills Catalyst's duplicate df chain)
-    "stream_click_attribution",
-    "stream_dedup_within_watermark",
-    "embedding_near_dups",
-    "embedding_near_dups_planted",
-    "simhash_near_dups",
-    "simhash_near_dups_planted",
-    # (a) exact-sum plan-changed late in r5 (registry walk, see above)
-    "cube_sales",
-    "pivot_status_year",
-    "conditional_aggregates",
-    "grouping_sets_sales",
-    "unpivot_status_year",
-    "product_facts",
-    "product_facts_sql",
-    "rep_facts",
-    "quarterly_totals",
-    "filter_conjunction",
-    "top1_product",
-    "top5_rep_years",
-    "key_repair_join",
-    "rollup_year_quarter",
-    "top3_parts_per_brand",
-    "tumbling_hourly",
-    "sliding_hourly",
-    "session_stats",
-    "top5_users_by_value",
-    "seasonal_decompose",
-    "ab_test_lift",
-    "merge_upsert",
-    "ohlc_bars",
-    "rfm_segments",
-    "incremental_agg_maintenance",
-    "table_content_hash",
-    "minhash_calibration",
-    # (b) oldest driver rows (latest row r1), first 23 in name order
-    "binary_envelope",
-    "corpus_counts",
-    "cosine_topk",
-    "customers_with_orders",
-    "customers_without_orders",
-    "date_parse_roundtrip",
-    "exact_dedup",
-    "fingerprints",
-    "first_order_per_customer",
-    "full_outer_reconciliation",
-    "funnel_signup_view_purchase",
-    # lsh_probe_topk and minhash_lsh_candidates were slots 49-50 until
-    # the graph_triangle_stats (derived join strategy) and
-    # tfidf_topk_terms (pinned tf) r6 plan changes claimed (c) slots per
-    # the rotation invariant; lsh_bucket_sizes was slot 50 until the
-    # late-r6 cow_merge_changes registration claimed it; lang_id,
-    # lookup_join_nulls and hourly_gapfill held the last three slots
-    # until the zone-map (cow_manifest_summary, cow_keyrange_lookup) and
-    # merge-on-read (mor_scattered_fold) registrations claimed them. All
-    # move to the r7 refresh head below.
+    # (c) r7-new / r7-plan-changed (rotation invariant: outrank refreshes)
+    "stream_mor_ingest",  # r7: streaming MoR ingest (readStream -> delta appends -> fold)
+    "mor_scattered_fold",  # r7: read fold gained the overflow-vs-tombstone guard
+    "cow_merge_changes",  # r7: merge write plan gained the guard; fixture memoized
+    "cow_manifest_summary",
+    "cow_keyrange_lookup",
+    # (a) displaced from the r6 window (oldest rows in the registry, r1)
+    "hourly_gapfill",
+    "lang_id",
+    "lookup_join_nulls",
+    "lsh_bucket_sizes",
+    "lsh_probe_topk",
+    "minhash_lsh_candidates",
+    # (b) the 11 remaining r1-rows, name order
+    "minhash_signatures",
+    "moving_avg_customer",
+    "multimodal_frames",
+    "product_surrogate_keys",
+    "props_k_stats",
+    "simhash",
+    "status_set_ops",
+    "text_quality",
+    "token_counts",
+    "union_all_bag",
+    "value_histogram",
+    # (b) the full r2 cohort, name order
+    "asof_purchase_before_click",
+    "contamination_check",
+    "dedup_survivors",
+    "distinct_counts",
+    "events_within_5min",
+    "grouped_pandas_topk",
+    "multimodal_features",
+    "pandas_normalized_text",
+    "percentile_disc_prices",
+    "rank_functions",
+    "salted_user_totals",
+    "string_functions",
+    "training_corpus",
+    "window_value_functions",
+    # (b) oldest r3-rows, first 14 in name order
+    "activity_heatmap",
+    "basket_affinity",
+    "bm25_topk_terms",
+    "cohort_retention",
+    "dataset_cards",
+    "dedup_rate_by_source",
+    "doc_chunks",
+    "domain_mixture_weights",
+    "embedding_quantize",
+    "event_transitions",
+    "hourly_anomalies",
+    "incremental_neardup",
+    "interpolate_hourly",
+    "inverted_index",
 ]
-# r7 PRIORITY candidates (staleness head after the r6 sweep):
-# hourly_gapfill, lang_id, lookup_join_nulls, lsh_bucket_sizes,
-# lsh_probe_topk and minhash_lsh_candidates (displaced from the r6
-# window by the cow_merge_changes/cow_manifest_summary/
-# cow_keyrange_lookup/mor_scattered_fold registrations and the
-# graph_triangle_stats/tfidf_topk_terms plan changes), then the 11
-# r1-rows that did not fit the r6 window — minhash_signatures,
-# moving_avg_customer, multimodal_frames, product_surrogate_keys,
-# props_k_stats, simhash, status_set_ops, text_quality, token_counts,
-# union_all_bag, value_histogram — then the r2-row cohort
-# (asof_purchase_before_click, contamination_check, dedup_survivors,
-# distinct_counts, events_within_5min, …).
-# Queries ADDED or PLAN-CHANGED during r6 must be PREPENDED here per
+# r8 PRIORITY candidates (staleness head after the r7 sweep): the 22
+# remaining r3-rows in name order — ivf_list_sizes, ivf_probe2_topk,
+# ivf_probe_topk, kmeans_clusters, multimodal_resize, ngram_jaccard,
+# ntile_quartiles, oov_rate, price_quantity_corr, quality_deciles,
+# repetition_ratio, rolling_7d_actives, scd2_intervals,
+# semdedup_candidates, sequence_packing, session_conversion,
+# stratified_sample, table_diff, term_lift_pairs, twap_per_user,
+# udtf_sentences, weighted_sample — then the oldest r4 cohort.
+# Queries ADDED or PLAN-CHANGED during r7 must be PREPENDED here per
 # the rotation invariant (they outrank staleness refreshes).
-
 
 def _collect() -> tuple[dict[str, QueryFn], dict[str, str]]:
     merged_q: dict[str, QueryFn] = {}
