@@ -367,8 +367,16 @@ def graph_triangle_stats(lineitem: DataFrame) -> DataFrame:
         # ~15 MB at sf1-scale bounds, 128 MB at the sf10 rung, broadcast-
         # able far beyond where the raw edge list (16+ B/edge) stopped.
         m_bits = 1 << max(20, min(31, (4 * int(pair_bound)).bit_length()))
+        # the bit-set build is a hash aggregate whose MAP side inherits
+        # the pinned edge list's (conf-width) partitioning: at the sf10
+        # rung that was 32 tasks x ~15M-entry partial-agg hash tables —
+        # 130 of the rung's 408 stage-seconds, all GC churn (event-log
+        # breakdown in SCALE.md). Fan the input out to the derived width
+        # first: one cheap round-robin exchange of packed longs buys
+        # small per-task tables.
+        words_src = ekeys.repartition(wedge_parts) if wedge_parts else ekeys
         words = (
-            ekeys.select(
+            words_src.select(
                 F.explode(
                     F.array(
                         F.pmod(F.xxhash64(F.col("ac"), F.lit(1)), F.lit(m_bits)),
