@@ -620,7 +620,110 @@ SELECT 'open_only' AS set_op, o_custkey FROM (
 """
 
 
+# ---------------------------------------------------------------------------
+# XML scan round-trips (r7): S1-S4 driver-verified. Until now the XML
+# source family was exercised only by local pharma goldens (pass-local
+# in every verdict's coverage table). These two queries close that: a
+# deterministic XML corpus is built FROM the orders table (one <txn>
+# per order — status attribute, nested customer element, decimal price
+# text), then scanned back with (a) the NATIVE distributed XML source
+# and (b) the wholetext+xpath fallback, and aggregated. The oracle
+# computes the identical aggregate from the orders parquet — a dropped
+# record, a garbled attribute, or a mis-nested element diverges the
+# count/sum/distincts. Corpus build is memoized per (orders file set);
+# EAGER at build: one write job materializes the corpus (same class as
+# the CoW fixture builds, registry.py eager-execution note).
+# ---------------------------------------------------------------------------
+
+_XML_CORPUS_MEMO: dict = {}
+
+
+def _orders_xml_corpus(spark: SparkSession, sf_dir: str) -> str:
+    import os as _os
+
+    from ..sources.xml import write_xml_shards
+    from .buildcache import corpus_key, memo_put
+    from .pin import scratch_dir
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    key = corpus_key(orders, "orders_xml_corpus")
+    if key is not None and key in _XML_CORPUS_MEMO:
+        return _XML_CORPUS_MEMO[key]
+    records = orders.select(
+        F.concat(
+            F.lit('<txn status="'), F.col("o_orderstatus"),
+            F.lit('"><okey>'), F.col("o_orderkey").cast("string"),
+            F.lit("</okey><customer><ckey>"), F.col("o_custkey").cast("string"),
+            F.lit("</ckey></customer><price>"),
+            F.col("o_totalprice").cast("decimal(18,2)").cast("string"),
+            F.lit("</price></txn>"),
+        ).alias("value")
+    )
+    out = _os.path.join(scratch_dir("xml_corpus_"), "txns")
+    write_xml_shards(records, out, n_files=8)
+    if key is not None:
+        memo_put(_XML_CORPUS_MEMO, key, out)
+    return out
+
+
+def _xml_roundtrip_agg(df: DataFrame) -> DataFrame:
+    return df.agg(
+        F.count(F.lit(1)).alias("n_txns"),
+        money_sum(F.col("price").cast("decimal(18,2)"), "total_price"),
+        F.countDistinct("ckey").cast("long").alias("n_customers"),
+        F.countDistinct("status").cast("long").alias("n_statuses"),
+    )
+
+
+def q_xml_scan_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1+S2+S3 end-to-end: native distributed XML shred (attribute ->
+    `_status`, nested customer struct) must reproduce the parquet
+    aggregate exactly."""
+    from ..sources.xml import read_xml
+
+    corpus = _orders_xml_corpus(spark, sf_dir)
+    df = read_xml(spark, corpus, "txn").select(
+        F.col("_status").alias("status"),
+        F.col("customer.ckey").alias("ckey"),
+        F.col("price"),
+    )
+    return _xml_roundtrip_agg(df)
+
+
+def q_xml_xpath_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4 (descendant XPath) via the fallback reader on the SAME corpus:
+    wholetext + regex record split + xpath_string extraction — the
+    no-native-source survival path, held to the identical aggregate."""
+    from ..sources.xml import read_xml_xpath
+
+    corpus = _orders_xml_corpus(spark, sf_dir)
+    df = read_xml_xpath(
+        spark,
+        f"{corpus}/part-*",
+        "txn",
+        {
+            "status": "txn/@status",
+            "ckey": "txn//ckey",  # descendant axis: nested one level down
+            "price": "txn/price",
+        },
+    )
+    return _xml_roundtrip_agg(df)
+
+
+SQL_XML_ROUNDTRIP = f"""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_txns,
+       {money_sum_sql("o_totalprice", "total_price")},
+       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+       CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS n_statuses
+FROM orders
+"""
+
+
 QUERIES = {
+    "xml_scan_roundtrip": q_xml_scan_roundtrip,
+    "xml_xpath_roundtrip": q_xml_xpath_roundtrip,
     "product_facts": q_product_facts,
     "product_facts_sql": q_product_facts_sql,
     "full_outer_reconciliation": q_full_outer_reconciliation,
@@ -644,6 +747,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "xml_scan_roundtrip": SQL_XML_ROUNDTRIP,
+    "xml_xpath_roundtrip": SQL_XML_ROUNDTRIP,
     "product_facts": SQL_PRODUCT_FACTS,
     "product_facts_sql": SQL_PRODUCT_FACTS,
     "full_outer_reconciliation": SQL_FULL_OUTER_RECONCILIATION,

@@ -90,6 +90,8 @@ MODULE_ORDER = [
 #       registered query's latest driver row predates r3.
 PRIORITY = [
     # (c) r7-new / r7-plan-changed (rotation invariant: outrank refreshes)
+    "xml_scan_roundtrip",  # r7: S1-S3 driver-verified (native XML shred)
+    "xml_xpath_roundtrip",  # r7: S4 driver-verified (fallback reader)
     "stream_mor_ingest",  # r7: streaming MoR ingest (readStream -> delta appends -> fold)
     "mor_scattered_fold",  # r7: read fold gained the overflow-vs-tombstone guard
     "cow_merge_changes",  # r7: merge write plan gained the guard; fixture memoized
@@ -142,11 +144,11 @@ PRIORITY = [
     "event_transitions",
     "hourly_anomalies",
     "incremental_neardup",
-    "interpolate_hourly",
-    "inverted_index",
 ]
-# r8 PRIORITY candidates (staleness head after the r7 sweep): the 22
-# remaining r3-rows in name order — ivf_list_sizes, ivf_probe2_topk,
+# r8 PRIORITY candidates (staleness head after the r7 sweep):
+# interpolate_hourly and inverted_index (displaced from the r7 window
+# by the late xml_scan_roundtrip/xml_xpath_roundtrip registrations),
+# then the 22 remaining r3-rows in name order — ivf_list_sizes, ivf_probe2_topk,
 # ivf_probe_topk, kmeans_clusters, multimodal_resize, ngram_jaccard,
 # ntile_quartiles, oov_rate, price_quantity_corr, quality_deciles,
 # repetition_ratio, rolling_7d_actives, scd2_intervals,

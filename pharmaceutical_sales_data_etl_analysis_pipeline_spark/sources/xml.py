@@ -56,6 +56,33 @@ def read_xml_xpath(
     return records.select(*cols)
 
 
+def write_xml_shards(df: DataFrame, out_dir: str, n_files: int, root_tag: str = "txns") -> None:
+    """Write a one-string-column DataFrame (each row one XML record) as
+    n_files WELL-FORMED XML shards, each wrapped in a `root_tag`
+    document root. The native XML source parses per-file DOCUMENTS and
+    stops at the root element's end — a rootless record stream silently
+    yields ~1 record per file, so the wrap is correctness, not
+    cosmetics. The wrap happens in mapPartitions: generation stays
+    distributed and record order within a shard is the partition's.
+    Backs the XML scale probe (examples/xml_scale_probe.py) and the
+    driver-verified xml_scan_roundtrip queries."""
+    col = df.columns[0]
+
+    def with_root(it):
+        yield f"<{root_tag}>"
+        for row in it:
+            yield row[col]
+        yield f"</{root_tag}>"
+
+    sc = df.sparkSession.sparkContext
+    jvm = sc._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(out_dir)
+    fs = hpath.getFileSystem(sc._jsc.hadoopConfiguration())
+    if fs.exists(hpath):
+        fs.delete(hpath, True)
+    df.repartition(n_files).rdd.mapPartitions(with_root).saveAsTextFile(out_dir)
+
+
 def read_xml_files_ordered(
     spark: SparkSession, paths: list[str], row_tag: str, require_single_split: bool = True
 ) -> DataFrame:

@@ -34,6 +34,10 @@ same seam:
   ACROSS processes it degrades to the rename store's optimism; true
   multi-driver exclusion needs an external arbiter (DynamoDB table,
   S3 If-None-Match, a catalog service) behind this same interface.
+- `FileLockLogStore` — cross-PROCESS exclusion where the filesystem has
+  atomic create-if-absent (local FS, HDFS, NFSv4): commits serialize
+  through a TTL-bounded lock file; refuses S3 schemes rather than
+  pretending.
 
 The contract ("reject non-successor commits, never publish on
 rejection, at most one winner per basis") is what tests/test_logstore.py
@@ -143,6 +147,75 @@ class HadoopRenameLogStore(ManifestLogStore):
                     "detected; the state table has a single-writer contract"
                 )
         self._publish(spark, manifest_dir, name, payload)
+
+
+class FileLockLogStore(ManifestLogStore):
+    """Cross-PROCESS conditional put on filesystems with atomic
+    create-if-absent (local FS, HDFS, NFSv4): commit serializes through
+    a lock FILE created with overwrite=False — Hadoop's
+    `FileSystem.create(path, false)` throws if the path exists, the
+    same put-if-absent primitive S3 If-None-Match provides — then
+    re-checks the basis and publishes while holding the lock. This is
+    mutual exclusion between independent driver PROCESSES sharing a
+    state dir, one step beyond InProcessConditionalPutLogStore's
+    same-process lock.
+
+    Liveness caveat (the classic lock-file trade): a writer that dies
+    holding the lock blocks all writers until the stale lock is removed;
+    LOCK_TTL_MS bounds that — a lock older than the TTL is presumed
+    orphaned and broken (loudly logged into the lock's replacement).
+    Object stores without atomic create (S3A's create is not) need the
+    external-arbiter route instead; this store raises on such schemes
+    rather than pretending."""
+
+    LOCK_TTL_MS = 5 * 60 * 1000  # orphaned-lock break-in bound
+
+    def commit(self, spark, manifest_dir, name, payload, expected) -> None:
+        fs, _, jvm = _fs_and_path(spark, manifest_dir)
+        if fs.getScheme() in ("s3a", "s3", "s3n"):
+            raise NotImplementedError(
+                "FileLockLogStore needs atomic create-if-absent; S3A does "
+                "not provide it — use an external conditional-put arbiter"
+            )
+        hpath = jvm.org.apache.hadoop.fs.Path
+        fs.mkdirs(hpath(manifest_dir))
+        lock = hpath(f"{manifest_dir}/.commit.lock")
+        acquired = False
+        try:
+            try:
+                out = fs.create(lock, False)  # atomic create-if-absent
+                out.close()
+                acquired = True
+            except Exception:
+                st = fs.getFileStatus(lock) if fs.exists(lock) else None
+                now_ms = jvm.java.lang.System.currentTimeMillis()
+                if st is not None and now_ms - st.getModificationTime() > self.LOCK_TTL_MS:
+                    # presumed orphaned (holder died): break and retake
+                    fs.delete(lock, False)
+                    out = fs.create(lock, False)
+                    out.close()
+                    acquired = True
+                else:
+                    raise ConcurrentCommitError(
+                        f"commit of {name} blocked: another writer holds "
+                        f"{lock} (a live commit is in flight, or an "
+                        f"orphan younger than {self.LOCK_TTL_MS} ms)"
+                    )
+            if expected is not None:
+                now = tuple(self.list_commits(spark, manifest_dir))
+                if now != expected:
+                    raise ConcurrentCommitError(
+                        f"conditional put of {name} rejected: basis advanced "
+                        f"by {sorted(set(now) ^ set(expected))}"
+                    )
+            self._publish(spark, manifest_dir, name, payload)
+        finally:
+            if acquired:
+                fs.delete(lock, False)
+
+    def list_commits(self, spark, manifest_dir):
+        # the lock file starts with '.', so the base listing skips it
+        return super().list_commits(spark, manifest_dir)
 
 
 class InProcessConditionalPutLogStore(ManifestLogStore):

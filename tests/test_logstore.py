@@ -199,3 +199,42 @@ def test_concurrent_merges_serialize_under_conditional_put(
                for r in pu.read_latest_partitioned_state(spark, state).collect()}
         assert got == expected
         assert "rejected" not in results.values() or len(committed) == 2
+
+
+def test_filelock_store_cross_process_semantics(spark, tmp_path):
+    """FileLockLogStore: commits serialize through an atomic
+    create-if-absent lock file — a held (fresh) lock rejects loudly, a
+    stale lock past the TTL is broken and the commit proceeds, the lock
+    never leaks after success or rejection, and the basis check still
+    rejects non-successors while holding the lock."""
+    import os
+
+    from pharmaceutical_sales_data_etl_analysis_pipeline_spark.streaming.logstore import (
+        FileLockLogStore,
+    )
+
+    store = FileLockLogStore()
+    mdir = str(tmp_path / "state" / "manifests")
+    store.commit(spark, mdir, "v000000000", _payload(0), expected=None)
+    assert not os.path.exists(os.path.join(mdir, ".commit.lock"))  # released
+
+    # a FRESH foreign lock blocks (a live commit is in flight)
+    lock_path = os.path.join(mdir, ".commit.lock")
+    open(lock_path, "w").close()
+    basis = tuple(store.list_commits(spark, mdir))
+    with pytest.raises(ConcurrentCommitError, match="another writer holds"):
+        store.commit(spark, mdir, "v000000001", _payload(1), expected=basis)
+    assert "v000000001" not in store.list_commits(spark, mdir)
+    assert os.path.exists(lock_path)  # the foreign lock was NOT stolen
+
+    # a STALE lock (mtime older than the TTL) is presumed orphaned: broken
+    old = (os.path.getmtime(lock_path) - (store.LOCK_TTL_MS / 1000.0) - 60)
+    os.utime(lock_path, (old, old))
+    store.commit(spark, mdir, "v000000001", _payload(1), expected=basis)
+    assert "v000000001" in store.list_commits(spark, mdir)
+    assert not os.path.exists(lock_path)
+
+    # basis check still enforced inside the lock
+    with pytest.raises(ConcurrentCommitError, match="basis advanced"):
+        store.commit(spark, mdir, "v000000002", _payload(2), expected=basis)
+    assert not os.path.exists(lock_path)  # released after rejection too

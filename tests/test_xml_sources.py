@@ -74,3 +74,39 @@ def test_xpath_fallback_matches_native_txns(spark, xml_paths):
     fallback = sorted(tuple(r) for r in fb.collect())
     assert fallback == native
     assert len(fallback) > 0
+
+
+def test_scale_probe_corpus_paths_agree_and_single_scan(spark, tmp_path):
+    """r7 XML scale rung support (examples/xml_scale_probe.py): on the
+    deterministic pharma-shaped corpus, (1) the native reader and the
+    xpath fallback produce the identical aggregate — the same
+    equivalence gate the big rungs assert before timing; (2) EACH path
+    stays ONE scan of the corpus (the fallback's
+    wholetext->regex-explode->xpath chain must not re-read the files
+    per extracted field, which is what makes it usable at dimension
+    scale at all); (3) the generator writes well-formed per-file
+    documents (the native source parses per-file DOCUMENTS and silently
+    yields ~1 record/file on rootless record streams — the bug the
+    root wrap exists to prevent, pinned here by exact row count)."""
+    import sys, os
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "examples"))
+    import xml_scale_probe as xp
+
+    corpus = str(tmp_path / "xmlcorpus")
+    xp.build_xml_corpus(spark, corpus, 5000, 3)
+
+    native = xp.native_agg(spark, corpus)
+    fallback = xp.xpath_agg(spark, corpus)
+    a, b = native.collect()[0].asDict(), fallback.collect()[0].asDict()
+    assert a == b
+    assert a["n"] == 5000  # every record parsed (rootless would give ~3)
+
+    def n_scans(df):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # post-execution AQE strings carry "== Final Plan ==" AND
+        # "== Initial Plan ==" sections — count scans in the final only
+        return plan.split("== Initial Plan ==")[0].count("FileScan")
+
+    assert n_scans(native) == 1
+    assert n_scans(fallback) == 1
