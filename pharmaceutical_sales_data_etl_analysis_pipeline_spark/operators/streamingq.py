@@ -497,11 +497,13 @@ ORACLES["cow_keyrange_lookup"] = SQL_COW_KEYRANGE_LOOKUP
 # ---------------------------------------------------------------------------
 
 
-def mor_scattered_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _mor_state(spark: SparkSession, sf_dir: str) -> str:
+    """Memoized MoR fixture: CoW initial load (batch 0) + the CDC batch
+    appended as a PENDING delta (batch 1, never compacted) — shared by
+    the fold read and the MoR-aware change feed."""
     from ..streaming.partitioned_upsert import (
         append_delta_batch,
         merge_batch_into_partitioned_state,
-        read_latest_partitioned_state,
     )
 
     def build(orders: DataFrame, width: int, state: str) -> None:
@@ -509,8 +511,26 @@ def mor_scattered_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
         merge_batch_into_partitioned_state(spark, state, b0, 0, range_width=width)
         append_delta_batch(spark, state, b1, 1, range_width=width)
 
-    state = _memoized_state(spark, sf_dir, "mor_fold", build)
-    return read_latest_partitioned_state(spark, state)
+    return _memoized_state(spark, sf_dir, "mor_fold", build)
+
+
+def mor_scattered_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.partitioned_upsert import read_latest_partitioned_state
+
+    return read_latest_partitioned_state(spark, _mor_state(spark, sf_dir))
+
+
+def mor_changes_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MoR-AWARE change data feed (r7): CDF between the CoW initial load
+    and the PENDING-delta commit — the 'to' side is folded base+deltas,
+    pruned to pointer-diff + delta-touched buckets (the deletion-vector
+    read-through Delta's CDF performs). The logical states equal the CoW
+    CDC fixture's, so the oracle is SQL_COW_MERGE_CHANGES verbatim: if
+    the delta-era fold or its pruning drops/garbles a change row, the
+    hash diverges."""
+    from ..streaming.partitioned_upsert import partitioned_state_changes
+
+    return partitioned_state_changes(spark, _mor_state(spark, sf_dir), 0, 1)
 
 
 SQL_MOR_SCATTERED_FOLD = f"""
@@ -542,6 +562,8 @@ FROM v1 WHERE total IS NOT NULL
 
 QUERIES["mor_scattered_fold"] = mor_scattered_fold
 ORACLES["mor_scattered_fold"] = SQL_MOR_SCATTERED_FOLD
+QUERIES["mor_changes_feed"] = mor_changes_feed
+ORACLES["mor_changes_feed"] = SQL_COW_MERGE_CHANGES
 
 
 # ---------------------------------------------------------------------------

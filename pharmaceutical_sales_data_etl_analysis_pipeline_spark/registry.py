@@ -93,6 +93,7 @@ PRIORITY = [
     "xml_scan_roundtrip",  # r7: S1-S3 driver-verified (native XML shred)
     "xml_xpath_roundtrip",  # r7: S4 driver-verified (fallback reader)
     "stream_mor_ingest",  # r7: streaming MoR ingest (readStream -> delta appends -> fold)
+    "mor_changes_feed",  # r7: MoR-aware CDF (delta-era side folds pending deltas)
     "mor_scattered_fold",  # r7: read fold gained the overflow-vs-tombstone guard
     "cow_merge_changes",  # r7: merge write plan gained the guard; fixture memoized
     "cow_manifest_summary",
@@ -143,10 +144,9 @@ PRIORITY = [
     "embedding_quantize",
     "event_transitions",
     "hourly_anomalies",
-    "incremental_neardup",
 ]
 # r8 PRIORITY candidates (staleness head after the r7 sweep):
-# interpolate_hourly and inverted_index (displaced from the r7 window
+# incremental_neardup, interpolate_hourly and inverted_index (displaced from the r7 window
 # by the late xml_scan_roundtrip/xml_xpath_roundtrip registrations),
 # then the 22 remaining r3-rows in name order — ivf_list_sizes, ivf_probe2_topk,
 # ivf_probe_topk, kmeans_clusters, multimodal_resize, ngram_jaccard,

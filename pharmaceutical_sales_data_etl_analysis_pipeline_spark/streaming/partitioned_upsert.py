@@ -103,9 +103,11 @@ manifest-pruned so its cost scales with the CHANGE, not the table
   scattered batch as a delta file — O(|batch|) bytes, ZERO bucket
   rewrites (the CoW path's measured boundary); readers fold base +
   pending deltas in batch order with one key-partitioned shuffle, and
-  compact_deltas_into_base folds them in under an 'x' commit. Base-only
-  readers (summary/keyrange/CDF/compaction/re-range/CoW merge) refuse
-  loudly while deltas are pending rather than answering stale.
+  compact_deltas_into_base folds them in under an 'x' commit. The
+  change feed is MoR-aware (each side folds its pending deltas, pruned
+  to pointer-diff + one-side-delta-touched buckets); the remaining
+  base-only readers (summary/keyrange/compaction/re-range/CoW merge)
+  refuse loudly while deltas are pending rather than answering stale.
 """
 
 from __future__ import annotations
@@ -872,12 +874,32 @@ def partitioned_state_changes(
     operators/warehouse.table_diff, the generic two-full-snapshot diff.)
     A rewritten bucket can still contain untouched keys (a batch updates
     one key of a thousand in its range; compaction rewrites with zero
-    changes) — those fall out of the per-key comparison below."""
+    changes) — those fall out of the per-key comparison below.
+
+    MoR-aware (r7): a commit with PENDING DELTAS is a first-class side —
+    each side folds base + its pending deltas (the same sequenced fold
+    every reader runs; Delta's CDF reads through deletion vectors the
+    same way). Pruning extends to buckets touched by a delta present in
+    exactly ONE side (the symmetric difference — a delta common to both
+    sides folds identically over identical base pointers and cancels in
+    the per-key diff); the touched set costs one scan of those O(|batch|)
+    delta files, never the table."""
     m_from = _manifest_for_batch(spark, state_dir, from_batch_id)
     m_to = _manifest_for_batch(spark, state_dir, to_batch_id)
-    _require_no_pending_deltas(m_from, "partitioned_state_changes (from)")
-    _require_no_pending_deltas(m_to, "partitioned_state_changes (to)")
-    changed = changed_bucket_ids(m_from, m_to)
+    delta_sym = sorted(
+        set(m_from.get("deltas", [])) ^ set(m_to.get("deltas", []))
+    )
+    changed = set(changed_bucket_ids(m_from, m_to))
+    if delta_sym:
+        changed |= {
+            int(r["bucket"])
+            for r in spark.read.schema(_DELTA_SCHEMA)
+            .parquet(*[f"{state_dir}/deltas/{v}" for v in delta_sym])
+            .select("bucket")
+            .distinct()
+            .collect()
+        }
+    changed = sorted(changed)
 
     schema = T.StructType(
         [
@@ -892,15 +914,26 @@ def partitioned_state_changes(
     if not changed:
         return spark.createDataFrame([], schema)
 
+    changed_set = set(changed)
+
     def side(manifest: dict) -> DataFrame | None:
         paths = [
             f"{state_dir}/buckets/b{b}/{manifest['buckets'][str(b)]}"
             for b in changed
             if str(b) in manifest["buckets"]
         ]
-        if not paths:
-            return None
-        return spark.read.schema(STATE_SCHEMA).parquet(*paths)
+        base = (
+            spark.read.schema(STATE_SCHEMA).parquet(*paths) if paths else None
+        )
+        deltas = manifest.get("deltas", [])
+        if not deltas:
+            return base
+        delta_rows = (
+            spark.read.schema(_DELTA_SCHEMA)
+            .parquet(*[f"{state_dir}/deltas/{v}" for v in deltas])
+            .filter(F.col("bucket").isin(list(changed_set)))
+        )
+        return _fold_base_and_deltas(base, delta_rows)
 
     old, new = side(m_from), side(m_to)
     if old is None and new is None:  # changed buckets but neither side has data

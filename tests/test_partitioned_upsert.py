@@ -763,7 +763,6 @@ def test_mor_append_and_fold(spark, tmp_path):
     for fn, args in [
         (pu.partitioned_state_summary, (spark, state)),
         (pu.read_partitioned_state_keyrange, (spark, state, 0, 50)),
-        (pu.partitioned_state_changes, (spark, state, 1, 2)),
         (pu.rerange_partitioned_state, (spark, state, 8)),
         (compact_partitioned_state, (spark, state)),
         # and a CoW merge on top of pending deltas would misorder them
@@ -771,6 +770,20 @@ def test_mor_append_and_fold(spark, tmp_path):
     ]:
         with pytest.raises(ValueError, match="compact_deltas_into_base"):
             fn(*args)
+
+    # the CDF is MoR-AWARE (r7): delta-era commits are first-class sides.
+    # v1 -> v2: only delta v2's buckets are candidates (no pointer moved);
+    # 17 was deleted in v1 and reinserted by v2's reset -> 'insert',
+    # 2 tombstoned -> 'delete', key 1 (bucket 0, untouched by v2) silent
+    cdf12 = {r["key"]: r for r in
+             pu.partitioned_state_changes(spark, state, 1, 2).collect()}
+    assert {(k, v["change_type"]) for k, v in cdf12.items()} == {
+        (2, "delete"), (17, "insert")}
+    assert (cdf12[17]["old_total"], cdf12[17]["new_total"]) == (None, 100.0)
+    # v0 -> v1 spans the CoW/MoR boundary: base-only 'from', folded 'to'
+    cdf01 = {r["key"]: r["change_type"] for r in
+             pu.partitioned_state_changes(spark, state, 0, 1).collect()}
+    assert cdf01 == {1: "update", 17: "delete", 99: "insert"}
 
     assert pu.compact_deltas_into_base(spark, state) == 3  # buckets 0,1,6
     got2 = {r["key"]: (r["total"], r["n_rows"])
