@@ -708,14 +708,20 @@ def run_partitioned_incremental_merge(
     state_dir: str,
     checkpoint_dir: str,
     range_width: int | None = None,
+    with_ops: bool = False,
 ) -> None:
     """Stream (key, amount) parquet batch files into the bucket-partitioned
     state table; availableNow drains pending files then stops.
     `range_width` sizes a NEW table's ranges (and must match an existing
-    table's manifest) — same contract as the foreachBatch body."""
-    src_schema = T.StructType(
-        [T.StructField("key", T.LongType()), T.StructField("amount", T.DoubleType())]
-    )
+    table's manifest) — same contract as the foreachBatch body.
+    `with_ops=True` reads an additional `op` string column and streams
+    replace-CDC batches (op='delete' tombstones, same orderless-within-
+    batch contract as the merge body; the MoR twin
+    run_partitioned_mor_ingest always carries ops)."""
+    fields = [T.StructField("key", T.LongType()), T.StructField("amount", T.DoubleType())]
+    if with_ops:
+        fields.append(T.StructField("op", T.StringType()))
+    src_schema = T.StructType(fields)
     stream = (
         spark.readStream.schema(src_schema)
         .option("maxFilesPerTrigger", 1)
@@ -1482,3 +1488,54 @@ def _require_no_pending_deltas(manifest: dict, op: str) -> None:
             f"{op} requires a delta-free commit (pending merge-on-read deltas "
             f"{manifest['deltas']}); run compact_deltas_into_base first"
         )
+
+
+def maintain_partitioned_state(
+    spark: SparkSession,
+    state_dir: str,
+    max_pending_deltas: int = 8,
+    max_files_per_bucket: int = 4,
+    keep_versions: int = 3,
+) -> dict:
+    """The table's housekeeping loop, composed in the only safe order —
+    what a production deployment schedules between (or inside quiet
+    windows of) the write stream, the way OPTIMIZE + VACUUM run against
+    a Delta table:
+
+      1. fold pending MoR deltas into the base once they exceed
+         `max_pending_deltas` (bounds read-fold latency: each pending
+         delta adds rows to every reader's sequenced fold);
+      2. compact buckets fragmented past `max_files_per_bucket`
+         (bounds file-count metadata + open costs; runs only on a
+         delta-free latest commit, which step 1 just guaranteed when it
+         ran);
+      3. expire unreferenced versions beyond `keep_versions` LAST —
+         retention after the maintenance commits, so the newly
+         superseded plain commits and folded delta files become
+         vacuumable in the same pass.
+
+    Every step is individually optimistic-concurrency-checked and
+    crash-replayable (same-batch 'x' commits), so a maintenance crash
+    leaves the table readable at the prior commit. Thresholds are
+    per-table policy knobs, not derived: they trade write amplification
+    against read latency and the right point depends on the workload's
+    read/write ratio — the caller owns that trade. Returns the work
+    done: {"deltas_folded": buckets, "buckets_compacted": n,
+    "versions_expired": n}."""
+    if max_pending_deltas < 1:
+        raise ValueError(f"max_pending_deltas must be >= 1, got {max_pending_deltas}")
+    out = {"deltas_folded": 0, "buckets_compacted": 0, "versions_expired": 0}
+    versions = _list_manifests(spark, state_dir)
+    if not versions:
+        return out
+    latest = _read_manifest(spark, state_dir, versions[-1])
+    if len(latest.get("deltas", [])) >= max_pending_deltas:
+        out["deltas_folded"] = compact_deltas_into_base(spark, state_dir)
+    if not _latest_manifest(spark, state_dir).get("deltas"):
+        out["buckets_compacted"] = compact_partitioned_state(
+            spark, state_dir, max_files=max_files_per_bucket
+        )
+    out["versions_expired"] = expire_partitioned_versions(
+        spark, state_dir, keep=keep_versions
+    )
+    return out

@@ -985,3 +985,73 @@ def test_next_compaction_seq_survives_retention():
     assert pu._next_compaction_seq(["v000000001x0005"], 1) == 6
     # other batches' compactions don't leak into this batch's seq
     assert pu._next_compaction_seq(["v000000000x0003", "v000000001"], 1) == 1
+
+
+def test_maintain_partitioned_state_housekeeping(spark, tmp_path):
+    """The composed housekeeping loop: folds pending deltas only past the
+    threshold, compacts only delta-free fragmented buckets, expires
+    last; state is value-identical before and after, and a maintained
+    table's read no longer pays the delta fold."""
+    state = str(tmp_path / "state")
+    b0 = spark.createDataFrame(
+        [(1, 10.0), (17, 5.0), (40, 2.0)], "key long, amount double"
+    )
+    merge_batch_into_partitioned_state(spark, state, b0, 0)
+    pu.append_delta_batch(
+        spark, state, spark.createDataFrame([(1, 1.0)], "key long, amount double"), 1
+    )
+    want = {1: (11.0, 2), 17: (5.0, 1), 40: (2.0, 1)}
+
+    # below the delta threshold: nothing folds, deltas stay pending
+    r1 = pu.maintain_partitioned_state(spark, state, max_pending_deltas=2)
+    assert r1["deltas_folded"] == 0
+    assert pu._latest_manifest(spark, state).get("deltas")  # still pending
+    # compaction refused to run over pending deltas (not crashed):
+    assert r1["buckets_compacted"] == 0
+
+    pu.append_delta_batch(
+        spark, state, spark.createDataFrame([(17, 3.0)], "key long, amount double"), 2
+    )
+    want[17] = (8.0, 2)
+    # at the threshold: fold, then compact, then expire - one pass
+    r2 = pu.maintain_partitioned_state(
+        spark, state, max_pending_deltas=2, max_files_per_bucket=1, keep_versions=2
+    )
+    assert r2["deltas_folded"] > 0
+    assert not pu._latest_manifest(spark, state).get("deltas")
+    got = {r["key"]: (r["total"], r["n_rows"])
+           for r in read_latest_partitioned_state(spark, state).collect()}
+    assert got == want
+    # retention ran last: only keep_versions distinct batch ids survive
+    batches = {pu._batch_id_of(v) for v in pu._list_manifests(spark, state)}
+    assert len(batches) <= 2
+    # a second maintenance pass is a no-op (idempotent housekeeping)
+    r3 = pu.maintain_partitioned_state(
+        spark, state, max_pending_deltas=2, max_files_per_bucket=1, keep_versions=2
+    )
+    assert r3 == {"deltas_folded": 0, "buckets_compacted": 0, "versions_expired": 0}
+    with pytest.raises(ValueError, match="max_pending_deltas"):
+        pu.maintain_partitioned_state(spark, state, max_pending_deltas=0)
+
+
+def test_stream_cow_ingest_with_ops(spark, tmp_path):
+    """run_partitioned_incremental_merge(with_ops=True): the CoW stream
+    carries replace-CDC batches - a tombstone in a later file discards
+    the key's earlier state through the same foreachBatch merge body."""
+    src = tmp_path / "batches"
+    src.mkdir()
+    spark.createDataFrame(
+        [(1, 10.0, "upsert"), (17, 5.0, "upsert")],
+        "key long, amount double, op string",
+    ).toPandas().to_parquet(str(src / "b0.parquet"), index=False)
+    spark.createDataFrame(
+        [(17, 0.0, "delete"), (33, 7.0, "upsert")],
+        "key long, amount double, op string",
+    ).toPandas().to_parquet(str(src / "b1.parquet"), index=False)
+    state = str(tmp_path / "state")
+    run_partitioned_incremental_merge(
+        spark, str(src), state, str(tmp_path / "ckpt"), with_ops=True
+    )
+    got = {r["key"]: (r["total"], r["n_rows"])
+           for r in read_latest_partitioned_state(spark, state).collect()}
+    assert got == {1: (10.0, 1), 33: (7.0, 1)}
