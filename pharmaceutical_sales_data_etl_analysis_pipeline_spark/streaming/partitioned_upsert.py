@@ -1109,31 +1109,50 @@ def read_partitioned_state_keyrange(
 # --- compaction (OPTIMIZE twin) ----------------------------------------------
 
 
-def _bucket_data_file_count(fs, jvm, bucket_version_dir: str) -> int:
+def _bucket_data_files(fs, jvm, bucket_version_dir: str) -> tuple[int, int]:
+    """(parquet file count, total parquet bytes) of a bucket-version dir."""
     p = jvm.org.apache.hadoop.fs.Path(bucket_version_dir)
     if not fs.exists(p):
-        return 0
-    return sum(
-        1
-        for s in fs.listStatus(p)
-        if s.isFile() and str(s.getPath().getName()).endswith(".parquet")
-    )
+        return 0, 0
+    n = total = 0
+    for s in fs.listStatus(p):
+        if s.isFile() and str(s.getPath().getName()).endswith(".parquet"):
+            n += 1
+            total += int(s.getLen())
+    return n, total
+
+
+def _bucket_data_file_count(fs, jvm, bucket_version_dir: str) -> int:
+    return _bucket_data_files(fs, jvm, bucket_version_dir)[0]
 
 
 def compact_partitioned_state(
-    spark: SparkSession, state_dir: str, max_files: int = 1
+    spark: SparkSession,
+    state_dir: str,
+    max_files: int = 1,
+    target_file_bytes: int = 128 * 1024 * 1024,
 ) -> int:
     """OPTIMIZE twin: rewrite every bucket whose latest version holds more
-    than `max_files` parquet data files down to one file per bucket, and
-    commit a manifest with the SAME batch_id suffixed 'x{seq}' — the
-    identical logical state, physically defragmented. Untouched buckets
-    keep their pointers; replay/time-travel semantics are unchanged
-    because _batch_id_of treats the compaction as its source batch.
+    than `max_files` parquet data files down to ~`target_file_bytes`
+    files, and commit a manifest with the SAME batch_id suffixed
+    'x{seq}' — the identical logical state, physically defragmented.
+    Untouched buckets keep their pointers; replay/time-travel semantics
+    are unchanged because _batch_id_of treats the compaction as its
+    source batch.
+
+    BIN-PACKING (r7): a bucket at production width is a few GB — one
+    file per bucket (the old contract) makes multi-GB parquet files
+    that kill scan parallelism and retry granularity. The rewrite now
+    targets `target_file_bytes` per output file, the real OPTIMIZE
+    contract: bytes-per-row is measured from the fragmented buckets'
+    own files (fixed schema → uniform rows), converted to ONE global
+    maxRecordsPerFile, so each bucket lands ceil(bucket_rows / rpf)
+    files — exactly 1 at test scale, ~bucket_bytes/target at 100 TB —
+    without any per-bucket salting machinery.
 
     Returns the number of buckets compacted. Scale shape: the read is
     pruned to the fragmented buckets; one repartition(bucket) shuffle
-    sizes output files 1:1 per bucket — at 100 TB this is the same
-    bin-packing rewrite OPTIMIZE performs, run bucket-local."""
+    gives one writing task per bucket, maxRecordsPerFile splits within."""
     versions = _list_manifests(spark, state_dir)
     if not versions:
         return 0
@@ -1141,13 +1160,16 @@ def compact_partitioned_state(
     manifest = _read_manifest(spark, state_dir, latest_name)
     _require_no_pending_deltas(manifest, "compact_partitioned_state")
     fs, _, jvm = _fs_and_path(spark, state_dir)
-    fragmented = [
-        int(b)
-        for b, v in manifest["buckets"].items()
-        if _bucket_data_file_count(fs, jvm, f"{state_dir}/buckets/b{int(b)}/{v}") > max_files
-    ]
+    fragmented: list[int] = []
+    frag_bytes = 0
+    for b, v in manifest["buckets"].items():
+        n, nbytes = _bucket_data_files(fs, jvm, f"{state_dir}/buckets/b{int(b)}/{v}")
+        if n > max_files:
+            fragmented.append(int(b))
+            frag_bytes += nbytes
     if not fragmented:
         return 0
+    fragmented.sort()
 
     batch_id = manifest["batch_id"]
     seq = _next_compaction_seq(versions, batch_id)
@@ -1161,12 +1183,32 @@ def compact_partitioned_state(
         .parquet(*src_paths)
         .withColumn("bucket", bucket_of(F.col("key"), manifest["range_width"]))
     )
+    # rows in the fragmented set: prefer the manifest's zone-map stats
+    # (free); scan-count only buckets predating stats
+    stats = manifest.get("stats", {})
+    frag_rows = 0
+    unstatted = [b for b in fragmented if str(b) not in stats]
+    for b in fragmented:
+        if str(b) in stats:
+            frag_rows += int(stats[str(b)]["n_keys"])
+    if unstatted:
+        frag_rows += (
+            spark.read.schema(STATE_SCHEMA)
+            .parquet(
+                *[f"{state_dir}/buckets/b{b}/{manifest['buckets'][str(b)]}" for b in unstatted]
+            )
+            .count()
+        )
+    # measured bytes/row over the set -> global records-per-file target
+    # (parquet re-encodes, but same schema+codec => same-order sizes)
+    bytes_per_row = max(1.0, frag_bytes / max(frag_rows, 1))
+    rpf = max(1, int(target_file_bytes / bytes_per_row))
     staging = f"{state_dir}/.staging/{vname}"
-    # repartition BY bucket -> each bucket's rows land in exactly one task
-    # -> exactly one data file per bucket directory
-    df.repartition(F.col("bucket")).write.mode("overwrite").partitionBy("bucket").parquet(
-        staging
-    )
+    # repartition BY bucket -> each bucket's rows land in exactly one task;
+    # maxRecordsPerFile bin-packs within the task
+    df.repartition(F.col("bucket")).write.mode("overwrite").option(
+        "maxRecordsPerFile", rpf
+    ).partitionBy("bucket").parquet(staging)
 
     # pre-rename snapshot check (same clobber-window rationale as the
     # merge path; see _assert_no_concurrent_commit)

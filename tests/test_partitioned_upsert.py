@@ -1055,3 +1055,61 @@ def test_stream_cow_ingest_with_ops(spark, tmp_path):
     got = {r["key"]: (r["total"], r["n_rows"])
            for r in read_latest_partitioned_state(spark, state).collect()}
     assert got == {1: (10.0, 1), 33: (7.0, 1)}
+
+
+def test_compaction_bin_packs_to_target_file_size(spark, tmp_path):
+    """r7 OPTIMIZE contract: compaction targets `target_file_bytes` per
+    output file instead of one (potentially multi-GB) file per bucket.
+    With a target sized to ~half a bucket's bytes, each compacted bucket
+    lands ~2 files; with the default 128 MB target, tiny buckets land
+    exactly 1 (the old behavior, preserved at test scale). State is
+    value-identical either way."""
+    state = str(tmp_path / "state")
+    rows = [(k, float(k)) for k in range(0, 48)]  # buckets 0,1,2 (width 16)
+    b0 = spark.createDataFrame(rows, "key long, amount double")
+    # fragment the buckets: with AQE off, every shuffle task writes its
+    # own file into each bucket dir (same trick as the defrag test)
+    old_aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        merge_batch_into_partitioned_state(spark, state, b0, 0)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
+    before = {r["key"]: (r["total"], r["n_rows"])
+              for r in read_latest_partitioned_state(spark, state).collect()}
+
+    # measure a bucket's bytes to pick a ~half-bucket target
+    m = pu._latest_manifest(spark, state)
+    fs, _, jvm = __import__(
+        "pharmaceutical_sales_data_etl_analysis_pipeline_spark.sources.maintenance",
+        fromlist=["_fs_and_path"],
+    )._fs_and_path(spark, state)
+    bsizes = {
+        int(b): pu._bucket_data_files(fs, jvm, f"{state}/buckets/b{int(b)}/{v}")
+        for b, v in m["buckets"].items()
+    }
+    assert all(n >= 1 for n, _ in bsizes.values())
+    total_rows = sum(1 for _ in rows)
+    total_bytes = sum(nb for _, nb in bsizes.values())
+    # target ~ bytes of half a bucket's rows -> ceil(16/8)=2 files/bucket
+    target = int(total_bytes / total_rows * 8)
+    n = compact_partitioned_state(spark, state, target_file_bytes=target)
+    assert n == 3
+    m2 = pu._latest_manifest(spark, state)
+    counts = {
+        int(b): pu._bucket_data_files(fs, jvm, f"{state}/buckets/b{int(b)}/{v}")[0]
+        for b, v in m2["buckets"].items()
+    }
+    assert counts == {0: 2, 1: 2, 2: 2}
+    after = {r["key"]: (r["total"], r["n_rows"])
+             for r in read_latest_partitioned_state(spark, state).collect()}
+    assert after == before
+
+    # default target: tiny buckets compact to exactly one file each
+    merge_batch_into_partitioned_state(
+        spark, state, spark.createDataFrame([(1, 1.0)], "key long, amount double"), 2
+    )
+    assert compact_partitioned_state(spark, state) >= 1
+    m3 = pu._latest_manifest(spark, state)
+    for b, v in m3["buckets"].items():
+        assert pu._bucket_data_files(fs, jvm, f"{state}/buckets/b{int(b)}/{v}")[0] == 1
