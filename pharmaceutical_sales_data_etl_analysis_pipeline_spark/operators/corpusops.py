@@ -1035,7 +1035,11 @@ BM25_B = 0.75
 BM25_K = 3
 
 
-def bm25_topk_terms(documents: DataFrame, k: int = BM25_K) -> DataFrame:
+def bm25_scored(documents: DataFrame) -> DataFrame:
+    """The FULL per-(doc, term) BM25 weight relation — the posting list
+    with doc-side impact weights. bm25_topk_terms ranks it per doc; the
+    hybrid retrieval fusion (similarity.hybrid_retrieval_rrf) joins
+    query terms against it. One tokenization total (tf pinned)."""
     # ONE tokenization total: tf (the per-(doc,term) relation, far smaller
     # than the token stream) is materialized with localCheckpoint, then dl
     # and df attach as WINDOW aggregates over it — no joins back, no
@@ -1068,12 +1072,16 @@ def bm25_topk_terms(documents: DataFrame, k: int = BM25_K) -> DataFrame:
         * (tfd * (BM25_K1 + 1.0))
         / (tfd + BM25_K1 * (1.0 - BM25_B + BM25_B * dld / F.col("avgdl")))
     )
-    scored = enriched.crossJoin(F.broadcast(stats)).select(
+    return enriched.crossJoin(F.broadcast(stats)).select(
         "doc_id",
         F.col("word").alias("term"),
         "tf",
         round_half_up(score, 4).alias("bm25"),
     )
+
+
+def bm25_topk_terms(documents: DataFrame, k: int = BM25_K) -> DataFrame:
+    scored = bm25_scored(documents)
     w = Window.partitionBy("doc_id").orderBy(F.desc("bm25"), F.asc("term"))
     return (
         scored.withColumn("rnk", F.row_number().over(w))
@@ -1086,8 +1094,10 @@ def q_bm25_topk_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk_terms(load_table(spark, sf_dir, "documents"))
 
 
-SQL_BM25_TOPK_TERMS = f"""
-WITH {SQL_WORDS_CTE},
+# shared CTE chain ending in the full per-(doc,term) BM25 relation
+# `bm25s` — used by the topk oracle below and the hybrid-RRF oracle
+# (operators/similarity.py)
+SQL_BM25_SCORED_CTES = f"""{SQL_WORDS_CTE},
 tf AS (
   SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf
   FROM words GROUP BY 1, 2
@@ -1103,7 +1113,7 @@ stats AS (
          CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
   FROM dl
 ),
-scored AS (
+bm25s AS (
   SELECT tf.doc_id, tf.word AS term, tf.tf,
          floor(((s.n_docs / CAST(df.df AS DOUBLE))
                 * (CAST(tf.tf AS DOUBLE) * ({BM25_K1} + 1.0))
@@ -1115,12 +1125,15 @@ scored AS (
   JOIN dl ON tf.doc_id = dl.doc_id
   JOIN df ON tf.word = df.word
   CROSS JOIN stats s
-)
+)"""
+
+SQL_BM25_TOPK_TERMS = f"""
+WITH {SQL_BM25_SCORED_CTES}
 SELECT doc_id, term, tf, bm25, CAST(rnk AS INT) AS rnk
 FROM (
   SELECT *, row_number() OVER (PARTITION BY doc_id
                                ORDER BY bm25 DESC, term ASC) AS rnk
-  FROM scored
+  FROM bm25s
 ) t
 WHERE rnk <= {BM25_K}
 """

@@ -1536,3 +1536,152 @@ FROM cent
 
 QUERIES["embedding_center"] = q_embedding_center
 ORACLES["embedding_center"] = SQL_EMBEDDING_CENTER
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval with reciprocal-rank fusion (r7): the production
+# retrieval stack fuses a LEXICAL ranking (BM25 posting-list join) with
+# a DENSE ranking (embedding cosine) — RRF (Cormack & Clarke SIGIR'09)
+# is the standard fusion because it needs no score calibration: each
+# list contributes 1/(K + rank). Here the N_QUERIES query docs (vec_id
+# == doc_id in the test corpus) retrieve TOP_K docs three ways:
+#   lexical: the query doc's top-BM25 terms equi-join the FULL BM25
+#     posting relation (corpusops.bm25_scored) — the inverted-index
+#     impact join, one shuffle on term, never a doc×doc product; the
+#     per-doc score SUMs DECIMAL(18,4)-cast weights so the fold is
+#     exact and order-independent (the cross-engine discipline);
+#   dense: cosine_topk verbatim (broadcast queries × one corpus scan);
+#   fused: full-outer on (q, d), rrf = Σ 1/(60 + rank) with absent
+#     ranks contributing 0 — a fixed two-term IEEE expression, rounded
+#     half-up to 9 so both engines hash identically.
+# Scale: lexical is bounded by |query terms| × posting-list length (the
+# classic impact-ordered shape); dense is the brute-force baseline whose
+# scale path is the IVF/LSH variants registered alongside; the fusion
+# itself is top-K×|queries| rows — driver-trivial at any corpus size.
+# ---------------------------------------------------------------------------
+
+RRF_K = 60  # the standard damping constant from the RRF paper
+
+
+def hybrid_retrieval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .corpusops import BM25_K, bm25_scored
+
+    documents = load_table(spark, sf_dir, "documents")
+    embeddings = load_table(spark, sf_dir, "embeddings")
+
+    dense = cosine_topk(embeddings).select(
+        "q_id", "d_id", F.col("rnk").alias("dense_rnk")
+    )
+
+    scored = bm25_scored(documents)
+    wq = Window.partitionBy("doc_id").orderBy(F.desc("bm25"), F.asc("term"))
+    qterms = (
+        scored.filter(F.col("doc_id") < N_QUERIES)
+        .withColumn("_r", F.row_number().over(wq))
+        .filter(F.col("_r") <= BM25_K)
+        .select(F.col("doc_id").alias("q_id"), "term")
+    )
+    lex_scores = (
+        qterms.join(
+            scored.select(F.col("doc_id").alias("d_id"), "term", "bm25"), "term"
+        )
+        .filter(F.col("d_id") != F.col("q_id"))
+        .groupBy("q_id", "d_id")
+        .agg(F.sum(F.col("bm25").cast("decimal(18,4)")).alias("lex_score"))
+    )
+    wl = Window.partitionBy("q_id").orderBy(F.desc("lex_score"), F.asc("d_id"))
+    lex = (
+        lex_scores.withColumn("lex_rnk", F.row_number().over(wl))
+        .filter(F.col("lex_rnk") <= TOP_K)
+        .select("q_id", "d_id", "lex_rnk")
+    )
+
+    fused = dense.join(lex, ["q_id", "d_id"], "full_outer").select(
+        "q_id",
+        "d_id",
+        F.col("dense_rnk").cast("int").alias("dense_rnk"),
+        F.col("lex_rnk").cast("int").alias("lex_rnk"),
+        round_half_up(
+            F.coalesce(F.lit(1.0) / (F.lit(RRF_K) + F.col("dense_rnk")), F.lit(0.0))
+            + F.coalesce(F.lit(1.0) / (F.lit(RRF_K) + F.col("lex_rnk")), F.lit(0.0)),
+            9,
+        ).alias("rrf"),
+    )
+    wf = Window.partitionBy("q_id").orderBy(F.desc("rrf"), F.asc("d_id"))
+    return (
+        fused.withColumn("rnk", F.row_number().over(wf))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("q_id", "d_id", "dense_rnk", "lex_rnk", "rrf", F.col("rnk").cast("int").alias("rnk"))
+    )
+
+
+def _sql_hybrid_rrf() -> str:
+    from .corpusops import BM25_K, SQL_BM25_SCORED_CTES
+
+    return f"""
+WITH {SQL_BM25_SCORED_CTES},
+base AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings
+),
+norms AS (
+  SELECT vec_id,
+         sqrt(list_reduce(list_transform(e, x -> x * x), (acc, x) -> acc + x)) AS nrm
+  FROM base
+),
+cscored AS (
+  SELECT q.vec_id AS q_id, d.vec_id AS d_id,
+         floor((list_reduce(list_transform(range(1, len(q.e) + 1), i -> q.e[i] * d.e[i]),
+                            (acc, x) -> acc + x)
+                / (qn.nrm * dn.nrm)) * 1000000000.0 + 0.5) / 1000000000.0 AS cosine
+  FROM base q
+  JOIN base d ON q.vec_id <> d.vec_id
+  JOIN norms qn ON q.vec_id = qn.vec_id
+  JOIN norms dn ON d.vec_id = dn.vec_id
+  WHERE q.vec_id < {N_QUERIES}
+),
+dense AS (
+  SELECT q_id, d_id, rnk AS dense_rnk FROM (
+    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, d_id ASC) AS rnk
+    FROM cscored
+  ) t WHERE rnk <= {TOP_K}
+),
+qterms AS (
+  SELECT doc_id AS q_id, term FROM (
+    SELECT doc_id, term,
+           row_number() OVER (PARTITION BY doc_id ORDER BY bm25 DESC, term ASC) AS rnk
+    FROM bm25s WHERE doc_id < {N_QUERIES}
+  ) t WHERE rnk <= {BM25_K}
+),
+lex_scores AS (
+  SELECT q.q_id, s.doc_id AS d_id, SUM(CAST(s.bm25 AS DECIMAL(18,4))) AS lex_score
+  FROM qterms q JOIN bm25s s ON q.term = s.term AND s.doc_id <> q.q_id
+  GROUP BY 1, 2
+),
+lex AS (
+  SELECT q_id, d_id, rnk AS lex_rnk FROM (
+    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY lex_score DESC, d_id ASC) AS rnk
+    FROM lex_scores
+  ) t WHERE rnk <= {TOP_K}
+),
+fused AS (
+  SELECT COALESCE(dense.q_id, lex.q_id) AS q_id,
+         COALESCE(dense.d_id, lex.d_id) AS d_id,
+         CAST(dense.dense_rnk AS INT) AS dense_rnk,
+         CAST(lex.lex_rnk AS INT) AS lex_rnk,
+         floor((COALESCE(1.0 / ({RRF_K} + dense.dense_rnk), 0.0)
+                + COALESCE(1.0 / ({RRF_K} + lex.lex_rnk), 0.0)) * 1000000000.0 + 0.5)
+           / 1000000000.0 AS rrf
+  FROM dense FULL OUTER JOIN lex
+    ON dense.q_id = lex.q_id AND dense.d_id = lex.d_id
+)
+SELECT q_id, d_id, dense_rnk, lex_rnk, rrf, CAST(rnk AS INT) AS rnk
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY rrf DESC, d_id ASC) AS rnk
+  FROM fused
+) t
+WHERE rnk <= {TOP_K}
+"""
+
+
+QUERIES["hybrid_retrieval_rrf"] = hybrid_retrieval_rrf
+ORACLES["hybrid_retrieval_rrf"] = _sql_hybrid_rrf()

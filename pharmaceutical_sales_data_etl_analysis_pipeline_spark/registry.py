@@ -94,6 +94,7 @@ PRIORITY = [
     "xml_xpath_roundtrip",  # r7: S4 driver-verified (fallback reader)
     "stream_mor_ingest",  # r7: streaming MoR ingest (readStream -> delta appends -> fold)
     "mor_changes_feed",  # r7: MoR-aware CDF (delta-era side folds pending deltas)
+    "hybrid_retrieval_rrf",  # r7: BM25 posting join + cosine, RRF-fused
     "mor_scattered_fold",  # r7: read fold gained the overflow-vs-tombstone guard
     "cow_merge_changes",  # r7: merge write plan gained the guard; fixture memoized
     "cow_manifest_summary",
@@ -143,10 +144,10 @@ PRIORITY = [
     "domain_mixture_weights",
     "embedding_quantize",
     "event_transitions",
-    "hourly_anomalies",
 ]
 # r8 PRIORITY candidates (staleness head after the r7 sweep):
-# incremental_neardup, interpolate_hourly and inverted_index (displaced from the r7 window
+# hourly_anomalies, incremental_neardup, interpolate_hourly and
+# inverted_index (displaced from the r7 window
 # by the late xml_scan_roundtrip/xml_xpath_roundtrip registrations),
 # then the 22 remaining r3-rows in name order — ivf_list_sizes, ivf_probe2_topk,
 # ivf_probe_topk, kmeans_clusters, multimodal_resize, ngram_jaccard,
