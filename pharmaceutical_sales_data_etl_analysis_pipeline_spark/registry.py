@@ -21,7 +21,7 @@ EAGER-EXECUTION NOTE: most entries are pure plan builders (calling the
 function runs no Spark jobs until an action). Exceptions, documented at
 their definitions, run jobs at BUILD time: queries whose plan reuses an
 intermediate across branches via operators/pin.py (basket_affinity,
-bm25_topk_terms, term_lift_pairs, pagerank_fixedpoint,
+bm25_topk_terms, hybrid_retrieval_rrf, term_lift_pairs, pagerank_fixedpoint,
 graph_triangle_stats, tfidf_topk_terms, neardup_components and its
 dependents training_corpus/dedup_survivors/dedup_rate_by_source) and queries whose
 parameters derive from the data via driver round-trips (kmeans_clusters,
