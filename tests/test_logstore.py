@@ -238,3 +238,238 @@ def test_filelock_store_cross_process_semantics(spark, tmp_path):
     with pytest.raises(ConcurrentCommitError, match="basis advanced"):
         store.commit(spark, mdir, "v000000002", _payload(2), expected=basis)
     assert not os.path.exists(lock_path)  # released after rejection too
+
+
+# --- r8: unified conditional-put matrix + arbiter + slow-holder ------------
+
+
+def _conditional_stores():
+    from pharmaceutical_sales_data_etl_analysis_pipeline_spark.streaming.logstore import (
+        ArbiterLogStore,
+        FileLockLogStore,
+    )
+
+    return [
+        ("inprocess", InProcessConditionalPutLogStore),
+        ("filelock", FileLockLogStore),
+        ("arbiter", ArbiterLogStore),
+    ]
+
+
+@pytest.mark.parametrize(
+    "store_cls", [c for _, c in _conditional_stores()], ids=[n for n, _ in _conditional_stores()]
+)
+def test_conditional_put_matrix_one_winner_per_basis(spark, tmp_path, store_cls):
+    """Every conditional-put store — in-process lock, cross-process lock
+    file, external arbiter — admits EXACTLY ONE winner per basis under
+    racing writers; losers raise ConcurrentCommitError and publish
+    nothing (the FileLock store may reject a loser at the lock rather
+    than the basis check; both are the same contract exception)."""
+    store = store_cls()
+    mdir = str(tmp_path / "state" / "manifests")
+    store.commit(spark, mdir, "v000000000", _payload(0), expected=None)
+    basis = tuple(store.list_commits(spark, mdir))
+
+    outcomes: list[tuple[int, str]] = []
+    lock = threading.Lock()
+
+    def writer(k: int) -> None:
+        try:
+            store.commit(spark, mdir, f"v00000000{k}", _payload(k), expected=basis)
+            with lock:
+                outcomes.append((k, "ok"))
+        except ConcurrentCommitError:
+            with lock:
+                outcomes.append((k, "rejected"))
+
+    threads = [threading.Thread(target=writer, args=(k,)) for k in range(1, 7)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+
+    winners = [k for k, o in outcomes if o == "ok"]
+    assert len(winners) == 1, outcomes
+    assert store.list_commits(spark, mdir) == sorted(
+        ["v000000000", f"v00000000{winners[0]}"]
+    )
+
+
+def test_filelock_slow_holder_evicted_does_not_delete_usurper(
+    spark, tmp_path, caplog
+):
+    """The TTL trade, pinned (VERDICT r7 'worth recording'): a live
+    holder slower than LOCK_TTL_MS is evicted — the breaker logs a
+    WARNING, acquires with its own token, and the evicted holder's
+    release must NOT delete the usurper's lock (ownership token check),
+    only warn. Both writers then race the basis check — detection, not
+    corruption."""
+    import logging
+    import os
+
+    from pharmaceutical_sales_data_etl_analysis_pipeline_spark.streaming.logstore import (
+        FileLockLogStore,
+    )
+
+    store = FileLockLogStore()
+    mdir = str(tmp_path / "state" / "manifests")
+    store.commit(spark, mdir, "v000000000", _payload(0), expected=None)
+    lock_path = os.path.join(mdir, ".commit.lock")
+
+    token_a = store._acquire(spark, mdir, "v000000001")
+    assert os.path.exists(lock_path)
+    # holder A stalls past the TTL (simulated: backdate the lock mtime)
+    old = os.path.getmtime(lock_path) - (store.LOCK_TTL_MS / 1000.0) - 60
+    os.utime(lock_path, (old, old))
+
+    with caplog.at_level(logging.WARNING):
+        token_b = store._acquire(spark, mdir, "v000000002")
+    assert token_a != token_b
+    assert any("breaking presumed-orphaned" in r.message for r in caplog.records)
+
+    caplog.clear()
+    with caplog.at_level(logging.WARNING):
+        store._release(spark, mdir, token_a)  # evicted holder wakes up
+    assert os.path.exists(lock_path), "usurper's lock must survive A's release"
+    assert store._read_lock_token(spark, mdir) == token_b
+    assert any("not releasing" in r.message for r in caplog.records)
+
+    store._release(spark, mdir, token_b)
+    assert not os.path.exists(lock_path)
+
+
+def test_arbiter_store_crash_between_cas_and_finalize_self_heals(spark, tmp_path):
+    """Two-phase commit recovery: a writer that wins the arbiter CAS but
+    dies before the finalize rename leaves a staged file + a pending
+    arbiter record. The NEXT reader's list_commits completes the commit
+    (Delta S3DynamoDBLogStore's read-side recovery) — the name appears,
+    the payload is readable, and the record flips to complete."""
+    from pharmaceutical_sales_data_etl_analysis_pipeline_spark.streaming.logstore import (
+        ArbiterLogStore,
+        CommitArbiter,
+    )
+
+    arbiter = CommitArbiter()
+
+    class CrashOnFinalize(ArbiterLogStore):
+        def __init__(self):
+            super().__init__(arbiter)
+            self.crashed = False
+
+        def _finalize(self, spark, manifest_dir, table, name, staged_name):
+            if not self.crashed and name == "v000000001":
+                self.crashed = True
+                raise IOError("injected crash before finalize")
+            super()._finalize(spark, manifest_dir, table, name, staged_name)
+
+    writer = CrashOnFinalize()
+    mdir = str(tmp_path / "state" / "manifests")
+    writer.commit(spark, mdir, "v000000000", _payload(0), expected=None)
+    basis = tuple(writer.list_commits(spark, mdir))
+    with pytest.raises(IOError, match="injected crash"):
+        writer.commit(spark, mdir, "v000000001", _payload(1), expected=basis)
+    # the CAS won: the arbiter holds a pending record, the FS shows nothing
+    table = [k for k in arbiter._tables][0]
+    assert arbiter.records(table)["v000000001"]  # staged pointer pending
+    # a FRESH reader over the same arbiter self-heals on list
+    reader = ArbiterLogStore(arbiter)
+    assert reader.list_commits(spark, mdir) == ["v000000000", "v000000001"]
+    assert reader.read_commit(spark, mdir, "v000000001")["batch_id"] == 1
+    assert arbiter.records(table)["v000000001"] is None  # now complete
+    # and a successor commit built on the healed listing succeeds
+    reader.commit(
+        spark, mdir, "v000000002", _payload(2),
+        expected=tuple(reader.list_commits(spark, mdir)),
+    )
+    assert "v000000002" in reader.list_commits(spark, mdir)
+
+
+def test_arbiter_outage_fails_stop_and_latency_serializes(spark, tmp_path):
+    """An arbiter outage must fail the commit BEFORE anything publishes
+    (fail-stop, never fall through to an unguarded write), and arbiter
+    latency inside the critical section must not break one-winner-per-
+    basis."""
+    from pharmaceutical_sales_data_etl_analysis_pipeline_spark.streaming.logstore import (
+        ArbiterLogStore,
+        ArbiterUnavailableError,
+        CommitArbiter,
+    )
+
+    arbiter = CommitArbiter(latency_s=0.05)
+    store = ArbiterLogStore(arbiter)
+    mdir = str(tmp_path / "state" / "manifests")
+    store.commit(spark, mdir, "v000000000", _payload(0), expected=None)
+    basis = tuple(store.list_commits(spark, mdir))
+
+    arbiter.fail_next(1)
+    with pytest.raises(ArbiterUnavailableError):
+        store.commit(spark, mdir, "v000000001", _payload(1), expected=basis)
+    assert store.list_commits(spark, mdir) == ["v000000000"]  # nothing landed
+
+    outcomes: list[str] = []
+    lock = threading.Lock()
+
+    def writer(k: int) -> None:
+        try:
+            store.commit(spark, mdir, f"v00000000{k}", _payload(k), expected=basis)
+            with lock:
+                outcomes.append("ok")
+        except ConcurrentCommitError:
+            with lock:
+                outcomes.append("rejected")
+
+    threads = [threading.Thread(target=writer, args=(k,)) for k in (1, 2, 3)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert outcomes.count("ok") == 1
+    assert len(store.list_commits(spark, mdir)) == 2
+
+
+def test_full_merges_serialize_under_arbiter_store(spark, tmp_path, restore_store):
+    """The table layer end-to-end over the arbiter store: two racing
+    merges (distinct batch ids) — every outcome is a serialization and
+    the final state equals the fold of exactly the committed batches
+    (same contract the in-process store proves; this pins that the
+    SWAP of stores changes nothing above the seam)."""
+    from pharmaceutical_sales_data_etl_analysis_pipeline_spark.streaming.logstore import (
+        ArbiterLogStore,
+    )
+
+    state = str(tmp_path / "state")
+    pu.set_log_store(ArbiterLogStore())
+    b0_rows = [(1, 10.0), (17, 5.0)]
+    batch_rows = {1: [(1, 2.0), (49, 4.0)], 2: [(17, 3.0), (65, 8.0)]}
+    pu.merge_batch_into_partitioned_state(
+        spark, state, spark.createDataFrame(b0_rows, "key long, amount double"), 0
+    )
+    results: dict[int, str] = {}
+    lock = threading.Lock()
+
+    def writer(bid: int) -> None:
+        try:
+            pu.merge_batch_into_partitioned_state(
+                spark, state,
+                spark.createDataFrame(batch_rows[bid], "key long, amount double"),
+                bid,
+            )
+            with lock:
+                results[bid] = "ok"
+        except ConcurrentCommitError:
+            with lock:
+                results[bid] = "rejected"
+
+    threads = [threading.Thread(target=writer, args=(bid,)) for bid in (1, 2)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+
+    expected: dict[int, float] = {}
+    for bid in [0] + [b for b in (1, 2) if results.get(b) == "ok"]:
+        for k, v in (b0_rows if bid == 0 else batch_rows[bid]):
+            expected[k] = expected.get(k, 0.0) + v
+    got = {r["key"]: r["total"]
+           for r in pu.read_latest_partitioned_state(spark, state).collect()}
+    assert got == expected
