@@ -31,10 +31,17 @@ up-front declaration. Each micro-batch:
   3. full-outer-merges the delta against ONLY those buckets' current
      versions, in ONE Spark job, written partitioned by bucket to a
      staging dir, then moved into per-bucket version dirs (O(touched)
-     metadata renames);
-  4. writes the manifest LAST — the commit point. The new manifest
-     inherits every untouched bucket's version pointer unchanged, so
-     untouched data is never read, shuffled, or rewritten.
+     metadata renames). Version dir names are ATTEMPT-UNIQUE
+     (v{batch_id}-{attempt}): a writer NEVER deletes or replaces an
+     existing version dir, so no interleaving of writers — even two
+     racing the SAME batch id — can touch a committed attempt's files
+     (the r7 clobber window, now closed structurally);
+  4. writes the manifest LAST — the commit point, naming exactly the
+     winning attempt's dirs. The new manifest inherits every untouched
+     bucket's version pointer unchanged, so untouched data is never
+     read, shuffled, or rewritten. A crashed or losing attempt's dirs
+     are unreferenced debris, reclaimed ONLY by retention once newer
+     manifests supersede them (expire_partitioned_versions).
 
 Per-batch cost is |batch| + |touched buckets|, not |state| + |batch|:
 with B buckets and a batch touching t of them, the rewrite amplification
@@ -43,8 +50,10 @@ is a few GB, a point-update batch rewrites GBs, not the table.
 
 Replay idempotence matches upsert.py: a re-run of batch N merges into
 the newest manifest STRICTLY OLDER than N (its own half-applied output
-is invisible — the manifest commit never happened) and rewrites the same
-bucket versions plus manifest to identical bytes-equivalent state.
+is invisible — the manifest commit never happened), writes FRESH
+attempt dirs, and republishes the v{N} manifest to the identical
+logical state; the crashed attempt's dirs are unreferenced debris for
+retention.
 
 Commit protocol at real scale: every manifest list/read/publish routes
 through a pluggable ManifestLogStore (streaming/logstore.py — the seam
@@ -111,6 +120,8 @@ manifest-pruned so its cost scales with the CHANGE, not the table
 """
 
 from __future__ import annotations
+
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -329,37 +340,17 @@ def _latest_manifest(
 # re-exported here for the existing import surface).
 
 
-def _assert_no_concurrent_commit(
-    spark: SparkSession, state_dir: str, batch_id: int, snapshot: tuple
-) -> None:
-    """Best-effort optimistic concurrency check (the plain-FS stand-in
-    for a conditional-put log store): just before committing batch N,
-    require the manifest listing to be exactly what it was when the
-    merge snapshotted its basis — ANY new name means a foreign writer
-    committed mid-merge, and committing anyway would either drop their
-    deltas from the lineage (their batch < N) or have already-started
-    readers of their commit silently lose ours (their batch > N). NOT
-    mutual exclusion — two writers can still pass the check in the same
-    instant; true exclusion needs the conditional-put commit the module
-    docstring names. This converts the documented single-writer
-    assumption's violation from silent data loss into a loud error.
-
-    Same-batch-id clobber hazard: the bucket move loop deletes an
-    existing dst version dir as "replay of a crashed attempt" BEFORE any
-    commit-time check can run, so a concurrent writer of the SAME batch
-    id that already committed would have its bucket files replaced
-    first and the violation detected only afterwards — detection cannot
-    undo that damage. Callers therefore run this check a second time
-    immediately BEFORE their destructive rename loop (cheap: one
-    listing) to shrink — not close — that window; closing it is exactly
-    what a conditional-put log store buys."""
-    now = tuple(_list_manifests(spark, state_dir))
-    if now != snapshot:
-        raise ConcurrentCommitError(
-            f"manifest listing changed during the merge of batch {batch_id}: "
-            f"{sorted(set(now) ^ set(snapshot))} — concurrent writer "
-            "detected; the state table has a single-writer contract"
-        )
+def _attempt_name(base: str) -> str:
+    """Attempt-unique version dir name. Every write path stages and
+    renames into dirs named {base}-{attempt}, so no writer ever deletes
+    or replaces an existing version dir — two writers racing the SAME
+    batch id (the one interleaving the commit-time listing check could
+    not protect, r7's documented clobber window) each land their own
+    dirs and the log-store commit picks exactly one winner; the loser's
+    dirs are unreferenced debris for retention. The manifest name keeps
+    the plain v{batch}[x{seq}] form (replay/ordering semantics live
+    there); only the DATA dir names carry the attempt suffix."""
+    return f"{base}-{uuid.uuid4().hex[:8]}"
 
 
 # --- read path -------------------------------------------------------------
@@ -599,27 +590,22 @@ def merge_batch_into_partitioned_state(
 
     # one job writes every touched bucket, partitioned by bucket id, to a
     # staging dir; per-bucket dirs then move into place with O(touched)
-    # metadata renames. Data without a committed manifest is invisible.
-    staging = f"{state_dir}/.staging/v{batch_id:09d}"
+    # metadata renames. Data without a committed manifest is invisible,
+    # and the attempt-unique vname means nothing existing is ever
+    # deleted or replaced — a replay (or a same-batch-id racer) writes
+    # fresh dirs and the log-store commit picks the one winner.
+    vname = _attempt_name(f"v{batch_id:09d}")
+    staging = f"{state_dir}/.staging/{vname}"
     merged.write.mode("overwrite").partitionBy("bucket").parquet(staging)
 
-    # pre-rename snapshot check: the loop below deletes existing dst
-    # version dirs (crashed-replay replacement), which would clobber a
-    # same-batch-id concurrent writer's COMMITTED files before the
-    # commit-time check could see them — re-check the listing while it
-    # is still cheap to abort (see _assert_no_concurrent_commit)
-    _assert_no_concurrent_commit(spark, state_dir, batch_id, listing_snapshot)
     fs, _, jvm = _fs_and_path(spark, state_dir)
     hpath = jvm.org.apache.hadoop.fs.Path
-    vname = f"v{batch_id:09d}"
     new_buckets = dict(prev_buckets)
     for b in touched:
         src = hpath(f"{staging}/bucket={b}")
         dst_dir = hpath(f"{state_dir}/buckets/b{b}")
         dst = hpath(f"{state_dir}/buckets/b{b}/{vname}")
         fs.mkdirs(dst_dir)
-        if fs.exists(dst):  # replay of a crashed attempt: replace its orphan
-            fs.delete(dst, True)
         if fs.exists(src):
             if not fs.rename(src, dst):
                 raise IOError(f"bucket move failed: {src} -> {dst}")
@@ -1173,7 +1159,7 @@ def compact_partitioned_state(
 
     batch_id = manifest["batch_id"]
     seq = _next_compaction_seq(versions, batch_id)
-    vname = f"v{batch_id:09d}x{seq:04d}"
+    vname = _attempt_name(f"v{batch_id:09d}x{seq:04d}")
 
     src_paths = [
         f"{state_dir}/buckets/b{b}/{manifest['buckets'][str(b)]}" for b in fragmented
@@ -1210,17 +1196,12 @@ def compact_partitioned_state(
         "maxRecordsPerFile", rpf
     ).partitionBy("bucket").parquet(staging)
 
-    # pre-rename snapshot check (same clobber-window rationale as the
-    # merge path; see _assert_no_concurrent_commit)
-    _assert_no_concurrent_commit(spark, state_dir, batch_id, tuple(versions))
     hpath = jvm.org.apache.hadoop.fs.Path
     new_buckets = dict(manifest["buckets"])
     for b in fragmented:
         src = hpath(f"{staging}/bucket={b}")
         dst = hpath(f"{state_dir}/buckets/b{b}/{vname}")
         fs.mkdirs(hpath(f"{state_dir}/buckets/b{b}"))
-        if fs.exists(dst):
-            fs.delete(dst, True)
         if not fs.exists(src) or not fs.rename(src, dst):
             raise IOError(f"compaction move failed for bucket {b}: {src} -> {dst}")
         new_buckets[str(b)] = vname
@@ -1300,7 +1281,7 @@ def rerange_partitioned_state(
 
     batch_id = manifest["batch_id"]
     seq = _next_compaction_seq(versions, batch_id)
-    vname = f"v{batch_id:09d}x{seq:04d}"
+    vname = _attempt_name(f"v{batch_id:09d}x{seq:04d}")
 
     df = (
         spark.read.schema(STATE_SCHEMA)
@@ -1312,9 +1293,6 @@ def rerange_partitioned_state(
         "bucket"
     ).parquet(staging)
 
-    # pre-rename snapshot check (same clobber-window rationale as the
-    # merge path; see _assert_no_concurrent_commit)
-    _assert_no_concurrent_commit(spark, state_dir, batch_id, tuple(versions))
     fs, _, jvm = _fs_and_path(spark, state_dir)
     hpath = jvm.org.apache.hadoop.fs.Path
     new_bucket_ids = sorted(
@@ -1327,8 +1305,6 @@ def rerange_partitioned_state(
         src = hpath(f"{staging}/bucket={b}")
         dst = hpath(f"{state_dir}/buckets/b{b}/{vname}")
         fs.mkdirs(hpath(f"{state_dir}/buckets/b{b}"))
-        if fs.exists(dst):
-            fs.delete(dst, True)
         if not fs.rename(src, dst):
             raise IOError(f"re-range move failed for bucket {b}: {src} -> {dst}")
         new_buckets[str(b)] = vname
@@ -1402,7 +1378,10 @@ def append_delta_batch(
             f"{width}; migrate explicitly with rerange_partitioned_state"
         )
 
-    vname = f"v{batch_id:09d}"
+    # attempt-unique delta dir: a replay (or same-batch-id racer) writes
+    # a fresh dir instead of overwriting — the committed manifest names
+    # the winner; losers/orphans are retention debris
+    vname = _attempt_name(f"v{batch_id:09d}")
     delta = (
         _aggregate_batch(batch_df, width)
         # SUM widened the fold to decimal(28,2); store at the state width
@@ -1455,7 +1434,7 @@ def compact_deltas_into_base(spark: SparkSession, state_dir: str) -> int:
     width = manifest["range_width"]
     batch_id = manifest["batch_id"]
     seq = _next_compaction_seq(versions, batch_id)
-    vname = f"v{batch_id:09d}x{seq:04d}"
+    vname = _attempt_name(f"v{batch_id:09d}x{seq:04d}")
 
     delta_rows = spark.read.schema(_DELTA_SCHEMA).parquet(
         *[f"{state_dir}/deltas/{v}" for v in deltas]
@@ -1479,9 +1458,6 @@ def compact_deltas_into_base(spark: SparkSession, state_dir: str) -> int:
         "bucket"
     ).parquet(staging)
 
-    # pre-rename snapshot check (same clobber-window rationale as the
-    # merge path; see _assert_no_concurrent_commit)
-    _assert_no_concurrent_commit(spark, state_dir, batch_id, tuple(versions))
     fs, _, jvm = _fs_and_path(spark, state_dir)
     hpath = jvm.org.apache.hadoop.fs.Path
     new_buckets = dict(manifest["buckets"])
@@ -1491,8 +1467,6 @@ def compact_deltas_into_base(spark: SparkSession, state_dir: str) -> int:
         src = hpath(f"{staging}/bucket={b}")
         dst = hpath(f"{state_dir}/buckets/b{b}/{vname}")
         fs.mkdirs(hpath(f"{state_dir}/buckets/b{b}"))
-        if fs.exists(dst):
-            fs.delete(dst, True)
         if fs.exists(src):
             if not fs.rename(src, dst):
                 raise IOError(f"delta compaction move failed for bucket {b}")

@@ -114,7 +114,8 @@ def test_untouched_buckets_are_not_rewritten(spark, sf_dir, tmp_path):
 
     after = _bucket_versions(state)
     target = f"b{target_bucket}"
-    assert after[target] == before[target] + ["v000000001"]
+    added = [v for v in after[target] if v not in before[target]]
+    assert len(added) == 1 and added[0].startswith("v000000001-")
     for b in after:
         if b != target:
             assert after[b] == before[b], f"untouched bucket {b} was rewritten"
@@ -806,7 +807,7 @@ def test_mor_append_and_fold(spark, tmp_path):
     remaining = sorted(
         e.name for e in os.scandir(os.path.join(state, "deltas")) if e.is_dir()
     )
-    assert remaining == ["v000000001"]
+    assert len(remaining) == 1 and remaining[0].startswith("v000000001-")
     got4 = {r["key"]: (r["total"], r["n_rows"])
             for r in read_latest_partitioned_state(spark, state).collect()}
     assert got4 == want
@@ -826,7 +827,8 @@ def test_mor_append_writes_no_buckets(spark, sf_dir, tmp_path):
     scattered = orders.groupBy("key").agg(F.lit(0.01).alias("amount"))
     pu.append_delta_batch(spark, state, scattered, 1)
     assert _bucket_versions(state) == before  # zero bucket rewrites
-    assert sorted(os.listdir(os.path.join(state, "deltas"))) == ["v000000001"]
+    deltas = os.listdir(os.path.join(state, "deltas"))
+    assert len(deltas) == 1 and deltas[0].startswith("v000000001-")
     # and the fold still equals the batch-aggregate truth
     expected = _expected(orders.unionByName(
         orders.groupBy("key").agg(F.lit(0.01).alias("amount"))))
@@ -1113,3 +1115,77 @@ def test_compaction_bin_packs_to_target_file_size(spark, tmp_path):
     m3 = pu._latest_manifest(spark, state)
     for b, v in m3["buckets"].items():
         assert pu._bucket_data_files(fs, jvm, f"{state}/buckets/b{int(b)}/{v}")[0] == 1
+
+
+def test_same_batch_id_loser_never_touches_winner_files(spark, tmp_path):
+    """The r7 clobber window, closed structurally (r8): version dirs are
+    attempt-unique and no write path deletes or replaces an existing
+    dir, so a concurrent writer racing the SAME batch id whose basis
+    predates the winner's commit (1) raises ConcurrentCommitError at the
+    manifest, and (2) leaves every one of the winner's committed data
+    files byte-identical — its own attempt dirs are unreferenced debris
+    that the next retention pass reclaims."""
+    import hashlib
+
+    from pharmaceutical_sales_data_etl_analysis_pipeline_spark.streaming.logstore import (
+        ConcurrentCommitError,
+        HadoopRenameLogStore,
+    )
+
+    state = str(tmp_path / "state")
+    b0 = spark.createDataFrame([(1, 10.0), (17, 5.0)], "key long, amount double")
+    winner = spark.createDataFrame([(1, 2.0)], "key long, amount double")
+    loser = spark.createDataFrame(
+        [(1, 999.0), (33, 777.0)], "key long, amount double"
+    )
+    merge_batch_into_partitioned_state(spark, state, b0, 0)
+    stale = tuple(pu._list_manifests(spark, state))  # loser's basis view
+    merge_batch_into_partitioned_state(spark, state, winner, 1)
+
+    def inventory() -> dict[str, str]:
+        out = {}
+        for root, _dirs, files in os.walk(os.path.join(state, "buckets")):
+            for f in files:
+                p = os.path.join(root, f)
+                with open(p, "rb") as fh:
+                    out[p] = hashlib.sha256(fh.read()).hexdigest()
+        return out
+
+    committed = inventory()
+
+    class StaleBasisStore(HadoopRenameLogStore):
+        """The loser's world: its listing reads (basis + snapshot) see
+        the pre-winner state, but the COMMIT runs against the real
+        store — the exact interleaving the old delete-then-rename
+        replay path turned into a clobber."""
+
+        def list_commits(self, spark_, manifest_dir):
+            return list(stale)
+
+        def commit(self, spark_, manifest_dir, name, payload, expected):
+            HadoopRenameLogStore().commit(
+                spark_, manifest_dir, name, payload, expected
+            )
+
+    prev_store = pu.set_log_store(StaleBasisStore())
+    try:
+        with pytest.raises(ConcurrentCommitError):
+            merge_batch_into_partitioned_state(spark, state, loser, 1)
+    finally:
+        pu.set_log_store(prev_store)
+
+    after = inventory()
+    for p, h in committed.items():
+        assert after.get(p) == h, f"winner file {p} was touched by the loser"
+    got = {r["key"]: r["total"]
+           for r in read_latest_partitioned_state(spark, state).collect()}
+    assert got == {1: 12.0, 17: 5.0}
+
+    # the loser's attempt dirs are debris only retention reclaims
+    orphans = set(after) - set(committed)
+    assert orphans, "loser should have staged attempt dirs before losing"
+    expire_partitioned_versions(spark, state, keep=2)
+    final = inventory()
+    assert set(final) == set(committed)
+    assert {r["key"]: r["total"]
+            for r in read_latest_partitioned_state(spark, state).collect()} == got

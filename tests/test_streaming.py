@@ -583,7 +583,8 @@ def test_stream_mor_ingest_equals_batch_fold(spark, sf_dir, monkeypatch):
         for v in os.listdir(os.path.join(broot, b))
     }
     assert versions and all("x" in v for v in versions)
-    # and both CDC micro-batches landed as delta commits
-    assert sorted(os.listdir(os.path.join(state, "deltas"))) == [
-        "v000000000", "v000000001",
-    ]
+    # and both CDC micro-batches landed as delta commits (dir names are
+    # attempt-suffixed: v{batch}-{attempt})
+    assert sorted(
+        d.split("-")[0] for d in os.listdir(os.path.join(state, "deltas"))
+    ) == ["v000000000", "v000000001"]
