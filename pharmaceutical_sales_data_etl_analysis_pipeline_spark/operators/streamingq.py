@@ -582,12 +582,23 @@ ORACLES["mor_changes_feed"] = SQL_COW_MERGE_CHANGES
 # ---------------------------------------------------------------------------
 
 
-def _publish_single_file_batch(spark: SparkSession, df: DataFrame, src_dir: str, name: str) -> None:
+# fixed epoch for pinned source-file mtimes (2001-09-09T01:46:40Z): any
+# constant works — only the ORDER matters to the file stream source
+_PUBLISH_MTIME_EPOCH_MS = 1_000_000_000_000
+
+
+def _publish_single_file_batch(
+    spark: SparkSession, df: DataFrame, src_dir: str, name: str, seq: int
+) -> None:
     """Write df as exactly ONE parquet file at {src_dir}/{name}.parquet
     (coalesce-to-one staging write + a driver-side rename), so the file
     stream source delivers it as exactly one micro-batch — the property
-    the CDC sequencing above relies on. Files publish in call order
-    (the source sorts unseen files oldest-first)."""
+    the CDC sequencing above relies on. Files must be DELIVERED in call
+    order (the source sorts unseen files by modification time), so the
+    published file's mtime is PINNED to epoch + seq minutes (ADVICE r7):
+    on filesystems with coarse timestamp granularity two back-to-back
+    renames can otherwise tie and the tombstone/upsert batch order would
+    be unspecified, silently inverting the CDC fold."""
     from ..sources.maintenance import _fs_and_path
 
     tmp = f"{src_dir}/.staging_{name}"
@@ -601,8 +612,10 @@ def _publish_single_file_batch(spark: SparkSession, df: DataFrame, src_dir: str,
     ]
     if len(part) != 1:
         raise IOError(f"expected one part file in {tmp}, found {part}")
-    if not fs.rename(hpath(f"{tmp}/{part[0]}"), hpath(f"{src_dir}/{name}.parquet")):
+    final = hpath(f"{src_dir}/{name}.parquet")
+    if not fs.rename(hpath(f"{tmp}/{part[0]}"), final):
         raise IOError(f"publish failed: {src_dir}/{name}.parquet")
+    fs.setTimes(final, _PUBLISH_MTIME_EPOCH_MS + seq * 60_000, -1)
     fs.delete(hpath(tmp), True)
 
 
@@ -621,9 +634,9 @@ def stream_mor_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         src = _os.path.join(base, "src")
         b0, b1 = _cdc_batches(orders)
         _publish_single_file_batch(
-            spark, b0.withColumn("op", F.lit("upsert")), src, "b0"
+            spark, b0.withColumn("op", F.lit("upsert")), src, "b0", seq=0
         )
-        _publish_single_file_batch(spark, b1, src, "b1")
+        _publish_single_file_batch(spark, b1, src, "b1", seq=1)
         run_partitioned_mor_ingest(
             spark, src, state, _os.path.join(base, "ckpt"), range_width=width
         )
