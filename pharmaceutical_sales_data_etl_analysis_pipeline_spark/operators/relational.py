@@ -720,10 +720,71 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_txns,
 FROM orders
 """
 
+# memo for the streamed-ingest sink (one stream drain per corpus; same
+# discipline as the corpus memo above)
+_XML_STREAM_SINK_MEMO: dict = {}
+
+
+def q_xml_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5's STREAMING twin (r8): the reference's multi-file ordered
+    append loop (LoadXML2DB.ChatterjeeP.R:198..452) as a Structured
+    Streaming file stream — the orders-derived XML shards are staged
+    with pinned mtimes, readStream.format("xml") delivers one file per
+    micro-batch, and foreachBatch appends each with (file_idx, seq)
+    order columns (sources/xml.stream_xml_files_ordered). The aggregate
+    over the drained sink is held to the SAME parquet oracle as the
+    batch scan: stream/batch parity IS the check (the ordered-columns
+    equivalence against read_xml_files_ordered is pinned in
+    tests/test_xml_sources.py). EAGER at build: stages files and drains
+    the stream (registry.py eager-execution note)."""
+    import os as _os
+
+    from pyspark.sql import types as T
+
+    from ..sources.xml import stream_xml_files_ordered
+    from .buildcache import corpus_key, memo_put
+    from .pin import scratch_dir
+
+    corpus = _orders_xml_corpus(spark, sf_dir)
+    orders = load_table(spark, sf_dir, "orders")
+    key = corpus_key(orders, "xml_stream_sink")
+    if key is not None and key in _XML_STREAM_SINK_MEMO:
+        sink = _XML_STREAM_SINK_MEMO[key]
+        streamed = spark.read.parquet(sink)
+    else:
+        paths = sorted(
+            _os.path.join(corpus, f)
+            for f in _os.listdir(corpus)
+            if f.startswith("part-")
+        )
+        schema = T.StructType(
+            [
+                T.StructField("_status", T.StringType()),
+                T.StructField("okey", T.LongType()),
+                T.StructField(
+                    "customer",
+                    T.StructType([T.StructField("ckey", T.LongType())]),
+                ),
+                T.StructField("price", T.StringType()),
+            ]
+        )
+        work = scratch_dir("xml_stream_")
+        streamed = stream_xml_files_ordered(spark, paths, "txn", schema, work)
+        if key is not None:
+            memo_put(_XML_STREAM_SINK_MEMO, key, _os.path.join(work, "sink"))
+    return _xml_roundtrip_agg(
+        streamed.select(
+            F.col("_status").alias("status"),
+            F.col("customer.ckey").alias("ckey"),
+            F.col("price"),
+        )
+    )
+
 
 QUERIES = {
     "xml_scan_roundtrip": q_xml_scan_roundtrip,
     "xml_xpath_roundtrip": q_xml_xpath_roundtrip,
+    "xml_stream_ingest": q_xml_stream_ingest,
     "product_facts": q_product_facts,
     "product_facts_sql": q_product_facts_sql,
     "full_outer_reconciliation": q_full_outer_reconciliation,
@@ -749,6 +810,7 @@ QUERIES = {
 ORACLES = {
     "xml_scan_roundtrip": SQL_XML_ROUNDTRIP,
     "xml_xpath_roundtrip": SQL_XML_ROUNDTRIP,
+    "xml_stream_ingest": SQL_XML_ROUNDTRIP,
     "product_facts": SQL_PRODUCT_FACTS,
     "product_facts_sql": SQL_PRODUCT_FACTS,
     "full_outer_reconciliation": SQL_FULL_OUTER_RECONCILIATION,

@@ -1365,7 +1365,7 @@ ORACLES["ivf_pq_probe_topk"] = SQL_IVF_PQ_PROBE_TOPK
 
 
 def ann_recall_eval(embeddings: DataFrame, n_queries: int = N_QUERIES,
-                    k: int = TOP_K) -> DataFrame:
+                    k: int = TOP_K, documents: DataFrame | None = None) -> DataFrame:
     from .pin import pin
 
     cents = _learned_centroids(embeddings)
@@ -1373,9 +1373,12 @@ def ann_recall_eval(embeddings: DataFrame, n_queries: int = N_QUERIES,
     # copy per variant branch (a semi-join and a count agg each), every
     # copy re-running the O(corpus x queries) exact scoring; the pinned
     # relation is k x n_queries rows, evaluated once (EAGER at build,
-    # same contract as the centroid training it sits next to)
+    # same contract as the centroid training it sits next to). r8 keeps
+    # rnk in the pin: the hybrid-fusion row reuses it as the exact dense
+    # ranking.
     exact = pin(
-        cosine_topk(embeddings, n_queries, k).select("q_id", "d_id"), "ann_exact"
+        cosine_topk(embeddings, n_queries, k).select("q_id", "d_id", "rnk"),
+        "ann_exact",
     )
     variants = [
         ("ivf_flat", 1, ivf_probe_topk(embeddings, n_queries, k, 1, cents)),
@@ -1384,13 +1387,14 @@ def ann_recall_eval(embeddings: DataFrame, n_queries: int = N_QUERIES,
         ("ivf_pq", IVF_NPROBE,
          ivf_pq_probe_topk(embeddings, n_queries, k, IVF_NPROBE, IVFPQ_RERANK, cents)),
     ]
-    parts = []
-    for name, nprobe, approx in variants:
-        hits = approx.select("q_id", "d_id").join(exact, ["q_id", "d_id"], "left_semi")
-        parts.append(
+    def _recall_row(name: str, nprobe: int, approx: DataFrame, truth: DataFrame):
+        hits = approx.select("q_id", "d_id").join(
+            truth.select("q_id", "d_id"), ["q_id", "d_id"], "left_semi"
+        )
+        return (
             hits.agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
             .crossJoin(
-                F.broadcast(exact.agg(F.count(F.lit(1)).cast("long").alias("n_exact")))
+                F.broadcast(truth.agg(F.count(F.lit(1)).cast("long").alias("n_exact")))
             )
             .select(
                 F.lit(name).alias("variant"),
@@ -1402,6 +1406,32 @@ def ann_recall_eval(embeddings: DataFrame, n_queries: int = N_QUERIES,
                 ).alias("recall"),
             )
         )
+
+    parts = [
+        _recall_row(name, nprobe, approx, exact) for name, nprobe, approx in variants
+    ]
+    if documents is not None:
+        # r8 (VERDICT ask #6): RRF-RANKING recall of the production
+        # fusion — BM25 fused with the IVF-PQ probe — against the same
+        # fusion over the exact dense ranking. The lexical side is ONE
+        # plan reused by both fusions (bm25_scored pins its tf); the
+        # exact-dense side reuses the pinned ground truth above; the
+        # fused-exact set pins because it serves as both semi-join side
+        # and denominator (k x n_queries rows).
+        lex = _hybrid_lex_ranks(documents)
+        fused_exact = pin(
+            _hybrid_rrf_fuse(
+                exact.select("q_id", "d_id", F.col("rnk").alias("dense_rnk")), lex
+            ).select("q_id", "d_id"),
+            "hybrid_exact",
+        )
+        dense_ann = ivf_pq_probe_topk(
+            embeddings, n_queries, k, IVF_NPROBE, IVFPQ_RERANK, cents
+        ).select("q_id", "d_id", F.col("rnk").alias("dense_rnk"))
+        fused_ann = _hybrid_rrf_fuse(dense_ann, lex).select("q_id", "d_id")
+        parts.append(
+            _recall_row("hybrid_rrf_pq", IVF_NPROBE, fused_ann, fused_exact)
+        )
     out = parts[0]
     for p in parts[1:]:
         out = out.unionAll(p)
@@ -1409,34 +1439,49 @@ def ann_recall_eval(embeddings: DataFrame, n_queries: int = N_QUERIES,
 
 
 def q_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return ann_recall_eval(load_table(spark, sf_dir, "embeddings"))
+    return ann_recall_eval(
+        load_table(spark, sf_dir, "embeddings"),
+        documents=load_table(spark, sf_dir, "documents"),
+    )
 
 
-def _recall_row_sql(variant: str, nprobe: int, rel: str) -> str:
+def _recall_row_sql(
+    variant: str, nprobe: int, rel: str, truth: str = "exact", ex: str = "ex"
+) -> str:
     return f"""
 SELECT '{variant}' AS variant, CAST({nprobe} AS INT) AS nprobe, n_exact,
-       CAST((SELECT count(*) FROM {rel} JOIN exact USING (q_id, d_id)) AS BIGINT) AS n_hits,
-       floor(CAST((SELECT count(*) FROM {rel} JOIN exact USING (q_id, d_id)) AS DOUBLE)
+       CAST((SELECT count(*) FROM {rel} JOIN {truth} USING (q_id, d_id)) AS BIGINT) AS n_hits,
+       floor(CAST((SELECT count(*) FROM {rel} JOIN {truth} USING (q_id, d_id)) AS DOUBLE)
              / CAST(n_exact AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS recall
-FROM ex
+FROM {ex}
 """
 
 
-SQL_ANN_RECALL_EVAL = f"""
+def _sql_ann_recall_eval() -> str:
+    # built at the END of the module: the hybrid_rrf_pq row embeds the
+    # two fusion queries, whose SQL is composed after this definition
+    return f"""
 WITH exact AS ({SQL_COSINE_TOPK}),
 a1 AS ({SQL_IVF_PROBE_TOPK}),
 a2 AS ({SQL_IVF_PROBE2_TOPK}),
 a3 AS ({SQL_IVF_PQ_PROBE_TOPK}),
-ex AS (SELECT CAST(count(*) AS BIGINT) AS n_exact FROM exact)
+hx AS (SELECT q_id, d_id FROM ({_sql_hybrid_rrf(_SQL_HYBRID_DENSE_EXACT)}) t),
+ha AS (SELECT q_id, d_id FROM ({_sql_hybrid_rrf(_SQL_HYBRID_DENSE_ANN)}) t),
+ex AS (SELECT CAST(count(*) AS BIGINT) AS n_exact FROM exact),
+hex AS (SELECT CAST(count(*) AS BIGINT) AS n_exact FROM hx)
 {_recall_row_sql("ivf_flat", 1, "a1")}
 UNION ALL
 {_recall_row_sql("ivf_flat", IVF_NPROBE, "a2")}
 UNION ALL
 {_recall_row_sql("ivf_pq", IVF_NPROBE, "a3")}
+UNION ALL
+{_recall_row_sql("hybrid_rrf_pq", IVF_NPROBE, "ha", truth="hx", ex="hex")}
 """
 
+
 QUERIES["ann_recall_eval"] = q_ann_recall_eval
-ORACLES["ann_recall_eval"] = SQL_ANN_RECALL_EVAL
+# ORACLES["ann_recall_eval"] is registered at the end of the module,
+# once the hybrid-fusion SQL pieces it embeds exist
 
 
 # ---------------------------------------------------------------------------
@@ -1563,15 +1608,13 @@ ORACLES["embedding_center"] = SQL_EMBEDDING_CENTER
 RRF_K = 60  # the standard damping constant from the RRF paper
 
 
-def hybrid_retrieval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _hybrid_lex_ranks(documents: DataFrame) -> DataFrame:
+    """(q_id, d_id, lex_rnk): per-query-doc lexical retrieval ranks — the
+    BM25 posting-list impact join (one shuffle on term, never doc×doc);
+    the per-doc score SUMs DECIMAL(18,4)-cast weights so the fold is
+    exact and order-independent. Shared by every fusion variant (compute
+    once, fuse many)."""
     from .corpusops import BM25_K, bm25_scored
-
-    documents = load_table(spark, sf_dir, "documents")
-    embeddings = load_table(spark, sf_dir, "embeddings")
-
-    dense = cosine_topk(embeddings).select(
-        "q_id", "d_id", F.col("rnk").alias("dense_rnk")
-    )
 
     scored = bm25_scored(documents)
     wq = Window.partitionBy("doc_id").orderBy(F.desc("bm25"), F.asc("term"))
@@ -1590,12 +1633,19 @@ def hybrid_retrieval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(F.col("bm25").cast("decimal(18,4)")).alias("lex_score"))
     )
     wl = Window.partitionBy("q_id").orderBy(F.desc("lex_score"), F.asc("d_id"))
-    lex = (
+    return (
         lex_scores.withColumn("lex_rnk", F.row_number().over(wl))
         .filter(F.col("lex_rnk") <= TOP_K)
         .select("q_id", "d_id", "lex_rnk")
     )
 
+
+def _hybrid_rrf_fuse(dense: DataFrame, lex: DataFrame) -> DataFrame:
+    """RRF fusion of a dense ranking (q_id, d_id, dense_rnk) with the
+    lexical ranking: full-outer on (q, d), rrf = Σ 1/(K + rank) with
+    absent ranks contributing 0 — a fixed two-term IEEE expression,
+    rounded half-up to 9 so both engines hash identically. The fusion
+    input is top-K×|queries| rows — driver-trivial at any corpus size."""
     fused = dense.join(lex, ["q_id", "d_id"], "full_outer").select(
         "q_id",
         "d_id",
@@ -1615,11 +1665,36 @@ def hybrid_retrieval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sql_hybrid_rrf() -> str:
-    from .corpusops import BM25_K, SQL_BM25_SCORED_CTES
+def hybrid_retrieval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    documents = load_table(spark, sf_dir, "documents")
+    embeddings = load_table(spark, sf_dir, "embeddings")
+    dense = cosine_topk(embeddings).select(
+        "q_id", "d_id", F.col("rnk").alias("dense_rnk")
+    )
+    return _hybrid_rrf_fuse(dense, _hybrid_lex_ranks(documents))
 
-    return f"""
-WITH {SQL_BM25_SCORED_CTES},
+
+def hybrid_retrieval_rrf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION wiring of the fusion (r8, VERDICT ask #6): the
+    dense side is the IVF-PQ probe — coarse-quantizer routing + ADC over
+    compressed codes + exact rerank of a bounded shortlist — instead of
+    the brute-force corpus scan, so the whole hybrid stack now scales
+    the way a deployed retrieval system does (the posting-list join and
+    the fusion were already bounded; the dense scan was the 100 TB
+    outlier). Ranking recall of this variant against the exact-dense
+    fusion is reported inside ann_recall_eval's table (hybrid_rrf_pq
+    row)."""
+    documents = load_table(spark, sf_dir, "documents")
+    embeddings = load_table(spark, sf_dir, "embeddings")
+    dense = ivf_pq_probe_topk(embeddings).select(
+        "q_id", "d_id", F.col("rnk").alias("dense_rnk")
+    )
+    return _hybrid_rrf_fuse(dense, _hybrid_lex_ranks(documents))
+
+
+# dense CTE bodies for the two fusion variants: each must define a
+# relation dense(q_id, d_id, dense_rnk)
+_SQL_HYBRID_DENSE_EXACT = f"""
 base AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings
 ),
@@ -1644,7 +1719,22 @@ dense AS (
     SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, d_id ASC) AS rnk
     FROM cscored
   ) t WHERE rnk <= {TOP_K}
-),
+)"""
+
+# the IVF-PQ probe rides in as a self-contained subquery (its own WITH
+# scope), exactly the relation the Spark variant reuses
+_SQL_HYBRID_DENSE_ANN = f"""
+dense AS (
+  SELECT q_id, d_id, rnk AS dense_rnk FROM ({SQL_IVF_PQ_PROBE_TOPK}) ivfpq
+)"""
+
+
+def _sql_hybrid_rrf(dense_cte: str) -> str:
+    from .corpusops import BM25_K, SQL_BM25_SCORED_CTES
+
+    return f"""
+WITH {SQL_BM25_SCORED_CTES},
+{dense_cte},
 qterms AS (
   SELECT doc_id AS q_id, term FROM (
     SELECT doc_id, term,
@@ -1684,4 +1774,8 @@ WHERE rnk <= {TOP_K}
 
 
 QUERIES["hybrid_retrieval_rrf"] = hybrid_retrieval_rrf
-ORACLES["hybrid_retrieval_rrf"] = _sql_hybrid_rrf()
+ORACLES["hybrid_retrieval_rrf"] = _sql_hybrid_rrf(_SQL_HYBRID_DENSE_EXACT)
+QUERIES["hybrid_retrieval_rrf_ann"] = hybrid_retrieval_rrf_ann
+ORACLES["hybrid_retrieval_rrf_ann"] = _sql_hybrid_rrf(_SQL_HYBRID_DENSE_ANN)
+# deferred from the recall-eval section: embeds the fusion SQL above
+ORACLES["ann_recall_eval"] = _sql_ann_recall_eval()

@@ -21,7 +21,9 @@ EAGER-EXECUTION NOTE: most entries are pure plan builders (calling the
 function runs no Spark jobs until an action). Exceptions, documented at
 their definitions, run jobs at BUILD time: queries whose plan reuses an
 intermediate across branches via operators/pin.py (basket_affinity,
-bm25_topk_terms, hybrid_retrieval_rrf, term_lift_pairs, pagerank_fixedpoint,
+bm25_topk_terms, hybrid_retrieval_rrf, hybrid_retrieval_rrf_ann
+(whose IVF-PQ dense side also derives codebooks/centroids from the
+corpus), term_lift_pairs, pagerank_fixedpoint,
 graph_triangle_stats, tfidf_topk_terms, neardup_components and its
 dependents training_corpus/dedup_survivors/dedup_rate_by_source) and queries whose
 parameters derive from the data via driver round-trips (kmeans_clusters,
@@ -74,89 +76,90 @@ MODULE_ORDER = [
     "graphops",
 ]
 
-# Round-7 sweep priority. After r6 the union r1∪…∪r6 (latest-wins) is
-# 202/202 green with zero standing failures, so the r7 window is pure
+# Round-8 sweep priority. After r7 the union r1∪…∪r7 (latest-wins) is
+# 207/207 green with zero standing failures, so the r8 window is pure
 # freshness plus the rotation-invariant prepends:
-#   (c) PREPENDED: r7's one new query (stream_mor_ingest) and the four
-#       table-format queries whose executed/build plans changed in r7
-#       (the decimal-overflow guard entered the MoR fold and the CoW
-#       merge write; the shared state fixture became memoized);
-#   (a) the six queries displaced from the r6 window by r6's own late
-#       registrations/plan changes (enumerated in the r6 candidates
-#       note): hourly_gapfill, lang_id, lookup_join_nulls,
-#       lsh_bucket_sizes, lsh_probe_topk, minhash_lsh_candidates;
-#   (b) the 11 remaining r1-rows, then the whole 14-query r2 cohort,
-#       then the first 14 r3-rows in name order — after this sweep no
-#       registered query's latest driver row predates r3.
+#   (c) PREPENDED: r8's two new queries (xml_stream_ingest — S5's
+#       streaming twin; hybrid_retrieval_rrf_ann — BM25 fused with the
+#       IVF-PQ dense side), ann_recall_eval (plan changed: +hybrid_rrf_pq
+#       recall row, pinned ground truth keeps rnk), and the six
+#       table-format queries whose build/write paths changed (r8's
+#       non-destructive attempt-unique version dirs closed the
+#       same-batch-id clobber window; stream_mor_ingest additionally
+#       pins published source-file mtimes);
+#   (a) the four queries displaced from the r7 window by the late
+#       xml_scan/xml_xpath registrations: hourly_anomalies,
+#       incremental_neardup, interpolate_hourly, inverted_index;
+#   (b) the 22 remaining r3-rows, then the first 15 r4-rows in name
+#       order — after this sweep no registered query's latest driver
+#       row predates r4.
 PRIORITY = [
-    # (c) r7-new / r7-plan-changed (rotation invariant: outrank refreshes)
-    "xml_scan_roundtrip",  # r7: S1-S3 driver-verified (native XML shred)
-    "xml_xpath_roundtrip",  # r7: S4 driver-verified (fallback reader)
-    "stream_mor_ingest",  # r7: streaming MoR ingest (readStream -> delta appends -> fold)
-    "mor_changes_feed",  # r7: MoR-aware CDF (delta-era side folds pending deltas)
-    "hybrid_retrieval_rrf",  # r7: BM25 posting join + cosine, RRF-fused
-    "mor_scattered_fold",  # r7: read fold gained the overflow-vs-tombstone guard
-    "cow_merge_changes",  # r7: merge write plan gained the guard; fixture memoized
+    # (c) r8-new / r8-plan-changed (rotation invariant: outrank refreshes)
+    "xml_stream_ingest",  # r8: ordered multi-file ingest as a file stream
+    "hybrid_retrieval_rrf_ann",  # r8: fusion's dense side on the ANN path
+    "ann_recall_eval",  # r8: +hybrid_rrf_pq ranking-recall row
+    "stream_mor_ingest",  # r8: pinned source mtimes + attempt-unique dirs
+    "mor_changes_feed",  # r8: fixture build writes attempt-unique dirs
+    "mor_scattered_fold",
+    "cow_merge_changes",
     "cow_manifest_summary",
     "cow_keyrange_lookup",
-    # (a) displaced from the r6 window (oldest rows in the registry, r1)
-    "hourly_gapfill",
-    "lang_id",
-    "lookup_join_nulls",
-    "lsh_bucket_sizes",
-    "lsh_probe_topk",
-    "minhash_lsh_candidates",
-    # (b) the 11 remaining r1-rows, name order
-    "minhash_signatures",
-    "moving_avg_customer",
-    "multimodal_frames",
-    "product_surrogate_keys",
-    "props_k_stats",
-    "simhash",
-    "status_set_ops",
-    "text_quality",
-    "token_counts",
-    "union_all_bag",
-    "value_histogram",
-    # (b) the full r2 cohort, name order
-    "asof_purchase_before_click",
-    "contamination_check",
-    "dedup_survivors",
-    "distinct_counts",
-    "events_within_5min",
-    "grouped_pandas_topk",
-    "multimodal_features",
-    "pandas_normalized_text",
-    "percentile_disc_prices",
-    "rank_functions",
-    "salted_user_totals",
-    "string_functions",
-    "training_corpus",
-    "window_value_functions",
-    # (b) oldest r3-rows, first 14 in name order
-    "activity_heatmap",
-    "basket_affinity",
-    "bm25_topk_terms",
-    "cohort_retention",
-    "dataset_cards",
-    "dedup_rate_by_source",
-    "doc_chunks",
-    "domain_mixture_weights",
-    "embedding_quantize",
-    "event_transitions",
+    # (a) displaced from the r7 window (oldest rows in the registry, r3)
+    "hourly_anomalies",
+    "incremental_neardup",
+    "interpolate_hourly",
+    "inverted_index",
+    # (b) the 22 remaining r3-rows, name order
+    "ivf_list_sizes",
+    "ivf_probe2_topk",
+    "ivf_probe_topk",
+    "kmeans_clusters",
+    "multimodal_resize",
+    "ngram_jaccard",
+    "ntile_quartiles",
+    "oov_rate",
+    "price_quantity_corr",
+    "quality_deciles",
+    "repetition_ratio",
+    "rolling_7d_actives",
+    "scd2_intervals",
+    "semdedup_candidates",
+    "sequence_packing",
+    "session_conversion",
+    "stratified_sample",
+    "table_diff",
+    "term_lift_pairs",
+    "twap_per_user",
+    "udtf_sentences",
+    "weighted_sample",
+    # (b) oldest r4-rows, first 15 in name order
+    "bigram_logprob",
+    "bloom_prefilter_stats",
+    "bpe_pair_stats",
+    "calendar_dim",
+    "chunk_dedup",
+    "cluster_label_purity",
+    "cms_heavy_hitters",
+    "conversation_assembly",
+    "dsir_weights",
+    "embedding_center",
+    "event_dedup_tolerance",
+    "fd_discovery",
+    "fk_integrity_audit",
+    "gopher_quality_flags",
+    "grouped_agg_pandas",
 ]
-# r8 PRIORITY candidates (staleness head after the r7 sweep):
-# hourly_anomalies, incremental_neardup, interpolate_hourly and
-# inverted_index (displaced from the r7 window
-# by the late xml_scan_roundtrip/xml_xpath_roundtrip registrations),
-# then the 22 remaining r3-rows in name order — ivf_list_sizes, ivf_probe2_topk,
-# ivf_probe_topk, kmeans_clusters, multimodal_resize, ngram_jaccard,
-# ntile_quartiles, oov_rate, price_quantity_corr, quality_deciles,
-# repetition_ratio, rolling_7d_actives, scd2_intervals,
-# semdedup_candidates, sequence_packing, session_conversion,
-# stratified_sample, table_diff, term_lift_pairs, twap_per_user,
-# udtf_sentences, weighted_sample — then the oldest r4 cohort.
-# Queries ADDED or PLAN-CHANGED during r7 must be PREPENDED here per
+# r9 PRIORITY candidates (staleness head after the r8 sweep): the 24
+# remaining r4-rows in name order — hll_users_per_event_type,
+# holt_linear_forecast, id_gap_analysis, k_anonymity_audit,
+# lang_id_confusion, leakage_safe_split, multi_touch_attribution,
+# pagerank_fixedpoint, part_name_near_matches, percentile_cont_prices,
+# pit_feature_join, pq_codes, quality_filter_funnel,
+# range_frame_daily_sum, rank_fusion, session_paths_topk,
+# source_overlap, sql_yearly_priority_share, stream_exact_dedup,
+# stream_tumbling_hourly, supplier_hhi, token_gini_diversity,
+# weekly_churn, zorder_bucket_stats — then the oldest r5 cohort.
+# Queries ADDED or PLAN-CHANGED during r8 must be PREPENDED here per
 # the rotation invariant (they outrank staleness refreshes).
 
 def _collect() -> tuple[dict[str, QueryFn], dict[str, str]]:

@@ -110,3 +110,63 @@ def test_scale_probe_corpus_paths_agree_and_single_scan(spark, tmp_path):
 
     assert n_scans(native) == 1
     assert n_scans(fallback) == 1
+
+
+def test_stream_xml_ordered_equals_batch(spark, tmp_path):
+    """The streaming twin of the ordered multi-file ingest (r8, VERDICT
+    ask #7): streaming the six pharma txn files through
+    stream_xml_files_ordered must reproduce load_txns_ordered's rows
+    EXACTLY — every field AND the (file_idx, seq) order columns the
+    first-occurrence dedup and surrogate-key operators depend on."""
+    from pyspark.sql import types as T
+
+    from pharmaceutical_sales_data_etl_analysis_pipeline_spark.plans.pharma_pipeline import (
+        load_txns_ordered,
+    )
+    from pharmaceutical_sales_data_etl_analysis_pipeline_spark.sources.xml import (
+        stream_xml_files_ordered,
+    )
+    from .pharma_fixtures import synth_xml_fixtures
+
+    _reps, txn_paths = synth_xml_fixtures(tmp_path / "xml")
+    batch = load_txns_ordered(spark, txn_paths)
+
+    schema = T.StructType(
+        [
+            T.StructField("txnID", T.LongType()),
+            T.StructField("prod", T.StringType()),
+            T.StructField("repID", T.StringType()),
+            T.StructField(
+                "customer",
+                T.StructType(
+                    [
+                        T.StructField("cust", T.StringType()),
+                        T.StructField("country", T.StringType()),
+                    ]
+                ),
+            ),
+            T.StructField("date", T.StringType()),
+            T.StructField("amount", T.DoubleType()),
+        ]
+    )
+    from pyspark.sql import functions as F
+
+    streamed = stream_xml_files_ordered(
+        spark, txn_paths, "txn", schema, str(tmp_path / "stream")
+    ).select(
+        F.col("txnID").cast("int").alias("txn_id"),
+        F.col("prod").alias("product_name"),
+        F.col("repID").cast("string").alias("rep_id_raw"),
+        F.col("customer.cust").alias("customer_name"),
+        F.col("customer.country").alias("country"),
+        F.col("date").alias("sale_date"),
+        F.col("amount").cast("double").alias("sale_amount"),
+        "file_idx",
+        "seq",
+    )
+
+    cols = batch.columns
+    b_rows = sorted(tuple(r) for r in batch.select(*cols).collect())
+    s_rows = sorted(tuple(r) for r in streamed.select(*cols).collect())
+    assert len(b_rows) == len(s_rows) > 0
+    assert b_rows == s_rows
