@@ -37,7 +37,9 @@ the two-phase exact-selection comparator; ann_recall_eval: the pinned
 brute-force ground-truth pass it ranks every ANN variant against;
 graph_triangle_stats: one pair-bound agg that derives the broadcast-vs-
 shuffle join strategy — the unconditional edge broadcast failed at the
-r6 sf10 rung).
+r6 sf10 rung); and the ingest-fixture queries that stage files and
+drain a Structured Streaming query at build (stream_mor_ingest,
+xml_stream_ingest — both memoized per corpus).
 pin() defaults to localCheckpoint (executor-local blocks — fine in
 local[*]); set SPARK_GRAFT_PIN=table to materialize those intermediates
 to durable scratch parquet instead, the cluster-scale mode (survives

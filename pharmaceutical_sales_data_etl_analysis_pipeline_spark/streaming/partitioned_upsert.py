@@ -66,11 +66,14 @@ listing with its basis read and the commit rejects
 InProcessConditionalPutLogStore makes the check+publish pair atomic
 (per-table lock), giving true exclusion for every topology whose
 commits share one driver process — Structured Streaming's actual
-shape; multi-DRIVER writers need an external conditional-put arbiter
-behind the same interface (S3 If-None-Match, DynamoDB, a catalog
-service). On S3A do not run the rename store multi-writer: its rename
-is copy+delete. (See logstore.py; contract property-tested in
-tests/test_logstore.py.)
+shape; FileLockLogStore extends that across PROCESSES on filesystems
+with atomic create-if-absent (token-owned, TTL-bounded lock file);
+ArbiterLogStore carries multi-DRIVER object-store deployments — its
+compare-and-swap runs at an injectable external arbiter (the
+S3 If-None-Match / DynamoDB / catalog-service seam), two-phase with
+reader-side recovery. On S3A do not run the rename store multi-writer:
+its rename is copy+delete. (See logstore.py; contract property-tested
+across all four stores in tests/test_logstore.py.)
 
 Same read boundary as upsert.py: DECIMAL(18,2) in state, DOUBLE out.
 
@@ -733,7 +736,8 @@ def run_partitioned_mor_ingest(
     checkpoint_dir: str,
     range_width: int | None = None,
     compact_after: bool = True,
-) -> None:
+    max_files_per_trigger: int = 1,
+) -> dict:
     """Streaming merge-on-read ingest — the CDC mirror of
     run_partitioned_incremental_merge: every micro-batch (key, amount,
     op) commits as an O(|batch|) DELTA append (zero bucket reads or
@@ -746,7 +750,17 @@ def run_partitioned_mor_ingest(
     file and manifest. At 100 TB this is the steady-state CDC topology:
     N appends + one fold instead of N full-spread rewrites; run the
     compaction on whatever cadence read latency demands (readers stay
-    correct either way — read_latest folds pending deltas)."""
+    correct either way — read_latest folds pending deltas).
+
+    `max_files_per_trigger` sizes micro-batches in source files (the
+    oracle fixture keeps 1 — one logical CDC batch per file makes the
+    tombstone sequencing deterministic; the scale rung runs multi-file
+    batches, see SCALE.md). Returns per-batch progress — [{batch_id,
+    input_rows, trigger_s}, ...] under "batches" plus the drain/compact
+    wall seconds — so deployments and the rung probe can watch append
+    latency without instrumenting the stream themselves."""
+    import time as _time
+
     src_schema = T.StructType(
         [
             T.StructField("key", T.LongType()),
@@ -756,9 +770,10 @@ def run_partitioned_mor_ingest(
     )
     stream = (
         spark.readStream.schema(src_schema)
-        .option("maxFilesPerTrigger", 1)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(source_dir)
     )
+    t0 = _time.monotonic()
     q = (
         stream.writeStream.foreachBatch(
             lambda df, bid: append_delta_batch(
@@ -770,8 +785,24 @@ def run_partitioned_mor_ingest(
         .start()
     )
     q.awaitTermination()
-    if compact_after:
-        compact_deltas_into_base(spark, state_dir)
+    drain_s = _time.monotonic() - t0
+    batches = [
+        {
+            "batch_id": p["batchId"],
+            "input_rows": p["numInputRows"],
+            "trigger_s": p["durationMs"]["triggerExecution"] / 1000.0,
+        }
+        for p in (q.recentProgress or [])
+        if p.get("numInputRows", 0) > 0 or p.get("batchId") is not None
+    ]
+    t1 = _time.monotonic()
+    compacted = compact_deltas_into_base(spark, state_dir) if compact_after else 0
+    return {
+        "batches": batches,
+        "drain_s": drain_s,
+        "compaction_s": _time.monotonic() - t1,
+        "compacted_buckets": compacted,
+    }
 
 
 def expire_partitioned_versions(spark: SparkSession, state_dir: str, keep: int = 3) -> int:
