@@ -143,7 +143,35 @@ from .upsert import STATE_SCHEMA, _as_read_view
 # optimistic rename; swap in InProcessConditionalPutLogStore (or an
 # external-arbiter implementation of ManifestLogStore) to make the
 # check+publish pair atomic — the table layer is contract-agnostic.
-_LOG_STORE: ManifestLogStore = HadoopRenameLogStore()
+# Deployments pick without code via SPARK_GRAFT_LOG_STORE =
+# rename | inprocess | filelock | arbiter (the same seam Delta exposes
+# as spark.delta.logStore.class).
+
+
+def _default_log_store() -> ManifestLogStore:
+    import os as _os
+
+    name = _os.environ.get("SPARK_GRAFT_LOG_STORE", "rename").lower()
+    from .logstore import (
+        ArbiterLogStore,
+        FileLockLogStore,
+        InProcessConditionalPutLogStore,
+    )
+
+    stores = {
+        "rename": HadoopRenameLogStore,
+        "inprocess": InProcessConditionalPutLogStore,
+        "filelock": FileLockLogStore,
+        "arbiter": ArbiterLogStore,
+    }
+    if name not in stores:
+        raise ValueError(
+            f"unknown SPARK_GRAFT_LOG_STORE={name!r}; one of {sorted(stores)}"
+        )
+    return stores[name]()
+
+
+_LOG_STORE: ManifestLogStore = _default_log_store()
 
 
 def set_log_store(store: ManifestLogStore) -> ManifestLogStore:

@@ -473,3 +473,27 @@ def test_full_merges_serialize_under_arbiter_store(spark, tmp_path, restore_stor
     got = {r["key"]: r["total"]
            for r in pu.read_latest_partitioned_state(spark, state).collect()}
     assert got == expected
+
+
+def test_default_log_store_env_selection(monkeypatch):
+    """SPARK_GRAFT_LOG_STORE picks the commit-protocol implementation
+    without code (the deployment seam Delta exposes as
+    spark.delta.logStore.class); unknown names fail loudly."""
+    from pharmaceutical_sales_data_etl_analysis_pipeline_spark.streaming.logstore import (
+        ArbiterLogStore,
+        FileLockLogStore,
+    )
+
+    monkeypatch.delenv("SPARK_GRAFT_LOG_STORE", raising=False)
+    assert isinstance(pu._default_log_store(), HadoopRenameLogStore)
+    for name, cls in [
+        ("inprocess", InProcessConditionalPutLogStore),
+        ("filelock", FileLockLogStore),
+        ("arbiter", ArbiterLogStore),
+        ("RENAME", HadoopRenameLogStore),
+    ]:
+        monkeypatch.setenv("SPARK_GRAFT_LOG_STORE", name)
+        assert isinstance(pu._default_log_store(), cls)
+    monkeypatch.setenv("SPARK_GRAFT_LOG_STORE", "dynamo")
+    with pytest.raises(ValueError, match="unknown SPARK_GRAFT_LOG_STORE"):
+        pu._default_log_store()
