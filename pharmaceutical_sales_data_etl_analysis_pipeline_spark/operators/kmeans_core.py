@@ -24,18 +24,41 @@ from pyspark.sql import functions as F
 
 MIN_CLUSTERS = 8
 TARGET_CLUSTER_SIZE = 125
+K_SQRT_CAP = 16           # K <= 16*sqrt(n): FAISS's nlist guidance band
 KMEANS_DIM = 64           # embedding dimensionality (testdata contract)
 _QUANT = 1000000.0        # micro-unit quantization scale
 _QUANT2 = _QUANT * _QUANT
 
 
 def derive_k(n: int) -> int:
-    """Cluster count for an n-vector corpus (cluster size ~ TARGET)."""
-    return max(MIN_CLUSTERS, n // TARGET_CLUSTER_SIZE)
+    """Cluster count for an n-vector corpus: cluster size ~ TARGET,
+    CAPPED at 16·√n (r8). Uncapped, K = n/125 makes the assignment pass
+    O(n²/125) flops and the driver-held centroid state O(n·DIM/125) —
+    both quadratic-era costs that die long before 100 TB (profiled this
+    round: the n×K assignment was 168 s of the sf10 IVF-PQ rung even
+    before K growth bites). 16·√n is the top of FAISS's published nlist
+    band (4√n..16√n): assignment becomes O(n^1.5), driver centroid
+    state O(√n·DIM), and probed-list sizes grow √n instead of staying
+    fixed — the trade every production IVF deployment makes. The cap
+    binds only above n ≈ 4M (16√n = n/125 at n = 4,000,000), so every
+    tested rung (n ≤ 200k) derives the identical K and no oracle result
+    moves; the law is pinned by test_derive_k_sqrt_cap."""
+    return max(MIN_CLUSTERS, min(n // TARGET_CLUSTER_SIZE, K_SQRT_CAP * _isqrt(n)))
 
 
+def _isqrt(n: int) -> int:
+    import math
+
+    return math.isqrt(n)
+
+
+# the SQL twin re-derives the same K from count(*). floor(sqrt(n)) in
+# DOUBLE can differ from exact isqrt only for n near perfect squares
+# above 2^52 — far beyond any count this engine's oracles run at, and
+# below the n≈4M crossover the least() arm selects n//125 regardless.
 SQL_DERIVE_K = (
-    f"(SELECT greatest({MIN_CLUSTERS}, count(*) // {TARGET_CLUSTER_SIZE}) FROM embeddings)"
+    f"(SELECT greatest({MIN_CLUSTERS}, least(count(*) // {TARGET_CLUSTER_SIZE}, "
+    f"{K_SQRT_CAP} * CAST(floor(sqrt(count(*))) AS BIGINT))) FROM embeddings)"
 )
 
 
@@ -79,23 +102,26 @@ def _assign(quant: DataFrame, centroids: list[tuple[int, list[float]]]) -> DataF
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            Q = np.stack(pdf["qe"].to_numpy()).astype(np.float64)  # (N, DIM)
-            dists = np.empty((len(pdf), len(ids)), dtype=np.float64)
-            for j in range(len(ids)):
-                d = Q - C[j]
-                acc = np.zeros(len(pdf))
-                for i in range(d.shape[1]):  # dim order = the fold order
-                    acc = acc + d[:, i] * d[:, i]
-                dists[:, j] = acc
-            best = np.argmin(dists, axis=1)
-            yield pd.DataFrame(
-                {
-                    "vec_id": pdf["vec_id"].to_numpy(),
-                    "qe": pdf["qe"],
-                    "cluster_id": ids[best].astype(np.int32),
-                    "dist": dists[np.arange(len(pdf)), best],
-                }
-            )
+            # r8: accumulate over ALL centroids per dim step ((N, K) block
+            # math — 64 numpy ops instead of K×64) with per-chunk row
+            # bounds; each element's accumulation order is still the dim-
+            # sequential fold, so dist stays bit-identical to the oracle
+            for lo in range(0, len(pdf), 4096):
+                chunk = pdf.iloc[lo : lo + 4096]
+                Q = np.stack(chunk["qe"].to_numpy()).astype(np.float64)  # (N, DIM)
+                dists = np.zeros((len(chunk), len(ids)), dtype=np.float64)
+                for i in range(Q.shape[1]):  # dim order = the fold order
+                    diff = Q[:, i : i + 1] - C[:, i][None, :]
+                    dists = dists + diff * diff
+                best = np.argmin(dists, axis=1)
+                yield pd.DataFrame(
+                    {
+                        "vec_id": chunk["vec_id"].to_numpy(),
+                        "qe": chunk["qe"],
+                        "cluster_id": ids[best].astype(np.int32),
+                        "dist": dists[np.arange(len(chunk)), best],
+                    }
+                )
 
     return quant.mapInPandas(
         assign_batches, "vec_id long, qe array<bigint>, cluster_id int, dist double"

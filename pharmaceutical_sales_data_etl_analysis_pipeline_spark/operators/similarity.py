@@ -733,10 +733,13 @@ def _learned_centroids(embeddings: DataFrame) -> DataFrame:
 
 def _centroid_topn(cents: DataFrame, vecs: DataFrame, n: int) -> DataFrame:
     """(vec_id, centroid_id) for each vector's n nearest centroids by
-    cosine (ties -> lowest centroid id). THE single definition of the
-    scoring/tie-break convention — assignment (n=1) and multi-probe share
-    it, so the probe paths can never drift from the list-building path
-    (the recall-monotonicity test depends on that)."""
+    cosine (ties -> lowest centroid id) — the QUERY-side form (bounded
+    rows: join + window). The corpus-side assignment (ivf_assignments)
+    is an Arrow-vectorized kernel making the bit-identical decision
+    (same fold order, same rounding, same tie-break) — the two cannot
+    drift because test_vectorized_assignment_matches_window_path pins
+    them equal on real corpora (the recall-monotonicity test depends on
+    the shared convention)."""
     scored = vecs.join(F.broadcast(cents)).select(
         "vec_id",
         "c_id",
@@ -753,14 +756,75 @@ def _centroid_topn(cents: DataFrame, vecs: DataFrame, n: int) -> DataFrame:
 
 
 def ivf_assignments(embeddings: DataFrame, cents: DataFrame | None = None) -> DataFrame:
-    """(vec_id, centroid_id): nearest learned centroid — the n=1 case of
-    _centroid_topn. Single broadcast pass + per-vector argmin."""
+    """(vec_id, centroid_id): nearest learned centroid over the WHOLE
+    corpus — Arrow-vectorized (r8).
+
+    This was the n=1 case of _centroid_topn: an n×K scored relation
+    through a CodegenFallback fold plus a per-vector window — 320M rows
+    and 168.6 s of the sf10 ivf_pq rung's 214 s (profiled this round;
+    cosine_topk by contrast is 1.2 s because its scored relation is only
+    queries×n). Assignment is the one centroid-scoring consumer whose
+    row count scales with the CORPUS, so it gets the module's documented
+    escape hatch (see the _dot NOTE): a mapInPandas kernel with the
+    centroid matrix riding the closure — no join, no shuffle, no window
+    — computing cos with a DIM-SEQUENTIAL numpy accumulation (the exact
+    IEEE op order of _dot's fold and DuckDB's list_reduce), the same
+    floor(x*1e9+0.5)/1e9 rounding as round_half_up(9), and first-max
+    argmax over centroid-id-sorted columns (ties -> lowest c_id) — the
+    bit-identical decision _centroid_topn(n=1) makes, pinned by
+    test_vectorized_assignment_matches_window_path. The multi-probe
+    path (queries only, bounded rows) keeps the join+window form.
+    At 100 TB this is FAISS's own shape: BLAS-style distance blocks +
+    argmin, embarrassingly parallel over vector partitions."""
     if cents is None:
         cents = _learned_centroids(embeddings)
-    vecs = embeddings.select(
-        "vec_id", "embedding", _norm(F.col("embedding")).alias("v_norm")
+    # K rows, driver-bounded (the same object the kmeans training holds
+    # driver-side); sorted by c_id so argmax's first-max tie-break IS
+    # the lowest-c_id convention
+    cl = sorted(
+        (int(r["c_id"]), [float(x) for x in r["c_emb"]], float(r["c_norm"]))
+        for r in cents.collect()
     )
-    return _centroid_topn(cents, vecs, 1)
+    cids = [c for c, _, _ in cl]
+    cmat = [e for _, e, _ in cl]
+    cnorms = [n for _, _, n in cl]
+
+    def assign(batches):
+        import numpy as np
+        import pandas as pd
+
+        C = np.asarray(cmat, dtype=np.float64)      # (K, DIM)
+        CN = np.asarray(cnorms, dtype=np.float64)   # (K,)
+        ids = np.asarray(cids, dtype=np.int64)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            for lo in range(0, len(pdf), 4096):     # bound the (rows, K) block
+                chunk = pdf.iloc[lo : lo + 4096]
+                Q = np.stack(chunk["embedding"].to_numpy()).astype(np.float64)
+                # v_norm: dim-sequential fold of squares then sqrt — the
+                # _norm op order exactly
+                acc = np.zeros(len(chunk))
+                for i in range(Q.shape[1]):
+                    acc = acc + Q[:, i] * Q[:, i]
+                vn = np.sqrt(acc)
+                # dot(q, c_j) for ALL centroids at once, still summing in
+                # dim order: D[r, j] accumulates q_i * c_j_i for i = 0..63
+                D = np.zeros((len(chunk), len(ids)))
+                for i in range(Q.shape[1]):
+                    D = D + Q[:, i : i + 1] * C[:, i][None, :]
+                cos = np.floor(D / (vn[:, None] * CN[None, :]) * 1e9 + 0.5) / 1e9
+                best = np.argmax(cos, axis=1)       # first max -> lowest c_id
+                yield pd.DataFrame(
+                    {
+                        "vec_id": chunk["vec_id"].to_numpy(),
+                        "centroid_id": ids[best],
+                    }
+                )
+
+    return embeddings.select("vec_id", "embedding").mapInPandas(
+        assign, "vec_id long, centroid_id long"
+    )
 
 
 def q_ivf_list_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -100,6 +100,9 @@ PRIORITY = [
     "xml_stream_ingest",  # r8: ordered multi-file ingest as a file stream
     "hybrid_retrieval_rrf_ann",  # r8: fusion's dense side on the ANN path
     "ann_recall_eval",  # r8: +hybrid_rrf_pq ranking-recall row
+    "ivf_pq_probe_topk",  # r8: corpus assignment vectorized (168s -> 16s at sf10)
+    "pq_codes",  # r8: sub-kmeans assign kernel block-vectorized
+    "cluster_label_purity",  # r8: same kernel change via kmeans training
     "stream_mor_ingest",  # r8: pinned source mtimes + attempt-unique dirs
     "mor_changes_feed",  # r8: fixture build writes attempt-unique dirs
     "mor_scattered_fold",
@@ -147,11 +150,11 @@ PRIORITY = [
     "embedding_center",
     "event_dedup_tolerance",
     "fd_discovery",
-    "fk_integrity_audit",
-    "gopher_quality_flags",
-    "grouped_agg_pandas",
 ]
-# r9 PRIORITY candidates (staleness head after the r8 sweep): the 24
+# r9 PRIORITY candidates (staleness head after the r8 sweep): the three
+# r4-rows displaced from the r8 window by the late vectorization
+# prepends — fk_integrity_audit, gopher_quality_flags,
+# grouped_agg_pandas — then the 24
 # remaining r4-rows in name order — hll_users_per_event_type,
 # holt_linear_forecast, id_gap_analysis, k_anonymity_audit,
 # lang_id_confusion, leakage_safe_split, multi_touch_attribution,

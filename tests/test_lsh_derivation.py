@@ -183,3 +183,23 @@ def test_wide_planes_embedding_tier_matches_oracle(spark, sf_dir):
         map(tuple, con.execute(_neardup_sql("embeddings", n_override=n)).fetchall())
     )
     assert spark_rows == oracle_rows
+
+
+def test_derive_k_sqrt_cap():
+    """K follows n/125 at test scales and caps at 16*sqrt(n) beyond the
+    n~4M crossover — the FAISS nlist band that keeps the assignment pass
+    O(n^1.5) and driver centroid state O(sqrt(n)) at 100 TB."""
+    import math
+
+    from pharmaceutical_sales_data_etl_analysis_pipeline_spark.operators.kmeans_core import (
+        derive_k,
+    )
+
+    assert derive_k(100) == 8            # floor
+    assert derive_k(2_000) == 16         # sf0.1 regime: n/125
+    assert derive_k(200_000) == 1_600    # sf10 regime: still n/125
+    assert derive_k(4_000_000) == 16 * math.isqrt(4_000_000)  # crossover
+    assert derive_k(10**9) == 16 * math.isqrt(10**9)          # capped
+    # monotone non-decreasing across the crossover
+    ks = [derive_k(n) for n in (3_999_000, 4_000_000, 4_001_000)]
+    assert ks == sorted(ks)

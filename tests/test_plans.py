@@ -1004,3 +1004,35 @@ def test_plan_lint_all_registered_queries(spark, sf_dir):
         if viols:
             bad[name] = viols
     assert not bad, bad
+
+
+def test_vectorized_assignment_matches_window_path(spark, sf_dir):
+    """The r8 Arrow-vectorized corpus assignment must make the
+    BIT-IDENTICAL decision the join+window form makes for every vector —
+    same dim-sequential IEEE fold, same floor-rounding, same
+    lowest-c-id tie-break. This is the no-drift pin that lets
+    ivf_assignments skip the n×K scored relation (168.6 s of the sf10
+    ivf_pq rung) without forking the scoring convention."""
+    from pyspark.sql import functions as F
+
+    from pharmaceutical_sales_data_etl_analysis_pipeline_spark.catalog import load_table
+    from pharmaceutical_sales_data_etl_analysis_pipeline_spark.operators.similarity import (
+        _centroid_topn,
+        _learned_centroids,
+        _norm,
+        ivf_assignments,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = _learned_centroids(emb)
+    fast = {
+        r["vec_id"]: r["centroid_id"]
+        for r in ivf_assignments(emb, cents).collect()
+    }
+    vecs = emb.select("vec_id", "embedding", _norm(F.col("embedding")).alias("v_norm"))
+    slow = {
+        r["vec_id"]: r["centroid_id"]
+        for r in _centroid_topn(cents, vecs, 1).collect()
+    }
+    assert len(fast) == len(slow) > 0
+    assert fast == slow
