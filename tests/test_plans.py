@@ -339,9 +339,17 @@ def test_kmeans_partitions_corpus_exactly(spark, sf_dir):
 
 
 def test_kmeans_k_tracks_corpus_size():
-    """K = max(MIN, N // TARGET): the expected per-cluster pair count
-    (~TARGET^2/2, the SemDeDup quadratic bound) is constant in N, so the
-    within-cluster pair join stays linear at 100x data."""
+    """K = max(MIN, min(N // TARGET, 16*sqrt(N))) — r8. Below the n~4M
+    crossover K tracks N/TARGET, so the SemDeDup per-cluster pair bound
+    (~TARGET^2/2) is constant and the within-cluster join linear. Above
+    it the 16*sqrt(n) cap takes over (FAISS's nlist band): cluster size
+    grows as sqrt(n)/16 — the pair join becomes O(n^1.5/16), traded
+    deliberately against the UNCAPPED law's O(n^2/125) assignment flops
+    and O(n*DIM/125) driver-held centroid state, both of which die long
+    before 100 TB (profiled r8: the n x K assignment dominated the sf10
+    IVF rung even pre-crossover)."""
+    import math
+
     from pharmaceutical_sales_data_etl_analysis_pipeline_spark.operators.clustering import (
         MIN_CLUSTERS,
         TARGET_CLUSTER_SIZE,
@@ -350,11 +358,15 @@ def test_kmeans_k_tracks_corpus_size():
 
     assert derive_k(500) == MIN_CLUSTERS        # sf0.01 corpus -> floor
     assert derive_k(2000) == 16                 # sf0.1 corpus grows K
-    for scale in (1, 100, 10_000):
+    for scale in (1, 100):                      # below the crossover
         n = 2000 * scale
-        # expected cluster size bounded by a constant once past the floor
+        # expected cluster size bounded by the constant target
         assert n / derive_k(n) <= TARGET_CLUSTER_SIZE
-    assert derive_k(10**9) == 8_000_000
+    assert derive_k(10**9) == 16 * math.isqrt(10**9)  # capped regime
+    # past the crossover, cluster size grows sqrt-slow, K sqrt-bounded
+    n = 2000 * 10_000
+    assert derive_k(n) == 16 * math.isqrt(n)
+    assert n / derive_k(n) <= math.sqrt(n) / 16 + 1
 
 
 def test_warehouse_plans(spark, sf_dir):
