@@ -259,11 +259,21 @@ class FileLockLogStore(ManifestLogStore):
     def _lock_path(self, jvm, manifest_dir: str):
         return jvm.org.apache.hadoop.fs.Path(f"{manifest_dir}/.commit.lock")
 
-    def _read_lock_token(self, spark, manifest_dir: str) -> str | None:
-        """The token in the current lock file, or None if absent/unreadable."""
+    #: sentinel distinguishing "the lock file could not be READ" from
+    #: "the lock file is absent" — conflating them let a transient IO
+    #: error during release skip the holder's own delete silently,
+    #: stalling every writer until the TTL break-in (ADVICE r8)
+    _READ_FAILED = object()
+
+    def _read_lock_token(self, spark, manifest_dir: str):
+        """The token in the current lock file; None if the lock is
+        ABSENT; the _READ_FAILED sentinel if it exists (or may exist)
+        but could not be read."""
         fs, _, jvm = _fs_and_path(spark, manifest_dir)
         lock = self._lock_path(jvm, manifest_dir)
         try:
+            if not fs.exists(lock):
+                return None
             stream = fs.open(lock)
             try:
                 raw = bytes(jvm.org.apache.commons.io.IOUtils.toByteArray(stream))
@@ -271,7 +281,9 @@ class FileLockLogStore(ManifestLogStore):
                 stream.close()
             return raw.decode("utf-8")
         except Exception:
-            return None
+            # exists() itself failing also lands here: "unknown", not
+            # "absent" — callers must not treat this as a free lock
+            return self._READ_FAILED
 
     def _try_create(self, fs, lock, token: str) -> bool:
         """Atomic create-if-absent carrying our token; False if held."""
@@ -365,12 +377,27 @@ class FileLockLogStore(ManifestLogStore):
 
     def _release(self, spark, manifest_dir: str, token: str) -> None:
         """Delete the lock ONLY if it still carries our token — a holder
-        evicted by a TTL break-in must not delete the usurper's lock."""
+        evicted by a TTL break-in must not delete the usurper's lock.
+        A READ FAILURE is retried (transient IO must not turn into an
+        up-to-TTL stall for every writer, ADVICE r8); if the re-read
+        still fails the stall is logged by name so the operator knows a
+        lock this holder likely still owns is sitting there until the
+        TTL break-in."""
         fs, _, jvm = _fs_and_path(spark, manifest_dir)
         lock = self._lock_path(jvm, manifest_dir)
         current = self._read_lock_token(spark, manifest_dir)
+        if current is self._READ_FAILED:
+            current = self._read_lock_token(spark, manifest_dir)  # one retry
         if current == token:
             fs.delete(lock, False)
+        elif current is self._READ_FAILED:
+            _LOG.warning(
+                "could not read commit lock %s during release (transient IO "
+                "failure, retried once): if it still carries this holder's "
+                "token, all writers stall until the %d ms TTL break-in",
+                lock,
+                self.LOCK_TTL_MS,
+            )
         elif current is not None:
             _LOG.warning(
                 "not releasing commit lock %s: it now belongs to another "
@@ -400,22 +427,18 @@ class InProcessConditionalPutLogStore(ManifestLogStore):
     streams/threads over the same table gets true exclusion from this
     alone (all foreachBatch commits run driver-side)."""
 
+    # NEVER evicted: an evicted-then-recreated entry would hand two
+    # threads DIFFERENT locks for one table, un-atomizing check+publish
+    # (the old cap's "evict unheld entries" raced exactly that way — a
+    # lock returned from this map is unheld until the caller enters it;
+    # ADVICE r8). Tables are few, an entry is one Lock — no cap needed.
     _locks: dict[str, threading.Lock] = {}
     _locks_guard = threading.Lock()
-    _LOCKS_CAP = 256  # evict unheld entries past this (tables are few)
 
     @classmethod
     def _lock_for(cls, qualified_dir: str) -> threading.Lock:
         with cls._locks_guard:
-            lock = cls._locks.setdefault(qualified_dir, threading.Lock())
-            if len(cls._locks) > cls._LOCKS_CAP:
-                for k in [
-                    k
-                    for k, v in cls._locks.items()
-                    if k != qualified_dir and not v.locked()
-                ][: len(cls._locks) - cls._LOCKS_CAP]:
-                    del cls._locks[k]
-            return lock
+            return cls._locks.setdefault(qualified_dir, threading.Lock())
 
     def commit(self, spark, manifest_dir, name, payload, expected) -> None:
         with self._lock_for(_qualified_dir(spark, manifest_dir)):
@@ -490,12 +513,27 @@ class CommitArbiter:
         """Atomically: if the table's committed listing == expected,
         record `name` (staged, pending finalize) and return; else raise
         ConcurrentCommitError. Re-recording an already-present name is
-        the crashed-replay path and overwrites its staged pointer."""
+        legal only on the two replay paths the interface contract names:
+        while the prior attempt is still PENDING finalize (crashed
+        mid-commit — Delta S3DynamoDBLogStore's complete=false
+        condition), or when the name is complete but the caller's
+        `expected` CONTAINS it (a replayed batch that saw the finished
+        commit in its basis and idempotently re-publishes it). A writer
+        whose basis does NOT contain a complete `name` is a same-name
+        racer arriving from a stale basis — before r9 it slipped past
+        the listing comparison (both sides excluded `name`) and its
+        finalize silently replaced the winner's manifest (ADVICE r8)."""
         with self._lock:
             self._maybe_fail()
             if self.latency_s:
                 time.sleep(self.latency_s)
             recs = self._tables.setdefault(table, {})
+            if name in recs and recs[name] is None and name not in expected:
+                raise ConcurrentCommitError(
+                    f"arbiter CAS of {name} rejected: {name} is already "
+                    "committed and complete, and the writer's basis does "
+                    "not include it — same-name racer from a stale basis"
+                )
             now = tuple(sorted(n for n in recs if n != name))
             exp = tuple(sorted(n for n in expected if n != name))
             if now != exp:

@@ -124,6 +124,7 @@ manifest-pruned so its cost scales with the CHANGE, not the table
 
 from __future__ import annotations
 
+import threading
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -153,20 +154,29 @@ def _default_log_store() -> ManifestLogStore:
 
     name = _os.environ.get("SPARK_GRAFT_LOG_STORE", "rename").lower()
     from .logstore import (
-        ArbiterLogStore,
         FileLockLogStore,
         InProcessConditionalPutLogStore,
     )
+
+    if name == "arbiter":
+        # the multi-DRIVER deployment path: requires a running external
+        # arbiter endpoint (SPARK_GRAFT_ARBITER_ENDPOINT) — constructing
+        # a fresh in-memory CommitArbiter here would serialize only
+        # within this process, silently giving a deployment that chose
+        # 'arbiter' no cross-driver exclusion at all (ADVICE r8)
+        from .arbiter_server import arbiter_store_from_env
+
+        return arbiter_store_from_env()
 
     stores = {
         "rename": HadoopRenameLogStore,
         "inprocess": InProcessConditionalPutLogStore,
         "filelock": FileLockLogStore,
-        "arbiter": ArbiterLogStore,
     }
     if name not in stores:
         raise ValueError(
-            f"unknown SPARK_GRAFT_LOG_STORE={name!r}; one of {sorted(stores)}"
+            f"unknown SPARK_GRAFT_LOG_STORE={name!r}; one of "
+            f"{sorted(stores) + ['arbiter']}"
         )
     return stores[name]()
 
@@ -786,8 +796,55 @@ def run_partitioned_mor_ingest(
     batches, see SCALE.md). Returns per-batch progress — [{batch_id,
     input_rows, trigger_s}, ...] under "batches" plus the drain/compact
     wall seconds — so deployments and the rung probe can watch append
-    latency without instrumenting the stream themselves."""
+    latency without instrumenting the stream themselves. Progress is
+    collected via a StreamingQueryListener, NOT q.recentProgress: the
+    latter is a ring buffer capped at
+    spark.sql.streaming.numRecentProgressUpdates (default 100), so a
+    drain with more micro-batches would silently under-report its early
+    batches (ADVICE r8)."""
     import time as _time
+
+    from pyspark.sql.streaming import StreamingQueryListener
+
+    class _ProgressCollector(StreamingQueryListener):
+        """Accumulates every progress event; filtered to this query's id
+        after the drain (events for other queries on the session may
+        interleave). Termination is signalled via an Event because
+        listener callbacks arrive on a separate thread — awaitTermination
+        returning does not mean the last events were delivered yet."""
+
+        def __init__(self):
+            self.events: list[tuple[str, dict]] = []
+            self.terminated: dict[str, threading.Event] = {}
+            self._guard = threading.Lock()
+
+        def onQueryStarted(self, event):
+            pass
+
+        def onQueryProgress(self, event):
+            p = event.progress
+            with self._guard:
+                self.events.append(
+                    (
+                        str(p.id),
+                        {
+                            "batch_id": p.batchId,
+                            "input_rows": p.numInputRows,
+                            "trigger_s": p.durationMs.get(
+                                "triggerExecution", 0
+                            )
+                            / 1000.0,
+                        },
+                    )
+                )
+
+        def onQueryIdle(self, event):
+            pass
+
+        def onQueryTerminated(self, event):
+            with self._guard:
+                self.terminated.setdefault(str(event.id), threading.Event())
+            self.terminated[str(event.id)].set()
 
     src_schema = T.StructType(
         [
@@ -801,28 +858,29 @@ def run_partitioned_mor_ingest(
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(source_dir)
     )
+    collector = _ProgressCollector()
+    spark.streams.addListener(collector)
     t0 = _time.monotonic()
-    q = (
-        stream.writeStream.foreachBatch(
-            lambda df, bid: append_delta_batch(
-                spark, state_dir, df, bid, range_width=range_width
+    try:
+        q = (
+            stream.writeStream.foreachBatch(
+                lambda df, bid: append_delta_batch(
+                    spark, state_dir, df, bid, range_width=range_width
+                )
             )
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
         )
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    drain_s = _time.monotonic() - t0
-    batches = [
-        {
-            "batch_id": p["batchId"],
-            "input_rows": p["numInputRows"],
-            "trigger_s": p["durationMs"]["triggerExecution"] / 1000.0,
-        }
-        for p in (q.recentProgress or [])
-        if p.get("numInputRows", 0) > 0 or p.get("batchId") is not None
-    ]
+        q.awaitTermination()
+        drain_s = _time.monotonic() - t0
+        qid = str(q.id)
+        with collector._guard:
+            done = collector.terminated.setdefault(qid, threading.Event())
+        done.wait(timeout=60)  # listener events are async to awaitTermination
+    finally:
+        spark.streams.removeListener(collector)
+    batches = [p for evt_qid, p in collector.events if evt_qid == qid]
     t1 = _time.monotonic()
     compacted = compact_deltas_into_base(spark, state_dir) if compact_after else 0
     return {
