@@ -86,7 +86,13 @@ manifest-pruned so its cost scales with the CHANGE, not the table
   prior state; upsert rows for the same key in the same batch re-insert
   from zero (orderless "replace" CDC semantics — deterministic under
   Spark's unordered batch evaluation, documented at
-  merge_batch_into_partitioned_state).
+  merge_batch_into_partitioned_state). Batches that ALSO carry a `seq`
+  column (the source log's total order) get the SEQUENCED contract
+  instead: per key the last tombstone discards earlier same-batch
+  upserts too, which makes the fold batch-grouping-invariant under
+  uncontrolled multi-file micro-batch boundaries (r9; proof at
+  _aggregate_batch, cross-batch order guarded by _require_seq_monotone
+  via the manifest's max_seq high-water mark).
 - Change data feed: partitioned_state_changes diffs two committed
   versions reading ONLY buckets whose manifest pointer differs — at
   100 TB a point-update CDC feed reads GBs, not the table (the generic
@@ -267,6 +273,67 @@ def _is_upsert_or_raise():
             )
         ).cast("boolean"),
     )
+
+
+def _require_seq_monotone(
+    batch_df: DataFrame, prev: dict | None, batch_id: int
+) -> tuple[int, int] | None:
+    """Cross-batch half of the sequenced-CDC contract: the within-batch
+    fold is batch-grouping-invariant ONLY for splits of the seq-ordered
+    log into CONSECUTIVE batches, so a batch whose min seq does not lie
+    strictly above the previous commit's recorded max seq means the
+    source delivered files out of log order — a silently wrong fold.
+    Raise loudly instead. Returns (min_seq, max_seq) for the manifest
+    (None when the batch carries no seq column). Cost: one agg over the
+    batch's seq column only (column-pruned scan of an in-cache
+    micro-batch), O(|batch|) like the fold itself.
+
+    Replay stays legal: a replayed batch N compares against the newest
+    manifest STRICTLY OLDER than N (its own crashed commit is not its
+    predecessor), so re-appending the same seq span passes."""
+    if "seq" not in batch_df.columns:
+        return None
+    row = batch_df.agg(
+        F.min(F.col("seq").cast("long")).alias("lo"),
+        F.max(F.col("seq").cast("long")).alias("hi"),
+        F.count(F.when(F.col("seq").isNull(), F.lit(1))).alias("n_null"),
+    ).first()
+    if row["n_null"]:
+        # checked HERE, driver-side, because an in-plan raise_error inside
+        # the fold's conditionals can be short-circuited away (when()/OR
+        # skip the value branch) — a NULL seq would then silently drop the
+        # row from d_total exactly like the NULL-op hazard
+        raise ValueError(
+            f"NULL seq on {row['n_null']} row(s) in sequenced CDC batch "
+            f"{batch_id} — every row needs a log offset"
+        )
+    if row["lo"] is None:  # empty batch
+        return None
+    prev_hi = prev.get("max_seq") if prev else None
+    if prev_hi is not None and row["lo"] <= prev_hi:
+        raise ValueError(
+            f"sequenced CDC order violation in batch {batch_id}: batch min "
+            f"seq {row['lo']} <= previous commit's max seq {prev_hi} — the "
+            "file source delivered batches out of log order; the fold "
+            "would silently mis-sequence tombstones against upserts"
+        )
+    return (row["lo"], row["hi"])
+
+
+def _record_max_seq(
+    manifest: dict, prev: dict | None, seq_bounds: tuple[int, int] | None
+) -> None:
+    """Carry the sequenced-CDC high-water mark into a new manifest: the
+    max of this batch's span and the predecessor's recorded mark (an
+    empty or seq-free batch inherits the mark unchanged, so the monotone
+    guard keeps working across it)."""
+    prev_hi = prev.get("max_seq") if prev else None
+    hi = seq_bounds[1] if seq_bounds else None
+    mark = max(x for x in (prev_hi, hi) if x is not None) if (
+        prev_hi is not None or hi is not None
+    ) else None
+    if mark is not None:
+        manifest["max_seq"] = mark
 
 
 def bucket_of(key_col, range_width: int | None = None):
@@ -498,7 +565,64 @@ def _aggregate_batch(batch_df: DataFrame, width: int) -> DataFrame:
     shared by the copy-on-write merge and the merge-on-read append, so
     both paths have identical batch semantics. d_total is NULL when the
     key carries only tombstones in the batch; d_reset marks that the
-    key's prior state is discarded before this batch's fold applies."""
+    key's prior state is discarded before this batch's fold applies.
+
+    TWO within-batch contracts, selected by the batch's columns:
+
+    - op only (orderless "replace" CDC): ANY tombstone for a key
+      discards its prior state, and ALL of the key's same-batch upserts
+      then fold from zero — deterministic under Spark's unordered batch
+      evaluation, but NOT batch-grouping-invariant: an upsert that
+      PRECEDED the tombstone in the source log folds in when the two
+      share a batch and is discarded when a batch boundary lands between
+      them. Correct only when the producer guarantees no key carries a
+      tombstone and an earlier upsert in one batch (e.g. one logical CDC
+      batch per file, the oracle-fixture shape).
+    - op + seq (sequenced CDC, r9): `seq` is the source log's total
+      order (a Kafka offset, a CDC LSN, a file/row ordinal). Per key,
+      the LAST tombstone (max seq among deletes) discards the prior
+      state AND every same-batch upsert with seq <= it; only later
+      upserts fold. A seq tie between a tombstone and an upsert resolves
+      delete-first (the upsert is discarded) — deterministic without
+      peeking at physical order. Under this contract the fold is
+      BATCH-GROUPING-INVARIANT for every split of the seq-ordered log
+      into consecutive batches (proof: the final state per key is
+      "sum of upsert amounts with seq > last-delete seq"; the last reset
+      batch B contributes exactly the post-delete upserts inside B, the
+      cross-batch fold keeps batches after B in full and discards those
+      before — the same set regardless of where the boundaries fall).
+      Cross-batch, the writer guards that batches really are consecutive
+      in seq (see _require_seq_monotone). NULL seq raises loudly, like
+      NULL op.
+    """
+    if "op" in batch_df.columns and "seq" in batch_df.columns:
+        is_upsert = _is_upsert_or_raise()
+        seq = F.coalesce(
+            F.col("seq").cast("long"),
+            F.raise_error(
+                F.concat(
+                    F.lit("NULL seq in sequenced CDC batch for key "),
+                    F.col("key").cast("string"),
+                    F.lit(" — every row needs a log offset"),
+                )
+            ).cast("long"),
+        )
+        last_del = F.max(F.when(~is_upsert, seq)).over(Window.partitionBy("key"))
+        survives = is_upsert & (
+            F.col("_last_del").isNull() | (seq > F.col("_last_del"))
+        )
+        return (
+            batch_df.withColumn("_last_del", last_del)
+            .groupBy(F.col("key"))
+            .agg(
+                F.sum(
+                    F.when(survives, F.col("amount")).cast("decimal(18,2)")
+                ).alias("d_total"),
+                F.count(F.when(survives, F.lit(1))).cast("long").alias("d_rows"),
+                F.max(~is_upsert).alias("d_reset"),
+            )
+            .withColumn("bucket", bucket_of(F.col("key"), width))
+        )
     if "op" in batch_df.columns:
         is_upsert = _is_upsert_or_raise()
         return (
@@ -579,6 +703,7 @@ def merge_batch_into_partitioned_state(
         # a CoW merge on top of pending deltas would order the new batch
         # BEFORE them in the read fold (base participates as batch -1)
         _require_no_pending_deltas(prev, "merge_batch_into_partitioned_state")
+    seq_bounds = _require_seq_monotone(batch_df, prev, batch_id)
     prev_buckets: dict[str, str] = dict(prev["buckets"]) if prev else {}
 
     prev_touched_paths = [
@@ -681,15 +806,17 @@ def merge_batch_into_partitioned_state(
         if missing:
             raise IOError(f"stats read-back found no rows for buckets {sorted(missing)}")
         new_stats.update({str(b): fresh[b] for b in written})
+    cow_manifest = {
+        "batch_id": batch_id,
+        "range_width": width,
+        "buckets": new_buckets,
+        "stats": new_stats,
+    }
+    _record_max_seq(cow_manifest, prev, seq_bounds)
     _write_manifest(
         spark,
         state_dir,
-        {
-            "batch_id": batch_id,
-            "range_width": width,
-            "buckets": new_buckets,
-            "stats": new_stats,
-        },
+        cow_manifest,
         expected=listing_snapshot,
     )
 
@@ -775,6 +902,7 @@ def run_partitioned_mor_ingest(
     range_width: int | None = None,
     compact_after: bool = True,
     max_files_per_trigger: int = 1,
+    with_seq: bool = False,
 ) -> dict:
     """Streaming merge-on-read ingest — the CDC mirror of
     run_partitioned_incremental_merge: every micro-batch (key, amount,
@@ -852,6 +980,13 @@ def run_partitioned_mor_ingest(
             T.StructField("amount", T.DoubleType()),
             T.StructField("op", T.StringType()),
         ]
+        # with_seq selects the SEQUENCED CDC contract (see
+        # _aggregate_batch): rows carry the source log's total order, so
+        # tombstone-vs-upsert resolution is batch-grouping-invariant
+        # under uncontrolled multi-file micro-batch boundaries — the
+        # deployment shape; without it, the orderless replace contract
+        # requires one logical CDC batch per file
+        + ([T.StructField("seq", T.LongType())] if with_seq else [])
     )
     stream = (
         spark.readStream.schema(src_schema)
@@ -1336,6 +1471,9 @@ def compact_partitioned_state(
             # (a pre-stats manifest compacts to a pre-stats manifest;
             # partitioned_state_summary scan-falls-back per bucket)
             "stats": dict(manifest.get("stats", {})),
+            # identical logical state -> the sequenced-CDC high-water
+            # mark carries over too (same for every maintenance commit)
+            **({"max_seq": manifest["max_seq"]} if "max_seq" in manifest else {}),
         },
         expected=tuple(versions),
     )
@@ -1391,6 +1529,7 @@ def rerange_partitioned_state(
                 "range_width": new_width,
                 "buckets": {},
                 "stats": {},
+                **({"max_seq": manifest["max_seq"]} if "max_seq" in manifest else {}),
             },
             expected=tuple(versions),
         )
@@ -1441,6 +1580,7 @@ def rerange_partitioned_state(
             "range_width": new_width,
             "buckets": new_buckets,
             "stats": {str(b): s for b, s in stats.items()},
+            **({"max_seq": manifest["max_seq"]} if "max_seq" in manifest else {}),
         },
         expected=tuple(versions),
     )
@@ -1495,6 +1635,8 @@ def append_delta_batch(
             f"{width}; migrate explicitly with rerange_partitioned_state"
         )
 
+    seq_bounds = _require_seq_monotone(batch_df, prev, batch_id)
+
     # attempt-unique delta dir: a replay (or same-batch-id racer) writes
     # a fresh dir instead of overwriting — the committed manifest names
     # the winner; losers/orphans are retention debris
@@ -1518,18 +1660,15 @@ def append_delta_batch(
     ).parquet(f"{state_dir}/deltas/{vname}")
 
     prev_deltas = list(prev.get("deltas", [])) if prev else []
-    _write_manifest(
-        spark,
-        state_dir,
-        {
-            "batch_id": batch_id,
-            "range_width": width,
-            "buckets": dict(prev["buckets"]) if prev else {},
-            "stats": dict(prev.get("stats", {})) if prev else {},
-            "deltas": sorted(set(prev_deltas) | {vname}),
-        },
-        expected=listing_snapshot,
-    )
+    manifest = {
+        "batch_id": batch_id,
+        "range_width": width,
+        "buckets": dict(prev["buckets"]) if prev else {},
+        "stats": dict(prev.get("stats", {})) if prev else {},
+        "deltas": sorted(set(prev_deltas) | {vname}),
+    }
+    _record_max_seq(manifest, prev, seq_bounds)
+    _write_manifest(spark, state_dir, manifest, expected=listing_snapshot)
 
 
 def compact_deltas_into_base(spark: SparkSession, state_dir: str) -> int:
@@ -1609,6 +1748,7 @@ def compact_deltas_into_base(spark: SparkSession, state_dir: str) -> int:
             "buckets": new_buckets,
             "stats": new_stats,
             "deltas": [],
+            **({"max_seq": manifest["max_seq"]} if "max_seq" in manifest else {}),
         },
         expected=tuple(versions),
     )
