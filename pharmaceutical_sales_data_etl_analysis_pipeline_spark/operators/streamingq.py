@@ -648,3 +648,114 @@ def stream_mor_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["stream_mor_ingest"] = stream_mor_ingest
 # stream/batch parity IS the check: same fold as the batch MoR entry
 ORACLES["stream_mor_ingest"] = SQL_MOR_SCATTERED_FOLD
+
+
+# ---------------------------------------------------------------------------
+# Sequenced-CDC streamed MoR ingest (r9, VERDICT r8 ask #2): tombstones
+# under UNCONTROLLED micro-batch boundaries. stream_mor_ingest keeps one
+# logical CDC batch per file because the orderless replace contract is
+# only deterministic when the producer controls batch boundaries; this
+# query drives the SEQUENCED contract instead — every event carries the
+# source log's total order (seq), the log is split across SIX files
+# consumed FOUR per micro-batch, so a key's tombstone and its
+# neighboring upserts land mid-batch in whatever grouping the trigger
+# produces — and the fold must still equal the seq-ordered reference
+# (batch-grouping invariance, proved at _aggregate_batch and pinned by
+# the hypothesis property in tests/test_partitioned_upsert.py).
+#
+# Event derivation (deterministic, oracle-expressible): every order row
+# is an upsert at seq = 2*o_orderkey; each custkey ≡ 0 (mod
+# CDF_TOMBSTONE_MOD) with pre-1996 orders gets ONE tombstone at
+# seq = 2*T+1 where T = its max pre-1996 orderkey — the tombstone
+# interleaves mid-stream (orderkey is uncorrelated with date), so
+# survivors are exactly the key's orders with o_orderkey > T from
+# EITHER era. At 100 TB this is the steady-state CDC topology with
+# deletes: O(|batch|) appends, one amortized compaction, and the seq
+# column (a Kafka offset / CDC LSN in production) riding along.
+# ---------------------------------------------------------------------------
+
+
+def stream_mor_tombstone_seq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from ..catalog import load_table
+    from ..streaming.partitioned_upsert import (
+        read_latest_partitioned_state,
+        run_partitioned_mor_ingest,
+    )
+
+    def build(orders: DataFrame, width: int, state: str) -> None:
+        base = _os.path.dirname(state)
+        src = _os.path.join(base, "src")
+        okey = load_table(spark, sf_dir, "orders").select(
+            F.col("o_custkey").alias("key"),
+            F.col("o_totalprice").alias("amount"),
+            "o_orderdate",
+            F.col("o_orderkey").alias("okey"),
+        )
+        ups = okey.select(
+            "key",
+            "amount",
+            F.lit("upsert").alias("op"),
+            (F.col("okey") * 2).cast("long").alias("seq"),
+        )
+        dels = (
+            okey.filter(
+                (F.col("key") % CDF_TOMBSTONE_MOD == 0)
+                & (F.col("o_orderdate") < F.lit("1996-01-01"))
+            )
+            .groupBy("key")
+            .agg(F.max("okey").alias("t"))
+            .select(
+                "key",
+                F.lit(0.0).alias("amount"),
+                F.lit("delete").alias("op"),
+                (F.col("t") * 2 + 1).cast("long").alias("seq"),
+            )
+        )
+        events = ups.unionByName(dels)
+        # six seq-CONSECUTIVE files (the file source's oldest-first
+        # delivery must match log order), four per trigger: batch
+        # boundaries land mid-log, never aligned with the tombstones
+        hi = events.agg(F.max("seq")).first()[0]
+        n_files = 6
+        span = hi // n_files + 1
+        for j in range(n_files):
+            part = events.filter(
+                (F.col("seq") >= j * span) & (F.col("seq") < (j + 1) * span)
+            )
+            _publish_single_file_batch(spark, part, src, f"f{j}", seq=j)
+        run_partitioned_mor_ingest(
+            spark,
+            src,
+            state,
+            _os.path.join(base, "ckpt"),
+            range_width=width,
+            max_files_per_trigger=4,
+            with_seq=True,
+        )
+
+    state = _memoized_state(spark, sf_dir, "stream_mor_seq", build)
+    return read_latest_partitioned_state(spark, state)
+
+
+SQL_STREAM_MOR_TOMBSTONE_SEQ = f"""
+WITH del AS (
+  SELECT o_custkey AS key, MAX(o_orderkey) AS t
+  FROM orders
+  WHERE o_custkey % {CDF_TOMBSTONE_MOD} = 0
+    AND o_orderdate < DATE '1996-01-01'
+  GROUP BY 1
+)
+SELECT o.o_custkey AS key,
+       CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM orders o LEFT JOIN del d ON o.o_custkey = d.key
+WHERE d.key IS NULL OR o.o_orderkey > d.t
+GROUP BY 1
+"""
+
+QUERIES["stream_mor_tombstone_seq"] = stream_mor_tombstone_seq
+ORACLES["stream_mor_tombstone_seq"] = SQL_STREAM_MOR_TOMBSTONE_SEQ

@@ -78,93 +78,87 @@ MODULE_ORDER = [
     "graphops",
 ]
 
-# Round-8 sweep priority. After r7 the union r1∪…∪r7 (latest-wins) is
-# 207/207 green with zero standing failures, so the r8 window is pure
-# freshness plus the rotation-invariant prepends:
-#   (c) PREPENDED: r8's two new queries (xml_stream_ingest — S5's
-#       streaming twin; hybrid_retrieval_rrf_ann — BM25 fused with the
-#       IVF-PQ dense side), ann_recall_eval (plan changed: +hybrid_rrf_pq
-#       recall row, pinned ground truth keeps rnk), and the six
-#       table-format queries whose build/write paths changed (r8's
-#       non-destructive attempt-unique version dirs closed the
-#       same-batch-id clobber window; stream_mor_ingest additionally
-#       pins published source-file mtimes);
-#   (a) the four queries displaced from the r7 window by the late
-#       xml_scan/xml_xpath registrations: hourly_anomalies,
-#       incremental_neardup, interpolate_hourly, inverted_index;
-#   (b) the 22 remaining r3-rows, then the first 15 r4-rows in name
+# Round-9 sweep priority. After r8 the union r1∪…∪r8 (latest-wins) is
+# 209/209 green with zero standing failures and no row older than r4,
+# so the r9 window is the rotation-invariant prepends plus the
+# staleness ladder:
+#   (c) PREPENDED: r9's new query (stream_mor_tombstone_seq — the
+#       sequenced-CDC contract: tombstones batch-grouping-invariant
+#       under uncontrolled multi-file micro-batch boundaries) and the
+#       six table-format queries whose build/write/commit paths changed
+#       (r9: arbiter same-name CAS rule, seq-monotone guard + max_seq
+#       high-water mark in both write paths, listener-based ingest
+#       progress);
+#   (a) the three queries displaced from the r8 window by the late
+#       vectorization prepends: fk_integrity_audit,
+#       gopher_quality_flags, grouped_agg_pandas;
+#   (b) the 23 remaining r4-rows, then the first 17 r5-rows in name
 #       order — after this sweep no registered query's latest driver
-#       row predates r4.
+#       row predates r5.
 PRIORITY = [
-    # (c) r8-new / r8-plan-changed (rotation invariant: outrank refreshes)
-    "xml_stream_ingest",  # r8: ordered multi-file ingest as a file stream
-    "hybrid_retrieval_rrf_ann",  # r8: fusion's dense side on the ANN path
-    "ann_recall_eval",  # r8: +hybrid_rrf_pq ranking-recall row
-    "ivf_pq_probe_topk",  # r8: corpus assignment vectorized (168s -> 16s at sf10)
-    "pq_codes",  # r8: sub-kmeans assign kernel block-vectorized
-    "cluster_label_purity",  # r8: same kernel change via kmeans training
-    "stream_mor_ingest",  # r8: pinned source mtimes + attempt-unique dirs
-    "mor_changes_feed",  # r8: fixture build writes attempt-unique dirs
+    # (c) r9-new / r9-write-path-changed (rotation invariant)
+    "stream_mor_tombstone_seq",  # r9 NEW: sequenced tombstone CDC stream
+    "stream_mor_ingest",  # r9: listener progress + seq guard in append path
+    "mor_changes_feed",
     "mor_scattered_fold",
     "cow_merge_changes",
     "cow_manifest_summary",
     "cow_keyrange_lookup",
-    # (a) displaced from the r7 window (oldest rows in the registry, r3)
-    "hourly_anomalies",
-    "incremental_neardup",
-    "interpolate_hourly",
-    "inverted_index",
-    # (b) the 22 remaining r3-rows, name order
-    "ivf_list_sizes",
-    "ivf_probe2_topk",
-    "ivf_probe_topk",
-    "kmeans_clusters",
-    "multimodal_resize",
-    "ngram_jaccard",
-    "ntile_quartiles",
-    "oov_rate",
-    "price_quantity_corr",
-    "quality_deciles",
-    "repetition_ratio",
-    "rolling_7d_actives",
-    "scd2_intervals",
-    "semdedup_candidates",
-    "sequence_packing",
-    "session_conversion",
-    "stratified_sample",
-    "table_diff",
-    "term_lift_pairs",
-    "twap_per_user",
-    "udtf_sentences",
-    "weighted_sample",
-    # (b) oldest r4-rows, first 15 in name order
-    "bigram_logprob",
-    "bloom_prefilter_stats",
-    "bpe_pair_stats",
-    "calendar_dim",
-    "chunk_dedup",
-    "cluster_label_purity",
-    "cms_heavy_hitters",
-    "conversation_assembly",
-    "dsir_weights",
-    "embedding_center",
-    "event_dedup_tolerance",
-    "fd_discovery",
+    # (a) displaced from the r8 window (r4 rows)
+    "fk_integrity_audit",
+    "gopher_quality_flags",
+    "grouped_agg_pandas",
+    # (b) the 23 remaining r4-rows, name order
+    "hll_users_per_event_type",
+    "holt_linear_forecast",
+    "id_gap_analysis",
+    "k_anonymity_audit",
+    "lang_id_confusion",
+    "leakage_safe_split",
+    "multi_touch_attribution",
+    "pagerank_fixedpoint",
+    "part_name_near_matches",
+    "percentile_cont_prices",
+    "pit_feature_join",
+    "quality_filter_funnel",
+    "range_frame_daily_sum",
+    "rank_fusion",
+    "session_paths_topk",
+    "source_overlap",
+    "sql_yearly_priority_share",
+    "stream_exact_dedup",
+    "stream_tumbling_hourly",
+    "supplier_hhi",
+    "token_gini_diversity",
+    "weekly_churn",
+    "zorder_bucket_stats",
+    # then the first 17 r5-rows, name order
+    "array_agg_per_brand",
+    "array_functions",
+    "cheapest_supplier_per_part",
+    "date_arithmetic",
+    "deterministic_sample",
+    "distribution_drift",
+    "explode_roundtrip",
+    "histogram_quantile_calibration",
+    "json_extract_props",
+    "key_skew_report",
+    "map_functions",
+    "math_functions",
+    "neardup_components",
+    "null_handling",
+    "pii_scrub",
+    "profile_orders",
+    "regexp_extract_parts",
 ]
-# r9 PRIORITY candidates (staleness head after the r8 sweep): the three
-# r4-rows displaced from the r8 window by the late vectorization
-# prepends — fk_integrity_audit, gopher_quality_flags,
-# grouped_agg_pandas — then the 24
-# remaining r4-rows in name order — hll_users_per_event_type,
-# holt_linear_forecast, id_gap_analysis, k_anonymity_audit,
-# lang_id_confusion, leakage_safe_split, multi_touch_attribution,
-# pagerank_fixedpoint, part_name_near_matches, percentile_cont_prices,
-# pit_feature_join, pq_codes, quality_filter_funnel,
-# range_frame_daily_sum, rank_fusion, session_paths_topk,
-# source_overlap, sql_yearly_priority_share, stream_exact_dedup,
-# stream_tumbling_hourly, supplier_hhi, token_gini_diversity,
-# weekly_churn, zorder_bucket_stats — then the oldest r5 cohort.
-# Queries ADDED or PLAN-CHANGED during r8 must be PREPENDED here per
+# r10 PRIORITY candidates (staleness head after the r9 sweep): the 26
+# remaining r5-rows in name order — shard_histogram, skyline_parts,
+# substring_dedup_spans, tpch_q10, tpch_q11, tpch_q12, tpch_q13,
+# tpch_q14, tpch_q15, tpch_q16, tpch_q17, tpch_q18, tpch_q19, tpch_q2,
+# tpch_q20, tpch_q21, tpch_q22, tpch_q3, tpch_q4, tpch_q5, tpch_q6,
+# tpch_q7, tpch_q8, tpch_q9, variant_props, vocab_topk — then the
+# oldest r6 cohort in name order.
+# Queries ADDED or PLAN-CHANGED during r9 must be PREPENDED here per
 # the rotation invariant (they outrank staleness refreshes).
 
 def _collect() -> tuple[dict[str, QueryFn], dict[str, str]]:
