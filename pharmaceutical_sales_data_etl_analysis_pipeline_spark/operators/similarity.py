@@ -1276,8 +1276,13 @@ ORACLES["pq_codes"] = SQL_PQ_CODES
 # nprobe nearest inverted lists; candidates in those lists are ranked by
 # ASYMMETRIC distance (exact query subvector vs the doc's PQ-code
 # centroid — the doc's raw vector is never read at this stage); only the
-# top IVFPQ_RERANK shortlist fetches raw vectors for the exact-cosine
-# rerank.
+# top shortlist fetches raw vectors for the exact-cosine rerank. The
+# default shortlist budget SCALES with nprobe (IVFPQ_RERANK per probed
+# list): the r9 recall rung (examples/ann_recall_rung.py) measured that
+# a FIXED window is crowded by ADC candidates as nprobe grows — recall
+# fell 0.81 -> 0.64 across nprobe 1..8 at sf10 — while the scaled
+# budget climbs 0.81 -> 0.98, restoring "more probes, better answers";
+# cost stays bounded (the rerank join is <= n_queries x rerank ids).
 #
 # 100 TB shape: the ADC stage scans the NARROW codes table (4 ints/row,
 # 16x smaller than raw vectors) joined to broadcast queries on the
@@ -1299,10 +1304,15 @@ IVFPQ_RERANK = 50
 
 def ivf_pq_probe_topk(embeddings: DataFrame, n_queries: int = N_QUERIES,
                       k: int = TOP_K, nprobe: int = IVF_NPROBE,
-                      rerank: int = IVFPQ_RERANK,
+                      rerank: int | None = None,
                       cents: DataFrame | None = None) -> DataFrame:
     from .kmeans_core import _QUANT
 
+    if rerank is None:
+        # scale the exact-rerank window with the probed volume (r9, see
+        # the block comment above) — the SQL twin re-derives the same
+        # IVFPQ_RERANK * IVF_NPROBE budget at the registered defaults
+        rerank = IVFPQ_RERANK * nprobe
     if cents is None:
         cents = _learned_centroids(embeddings)
     assign = ivf_assignments(embeddings, cents)
@@ -1436,7 +1446,7 @@ shortlist AS (
   SELECT q_id, d_id
   FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY adc ASC, d_id ASC) AS rn
         FROM adc) t
-  WHERE rn <= {IVFPQ_RERANK}
+  WHERE rn <= {IVFPQ_RERANK * IVF_NPROBE}
 ),
 rescored AS (
   SELECT s.q_id, s.d_id,
@@ -1497,7 +1507,7 @@ def ann_recall_eval(embeddings: DataFrame, n_queries: int = N_QUERIES,
         ("ivf_flat", IVF_NPROBE,
          ivf_probe_topk(embeddings, n_queries, k, IVF_NPROBE, cents)),
         ("ivf_pq", IVF_NPROBE,
-         ivf_pq_probe_topk(embeddings, n_queries, k, IVF_NPROBE, IVFPQ_RERANK, cents)),
+         ivf_pq_probe_topk(embeddings, n_queries, k, IVF_NPROBE, cents=cents)),
     ]
     def _recall_row(name: str, nprobe: int, approx: DataFrame, truth: DataFrame):
         hits = approx.select("q_id", "d_id").join(
@@ -1538,7 +1548,7 @@ def ann_recall_eval(embeddings: DataFrame, n_queries: int = N_QUERIES,
             "hybrid_exact",
         )
         dense_ann = ivf_pq_probe_topk(
-            embeddings, n_queries, k, IVF_NPROBE, IVFPQ_RERANK, cents
+            embeddings, n_queries, k, IVF_NPROBE, cents=cents
         ).select("q_id", "d_id", F.col("rnk").alias("dense_rnk"))
         fused_ann = _hybrid_rrf_fuse(dense_ann, lex).select("q_id", "d_id")
         parts.append(

@@ -84,20 +84,28 @@ MODULE_ORDER = [
 # staleness ladder:
 #   (c) PREPENDED: r9's new query (stream_mor_tombstone_seq — the
 #       sequenced-CDC contract: tombstones batch-grouping-invariant
-#       under uncontrolled multi-file micro-batch boundaries) and the
-#       six table-format queries whose build/write/commit paths changed
+#       under uncontrolled multi-file micro-batch boundaries); the
+#       three ANN queries whose PLANS changed (the IVF-PQ exact-rerank
+#       budget now scales with nprobe — the r9 recall rung measured the
+#       fixed window being crowded by ADC candidates); and the six
+#       table-format queries whose build/write/commit paths changed
 #       (r9: arbiter same-name CAS rule, seq-monotone guard + max_seq
 #       high-water mark in both write paths, listener-based ingest
 #       progress);
 #   (a) the three queries displaced from the r8 window by the late
 #       vectorization prepends: fk_integrity_audit,
 #       gopher_quality_flags, grouped_agg_pandas;
-#   (b) the 23 remaining r4-rows, then the first 17 r5-rows in name
+#   (b) the 23 remaining r4-rows, then the first 14 r5-rows in name
 #       order — after this sweep no registered query's latest driver
-#       row predates r5.
+#       row predates r5 (pii_scrub, profile_orders,
+#       regexp_extract_parts cede their slots to the plan changes and
+#       head the r10 list).
 PRIORITY = [
-    # (c) r9-new / r9-write-path-changed (rotation invariant)
+    # (c) r9-new / r9-plan-changed (rotation invariant)
     "stream_mor_tombstone_seq",  # r9 NEW: sequenced tombstone CDC stream
+    "ivf_pq_probe_topk",  # r9: rerank budget now scales with nprobe
+    "ann_recall_eval",  # r9: ivf_pq/hybrid rows inherit the scaled budget
+    "hybrid_retrieval_rrf_ann",  # r9: dense side inherits it too
     "stream_mor_ingest",  # r9: listener progress + seq guard in append path
     "mor_changes_feed",
     "mor_scattered_fold",
@@ -132,7 +140,8 @@ PRIORITY = [
     "token_gini_diversity",
     "weekly_churn",
     "zorder_bucket_stats",
-    # then the first 17 r5-rows, name order
+    # then the first 14 r5-rows, name order (3 slots ceded to the
+    # scaled-rerank plan changes above)
     "array_agg_per_brand",
     "array_functions",
     "cheapest_supplier_per_part",
@@ -147,11 +156,10 @@ PRIORITY = [
     "math_functions",
     "neardup_components",
     "null_handling",
-    "pii_scrub",
-    "profile_orders",
-    "regexp_extract_parts",
 ]
-# r10 PRIORITY candidates (staleness head after the r9 sweep): the 26
+# r10 PRIORITY candidates (staleness head after the r9 sweep): pii_scrub,
+# profile_orders, regexp_extract_parts (r5-rows ceded to the r9 plan-change
+# prepends), then the 26
 # remaining r5-rows in name order — shard_histogram, skyline_parts,
 # substring_dedup_spans, tpch_q10, tpch_q11, tpch_q12, tpch_q13,
 # tpch_q14, tpch_q15, tpch_q16, tpch_q17, tpch_q18, tpch_q19, tpch_q2,
