@@ -14,7 +14,8 @@ session, N pairs:
 
 Usage: python examples/triangle_ab.py SF_DIR [N_PAIRS]
 Prints one JSON line with per-run seconds and the paired deltas.
-Run with SPARK_DRIVER_MEMORY=48g at sf10 (the wedge sort needs it).
+Run with SPARK_DRIVER_MEMORY=64g at sf10 (the wedge sort needs it;
+a 48g heap OOMd on an r9 single-pair run - see BENCH_NOTES r9).
 """
 
 from __future__ import annotations
