@@ -1415,3 +1415,85 @@ def test_sequenced_cdc_randomized_grouping_invariance(
     )
     want = {k: (t, n_) for k, (t, n_) in model.items() if n_}
     assert got == want
+
+
+def test_delta_compaction_loses_cleanly_to_concurrent_append(spark, tmp_path):
+    """Maintenance-vs-ingest conflict: a delta compaction whose basis
+    snapshot predates a concurrent delta append must LOSE at the commit
+    point (ConcurrentCommitError) and leave the table untouched — the
+    racing append's data stays folded in, the pending-delta list stays
+    authoritative — and a retry against the fresh listing succeeds.
+    This is the standing topology of a production table: an OPTIMIZE
+    loop racing the ingest stream, resolved by the same optimistic
+    commit as every writer (Delta resolves compaction/append races the
+    same way: compaction is a semantically-neutral rewrite that must
+    re-base)."""
+    from pharmaceutical_sales_data_etl_analysis_pipeline_spark.streaming.logstore import (
+        ConcurrentCommitError,
+        HadoopRenameLogStore,
+    )
+
+    state = str(tmp_path / "state")
+    merge_batch_into_partitioned_state(
+        spark,
+        state,
+        spark.createDataFrame([(1, 10.0), (17, 5.0)], "key long, amount double"),
+        0,
+        range_width=16,
+    )
+    pu.append_delta_batch(
+        spark,
+        state,
+        spark.createDataFrame([(1, 2.0), (33, 7.0)], "key long, amount double"),
+        1,
+        range_width=16,
+    )
+    stale = pu._list_manifests(spark, state)  # compaction's stale world
+    # the concurrent append lands AFTER the compaction snapshotted
+    pu.append_delta_batch(
+        spark,
+        state,
+        spark.createDataFrame([(17, 1.0)], "key long, amount double"),
+        2,
+        range_width=16,
+    )
+
+    class StaleListingStore(HadoopRenameLogStore):
+        """The compaction's world: its listing reads see the pre-append
+        state, but the COMMIT runs against the real store (fresh
+        listing), so the basis comparison happens at truth."""
+
+        def list_commits(self, spark_, manifest_dir):
+            return list(stale)
+
+        def commit(self, spark_, manifest_dir, name, payload, expected):
+            HadoopRenameLogStore().commit(
+                spark_, manifest_dir, name, payload, expected
+            )
+
+    want = {1: (12.0, 2), 17: (6.0, 2), 33: (7.0, 1)}
+
+    prev_store = pu.set_log_store(StaleListingStore())
+    try:
+        with pytest.raises(ConcurrentCommitError):
+            pu.compact_deltas_into_base(spark, state)
+    finally:
+        pu.set_log_store(prev_store)
+    # loser left the table untouched: batch 2's fold intact, deltas pending
+    got = {
+        r["key"]: (r["total"], r["n_rows"])
+        for r in read_latest_partitioned_state(spark, state).collect()
+    }
+    assert got == want
+    latest = pu._read_manifest(spark, state, pu._list_manifests(spark, state)[-1])
+    assert latest["batch_id"] == 2 and latest["deltas"]
+
+    # re-based retry folds EVERYTHING and empties the pending list
+    assert pu.compact_deltas_into_base(spark, state) > 0
+    latest = pu._read_manifest(spark, state, pu._list_manifests(spark, state)[-1])
+    assert latest["deltas"] == []
+    got = {
+        r["key"]: (r["total"], r["n_rows"])
+        for r in read_latest_partitioned_state(spark, state).collect()
+    }
+    assert got == want

@@ -594,14 +594,23 @@ def test_streamed_mor_ingest_under_arbiter_store(spark, tmp_path, monkeypatch):
     """End-to-end: the streamed MoR ingest commits through the
     external-arbiter conditional-put store selected by the
     SPARK_GRAFT_LOG_STORE env seam — the full S3-multi-writer
-    deployment wiring (env -> store -> two-phase CAS commit) under a
-    real Structured Streaming drain, held to the exact batch fold."""
+    deployment wiring (env -> endpoint -> remote-arbiter two-phase CAS
+    commit) under a real Structured Streaming drain, held to the exact
+    batch fold. r9: the env seam requires a REAL endpoint (an in-memory
+    arbiter would give a multi-driver deployment no cross-driver
+    exclusion — ADVICE r8), so the test runs the arbiter in a child
+    process behind the multiprocessing-manager transport."""
     import pharmaceutical_sales_data_etl_analysis_pipeline_spark.streaming.partitioned_upsert as pu
+    from pharmaceutical_sales_data_etl_analysis_pipeline_spark.streaming.arbiter_server import (
+        start_arbiter_server,
+    )
     from pharmaceutical_sales_data_etl_analysis_pipeline_spark.streaming.logstore import (
         ArbiterLogStore,
     )
 
+    mgr, (host, port) = start_arbiter_server()
     monkeypatch.setenv("SPARK_GRAFT_LOG_STORE", "arbiter")
+    monkeypatch.setenv("SPARK_GRAFT_ARBITER_ENDPOINT", f"{host}:{port}")
     prev = pu.set_log_store(pu._default_log_store())
     try:
         assert isinstance(pu._LOG_STORE, ArbiterLogStore)
@@ -621,3 +630,4 @@ def test_streamed_mor_ingest_under_arbiter_store(spark, tmp_path, monkeypatch):
         assert got == {k: (float(k % 7 + 1), 1) for k in range(120)}
     finally:
         pu.set_log_store(prev)
+        mgr.shutdown()
