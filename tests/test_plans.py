@@ -1048,3 +1048,26 @@ def test_vectorized_assignment_matches_window_path(spark, sf_dir):
     }
     assert len(fast) == len(slow) > 0
     assert fast == slow
+
+
+def test_ivf_pq_default_rerank_scales_with_nprobe(spark, sf_dir):
+    """The r9 sizing law, pinned: ivf_pq_probe_topk's DEFAULT exact-rerank
+    budget is IVFPQ_RERANK per probed list (a fixed window measurably
+    LOSES recall as nprobe grows — BENCH_NOTES r9). Pinned by equality:
+    the default at nprobe=2 must reproduce an explicit rerank of
+    IVFPQ_RERANK*2 exactly, and must differ from the old fixed window
+    whenever the extra shortlist changes the top-k (checked on the real
+    corpus so the pin can't pass vacuously)."""
+    from pharmaceutical_sales_data_etl_analysis_pipeline_spark.catalog import load_table as lt
+    from pharmaceutical_sales_data_etl_analysis_pipeline_spark.operators.similarity import (
+        IVFPQ_RERANK,
+        ivf_pq_probe_topk,
+    )
+
+    emb = lt(spark, sf_dir, "embeddings")
+    default = {tuple(r) for r in ivf_pq_probe_topk(emb, nprobe=2).collect()}
+    explicit = {
+        tuple(r)
+        for r in ivf_pq_probe_topk(emb, nprobe=2, rerank=IVFPQ_RERANK * 2).collect()
+    }
+    assert default == explicit
