@@ -759,3 +759,114 @@ GROUP BY 1
 
 QUERIES["stream_mor_tombstone_seq"] = stream_mor_tombstone_seq
 ORACLES["stream_mor_tombstone_seq"] = SQL_STREAM_MOR_TOMBSTONE_SEQ
+
+
+# ---------------------------------------------------------------------------
+# Stateful streaming entry (r9): the applyInPandasWithState surface
+# (streaming/stateful.py), driver-verified. Until now the custom-state
+# operator was only batch-equivalence tested locally (tests/
+# test_streaming.py); this registers it with a hash-exact oracle.
+#
+# Topology: the events table is republished as THREE single-file batches
+# split by event_id mod 3 (pinned mtimes, maxFilesPerTrigger=1 — three
+# real micro-batches, so per-key state demonstrably persists ACROSS
+# batches, not within one). The quantization to integer cents happens
+# JVM-side BEFORE publish (the same floor(value*100+0.5) expression as
+# grouped_agg_pandas), so the pandas state function accumulates int64
+# only — order- and batch-grouping-invariant, the final emit per key is
+# bit-exact against the batch groupBy whatever the trigger did.
+#
+# Update-mode emits are cumulative per key; foreachBatch appends every
+# epoch's emissions stamped with the epoch id, and the read-back keeps
+# each key's LAST emission (max epoch) — the full aggregate. At 100 TB
+# the identical topology runs unbounded against Kafka with RocksDB
+# state: state is partitioned by key across executors, each micro-batch
+# touches only keys present in the batch, and the sink MERGEs updates
+# instead of replaying epochs.
+# ---------------------------------------------------------------------------
+
+STATEFUL_SPLIT_MOD = 3  # three deterministic micro-batches
+
+
+def stream_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+    from pyspark.sql.window import Window
+
+    from ..catalog import load_table
+    from ..streaming.stateful import running_user_totals_cents
+
+    base = _scratch_dir("stream_stateful_")
+    src = _os.path.join(base, "src")
+    out_dir = _os.path.join(base, "result")
+    ckpt_dir = _os.path.join(base, "checkpoint")
+
+    cents_rows = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            F.col("user_id").cast("long").alias("user_id"),
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+            F.col("event_id"),
+        )
+    )
+    for j in range(STATEFUL_SPLIT_MOD):
+        _publish_single_file_batch(
+            spark,
+            cents_rows.filter(F.col("event_id") % STATEFUL_SPLIT_MOD == j).drop(
+                "event_id"
+            ),
+            src,
+            f"b{j}",
+            seq=j,
+        )
+
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("cents", T.LongType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    totals = running_user_totals_cents(stream)
+
+    def write_epoch(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df.withColumn("_epoch", F.lit(int(epoch_id))).write.mode(
+            "append"
+        ).parquet(out_dir)
+
+    (
+        totals.writeStream.outputMode("update")
+        .foreachBatch(write_epoch)
+        .option("checkpointLocation", ckpt_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+    emitted = spark.read.parquet(out_dir)
+    last = Window.partitionBy("user_id").orderBy(F.col("_epoch").desc())
+    return (
+        emitted.withColumn("_rn", F.row_number().over(last))
+        .filter(F.col("_rn") == 1)
+        .select("user_id", "n_events", "total_cents")
+    )
+
+
+SQL_STREAM_STATEFUL_USER_TOTALS = """
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents
+FROM events
+WHERE value IS NOT NULL
+GROUP BY user_id
+"""
+
+QUERIES["stream_stateful_user_totals"] = stream_stateful_user_totals
+ORACLES["stream_stateful_user_totals"] = SQL_STREAM_STATEFUL_USER_TOTALS

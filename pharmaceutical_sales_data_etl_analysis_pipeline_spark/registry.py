@@ -39,7 +39,9 @@ graph_triangle_stats: one pair-bound agg that derives the broadcast-vs-
 shuffle join strategy — the unconditional edge broadcast failed at the
 r6 sf10 rung); and the ingest-fixture queries that stage files and
 drain a Structured Streaming query at build (stream_mor_ingest,
-xml_stream_ingest — both memoized per corpus).
+xml_stream_ingest — both memoized per corpus;
+stream_stateful_user_totals — unmemoized, the 3-file fixture republish
+is cheaper than a corpus hash).
 pin() defaults to localCheckpoint (executor-local blocks — fine in
 local[*]); set SPARK_GRAFT_PIN=table to materialize those intermediates
 to durable scratch parquet instead, the cluster-scale mode (survives
@@ -82,7 +84,9 @@ MODULE_ORDER = [
 # 209/209 green with zero standing failures and no row older than r4,
 # so the r9 window is the rotation-invariant prepends plus the
 # staleness ladder:
-#   (c) PREPENDED: r9's new query (stream_mor_tombstone_seq — the
+#   (c) PREPENDED: r9's new queries (stream_stateful_user_totals —
+#       the applyInPandasWithState surface, int-cents state across three
+#       pinned micro-batches; stream_mor_tombstone_seq — the
 #       sequenced-CDC contract: tombstones batch-grouping-invariant
 #       under uncontrolled multi-file micro-batch boundaries); the
 #       three ANN queries whose PLANS changed (the IVF-PQ exact-rerank
@@ -95,13 +99,14 @@ MODULE_ORDER = [
 #   (a) the three queries displaced from the r8 window by the late
 #       vectorization prepends: fk_integrity_audit,
 #       gopher_quality_flags, grouped_agg_pandas;
-#   (b) the 23 remaining r4-rows, then the first 14 r5-rows in name
+#   (b) the 23 remaining r4-rows, then the first 13 r5-rows in name
 #       order — after this sweep no registered query's latest driver
-#       row predates r5 (pii_scrub, profile_orders,
-#       regexp_extract_parts cede their slots to the plan changes and
+#       row predates r5 (null_handling, pii_scrub, profile_orders,
+#       regexp_extract_parts cede their slots to the prepends and
 #       head the r10 list).
 PRIORITY = [
     # (c) r9-new / r9-plan-changed (rotation invariant)
+    "stream_stateful_user_totals",  # r9 NEW: applyInPandasWithState surface
     "stream_mor_tombstone_seq",  # r9 NEW: sequenced tombstone CDC stream
     "ivf_pq_probe_topk",  # r9: rerank budget now scales with nprobe
     "ann_recall_eval",  # r9: ivf_pq/hybrid rows inherit the scaled budget
@@ -140,8 +145,8 @@ PRIORITY = [
     "token_gini_diversity",
     "weekly_churn",
     "zorder_bucket_stats",
-    # then the first 14 r5-rows, name order (3 slots ceded to the
-    # scaled-rerank plan changes above)
+    # then the first 13 r5-rows, name order (slots ceded to the r9-new
+    # and scaled-rerank prepends above)
     "array_agg_per_brand",
     "array_functions",
     "cheapest_supplier_per_part",
@@ -155,11 +160,10 @@ PRIORITY = [
     "map_functions",
     "math_functions",
     "neardup_components",
-    "null_handling",
 ]
-# r10 PRIORITY candidates (staleness head after the r9 sweep): pii_scrub,
-# profile_orders, regexp_extract_parts (r5-rows ceded to the r9 plan-change
-# prepends), then the 26
+# r10 PRIORITY candidates (staleness head after the r9 sweep):
+# null_handling, pii_scrub, profile_orders, regexp_extract_parts (r5-rows
+# ceded to the r9 prepends), then the 26
 # remaining r5-rows in name order — shard_histogram, skyline_parts,
 # substring_dedup_spans, tpch_q10, tpch_q11, tpch_q12, tpch_q13,
 # tpch_q14, tpch_q15, tpch_q16, tpch_q17, tpch_q18, tpch_q19, tpch_q2,
