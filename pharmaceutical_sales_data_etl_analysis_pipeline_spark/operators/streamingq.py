@@ -788,12 +788,30 @@ ORACLES["stream_mor_tombstone_seq"] = SQL_STREAM_MOR_TOMBSTONE_SEQ
 STATEFUL_SPLIT_MOD = 3  # three deterministic micro-batches
 
 
+def last_emit_per_key(emitted: DataFrame) -> DataFrame:
+    """Collapse an update-mode emission log (one row per key per epoch it
+    appeared in, stamped `_epoch`) to each key's LAST emission — the full
+    cumulative aggregate. REPLAY-IDEMPOTENT: a crashed foreachBatch epoch
+    re-appends byte-identical rows under the same _epoch (checkpointed
+    availableNow recomputes the same batch against the same restored
+    state), so row_number ties break among duplicates of the same row and
+    the collapsed result is unchanged — pinned in tests/test_streaming.py."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    last = Window.partitionBy("user_id").orderBy(F.col("_epoch").desc())
+    return (
+        emitted.withColumn("_rn", F.row_number().over(last))
+        .filter(F.col("_rn") == 1)
+        .select("user_id", "n_events", "total_cents")
+    )
+
+
 def stream_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os as _os
 
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
-    from pyspark.sql.window import Window
 
     from ..catalog import load_table
     from ..streaming.stateful import running_user_totals_cents
@@ -850,13 +868,7 @@ def stream_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .awaitTermination()
     )
 
-    emitted = spark.read.parquet(out_dir)
-    last = Window.partitionBy("user_id").orderBy(F.col("_epoch").desc())
-    return (
-        emitted.withColumn("_rn", F.row_number().over(last))
-        .filter(F.col("_rn") == 1)
-        .select("user_id", "n_events", "total_cents")
-    )
+    return last_emit_per_key(spark.read.parquet(out_dir))
 
 
 SQL_STREAM_STATEFUL_USER_TOTALS = """

@@ -134,6 +134,27 @@ def test_stateful_running_totals_across_batches(spark, tmp_path):
     assert len(u1) == 2 and (3, 17.0) in u1
 
 
+def test_last_emit_per_key_replay_idempotent(spark):
+    """A crashed foreachBatch epoch replays as byte-identical appended rows
+    under the same _epoch; the read-back must collapse to the same result
+    with or without the duplicates (the sink's crash-recovery contract)."""
+    from pharmaceutical_sales_data_etl_analysis_pipeline_spark.operators.streamingq import (
+        last_emit_per_key,
+    )
+
+    cols = ["user_id", "n_events", "total_cents", "_epoch"]
+    clean = spark.createDataFrame(
+        [(1, 2, 100, 0), (1, 5, 260, 1), (2, 1, 40, 1)], cols
+    )
+    # epoch 1 replayed after a crash: its rows appended a second time
+    replayed = clean.union(
+        spark.createDataFrame([(1, 5, 260, 1), (2, 1, 40, 1)], cols)
+    )
+    want = {(1, 5, 260), (2, 1, 40)}
+    assert {tuple(r) for r in last_emit_per_key(clean).collect()} == want
+    assert {tuple(r) for r in last_emit_per_key(replayed).collect()} == want
+
+
 def test_stateful_user_totals_query_spans_batches(spark, sf_dir):
     """The registered stream_stateful_user_totals query must (a) equal the
     batch groupBy bit-exactly (int-cents state — no float accumulation
