@@ -1671,6 +1671,69 @@ def append_delta_batch(
     _write_manifest(spark, state_dir, manifest, expected=listing_snapshot)
 
 
+def append_delta_batch_optimistic(
+    spark: SparkSession,
+    state_dir: str,
+    batch_df: DataFrame,
+    range_width: int | None = None,
+    max_attempts: int = 20,
+    stats: dict | None = None,
+) -> int:
+    """MULTI-WRITER merge-on-read append: allocate the next batch id from
+    the current manifest head and retry on ConcurrentCommitError — the
+    Delta-style optimistic concurrency loop (commit version = latest+1,
+    re-read the basis and try again on a lost race). Returns the batch id
+    that actually committed.
+
+    Only valid for ORDER-COMMUTATIVE batches, and the contract is checked
+    loudly up front:
+    - a `seq` column is rejected (the sequenced-CDC contract requires the
+      PRODUCER's total order; optimistic re-allocation would let a slower
+      writer commit earlier log offsets under a later batch id and trip —
+      or worse, silently violate — the max_seq high-water guard);
+    - `op='delete'` tombstones are rejected (a delete discards prior
+      state, so the fold depends on where the race lands this batch in
+      commit order; pure upserts ADD to a key's running total and
+      commute across batches).
+
+    A lost race leaves that attempt's delta dir as debris — the same
+    retention-reclaimed orphan class as a crashed writer's; the committed
+    manifest never references it. The refreshed basis on each retry is
+    what carries forward OTHER writers' delta lists, so concurrent
+    appends accumulate instead of clobbering (exercised cross-process by
+    examples/concurrent_writers_probe.py and in-process by
+    tests/test_partitioned_upsert.py)."""
+    if "seq" in batch_df.columns:
+        raise ValueError(
+            "append_delta_batch_optimistic: sequenced-CDC batches (seq "
+            "column) need producer-ordered batch ids — use "
+            "append_delta_batch with explicit ids"
+        )
+    if "op" in batch_df.columns and not batch_df.filter(
+        F.col("op") == F.lit("delete")
+    ).isEmpty():
+        raise ValueError(
+            "append_delta_batch_optimistic: delete tombstones are not "
+            "order-commutative across a lost race — commit them through "
+            "a single sequenced writer"
+        )
+    last_err: ConcurrentCommitError | None = None
+    for _attempt in range(max_attempts):
+        versions = _list_manifests(spark, state_dir)
+        next_id = max((_batch_id_of(v) for v in versions), default=-1) + 1
+        try:
+            append_delta_batch(spark, state_dir, batch_df, next_id, range_width)
+            return next_id
+        except ConcurrentCommitError as err:
+            last_err = err
+            if stats is not None:  # observability for probes/deployments
+                stats["conflicts"] = stats.get("conflicts", 0) + 1
+            continue
+    raise ConcurrentCommitError(
+        f"lost {max_attempts} consecutive commit races in {state_dir}"
+    ) from last_err
+
+
 def compact_deltas_into_base(spark: SparkSession, state_dir: str) -> int:
     """Fold every pending delta into the base buckets it touches and
     commit the result under the latest batch's next 'x{seq}' name — the

@@ -1497,3 +1497,108 @@ def test_delta_compaction_loses_cleanly_to_concurrent_append(spark, tmp_path):
         for r in read_latest_partitioned_state(spark, state).collect()
     }
     assert got == want
+
+
+def test_optimistic_append_multi_writer_threads(spark, tmp_path):
+    """Two writers race append_delta_batch_optimistic on one table through
+    the atomic in-process store: every slice must commit exactly once
+    under a distinct batch id (lost races retry with a refreshed basis,
+    which is what carries forward the OTHER writer's delta list), and the
+    final fold must equal the one-shot aggregate of all rows — no lost
+    updates, no clobbered lineage. Cross-process twin:
+    examples/concurrent_writers_probe.py (FileLock store)."""
+    import threading
+
+    from pharmaceutical_sales_data_etl_analysis_pipeline_spark.streaming.logstore import (
+        InProcessConditionalPutLogStore,
+    )
+    from pharmaceutical_sales_data_etl_analysis_pipeline_spark.streaming.partitioned_upsert import (
+        append_delta_batch_optimistic,
+        set_log_store,
+    )
+
+    state = str(tmp_path / "state")
+    b0 = spark.createDataFrame(
+        [(k, 1.0) for k in range(1, 41)], "key long, amount double"
+    )
+    merge_batch_into_partitioned_state(spark, state, b0, 0)
+
+    # 6 upsert slices, writer A gets evens, writer B odds
+    slices = [
+        spark.createDataFrame(
+            [(k, float(10 * (j + 1))) for k in range(1 + j, 41, 7)],
+            "key long, amount double",
+        )
+        for j in range(6)
+    ]
+    committed: list[int] = []
+    errors: list[Exception] = []
+    guard = threading.Lock()
+
+    def writer(my_slices):
+        try:
+            for df in my_slices:
+                bid = append_delta_batch_optimistic(spark, state, df)
+                with guard:
+                    committed.append(bid)
+        except Exception as exc:  # surfaced after join
+            errors.append(exc)
+
+    prev_store = set_log_store(InProcessConditionalPutLogStore())
+    try:
+        ts = [
+            threading.Thread(target=writer, args=(slices[0::2],)),
+            threading.Thread(target=writer, args=(slices[1::2],)),
+        ]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join()
+    finally:
+        set_log_store(prev_store)
+
+    assert not errors, errors
+    assert sorted(committed) == [1, 2, 3, 4, 5, 6]  # distinct ids, all landed
+
+    import functools
+
+    all_rows = functools.reduce(lambda a, b: a.unionByName(b), slices, b0)
+    want = {
+        (r["key"], r["total"], r["n_rows"])
+        for r in all_rows.groupBy("key")
+        .agg(
+            F.sum(F.col("amount").cast("decimal(18,2)")).cast("double").alias("total"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .collect()
+    }
+    got = {
+        (r["key"], r["total"], r["n_rows"])
+        for r in read_latest_partitioned_state(spark, state).collect()
+    }
+    assert got == want
+
+
+def test_optimistic_append_rejects_noncommutative_batches(spark, tmp_path):
+    """The optimistic path's contract checks are loud: sequenced batches
+    and tombstone-bearing batches cannot be re-ordered by a lost race."""
+    from pharmaceutical_sales_data_etl_analysis_pipeline_spark.streaming.partitioned_upsert import (
+        append_delta_batch_optimistic,
+    )
+
+    state = str(tmp_path / "state")
+    seq_batch = spark.createDataFrame(
+        [(1, 1.0, "upsert", 7)], "key long, amount double, op string, seq long"
+    )
+    with pytest.raises(ValueError, match="seq"):
+        append_delta_batch_optimistic(spark, state, seq_batch)
+    del_batch = spark.createDataFrame(
+        [(1, 0.0, "delete")], "key long, amount double, op string"
+    )
+    with pytest.raises(ValueError, match="tombstone"):
+        append_delta_batch_optimistic(spark, state, del_batch)
+    # upsert-only frames with an op column pass the guard
+    ok = spark.createDataFrame(
+        [(1, 2.0, "upsert")], "key long, amount double, op string"
+    )
+    assert append_delta_batch_optimistic(spark, state, ok) == 0
