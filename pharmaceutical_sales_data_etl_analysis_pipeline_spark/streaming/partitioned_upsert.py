@@ -1026,7 +1026,25 @@ def run_partitioned_mor_ingest(
     }
 
 
-def expire_partitioned_versions(spark: SparkSession, state_dir: str, keep: int = 3) -> int:
+# In-flight guard for retention: a dir that NO manifest has ever
+# referenced is either a lost-race/crashed attempt (safe to reclaim) or a
+# CONCURRENT writer's staged attempt whose manifest commit is seconds
+# away — indistinguishable by listing alone. Deleting the latter would
+# let the writer publish a manifest pointing at a vanished dir (its
+# snapshot check only sees MANIFEST changes; retention that dooms no
+# manifest changes none). So never-referenced dirs are reclaimed only
+# past this age horizon — the same reason Delta's VACUUM refuses to
+# delete young unreferenced files. Dirs referenced by a DOOMED manifest
+# are committed history and vacuum immediately as before.
+DEBRIS_MIN_AGE_MS = 60 * 60 * 1000  # 1 hour
+
+
+def expire_partitioned_versions(
+    spark: SparkSession,
+    state_dir: str,
+    keep: int = 3,
+    debris_min_age_ms: int = DEBRIS_MIN_AGE_MS,
+) -> int:
     """Retention (VACUUM twin): keep the newest `keep` manifests plus every
     bucket version any of them references; delete the rest. Returns the
     number of deleted directories+manifests.
@@ -1042,7 +1060,16 @@ def expire_partitioned_versions(spark: SparkSession, state_dir: str, keep: int =
     kept batch only the newest commit survives (readers always pick the
     newest commit per batch id, so a plain manifest superseded by its
     compaction is unreachable — vacuuming it frees the fragmented
-    pre-compaction files too)."""
+    pre-compaction files too).
+
+    `debris_min_age_ms` guards NEVER-referenced dirs (see
+    DEBRIS_MIN_AGE_MS above): under multi-writer optimistic appends a
+    fresh unreferenced dir may be an IN-FLIGHT attempt, so it is
+    reclaimed only once older than the horizon. Pass 0 from a context
+    that provably has no concurrent writer (single-writer housekeeping,
+    tests) to reclaim lost-race debris immediately."""
+    import time as _time
+
     versions = _list_manifests(spark, state_dir)
     keep = max(keep, 2)
     newest_per_batch: dict[int, str] = {}
@@ -1051,13 +1078,24 @@ def expire_partitioned_versions(spark: SparkSession, state_dir: str, keep: int =
     kept_batch_ids = sorted(newest_per_batch)[-keep:]
     kept_manifests = [newest_per_batch[b] for b in kept_batch_ids]
     doomed_manifests = [v for v in versions if v not in set(kept_manifests)]
-    live: set[str] = set()  # "bucket/version" pairs still referenced
+    live: set[str] = set()  # "bucket/version" pairs a KEPT manifest references
     live_deltas: set[str] = set()  # delta commits a kept manifest still folds
-    for v in kept_manifests:
+    ever_referenced: set[str] = set()  # referenced by ANY current manifest
+    for v in versions:
         m = _read_manifest(spark, state_dir, v)
-        for b, bv in m["buckets"].items():
-            live.add(f"b{int(b)}/{bv}")
-        live_deltas.update(m.get("deltas", []))
+        refs = {f"b{int(b)}/{bv}" for b, bv in m["buckets"].items()}
+        deltas = set(m.get("deltas", []))
+        ever_referenced |= refs | deltas
+        if v in set(kept_manifests):
+            live |= refs
+            live_deltas |= deltas
+
+    now_ms = int(_time.time() * 1000)
+
+    def _reclaimable(ref: str, mtime_ms: int) -> bool:
+        if ref in ever_referenced:
+            return True  # committed history being vacuumed
+        return now_ms - mtime_ms >= debris_min_age_ms  # possible in-flight
 
     fs, _, jvm = _fs_and_path(spark, state_dir)
     hpath = jvm.org.apache.hadoop.fs.Path
@@ -1070,14 +1108,21 @@ def expire_partitioned_versions(spark: SparkSession, state_dir: str, keep: int =
             bname = str(bstat.getPath().getName())
             for vstat in fs.listStatus(bstat.getPath()):
                 vname = str(vstat.getPath().getName())
-                if f"{bname}/{vname}" not in live:
+                ref = f"{bname}/{vname}"
+                if ref not in live and _reclaimable(
+                    ref, vstat.getModificationTime()
+                ):
                     fs.delete(vstat.getPath(), True)
                     deleted += 1
     droot = hpath(f"{state_dir}/deltas")
     if fs.exists(droot):
         for dstat in fs.listStatus(droot):
             dname = str(dstat.getPath().getName())
-            if dstat.isDirectory() and dname not in live_deltas:
+            if (
+                dstat.isDirectory()
+                and dname not in live_deltas
+                and _reclaimable(dname, dstat.getModificationTime())
+            ):
                 fs.delete(dstat.getPath(), True)
                 deleted += 1
     for v in doomed_manifests:
@@ -1832,6 +1877,7 @@ def maintain_partitioned_state(
     max_pending_deltas: int = 8,
     max_files_per_bucket: int = 4,
     keep_versions: int = 3,
+    debris_min_age_ms: int = DEBRIS_MIN_AGE_MS,
 ) -> dict:
     """The table's housekeeping loop, composed in the only safe order —
     what a production deployment schedules between (or inside quiet
@@ -1872,6 +1918,6 @@ def maintain_partitioned_state(
             spark, state_dir, max_files=max_files_per_bucket
         )
     out["versions_expired"] = expire_partitioned_versions(
-        spark, state_dir, keep=keep_versions
+        spark, state_dir, keep=keep_versions, debris_min_age_ms=debris_min_age_ms
     )
     return out

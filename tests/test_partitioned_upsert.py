@@ -802,8 +802,10 @@ def test_mor_append_and_fold(spark, tmp_path):
     # retention vacuums delta files once no kept manifest references them:
     # kept v1 still folds deltas/v000000001 (so it survives); the replayed
     # plain v2 manifest is superseded by the compaction, so deltas/v...2
-    # is unreferenced and goes
-    assert expire_partitioned_versions(spark, state, keep=2) > 0
+    # is unreferenced and goes (age 0: single-writer scenario — the
+    # default horizon would hold the replay's never-referenced fresh
+    # attempt dir back as possible in-flight debris)
+    assert expire_partitioned_versions(spark, state, keep=2, debris_min_age_ms=0) > 0
     remaining = sorted(
         e.name for e in os.scandir(os.path.join(state, "deltas")) if e.is_dir()
     )
@@ -1184,7 +1186,13 @@ def test_same_batch_id_loser_never_touches_winner_files(spark, tmp_path):
     # the loser's attempt dirs are debris only retention reclaims
     orphans = set(after) - set(committed)
     assert orphans, "loser should have staged attempt dirs before losing"
+    # default horizon PROTECTS fresh never-referenced dirs — under
+    # multi-writer appends they may be an IN-FLIGHT attempt (the Delta
+    # VACUUM in-flight guard); committed state must be untouched either way
     expire_partitioned_versions(spark, state, keep=2)
+    assert orphans <= set(inventory()), "fresh debris reclaimed inside horizon"
+    # a context that provably has no concurrent writer reclaims immediately
+    expire_partitioned_versions(spark, state, keep=2, debris_min_age_ms=0)
     final = inventory()
     assert set(final) == set(committed)
     assert {r["key"]: r["total"]
