@@ -18,7 +18,7 @@ aggregate of all rows bit-exactly, (c) at least one ConcurrentCommitError
 retry was observed (proof the writers actually raced — a clean-split run
 would be vacuous; the parent re-runs once if no conflict happened).
 
-Usage: python examples/concurrent_writers_probe.py SF_DIR [SLICES_PER_WRITER]
+Usage: python examples/concurrent_writers_probe.py SF_DIR [SLICES_PER_WRITER] [N_WRITERS]
 Prints one JSON line. Writer-subprocess mode (internal):
   ... --writer STATE_DIR WIDTH SLICE_DIR [SLICE_DIR ...]
 """
@@ -75,6 +75,7 @@ def main() -> None:
 
     sf_dir = sys.argv[1]
     n_per_writer = int(sys.argv[2]) if len(sys.argv) > 2 else 4
+    n_writers = int(sys.argv[3]) if len(sys.argv) > 3 else 2
     from pyspark.sql import functions as F
 
     from pharmaceutical_sales_data_etl_analysis_pipeline_spark.catalog import load_table
@@ -85,7 +86,7 @@ def main() -> None:
 
     work = f"/tmp/conc_writers_{os.path.basename(os.path.normpath(sf_dir))}_{int(time.time())}"
     state = os.path.join(work, "state")
-    n_slices = 2 * n_per_writer
+    n_slices = n_writers * n_per_writer
 
     orders = load_table(spark, sf_dir, "orders").select(
         F.col("o_custkey").alias("key"),
@@ -109,13 +110,13 @@ def main() -> None:
         procs = [
             subprocess.Popen(
                 [sys.executable, me, "--writer", state, str(width)]
-                + slice_dirs[k::2],
+                + slice_dirs[k::n_writers],
                 env=env,
                 stdout=subprocess.PIPE,
                 stderr=subprocess.DEVNULL,
                 text=True,
             )
-            for k in range(2)
+            for k in range(n_writers)
         ]
         outs = []
         for p in procs:
@@ -164,7 +165,7 @@ def main() -> None:
                 "rung": "concurrent_mor_writers",
                 "sf_dir": sf_dir,
                 "store": "filelock",
-                "writers": 2,
+                "writers": n_writers,
                 "slices": n_slices,
                 "commit_ids": all_ids,
                 "conflicts": total_conflicts,

@@ -1659,6 +1659,7 @@ def append_delta_batch(
     batch_df: DataFrame,
     batch_id: int,
     range_width: int | None = None,
+    expect_new: bool = False,
 ) -> None:
     """Merge-on-read write path: commit one micro-batch as a DELTA file —
     no bucket is read or rewritten, so a uniformly scattered batch costs
@@ -1666,8 +1667,24 @@ def append_delta_batch(
     batch semantics as the merge (shared _aggregate_batch), same replay
     idempotence (basis strictly older than batch_id; the delta file and
     manifest rewrite to the same state), same optimistic concurrency
-    check at the commit point."""
+    check at the commit point.
+
+    `expect_new=True` (the multi-writer optimistic path) turns an
+    ALREADY-COMMITTED same batch id into a loud ConcurrentCommitError
+    instead of a replay: replay idempotence assumes same id = same
+    logical content (the single checkpointed writer's guarantee), but an
+    optimistic writer allocating ids from a stale listing can collide
+    with a FOREIGN batch under the same id — the expected-listing check
+    alone cannot catch that, because by this function's own snapshot the
+    foreign manifest already exists and a replay would OVERWRITE it
+    (found live by examples/concurrent_writers_probe.py at 4 writers)."""
     listing_snapshot = tuple(_list_manifests(spark, state_dir))
+    if expect_new and any(_batch_id_of(v) == batch_id for v in listing_snapshot):
+        raise ConcurrentCommitError(
+            f"batch id {batch_id} already committed in {state_dir} — a "
+            "foreign writer won the id between allocation and snapshot; "
+            "reallocate from a fresh listing"
+        )
     older = [v for v in listing_snapshot if _batch_id_of(v) < batch_id]
     basis_name = older[-1] if older else None
     prev = (
@@ -1741,9 +1758,14 @@ def append_delta_batch_optimistic(
       commit order; pure upserts ADD to a key's running total and
       commute across batches).
 
-    A lost race leaves that attempt's delta dir as debris — the same
-    retention-reclaimed orphan class as a crashed writer's; the committed
-    manifest never references it. The refreshed basis on each retry is
+    Delivery contract: AT-LEAST-ONCE from the caller's side — there is
+    no checkpoint here, so a caller that crashes after the commit and
+    re-submits the same batch appends it twice (the single-writer
+    streamed path gets exactly-once from its checkpoint + same-id replay
+    idempotence; multi-writer callers needing it must carry producer-side
+    idempotence keys). A lost race leaves that attempt's delta dir as
+    debris — the same retention-reclaimed orphan class as a crashed
+    writer's; the committed manifest never references it. The refreshed basis on each retry is
     what carries forward OTHER writers' delta lists, so concurrent
     appends accumulate instead of clobbering (exercised cross-process by
     examples/concurrent_writers_probe.py and in-process by
@@ -1767,7 +1789,9 @@ def append_delta_batch_optimistic(
         versions = _list_manifests(spark, state_dir)
         next_id = max((_batch_id_of(v) for v in versions), default=-1) + 1
         try:
-            append_delta_batch(spark, state_dir, batch_df, next_id, range_width)
+            append_delta_batch(
+                spark, state_dir, batch_df, next_id, range_width, expect_new=True
+            )
             return next_id
         except ConcurrentCommitError as err:
             last_err = err

@@ -1610,3 +1610,32 @@ def test_optimistic_append_rejects_noncommutative_batches(spark, tmp_path):
         [(1, 2.0, "upsert")], "key long, amount double, op string"
     )
     assert append_delta_batch_optimistic(spark, state, ok) == 0
+
+
+def test_expect_new_turns_same_id_replay_into_conflict(spark, tmp_path):
+    """The id-allocation clobber found live by the 4-writer probe: an
+    optimistic writer whose id came from a stale listing lands on a
+    batch id a FOREIGN writer already committed; plain append treats the
+    existing same-name manifest as its own replay and would overwrite
+    it. expect_new=True must raise instead; the default replay path
+    stays idempotent for the checkpointed single writer."""
+    from pharmaceutical_sales_data_etl_analysis_pipeline_spark.streaming.logstore import (
+        ConcurrentCommitError,
+    )
+
+    state = str(tmp_path / "state")
+    foreign = spark.createDataFrame([(1, 10.0)], "key long, amount double")
+    pu.append_delta_batch(spark, state, foreign, 0)
+
+    mine = spark.createDataFrame([(2, 99.0)], "key long, amount double")
+    with pytest.raises(ConcurrentCommitError, match="already committed"):
+        pu.append_delta_batch(spark, state, mine, 0, expect_new=True)
+    # the foreign commit is untouched
+    got = {r["key"]: r["total"]
+           for r in read_latest_partitioned_state(spark, state).collect()}
+    assert got == {1: 10.0}
+    # same-id replay WITHOUT expect_new stays the single-writer contract
+    pu.append_delta_batch(spark, state, foreign, 0)
+    got2 = {r["key"]: r["total"]
+            for r in read_latest_partitioned_state(spark, state).collect()}
+    assert got2 == {1: 10.0}
