@@ -18,7 +18,11 @@ aggregate of all rows bit-exactly, (c) at least one ConcurrentCommitError
 retry was observed (proof the writers actually raced — a clean-split run
 would be vacuous; the parent re-runs once if no conflict happened).
 
-Usage: python examples/concurrent_writers_probe.py SF_DIR [SLICES_PER_WRITER] [N_WRITERS]
+Usage: python examples/concurrent_writers_probe.py SF_DIR [SLICES_PER_WRITER] [N_WRITERS] [STORE]
+STORE: filelock (default) | arbiter — arbiter spins up the cross-process
+commit-arbiter service (streaming/arbiter_server) and points every
+writer at it, so BOTH multi-process deployment paths run the identical
+racing workload.
 Prints one JSON line. Writer-subprocess mode (internal):
   ... --writer STATE_DIR WIDTH SLICE_DIR [SLICE_DIR ...]
 """
@@ -76,6 +80,7 @@ def main() -> None:
     sf_dir = sys.argv[1]
     n_per_writer = int(sys.argv[2]) if len(sys.argv) > 2 else 4
     n_writers = int(sys.argv[3]) if len(sys.argv) > 3 else 2
+    store = sys.argv[4] if len(sys.argv) > 4 else "filelock"
     from pyspark.sql import functions as F
 
     from pharmaceutical_sales_data_etl_analysis_pipeline_spark.catalog import load_table
@@ -102,41 +107,61 @@ def main() -> None:
         orders.filter(F.col("okey") % n_slices == j).drop("okey").write.parquet(d)
         slice_dirs.append(d)
 
-    env = dict(os.environ, SPARK_GRAFT_LOG_STORE="filelock")
+    env = dict(os.environ, SPARK_GRAFT_LOG_STORE=store)
+    mgr = None
+    if store == "arbiter":
+        from pharmaceutical_sales_data_etl_analysis_pipeline_spark.streaming.arbiter_server import (
+            start_arbiter_server,
+        )
+
+        mgr, (host, port) = start_arbiter_server()
+        env["SPARK_GRAFT_ARBITER_ENDPOINT"] = f"{host}:{port}"
     me = os.path.abspath(__file__)
 
     def launch() -> tuple[list[dict], float]:
         t0 = time.monotonic()
-        procs = [
-            subprocess.Popen(
-                [sys.executable, me, "--writer", state, str(width)]
-                + slice_dirs[k::n_writers],
-                env=env,
-                stdout=subprocess.PIPE,
-                stderr=subprocess.DEVNULL,
-                text=True,
+        procs = []
+        for k in range(n_writers):
+            errlog = open(os.path.join(work, f"writer{k}.stderr"), "w")
+            procs.append(
+                (
+                    subprocess.Popen(
+                        [sys.executable, me, "--writer", state, str(width)]
+                        + slice_dirs[k::n_writers],
+                        env=env,
+                        stdout=subprocess.PIPE,
+                        stderr=errlog,
+                        text=True,
+                    ),
+                    errlog,
+                )
             )
-            for k in range(n_writers)
-        ]
         outs = []
-        for p in procs:
+        for p, errlog in procs:
             out, _ = p.communicate(timeout=1200)
+            errlog.close()
             if p.returncode != 0:
-                raise SystemExit(f"writer {p.pid} failed rc={p.returncode}")
+                raise SystemExit(
+                    f"writer {p.pid} failed rc={p.returncode} — see {errlog.name}"
+                )
             outs.append(json.loads(out.strip().splitlines()[-1]))
         return outs, time.monotonic() - t0
 
-    reports, wall = launch()
-    total_conflicts = sum(r["conflicts"] for r in reports)
-    attempt = 1
-    while total_conflicts == 0 and attempt < 3:
-        # clean split = vacuous race; re-run on a fresh table
-        attempt += 1
-        import shutil
-
-        shutil.rmtree(state, ignore_errors=True)
+    try:
         reports, wall = launch()
         total_conflicts = sum(r["conflicts"] for r in reports)
+        attempt = 1
+        while total_conflicts == 0 and attempt < 3:
+        # clean split = vacuous race; re-run on a fresh table
+            attempt += 1
+            import shutil
+
+            shutil.rmtree(state, ignore_errors=True)
+            reports, wall = launch()
+            total_conflicts = sum(r["conflicts"] for r in reports)
+    finally:
+        if mgr is not None:
+            mgr.shutdown()
 
     all_ids = sorted(i for r in reports for i in r["commits"])
     if all_ids != list(range(n_slices)):
@@ -164,7 +189,7 @@ def main() -> None:
             {
                 "rung": "concurrent_mor_writers",
                 "sf_dir": sf_dir,
-                "store": "filelock",
+                "store": store,
                 "writers": n_writers,
                 "slices": n_slices,
                 "commit_ids": all_ids,

@@ -513,26 +513,32 @@ class CommitArbiter:
         """Atomically: if the table's committed listing == expected,
         record `name` (staged, pending finalize) and return; else raise
         ConcurrentCommitError. Re-recording an already-present name is
-        legal only on the two replay paths the interface contract names:
-        while the prior attempt is still PENDING finalize (crashed
-        mid-commit — Delta S3DynamoDBLogStore's complete=false
-        condition), or when the name is complete but the caller's
-        `expected` CONTAINS it (a replayed batch that saw the finished
-        commit in its basis and idempotently re-publishes it). A writer
-        whose basis does NOT contain a complete `name` is a same-name
-        racer arriving from a stale basis — before r9 it slipped past
-        the listing comparison (both sides excluded `name`) and its
-        finalize silently replaced the winner's manifest (ADVICE r8)."""
+        legal ONLY when the caller's `expected` CONTAINS it (a replayed
+        batch that saw the commit in its basis and idempotently
+        re-publishes it). ANY recorded name absent from the basis —
+        pending OR complete — is a same-name racer from a stale basis.
+        The r9 rule rejected only the COMPLETE case; the concurrent-
+        writers probe then caught a live foreign writer slipping through
+        the pending window (winner CAS'd, not yet finalized) and
+        replacing the winner's record. A PENDING record is not license
+        to re-record: a genuinely crashed finalize is recovered by the
+        READER self-heal (list_commits finishes the finalize from the
+        staged file), so the crashed writer's own replay re-lists, sees
+        the healed name in its basis, and takes the idempotent-replay
+        clause — exactly Delta S3DynamoDBLogStore's division of labor,
+        where recovery of complete=false entries happens on the read
+        path, never by a competing writer's overwrite."""
         with self._lock:
             self._maybe_fail()
             if self.latency_s:
                 time.sleep(self.latency_s)
             recs = self._tables.setdefault(table, {})
-            if name in recs and recs[name] is None and name not in expected:
+            if name in recs and name not in expected:
+                state = "complete" if recs[name] is None else "pending finalize"
                 raise ConcurrentCommitError(
                     f"arbiter CAS of {name} rejected: {name} is already "
-                    "committed and complete, and the writer's basis does "
-                    "not include it — same-name racer from a stale basis"
+                    f"recorded ({state}) and the writer's basis does not "
+                    "include it — same-name racer from a stale basis"
                 )
             now = tuple(sorted(n for n in recs if n != name))
             exp = tuple(sorted(n for n in expected if n != name))
@@ -620,12 +626,30 @@ class ArbiterLogStore(ManifestLogStore):
         self._finalize(spark, manifest_dir, table, name, staged_name)
 
     def _finalize(self, spark, manifest_dir, table, name, staged_name) -> None:
+        """Idempotent under the DOUBLE-FINALIZE race: the winner's own
+        finalize and any reader's self-heal rename the SAME staged file,
+        and a concurrent healer can win between our exists() check and
+        the rename (observed live in the concurrent-writers probe as
+        FileNotFoundException on the winner's rename). Either finisher
+        produces the identical final file, so 'staged gone but final
+        present' IS success; 'staged gone and final absent' is real
+        loss and stays loud."""
         fs, _, jvm = _fs_and_path(spark, manifest_dir)
         hpath = jvm.org.apache.hadoop.fs.Path
         staged = hpath(f"{manifest_dir}/{staged_name}")
         final = hpath(f"{manifest_dir}/{name}.json")
         if fs.exists(staged):
-            _rename_overwrite(spark, jvm, fs, staged, final)
+            try:
+                _rename_overwrite(spark, jvm, fs, staged, final)
+            except Exception:
+                if not fs.exists(final):
+                    raise
+        elif not fs.exists(final):
+            raise IOError(
+                f"finalize of {name} in {manifest_dir}: staged file "
+                f"{staged_name} is gone and no final manifest exists — "
+                "the commit record points at nothing"
+            )
         self.arbiter.mark_complete(table, name)
 
     def list_commits(self, spark, manifest_dir):

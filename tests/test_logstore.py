@@ -511,24 +511,29 @@ def test_default_log_store_env_selection(monkeypatch):
 
 
 def test_arbiter_same_name_replay_vs_stale_basis_racer():
-    """CommitArbiter.cas's same-name rules (ADVICE r8): re-recording is
-    legal while the prior attempt is PENDING finalize (crashed-replay
-    re-stage) and when the name is complete but present in the caller's
-    basis (idempotent replay of a finished batch); a writer whose basis
-    does NOT contain the complete name is a stale-basis racer and must
-    lose — before this rule its finalize silently replaced the winner's
-    manifest."""
+    """CommitArbiter.cas's same-name rule: re-recording is legal ONLY
+    when the caller's basis CONTAINS the name (idempotent replay of a
+    commit it saw). Any recorded name absent from the basis — pending OR
+    complete — is a stale-basis racer and must lose. The r9 rule spared
+    the pending case as 'crashed-replay re-stage'; the 4-writer probe
+    then caught a LIVE foreign writer entering through that window
+    (winner CAS'd, not yet finalized) and replacing the winner's record.
+    A genuinely crashed finalize is recovered by the reader self-heal
+    (test_arbiter_crash_between_cas_and_finalize_heals + the cross-
+    process matrix), after which the crashed writer's own replay lists
+    the healed name into its basis and takes the replay clause."""
     from pharmaceutical_sales_data_etl_analysis_pipeline_spark.streaming.logstore import (
         CommitArbiter,
     )
 
     arb = CommitArbiter()
     arb.cas("t", (), "v000000001", "staged-a")  # first attempt, pending
-    arb.cas("t", (), "v000000001", "staged-b")  # crashed-replay re-stage: ok
+    with pytest.raises(ConcurrentCommitError, match="pending finalize"):
+        arb.cas("t", (), "v000000001", "staged-b")  # racer in the window
     arb.mark_complete("t", "v000000001")
     with pytest.raises(ConcurrentCommitError, match="stale basis"):
         arb.cas("t", (), "v000000001", "staged-c")  # racer: basis lacks v1
-    # idempotent replay: basis CONTAINS the complete name
+    # idempotent replay: basis CONTAINS the (healed/complete) name
     arb.cas("t", ("v000000001",), "v000000001", "staged-d")
     arb.mark_complete("t", "v000000001")
     assert arb.records("t")["v000000001"] is None
@@ -680,3 +685,58 @@ def test_arbiter_cross_process_contract_matrix(spark, tmp_path, monkeypatch):
         assert "v000000009" in driver_a.list_commits(spark, mdir)
     finally:
         mgr.shutdown()
+
+
+def test_arbiter_double_finalize_race_is_idempotent(spark, tmp_path):
+    """A reader's self-heal can finish a commit between the winner's CAS
+    and its own finalize (seen live in the concurrent-writers probe);
+    both finishers rename the same staged file, so the winner must treat
+    'already finalized' as success — one final manifest, record complete,
+    commit() returns without error."""
+    from pharmaceutical_sales_data_etl_analysis_pipeline_spark.streaming.logstore import (
+        ArbiterLogStore,
+        CommitArbiter,
+        _qualified_dir,
+    )
+
+    mdir = str(tmp_path / "manifests")
+    arb = CommitArbiter()
+    winner, healer = ArbiterLogStore(arb), ArbiterLogStore(arb)
+
+    orig_cas = arb.cas
+
+    def cas_then_heal(table, expected, name, staged):
+        orig_cas(table, expected, name, staged)
+        healer.list_commits(spark, mdir)  # self-heal finalizes the pending
+
+    arb.cas = cas_then_heal
+    try:
+        winner.commit(
+            spark, mdir, "v000000001", {"batch_id": 1}, expected=()
+        )
+    finally:
+        arb.cas = orig_cas
+
+    table = _qualified_dir(spark, mdir)
+    assert arb.records(table)["v000000001"] is None  # complete
+    assert winner.read_commit(spark, mdir, "v000000001")["batch_id"] == 1
+    assert winner.list_commits(spark, mdir) == ["v000000001"]
+
+
+def test_arbiter_finalize_raises_when_both_files_missing(spark, tmp_path):
+    """'Staged gone and no final manifest' is real loss, not a benign
+    double-finalize — it must stay loud."""
+    from pharmaceutical_sales_data_etl_analysis_pipeline_spark.streaming.logstore import (
+        ArbiterLogStore,
+        CommitArbiter,
+        _qualified_dir,
+    )
+
+    import os as _os
+
+    mdir = str(tmp_path / "manifests")
+    _os.makedirs(mdir)
+    store = ArbiterLogStore(CommitArbiter())
+    table = _qualified_dir(spark, mdir)
+    with pytest.raises(IOError, match="points at nothing"):
+        store._finalize(spark, mdir, table, "v000000009", ".staged.gone.json")
