@@ -72,15 +72,68 @@ def writer_main() -> None:
     )
 
 
+def maintenance_main() -> None:
+    """Subprocess entry: the housekeeping loop a deployment schedules
+    ALONGSIDE live writers — delta folds, bucket compaction, retention
+    with the default debris age horizon (which is what keeps the racing
+    writers' in-flight attempt dirs safe). Lost races against the
+    writers are expected and retried next round; one JSON line."""
+    state_dir, stopfile = sys.argv[2], sys.argv[3]
+    from pharmaceutical_sales_data_etl_analysis_pipeline_spark.session import get_spark
+    from pharmaceutical_sales_data_etl_analysis_pipeline_spark.streaming.logstore import (
+        ConcurrentCommitError,
+    )
+    from pharmaceutical_sales_data_etl_analysis_pipeline_spark.streaming.partitioned_upsert import (
+        maintain_partitioned_state,
+    )
+
+    spark = get_spark(f"concurrent-maint-{os.getpid()}", shuffle_partitions=8)
+    spark.sparkContext.setLogLevel("ERROR")
+    rounds = conflicts = folded = compacted = expired = 0
+    while not os.path.exists(stopfile):
+        try:
+            r = maintain_partitioned_state(spark, state_dir, max_pending_deltas=2)
+            folded += r["deltas_folded"]
+            compacted += r["buckets_compacted"]
+            expired += r["versions_expired"]
+        except ConcurrentCommitError:
+            conflicts += 1
+        rounds += 1
+        time.sleep(0.3)
+    # one final pass on the now-quiet table: the folds that lost races
+    # against live writers land here, so the parent's exactness check
+    # reads THROUGH a real compaction, not only pending deltas
+    r = maintain_partitioned_state(spark, state_dir, max_pending_deltas=1)
+    folded += r["deltas_folded"]
+    compacted += r["buckets_compacted"]
+    expired += r["versions_expired"]
+    print(
+        json.dumps(
+            {
+                "pid": os.getpid(),
+                "maint_rounds": rounds,
+                "maint_conflicts": conflicts,
+                "deltas_folded": folded,
+                "buckets_compacted": compacted,
+                "versions_expired": expired,
+            }
+        )
+    )
+
+
 def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "--writer":
         writer_main()
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "--maintenance":
+        maintenance_main()
         return
 
     sf_dir = sys.argv[1]
     n_per_writer = int(sys.argv[2]) if len(sys.argv) > 2 else 4
     n_writers = int(sys.argv[3]) if len(sys.argv) > 3 else 2
     store = sys.argv[4] if len(sys.argv) > 4 else "filelock"
+    with_maint = len(sys.argv) > 5 and sys.argv[5] == "maint"
     from pyspark.sql import functions as F
 
     from pharmaceutical_sales_data_etl_analysis_pipeline_spark.catalog import load_table
@@ -120,6 +173,20 @@ def main() -> None:
 
     def launch() -> tuple[list[dict], float]:
         t0 = time.monotonic()
+        stopfile = os.path.join(work, f"stop_{int(t0)}")
+        maint = None
+        if with_maint:
+            maint_err = open(os.path.join(work, "maint.stderr"), "w")
+            maint = (
+                subprocess.Popen(
+                    [sys.executable, me, "--maintenance", state, stopfile],
+                    env=env,
+                    stdout=subprocess.PIPE,
+                    stderr=maint_err,
+                    text=True,
+                ),
+                maint_err,
+            )
         procs = []
         for k in range(n_writers):
             errlog = open(os.path.join(work, f"writer{k}.stderr"), "w")
@@ -145,11 +212,22 @@ def main() -> None:
                     f"writer {p.pid} failed rc={p.returncode} — see {errlog.name}"
                 )
             outs.append(json.loads(out.strip().splitlines()[-1]))
+        if maint is not None:
+            mp, merr = maint
+            with open(stopfile, "w"):
+                pass
+            mout, _ = mp.communicate(timeout=600)
+            merr.close()
+            if mp.returncode != 0:
+                raise SystemExit(
+                    f"maintenance {mp.pid} failed rc={mp.returncode} — see {merr.name}"
+                )
+            outs.append(json.loads(mout.strip().splitlines()[-1]))
         return outs, time.monotonic() - t0
 
     try:
         reports, wall = launch()
-        total_conflicts = sum(r["conflicts"] for r in reports)
+        total_conflicts = sum(r.get("conflicts", 0) for r in reports if "commits" in r)
         attempt = 1
         while total_conflicts == 0 and attempt < 3:
         # clean split = vacuous race; re-run on a fresh table
@@ -158,11 +236,15 @@ def main() -> None:
 
             shutil.rmtree(state, ignore_errors=True)
             reports, wall = launch()
-            total_conflicts = sum(r["conflicts"] for r in reports)
+            total_conflicts = sum(
+                r.get("conflicts", 0) for r in reports if "commits" in r
+            )
     finally:
         if mgr is not None:
             mgr.shutdown()
 
+    maint_report = next((r for r in reports if "maint_rounds" in r), None)
+    reports = [r for r in reports if "commits" in r]
     all_ids = sorted(i for r in reports for i in r["commits"])
     if all_ids != list(range(n_slices)):
         raise SystemExit(f"commit ids not a clean 0..{n_slices-1}: {all_ids}")
@@ -197,6 +279,7 @@ def main() -> None:
                 "race_runs": attempt,
                 "writer_walls_s": [r["wall_s"] for r in reports],
                 "wall_s": round(wall, 2),
+                "maintenance": maint_report,
                 "exact": True,
             }
         )
