@@ -171,7 +171,7 @@ def main() -> None:
         env["SPARK_GRAFT_ARBITER_ENDPOINT"] = f"{host}:{port}"
     me = os.path.abspath(__file__)
 
-    def launch() -> tuple[list[dict], float]:
+    def launch(state_dir: str) -> tuple[list[dict], float]:
         t0 = time.monotonic()
         stopfile = os.path.join(work, f"stop_{int(t0)}")
         maint = None
@@ -179,7 +179,7 @@ def main() -> None:
             maint_err = open(os.path.join(work, "maint.stderr"), "w")
             maint = (
                 subprocess.Popen(
-                    [sys.executable, me, "--maintenance", state, stopfile],
+                    [sys.executable, me, "--maintenance", state_dir, stopfile],
                     env=env,
                     stdout=subprocess.PIPE,
                     stderr=maint_err,
@@ -193,7 +193,7 @@ def main() -> None:
             procs.append(
                 (
                     subprocess.Popen(
-                        [sys.executable, me, "--writer", state, str(width)]
+                        [sys.executable, me, "--writer", state_dir, str(width)]
                         + slice_dirs[k::n_writers],
                         env=env,
                         stdout=subprocess.PIPE,
@@ -226,16 +226,17 @@ def main() -> None:
         return outs, time.monotonic() - t0
 
     try:
-        reports, wall = launch()
+        reports, wall = launch(state)
         total_conflicts = sum(r.get("conflicts", 0) for r in reports if "commits" in r)
         attempt = 1
         while total_conflicts == 0 and attempt < 3:
-        # clean split = vacuous race; re-run on a fresh table
+            # clean split = vacuous race; re-run on a FRESH state path —
+            # rmtree-and-reuse would deadlock the arbiter leg, whose
+            # server still holds the old path's committed names (seed()
+            # only adds) and would reject every fresh-basis CAS
             attempt += 1
-            import shutil
-
-            shutil.rmtree(state, ignore_errors=True)
-            reports, wall = launch()
+            state = os.path.join(work, f"state_retry{attempt}")
+            reports, wall = launch(state)
             total_conflicts = sum(
                 r.get("conflicts", 0) for r in reports if "commits" in r
             )

@@ -149,15 +149,14 @@ def main() -> None:
         spark.streams.removeListener(collector)
 
     # ---- exactness gate: last emit per key == one-shot batch groupBy ----
-    from pyspark.sql.window import Window
+    # (same collapse the registered query ships — replay-idempotence
+    # pinned in tests/test_streaming.py)
+    from pharmaceutical_sales_data_etl_analysis_pipeline_spark.operators.streamingq import (
+        last_emit_per_key,
+    )
 
     emitted = spark.read.parquet(out)
-    last = Window.partitionBy("user_id").orderBy(F.col("_epoch").desc())
-    final = (
-        emitted.withColumn("_rn", F.row_number().over(last))
-        .filter(F.col("_rn") == 1)
-        .select("user_id", "n_events", "total_cents")
-    )
+    final = last_emit_per_key(emitted)
     want = (
         load_table(spark, sf_dir, "events")
         .filter(F.col("value").isNotNull())

@@ -332,8 +332,24 @@ class FileLockLogStore(ManifestLogStore):
         # ownership verification: create-then-write is two ops, so a
         # racing breaker could have sidelined our lock between them —
         # acquisition is complete only when the lock file reads back OUR
-        # token (of N contenders exactly one sees its own token last)
-        if self._read_lock_token(spark, manifest_dir) != token:
+        # token (of N contenders exactly one sees its own token last).
+        # A transient READ failure gets one retry, same as _release
+        # (ADVICE r8): treating it as "taken over" and walking away would
+        # abandon our own lock file until the TTL break-in, stalling
+        # every writer. If the re-read still fails, best-effort release
+        # our token before raising so the stall needs a genuinely stuck
+        # filesystem, not one IO blip.
+        current = self._read_lock_token(spark, manifest_dir)
+        if current is self._READ_FAILED:
+            current = self._read_lock_token(spark, manifest_dir)  # one retry
+        if current != token:
+            if current is self._READ_FAILED:
+                self._release(spark, manifest_dir, token)
+                raise ConcurrentCommitError(
+                    f"commit of {name} blocked: lock at {lock} unreadable "
+                    "during acquisition verification (transient IO, retried "
+                    "once); released best-effort"
+                )
             raise ConcurrentCommitError(
                 f"commit of {name} blocked: lock at {lock} was taken over "
                 "during acquisition (token mismatch)"

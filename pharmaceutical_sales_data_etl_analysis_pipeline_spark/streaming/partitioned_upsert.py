@@ -130,6 +130,7 @@ manifest-pruned so its cost scales with the CHANGE, not the table
 
 from __future__ import annotations
 
+import logging
 import threading
 import uuid
 
@@ -144,6 +145,8 @@ from .logstore import (
     ManifestLogStore,
 )
 from .upsert import STATE_SCHEMA, _as_read_view
+
+_LOG = logging.getLogger(__name__)
 
 # The commit-protocol seam (see logstore.py): every manifest list/read/
 # publish below routes through this store. The default is the plain-FS
@@ -293,10 +296,18 @@ def _require_seq_monotone(
     predecessor), so re-appending the same seq span passes."""
     if "seq" not in batch_df.columns:
         return None
+    # bounds and the null count both use try_cast: a seq value that
+    # fails the long cast (e.g. a non-numeric string) is exactly as
+    # orderless as a literal NULL. Counting the RAW column would let it
+    # slip past this guard wherever casts are non-ANSI (silent NULL), and
+    # a plain cast under ANSI throws an opaque NumberFormatException from
+    # inside the agg — try_cast gives the same loud, named error on
+    # every session config
+    seq_long = F.expr("try_cast(seq AS long)")
     row = batch_df.agg(
-        F.min(F.col("seq").cast("long")).alias("lo"),
-        F.max(F.col("seq").cast("long")).alias("hi"),
-        F.count(F.when(F.col("seq").isNull(), F.lit(1))).alias("n_null"),
+        F.min(seq_long).alias("lo"),
+        F.max(seq_long).alias("hi"),
+        F.count(F.when(seq_long.isNull(), F.lit(1))).alias("n_null"),
     ).first()
     if row["n_null"]:
         # checked HERE, driver-side, because an in-plan raise_error inside
@@ -304,8 +315,8 @@ def _require_seq_monotone(
         # skip the value branch) — a NULL seq would then silently drop the
         # row from d_total exactly like the NULL-op hazard
         raise ValueError(
-            f"NULL seq on {row['n_null']} row(s) in sequenced CDC batch "
-            f"{batch_id} — every row needs a log offset"
+            f"NULL or non-integer seq on {row['n_null']} row(s) in "
+            f"sequenced CDC batch {batch_id} — every row needs a log offset"
         )
     if row["lo"] is None:  # empty batch
         return None
@@ -334,6 +345,15 @@ def _record_max_seq(
     ) else None
     if mark is not None:
         manifest["max_seq"] = mark
+
+
+def _inherit_max_seq(prev: dict) -> dict:
+    """Maintenance commits (compaction, re-range, delta fold) reproduce
+    the SAME logical state, so the sequenced-CDC high-water mark of the
+    superseded manifest carries over unchanged. One spot for the idiom —
+    it appears in every maintenance commit path, and a hand-copied
+    conditional spread is exactly the kind a fifth path forgets."""
+    return {"max_seq": prev["max_seq"]} if "max_seq" in prev else {}
 
 
 def bucket_of(key_col, range_width: int | None = None):
@@ -1012,7 +1032,18 @@ def run_partitioned_mor_ingest(
         qid = str(q.id)
         with collector._guard:
             done = collector.terminated.setdefault(qid, threading.Event())
-        done.wait(timeout=60)  # listener events are async to awaitTermination
+        # listener events are async to awaitTermination; a timed-out wait
+        # means the tail of the progress list may be missing — surface
+        # that instead of silently under-reporting (the exact failure
+        # mode the listener replaced recentProgress to avoid)
+        progress_complete = done.wait(timeout=60)
+        if not progress_complete:
+            _LOG.warning(
+                "streaming listener termination event not delivered within "
+                "60s for query %s — the returned 'batches' list may be "
+                "missing tail entries (progress_complete=False)",
+                qid,
+            )
     finally:
         spark.streams.removeListener(collector)
     batches = [p for evt_qid, p in collector.events if evt_qid == qid]
@@ -1023,6 +1054,7 @@ def run_partitioned_mor_ingest(
         "drain_s": drain_s,
         "compaction_s": _time.monotonic() - t1,
         "compacted_buckets": compacted,
+        "progress_complete": progress_complete,
     }
 
 
@@ -1518,7 +1550,7 @@ def compact_partitioned_state(
             "stats": dict(manifest.get("stats", {})),
             # identical logical state -> the sequenced-CDC high-water
             # mark carries over too (same for every maintenance commit)
-            **({"max_seq": manifest["max_seq"]} if "max_seq" in manifest else {}),
+            **_inherit_max_seq(manifest),
         },
         expected=tuple(versions),
     )
@@ -1574,7 +1606,7 @@ def rerange_partitioned_state(
                 "range_width": new_width,
                 "buckets": {},
                 "stats": {},
-                **({"max_seq": manifest["max_seq"]} if "max_seq" in manifest else {}),
+                **_inherit_max_seq(manifest),
             },
             expected=tuple(versions),
         )
@@ -1625,7 +1657,7 @@ def rerange_partitioned_state(
             "range_width": new_width,
             "buckets": new_buckets,
             "stats": {str(b): s for b, s in stats.items()},
-            **({"max_seq": manifest["max_seq"]} if "max_seq" in manifest else {}),
+            **_inherit_max_seq(manifest),
         },
         expected=tuple(versions),
     )
@@ -1776,6 +1808,9 @@ def append_delta_batch_optimistic(
             "column) need producer-ordered batch ids — use "
             "append_delta_batch with explicit ids"
         )
+    # one filter+take(1) job per CALL (not per retry attempt) buys the
+    # loud contract at the entry point; upsert-only batches pay a single
+    # column-pruned scan before the aggregation scans the batch anyway
     if "op" in batch_df.columns and not batch_df.filter(
         F.col("op") == F.lit("delete")
     ).isEmpty():
@@ -1880,7 +1915,7 @@ def compact_deltas_into_base(spark: SparkSession, state_dir: str) -> int:
             "buckets": new_buckets,
             "stats": new_stats,
             "deltas": [],
-            **({"max_seq": manifest["max_seq"]} if "max_seq" in manifest else {}),
+            **_inherit_max_seq(manifest),
         },
         expected=tuple(versions),
     )

@@ -1321,11 +1321,26 @@ def test_sequenced_cdc_order_violation_and_null_seq_raise(spark, tmp_path):
         pu.append_delta_batch(
             spark, sd, df.filter(F.col("seq") <= 4), 1, range_width=16
         )
-    with pytest.raises(Exception, match="NULL seq"):
+    with pytest.raises(Exception, match="NULL or non-integer seq"):
         pu.append_delta_batch(
             spark,
             str(tmp_path / "state2"),
             _seq_events_df(spark, [(1, 1.0, "upsert", None)]),
+            0,
+            range_width=16,
+        )
+    # a seq that fails the long cast is exactly as orderless as NULL —
+    # before r9 it slipped past the guard (nulls were counted on the RAW
+    # column while the bounds used the cast) and committed with no order
+    # guard and no max_seq high-water mark
+    with pytest.raises(Exception, match="NULL or non-integer seq"):
+        pu.append_delta_batch(
+            spark,
+            str(tmp_path / "state3"),
+            spark.createDataFrame(
+                [(1, 1.0, "upsert", "a1")],
+                "key long, amount double, op string, seq string",
+            ),
             0,
             range_width=16,
         )
