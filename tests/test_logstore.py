@@ -740,3 +740,48 @@ def test_arbiter_finalize_raises_when_both_files_missing(spark, tmp_path):
     table = _qualified_dir(spark, mdir)
     with pytest.raises(IOError, match="points at nothing"):
         store._finalize(spark, mdir, table, "v000000009", ".staged.gone.json")
+
+
+def test_filelock_acquire_read_failure_retries_then_releases(spark, tmp_path):
+    """Transient IO during the acquire-side token verification must not
+    strand the writer's own lock until the TTL break-in: one failed read
+    is retried (commit proceeds); a persistent verification failure
+    raises the contract error AND best-effort releases the writer's own
+    lock so other writers aren't stalled."""
+    import os as _os
+
+    from pharmaceutical_sales_data_etl_analysis_pipeline_spark.streaming.logstore import (
+        FileLockLogStore,
+    )
+
+    mdir = str(tmp_path / "state" / "manifests")
+    lock_path = _os.path.join(mdir, ".commit.lock")
+
+    class FlakyReadStore(FileLockLogStore):
+        def __init__(self, fail_reads: int):
+            self.fail_reads = fail_reads
+
+        def _read_lock_token(self, spark_, manifest_dir):
+            if self.fail_reads > 0:
+                self.fail_reads -= 1
+                return self._READ_FAILED
+            return super()._read_lock_token(spark_, manifest_dir)
+
+    # one transient failure: the retry sees the token, commit lands
+    store = FlakyReadStore(fail_reads=1)
+    store.commit(spark, mdir, "v000000000", _payload(0), expected=None)
+    store.commit(spark, mdir, "v000000001", _payload(1), expected=("v000000000",))
+    assert store.list_commits(spark, mdir) == ["v000000000", "v000000001"]
+    assert not _os.path.exists(lock_path)
+
+    # persistent verification failure (both acquire reads fail; the
+    # release's reads then succeed): loud contract error, nothing
+    # published, and the writer's own lock is GONE — not a TTL stall
+    store = FlakyReadStore(fail_reads=2)
+    with pytest.raises(ConcurrentCommitError, match="unreadable"):
+        store.commit(
+            spark, mdir, "v000000002", _payload(2),
+            expected=("v000000000", "v000000001"),
+        )
+    assert "v000000002" not in store.list_commits(spark, mdir)
+    assert not _os.path.exists(lock_path), "own lock must be released"
