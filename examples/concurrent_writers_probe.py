@@ -1,22 +1,26 @@
 #!/usr/bin/env python3
-"""Two OS-process writers race the merge-on-read append on ONE table.
+"""N OS-process writers race the merge-on-read append on ONE table.
 
 The commit protocol's guarantees are unit-proven at thread level
 (tests/test_logstore.py contract matrix, the in-process optimistic-append
 race in tests/test_partitioned_upsert.py) and the arbiter at process
-level; this probe closes the remaining gap END-TO-END: two separate
-Spark DRIVERS (own JVMs, own sessions) concurrently committing real
-delta batches to the same state dir through the token-owned FileLock
-store (SPARK_GRAFT_LOG_STORE=filelock — the multi-process deployment
-path that needs no external service), each using the Delta-style
-optimistic loop (append_delta_batch_optimistic: next id from the
-manifest head, retry on lost race with a refreshed basis).
+level; this probe closes the remaining gap END-TO-END: separate Spark
+DRIVERS (own JVMs, own sessions) concurrently committing real delta
+batches to the same state dir through a multi-process store — the
+token-owned FileLock file (SPARK_GRAFT_LOG_STORE=filelock, no external
+service needed) or the remote commit arbiter — each using the
+Delta-style optimistic loop (append_delta_batch_optimistic: next id
+from the manifest head, retry on lost race with a refreshed basis).
+Optionally a further MAINTENANCE process runs the housekeeping loop
+(folds/compaction/retention) against the live writers.
 
 PASS = (a) every slice committed exactly once under a distinct batch id
-across both writers, (b) the folded read equals the one-shot batch
+across all writers, (b) the folded read equals the one-shot batch
 aggregate of all rows bit-exactly, (c) at least one ConcurrentCommitError
 retry was observed (proof the writers actually raced — a clean-split run
-would be vacuous; the parent re-runs once if no conflict happened).
+would be vacuous; the parent re-runs on a fresh state path if no
+conflict happened). This probe caught three live protocol bugs in r9
+(see SCALE.md's concurrent-writers section).
 
 Usage: python examples/concurrent_writers_probe.py SF_DIR [SLICES_PER_WRITER] [N_WRITERS] [STORE]
 STORE: filelock (default) | arbiter — arbiter spins up the cross-process
