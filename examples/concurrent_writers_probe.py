@@ -27,8 +27,20 @@ STORE: filelock (default) | arbiter — arbiter spins up the cross-process
 commit-arbiter service (streaming/arbiter_server) and points every
 writer at it, so BOTH multi-process deployment paths run the identical
 racing workload.
-Prints one JSON line. Writer-subprocess mode (internal):
+
+SEQ-FENCE mode (r10, VERDICT ask #2):
+  python examples/concurrent_writers_probe.py SF_DIR seq [STORE]
+Two separate driver processes play INDEPENDENT sequenced-CDC producers
+(own id spaces both starting at 0, own writer_id) racing direct
+append_delta_batch calls on ONE table — the misconfigured
+duplicate-producer scenario the optimistic API refuses outright. PASS =
+exactly ONE writer lands its whole log; the other fails LOUDLY
+(ConcurrentCommitError at the lease/tripwire/CAS — never a silent
+mis-sequence); the final fold is bit-exact against the winner's log.
+
+Prints one JSON line. Writer-subprocess modes (internal):
   ... --writer STATE_DIR WIDTH SLICE_DIR [SLICE_DIR ...]
+  ... --seq-writer STATE_DIR WIDTH TAG SLICE_DIR [SLICE_DIR ...]
 """
 
 from __future__ import annotations
@@ -71,6 +83,211 @@ def writer_main() -> None:
                 "commits": commits,
                 "conflicts": stats.get("conflicts", 0),
                 "wall_s": round(time.monotonic() - t0, 2),
+            }
+        )
+    )
+
+
+def seq_writer_main() -> None:
+    """Subprocess entry: an independent SEQUENCED producer — direct
+    append_delta_batch with its own batch ids 0..k-1 and its own
+    writer_id. A loud rejection (fence, tripwire, or CAS) is the
+    EXPECTED outcome for the loser and is reported as fenced=True; any
+    other exception crashes the process (rc!=0 -> parent fails)."""
+    state_dir, width, tag = sys.argv[2], int(sys.argv[3]), sys.argv[4]
+    delay_s = float(sys.argv[5])
+    slice_dirs = sys.argv[6:]
+    from pharmaceutical_sales_data_etl_analysis_pipeline_spark.session import get_spark
+    from pharmaceutical_sales_data_etl_analysis_pipeline_spark.streaming.logstore import (
+        ConcurrentCommitError,
+    )
+    from pharmaceutical_sales_data_etl_analysis_pipeline_spark.streaming.partitioned_upsert import (
+        append_delta_batch,
+    )
+
+    spark = get_spark(f"seq-writer-{tag}-{os.getpid()}", shuffle_partitions=8)
+    spark.sparkContext.setLogLevel("ERROR")
+    if delay_s > 0:
+        # staggered start: wait until the OTHER writer's first manifest is
+        # on disk so this writer's listing sees the recorded lease and the
+        # rejection exercises the fence ("owned by writer") rather than
+        # the publish-time lock/CAS (delay 0 on both = the simultaneous
+        # id-0 contest, which lands on the lock/CAS path instead)
+        mdir = os.path.join(state_dir, "manifests")
+        deadline = time.monotonic() + delay_s
+        while time.monotonic() < deadline:
+            if os.path.isdir(mdir) and any(
+                n.startswith("v") for n in os.listdir(mdir)
+            ):
+                break
+            time.sleep(0.2)
+    commits: list[int] = []
+    fenced = False
+    err = ""
+    t0 = time.monotonic()
+    for bid, d in enumerate(slice_dirs):
+        df = spark.read.parquet(d)
+        try:
+            append_delta_batch(
+                spark, state_dir, df, bid, range_width=width, writer_id=f"writer-{tag}"
+            )
+            commits.append(bid)
+        except ConcurrentCommitError as exc:
+            fenced, err = True, str(exc)
+            break
+    print(
+        json.dumps(
+            {
+                "pid": os.getpid(),
+                "tag": tag,
+                "commits": commits,
+                "fenced": fenced,
+                "error": err[:300],
+                "wall_s": round(time.monotonic() - t0, 2),
+            }
+        )
+    )
+
+
+def seq_fence_probe(sf_dir: str, store: str) -> None:
+    """Parent: race two independent sequenced producers on one table."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from pharmaceutical_sales_data_etl_analysis_pipeline_spark.catalog import load_table
+    from pharmaceutical_sales_data_etl_analysis_pipeline_spark.session import get_spark
+
+    spark = get_spark("seq-fence-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    work = f"/tmp/seq_fence_{os.path.basename(os.path.normpath(sf_dir))}_{int(time.time())}"
+    state = os.path.join(work, "state")
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("key"),
+        F.col("o_totalprice").alias("amount"),
+        F.row_number()
+        .over(Window.orderBy("o_orderkey"))
+        .cast("long")
+        .alias("seq"),
+    )
+    n = orders.count()
+    max_key = orders.agg(F.max("key")).first()[0]
+    width = max(100, math.ceil((max_key + 1) / 16))
+    n_slices = 4
+    span = n // n_slices + 1
+
+    # two logs over the SAME seq space 1..n: writer B's differs in content
+    # (amount+1000) so a silent interleave could never fold to either
+    # reference — the exactness check would catch it
+    logs = {
+        "A": orders.withColumn("op", F.lit("upsert")),
+        "B": orders.withColumn("amount", F.col("amount") + 1000).withColumn(
+            "op", F.lit("upsert")
+        ),
+    }
+    slice_dirs: dict[str, list[str]] = {}
+    for tag, log in logs.items():
+        dirs = []
+        for j in range(n_slices):
+            d = os.path.join(work, f"{tag}_slice{j}")
+            log.filter(
+                (F.col("seq") > j * span) & (F.col("seq") <= (j + 1) * span)
+            ).write.parquet(d)
+            dirs.append(d)
+        slice_dirs[tag] = dirs
+
+    env = dict(os.environ, SPARK_GRAFT_LOG_STORE=store)
+    mgr = None
+    if store == "arbiter":
+        from pharmaceutical_sales_data_etl_analysis_pipeline_spark.streaming.arbiter_server import (
+            start_arbiter_server,
+        )
+
+        mgr, (host, port) = start_arbiter_server()
+        env["SPARK_GRAFT_ARBITER_ENDPOINT"] = f"{host}:{port}"
+    me = os.path.abspath(__file__)
+    t0 = time.monotonic()
+    procs = []
+    try:
+        # stagger mode (the default): writer B starts its appends a beat
+        # after A, so A's id-0 commit is on disk and B's rejection goes
+        # through the LEASE check ("owned by writer"), the r10 surface
+        # under test; delay 0/0 (env SPARK_GRAFT_SEQ_STAGGER_S=0) gives
+        # the simultaneous id-0 contest, rejected at the lock/CAS instead
+        stagger = os.environ.get("SPARK_GRAFT_SEQ_STAGGER_S", "120")
+        for tag, delay in (("A", "0"), ("B", stagger)):
+            errlog = open(os.path.join(work, f"seq_{tag}.stderr"), "w")
+            procs.append(
+                (
+                    subprocess.Popen(
+                        [sys.executable, me, "--seq-writer", state, str(width), tag,
+                         delay]
+                        + slice_dirs[tag],
+                        env=env,
+                        stdout=subprocess.PIPE,
+                        stderr=errlog,
+                        text=True,
+                    ),
+                    errlog,
+                )
+            )
+        outs = []
+        for p, errlog in procs:
+            out, _ = p.communicate(timeout=1200)
+            errlog.close()
+            if p.returncode != 0:
+                raise SystemExit(
+                    f"seq writer {p.pid} crashed rc={p.returncode} (a NON-"
+                    f"fence failure) — see {errlog.name}"
+                )
+            outs.append(json.loads(out.strip().splitlines()[-1]))
+    finally:
+        if mgr is not None:
+            mgr.shutdown()
+    wall = time.monotonic() - t0
+
+    winners = [r for r in outs if not r["fenced"]]
+    losers = [r for r in outs if r["fenced"]]
+    if len(winners) != 1 or len(losers) != 1:
+        raise SystemExit(
+            f"expected exactly one fenced writer, got {outs} — two "
+            "completing producers would mean the silent mis-sequence the "
+            "fence exists to prevent"
+        )
+    if len(winners[0]["commits"]) != n_slices:
+        raise SystemExit(f"winner did not land its whole log: {winners[0]}")
+
+    from pharmaceutical_sales_data_etl_analysis_pipeline_spark.streaming.partitioned_upsert import (
+        read_latest_partitioned_state,
+    )
+
+    got = read_latest_partitioned_state(spark, state)
+    want = (
+        logs[winners[0]["tag"]]
+        .groupBy("key")
+        .agg(
+            F.sum(F.col("amount").cast("decimal(18,2)")).cast("double").alias("total"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+    n_mismatch = got.exceptAll(want).count() + want.exceptAll(got).count()
+    if n_mismatch:
+        raise SystemExit(
+            f"EXACTNESS FAILED: {n_mismatch} mismatching rows — the loser "
+            "leaked content into the winner's lineage"
+        )
+    print(
+        json.dumps(
+            {
+                "rung": "seq_writer_fence",
+                "sf_dir": sf_dir,
+                "store": store,
+                "winner": winners[0]["tag"],
+                "winner_commits": winners[0]["commits"],
+                "loser_commits": losers[0]["commits"],
+                "loser_error": losers[0]["error"][:160],
+                "wall_s": round(wall, 2),
+                "exact": True,
             }
         )
     )
@@ -131,6 +348,14 @@ def main() -> None:
         return
     if len(sys.argv) > 1 and sys.argv[1] == "--maintenance":
         maintenance_main()
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "--seq-writer":
+        seq_writer_main()
+        return
+    if len(sys.argv) > 2 and sys.argv[2] == "seq":
+        seq_fence_probe(
+            sys.argv[1], sys.argv[3] if len(sys.argv) > 3 else "filelock"
+        )
         return
 
     sf_dir = sys.argv[1]

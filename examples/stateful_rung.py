@@ -148,6 +148,17 @@ def main() -> None:
     finally:
         spark.streams.removeListener(collector)
 
+    if not batches:
+        # named failure instead of an IndexError at batches[0]/secs[-1]
+        # below: either the events table was empty or the listener missed
+        # the progress events inside the 30 s termination wait — the rung
+        # numbers would be meaningless either way (ADVICE r9)
+        raise SystemExit(
+            "NO PROGRESS OBSERVED: listener delivered no batches with "
+            f"input_rows>0 for query {qid} after drain ({drain_s:.1f}s) — "
+            "empty source or missed termination event; rerun the rung"
+        )
+
     # ---- exactness gate: last emit per key == one-shot batch groupBy ----
     # (same collapse the registered query ships — replay-idempotence
     # pinned in tests/test_streaming.py)

@@ -304,11 +304,26 @@ def _require_seq_monotone(
     # inside the agg — try_cast gives the same loud, named error on
     # every session config
     seq_long = F.expr("try_cast(seq AS long)")
+    # a fractional numeric seq (e.g. double 7.5) survives the long cast by
+    # TRUNCATION, so bounds and the max_seq high-water mark would be
+    # computed on silently shifted offsets — compare the long cast back
+    # against the raw value through double and flag any drift as loudly
+    # as a NULL (both sides NULL ⇒ not counted; that case is n_null's)
+    seq_dbl = F.expr("try_cast(seq AS double)")
     row = batch_df.agg(
         F.min(seq_long).alias("lo"),
         F.max(seq_long).alias("hi"),
         F.count(F.when(seq_long.isNull(), F.lit(1))).alias("n_null"),
+        F.count(
+            F.when(seq_long.cast("double") != seq_dbl, F.lit(1))
+        ).alias("n_frac"),
     ).first()
+    if row["n_frac"]:
+        raise ValueError(
+            f"non-integer seq on {row['n_frac']} row(s) in sequenced CDC "
+            f"batch {batch_id} — fractional log offsets would truncate "
+            "under the long cast and mis-order the max_seq high-water mark"
+        )
     if row["n_null"]:
         # checked HERE, driver-side, because an in-plan raise_error inside
         # the fold's conditionals can be short-circuited away (when()/OR
@@ -349,11 +364,126 @@ def _record_max_seq(
 
 def _inherit_max_seq(prev: dict) -> dict:
     """Maintenance commits (compaction, re-range, delta fold) reproduce
-    the SAME logical state, so the sequenced-CDC high-water mark of the
-    superseded manifest carries over unchanged. One spot for the idiom —
-    it appears in every maintenance commit path, and a hand-copied
-    conditional spread is exactly the kind a fifth path forgets."""
-    return {"max_seq": prev["max_seq"]} if "max_seq" in prev else {}
+    the SAME logical state, so the sequenced-CDC high-water mark — and
+    the sequenced-writer lease (`writer_id`, see
+    _require_seq_writer_fence) — of the superseded manifest carry over
+    unchanged. One spot for the idiom — it appears in every maintenance
+    commit path, and a hand-copied conditional spread is exactly the
+    kind a fifth path forgets (dropping writer_id in a compaction would
+    silently unfence the table)."""
+    return {k: prev[k] for k in ("max_seq", "writer_id") if k in prev}
+
+
+def seq_writer_id_for_checkpoint(checkpoint_dir: str) -> str:
+    """Stable writer identity for a checkpointed sequenced stream: two
+    processes can only share a checkpoint dir if they ARE the same
+    logical writer (Spark's checkpoint holds the source offsets — a
+    replay restarts from it), so the normalized path hashes to a token
+    that survives restarts and distinguishes foreign writers. The same
+    role as Delta's idempotent-writer txn appId."""
+    import hashlib
+
+    return "ckpt-" + hashlib.sha1(
+        checkpoint_dir.rstrip("/").encode("utf-8")
+    ).hexdigest()[:12]
+
+
+def _require_seq_writer_fence(
+    spark: SparkSession,
+    state_dir: str,
+    listing_snapshot: tuple[str, ...],
+    batch_id: int,
+    prev: dict | None,
+    basis_name: str | None,
+    seq_bounds: tuple[int, int] | None,
+    writer_id: str | None,
+    takeover: bool,
+) -> None:
+    """Single-writer fence for SEQUENCED tables (called only when the
+    batch carries a `seq` column). The sequenced-CDC fold depends on the
+    producer's total order, so two independent writers on one table are
+    a protocol error — but the per-writer guards alone cannot see each
+    other: a foreign writer whose checkpointed batch ids restart at 0
+    lands on the REPLAY path (same id already committed), reads a basis
+    strictly older than 0 (i.e. none), sails past the max_seq monotone
+    guard, and its manifest — built from an empty basis — silently drops
+    every delta the real writer committed. Two fences close that:
+
+    1. WRITER LEASE (when `writer_id` is given): the newest manifest's
+       recorded writer_id IS the lease. A different writer must pass
+       `takeover=True` and start a fresh batch id above the owner's
+       newest (the legal handoff; seq continuity is then enforced by the
+       monotone guard against the owner's max_seq). A fenced table also
+       rejects anonymous sequenced appends — the owner declared
+       single-writer. Fencing-token atomicity comes from the log store:
+       losing a check-then-publish race flips the expected listing, so
+       the publish fails ConcurrentCommitError rather than interleaving.
+    2. REPLAY-BOUNDS TRIPWIRE (always): a same-id commit is only a legal
+       replay if it reproduces the recorded max_seq high-water mark
+       (same writer + same checkpoint => same batch content => same
+       bounds). A foreign same-id batch with different bounds fails
+       loudly even on anonymous lineages. (Identical bounds from
+       different content is indistinguishable by construction — that
+       residue is what the writer lease exists for.)
+
+    Pinned cross-process by examples/concurrent_writers_probe.py --seq
+    and tests/test_seq_writer_fence.py."""
+    if not listing_snapshot:
+        return
+    newest_name = listing_snapshot[-1]
+    newest = (
+        prev
+        if basis_name == newest_name
+        else _read_manifest(spark, state_dir, newest_name)
+    )
+    owner = newest.get("writer_id") if newest else None
+    # the LEASE check runs first so a fenced foreigner gets the clear
+    # diagnosis (who owns the table) even when its same-id batch would
+    # also trip the bounds wire below
+    if writer_id is None:
+        if owner is not None:
+            raise ConcurrentCommitError(
+                f"sequenced table {state_dir} is fenced to writer "
+                f"{owner!r}; anonymous sequenced appends are rejected — "
+                "pass the owning writer_id (or takeover=True under a new "
+                "writer_id to claim the table)"
+            )
+    elif owner is not None and owner != writer_id:
+        if not takeover:
+            raise ConcurrentCommitError(
+                f"sequenced table {state_dir} is owned by writer "
+                f"{owner!r}; writer {writer_id!r} must not append — a "
+                "second sequenced producer cannot preserve the log's "
+                "total order (pass takeover=True to claim the table "
+                "after the owner is stopped)"
+            )
+        newest_batch = _batch_id_of(newest_name)
+        if batch_id <= newest_batch:
+            raise ConcurrentCommitError(
+                f"sequenced-writer takeover of {state_dir} must start a "
+                f"new batch id above the owner's newest ({newest_batch}); "
+                f"got {batch_id} — replaying the previous owner's ids "
+                "would clobber its lineage"
+            )
+    same_id = [v for v in listing_snapshot if _batch_id_of(v) == batch_id]
+    if same_id and seq_bounds is not None:
+        existing = (
+            newest
+            if same_id[-1] == newest_name
+            else _read_manifest(spark, state_dir, same_id[-1])
+        )
+        prev_hi = prev.get("max_seq") if prev else None
+        mark = max(
+            x for x in (prev_hi, seq_bounds[1]) if x is not None
+        )
+        if existing.get("max_seq") != mark:
+            raise ConcurrentCommitError(
+                f"sequenced batch id {batch_id} already committed in "
+                f"{state_dir} with max_seq={existing.get('max_seq')} but "
+                f"this append would record max_seq={mark} — not a replay "
+                "of the same batch; a FOREIGN writer's id space collided "
+                "with this lineage (replays reproduce their own bounds)"
+            )
 
 
 def bucket_of(key_col, range_width: int | None = None):
@@ -673,6 +803,8 @@ def merge_batch_into_partitioned_state(
     batch_df: DataFrame,
     batch_id: int,
     range_width: int | None = None,
+    writer_id: str | None = None,
+    takeover: bool = False,
 ) -> None:
     """foreachBatch body: copy-on-write merge of one micro-batch.
 
@@ -724,6 +856,18 @@ def merge_batch_into_partitioned_state(
         # BEFORE them in the read fold (base participates as batch -1)
         _require_no_pending_deltas(prev, "merge_batch_into_partitioned_state")
     seq_bounds = _require_seq_monotone(batch_df, prev, batch_id)
+    if "seq" in batch_df.columns:
+        _require_seq_writer_fence(
+            spark,
+            state_dir,
+            listing_snapshot,
+            batch_id,
+            prev,
+            basis_name,
+            seq_bounds,
+            writer_id,
+            takeover,
+        )
     prev_buckets: dict[str, str] = dict(prev["buckets"]) if prev else {}
 
     prev_touched_paths = [
@@ -833,6 +977,10 @@ def merge_batch_into_partitioned_state(
         "stats": new_stats,
     }
     _record_max_seq(cow_manifest, prev, seq_bounds)
+    if writer_id is not None and "seq" in batch_df.columns:
+        cow_manifest["writer_id"] = writer_id
+    elif prev and "writer_id" in prev:
+        cow_manifest["writer_id"] = prev["writer_id"]  # keep the fence intact
     _write_manifest(
         spark,
         state_dir,
@@ -1017,10 +1165,18 @@ def run_partitioned_mor_ingest(
     spark.streams.addListener(collector)
     t0 = _time.monotonic()
     try:
+        # sequenced ingest carries the checkpoint-derived writer lease: a
+        # SECOND sequenced producer (its own checkpoint => its own ids,
+        # restarting at 0) must fail loudly at the fence instead of
+        # landing on the replay path and silently clobbering the lineage
+        # (see _require_seq_writer_fence); replays of THIS stream keep
+        # the same checkpoint hence the same writer_id — still legal
+        wid = seq_writer_id_for_checkpoint(checkpoint_dir) if with_seq else None
         q = (
             stream.writeStream.foreachBatch(
                 lambda df, bid: append_delta_batch(
-                    spark, state_dir, df, bid, range_width=range_width
+                    spark, state_dir, df, bid, range_width=range_width,
+                    writer_id=wid,
                 )
             )
             .option("checkpointLocation", checkpoint_dir)
@@ -1122,15 +1278,26 @@ def expire_partitioned_versions(
             live |= refs
             live_deltas |= deltas
 
-    now_ms = int(_time.time() * 1000)
+    fs, _, jvm = _fs_and_path(spark, state_dir)
+    hpath = jvm.org.apache.hadoop.fs.Path
+    # Derive "now" from the FILESYSTEM's clock, not the driver's: the
+    # mtimes compared below are stamped by the FS (HDFS/NFS), so driver
+    # clock skew would silently shrink the in-flight horizon and reclaim
+    # a live writer's fresh attempt dir early (Delta VACUUM shares the
+    # caveat). Touch a probe file and read its mtime back; fall back to
+    # driver wall-clock only if the probe itself fails (read-only FS).
+    probe = hpath(f"{state_dir}/_clock_probe")
+    try:
+        fs.create(probe, True).close()
+        now_ms = fs.getFileStatus(probe).getModificationTime()
+        fs.delete(probe, False)
+    except Exception:
+        now_ms = int(_time.time() * 1000)
 
     def _reclaimable(ref: str, mtime_ms: int) -> bool:
         if ref in ever_referenced:
             return True  # committed history being vacuumed
         return now_ms - mtime_ms >= debris_min_age_ms  # possible in-flight
-
-    fs, _, jvm = _fs_and_path(spark, state_dir)
-    hpath = jvm.org.apache.hadoop.fs.Path
     deleted = 0
     broot = hpath(f"{state_dir}/buckets")
     if fs.exists(broot):
@@ -1692,6 +1859,8 @@ def append_delta_batch(
     batch_id: int,
     range_width: int | None = None,
     expect_new: bool = False,
+    writer_id: str | None = None,
+    takeover: bool = False,
 ) -> None:
     """Merge-on-read write path: commit one micro-batch as a DELTA file —
     no bucket is read or rewritten, so a uniformly scattered batch costs
@@ -1709,7 +1878,12 @@ def append_delta_batch(
     with a FOREIGN batch under the same id — the expected-listing check
     alone cannot catch that, because by this function's own snapshot the
     foreign manifest already exists and a replay would OVERWRITE it
-    (found live by examples/concurrent_writers_probe.py at 4 writers)."""
+    (found live by examples/concurrent_writers_probe.py at 4 writers).
+
+    `writer_id`/`takeover`: the sequenced-table single-writer fence (see
+    _require_seq_writer_fence) — checked only when the batch carries a
+    `seq` column. The checkpointed ingest passes
+    seq_writer_id_for_checkpoint(checkpoint_dir) automatically."""
     listing_snapshot = tuple(_list_manifests(spark, state_dir))
     if expect_new and any(_batch_id_of(v) == batch_id for v in listing_snapshot):
         raise ConcurrentCommitError(
@@ -1730,6 +1904,18 @@ def append_delta_batch(
         )
 
     seq_bounds = _require_seq_monotone(batch_df, prev, batch_id)
+    if "seq" in batch_df.columns:
+        _require_seq_writer_fence(
+            spark,
+            state_dir,
+            listing_snapshot,
+            batch_id,
+            prev,
+            basis_name,
+            seq_bounds,
+            writer_id,
+            takeover,
+        )
 
     # attempt-unique delta dir: a replay (or same-batch-id racer) writes
     # a fresh dir instead of overwriting — the committed manifest names
@@ -1762,6 +1948,10 @@ def append_delta_batch(
         "deltas": sorted(set(prev_deltas) | {vname}),
     }
     _record_max_seq(manifest, prev, seq_bounds)
+    if writer_id is not None and "seq" in batch_df.columns:
+        manifest["writer_id"] = writer_id
+    elif prev and "writer_id" in prev:
+        manifest["writer_id"] = prev["writer_id"]  # keep the fence intact
     _write_manifest(spark, state_dir, manifest, expected=listing_snapshot)
 
 
@@ -1802,6 +1992,21 @@ def append_delta_batch_optimistic(
     appends accumulate instead of clobbering (exercised cross-process by
     examples/concurrent_writers_probe.py and in-process by
     tests/test_partitioned_upsert.py)."""
+    if isinstance(_LOG_STORE, HadoopRenameLogStore):
+        # The rename store's check-then-publish is NOT atomic: two
+        # optimistic writers can both pass expect_new and the expected-
+        # listing check in the gap and publish the same v{id} manifest via
+        # overwrite-rename — the silent lost-update this API exists to
+        # prevent. Refuse up front instead of racing; the single-writer
+        # streamed path (append_delta_batch with checkpointed ids) stays
+        # valid on the rename store.
+        raise ValueError(
+            "append_delta_batch_optimistic requires an atomic commit "
+            "store; the default HadoopRenameLogStore's check-then-rename "
+            "can publish two same-id manifests under a race. Set "
+            "SPARK_GRAFT_LOG_STORE=filelock|inprocess|arbiter (or "
+            "set_log_store(...)) for multi-writer tables"
+        )
     if "seq" in batch_df.columns:
         raise ValueError(
             "append_delta_batch_optimistic: sequenced-CDC batches (seq "

@@ -1344,6 +1344,20 @@ def test_sequenced_cdc_order_violation_and_null_seq_raise(spark, tmp_path):
             0,
             range_width=16,
         )
+    # a FRACTIONAL numeric seq survives the long cast by truncation
+    # (double 7.5 -> 7), so before r10 it silently shifted the bounds and
+    # the max_seq high-water mark instead of raising (ADVICE r9)
+    with pytest.raises(Exception, match="non-integer seq"):
+        pu.append_delta_batch(
+            spark,
+            str(tmp_path / "state4"),
+            spark.createDataFrame(
+                [(1, 1.0, "upsert", 7.5)],
+                "key long, amount double, op string, seq double",
+            ),
+            0,
+            range_width=16,
+        )
     # replay of the SAME batch re-appends the same span legally (its
     # basis is strictly older than its own crashed/committed manifest)
     pu.append_delta_batch(
@@ -1605,26 +1619,58 @@ def test_optimistic_append_multi_writer_threads(spark, tmp_path):
 def test_optimistic_append_rejects_noncommutative_batches(spark, tmp_path):
     """The optimistic path's contract checks are loud: sequenced batches
     and tombstone-bearing batches cannot be re-ordered by a lost race."""
+    from pharmaceutical_sales_data_etl_analysis_pipeline_spark.streaming.logstore import (
+        InProcessConditionalPutLogStore,
+    )
     from pharmaceutical_sales_data_etl_analysis_pipeline_spark.streaming.partitioned_upsert import (
         append_delta_batch_optimistic,
+        set_log_store,
     )
 
     state = str(tmp_path / "state")
-    seq_batch = spark.createDataFrame(
-        [(1, 1.0, "upsert", 7)], "key long, amount double, op string, seq long"
+    prev_store = set_log_store(InProcessConditionalPutLogStore())
+    try:
+        seq_batch = spark.createDataFrame(
+            [(1, 1.0, "upsert", 7)], "key long, amount double, op string, seq long"
+        )
+        with pytest.raises(ValueError, match="seq"):
+            append_delta_batch_optimistic(spark, state, seq_batch)
+        del_batch = spark.createDataFrame(
+            [(1, 0.0, "delete")], "key long, amount double, op string"
+        )
+        with pytest.raises(ValueError, match="tombstone"):
+            append_delta_batch_optimistic(spark, state, del_batch)
+        # upsert-only frames with an op column pass the guard
+        ok = spark.createDataFrame(
+            [(1, 2.0, "upsert")], "key long, amount double, op string"
+        )
+        assert append_delta_batch_optimistic(spark, state, ok) == 0
+    finally:
+        set_log_store(prev_store)
+
+
+def test_optimistic_append_refuses_rename_store(spark, tmp_path):
+    """Multi-writer safety starts at store selection: the default
+    HadoopRenameLogStore's check-then-rename publish is not atomic, so
+    two optimistic writers could both commit the same v{id} manifest —
+    the entry point must refuse it loudly instead of racing (ADVICE r9).
+    The single-writer append_delta_batch path stays valid on rename."""
+    from pharmaceutical_sales_data_etl_analysis_pipeline_spark.streaming.logstore import (
+        HadoopRenameLogStore,
     )
-    with pytest.raises(ValueError, match="seq"):
-        append_delta_batch_optimistic(spark, state, seq_batch)
-    del_batch = spark.createDataFrame(
-        [(1, 0.0, "delete")], "key long, amount double, op string"
+    from pharmaceutical_sales_data_etl_analysis_pipeline_spark.streaming.partitioned_upsert import (
+        append_delta_batch_optimistic,
+        set_log_store,
     )
-    with pytest.raises(ValueError, match="tombstone"):
-        append_delta_batch_optimistic(spark, state, del_batch)
-    # upsert-only frames with an op column pass the guard
-    ok = spark.createDataFrame(
-        [(1, 2.0, "upsert")], "key long, amount double, op string"
-    )
-    assert append_delta_batch_optimistic(spark, state, ok) == 0
+
+    state = str(tmp_path / "state")
+    ok = spark.createDataFrame([(1, 2.0)], "key long, amount double")
+    prev_store = set_log_store(HadoopRenameLogStore())
+    try:
+        with pytest.raises(ValueError, match="atomic commit store"):
+            append_delta_batch_optimistic(spark, state, ok)
+    finally:
+        set_log_store(prev_store)
 
 
 def test_expect_new_turns_same_id_replay_into_conflict(spark, tmp_path):
