@@ -127,4 +127,21 @@ def arbiter_store_from_env():
     authkey = os.environ.get(
         "SPARK_GRAFT_ARBITER_AUTHKEY", DEFAULT_AUTHKEY.decode()
     ).encode()
-    return ArbiterLogStore(connect_arbiter((host, int(port)), authkey))
+    arbiter = connect_arbiter((host, int(port)), authkey)
+    faults = os.environ.get("SPARK_GRAFT_ARBITER_FAULTS")
+    if faults:
+        # fault-matrix wiring for the cross-process probes:
+        #   SPARK_GRAFT_ARBITER_FAULTS="cas:latency_s:0.05;cas:fail_after:1"
+        # (method:knob:value triples, ';'-separated) wraps THIS client's
+        # proxy in FaultInjectingArbiter — per-process budgets, so each
+        # racing driver suffers its own transport faults
+        from .logstore import FaultInjectingArbiter
+
+        spec: dict[str, dict] = {}
+        for part in faults.split(";"):
+            method, knob, value = part.strip().split(":")
+            spec.setdefault(method, {})[knob] = (
+                float(value) if knob == "latency_s" else int(value)
+            )
+        arbiter = FaultInjectingArbiter(arbiter, spec)
+    return ArbiterLogStore(arbiter)

@@ -577,6 +577,84 @@ class CommitArbiter:
             self._tables.get(table, {}).pop(name, None)
 
 
+class FaultInjectingArbiter:
+    """Client-side transport-fault wrapper around any CommitArbiter-shaped
+    object (the in-memory arbiter or a manager proxy): models the remote-
+    service failure modes the server-side `fail_next` cannot — request
+    LATENCY, requests lost BEFORE reaching the service, and responses
+    lost AFTER the service applied the call (the ambiguous outcome a real
+    DynamoDB conditional put can produce, which forces writer-side
+    reconciliation — see partitioned_upsert._reconcile_ambiguous_append).
+    Faults are deterministic per-method budgets:
+
+        FaultInjectingArbiter(inner, {
+            "cas": {"latency_s": 0.05, "fail_after": 1},
+            "mark_complete": {"fail_before": 2},
+        })
+
+    `fail_before` raises ArbiterUnavailableError without delegating (the
+    request never happened); `fail_after` delegates FIRST and then raises
+    (the call APPLIED server-side, the caller cannot know); `latency_s`
+    sleeps before delegating (transport RTT, outside the server's
+    critical section, unlike CommitArbiter.latency_s). Budgets decrement
+    under a lock so racing threads consume them deterministically.
+    Env wiring: SPARK_GRAFT_ARBITER_FAULTS (see arbiter_store_from_env)
+    lets the cross-process probes run the racing matrix under faults."""
+
+    def __init__(self, inner, faults: dict | None = None):
+        self._inner = inner
+        self._faults = {m: dict(spec) for m, spec in (faults or {}).items()}
+        self._guard = threading.Lock()
+
+    def _call(self, method: str, *args):
+        spec = self._faults.get(method)
+        if spec is not None:
+            with self._guard:
+                if spec.get("latency_s"):
+                    time.sleep(spec["latency_s"])
+                if spec.get("fail_before", 0) > 0:
+                    spec["fail_before"] -= 1
+                    raise ArbiterUnavailableError(
+                        f"injected transport fault: {method} request lost "
+                        "before reaching the arbiter"
+                    )
+        result = getattr(self._inner, method)(*args)
+        # fail_after consumes its budget only when the call APPLIED — a
+        # rejected CAS whose response is lost is indistinguishable from a
+        # lost request, so modeling it separately would be noise
+        if spec is not None:
+            with self._guard:
+                if spec.get("fail_after", 0) > 0:
+                    spec["fail_after"] -= 1
+                    raise ArbiterUnavailableError(
+                        f"injected transport fault: {method} response lost "
+                        "— the call WAS applied server-side (ambiguous "
+                        "outcome)"
+                    )
+        return result
+
+    def cas(self, table, expected, name, staged):
+        return self._call("cas", table, expected, name, staged)
+
+    def record(self, table, name, staged):
+        return self._call("record", table, name, staged)
+
+    def mark_complete(self, table, name):
+        return self._call("mark_complete", table, name)
+
+    def forget(self, table, name):
+        return self._call("forget", table, name)
+
+    def seed(self, table, names):
+        return self._call("seed", table, names)
+
+    def records(self, table):
+        return self._call("records", table)
+
+    def fail_next(self, n=1):
+        return self._call("fail_next", n)
+
+
 class ArbiterLogStore(ManifestLogStore):
     """Conditional-put store whose CAS runs at an external arbiter — the
     S3-multi-writer deployment path the FileLock store refuses. The
@@ -636,8 +714,22 @@ class ArbiterLogStore(ManifestLogStore):
             out.close()
         try:
             self.arbiter.cas(table, expected, name, staged_name)
-        except (ConcurrentCommitError, ArbiterUnavailableError):
-            fs.delete(hpath(staged), False)  # loser leaves no debris
+        except ConcurrentCommitError:
+            # DEFINITE loss: the arbiter answered and rejected — the
+            # staged file can never be referenced; delete it
+            fs.delete(hpath(staged), False)
+            raise
+        except ArbiterUnavailableError:
+            # AMBIGUOUS outcome: the response was lost, but the CAS may
+            # have LANDED server-side with a record pointing at this
+            # staged file — deleting it here would strand that record on
+            # nothing and turn the reader self-heal into a loud IOError
+            # (found by the r10 fault-injection matrix). Leave it: if the
+            # CAS landed, it is the recovery payload; if not, it is
+            # hidden `.staged.*` debris invisible to list_commits.
+            # Writers reconcile via partitioned_upsert.
+            # _reconcile_ambiguous_append (re-list => self-heal => check
+            # whether their attempt actually committed).
             raise
         self._finalize(spark, manifest_dir, table, name, staged_name)
 

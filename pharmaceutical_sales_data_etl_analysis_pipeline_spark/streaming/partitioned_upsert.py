@@ -140,6 +140,7 @@ from pyspark.sql import types as T
 
 from ..sources.maintenance import _fs_and_path
 from .logstore import (
+    ArbiterUnavailableError,
     ConcurrentCommitError,
     HadoopRenameLogStore,
     ManifestLogStore,
@@ -1952,7 +1953,64 @@ def append_delta_batch(
         manifest["writer_id"] = writer_id
     elif prev and "writer_id" in prev:
         manifest["writer_id"] = prev["writer_id"]  # keep the fence intact
-    _write_manifest(spark, state_dir, manifest, expected=listing_snapshot)
+    try:
+        _write_manifest(spark, state_dir, manifest, expected=listing_snapshot)
+    except ArbiterUnavailableError as err:
+        _reconcile_ambiguous_append(spark, state_dir, batch_id, vname, err)
+
+
+def _reconcile_ambiguous_append(
+    spark: SparkSession,
+    state_dir: str,
+    batch_id: int,
+    vname: str,
+    err: ArbiterUnavailableError,
+) -> None:
+    """Resolve an AMBIGUOUS commit outcome on the arbiter path: the
+    transport failed mid-call, so the CAS may or may not have been
+    applied server-side (a real conditional-put service can apply the
+    write and lose the response — modeled by FaultInjectingArbiter's
+    fail_after). Deleting state or blindly retrying would both be wrong;
+    instead, re-list (which runs the reader self-heal, finishing any
+    CAS-won-but-unfinalized commit — possibly OURS) and inspect the
+    manifest that actually holds this batch id:
+
+    - it exists and references OUR attempt-unique delta dir -> the commit
+      WON; return success (exactly-once, no duplicate append);
+    - it exists referencing someone else's attempt -> we definitively
+      lost to a foreign writer; ConcurrentCommitError (safe to retry
+      with a fresh basis — nothing of ours was recorded);
+    - no manifest for this batch id after self-heal -> the request never
+      reached the arbiter; ConcurrentCommitError (equally safe to
+      retry — the optimistic loop re-lists and re-attempts).
+
+    If the reconciliation read ITSELF fails (arbiter still down), the
+    original error propagates — fail-stop, resolve on the next replay."""
+    versions = _list_manifests(spark, state_dir)  # triggers self-heal
+    same_id = [v for v in versions if _batch_id_of(v) == batch_id]
+    if same_id:
+        committed = _read_manifest(spark, state_dir, same_id[-1])
+        if vname in committed.get("deltas", []):
+            _LOG.warning(
+                "ambiguous arbiter outcome for batch %s in %s reconciled "
+                "as COMMITTED (own attempt %s found in the healed "
+                "manifest): %s",
+                batch_id,
+                state_dir,
+                vname,
+                err,
+            )
+            return
+        raise ConcurrentCommitError(
+            f"batch id {batch_id} in {state_dir} was committed by a "
+            f"foreign attempt while our publish failed ambiguously "
+            f"({err}); retry with a fresh basis"
+        ) from err
+    raise ConcurrentCommitError(
+        f"publish of batch {batch_id} in {state_dir} failed before the "
+        f"arbiter recorded it ({err}); nothing landed — retry with a "
+        "fresh basis"
+    ) from err
 
 
 def append_delta_batch_optimistic(
