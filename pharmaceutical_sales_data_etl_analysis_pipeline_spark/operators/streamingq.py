@@ -882,3 +882,197 @@ GROUP BY user_id
 
 QUERIES["stream_stateful_user_totals"] = stream_stateful_user_totals
 ORACLES["stream_stateful_user_totals"] = SQL_STREAM_STATEFUL_USER_TOTALS
+
+
+# ---------------------------------------------------------------------------
+# Stateful streaming with STATE EXPIRY (r10): gap sessionization through
+# applyInPandasWithState under GroupStateTimeout.ProcessingTimeTimeout
+# (streaming/stateful.gap_sessions) — the surface that BOUNDS the state
+# store at 100 TB: a key silent past the timeout gets one final
+# invocation that emits its open session and REMOVES its state, so the
+# store is O(active keys) under churn, never O(keys ever seen). Eviction
+# cost/size is measured in examples/stateful_expiry_rung.py; the
+# timeout-fires path is pinned in tests/test_streaming.py.
+#
+# Oracle exactness despite wall-clock timeouts: each key's whole history
+# is published in ONE micro-batch (users split by user_id mod 3, pinned
+# mtimes, maxFilesPerTrigger=1), and a final FLUSH batch (one marker row
+# per user) closes every still-open session through the data path. A
+# timeout that happens to fire first emits the SAME session row (the
+# key's history was already complete) and makes the flush a no-op, so
+# the result is identical whether or not any timeout fired — closed_by
+# is dropped and the append log deduplicated on read-back for exactly
+# that reason (it is also what makes a replayed append epoch
+# idempotent). Same session contract as the batch `session_stats`
+# (30-min gap, integer epoch-us math), so the DuckDB oracle is the
+# classic lag/boundary/cumsum sessionization.
+# ---------------------------------------------------------------------------
+
+SESSION_SPLIT_MOD = 3
+
+
+def stream_session_expiry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from ..catalog import load_table
+    from ..streaming.stateful import gap_sessions
+    from .eventsops import SESSION_GAP_US
+
+    base = _scratch_dir("stream_sessions_")
+    src = _os.path.join(base, "src")
+    out_dir = _os.path.join(base, "result")
+    ckpt_dir = _os.path.join(base, "checkpoint")
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+        .select(
+            F.col("user_id").cast("long").alias("user_id"),
+            F.unix_micros(F.col("ts")).alias("ts_us"),
+            F.lit(False).alias("flush"),
+        )
+    )
+    for j in range(SESSION_SPLIT_MOD):
+        _publish_single_file_batch(
+            spark,
+            ev.filter(F.col("user_id") % SESSION_SPLIT_MOD == j),
+            src,
+            f"b{j}",
+            seq=j,
+        )
+    flushes = ev.select("user_id").distinct().select(
+        "user_id",
+        F.lit(0).cast("long").alias("ts_us"),
+        F.lit(True).alias("flush"),
+    )
+    _publish_single_file_batch(spark, flushes, src, "b_flush", seq=SESSION_SPLIT_MOD)
+
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("ts_us", T.LongType()),
+            T.StructField("flush", T.BooleanType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    sessions = gap_sessions(stream, SESSION_GAP_US, timeout_ms=120_000)
+
+    def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df.write.mode("append").parquet(out_dir)
+
+    # ProcessingTimeTimeout makes the engine keep scheduling batches so
+    # FUTURE timeouts can fire (FlatMapGroupsWithState's
+    # shouldRunAnotherBatch) — trigger(availableNow) therefore never
+    # terminates on its own. Drive the drain explicitly: count delivered
+    # input rows through a listener (recentProgress is ring-capped and
+    # the idle batches would evict the data batches' entries) and stop
+    # once every published row has been processed — the flush batch's
+    # emissions land in that same batch, so the append log is complete.
+    import threading as _threading
+    import time as _time
+
+    from pyspark.sql.streaming import StreamingQueryListener
+
+    n_expected = ev.count() + flushes.count()
+
+    class _InputCounter(StreamingQueryListener):
+        def __init__(self):
+            self.rows: dict = {}
+            self._guard = _threading.Lock()
+
+        def onQueryStarted(self, event):
+            pass
+
+        def onQueryProgress(self, event):
+            p = event.progress
+            with self._guard:
+                self.rows[(str(p.id), p.batchId)] = p.numInputRows
+
+        def onQueryIdle(self, event):
+            pass
+
+        def onQueryTerminated(self, event):
+            pass
+
+    counter = _InputCounter()
+    spark.streams.addListener(counter)
+    try:
+        q = (
+            sessions.writeStream.outputMode("append")
+            .foreachBatch(write_batch)
+            .option("checkpointLocation", ckpt_dir)
+            .trigger(processingTime="200 milliseconds")
+            .start()
+        )
+        try:
+            qid = str(q.id)
+            deadline = _time.monotonic() + 300
+            seen = 0
+            while _time.monotonic() < deadline:
+                with counter._guard:
+                    seen = sum(
+                        v for (i, _b), v in counter.rows.items() if i == qid
+                    )
+                if seen >= n_expected:
+                    break
+                _time.sleep(0.3)
+            if seen < n_expected:
+                raise RuntimeError(
+                    f"session stream drained only {seen}/{n_expected} input "
+                    "rows within 300s — fixture delivery stalled"
+                )
+        finally:
+            q.stop()
+        q.awaitTermination()
+    finally:
+        spark.streams.removeListener(counter)
+
+    return (
+        spark.read.parquet(out_dir)
+        .select(
+            "user_id", "session_seq", "n_events",
+            "session_start_us", "session_end_us",
+        )
+        .distinct()
+    )
+
+
+SQL_STREAM_SESSION_EXPIRY = """
+WITH e AS (
+  SELECT CAST(user_id AS BIGINT) AS user_id,
+         CAST(epoch_us(ts) AS BIGINT) AS ts_us
+  FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+),
+flagged AS (
+  SELECT user_id, ts_us,
+         CASE WHEN lag(ts_us) OVER w IS NULL
+                OR ts_us - lag(ts_us) OVER w > 1800000000
+              THEN 1 ELSE 0 END AS boundary
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)
+),
+s AS (
+  SELECT user_id, ts_us,
+         SUM(boundary) OVER (PARTITION BY user_id ORDER BY ts_us
+                             ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM flagged
+)
+SELECT user_id,
+       CAST(session_seq AS BIGINT) AS session_seq,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(MIN(ts_us) AS BIGINT) AS session_start_us,
+       CAST(MAX(ts_us) AS BIGINT) AS session_end_us
+FROM s
+GROUP BY user_id, session_seq
+"""
+
+QUERIES["stream_session_expiry"] = stream_session_expiry
+ORACLES["stream_session_expiry"] = SQL_STREAM_SESSION_EXPIRY

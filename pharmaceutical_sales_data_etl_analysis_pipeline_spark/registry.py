@@ -80,97 +80,95 @@ MODULE_ORDER = [
     "graphops",
 ]
 
-# Round-9 sweep priority. After r8 the union r1∪…∪r8 (latest-wins) is
-# 209/209 green with zero standing failures and no row older than r4,
-# so the r9 window is the rotation-invariant prepends plus the
-# staleness ladder:
-#   (c) PREPENDED: r9's new queries (stream_stateful_user_totals —
-#       the applyInPandasWithState surface, int-cents state across three
-#       pinned micro-batches; stream_mor_tombstone_seq — the
-#       sequenced-CDC contract: tombstones batch-grouping-invariant
-#       under uncontrolled multi-file micro-batch boundaries); the
-#       three ANN queries whose PLANS changed (the IVF-PQ exact-rerank
-#       budget now scales with nprobe — the r9 recall rung measured the
-#       fixed window being crowded by ADC candidates); and the six
-#       table-format queries whose build/write/commit paths changed
-#       (r9: arbiter same-name CAS rule, seq-monotone guard + max_seq
-#       high-water mark in both write paths, listener-based ingest
-#       progress);
-#   (a) the three queries displaced from the r8 window by the late
-#       vectorization prepends: fk_integrity_audit,
-#       gopher_quality_flags, grouped_agg_pandas;
-#   (b) the 23 remaining r4-rows, then the first 13 r5-rows in name
-#       order — after this sweep no registered query's latest driver
-#       row predates r5 (null_handling, pii_scrub, profile_orders,
-#       regexp_extract_parts cede their slots to the prepends and
-#       head the r10 list).
+# Round-10 sweep priority. After r9 the union r1∪…∪r9 (latest-wins) is
+# 211/211 green with zero standing failures and no row older than r5.
+# The r10 window retires the ENTIRE r5 staleness cohort (VERDICT ask #1):
+#   (c) PREPENDED per the rotation invariant: stream_session_expiry
+#       (r10 NEW — gap sessionization through applyInPandasWithState
+#       under GroupStateTimeout.ProcessingTimeTimeout, the state-expiry
+#       surface); then the seven table-format queries whose write/commit
+#       paths changed in r10 (sequenced-writer fence + writer_id in
+#       manifests on both write paths; ambiguous-outcome reconciliation
+#       around the manifest publish): stream_mor_tombstone_seq,
+#       stream_mor_ingest, mor_changes_feed, mor_scattered_fold,
+#       cow_merge_changes, cow_manifest_summary, cow_keyrange_lookup;
+#   (a) the 4 r5-rows that ceded their r9 slots: null_handling,
+#       pii_scrub, profile_orders, regexp_extract_parts;
+#   (b) the 26 remaining r5-rows in name order — the full TPC-H block
+#       plus shard_histogram, skyline_parts, substring_dedup_spans,
+#       variant_props, vocab_topk;
+#   (d) 12 slots of the oldest r6 cohort in name order.
+# After this sweep no registered query's latest driver row predates r6.
 PRIORITY = [
-    # (c) r9-new / r9-plan-changed (rotation invariant)
-    "stream_stateful_user_totals",  # r9 NEW: applyInPandasWithState surface
-    "stream_mor_tombstone_seq",  # r9 NEW: sequenced tombstone CDC stream
-    "ivf_pq_probe_topk",  # r9: rerank budget now scales with nprobe
-    "ann_recall_eval",  # r9: ivf_pq/hybrid rows inherit the scaled budget
-    "hybrid_retrieval_rrf_ann",  # r9: dense side inherits it too
-    "stream_mor_ingest",  # r9: listener progress + seq guard in append path
+    # (c) r10-new / r10-plan-changed (rotation invariant)
+    "stream_session_expiry",  # r10 NEW: stateful expiry surface
+    "stream_mor_tombstone_seq",  # r10: seq-writer fence in append path
+    "stream_mor_ingest",  # r10: checkpoint-derived writer lease
     "mor_changes_feed",
     "mor_scattered_fold",
     "cow_merge_changes",
     "cow_manifest_summary",
     "cow_keyrange_lookup",
-    # (a) displaced from the r8 window (r4 rows)
-    "fk_integrity_audit",
-    "gopher_quality_flags",
-    "grouped_agg_pandas",
-    # (b) the 23 remaining r4-rows, name order
-    "hll_users_per_event_type",
-    "holt_linear_forecast",
-    "id_gap_analysis",
-    "k_anonymity_audit",
-    "lang_id_confusion",
-    "leakage_safe_split",
-    "multi_touch_attribution",
-    "pagerank_fixedpoint",
-    "part_name_near_matches",
-    "percentile_cont_prices",
-    "pit_feature_join",
-    "quality_filter_funnel",
-    "range_frame_daily_sum",
-    "rank_fusion",
-    "session_paths_topk",
-    "source_overlap",
-    "sql_yearly_priority_share",
-    "stream_exact_dedup",
-    "stream_tumbling_hourly",
-    "supplier_hhi",
-    "token_gini_diversity",
-    "weekly_churn",
-    "zorder_bucket_stats",
-    # then the first 13 r5-rows, name order (slots ceded to the r9-new
-    # and scaled-rerank prepends above)
-    "array_agg_per_brand",
-    "array_functions",
-    "cheapest_supplier_per_part",
-    "date_arithmetic",
-    "deterministic_sample",
-    "distribution_drift",
-    "explode_roundtrip",
-    "histogram_quantile_calibration",
-    "json_extract_props",
-    "key_skew_report",
-    "map_functions",
-    "math_functions",
-    "neardup_components",
+    # (a) the 4 ceded r5-rows
+    "null_handling",
+    "pii_scrub",
+    "profile_orders",
+    "regexp_extract_parts",
+    # (b) the 26 remaining r5-rows, name order
+    "shard_histogram",
+    "skyline_parts",
+    "substring_dedup_spans",
+    "tpch_q10",
+    "tpch_q11",
+    "tpch_q12",
+    "tpch_q13",
+    "tpch_q14",
+    "tpch_q15",
+    "tpch_q16",
+    "tpch_q17",
+    "tpch_q18",
+    "tpch_q19",
+    "tpch_q2",
+    "tpch_q20",
+    "tpch_q21",
+    "tpch_q22",
+    "tpch_q3",
+    "tpch_q4",
+    "tpch_q5",
+    "tpch_q6",
+    "tpch_q7",
+    "tpch_q8",
+    "tpch_q9",
+    "variant_props",
+    "vocab_topk",
+    # (d) the oldest r6 cohort, name order (12 slots)
+    "ab_test_lift",
+    "binary_envelope",
+    "conditional_aggregates",
+    "corpus_counts",
+    "cosine_topk",
+    "cube_sales",
+    "customers_with_orders",
+    "customers_without_orders",
+    "date_parse_roundtrip",
+    "embedding_near_dups",
+    "embedding_near_dups_planted",
+    "exact_dedup",
 ]
-# r10 PRIORITY candidates (staleness head after the r9 sweep):
-# null_handling, pii_scrub, profile_orders, regexp_extract_parts (r5-rows
-# ceded to the r9 prepends), then the 26
-# remaining r5-rows in name order — shard_histogram, skyline_parts,
-# substring_dedup_spans, tpch_q10, tpch_q11, tpch_q12, tpch_q13,
-# tpch_q14, tpch_q15, tpch_q16, tpch_q17, tpch_q18, tpch_q19, tpch_q2,
-# tpch_q20, tpch_q21, tpch_q22, tpch_q3, tpch_q4, tpch_q5, tpch_q6,
-# tpch_q7, tpch_q8, tpch_q9, variant_props, vocab_topk — then the
-# oldest r6 cohort in name order.
-# Queries ADDED or PLAN-CHANGED during r9 must be PREPENDED here per
+# r11 PRIORITY candidates (staleness head after the r10 sweep): the 34
+# remaining r6-rows in name order — filter_conjunction, fingerprints,
+# first_order_per_customer, full_outer_reconciliation,
+# funnel_signup_view_purchase, graph_triangle_stats, grouping_sets_sales,
+# incremental_agg_maintenance, key_repair_join, merge_upsert,
+# minhash_calibration, ohlc_bars, pivot_status_year, product_facts,
+# product_facts_sql, quarterly_totals, rep_facts, rfm_segments,
+# rollup_year_quarter, seasonal_decompose, session_stats,
+# simhash_near_dups, simhash_near_dups_planted, sliding_hourly,
+# stream_click_attribution, stream_dedup_within_watermark,
+# table_content_hash, tfidf_topk_terms, top1_product,
+# top3_parts_per_brand, top5_rep_years, top5_users_by_value,
+# tumbling_hourly, unpivot_status_year — then the oldest r7 cohort.
+# Queries ADDED or PLAN-CHANGED during r10 must be PREPENDED here per
 # the rotation invariant (they outrank staleness refreshes).
 
 def _collect() -> tuple[dict[str, QueryFn], dict[str, str]]:

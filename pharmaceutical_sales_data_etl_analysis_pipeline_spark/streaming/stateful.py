@@ -86,6 +86,138 @@ def running_user_totals_cents(events_stream: DataFrame) -> DataFrame:
     )
 
 
+SESSION_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("session_seq", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("session_start_us", T.LongType()),
+        T.StructField("session_end_us", T.LongType()),
+        T.StructField("closed_by", T.StringType()),
+    ]
+)
+
+_SESSION_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("start_us", T.LongType()),
+        T.StructField("end_us", T.LongType()),
+        T.StructField("n", T.LongType()),
+        T.StructField("closed", T.LongType()),
+    ]
+)
+
+
+def gap_sessions(
+    events_stream: DataFrame,
+    gap_us: int,
+    timeout_ms: int = 120_000,
+) -> DataFrame:
+    """Streaming gap sessionization with STATE EXPIRY — the surface that
+    bounds the state store at 100 TB. Input columns: user_id long,
+    ts_us long (epoch microseconds — integer time math, exact in both
+    engines), flush boolean (a producer end-of-key marker: closes the
+    key's open session through the DATA path and removes its state).
+
+    Per key the state holds one OPEN session (start/end/n) plus the
+    closed-session count (numbers emitted sessions 1..k in close order —
+    the same ids as the batch boundary-cumsum in operators/eventsops.
+    sessionize). Events fold in ts order; a gap > gap_us closes the open
+    session (closed_by='gap'). Emission is APPEND-mode: one row per
+    COMPLETED session, never updated afterwards.
+
+    EXPIRY: after every data invocation the key re-arms a
+    GroupStateTimeout.ProcessingTimeTimeout of `timeout_ms`; a key silent
+    that long gets one final invocation with hasTimedOut=True, which
+    emits its open session (closed_by='timeout') and REMOVES the state —
+    eviction, the property that keeps the store O(active keys) instead
+    of O(all keys ever seen) under key churn (measured in
+    examples/stateful_expiry_rung.py). Deployment caveat, stated plainly:
+    processing-time expiry is only exact when a timed-out key is really
+    finished (its next event would start a NEW session anyway, i.e. the
+    wall silence implies an event-time gap); a key that reappears after
+    eviction restarts session_seq at 1. The registered oracle fixture
+    sidesteps wall-clock nondeterminism entirely: each key's whole
+    history arrives in one batch and a final flush batch closes every
+    open session through the data path, so the output is identical
+    whether or not any timeout fired first (a fired timeout removes the
+    state, making the later flush a no-op for that key).
+
+    State is partitioned by key across executors (RocksDB/HDFS-backed on
+    a cluster); each micro-batch touches only keys present in the batch
+    plus that batch's expired keys."""
+
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        out: list[tuple] = []
+        uid = key[0]
+        if state.hasTimedOut:
+            start_us, end_us, n, closed = state.get
+            out.append((uid, closed + 1, n, start_us, end_us, "timeout"))
+            state.remove()
+        else:
+            had_state = state.exists
+            if had_state:
+                start_us, end_us, n, closed = state.get
+                open_s = (start_us, end_us, n)
+            else:
+                open_s, closed = None, 0
+            rows = pd.concat(list(pdfs), ignore_index=True)
+            rows = rows.sort_values("ts_us", kind="stable")
+            for ts_us, flush in zip(
+                rows["ts_us"].to_numpy(), rows["flush"].to_numpy()
+            ):
+                if flush:
+                    if open_s is not None:
+                        closed += 1
+                        out.append(
+                            (uid, closed, open_s[2], open_s[0], open_s[1], "flush")
+                        )
+                        open_s = None
+                    continue
+                t = int(ts_us)
+                if open_s is None:
+                    open_s = (t, t, 1)
+                elif t - open_s[1] > gap_us:
+                    closed += 1
+                    out.append(
+                        (uid, closed, open_s[2], open_s[0], open_s[1], "gap")
+                    )
+                    open_s = (t, t, 1)
+                else:
+                    open_s = (open_s[0], max(open_s[1], t), open_s[2] + 1)
+            if open_s is None:
+                if had_state:
+                    state.remove()
+            else:
+                state.update((open_s[0], open_s[1], open_s[2], closed))
+                state.setTimeoutDuration(timeout_ms)
+        if out:
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "user_id",
+                    "session_seq",
+                    "n_events",
+                    "session_start_us",
+                    "session_end_us",
+                    "closed_by",
+                ],
+            )
+
+    return (
+        events_stream.select("user_id", "ts_us", "flush")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=SESSION_SCHEMA,
+            stateStructType=_SESSION_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )
+
+
 def running_user_totals(events_stream: DataFrame) -> DataFrame:
     """Cumulative per-user event count + value sum across micro-batches.
 

@@ -691,3 +691,172 @@ def test_streamed_mor_ingest_under_arbiter_store(spark, tmp_path, monkeypatch):
     finally:
         pu.set_log_store(prev)
         mgr.shutdown()
+
+
+def test_gap_sessions_matches_batch_sessionization(spark, tmp_path):
+    """Streamed gap sessionization (applyInPandasWithState with
+    ProcessingTimeTimeout, r10) equals the batch boundary-cumsum
+    sessionization on the same rows — session ids, counts and integer-us
+    bounds bit-exact; flush markers close trailing sessions through the
+    data path and leave no state behind."""
+    import os as _os
+
+    from pyspark.sql import types as T
+
+    from pharmaceutical_sales_data_etl_analysis_pipeline_spark.streaming.stateful import (
+        gap_sessions,
+    )
+
+    src = str(tmp_path / "src")
+    _os.makedirs(src)
+    gap = 100
+    rows = [
+        # user 1: two sessions (gap of 150 > 100 between 2nd and 3rd)
+        (1, 1000, False), (1, 1050, False), (1, 1200, False),
+        # user 2: one session, single event
+        (2, 5000, False),
+        # user 3: three sessions of one event each
+        (3, 10, False), (3, 500, False), (3, 1000, False),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts_us long, flush boolean")
+    # two data files (split mid-user-1-session is avoided by user split)
+    df.filter(F.col("user_id") != 3).coalesce(1).write.parquet(f"{src}/f0")
+    df.filter(F.col("user_id") == 3).coalesce(1).write.parquet(f"{src}/f1")
+    flush = spark.createDataFrame(
+        [(u, 0, True) for u in (1, 2, 3)], "user_id long, ts_us long, flush boolean"
+    )
+    flush.coalesce(1).write.parquet(f"{src}/f2")
+
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("ts_us", T.LongType()),
+            T.StructField("flush", T.BooleanType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    out_dir = str(tmp_path / "out")
+    q = (
+        gap_sessions(stream, gap, timeout_ms=600_000)
+        .writeStream.outputMode("append")
+        .foreachBatch(lambda b, e: b.write.mode("append").parquet(out_dir))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="200 milliseconds")
+        .start()
+    )
+    import time as _time
+
+    deadline = _time.monotonic() + 120
+    want = {
+        (1, 1, 2, 1000, 1050),
+        (1, 2, 1, 1200, 1200),
+        (2, 1, 1, 5000, 5000),
+        (3, 1, 1, 10, 10),
+        (3, 2, 1, 500, 500),
+        (3, 3, 1, 1000, 1000),
+    }
+    got: set = set()
+    try:
+        while _time.monotonic() < deadline:
+            try:
+                got = {
+                    (
+                        r["user_id"], r["session_seq"], r["n_events"],
+                        r["session_start_us"], r["session_end_us"],
+                    )
+                    for r in spark.read.parquet(out_dir).collect()
+                }
+            except Exception:
+                got = set()
+            if got == want:
+                break
+            _time.sleep(0.5)
+    finally:
+        q.stop()
+    assert got == want
+
+
+def test_gap_sessions_processing_time_timeout_evicts_and_emits(spark, tmp_path):
+    """The EXPIRY path itself: a key that goes silent past the processing
+    -time timeout gets its open session emitted with closed_by='timeout'
+    and its state REMOVED — no flush marker involved. A later no-data
+    batch fires it, which is why the engine keeps scheduling batches
+    under ProcessingTimeTimeout. State removal is observed via the
+    stateOperators metrics (numRowsRemoved) reported after the firing
+    batch."""
+    import os as _os
+    import time as _time
+
+    from pyspark.sql import types as T
+
+    from pharmaceutical_sales_data_etl_analysis_pipeline_spark.streaming.stateful import (
+        gap_sessions,
+    )
+
+    src = str(tmp_path / "src")
+    _os.makedirs(src)
+    spark.createDataFrame(
+        [(7, 100, False), (7, 150, False)], "user_id long, ts_us long, flush boolean"
+    ).coalesce(1).write.parquet(f"{src}/f0")
+
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("ts_us", T.LongType()),
+            T.StructField("flush", T.BooleanType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    out_dir = str(tmp_path / "out")
+    q = (
+        gap_sessions(stream, 1000, timeout_ms=1500)
+        .writeStream.outputMode("append")
+        .foreachBatch(lambda b, e: b.write.mode("append").parquet(out_dir))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="300 milliseconds")
+        .start()
+    )
+    rows = []
+    try:
+        deadline = _time.monotonic() + 90
+        while _time.monotonic() < deadline:
+            try:
+                rows = spark.read.parquet(out_dir).collect()
+            except Exception:
+                rows = []
+            if rows:
+                break
+            _time.sleep(0.5)
+        assert rows, "timeout never fired within 90s"
+        # the emitted session is the key's FULL open session, closed by
+        # the timeout — eviction produced it, not a flush marker
+        assert [
+            (
+                r["user_id"], r["session_seq"], r["n_events"],
+                r["session_start_us"], r["session_end_us"], r["closed_by"],
+            )
+            for r in rows
+        ] == [(7, 1, 2, 100, 150, "timeout")]
+        # ...and the state store shrank: some progress entry after the
+        # firing batch reports the removed row
+        removed = 0
+        removal_deadline = _time.monotonic() + 30
+        while _time.monotonic() < removal_deadline and not removed:
+            removed = sum(
+                s["numRowsRemoved"]
+                for p in q.recentProgress
+                for s in p["stateOperators"]
+            )
+            if not removed:
+                _time.sleep(0.5)
+        assert removed >= 1
+    finally:
+        q.stop()
