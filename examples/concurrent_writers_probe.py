@@ -302,6 +302,7 @@ def maintenance_main() -> None:
     state_dir, stopfile = sys.argv[2], sys.argv[3]
     from pharmaceutical_sales_data_etl_analysis_pipeline_spark.session import get_spark
     from pharmaceutical_sales_data_etl_analysis_pipeline_spark.streaming.logstore import (
+        ArbiterUnavailableError,
         ConcurrentCommitError,
     )
     from pharmaceutical_sales_data_etl_analysis_pipeline_spark.streaming.partitioned_upsert import (
@@ -317,7 +318,10 @@ def maintenance_main() -> None:
             folded += r["deltas_folded"]
             compacted += r["buckets_compacted"]
             expired += r["versions_expired"]
-        except ConcurrentCommitError:
+        except (ConcurrentCommitError, ArbiterUnavailableError):
+            # lost race, or (under injected transport faults) an ambiguous
+            # maintenance commit — housekeeping reproduces the same
+            # logical state, so either way the next round reconverges
             conflicts += 1
         rounds += 1
         time.sleep(0.3)

@@ -41,7 +41,11 @@ r6 sf10 rung); and the ingest-fixture queries that stage files and
 drain a Structured Streaming query at build (stream_mor_ingest,
 xml_stream_ingest — both memoized per corpus;
 stream_stateful_user_totals — unmemoized, the 3-file fixture republish
-is cheaper than a corpus hash).
+is cheaper than a corpus hash; stream_session_expiry — unmemoized
+4-batch publish + a listener-driven drain with explicit stop, because
+ProcessingTimeTimeout keeps the engine scheduling batches and
+availableNow would never terminate — sweep-cost budget in
+BENCH_NOTES r10).
 pin() defaults to localCheckpoint (executor-local blocks — fine in
 local[*]); set SPARK_GRAFT_PIN=table to materialize those intermediates
 to durable scratch parquet instead, the cluster-scale mode (survives

@@ -383,10 +383,15 @@ def seq_writer_id_for_checkpoint(checkpoint_dir: str) -> str:
     that survives restarts and distinguishes foreign writers. The same
     role as Delta's idempotent-writer txn appId."""
     import hashlib
+    import os as _os
 
-    return "ckpt-" + hashlib.sha1(
-        checkpoint_dir.rstrip("/").encode("utf-8")
-    ).hexdigest()[:12]
+    p = checkpoint_dir.rstrip("/")
+    if "://" not in p:
+        # local paths: a replay that spells the SAME checkpoint
+        # relatively vs absolutely must not fence itself out as a
+        # foreign writer; scheme-qualified URIs are left verbatim
+        p = _os.path.abspath(p)
+    return "ckpt-" + hashlib.sha1(p.encode("utf-8")).hexdigest()[:12]
 
 
 def _require_seq_writer_fence(

@@ -321,3 +321,26 @@ def test_fence_under_atomic_store_cross_writer_race_window(spark, tmp_path):
         assert _fold(spark, state) == {1: (1.0, 1)}
     finally:
         pu.set_log_store(prev_store)
+
+
+def test_checkpoint_writer_id_is_spelling_stable(tmp_path):
+    """The same LOCAL checkpoint spelled relatively vs absolutely hashes
+    to the same writer id (a replay must not fence itself out); URI
+    checkpoints are taken verbatim."""
+    import os as _os
+
+    _os.makedirs(tmp_path / "ck", exist_ok=True)
+    cwd = _os.getcwd()
+    try:
+        _os.chdir(tmp_path)
+        rel = pu.seq_writer_id_for_checkpoint("ck")
+        absd = pu.seq_writer_id_for_checkpoint(str(tmp_path / "ck"))
+        assert rel == absd
+    finally:
+        _os.chdir(cwd)
+    assert pu.seq_writer_id_for_checkpoint(
+        "hdfs://nn/ck"
+    ) == pu.seq_writer_id_for_checkpoint("hdfs://nn/ck/")
+    assert pu.seq_writer_id_for_checkpoint(
+        "hdfs://nn/ck"
+    ) != pu.seq_writer_id_for_checkpoint("hdfs://nn/other")
