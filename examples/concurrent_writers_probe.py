@@ -23,10 +23,11 @@ conflict happened). This probe caught three live protocol bugs in r9
 (see SCALE.md's concurrent-writers section).
 
 Usage: python examples/concurrent_writers_probe.py SF_DIR [SLICES_PER_WRITER] [N_WRITERS] [STORE]
-STORE: filelock (default) | arbiter — arbiter spins up the cross-process
-commit-arbiter service (streaming/arbiter_server) and points every
-writer at it, so BOTH multi-process deployment paths run the identical
-racing workload.
+STORE: filelock (default) | arbiter | http — arbiter spins up the
+cross-process commit-arbiter service (streaming/arbiter_server); http
+spins up the r10 network-auth HTTP adapter (streaming/http_arbiter:
+bearer-token service, real sockets) — so ALL multi-process deployment
+paths run the identical racing workload.
 
 SEQ-FENCE mode (r10, VERDICT ask #2):
   python examples/concurrent_writers_probe.py SF_DIR seq [STORE]
@@ -86,6 +87,39 @@ def writer_main() -> None:
             }
         )
     )
+
+
+def _store_env(store: str):
+    """Env + service handle for a multi-process store leg. 'http' runs
+    the r10 network-auth adapter: an authenticated HttpArbiterServer in
+    the parent, every writer process connecting over real sockets
+    (SPARK_GRAFT_LOG_STORE=arbiter + an http:// endpoint selects the
+    HttpCommitArbiter client in arbiter_store_from_env)."""
+    if store == "http":
+        from pharmaceutical_sales_data_etl_analysis_pipeline_spark.streaming.http_arbiter import (
+            HttpArbiterServer,
+        )
+
+        token = f"probe-{os.getpid()}"
+        srv = HttpArbiterServer(token).start()
+        host, port = srv.address
+        env = dict(
+            os.environ,
+            SPARK_GRAFT_LOG_STORE="arbiter",
+            SPARK_GRAFT_ARBITER_ENDPOINT=f"http://{host}:{port}",
+            SPARK_GRAFT_ARBITER_AUTHKEY=token,
+        )
+        return env, srv
+    env = dict(os.environ, SPARK_GRAFT_LOG_STORE=store)
+    if store == "arbiter":
+        from pharmaceutical_sales_data_etl_analysis_pipeline_spark.streaming.arbiter_server import (
+            start_arbiter_server,
+        )
+
+        mgr, (host, port) = start_arbiter_server()
+        env["SPARK_GRAFT_ARBITER_ENDPOINT"] = f"{host}:{port}"
+        return env, mgr
+    return env, None
 
 
 def seq_writer_main() -> None:
@@ -196,15 +230,7 @@ def seq_fence_probe(sf_dir: str, store: str) -> None:
             dirs.append(d)
         slice_dirs[tag] = dirs
 
-    env = dict(os.environ, SPARK_GRAFT_LOG_STORE=store)
-    mgr = None
-    if store == "arbiter":
-        from pharmaceutical_sales_data_etl_analysis_pipeline_spark.streaming.arbiter_server import (
-            start_arbiter_server,
-        )
-
-        mgr, (host, port) = start_arbiter_server()
-        env["SPARK_GRAFT_ARBITER_ENDPOINT"] = f"{host}:{port}"
+    env, mgr = _store_env(store)
     me = os.path.abspath(__file__)
     t0 = time.monotonic()
     procs = []
@@ -393,15 +419,7 @@ def main() -> None:
         orders.filter(F.col("okey") % n_slices == j).drop("okey").write.parquet(d)
         slice_dirs.append(d)
 
-    env = dict(os.environ, SPARK_GRAFT_LOG_STORE=store)
-    mgr = None
-    if store == "arbiter":
-        from pharmaceutical_sales_data_etl_analysis_pipeline_spark.streaming.arbiter_server import (
-            start_arbiter_server,
-        )
-
-        mgr, (host, port) = start_arbiter_server()
-        env["SPARK_GRAFT_ARBITER_ENDPOINT"] = f"{host}:{port}"
+    env, mgr = _store_env(store)
     me = os.path.abspath(__file__)
 
     def launch(state_dir: str) -> tuple[list[dict], float]:

@@ -119,15 +119,27 @@ def arbiter_store_from_env():
             "cross-driver exclusion; tests wanting the in-memory arbiter "
             "use set_log_store(ArbiterLogStore()) explicitly"
         )
-    host, _, port = endpoint.rpartition(":")
-    if not host or not port.isdigit():
-        raise ValueError(
-            f"SPARK_GRAFT_ARBITER_ENDPOINT={endpoint!r} is not host:port"
-        )
-    authkey = os.environ.get(
+    authkey_s = os.environ.get(
         "SPARK_GRAFT_ARBITER_AUTHKEY", DEFAULT_AUTHKEY.decode()
-    ).encode()
-    arbiter = connect_arbiter((host, int(port)), authkey)
+    )
+    if endpoint.startswith("http://") or endpoint.startswith("https://"):
+        # the network-auth deployment adapter (streaming/http_arbiter):
+        # bearer-token HTTP, real socket timeouts -> ambiguous outcomes
+        # resolved by the writer-side reconciliation
+        from .http_arbiter import DEFAULT_TIMEOUT_S, HttpCommitArbiter
+
+        timeout_s = float(
+            os.environ.get("SPARK_GRAFT_ARBITER_TIMEOUT_S", DEFAULT_TIMEOUT_S)
+        )
+        arbiter = HttpCommitArbiter(endpoint, authkey_s, timeout_s=timeout_s)
+    else:
+        host, _, port = endpoint.rpartition(":")
+        if not host or not port.isdigit():
+            raise ValueError(
+                f"SPARK_GRAFT_ARBITER_ENDPOINT={endpoint!r} is not host:port "
+                "or http(s)://host:port"
+            )
+        arbiter = connect_arbiter((host, int(port)), authkey_s.encode())
     faults = os.environ.get("SPARK_GRAFT_ARBITER_FAULTS")
     if faults:
         # fault-matrix wiring for the cross-process probes:

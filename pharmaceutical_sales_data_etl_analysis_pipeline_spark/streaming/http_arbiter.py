@@ -1,0 +1,242 @@
+"""HTTP transport for the commit arbiter — the network-auth deployment
+adapter (r10, closing VERDICT r9 "what's missing" #3).
+
+The r9 manager transport proved cross-process mutual exclusion, but its
+proxy hides the failure modes a real networked conditional-put service
+has: authentication, HTTP status semantics, and — critically — REAL
+socket timeouts, where the server applies the call and the client's read
+times out (the ambiguous outcome `partitioned_upsert.
+_reconcile_ambiguous_append` resolves). This module is that service and
+its client, stdlib-only:
+
+- `HttpArbiterServer`: a ThreadingHTTPServer owning one authoritative
+  `CommitArbiter`. One endpoint per arbiter method (POST /cas, /record,
+  /mark_complete, /forget, /seed, /fail_next; GET /records). Every
+  request must carry `Authorization: Bearer <token>` — wrong/missing
+  token is 401 before anything executes. Contract outcomes map to HTTP
+  the way S3/DynamoDB map theirs: CAS rejection -> 409 (precondition
+  failed, definite loss), injected/server outage -> 503 (unavailable),
+  success -> 200. `latency_s` sleeps INSIDE the handler before replying,
+  so a client whose `timeout_s` is shorter experiences a genuine
+  applied-but-response-lost timeout over a real socket.
+- `HttpCommitArbiter`: drop-in CommitArbiter client over
+  urllib.request. 409 -> ConcurrentCommitError; 401 -> PermissionError
+  (loud, config bug — NOT retryable as unavailability); 503 / connection
+  refused / socket timeout -> ArbiterUnavailableError (fail-stop or
+  reconcile; a timeout is AMBIGUOUS by construction).
+
+Deployment wiring: SPARK_GRAFT_ARBITER_ENDPOINT=http://host:port selects
+this client (scheme-dispatched in arbiter_server.arbiter_store_from_env);
+SPARK_GRAFT_ARBITER_AUTHKEY is the bearer token and
+SPARK_GRAFT_ARBITER_TIMEOUT_S the socket timeout. Swapping this module's
+client for a DynamoDB conditional-write call keeps every store-side and
+writer-side contract unchanged — which is the proof the seam suffices.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+import time
+import urllib.error
+import urllib.request
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+from .logstore import ArbiterUnavailableError, CommitArbiter, ConcurrentCommitError
+
+DEFAULT_TIMEOUT_S = 10.0
+
+#: method name -> (http verb, mutates) — GETs carry args as query params
+_METHODS = {
+    "cas": "POST",
+    "record": "POST",
+    "mark_complete": "POST",
+    "forget": "POST",
+    "seed": "POST",
+    "fail_next": "POST",
+    "records": "GET",
+}
+
+
+class HttpArbiterServer:
+    """Serve one CommitArbiter over authenticated HTTP. `latency_s`
+    delays RESPONSES (after the arbiter call executed) to manufacture
+    real applied-but-timed-out outcomes for clients with shorter socket
+    timeouts."""
+
+    def __init__(
+        self,
+        token: str,
+        address: tuple[str, int] = ("127.0.0.1", 0),
+        arbiter: CommitArbiter | None = None,
+        latency_s: float = 0.0,
+        latency_methods: frozenset[str] = frozenset({"cas"}),
+    ):
+        self.arbiter = arbiter or CommitArbiter()
+        self.latency_s = latency_s
+        self.latency_methods = set(latency_methods)
+        outer = self
+
+        class _Handler(BaseHTTPRequestHandler):
+            # quiet: the probe/test logs must stay parseable
+            def log_message(self, fmt, *args):
+                pass
+
+            def _reply(self, code: int, payload: dict) -> None:
+                body = json.dumps(payload).encode("utf-8")
+                try:
+                    self.send_response(code)
+                    self.send_header("Content-Type", "application/json")
+                    self.send_header("Content-Length", str(len(body)))
+                    self.end_headers()
+                    self.wfile.write(body)
+                except OSError:
+                    # the client gave up (timeout) before our response —
+                    # exactly the applied-but-unacked outcome under test;
+                    # nothing to do server-side
+                    pass
+
+            def _authed(self) -> bool:
+                got = self.headers.get("Authorization", "")
+                return got == f"Bearer {outer._token}"
+
+            def _dispatch(self, method: str, args: dict) -> None:
+                if not self._authed():
+                    self._reply(401, {"error": "bad or missing bearer token"})
+                    return
+                try:
+                    fn = getattr(outer.arbiter, method)
+                    if method == "cas":
+                        # JSON has no tuples; the basis round-trips as a list
+                        args["expected"] = tuple(args["expected"])
+                    result = fn(**args)
+                    if outer.latency_s and method in outer.latency_methods:
+                        # the call has ALREADY executed — this sleep is the
+                        # response leg of the round trip (per-method, so a
+                        # writer's RECONCILIATION reads stay fast while its
+                        # cas times out)
+                        time.sleep(outer.latency_s)
+                    self._reply(200, {"result": result})
+                except ConcurrentCommitError as exc:
+                    self._reply(409, {"error": str(exc)})
+                except ArbiterUnavailableError as exc:
+                    self._reply(503, {"error": str(exc)})
+                except Exception as exc:  # surface, never hang the writer
+                    self._reply(500, {"error": f"{type(exc).__name__}: {exc}"})
+
+            def do_POST(self):
+                method = self.path.strip("/")
+                if method not in _METHODS or _METHODS[method] != "POST":
+                    self._reply(404, {"error": f"unknown endpoint {self.path}"})
+                    return
+                n = int(self.headers.get("Content-Length", "0"))
+                args = json.loads(self.rfile.read(n) or b"{}")
+                self._dispatch(method, args)
+
+            def do_GET(self):
+                from urllib.parse import parse_qs, urlparse
+
+                u = urlparse(self.path)
+                method = u.path.strip("/")
+                if method not in _METHODS or _METHODS[method] != "GET":
+                    self._reply(404, {"error": f"unknown endpoint {self.path}"})
+                    return
+                q = {k: v[0] for k, v in parse_qs(u.query).items()}
+                self._dispatch(method, q)
+
+        self._token = token
+        self._httpd = ThreadingHTTPServer(address, _Handler)
+        self._thread = threading.Thread(
+            target=self._httpd.serve_forever, daemon=True
+        )
+
+    @property
+    def address(self) -> tuple[str, int]:
+        return self._httpd.server_address[:2]
+
+    def start(self) -> "HttpArbiterServer":
+        self._thread.start()
+        return self
+
+    def shutdown(self) -> None:
+        self._httpd.shutdown()
+        self._httpd.server_close()
+
+
+class HttpCommitArbiter:
+    """CommitArbiter client over HTTP. Every call is one request; status
+    codes map back to the contract exceptions (module docstring)."""
+
+    def __init__(
+        self, endpoint: str, token: str, timeout_s: float = DEFAULT_TIMEOUT_S
+    ):
+        self._endpoint = endpoint.rstrip("/")
+        self._token = token
+        self._timeout_s = timeout_s
+
+    def _call(self, method: str, **args):
+        verb = _METHODS[method]
+        headers = {"Authorization": f"Bearer {self._token}"}
+        if verb == "GET":
+            from urllib.parse import urlencode
+
+            req = urllib.request.Request(
+                f"{self._endpoint}/{method}?{urlencode(args)}", headers=headers
+            )
+        else:
+            req = urllib.request.Request(
+                f"{self._endpoint}/{method}",
+                data=json.dumps(args).encode("utf-8"),
+                headers={**headers, "Content-Type": "application/json"},
+                method="POST",
+            )
+        try:
+            with urllib.request.urlopen(req, timeout=self._timeout_s) as resp:
+                return json.loads(resp.read())["result"]
+        except urllib.error.HTTPError as exc:
+            detail = ""
+            try:
+                detail = json.loads(exc.read()).get("error", "")
+            except Exception:
+                pass
+            if exc.code == 409:
+                raise ConcurrentCommitError(detail or "arbiter CAS rejected")
+            if exc.code == 401:
+                # config bug, NOT transient — retrying or reconciling a
+                # credential failure would mask the misconfiguration
+                raise PermissionError(
+                    f"arbiter rejected credentials (401): {detail} — check "
+                    "SPARK_GRAFT_ARBITER_AUTHKEY"
+                )
+            raise ArbiterUnavailableError(
+                f"arbiter HTTP {exc.code}: {detail or exc.reason}"
+            )
+        except (urllib.error.URLError, TimeoutError, OSError) as exc:
+            # connection refused, reset, or SOCKET TIMEOUT: the request may
+            # or may not have executed server-side — the ambiguous outcome
+            raise ArbiterUnavailableError(
+                f"arbiter unreachable or timed out ({exc}); outcome unknown"
+            )
+
+    def cas(self, table, expected, name, staged):
+        return self._call(
+            "cas", table=table, expected=list(expected), name=name, staged=staged
+        )
+
+    def record(self, table, name, staged):
+        return self._call("record", table=table, name=name, staged=staged)
+
+    def mark_complete(self, table, name):
+        return self._call("mark_complete", table=table, name=name)
+
+    def forget(self, table, name):
+        return self._call("forget", table=table, name=name)
+
+    def seed(self, table, names):
+        return self._call("seed", table=table, names=list(names))
+
+    def records(self, table):
+        return self._call("records", table=table)
+
+    def fail_next(self, n=1):
+        return self._call("fail_next", n=n)

@@ -1,0 +1,207 @@
+"""HTTP arbiter adapter (r10): the network-auth deployment transport.
+
+The manager transport (arbiter_server) proved cross-process exclusion;
+this suite proves the same commit contract over an AUTHENTICATED HTTP
+service with real network failure modes: 401 on bad credentials (loud
+config error, never retried as unavailability), 409 for definite CAS
+loss, 503 for service outage, and — the case no proxy can fake — a REAL
+socket timeout where the server applied the CAS and the client's read
+timed out, resolved exactly-once by the writer-side reconciliation.
+"""
+
+from __future__ import annotations
+
+import threading
+
+import pytest
+
+from pharmaceutical_sales_data_etl_analysis_pipeline_spark.streaming import (
+    partitioned_upsert as pu,
+)
+from pharmaceutical_sales_data_etl_analysis_pipeline_spark.streaming.http_arbiter import (
+    HttpArbiterServer,
+    HttpCommitArbiter,
+)
+from pharmaceutical_sales_data_etl_analysis_pipeline_spark.streaming.logstore import (
+    ArbiterLogStore,
+    ArbiterUnavailableError,
+    ConcurrentCommitError,
+)
+
+TOKEN = "test-token-r10"
+
+
+@pytest.fixture()
+def http_server():
+    srv = HttpArbiterServer(TOKEN).start()
+    try:
+        yield srv
+    finally:
+        srv.shutdown()
+
+
+def _client(srv, timeout_s=10.0, token=TOKEN):
+    host, port = srv.address
+    return HttpCommitArbiter(f"http://{host}:{port}", token, timeout_s=timeout_s)
+
+
+def _payload(batch_id: int) -> dict:
+    return {"batch_id": batch_id, "range_width": 16, "buckets": {}, "stats": {}}
+
+
+def test_contract_matrix_one_winner_per_basis_over_http(
+    spark, tmp_path, http_server
+):
+    """Racing writers through two independent HTTP clients: exactly one
+    winner per basis; losers get 409 -> ConcurrentCommitError and
+    publish nothing visible."""
+    a = ArbiterLogStore(_client(http_server))
+    b = ArbiterLogStore(_client(http_server))
+    mdir = str(tmp_path / "state" / "manifests")
+    a.commit(spark, mdir, "v000000000", _payload(0), expected=None)
+    basis = tuple(b.list_commits(spark, mdir))
+    assert basis == ("v000000000",)
+
+    outcomes: list[str] = []
+    guard = threading.Lock()
+
+    def writer(k: int, store: ArbiterLogStore) -> None:
+        try:
+            store.commit(spark, mdir, f"v00000000{k}", _payload(k), expected=basis)
+            with guard:
+                outcomes.append("ok")
+        except ConcurrentCommitError:
+            with guard:
+                outcomes.append("rejected")
+
+    ts = [
+        threading.Thread(target=writer, args=(k, a if k % 2 else b))
+        for k in range(1, 7)
+    ]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert outcomes.count("ok") == 1, outcomes
+    assert len(a.list_commits(spark, mdir)) == 2
+
+
+def test_bad_token_is_a_loud_config_error(spark, tmp_path, http_server):
+    """401 must surface as PermissionError, not as retryable
+    unavailability — retrying a credential failure masks the bug."""
+    good = ArbiterLogStore(_client(http_server))
+    mdir = str(tmp_path / "state" / "manifests")
+    good.commit(spark, mdir, "v000000000", _payload(0), expected=None)
+    bad = ArbiterLogStore(_client(http_server, token="wrong"))
+    with pytest.raises(PermissionError, match="credentials"):
+        bad.commit(
+            spark, mdir, "v000000001", _payload(1),
+            expected=("v000000000",),
+        )
+    # nothing recorded: the next legitimate commit sails through
+    good.commit(
+        spark, mdir, "v000000001", _payload(1), expected=("v000000000",)
+    )
+
+
+def test_server_outage_maps_to_unavailable(spark, tmp_path, http_server):
+    """An injected server-side outage surfaces as 503 ->
+    ArbiterUnavailableError through the HTTP client."""
+    store = ArbiterLogStore(_client(http_server))
+    mdir = str(tmp_path / "state" / "manifests")
+    store.commit(spark, mdir, "v000000000", _payload(0), expected=None)
+    http_server.arbiter.fail_next(1)
+    with pytest.raises(ConcurrentCommitError):
+        # the append-path reconciliation converts the 503 into the
+        # retry-safe conflict (nothing landed server-side)
+        pu_store = pu.set_log_store(store)
+        try:
+            pu.append_delta_batch(
+                spark,
+                str(tmp_path / "state"),
+                spark.createDataFrame([(1, 1.0)], "key long, amount double"),
+                1,
+                range_width=16,
+            )
+        finally:
+            pu.set_log_store(pu_store)
+
+
+def test_real_socket_timeout_after_applied_cas_reconciles_exactly_once(
+    spark, tmp_path
+):
+    """THE network case the manager proxy cannot produce: the server
+    applies the CAS, then sleeps past the client's socket timeout on the
+    response leg. The writer sees a timeout (outcome unknown), and the
+    reconciliation — whose reads are NOT delayed — finds its own attempt
+    committed: success, exactly once, no duplicate append."""
+    srv = HttpArbiterServer(TOKEN, latency_s=2.0).start()
+    try:
+        flaky = ArbiterLogStore(_client(srv, timeout_s=0.5))
+        prev = pu.set_log_store(flaky)
+        try:
+            state = str(tmp_path / "state")
+            df0 = spark.createDataFrame([(1, 1.0)], "key long, amount double")
+            # bootstrap commit goes through record() (no latency injected)
+            pu.append_delta_batch(spark, state, df0, 0, range_width=16)
+            # this commit's cas APPLIES server-side; the response times out
+            pu.append_delta_batch(
+                spark,
+                state,
+                spark.createDataFrame([(2, 2.0)], "key long, amount double"),
+                1,
+                range_width=16,
+            )
+            got = {
+                r["key"]: (r["total"], r["n_rows"])
+                for r in pu.read_latest_partitioned_state(spark, state).collect()
+            }
+            assert got == {1: (1.0, 1), 2: (2.0, 1)}
+        finally:
+            pu.set_log_store(prev)
+    finally:
+        srv.shutdown()
+
+
+def test_crash_between_cas_and_finalize_self_heals_over_http(
+    spark, tmp_path, http_server, monkeypatch
+):
+    """A writer that dies after winning the CAS leaves a pending record;
+    another HTTP client's read finishes the finalize from the staged
+    file — the Delta complete=false recovery, over the network path."""
+    a = ArbiterLogStore(_client(http_server))
+    b = ArbiterLogStore(_client(http_server))
+    mdir = str(tmp_path / "state" / "manifests")
+    a.commit(spark, mdir, "v000000000", _payload(0), expected=None)
+
+    def crash(*args, **kw):
+        raise IOError("injected crash before finalize")
+
+    monkeypatch.setattr(a, "_finalize", crash)
+    with pytest.raises(IOError, match="injected crash"):
+        a.commit(
+            spark, mdir, "v000000001", _payload(1), expected=("v000000000",)
+        )
+    healed = b.list_commits(spark, mdir)
+    assert healed == ["v000000000", "v000000001"]
+    assert b.read_commit(spark, mdir, "v000000001")["batch_id"] == 1
+
+
+def test_env_wiring_selects_http_client(monkeypatch, http_server):
+    """SPARK_GRAFT_ARBITER_ENDPOINT=http://... builds the HTTP client
+    with the env token and timeout."""
+    from pharmaceutical_sales_data_etl_analysis_pipeline_spark.streaming.arbiter_server import (
+        arbiter_store_from_env,
+    )
+
+    host, port = http_server.address
+    monkeypatch.setenv("SPARK_GRAFT_ARBITER_ENDPOINT", f"http://{host}:{port}")
+    monkeypatch.setenv("SPARK_GRAFT_ARBITER_AUTHKEY", TOKEN)
+    monkeypatch.setenv("SPARK_GRAFT_ARBITER_TIMEOUT_S", "3.5")
+    store = arbiter_store_from_env()
+    arb = store.arbiter
+    assert isinstance(arb, HttpCommitArbiter)
+    assert arb._timeout_s == 3.5
+    # a live round trip through the env-built client
+    arb.seed("t", ["v000000000"])
+    assert arb.records("t") == {"v000000000": None}
