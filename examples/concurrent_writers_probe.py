@@ -41,7 +41,7 @@ mis-sequence); the final fold is bit-exact against the winner's log.
 
 Prints one JSON line. Writer-subprocess modes (internal):
   ... --writer STATE_DIR WIDTH SLICE_DIR [SLICE_DIR ...]
-  ... --seq-writer STATE_DIR WIDTH TAG SLICE_DIR [SLICE_DIR ...]
+  ... --seq-writer STATE_DIR WIDTH TAG DELAY_S SLICE_DIR [SLICE_DIR ...]
 """
 
 from __future__ import annotations

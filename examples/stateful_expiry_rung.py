@@ -30,14 +30,12 @@ from __future__ import annotations
 import json
 import os
 import sys
-import threading
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F  # noqa: E402
 from pyspark.sql import types as T  # noqa: E402
-from pyspark.sql.streaming import StreamingQueryListener  # noqa: E402
 
 GAP_US = 1_000_000  # 1 s event-time gap; each key's events fit inside
 
@@ -52,36 +50,6 @@ def run_once(
     out = os.path.join(workdir, f"out_{tag}")
     ckpt = os.path.join(workdir, f"ckpt_{tag}")
 
-    class _Collector(StreamingQueryListener):
-        def __init__(self):
-            self.progress: list[tuple[str, dict]] = []
-            self._guard = threading.Lock()
-
-        def onQueryStarted(self, event):
-            pass
-
-        def onQueryProgress(self, event):
-            p = event.progress
-            ops = json.loads(p.json).get("stateOperators", [])
-            with self._guard:
-                self.progress.append(
-                    (
-                        str(p.id),
-                        {
-                            "batch_id": p.batchId,
-                            "input_rows": p.numInputRows,
-                            "state_rows": sum(o.get("numRowsTotal", 0) for o in ops),
-                            "removed": sum(o.get("numRowsRemoved", 0) for o in ops),
-                        },
-                    )
-                )
-
-        def onQueryIdle(self, event):
-            pass
-
-        def onQueryTerminated(self, event):
-            pass
-
     schema = T.StructType(
         [
             T.StructField("user_id", T.LongType()),
@@ -92,7 +60,11 @@ def run_once(
     stream = (
         spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
     )
-    collector = _Collector()
+    from pharmaceutical_sales_data_etl_analysis_pipeline_spark.streaming.progress import (
+        ProgressLog,
+    )
+
+    collector = ProgressLog()
     spark.streams.addListener(collector)
     t0 = time.monotonic()
     try:
@@ -107,19 +79,16 @@ def run_once(
             .start()
         )
         qid = str(q.id)
-
-        def seen() -> int:
-            with collector._guard:
-                return sum(
-                    d["input_rows"] for i, d in collector.progress if i == qid
-                )
-
         deadline = time.monotonic() + 600
-        while time.monotonic() < deadline and seen() < n_rows_expected:
+        while (
+            time.monotonic() < deadline
+            and collector.input_rows(qid) < n_rows_expected
+        ):
             time.sleep(0.3)
-        if seen() < n_rows_expected:
+        if collector.input_rows(qid) < n_rows_expected:
             raise SystemExit(
-                f"[{tag}] drained only {seen()}/{n_rows_expected} rows in 600s"
+                f"[{tag}] drained only {collector.input_rows(qid)}"
+                f"/{n_rows_expected} rows in 600s"
             )
         drain_s = time.monotonic() - t0
         # post-drain window: let pending timeouts fire (short run) so the
@@ -136,8 +105,7 @@ def run_once(
     finally:
         spark.streams.removeListener(collector)
 
-    with collector._guard:
-        rows = [d for i, d in collector.progress if i == qid]
+    rows = collector.batches(qid)
     state_curve = [d["state_rows"] for d in rows]
     return {
         "tag": tag,
@@ -145,7 +113,7 @@ def run_once(
         "drain_s": round(drain_s, 2),
         "max_state_rows": max(state_curve) if state_curve else 0,
         "end_state_rows": state_curve[-1] if state_curve else 0,
-        "rows_removed": sum(d["removed"] for d in rows),
+        "rows_removed": sum(d["state_removed"] for d in rows),
         "out_dir": out,
     }
 

@@ -33,7 +33,6 @@ from __future__ import annotations
 import json
 import os
 import sys
-import threading
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -82,39 +81,9 @@ def main() -> None:
         )
     publish_s = time.monotonic() - t_pub0
 
-    from pyspark.sql.streaming import StreamingQueryListener
-
-    class _Collector(StreamingQueryListener):
-        def __init__(self):
-            self.rows: list[tuple[str, dict]] = []
-            self.terminated: dict[str, threading.Event] = {}
-            self._guard = threading.Lock()
-
-        def onQueryStarted(self, event):
-            pass
-
-        def onQueryProgress(self, event):
-            p = event.progress
-            with self._guard:
-                self.rows.append(
-                    (
-                        str(p.id),
-                        {
-                            "batch_id": p.batchId,
-                            "input_rows": p.numInputRows,
-                            "trigger_s": p.durationMs.get("triggerExecution", 0)
-                            / 1000.0,
-                        },
-                    )
-                )
-
-        def onQueryIdle(self, event):
-            pass
-
-        def onQueryTerminated(self, event):
-            with self._guard:
-                self.terminated.setdefault(str(event.id), threading.Event())
-            self.terminated[str(event.id)].set()
+    from pharmaceutical_sales_data_etl_analysis_pipeline_spark.streaming.progress import (
+        ProgressLog as _Collector,
+    )
 
     schema = T.StructType(
         [T.StructField("user_id", T.LongType()), T.StructField("cents", T.LongType())]
@@ -142,9 +111,9 @@ def main() -> None:
         )
         q.awaitTermination()
         qid = str(q.id)
-        collector.terminated.setdefault(qid, threading.Event()).wait(timeout=30)
+        collector.wait_terminated(qid, 30)
         drain_s = time.monotonic() - t0
-        batches = [d for i, d in collector.rows if i == qid and d["input_rows"] > 0]
+        batches = [d for d in collector.batches(qid) if d["input_rows"] > 0]
     finally:
         spark.streams.removeListener(collector)
 

@@ -971,37 +971,17 @@ def stream_session_expiry(spark: SparkSession, sf_dir: str) -> DataFrame:
     # FUTURE timeouts can fire (FlatMapGroupsWithState's
     # shouldRunAnotherBatch) — trigger(availableNow) therefore never
     # terminates on its own. Drive the drain explicitly: count delivered
-    # input rows through a listener (recentProgress is ring-capped and
-    # the idle batches would evict the data batches' entries) and stop
-    # once every published row has been processed — the flush batch's
-    # emissions land in that same batch, so the append log is complete.
-    import threading as _threading
+    # input rows through the shared listener (recentProgress is
+    # ring-capped and the idle batches would evict the data batches'
+    # entries) and stop once every published row has been processed —
+    # the flush batch's emissions land in that same batch, so the append
+    # log is complete.
     import time as _time
 
-    from pyspark.sql.streaming import StreamingQueryListener
+    from ..streaming.progress import ProgressLog
 
     n_expected = ev.count() + flushes.count()
-
-    class _InputCounter(StreamingQueryListener):
-        def __init__(self):
-            self.rows: dict = {}
-            self._guard = _threading.Lock()
-
-        def onQueryStarted(self, event):
-            pass
-
-        def onQueryProgress(self, event):
-            p = event.progress
-            with self._guard:
-                self.rows[(str(p.id), p.batchId)] = p.numInputRows
-
-        def onQueryIdle(self, event):
-            pass
-
-        def onQueryTerminated(self, event):
-            pass
-
-    counter = _InputCounter()
+    counter = ProgressLog()
     spark.streams.addListener(counter)
     try:
         q = (
@@ -1016,10 +996,7 @@ def stream_session_expiry(spark: SparkSession, sf_dir: str) -> DataFrame:
             deadline = _time.monotonic() + 300
             seen = 0
             while _time.monotonic() < deadline:
-                with counter._guard:
-                    seen = sum(
-                        v for (i, _b), v in counter.rows.items() if i == qid
-                    )
+                seen = counter.input_rows(qid)
                 if seen >= n_expected:
                     break
                 _time.sleep(0.3)

@@ -208,8 +208,19 @@ class HttpCommitArbiter:
                     f"arbiter rejected credentials (401): {detail} — check "
                     "SPARK_GRAFT_ARBITER_AUTHKEY"
                 )
-            raise ArbiterUnavailableError(
-                f"arbiter HTTP {exc.code}: {detail or exc.reason}"
+            if exc.code in (502, 503, 504):
+                # service/gateway outage: genuinely transient/ambiguous
+                raise ArbiterUnavailableError(
+                    f"arbiter HTTP {exc.code}: {detail or exc.reason}"
+                )
+            # anything else (404 endpoint mismatch, 500 server-side
+            # exception, ...) is DETERMINISTIC — mapping it to
+            # 'unavailable' would send the optimistic loop into
+            # max_attempts of doomed retries against the same bug
+            raise RuntimeError(
+                f"arbiter protocol error HTTP {exc.code} on /{method}: "
+                f"{detail or exc.reason} — client/server mismatch or "
+                "server-side bug, not a transient outage"
             )
         except (urllib.error.URLError, TimeoutError, OSError) as exc:
             # connection refused, reset, or SOCKET TIMEOUT: the request may

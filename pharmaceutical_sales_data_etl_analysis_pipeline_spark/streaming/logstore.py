@@ -609,9 +609,13 @@ class FaultInjectingArbiter:
     def _call(self, method: str, *args):
         spec = self._faults.get(method)
         if spec is not None:
+            if spec.get("latency_s"):
+                # OUTSIDE the guard: latency models per-request transport
+                # RTT — sleeping under the lock would serialize concurrent
+                # in-flight calls and erase the very contention the
+                # latency tests exercise (only budget decrements need it)
+                time.sleep(spec["latency_s"])
             with self._guard:
-                if spec.get("latency_s"):
-                    time.sleep(spec["latency_s"])
                 if spec.get("fail_before", 0) > 0:
                     spec["fail_before"] -= 1
                     raise ArbiterUnavailableError(

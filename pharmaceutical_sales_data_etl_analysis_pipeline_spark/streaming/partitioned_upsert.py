@@ -131,7 +131,6 @@ manifest-pruned so its cost scales with the CHANGE, not the table
 from __future__ import annotations
 
 import logging
-import threading
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -148,6 +147,10 @@ from .logstore import (
 from .upsert import STATE_SCHEMA, _as_read_view
 
 _LOG = logging.getLogger(__name__)
+
+# once-per-table advisory warnings from the sequenced-writer fence when
+# running on the non-atomic rename store (see _require_seq_writer_fence)
+_RENAME_FENCE_WARNED: set[str] = set()
 
 # The commit-protocol seam (see logstore.py): every manifest list/read/
 # publish below routes through this store. The default is the plain-FS
@@ -434,6 +437,25 @@ def _require_seq_writer_fence(
 
     Pinned cross-process by examples/concurrent_writers_probe.py --seq
     and tests/test_seq_writer_fence.py."""
+    if writer_id is not None and isinstance(_LOG_STORE, HadoopRenameLogStore):
+        # the fence's worst-case atomicity leans on the log store's
+        # conditional publish; the rename store's check-then-rename is
+        # NOT atomic, so two producers racing an EMPTY (or equally
+        # stale) listing can both pass this fence and silently clobber.
+        # The single checkpointed writer stays safe (no race to lose) —
+        # warn loudly instead of breaking it, once per table
+        key = f"rename-fence:{state_dir}"
+        if key not in _RENAME_FENCE_WARNED:
+            _RENAME_FENCE_WARNED.add(key)
+            _LOG.warning(
+                "sequenced-writer fence on %s is ADVISORY under the "
+                "default HadoopRenameLogStore: its publish is not atomic, "
+                "so simultaneous foreign producers racing the same stale "
+                "listing are not excluded — set "
+                "SPARK_GRAFT_LOG_STORE=filelock|arbiter for multi-writer "
+                "fencing guarantees",
+                state_dir,
+            )
     if not listing_snapshot:
         return
     newest_name = listing_snapshot[-1]
@@ -1106,47 +1128,7 @@ def run_partitioned_mor_ingest(
     batches (ADVICE r8)."""
     import time as _time
 
-    from pyspark.sql.streaming import StreamingQueryListener
-
-    class _ProgressCollector(StreamingQueryListener):
-        """Accumulates every progress event; filtered to this query's id
-        after the drain (events for other queries on the session may
-        interleave). Termination is signalled via an Event because
-        listener callbacks arrive on a separate thread — awaitTermination
-        returning does not mean the last events were delivered yet."""
-
-        def __init__(self):
-            self.events: list[tuple[str, dict]] = []
-            self.terminated: dict[str, threading.Event] = {}
-            self._guard = threading.Lock()
-
-        def onQueryStarted(self, event):
-            pass
-
-        def onQueryProgress(self, event):
-            p = event.progress
-            with self._guard:
-                self.events.append(
-                    (
-                        str(p.id),
-                        {
-                            "batch_id": p.batchId,
-                            "input_rows": p.numInputRows,
-                            "trigger_s": p.durationMs.get(
-                                "triggerExecution", 0
-                            )
-                            / 1000.0,
-                        },
-                    )
-                )
-
-        def onQueryIdle(self, event):
-            pass
-
-        def onQueryTerminated(self, event):
-            with self._guard:
-                self.terminated.setdefault(str(event.id), threading.Event())
-            self.terminated[str(event.id)].set()
+    from .progress import ProgressLog
 
     src_schema = T.StructType(
         [
@@ -1167,7 +1149,7 @@ def run_partitioned_mor_ingest(
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(source_dir)
     )
-    collector = _ProgressCollector()
+    collector = ProgressLog()
     spark.streams.addListener(collector)
     t0 = _time.monotonic()
     try:
@@ -1192,13 +1174,11 @@ def run_partitioned_mor_ingest(
         q.awaitTermination()
         drain_s = _time.monotonic() - t0
         qid = str(q.id)
-        with collector._guard:
-            done = collector.terminated.setdefault(qid, threading.Event())
         # listener events are async to awaitTermination; a timed-out wait
         # means the tail of the progress list may be missing — surface
         # that instead of silently under-reporting (the exact failure
         # mode the listener replaced recentProgress to avoid)
-        progress_complete = done.wait(timeout=60)
+        progress_complete = collector.wait_terminated(qid, 60)
         if not progress_complete:
             _LOG.warning(
                 "streaming listener termination event not delivered within "
@@ -1208,7 +1188,7 @@ def run_partitioned_mor_ingest(
             )
     finally:
         spark.streams.removeListener(collector)
-    batches = [p for evt_qid, p in collector.events if evt_qid == qid]
+    batches = collector.batches(qid)
     t1 = _time.monotonic()
     compacted = compact_deltas_into_base(spark, state_dir) if compact_after else 0
     return {
@@ -1990,22 +1970,38 @@ def _reconcile_ambiguous_append(
       retry — the optimistic loop re-lists and re-attempts).
 
     If the reconciliation read ITSELF fails (arbiter still down), the
-    original error propagates — fail-stop, resolve on the next replay."""
+    original error propagates — fail-stop, resolve on the next replay.
+
+    The positive proof scans EVERY current manifest's delta list, newest
+    first, not just the newest same-id commit: a concurrent COMPACTION
+    can supersede our won manifest with an empty-delta 'x' commit, and a
+    LATER batch's manifest inherits our delta name — either would make a
+    newest-same-id-only check misread a won commit as foreign and let
+    the optimistic loop append the batch TWICE (caught by review in
+    r10). Conversely, when same-id commits exist, none list our attempt,
+    and one is a compaction, the outcome stays unknowable (our delta may
+    be folded and its plain manifest vacuumed) — re-raise the original
+    error rather than guess."""
     versions = _list_manifests(spark, state_dir)  # triggers self-heal
-    same_id = [v for v in versions if _batch_id_of(v) == batch_id]
-    if same_id:
-        committed = _read_manifest(spark, state_dir, same_id[-1])
-        if vname in committed.get("deltas", []):
+    for v in reversed(versions):
+        if vname in _read_manifest(spark, state_dir, v).get("deltas", []):
             _LOG.warning(
                 "ambiguous arbiter outcome for batch %s in %s reconciled "
-                "as COMMITTED (own attempt %s found in the healed "
-                "manifest): %s",
+                "as COMMITTED (own attempt %s found in manifest %s): %s",
                 batch_id,
                 state_dir,
                 vname,
+                v,
                 err,
             )
             return
+    same_id = [v for v in versions if _batch_id_of(v) == batch_id]
+    if same_id:
+        if any("x" in v for v in same_id):
+            # a compaction already superseded this batch id: our delta may
+            # have been folded (and its plain manifest vacuumed), so
+            # neither COMMITTED nor LOST is provable — fail stop
+            raise err
         raise ConcurrentCommitError(
             f"batch id {batch_id} in {state_dir} was committed by a "
             f"foreign attempt while our publish failed ambiguously "

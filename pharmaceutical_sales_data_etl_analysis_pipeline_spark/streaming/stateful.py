@@ -163,7 +163,12 @@ def gap_sessions(
             else:
                 open_s, closed = None, 0
             rows = pd.concat(list(pdfs), ignore_index=True)
-            rows = rows.sort_values("ts_us", kind="stable")
+            # flush markers sort LAST regardless of their ts_us (their
+            # timestamp is a meaningless placeholder): a marker landing
+            # in the same micro-batch as the key's events must close the
+            # session AFTER those events folded, or it would no-op
+            # against empty state and the session would never emit
+            rows = rows.sort_values(["flush", "ts_us"], kind="stable")
             for ts_us, flush in zip(
                 rows["ts_us"].to_numpy(), rows["flush"].to_numpy()
             ):

@@ -263,3 +263,38 @@ def test_env_fault_spec_parsing(monkeypatch, tmp_path):
         }
     finally:
         mgr.shutdown()
+
+
+def test_reconciliation_survives_concurrent_compaction(spark, tmp_path):
+    """The r10 review catch: a maintenance process can compact the table
+    between a writer's ambiguous CAS and its reconciliation re-list. The
+    newest same-id commit is then an 'x' compaction whose delta list is
+    EMPTY — a newest-only check would misread the writer's WON commit as
+    foreign and let the optimistic loop append the batch twice. The
+    reconciler must scan every manifest for its attempt name."""
+    store, _server = _store({})
+    prev = pu.set_log_store(store)
+    try:
+        state = str(tmp_path / "state")
+        pu.append_delta_batch(spark, state, _df(spark, [(1, 1.0)]), 0, range_width=16)
+        pu.append_delta_batch(spark, state, _df(spark, [(2, 2.0)]), 1, range_width=16)
+        # batch 1's delta attempt name, from the committed manifest
+        versions = pu._list_manifests(spark, state)
+        m1 = pu._read_manifest(spark, state, versions[-1])
+        (vname,) = [d for d in m1["deltas"] if d.startswith("v000000001")]
+        # a maintenance pass compacts: newest same-id commit now has
+        # deltas=[] (v000000001x0001) while the plain v000000001 remains
+        assert pu.compact_deltas_into_base(spark, state) > 0
+        err = ArbiterUnavailableError("simulated lost response")
+        # reconcile must find the attempt in the superseded plain
+        # manifest and report committed — NOT raise the retry-safe
+        # conflict that would double-append
+        pu._reconcile_ambiguous_append(spark, state, 1, vname, err)
+        # unknowable case: same-id compaction exists but NO manifest
+        # lists the attempt — fail-stop with the original error
+        with pytest.raises(ArbiterUnavailableError, match="lost response"):
+            pu._reconcile_ambiguous_append(
+                spark, state, 1, "v000000001-deadbeef", err
+            )
+    finally:
+        pu.set_log_store(prev)

@@ -205,3 +205,17 @@ def test_env_wiring_selects_http_client(monkeypatch, http_server):
     # a live round trip through the env-built client
     arb.seed("t", ["v000000000"])
     assert arb.records("t") == {"v000000000": None}
+
+
+def test_protocol_errors_are_loud_not_retryable(http_server):
+    """500 (server-side exception, e.g. an argument-shape mismatch from
+    client/server version skew) is deterministic — mapping it to
+    'unavailable' would send the optimistic loop into max_attempts of
+    doomed retries, burning staged deltas against the same bug. It must
+    surface as a RuntimeError naming the status, not as
+    ArbiterUnavailableError."""
+    c = _client(http_server)
+    # missing required argument reaches the server and raises a
+    # TypeError inside the dispatch -> 500 -> loud protocol error
+    with pytest.raises(RuntimeError, match="protocol error HTTP 500"):
+        c._call("records")

@@ -860,3 +860,65 @@ def test_gap_sessions_processing_time_timeout_evicts_and_emits(spark, tmp_path):
         assert removed >= 1
     finally:
         q.stop()
+
+
+def test_gap_sessions_flush_in_same_batch_as_data(spark, tmp_path):
+    """A flush marker landing in the SAME micro-batch as the key's events
+    must close the session AFTER those events folded — markers sort last
+    regardless of their placeholder ts (r10 review catch: ts-only
+    sorting processed a ts=0 marker first, no-opped against empty state,
+    and the session never emitted)."""
+    import os as _os
+    import time as _time
+
+    from pyspark.sql import types as T
+
+    from pharmaceutical_sales_data_etl_analysis_pipeline_spark.streaming.stateful import (
+        gap_sessions,
+    )
+
+    src = str(tmp_path / "src")
+    _os.makedirs(src)
+    spark.createDataFrame(
+        [(5, 1000, False), (5, 1050, False), (5, 0, True)],
+        "user_id long, ts_us long, flush boolean",
+    ).coalesce(1).write.parquet(f"{src}/f0")
+
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("ts_us", T.LongType()),
+            T.StructField("flush", T.BooleanType()),
+        ]
+    )
+    out_dir = str(tmp_path / "out")
+    q = (
+        gap_sessions(
+            spark.readStream.schema(schema).parquet(f"{src}/*"), 100, 600_000
+        )
+        .writeStream.outputMode("append")
+        .foreachBatch(lambda b, e: b.write.mode("append").parquet(out_dir))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="200 milliseconds")
+        .start()
+    )
+    rows = []
+    try:
+        deadline = _time.monotonic() + 60
+        while _time.monotonic() < deadline:
+            try:
+                rows = spark.read.parquet(out_dir).collect()
+            except Exception:
+                rows = []
+            if rows:
+                break
+            _time.sleep(0.5)
+    finally:
+        q.stop()
+    assert [
+        (
+            r["user_id"], r["session_seq"], r["n_events"],
+            r["session_start_us"], r["session_end_us"], r["closed_by"],
+        )
+        for r in rows
+    ] == [(5, 1, 2, 1000, 1050, "flush")]
