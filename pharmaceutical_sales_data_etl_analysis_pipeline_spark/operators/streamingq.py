@@ -1053,3 +1053,116 @@ GROUP BY user_id, session_seq
 
 QUERIES["stream_session_expiry"] = stream_session_expiry
 ORACLES["stream_session_expiry"] = SQL_STREAM_SESSION_EXPIRY
+
+
+# ---------------------------------------------------------------------------
+# EVENT-TIME session expiry (r10): the deterministic production twin of
+# stream_session_expiry. streaming/stateful.event_time_sessions closes a
+# key's open session either on the key's own next event past the gap or
+# when the WATERMARK passes the session's gap horizon
+# (GroupStateTimeout.EventTimeTimeout) — both functions of the data, so
+# no wall clock is involved anywhere and trigger(availableNow)
+# terminates on its own (the engine schedules exactly one extra batch
+# per watermark advance; once the sentinel's advance fires the pending
+# timeouts, no further advance happens and the query stops).
+#
+# Fixture: events sliced into four TIME-range files (pinned mtimes,
+# maxFilesPerTrigger=1) — sessions genuinely straddle micro-batches,
+# state persists per key across batches — plus one watermark-sentinel
+# row (user -1, ts = global max + gap + 60 s) whose advance closes every
+# still-open session. Session BOUNDARIES are eviction-invariant under a
+# delay-0 watermark with time-ordered slices: a key evicted mid-stream
+# (watermark passed its horizon before its next event's slice) would
+# have been split by the gap rule anyway, because its next event's ts
+# exceeds the watermark that evicted it. Mid-stream eviction DOES
+# restart the in-state numbering, so session ids are renumbered on
+# read-back (row_number over session_start per key) — which is also why
+# closed_by stays out of this query's output (whether a given session
+# closed by 'gap' or 'watermark' depends on slice widths; its unit
+# semantics are pinned in tests/test_streaming.py instead).
+# ---------------------------------------------------------------------------
+
+EVENT_SESSION_SLICES = 4
+
+
+def stream_session_event_expiry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from ..catalog import load_table
+    from ..streaming.stateful import event_time_sessions
+    from .eventsops import SESSION_GAP_US
+
+    base = _scratch_dir("stream_esessions_")
+    src = _os.path.join(base, "src")
+    out_dir = _os.path.join(base, "result")
+    ckpt_dir = _os.path.join(base, "checkpoint")
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+        .select(F.col("user_id").cast("long").alias("user_id"), "ts")
+    )
+    # one bounded driver round-trip sizes the time slices (eager-build
+    # class, documented in registry.py)
+    lo, hi = ev.agg(
+        F.min(F.unix_micros("ts")), F.max(F.unix_micros("ts"))
+    ).first()
+    span = (hi - lo) // EVENT_SESSION_SLICES + 1
+    for j in range(EVENT_SESSION_SLICES):
+        us = F.unix_micros(F.col("ts"))
+        _publish_single_file_batch(
+            spark,
+            ev.filter((us >= lo + j * span) & (us < lo + (j + 1) * span)),
+            src,
+            f"t{j}",
+            seq=j,
+        )
+    sentinel = spark.range(1).select(
+        F.lit(-1).cast("long").alias("user_id"),
+        F.timestamp_micros(F.lit(hi + SESSION_GAP_US + 60_000_000)).alias("ts"),
+    )
+    _publish_single_file_batch(
+        spark, sentinel, src, "t_sentinel", seq=EVENT_SESSION_SLICES
+    )
+
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .withWatermark("ts", "0 seconds")
+    )
+    sessions = event_time_sessions(stream, SESSION_GAP_US)
+
+    def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df.write.mode("append").parquet(out_dir)
+
+    (
+        sessions.writeStream.outputMode("append")
+        .foreachBatch(write_batch)
+        .option("checkpointLocation", ckpt_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+    emitted = (
+        spark.read.parquet(out_dir)
+        .filter(F.col("user_id") >= 0)
+        .select("user_id", "n_events", "session_start_us", "session_end_us")
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("session_start_us")
+    return emitted.select(
+        "user_id",
+        F.row_number().over(w).cast("long").alias("session_seq"),
+        "n_events",
+        "session_start_us",
+        "session_end_us",
+    )
+
+
+QUERIES["stream_session_event_expiry"] = stream_session_event_expiry
+ORACLES["stream_session_event_expiry"] = SQL_STREAM_SESSION_EXPIRY

@@ -41,7 +41,9 @@ r6 sf10 rung); and the ingest-fixture queries that stage files and
 drain a Structured Streaming query at build (stream_mor_ingest,
 xml_stream_ingest — both memoized per corpus;
 stream_stateful_user_totals — unmemoized, the 3-file fixture republish
-is cheaper than a corpus hash; stream_session_expiry — unmemoized
+is cheaper than a corpus hash; stream_session_event_expiry — one
+bounded min/max round-trip sizes its time slices, then a 5-file publish
++ self-terminating availableNow drain; stream_session_expiry — unmemoized
 4-batch publish + a listener-driven drain with explicit stop, because
 ProcessingTimeTimeout keeps the engine scheduling batches and
 availableNow would never terminate — sweep-cost budget in
@@ -101,10 +103,12 @@ MODULE_ORDER = [
 #   (b) the 26 remaining r5-rows in name order — the full TPC-H block
 #       plus shard_histogram, skyline_parts, substring_dedup_spans,
 #       variant_props, vocab_topk;
-#   (d) 12 slots of the oldest r6 cohort in name order.
+#   (d) the oldest r6 cohort in name order (11 make the 50-window
+#       after the second r10-new prepend; exact_dedup heads r11).
 # After this sweep no registered query's latest driver row predates r6.
 PRIORITY = [
     # (c) r10-new / r10-plan-changed (rotation invariant)
+    "stream_session_event_expiry",  # r10 NEW: watermark-driven expiry
     "stream_session_expiry",  # r10 NEW: stateful expiry surface
     "stream_mor_tombstone_seq",  # r10: seq-writer fence in append path
     "stream_mor_ingest",  # r10: checkpoint-derived writer lease

@@ -223,6 +223,118 @@ def gap_sessions(
     )
 
 
+EVENT_SESSION_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("session_seq", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("session_start_us", T.LongType()),
+        T.StructField("session_end_us", T.LongType()),
+        T.StructField("closed_by", T.StringType()),
+    ]
+)
+
+
+def event_time_sessions(
+    events_stream: DataFrame, gap_us: int
+) -> DataFrame:
+    """Gap sessionization with WATERMARK-DRIVEN expiry — the
+    deterministic production shape (Flink-style session windows).
+    Where gap_sessions evicts on wall-clock silence, this operator sets
+    a GroupStateTimeout.EventTimeTimeout at session_end + gap: the key's
+    open session closes either when its OWN next event arrives past the
+    gap (closed_by='gap') or when the stream's WATERMARK passes the
+    session's gap horizon (closed_by='watermark') — both functions of
+    the DATA, not the clock, so with a deterministic fixture even the
+    close mechanism is oracle-checkable: every non-final session of a
+    key closes by 'gap', every final one by 'watermark'.
+
+    Input: `ts` timestamp column CARRYING A WATERMARK
+    (events.withWatermark('ts', ...)) — EventTimeTimeout requires one —
+    plus user_id. Termination is clean under trigger(availableNow):
+    unlike ProcessingTimeTimeout, the engine schedules exactly one extra
+    batch per watermark advance, so once the input (plus any
+    watermark-advancing sentinel row the caller appends) is drained and
+    pending timeouts fired, the query stops on its own.
+
+    Two subtleties the implementation must own:
+    - a key with data in a batch gets hasTimedOut=False even if its
+      horizon already passed; the data path's gap check closes the stale
+      session — same fold, different trigger;
+    - setTimeoutTimestamp must stay ABOVE the current watermark (the API
+      rejects the past); a late-straggler key clamps to watermark+1ms —
+      its session then closes at the next watermark advance, which is
+      also exactly when the batch contract says a late row's session is
+      over.
+
+    State: one open session + the closed count per key, partitioned by
+    key across executors; the watermark bounds the store just like the
+    windowed-agg operators — state is O(keys inside the gap horizon)."""
+
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        out: list[tuple] = []
+        uid = key[0]
+        if state.hasTimedOut:
+            start_us, end_us, n, closed = state.get
+            out.append((uid, closed + 1, n, start_us, end_us, "watermark"))
+            state.remove()
+        else:
+            had_state = state.exists
+            if had_state:
+                start_us, end_us, n, closed = state.get
+                open_s = (start_us, end_us, n)
+            else:
+                open_s, closed = None, 0
+            rows = pd.concat(list(pdfs), ignore_index=True)
+            ts_us = (
+                rows["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+            )
+            ts_us.sort()
+            for t in ts_us:
+                t = int(t)
+                if open_s is None:
+                    open_s = (t, t, 1)
+                elif t - open_s[1] > gap_us:
+                    closed += 1
+                    out.append(
+                        (uid, closed, open_s[2], open_s[0], open_s[1], "gap")
+                    )
+                    open_s = (t, t, 1)
+                else:
+                    open_s = (open_s[0], max(open_s[1], t), open_s[2] + 1)
+            state.update((open_s[0], open_s[1], open_s[2], closed))
+            horizon_ms = (open_s[1] + gap_us) // 1000 + 1
+            state.setTimeoutTimestamp(
+                max(horizon_ms, state.getCurrentWatermarkMs() + 1)
+            )
+        if out:
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "user_id",
+                    "session_seq",
+                    "n_events",
+                    "session_start_us",
+                    "session_end_us",
+                    "closed_by",
+                ],
+            )
+
+    return (
+        events_stream.select("user_id", "ts")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=EVENT_SESSION_SCHEMA,
+            stateStructType=_SESSION_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
 def running_user_totals(events_stream: DataFrame) -> DataFrame:
     """Cumulative per-user event count + value sum across micro-batches.
 

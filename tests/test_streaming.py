@@ -922,3 +922,72 @@ def test_gap_sessions_flush_in_same_batch_as_data(spark, tmp_path):
         )
         for r in rows
     ] == [(5, 1, 2, 1000, 1050, "flush")]
+
+
+def test_event_time_sessions_deterministic_watermark_close(spark, tmp_path):
+    """Event-time sessionization (EventTimeTimeout, r10): sessions close
+    by the key's own gap or by the watermark passing the gap horizon —
+    both data-determined, no wall clock. availableNow terminates on its
+    own (one extra batch per watermark advance), cross-batch state
+    merges a key's events arriving in different micro-batches, and the
+    close mechanism is deterministic: non-final sessions 'gap', final
+    sessions 'watermark' once the sentinel advances past every horizon."""
+    import datetime as _dt
+    import os as _os
+
+    from pharmaceutical_sales_data_etl_analysis_pipeline_spark.streaming.stateful import (
+        event_time_sessions,
+    )
+
+    def ts(s):
+        return _dt.datetime(2024, 1, 1) + _dt.timedelta(seconds=s)
+
+    src = str(tmp_path / "src")
+    _os.makedirs(src)
+    batches = [
+        [(1, ts(0)), (1, ts(1)), (2, ts(2))],
+        [(1, ts(30)), (2, ts(3))],  # user1: >10s gap; user2: same session
+        [(-1, ts(120))],  # watermark sentinel
+    ]
+    for i, rows in enumerate(batches):
+        stage = str(tmp_path / f"stage{i}")
+        spark.createDataFrame(rows, "user_id long, ts timestamp").coalesce(
+            1
+        ).write.parquet(stage)
+        part = [f for f in _os.listdir(stage) if f.endswith(".parquet")][0]
+        final = f"{src}/f{i}.parquet"
+        _os.rename(f"{stage}/{part}", final)
+        _os.utime(final, (1_000_000_000 + 60 * i, 1_000_000_000 + 60 * i))
+
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .withWatermark("ts", "0 seconds")
+    )
+    out_dir = str(tmp_path / "out")
+    q = (
+        event_time_sessions(stream, 10_000_000)
+        .writeStream.outputMode("append")
+        .foreachBatch(lambda b, e: b.write.mode("append").parquet(out_dir))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120), "availableNow did not self-terminate"
+
+    base_us = int(ts(0).timestamp()) * 1_000_000
+    got = {
+        (
+            r["user_id"], r["session_seq"], r["n_events"],
+            r["session_start_us"] - base_us, r["session_end_us"] - base_us,
+            r["closed_by"],
+        )
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    assert got == {
+        (1, 1, 2, 0, 1_000_000, "gap"),
+        (1, 2, 1, 30_000_000, 30_000_000, "watermark"),
+        # user2's events arrived in DIFFERENT batches -> one session
+        (2, 1, 2, 2_000_000, 3_000_000, "watermark"),
+    }
