@@ -161,7 +161,6 @@ PRIORITY = [
     "date_parse_roundtrip",
     "embedding_near_dups",
     "embedding_near_dups_planted",
-    "exact_dedup",
 ]
 # r11 PRIORITY candidates (staleness head after the r10 sweep): the 34
 # remaining r6-rows in name order — filter_conjunction, fingerprints,
