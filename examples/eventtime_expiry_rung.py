@@ -28,7 +28,6 @@ from __future__ import annotations
 
 import json
 import os
-import shutil
 import sys
 import time
 
@@ -126,15 +125,14 @@ def main() -> None:
         ).alias("ts"),
     )
 
+    # the shared fixture publisher owns the load-bearing mtime pinning
+    # (coarse-granularity timestamp ties silently invert delivery order)
+    from pharmaceutical_sales_data_etl_analysis_pipeline_spark.operators.streamingq import (
+        _publish_single_file_batch,
+    )
+
     def publish(df, name: str, seq: int) -> None:
-        stage = os.path.join(work, f"stage_{name}")
-        df.coalesce(1).write.parquet(stage)
-        part = [f for f in os.listdir(stage) if f.endswith(".parquet")]
-        assert len(part) == 1
-        final = os.path.join(src, f"{name}.parquet")
-        os.rename(os.path.join(stage, part[0]), final)
-        os.utime(final, (1_000_000_000 + 60 * seq, 1_000_000_000 + 60 * seq))
-        shutil.rmtree(stage)
+        _publish_single_file_batch(spark, df, src, name, seq)
 
     for j in range(n_slices):
         publish(events.filter(F.col("slice") == j).drop("slice"), f"s{j:03d}", j)
@@ -155,6 +153,10 @@ def main() -> None:
         spark.read.parquet(short["out_dir"])
         .filter(F.col("user_id") >= 0)
         .select("user_id", "n_events", "session_start_us", "session_end_us")
+        # a replayed foreachBatch epoch re-appends byte-identical rows;
+        # collapse them like the registered query does, or the multiset
+        # exceptAll below would report a false mismatch
+        .distinct()
     )
     want = events.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_events"),

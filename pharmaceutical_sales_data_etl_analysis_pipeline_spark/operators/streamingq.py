@@ -1106,10 +1106,21 @@ def stream_session_event_expiry(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("user_id").cast("long").alias("user_id"), "ts")
     )
     # one bounded driver round-trip sizes the time slices (eager-build
-    # class, documented in registry.py)
-    lo, hi = ev.agg(
-        F.min(F.unix_micros("ts")), F.max(F.unix_micros("ts"))
+    # class, documented in registry.py) and guards the sentinel's
+    # reserved id: user -1 must not exist in the live domain, or its
+    # row would merge into that key's state while the read-back filter
+    # dropped the sessions the oracle keeps
+    lo, hi, min_uid = ev.agg(
+        F.min(F.unix_micros("ts")),
+        F.max(F.unix_micros("ts")),
+        F.min("user_id"),
     ).first()
+    if min_uid < 0:
+        raise ValueError(
+            f"events.user_id contains negative ids (min={min_uid}); the "
+            "watermark sentinel reserves user_id=-1 and the read-back "
+            "filters user_id>=0 — pick a sentinel outside the live domain"
+        )
     span = (hi - lo) // EVENT_SESSION_SLICES + 1
     for j in range(EVENT_SESSION_SLICES):
         us = F.unix_micros(F.col("ts"))
@@ -1139,14 +1150,23 @@ def stream_session_event_expiry(spark: SparkSession, sf_dir: str) -> DataFrame:
     def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
         batch_df.write.mode("append").parquet(out_dir)
 
-    (
+    q = (
         sessions.writeStream.outputMode("append")
         .foreachBatch(write_batch)
         .option("checkpointLocation", ckpt_dir)
         .trigger(availableNow=True)
         .start()
-        .awaitTermination()
     )
+    # self-termination is an ENGINE property (one extra batch per
+    # watermark advance) — bound the wait anyway so a version/config
+    # drift surfaces as a named error, not a wedged driver sweep
+    if not q.awaitTermination(300):
+        q.stop()
+        raise RuntimeError(
+            "stream_session_event_expiry did not self-terminate within "
+            "300s — the availableNow + EventTimeTimeout termination "
+            "contract no longer holds on this engine"
+        )
 
     emitted = (
         spark.read.parquet(out_dir)

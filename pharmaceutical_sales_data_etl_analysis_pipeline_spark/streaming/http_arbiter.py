@@ -208,8 +208,10 @@ class HttpCommitArbiter:
                     f"arbiter rejected credentials (401): {detail} — check "
                     "SPARK_GRAFT_ARBITER_AUTHKEY"
                 )
-            if exc.code in (502, 503, 504):
-                # service/gateway outage: genuinely transient/ambiguous
+            if exc.code in (408, 429, 502, 503, 504):
+                # service/gateway outage, request timeout, or throttling:
+                # genuinely transient/ambiguous — retryable/reconcilable
+                # (a rate-limited CAS burst must back off, not die)
                 raise ArbiterUnavailableError(
                     f"arbiter HTTP {exc.code}: {detail or exc.reason}"
                 )

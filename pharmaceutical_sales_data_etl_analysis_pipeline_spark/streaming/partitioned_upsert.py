@@ -1984,7 +1984,17 @@ def _reconcile_ambiguous_append(
     error rather than guess."""
     versions = _list_manifests(spark, state_dir)  # triggers self-heal
     for v in reversed(versions):
-        if vname in _read_manifest(spark, state_dir, v).get("deltas", []):
+        try:
+            m = _read_manifest(spark, state_dir, v)
+        except Exception:
+            # vacuumed between the listing and this read (concurrent
+            # retention). Safe to skip: retention only deletes a plain
+            # same-id manifest once its compaction supersedes it, and
+            # that compaction — still in `versions` by name — routes the
+            # negative case into the fail-stop branch below, never into
+            # the retry that could double-append
+            continue
+        if vname in m.get("deltas", []):
             _LOG.warning(
                 "ambiguous arbiter outcome for batch %s in %s reconciled "
                 "as COMMITTED (own attempt %s found in manifest %s): %s",

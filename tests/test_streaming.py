@@ -949,15 +949,18 @@ def test_event_time_sessions_deterministic_watermark_close(spark, tmp_path):
         [(1, ts(30)), (2, ts(3))],  # user1: >10s gap; user2: same session
         [(-1, ts(120))],  # watermark sentinel
     ]
+    from pharmaceutical_sales_data_etl_analysis_pipeline_spark.operators.streamingq import (
+        _publish_single_file_batch,
+    )
+
     for i, rows in enumerate(batches):
-        stage = str(tmp_path / f"stage{i}")
-        spark.createDataFrame(rows, "user_id long, ts timestamp").coalesce(
-            1
-        ).write.parquet(stage)
-        part = [f for f in _os.listdir(stage) if f.endswith(".parquet")][0]
-        final = f"{src}/f{i}.parquet"
-        _os.rename(f"{stage}/{part}", final)
-        _os.utime(final, (1_000_000_000 + 60 * i, 1_000_000_000 + 60 * i))
+        _publish_single_file_batch(
+            spark,
+            spark.createDataFrame(rows, "user_id long, ts timestamp"),
+            src,
+            f"f{i}",
+            seq=i,
+        )
 
     stream = (
         spark.readStream.schema("user_id long, ts timestamp")
