@@ -253,3 +253,54 @@ class HttpCommitArbiter:
 
     def fail_next(self, n=1):
         return self._call("fail_next", n=n)
+
+
+def main(argv: list[str] | None = None) -> None:
+    """Standalone service launcher — the deployment artifact a cluster
+    actually runs:
+
+        python -m pharmaceutical_sales_data_etl_analysis_pipeline_spark.streaming.http_arbiter \
+            [HOST] [PORT]
+
+    The bearer token comes from SPARK_GRAFT_ARBITER_AUTHKEY (required —
+    an unauthenticated commit arbiter would let any process on the
+    network win commit races). Prints one JSON line with the bound
+    address, then serves until SIGINT/SIGTERM. Drivers point at it with
+    SPARK_GRAFT_LOG_STORE=arbiter and
+    SPARK_GRAFT_ARBITER_ENDPOINT=http://HOST:PORT."""
+    import json as _json
+    import os as _os
+    import signal
+    import sys as _sys
+
+    args = list(argv if argv is not None else _sys.argv[1:])
+    host = args[0] if len(args) > 0 else "127.0.0.1"
+    port = int(args[1]) if len(args) > 1 else 0
+    token = _os.environ.get("SPARK_GRAFT_ARBITER_AUTHKEY")
+    if not token:
+        raise SystemExit(
+            "SPARK_GRAFT_ARBITER_AUTHKEY is required — refusing to serve "
+            "an unauthenticated commit arbiter"
+        )
+    srv = HttpArbiterServer(token, address=(host, port)).start()
+    bound_host, bound_port = srv.address
+    print(
+        _json.dumps(
+            {
+                "service": "spark-graft-http-arbiter",
+                "endpoint": f"http://{bound_host}:{bound_port}",
+            }
+        ),
+        flush=True,
+    )
+    stop = threading.Event()
+    for sig in (signal.SIGINT, signal.SIGTERM):
+        signal.signal(sig, lambda *_: stop.set())
+    try:
+        stop.wait()
+    finally:
+        srv.shutdown()
+
+
+if __name__ == "__main__":
+    main()

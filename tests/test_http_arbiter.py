@@ -219,3 +219,52 @@ def test_protocol_errors_are_loud_not_retryable(http_server):
     # TypeError inside the dispatch -> 500 -> loud protocol error
     with pytest.raises(RuntimeError, match="protocol error HTTP 500"):
         c._call("records")
+
+
+def test_standalone_launcher_serves_and_requires_token(tmp_path):
+    """The __main__ launcher is the deployment artifact: it refuses to
+    start without a token, prints its bound endpoint as one JSON line,
+    and a client round-trips through the spawned process."""
+    import json as _json
+    import os as _os
+    import signal as _signal
+    import subprocess as _sp
+    import sys as _sys
+    import time as _time
+
+    mod = (
+        "pharmaceutical_sales_data_etl_analysis_pipeline_spark"
+        ".streaming.http_arbiter"
+    )
+    repo = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+    # no token -> refuses
+    r = _sp.run(
+        [_sys.executable, "-m", mod],
+        env={k: v for k, v in _os.environ.items()
+             if k != "SPARK_GRAFT_ARBITER_AUTHKEY"},
+        cwd=repo,
+        capture_output=True,
+        text=True,
+        timeout=60,
+    )
+    assert r.returncode != 0 and "AUTHKEY" in (r.stderr + r.stdout)
+
+    # with token -> serves; client round-trips
+    proc = _sp.Popen(
+        [_sys.executable, "-m", mod, "127.0.0.1", "0"],
+        env={**_os.environ, "SPARK_GRAFT_ARBITER_AUTHKEY": "launch-tok"},
+        cwd=repo,
+        stdout=_sp.PIPE,
+        text=True,
+    )
+    try:
+        line = proc.stdout.readline()
+        endpoint = _json.loads(line)["endpoint"]
+        c = HttpCommitArbiter(endpoint, "launch-tok", timeout_s=10)
+        c.seed("t", ["v000000000"])
+        assert c.records("t") == {"v000000000": None}
+        with pytest.raises(PermissionError):
+            HttpCommitArbiter(endpoint, "wrong", timeout_s=10).records("t")
+    finally:
+        proc.send_signal(_signal.SIGTERM)
+        assert proc.wait(timeout=30) == 0
