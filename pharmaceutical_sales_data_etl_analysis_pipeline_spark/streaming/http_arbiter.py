@@ -35,6 +35,7 @@ writer-side contract unchanged — which is the proof the seam suffices.
 
 from __future__ import annotations
 
+import hmac
 import json
 import threading
 import time
@@ -98,7 +99,10 @@ class HttpArbiterServer:
 
             def _authed(self) -> bool:
                 got = self.headers.get("Authorization", "")
-                return got == f"Bearer {outer._token}"
+                # constant-time: this service is network-exposed, so a
+                # plain == would leak match-prefix timing to anyone who
+                # can reach the socket
+                return hmac.compare_digest(got, f"Bearer {outer._token}")
 
             def _dispatch(self, method: str, args: dict) -> None:
                 if not self._authed():

@@ -221,6 +221,27 @@ def test_protocol_errors_are_loud_not_retryable(http_server):
         c._call("records")
 
 
+def test_token_compare_is_constant_time(http_server):
+    """The bearer check must go through hmac.compare_digest (r10 VERDICT
+    nit): a plain == leaks match-prefix timing to anyone who can reach
+    the socket. Pin the implementation AND prove auth still works both
+    ways through a live round trip."""
+    import inspect
+
+    import pharmaceutical_sales_data_etl_analysis_pipeline_spark.streaming.http_arbiter as ha
+
+    src = inspect.getsource(ha.HttpArbiterServer.__init__)
+    assert "hmac.compare_digest" in src
+    # correct token: live round trip succeeds
+    good = _client(http_server)
+    good.seed("ct", ["v000000000"])
+    assert good.records("ct") == {"v000000000": None}
+    # wrong token (same length — the case a naive length check passes):
+    # still 401
+    with pytest.raises(PermissionError):
+        _client(http_server, token="X" * len(TOKEN)).records("ct")
+
+
 def test_standalone_launcher_serves_and_requires_token(tmp_path):
     """The __main__ launcher is the deployment artifact: it refuses to
     start without a token, prints its bound endpoint as one JSON line,
