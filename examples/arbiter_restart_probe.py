@@ -1,0 +1,292 @@
+#!/usr/bin/env python3
+"""Kill and restart the REAL HTTP commit arbiter under a 4-writer race.
+
+The r10 verdict named arbiter crash+restart the last unproven
+commit-protocol seam and predicted a fifth probe-caught bug; the probe
+doctrine (3 live bugs in r9, 1 in r10) says assume it exists. It did —
+twice, both found while building THIS probe (r11):
+
+1. LIVENESS: a surviving client caches its per-table seed, so a
+   restarted (amnesiac) arbiter never learned the committed names and
+   every CAS rejected forever. Fix: re-seed the writer's basis before
+   each CAS (logstore.ArbiterLogStore.commit).
+2. DOUBLE-WIN CLOBBER: a CAS won at incarnation A whose finalize runs
+   after the restart could be re-won at incarnation B by another
+   writer; both finalizes raced an OVERWRITE rename, last-wins —
+   silently losing a batch. Fix: fresh-commit finalize is FIRST-WINS
+   (plain rename refuses an existing destination; the loser cleans up
+   and raises the retry-safe conflict).
+
+Topology: the parent launches the standalone authenticated HTTP arbiter
+(streaming/http_arbiter.py __main__) as a REAL OS process, races
+N_WRITERS driver processes through it (optimistic MoR appends with
+outage_retry_s — the reconciliation-retrying writer mode), SIGKILLs the
+arbiter once roughly a third of the slices have committed, and restarts
+it on the SAME port with EMPTY in-memory state. Writers ride through the
+outage: reads retry, ambiguous commits re-run the attempt-exact
+reconciliation, and amnesia is healed by the per-commit basis seed.
+
+PASS = every slice committed exactly once (commit ids a clean 0..N-1
+permutation), the folded read equals the one-shot batch aggregate
+bit-exactly, at least one writer observed the outage (outage_retries >=
+1 — otherwise the kill landed in dead air and the parent re-runs with a
+fresh state), and at least one commit race was observed.
+
+Usage: python examples/arbiter_restart_probe.py SF_DIR [SLICES_PER_WRITER] [N_WRITERS]
+Writer-subprocess mode (internal): ... --writer STATE_DIR WIDTH SLICE_DIR...
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import signal
+import socket
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+OUTAGE_RETRY_S = 120.0
+
+
+def writer_main() -> None:
+    """Subprocess entry: append each slice optimistically, riding
+    through arbiter outages via outage_retry_s; one JSON line."""
+    state_dir, width = sys.argv[2], int(sys.argv[3])
+    slice_dirs = sys.argv[4:]
+    from pharmaceutical_sales_data_etl_analysis_pipeline_spark.session import get_spark
+    from pharmaceutical_sales_data_etl_analysis_pipeline_spark.streaming.partitioned_upsert import (
+        append_delta_batch_optimistic,
+    )
+
+    spark = get_spark(f"restart-writer-{os.getpid()}", shuffle_partitions=8)
+    spark.sparkContext.setLogLevel("ERROR")
+    stats: dict = {}
+    commits = []
+    t0 = time.monotonic()
+    for d in slice_dirs:
+        df = spark.read.parquet(d)
+        commits.append(
+            append_delta_batch_optimistic(
+                spark,
+                state_dir,
+                df,
+                range_width=width,
+                stats=stats,
+                outage_retry_s=OUTAGE_RETRY_S,
+            )
+        )
+    print(
+        json.dumps(
+            {
+                "pid": os.getpid(),
+                "commits": commits,
+                "conflicts": stats.get("conflicts", 0),
+                "outage_retries": stats.get("outage_retries", 0),
+                "wall_s": round(time.monotonic() - t0, 2),
+            }
+        )
+    )
+
+
+def _free_port() -> int:
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def _launch_arbiter(port: int, token: str, tag: str, work: str):
+    """Start the standalone HTTP arbiter service process; wait for its
+    bound-endpoint JSON line."""
+    errlog = open(os.path.join(work, f"arbiter_{tag}.stderr"), "w")
+    proc = subprocess.Popen(
+        [
+            sys.executable,
+            "-m",
+            "pharmaceutical_sales_data_etl_analysis_pipeline_spark.streaming.http_arbiter",
+            "127.0.0.1",
+            str(port),
+        ],
+        env={**os.environ, "SPARK_GRAFT_ARBITER_AUTHKEY": token},
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        stdout=subprocess.PIPE,
+        stderr=errlog,
+        text=True,
+    )
+    line = proc.stdout.readline()
+    endpoint = json.loads(line)["endpoint"]
+    return proc, errlog, endpoint
+
+
+def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "--writer":
+        writer_main()
+        return
+
+    sf_dir = sys.argv[1]
+    n_per_writer = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+    n_writers = int(sys.argv[3]) if len(sys.argv) > 3 else 4
+
+    from pyspark.sql import functions as F
+
+    from pharmaceutical_sales_data_etl_analysis_pipeline_spark.catalog import load_table
+    from pharmaceutical_sales_data_etl_analysis_pipeline_spark.session import get_spark
+
+    spark = get_spark("arbiter-restart-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    work = f"/tmp/arb_restart_{os.path.basename(os.path.normpath(sf_dir))}_{int(time.time())}"
+    n_slices = n_writers * n_per_writer
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("key"),
+        F.col("o_totalprice").alias("amount"),
+        F.col("o_orderkey").alias("okey"),
+    )
+    max_key = orders.agg(F.max("key")).first()[0]
+    width = max(100, math.ceil((max_key + 1) / 16))
+    slice_dirs = []
+    for j in range(n_slices):
+        d = os.path.join(work, f"slice{j}")
+        orders.filter(F.col("okey") % n_slices == j).drop("okey").write.parquet(d)
+        slice_dirs.append(d)
+
+    token = f"restart-probe-{os.getpid()}"
+    me = os.path.abspath(__file__)
+
+    def launch(state: str, kill_after_manifests: int):
+        port = _free_port()
+        arb, arb_err, endpoint = _launch_arbiter(port, token, "a", work)
+        env = dict(
+            os.environ,
+            SPARK_GRAFT_LOG_STORE="arbiter",
+            SPARK_GRAFT_ARBITER_ENDPOINT=endpoint,
+            SPARK_GRAFT_ARBITER_AUTHKEY=token,
+        )
+        t0 = time.monotonic()
+        procs = []
+        for k in range(n_writers):
+            errlog = open(os.path.join(work, f"writer{k}.stderr"), "w")
+            procs.append(
+                (
+                    subprocess.Popen(
+                        [sys.executable, me, "--writer", state, str(width)]
+                        + slice_dirs[k::n_writers],
+                        env=env,
+                        stdout=subprocess.PIPE,
+                        stderr=errlog,
+                        text=True,
+                    ),
+                    errlog,
+                )
+            )
+
+        # wait for commit traffic, then SIGKILL the arbiter MID-RACE:
+        # in-flight sockets reset (ambiguous outcomes), queued requests
+        # refuse (definite outages); restart on the SAME port with a
+        # fresh, empty record table (the amnesia under test)
+        mdir = os.path.join(state, "manifests")
+        deadline = time.monotonic() + 600
+        while time.monotonic() < deadline:
+            n = (
+                len([f for f in os.listdir(mdir) if f.endswith(".json")])
+                if os.path.isdir(mdir)
+                else 0
+            )
+            if n >= kill_after_manifests:
+                break
+            time.sleep(0.05)
+        arb.send_signal(signal.SIGKILL)
+        arb.wait(timeout=30)
+        arb_err.close()
+        outage_s = 1.5
+        time.sleep(outage_s)
+        arb2, arb2_err, endpoint2 = _launch_arbiter(port, token, "b", work)
+        if endpoint2 != endpoint:
+            raise SystemExit(
+                f"restarted arbiter bound {endpoint2} != {endpoint}"
+            )
+        outs = []
+        try:
+            for p, errlog in procs:
+                out, _ = p.communicate(timeout=1200)
+                errlog.close()
+                if p.returncode != 0:
+                    raise SystemExit(
+                        f"writer {p.pid} failed rc={p.returncode} — see {errlog.name}"
+                    )
+                outs.append(json.loads(out.strip().splitlines()[-1]))
+        finally:
+            arb2.send_signal(signal.SIGTERM)
+            arb2.wait(timeout=30)
+            arb2_err.close()
+        return outs, time.monotonic() - t0
+
+    reports: list[dict] = []
+    wall = 0.0
+    attempt = 0
+    state = ""
+    # re-run on a fresh state until the kill provably landed mid-race
+    # (some writer observed the outage) — a kill in dead air is vacuous
+    while attempt < 4:
+        attempt += 1
+        state = os.path.join(work, f"state{attempt}")
+        kill_at = max(2, n_slices // 3) if attempt % 2 else 1
+        reports, wall = launch(state, kill_at)
+        if sum(r["outage_retries"] for r in reports) > 0:
+            break
+
+    all_ids = sorted(i for r in reports for i in r["commits"])
+    if all_ids != list(range(n_slices)):
+        raise SystemExit(f"commit ids not a clean 0..{n_slices-1}: {all_ids}")
+    total_outage = sum(r["outage_retries"] for r in reports)
+    if total_outage == 0:
+        raise SystemExit(
+            "no writer observed the outage in any run — the restart was "
+            "never exercised; probe vacuous"
+        )
+    total_conflicts = sum(r["conflicts"] for r in reports)
+
+    from pharmaceutical_sales_data_etl_analysis_pipeline_spark.streaming.partitioned_upsert import (
+        read_latest_partitioned_state,
+    )
+
+    got = read_latest_partitioned_state(spark, state)
+    want = (
+        orders.drop("okey")
+        .groupBy("key")
+        .agg(
+            F.sum(F.col("amount").cast("decimal(18,2)")).cast("double").alias("total"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+    n_mismatch = got.exceptAll(want).count() + want.exceptAll(got).count()
+    if n_mismatch:
+        raise SystemExit(f"EXACTNESS FAILED: {n_mismatch} mismatching rows")
+
+    print(
+        json.dumps(
+            {
+                "rung": "arbiter_restart",
+                "sf_dir": sf_dir,
+                "writers": n_writers,
+                "slices": n_slices,
+                "commit_ids": all_ids,
+                "conflicts": total_conflicts,
+                "outage_retries": total_outage,
+                "race_runs": attempt,
+                "writer_walls_s": [r["wall_s"] for r in reports],
+                "wall_s": round(wall, 2),
+                "exact": True,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -183,6 +183,46 @@ def seq_writer_main() -> None:
     )
 
 
+def seq_takeover_main() -> None:
+    """Subprocess entry: the runbook's takeover path — a NEW producer
+    claims a fenced table whose owner is dead, with takeover=True and
+    batch ids strictly above the owner's newest. One JSON line."""
+    state_dir, width, tag = sys.argv[2], int(sys.argv[3]), sys.argv[4]
+    start_id = int(sys.argv[5])
+    slice_dirs = sys.argv[6:]
+    from pharmaceutical_sales_data_etl_analysis_pipeline_spark.session import get_spark
+    from pharmaceutical_sales_data_etl_analysis_pipeline_spark.streaming.partitioned_upsert import (
+        append_delta_batch,
+    )
+
+    spark = get_spark(f"seq-takeover-{tag}-{os.getpid()}", shuffle_partitions=8)
+    spark.sparkContext.setLogLevel("ERROR")
+    commits: list[int] = []
+    t0 = time.monotonic()
+    for k, d in enumerate(slice_dirs):
+        df = spark.read.parquet(d)
+        append_delta_batch(
+            spark,
+            state_dir,
+            df,
+            start_id + k,
+            range_width=width,
+            writer_id=f"writer-{tag}",
+            takeover=True,
+        )
+        commits.append(start_id + k)
+    print(
+        json.dumps(
+            {
+                "pid": os.getpid(),
+                "tag": tag,
+                "commits": commits,
+                "wall_s": round(time.monotonic() - t0, 2),
+            }
+        )
+    )
+
+
 def seq_fence_probe(sf_dir: str, store: str) -> None:
     """Parent: race two independent sequenced producers on one table."""
     from pyspark.sql import functions as F
@@ -267,29 +307,77 @@ def seq_fence_probe(sf_dir: str, store: str) -> None:
                     f"fence failure) — see {errlog.name}"
                 )
             outs.append(json.loads(out.strip().splitlines()[-1]))
+
+        winners = [r for r in outs if not r["fenced"]]
+        losers = [r for r in outs if r["fenced"]]
+        if len(winners) != 1 or len(losers) != 1:
+            raise SystemExit(
+                f"expected exactly one fenced writer, got {outs} — two "
+                "completing producers would mean the silent mis-sequence "
+                "the fence exists to prevent"
+            )
+        if len(winners[0]["commits"]) != n_slices:
+            raise SystemExit(f"winner did not land its whole log: {winners[0]}")
+
+        # TAKEOVER-AFTER-OWNER-DEATH (r11 runbook, SCALE.md): the
+        # winner's PROCESS exited above — the owner is dead and the
+        # lease still fences the table. A THIRD producer claims it the
+        # documented way: takeover=True, batch ids strictly above the
+        # owner's newest, seq continuing above the recorded max_seq.
+        # Runs inside this try so the arbiter/http service is still up.
+        takeover_log = (
+            logs[winners[0]["tag"]]
+            .withColumn("amount", F.col("amount") + 5000)
+            .withColumn("seq", (F.col("seq") + F.lit(n)).cast("long"))
+            .filter(F.col("seq") <= n + 2 * span)  # two slices' worth
+        )
+        tdirs = []
+        for j in range(2):
+            d = os.path.join(work, f"T_slice{j}")
+            takeover_log.filter(
+                (F.col("seq") > n + j * span) & (F.col("seq") <= n + (j + 1) * span)
+            ).write.parquet(d)
+            tdirs.append(d)
+        terr = open(os.path.join(work, "seq_T.stderr"), "w")
+        tproc = subprocess.Popen(
+            [sys.executable, me, "--seq-takeover", state, str(width), "T",
+             str(n_slices)] + tdirs,
+            env=env,
+            stdout=subprocess.PIPE,
+            stderr=terr,
+            text=True,
+        )
+        tout, _ = tproc.communicate(timeout=1200)
+        terr.close()
+        if tproc.returncode != 0:
+            raise SystemExit(
+                f"takeover writer crashed rc={tproc.returncode} — see {terr.name}"
+            )
+        trep = json.loads(tout.strip().splitlines()[-1])
+        if trep["commits"] != [n_slices, n_slices + 1]:
+            raise SystemExit(f"takeover writer did not land its batches: {trep}")
     finally:
         if mgr is not None:
             mgr.shutdown()
     wall = time.monotonic() - t0
 
-    winners = [r for r in outs if not r["fenced"]]
-    losers = [r for r in outs if r["fenced"]]
-    if len(winners) != 1 or len(losers) != 1:
-        raise SystemExit(
-            f"expected exactly one fenced writer, got {outs} — two "
-            "completing producers would mean the silent mis-sequence the "
-            "fence exists to prevent"
-        )
-    if len(winners[0]["commits"]) != n_slices:
-        raise SystemExit(f"winner did not land its whole log: {winners[0]}")
-
     from pharmaceutical_sales_data_etl_analysis_pipeline_spark.streaming.partitioned_upsert import (
+        _list_manifests,
+        _read_manifest,
         read_latest_partitioned_state,
     )
+
+    newest = _read_manifest(spark, state, _list_manifests(spark, state)[-1])
+    if newest.get("writer_id") != "writer-T":
+        raise SystemExit(
+            f"lease did not move to the takeover writer: {newest.get('writer_id')}"
+        )
 
     got = read_latest_partitioned_state(spark, state)
     want = (
         logs[winners[0]["tag"]]
+        .select("key", "amount")
+        .unionByName(takeover_log.select("key", "amount"))
         .groupBy("key")
         .agg(
             F.sum(F.col("amount").cast("decimal(18,2)")).cast("double").alias("total"),
@@ -300,7 +388,8 @@ def seq_fence_probe(sf_dir: str, store: str) -> None:
     if n_mismatch:
         raise SystemExit(
             f"EXACTNESS FAILED: {n_mismatch} mismatching rows — the loser "
-            "leaked content into the winner's lineage"
+            "leaked content into the winner's lineage, or the takeover "
+            "misfolded"
         )
     print(
         json.dumps(
@@ -312,6 +401,8 @@ def seq_fence_probe(sf_dir: str, store: str) -> None:
                 "winner_commits": winners[0]["commits"],
                 "loser_commits": losers[0]["commits"],
                 "loser_error": losers[0]["error"][:160],
+                "takeover_commits": trep["commits"],
+                "lease_after": newest.get("writer_id"),
                 "wall_s": round(wall, 2),
                 "exact": True,
             }
@@ -381,6 +472,9 @@ def main() -> None:
         return
     if len(sys.argv) > 1 and sys.argv[1] == "--seq-writer":
         seq_writer_main()
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "--seq-takeover":
+        seq_takeover_main()
         return
     if len(sys.argv) > 2 and sys.argv[2] == "seq":
         seq_fence_probe(

@@ -78,6 +78,22 @@ class ConcurrentCommitError(RuntimeError):
     conditional-put writers raced and this one lost)."""
 
 
+def is_commit_not_found(exc: BaseException) -> bool:
+    """True iff `exc` means the commit FILE is absent (vacuumed between a
+    listing and the read, or never written) — as opposed to a transport
+    or I/O failure where the file may exist but the read flaked. Callers
+    that scan manifests for a positive proof (e.g. the ambiguous-append
+    reconciliation) may SKIP a not-found manifest but must FAIL-STOP on
+    any other read error: treating a transient read failure as "vacuumed"
+    can misclassify a committed batch as lost and double-append it
+    (ADVICE r10). Matches Python's FileNotFoundError and the py4j-wrapped
+    java.io.FileNotFoundException Hadoop's open() raises (the Java class
+    name appears in the py4j error text)."""
+    if isinstance(exc, FileNotFoundError):
+        return True
+    return "FileNotFoundException" in f"{type(exc).__name__}: {exc}"
+
+
 class ManifestLogStore:
     """Commit-protocol interface for a manifest directory.
 
@@ -709,6 +725,17 @@ class ArbiterLogStore(ManifestLogStore):
         fs, _, jvm = _fs_and_path(spark, manifest_dir)
         hpath = jvm.org.apache.hadoop.fs.Path
         fs.mkdirs(hpath(manifest_dir))
+        fresh = name not in expected  # replay re-publish when False
+        if fresh and fs.exists(hpath(f"{manifest_dir}/{name}.json")):
+            # pre-CAS fast loss: the name is already FINAL on the FS but
+            # absent from our basis — a foreign commit landed (possibly
+            # across an arbiter RESTART whose amnesiac record table would
+            # let our CAS through). Reject before staging anything.
+            raise ConcurrentCommitError(
+                f"commit of {name} rejected: the manifest already exists "
+                "on the filesystem outside this writer's basis — refresh "
+                "the basis and retry"
+            )
         staged_name = f".staged.{name}.{uuid.uuid4().hex}.json"
         staged = f"{manifest_dir}/{staged_name}"
         out = fs.create(hpath(staged), True)
@@ -716,6 +743,17 @@ class ArbiterLogStore(ManifestLogStore):
             out.write(bytearray(json.dumps(payload, sort_keys=True).encode("utf-8")))
         finally:
             out.close()
+        # RESTART-AMNESIA GUARD (r11, probe-caught): the arbiter's record
+        # table may be in-memory — a restarted service knows nothing, and
+        # a SURVIVING client never re-seeds (the table key is cached in
+        # self._seeded), so every CAS would compare a non-empty FS basis
+        # against an empty arbiter listing and reject FOREVER (liveness
+        # bug found by examples/arbiter_restart_probe.py). Re-seeding the
+        # basis before each CAS is truthful (every basis name is a FINAL
+        # manifest on the FS), idempotent (seed never clobbers live
+        # records), and one cheap RPC; a DURABLE store (DynamoDB) makes
+        # it a no-op.
+        self.arbiter.seed(table, list(expected))
         try:
             self.arbiter.cas(table, expected, name, staged_name)
         except ConcurrentCommitError:
@@ -735,9 +773,20 @@ class ArbiterLogStore(ManifestLogStore):
             # _reconcile_ambiguous_append (re-list => self-heal => check
             # whether their attempt actually committed).
             raise
-        self._finalize(spark, manifest_dir, table, name, staged_name)
+        self._finalize(
+            spark, manifest_dir, table, name, staged_name,
+            allow_overwrite=not fresh,
+        )
 
-    def _finalize(self, spark, manifest_dir, table, name, staged_name) -> None:
+    def _finalize(
+        self,
+        spark,
+        manifest_dir,
+        table,
+        name,
+        staged_name,
+        allow_overwrite: bool = True,
+    ) -> None:
         """Idempotent under the DOUBLE-FINALIZE race: the winner's own
         finalize and any reader's self-heal rename the SAME staged file,
         and a concurrent healer can win between our exists() check and
@@ -745,17 +794,55 @@ class ArbiterLogStore(ManifestLogStore):
         FileNotFoundException on the winner's rename). Either finisher
         produces the identical final file, so 'staged gone but final
         present' IS success; 'staged gone and final absent' is real
-        loss and stays loud."""
+        loss and stays loud.
+
+        `allow_overwrite=False` (fresh commits, name not in the writer's
+        basis): the rename is FIRST-WINS (plain FileSystem.rename refuses
+        an existing destination). This closes the restart-amnesia
+        double-win: if a previous arbiter incarnation's winner already
+        finalized this name with DIFFERENT content, our CAS won only
+        against the restarted, amnesiac record table — an overwrite
+        rename would silently clobber the visible manifest and LOSE the
+        first winner's batch. Losing side cleans its record + staged
+        file (so no later healer re-clobbers) and raises the retry-safe
+        conflict. Replays and reader self-heals keep overwrite semantics
+        (same logical state by contract)."""
         fs, _, jvm = _fs_and_path(spark, manifest_dir)
         hpath = jvm.org.apache.hadoop.fs.Path
         staged = hpath(f"{manifest_dir}/{staged_name}")
         final = hpath(f"{manifest_dir}/{name}.json")
         if fs.exists(staged):
-            try:
-                _rename_overwrite(spark, jvm, fs, staged, final)
-            except Exception:
-                if not fs.exists(final):
-                    raise
+            if allow_overwrite:
+                try:
+                    _rename_overwrite(spark, jvm, fs, staged, final)
+                except Exception:
+                    if not fs.exists(final):
+                        raise
+            elif not fs.rename(staged, final):
+                staged_still = fs.exists(staged)
+                final_there = fs.exists(final)
+                if staged_still and final_there:
+                    # restart-amnesia double-win, second finisher: the
+                    # name went final under ANOTHER incarnation's winner.
+                    # First-wins — drop our record BEFORE the staged file
+                    # so a racing healer cannot resurrect it, then lose
+                    # loudly (retry-safe: nothing of ours is visible; our
+                    # delta dir is attempt-unique debris for retention)
+                    self.arbiter.forget(table, name)
+                    fs.delete(staged, False)
+                    raise ConcurrentCommitError(
+                        f"finalize of {name} in {manifest_dir} lost a "
+                        "first-wins race: the manifest was finalized by "
+                        "another writer (arbiter restart amnesia or a "
+                        "concurrent incarnation) — retry with a fresh basis"
+                    )
+                if not final_there:
+                    raise IOError(
+                        f"finalize of {name} in {manifest_dir}: rename "
+                        "failed with no final manifest present"
+                    )
+                # staged gone + final present: a concurrent healer
+                # finished OUR commit from the same staged file — success
         elif not fs.exists(final):
             raise IOError(
                 f"finalize of {name} in {manifest_dir}: staged file "

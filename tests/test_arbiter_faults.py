@@ -265,6 +265,90 @@ def test_env_fault_spec_parsing(monkeypatch, tmp_path):
         mgr.shutdown()
 
 
+def test_reconciliation_fail_stops_on_transient_manifest_read_error(
+    spark, tmp_path, monkeypatch
+):
+    """ADVICE r10 (medium): the reconcile scan used to swallow ALL read
+    exceptions as 'vacuumed', so a transient FS/arbiter hiccup while
+    reading the manifest that references OUR OWN delta fell through to
+    'nothing landed — retry', and the retry double-appended the batch.
+    Now only a store not-found is skippable; any other read failure
+    re-raises the ORIGINAL ambiguity (fail-stop, resolve on replay)."""
+    store, _server = _store({})
+    prev = pu.set_log_store(store)
+    try:
+        state = str(tmp_path / "state")
+        pu.append_delta_batch(spark, state, _df(spark, [(1, 1.0)]), 0, range_width=16)
+        pu.append_delta_batch(spark, state, _df(spark, [(2, 2.0)]), 1, range_width=16)
+        versions = pu._list_manifests(spark, state)
+        m1 = pu._read_manifest(spark, state, versions[-1])
+        (vname,) = [d for d in m1["deltas"] if d.startswith("v000000001")]
+        err = ArbiterUnavailableError("simulated lost response")
+
+        real_read = pu._read_manifest
+
+        def flaky_read(spark_, state_, version):
+            raise IOError("connection reset by peer")
+
+        monkeypatch.setattr(pu, "_read_manifest", flaky_read)
+        # the manifest naming our attempt is unreadable -> fail-stop on
+        # the ORIGINAL error, never the retry-safe conflict
+        with pytest.raises(ArbiterUnavailableError, match="lost response"):
+            pu._reconcile_ambiguous_append(spark, state, 1, vname, err)
+
+        # a genuine not-found is still skippable: fail only the NEWEST
+        # manifest's read; the attempt also appears in no older manifest,
+        # and the same-id name vanished -> unknowable -> fail-stop too
+        def vanished_read(spark_, state_, version):
+            if version == versions[-1]:
+                raise FileNotFoundError(f"{version}.json")
+            return real_read(spark_, state_, version)
+
+        monkeypatch.setattr(pu, "_read_manifest", vanished_read)
+        with pytest.raises(ArbiterUnavailableError, match="lost response"):
+            pu._reconcile_ambiguous_append(spark, state, 1, vname, err)
+        # but a vanished FOREIGN-id manifest does not poison the positive
+        # proof: batch 0's manifest vanishing leaves batch 1's readable
+        # manifest to prove our attempt committed
+        def vanished_other(spark_, state_, version):
+            if version == versions[0]:
+                raise FileNotFoundError(f"{version}.json")
+            return real_read(spark_, state_, version)
+
+        monkeypatch.setattr(pu, "_read_manifest", vanished_other)
+        pu._reconcile_ambiguous_append(spark, state, 1, vname, err)
+    finally:
+        pu.set_log_store(prev)
+
+
+def test_reconciliation_fail_stops_below_retention_window(spark, tmp_path):
+    """ADVICE r10 (medium), second leg: retention deletes plain manifests
+    WHOLESALE once their batch id leaves the keep window — no same-id 'x'
+    commit survives to prove anything. An ambiguous append whose batch id
+    has fallen below the window must fail-stop (its commit may have won,
+    been folded, and been vacuumed), never conclude 'nothing landed'."""
+    store, _server = _store({})
+    prev = pu.set_log_store(store)
+    try:
+        state = str(tmp_path / "state")
+        for i in range(4):
+            pu.append_delta_batch(
+                spark, state, _df(spark, [(i, float(i))]), i, range_width=16
+            )
+        # fold + vacuum: batches 0/1 leave the keep window entirely
+        assert pu.compact_deltas_into_base(spark, state) > 0
+        pu.expire_partitioned_versions(spark, state, keep=2, debris_min_age_ms=0)
+        versions = pu._list_manifests(spark, state)
+        assert pu._batch_id_of(versions[0]) >= 2, versions
+        err = ArbiterUnavailableError("simulated lost response")
+        with pytest.raises(ArbiterUnavailableError, match="lost response"):
+            pu._reconcile_ambiguous_append(
+                spark, state, 0, "v000000000-deadbeef", err
+            )
+    finally:
+        pu.set_log_store(prev)
+
+
 def test_reconciliation_survives_concurrent_compaction(spark, tmp_path):
     """The r10 review catch: a maintenance process can compact the table
     between a writer's ambiguous CAS and its reconciliation re-list. The

@@ -356,11 +356,11 @@ def test_arbiter_store_crash_between_cas_and_finalize_self_heals(spark, tmp_path
             super().__init__(arbiter)
             self.crashed = False
 
-        def _finalize(self, spark, manifest_dir, table, name, staged_name):
+        def _finalize(self, spark, manifest_dir, table, name, staged_name, **kw):
             if not self.crashed and name == "v000000001":
                 self.crashed = True
                 raise IOError("injected crash before finalize")
-            super()._finalize(spark, manifest_dir, table, name, staged_name)
+            super()._finalize(spark, manifest_dir, table, name, staged_name, **kw)
 
     writer = CrashOnFinalize()
     mdir = str(tmp_path / "state" / "manifests")

@@ -704,8 +704,8 @@ def test_concurrent_commit_detected(spark, tmp_path, monkeypatch):
 
     real = pu._bucket_stats
 
-    def hostile(spark_, dirs, width):
-        out = real(spark_, dirs, width)
+    def hostile(spark_, dirs, width, values=None):
+        out = real(spark_, dirs, width, values)
         # a second writer commits while our merge is in flight (after the
         # basis snapshot, before the manifest commit)
         pu._write_manifest(

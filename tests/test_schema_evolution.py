@@ -1,0 +1,341 @@
+"""Table-format schema evolution (r11, VERDICT ask #3).
+
+The CoW/MoR manifest now carries an optional `schema` field
+({"version": N, "values": [[state_col, batch_col, type], ...]});
+evolution is METADATA-ONLY, the Delta/Iceberg contract:
+
+- ADD COLUMN: merge_schema=True adopts a batch's extra numeric columns;
+  no old bucket/delta file is rewritten — parquet read with the extended
+  explicit schema back-fills NULL, and the SUM fold skips NULL, so
+  pre-evolution contributions honestly read NULL for the new column.
+- WIDEN TYPE: widen_value_column records a higher decimal precision in a
+  same-batch-id 'x' commit; old narrow files read under the wider schema.
+- INCOMPATIBLE writes are loud: unknown columns without merge_schema,
+  non-numeric columns, narrowing/rescale, stale-schema writers
+  (expected_schema_version mismatch).
+
+Reference anchor: the reference pipeline re-declares its schemas at two
+engines (LoadXML2DB.ChatterjeeP.R:29-63 vs
+LoadDataWarehouse.ChatterjeeP.R:42-77) — schema drift across pipeline
+stages is in-scope behavior. Driver twin: the `mor_schema_evolution`
+registered query with its DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pharmaceutical_sales_data_etl_analysis_pipeline_spark.streaming import (
+    partitioned_upsert as pu,
+)
+from pharmaceutical_sales_data_etl_analysis_pipeline_spark.streaming.logstore import (
+    ConcurrentCommitError,
+)
+
+
+def _df(spark, rows, schema="key long, amount double"):
+    return spark.createDataFrame(rows, schema)
+
+
+def _read(spark, state):
+    df = pu.read_latest_partitioned_state(spark, state)
+    return sorted(tuple(r) for r in df.collect()), df.columns
+
+
+def test_add_column_backfills_null_without_rewrite(spark, tmp_path):
+    """The core contract: batch 1 carries a new `fee` column; batch 0's
+    delta file is NOT rewritten (fs-asserted), yet the read shows the
+    evolved schema with NULL fee for keys whose only contributions
+    predate the evolution."""
+    state = str(tmp_path / "state")
+    pu.append_delta_batch(
+        spark, state, _df(spark, [(1, 10.0), (2, 20.0)]), 0, range_width=16
+    )
+    from pharmaceutical_sales_data_etl_analysis_pipeline_spark.sources.maintenance import (
+        _fs_and_path,
+    )
+
+    fs, _, jvm = _fs_and_path(spark, state)
+    hpath = jvm.org.apache.hadoop.fs.Path
+    old_delta = pu._read_manifest(spark, state, "v000000000")["deltas"][0]
+    mtime_before = fs.getFileStatus(
+        hpath(f"{state}/deltas/{old_delta}")
+    ).getModificationTime()
+
+    pu.append_delta_batch(
+        spark,
+        state,
+        _df(spark, [(2, 5.0, 1.25), (3, 30.0, 2.5)],
+            "key long, amount double, fee double"),
+        1,
+        range_width=16,
+        merge_schema=True,
+    )
+    rows, cols = _read(spark, state)
+    assert cols == ["key", "total", "fee", "n_rows"]
+    assert rows == [
+        (1, 10.0, None, 1),
+        (2, 25.0, 1.25, 2),
+        (3, 30.0, 2.5, 1),
+    ]
+    # metadata-only: the pre-evolution delta dir was never touched
+    assert (
+        fs.getFileStatus(hpath(f"{state}/deltas/{old_delta}")).getModificationTime()
+        == mtime_before
+    )
+    m = pu._read_manifest(spark, state, "v000000001")
+    assert m["schema"]["version"] == 2
+    assert m["schema"]["values"] == [
+        ["total", "amount", "decimal(18,2)"],
+        ["fee", "fee", "decimal(18,2)"],
+    ]
+
+
+def test_unknown_column_without_merge_schema_is_loud(spark, tmp_path):
+    """Silently dropping an unknown payload column would lose data —
+    without merge_schema the append must refuse and name the column."""
+    state = str(tmp_path / "state")
+    pu.append_delta_batch(spark, state, _df(spark, [(1, 1.0)]), 0, range_width=16)
+    with pytest.raises(ValueError, match=r"\['fee'\].*merge_schema"):
+        pu.append_delta_batch(
+            spark,
+            state,
+            _df(spark, [(2, 2.0, 9.9)], "key long, amount double, fee double"),
+            1,
+            range_width=16,
+        )
+    # nothing landed
+    rows, _ = _read(spark, state)
+    assert rows == [(1, 1.0, 1)]
+
+
+def test_non_numeric_column_is_incompatible(spark, tmp_path):
+    """Value columns are SUMMED per key; a string column has no fold
+    semantics and must be rejected even under merge_schema."""
+    state = str(tmp_path / "state")
+    pu.append_delta_batch(spark, state, _df(spark, [(1, 1.0)]), 0, range_width=16)
+    with pytest.raises(ValueError, match="numeric"):
+        pu.append_delta_batch(
+            spark,
+            state,
+            _df(spark, [(2, 2.0, "x")], "key long, amount double, note string"),
+            1,
+            range_width=16,
+            merge_schema=True,
+        )
+
+
+def test_stale_schema_writer_fails_loudly(spark, tmp_path):
+    """The stale-writer fence: a writer that declares the schema version
+    its code was built against fails loudly once the table evolved past
+    it — on BOTH write paths."""
+    state = str(tmp_path / "state")
+    pu.append_delta_batch(spark, state, _df(spark, [(1, 1.0)]), 0, range_width=16)
+    # a current writer appends fine with the declared version
+    pu.append_delta_batch(
+        spark, state, _df(spark, [(2, 2.0)]), 1, range_width=16,
+        expected_schema_version=1,
+    )
+    pu.append_delta_batch(
+        spark,
+        state,
+        _df(spark, [(3, 3.0, 1.0)], "key long, amount double, fee double"),
+        2,
+        range_width=16,
+        merge_schema=True,
+    )
+    with pytest.raises(ConcurrentCommitError, match="schema version 2"):
+        pu.append_delta_batch(
+            spark, state, _df(spark, [(4, 4.0)]), 3, range_width=16,
+            expected_schema_version=1,
+        )
+    pu.compact_deltas_into_base(spark, state)
+    with pytest.raises(ConcurrentCommitError, match="schema version 2"):
+        pu.merge_batch_into_partitioned_state(
+            spark, state, _df(spark, [(4, 4.0)]), 3, range_width=16,
+            expected_schema_version=1,
+        )
+
+
+def test_cow_merge_evolves_and_folds_nulls_correctly(spark, tmp_path):
+    """The CoW path shares the evolution contract: prev-state rows read
+    the new column back-filled NULL; the merge keeps NULL+NULL = NULL
+    (honest back-fill) and value+NULL = value (one-sided carry), never
+    coercing absent history to 0."""
+    state = str(tmp_path / "state")
+    pu.merge_batch_into_partitioned_state(
+        spark, state, _df(spark, [(1, 10.0), (2, 20.0)]), 0, range_width=16
+    )
+    pu.merge_batch_into_partitioned_state(
+        spark,
+        state,
+        _df(spark, [(2, 5.0, 1.25), (3, 30.0, 2.5)],
+            "key long, amount double, fee double"),
+        1,
+        range_width=16,
+        merge_schema=True,
+    )
+    rows, cols = _read(spark, state)
+    assert cols == ["key", "total", "fee", "n_rows"]
+    assert rows == [
+        (1, 10.0, None, 1),
+        (2, 25.0, 1.25, 2),
+        (3, 30.0, 2.5, 1),
+    ]
+    # a later batch WITHOUT the evolved column: existing fee values carry
+    pu.merge_batch_into_partitioned_state(
+        spark, state, _df(spark, [(2, 1.0), (1, 1.0)]), 2, range_width=16
+    )
+    rows, _ = _read(spark, state)
+    assert rows == [
+        (1, 11.0, None, 2),
+        (2, 26.0, 1.25, 3),
+        (3, 30.0, 2.5, 1),
+    ]
+
+
+def test_maintenance_carries_schema_and_values(spark, tmp_path):
+    """Compaction (delta fold), bucket compaction and re-range all carry
+    the schema field AND the evolved column values — a maintenance op
+    that read the legacy schema would silently drop the column from the
+    rewritten files."""
+    state = str(tmp_path / "state")
+    pu.append_delta_batch(spark, state, _df(spark, [(1, 10.0)]), 0, range_width=16)
+    pu.append_delta_batch(
+        spark,
+        state,
+        _df(spark, [(1, 2.0, 0.5), (40, 4.0, 1.5)],
+            "key long, amount double, fee double"),
+        1,
+        range_width=16,
+        merge_schema=True,
+    )
+    before, _ = _read(spark, state)
+    assert pu.compact_deltas_into_base(spark, state) > 0
+    newest = pu._read_manifest(spark, state, pu._list_manifests(spark, state)[-1])
+    assert newest["schema"]["version"] == 2
+    after, cols = _read(spark, state)
+    assert cols == ["key", "total", "fee", "n_rows"]
+    assert after == before
+    # re-range: full rewrite keeps the evolved column
+    assert pu.rerange_partitioned_state(spark, state, 8) > 0
+    after2, _ = _read(spark, state)
+    assert after2 == before
+    # summary still answers from stats (primary column) on the evolved table
+    s = pu.partitioned_state_summary(spark, state).first()
+    assert s["n_keys"] == 2 and s["sum_total"] == 16.0
+
+
+def test_widen_value_column_is_metadata_only_and_unblocks_overflow(
+    spark, tmp_path
+):
+    """The overflow guard raises at decimal(18,2); widen_value_column
+    records decimal(28,2) WITHOUT rewriting files, after which the same
+    fold lands — and the old narrow files still read exactly."""
+    state = str(tmp_path / "state")
+    # exactly double-representable; each batch fits (18,2), the two-batch
+    # fold (1e16, 19 digits at scale 2) does not
+    big = 5_000_000_000_000_000.0
+    pu.append_delta_batch(spark, state, _df(spark, [(1, big)]), 0, range_width=16)
+    pu.append_delta_batch(spark, state, _df(spark, [(1, big)]), 1, range_width=16)
+    with pytest.raises(Exception, match="overflow.*widen"):
+        pu.read_latest_partitioned_state(spark, state).collect()
+    v = pu.widen_value_column(spark, state, "total", "decimal(28,2)")
+    assert v == 2
+    rows, _ = _read(spark, state)
+    assert rows == [(1, 2 * big, 2)]
+    # widening is idempotent metadata; same precision -> no-op, no commit
+    n_before = len(pu._list_manifests(spark, state))
+    assert pu.widen_value_column(spark, state, "total", "decimal(28,2)") == 2
+    assert len(pu._list_manifests(spark, state)) == n_before
+    # narrowing and rescaling are refused
+    with pytest.raises(ValueError, match="not a widening"):
+        pu.widen_value_column(spark, state, "total", "decimal(18,2)")
+    with pytest.raises(ValueError, match="not a widening"):
+        pu.widen_value_column(spark, state, "total", "decimal(38,4)")
+    with pytest.raises(ValueError, match="unknown value column"):
+        pu.widen_value_column(spark, state, "nope", "decimal(38,2)")
+
+
+def test_time_travel_reads_each_commits_own_schema(spark, tmp_path):
+    """Delta semantics: time travel to a pre-evolution commit reads with
+    THAT commit's schema — the column simply doesn't exist yet."""
+    state = str(tmp_path / "state")
+    pu.append_delta_batch(spark, state, _df(spark, [(1, 1.0)]), 0, range_width=16)
+    pu.append_delta_batch(
+        spark,
+        state,
+        _df(spark, [(1, 1.0, 9.0)], "key long, amount double, fee double"),
+        1,
+        range_width=16,
+        merge_schema=True,
+    )
+    v0 = pu.read_partitioned_state_version(spark, state, 0)
+    assert v0.columns == ["key", "total", "n_rows"]
+    v1 = pu.read_partitioned_state_version(spark, state, 1)
+    assert v1.columns == ["key", "total", "fee", "n_rows"]
+    assert sorted(tuple(r) for r in v1.collect()) == [(1, 2.0, 9.0, 2)]
+
+
+def test_change_feed_is_schema_aware_across_the_evolution(spark, tmp_path):
+    """CDF between a pre- and post-evolution commit emits the union
+    schema with the old side NULL, and an evolved column moving
+    NULL -> value alone marks the row updated (null-safe compare)."""
+    state = str(tmp_path / "state")
+    pu.merge_batch_into_partitioned_state(
+        spark, state, _df(spark, [(1, 10.0), (2, 20.0)]), 0, range_width=16
+    )
+    pu.merge_batch_into_partitioned_state(
+        spark,
+        state,
+        # key 2: fee appears but amount contributes 0 -> total unchanged,
+        # n_rows changes; key 5: pure insert with fee
+        _df(spark, [(2, 0.0, 1.25), (5, 50.0, 2.5)],
+            "key long, amount double, fee double"),
+        1,
+        range_width=16,
+        merge_schema=True,
+    )
+    rows = sorted(
+        tuple(r) for r in pu.partitioned_state_changes(spark, state, 0, 1).collect()
+    )
+    assert rows == [
+        (2, "update", 20.0, 20.0, None, 1.25, 1, 2),
+        (5, "insert", None, 50.0, None, 2.5, None, 1),
+    ]
+
+
+def test_sequenced_cdc_folds_evolved_columns_with_tombstones(spark, tmp_path):
+    """The sequenced contract composes with evolution: a tombstone resets
+    EVERY value column; post-delete upserts rebuild both."""
+    state = str(tmp_path / "state")
+    pu.append_delta_batch(
+        spark,
+        state,
+        spark.createDataFrame(
+            [(1, 10.0, "upsert", 1), (2, 20.0, "upsert", 2)],
+            "key long, amount double, op string, seq long",
+        ),
+        0,
+        range_width=16,
+        writer_id="w",
+    )
+    pu.append_delta_batch(
+        spark,
+        state,
+        spark.createDataFrame(
+            [
+                (1, 0.0, "delete", 10, None),
+                (1, 7.0, "upsert", 11, 0.75),
+                (2, 1.0, "upsert", 12, None),
+            ],
+            "key long, amount double, op string, seq long, fee double",
+        ),
+        1,
+        range_width=16,
+        writer_id="w",
+        merge_schema=True,
+    )
+    rows, cols = _read(spark, state)
+    assert cols == ["key", "total", "fee", "n_rows"]
+    assert rows == [(1, 7.0, 0.75, 1), (2, 21.0, None, 2)]

@@ -202,6 +202,69 @@ def test_cow_merge_path_carries_the_same_fence(spark, tmp_path):
     assert _fold(spark, state) == {1: (1.0, 1), 2: (2.0, 1)}
 
 
+def test_seqfree_append_cannot_bypass_the_fence(spark, tmp_path):
+    """ADVICE r10: the fence used to run only when the batch carried a
+    `seq` column, so a misconfigured foreign writer appending seq-FREE
+    batches to a fenced table slid under the lease entirely (and the new
+    manifest even inherited the owner's writer_id, laundering the foreign
+    rows as the owner's). A fenced table now rejects seq-free appends
+    from anyone but the owner; the owner itself stays free to mix in
+    seq-free batches (the max_seq mark carries over unchanged)."""
+    state = str(tmp_path / "state")
+    pu.append_delta_batch(
+        spark,
+        state,
+        _seq_df(spark, [(1, 1.0, "upsert", 1)]),
+        0,
+        range_width=16,
+        writer_id="writer-A",
+    )
+    plain = spark.createDataFrame([(9, 9.0)], "key long, amount double")
+    # anonymous seq-free append: rejected
+    with pytest.raises(ConcurrentCommitError, match="seq-FREE"):
+        pu.append_delta_batch(spark, state, plain, 1, range_width=16)
+    # foreign-writer seq-free append: rejected
+    with pytest.raises(ConcurrentCommitError, match="seq-FREE"):
+        pu.append_delta_batch(
+            spark, state, plain, 1, range_width=16, writer_id="writer-B"
+        )
+    # nothing landed from either rejected attempt
+    assert _fold(spark, state) == {1: (1.0, 1)}
+    # the OWNER may append seq-free; lease and max_seq carry over
+    pu.append_delta_batch(
+        spark, state, plain, 1, range_width=16, writer_id="writer-A"
+    )
+    assert _fold(spark, state) == {1: (1.0, 1), 9: (9.0, 1)}
+    newest = pu._read_manifest(spark, state, pu._list_manifests(spark, state)[-1])
+    assert newest["writer_id"] == "writer-A"
+    assert newest["max_seq"] == 1
+
+
+def test_seqfree_cow_merge_cannot_bypass_the_fence(spark, tmp_path):
+    """The CoW merge path shares the seq-free fence: a foreign writer's
+    plain merge onto a fenced table is rejected before any bucket moves."""
+    state = str(tmp_path / "state")
+    pu.merge_batch_into_partitioned_state(
+        spark,
+        state,
+        _seq_df(spark, [(1, 1.0, "upsert", 1)]),
+        0,
+        range_width=16,
+        writer_id="writer-A",
+    )
+    plain = spark.createDataFrame([(9, 9.0)], "key long, amount double")
+    with pytest.raises(ConcurrentCommitError, match="seq-FREE"):
+        pu.merge_batch_into_partitioned_state(
+            spark, state, plain, 1, range_width=16
+        )
+    assert _fold(spark, state) == {1: (1.0, 1)}
+    # owner continues seq-free on the merge path too
+    pu.merge_batch_into_partitioned_state(
+        spark, state, plain, 1, range_width=16, writer_id="writer-A"
+    )
+    assert _fold(spark, state) == {1: (1.0, 1), 9: (9.0, 1)}
+
+
 def test_maintenance_inherits_the_lease(spark, tmp_path):
     """Compaction/fold commits reproduce the same logical state, so they
     must CARRY the writer lease (_inherit_max_seq) — a compaction that
