@@ -109,12 +109,37 @@ def main() -> None:
     for name in headline:
         queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
-    timings: dict[str, float] = {}
-    for name in headline:
-        fn = queries[name]
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+    # SPARK_GRAFT_BENCH_REPEATS=N (default 1, the driver's mode): time the
+    # whole set N times in THIS session and report the per-query MEDIAN
+    # plus spread. Cross-session seconds on this host drift ±30-50%
+    # (BENCH_NOTES r6/r10), and the r10 verdict flagged a +4.1% headline
+    # creep hiding inside single-shot noise over three rounds — the
+    # median-of-N protocol is what round-over-round comparisons should
+    # quote (BENCH_NOTES r11 carries the measured table and the rule).
+    repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "1")))
+    runs: list[dict[str, float]] = []
+    for _ in range(repeats):
+        t: dict[str, float] = {}
+        for name in headline:
+            fn = queries[name]
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            t[name] = round(time.perf_counter() - t0, 3)
+        runs.append(t)
+    import statistics
+
+    timings: dict[str, float] = {
+        name: round(statistics.median(r[name] for r in runs), 3)
+        for name in headline
+    }
+    spread: dict[str, float] | None = None
+    if repeats > 1:
+        spread = {
+            name: round(
+                max(r[name] for r in runs) - min(r[name] for r in runs), 3
+            )
+            for name in headline
+        }
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     # Round-over-round honesty: the r3 cap lifts changed what two headline
@@ -134,22 +159,23 @@ def main() -> None:
     changed = round(
         sum(v for k, v in timings.items() if k in workload_changed), 3
     )
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_time",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "buckets": {
-                    "basis": "headline",
-                    "shared_vs_r2": shared,
-                    "workload_changed_vs_r2": changed,
-                },
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_total_time",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "buckets": {
+            "basis": "headline",
+            "shared_vs_r2": shared,
+            "workload_changed_vs_r2": changed,
+        },
+    }
+    if spread is not None:
+        out["repeats"] = repeats
+        out["spread"] = spread
+        out["run_totals"] = [round(sum(r.values()), 3) for r in runs]
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -762,6 +762,91 @@ ORACLES["stream_mor_tombstone_seq"] = SQL_STREAM_MOR_TOMBSTONE_SEQ
 
 
 # ---------------------------------------------------------------------------
+# Table-format SCHEMA EVOLUTION (r11, VERDICT ask #3): ADD COLUMN without
+# rewrite, driver-verified end-to-end. Batch 0 loads pre-1996 per-customer
+# spend under the legacy single-value schema; batch 1 appends the 1996+
+# spend as a MoR delta CARRYING A NEW `fee` COLUMN (merge_schema=True —
+# Delta's mergeSchema semantics: the manifest's schema field gains the
+# column, version 1 -> 2, and NO existing file is rewritten); then the
+# primary column is WIDENED decimal(18,2) -> (28,2) (metadata-only 'x'
+# commit, old narrow files read under the wider schema). The read folds
+# base + pending delta: keys whose only contributions predate the
+# evolution show fee NULL — the honest back-fill a 100 TB table needs
+# (a new column must never force a table rewrite). fee derives from
+# o_orderkey % 97 — deterministic, integer-exact on both engines.
+# ---------------------------------------------------------------------------
+
+EVOLVE_FEE_MOD = 97
+
+
+def mor_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from ..streaming.partitioned_upsert import (
+        append_delta_batch,
+        merge_batch_into_partitioned_state,
+        read_latest_partitioned_state,
+        widen_value_column,
+    )
+
+    def build(orders: DataFrame, width: int, state: str) -> None:
+        okey = _cow_orders_with_key(spark, sf_dir)
+        cut = F.lit("1996-01-01")
+        b0 = okey.filter(F.col("o_orderdate") < cut).select("key", "amount")
+        b1 = okey.filter(F.col("o_orderdate") >= cut).select(
+            "key",
+            "amount",
+            (F.col("okey") % EVOLVE_FEE_MOD).cast("long").alias("fee"),
+        )
+        merge_batch_into_partitioned_state(spark, state, b0, 0, range_width=width)
+        append_delta_batch(
+            spark, state, b1, 1, range_width=width, merge_schema=True
+        )
+        assert widen_value_column(spark, state, "total", "decimal(28,2)") == 3
+
+    state = _memoized_state(spark, sf_dir, "mor_evolve", build)
+    return read_latest_partitioned_state(spark, state)
+
+
+def _cow_orders_with_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from ..catalog import load_table
+
+    return load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("key"),
+        F.col("o_totalprice").alias("amount"),
+        "o_orderdate",
+        F.col("o_orderkey").alias("okey"),
+    )
+
+
+SQL_MOR_SCHEMA_EVOLUTION = f"""
+WITH v0 AS (
+  SELECT o_custkey AS key,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS total,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM orders WHERE o_orderdate < DATE '1996-01-01' GROUP BY 1
+), up AS (
+  SELECT o_custkey AS key,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS total,
+         SUM(CAST(o_orderkey % {EVOLVE_FEE_MOD} AS DECIMAL(18,2))) AS fee,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM orders WHERE o_orderdate >= DATE '1996-01-01' GROUP BY 1
+)
+SELECT COALESCE(v0.key, up.key) AS key,
+       CAST(COALESCE(v0.total, CAST(0 AS DECIMAL(18,2)))
+            + COALESCE(up.total, CAST(0 AS DECIMAL(18,2))) AS DOUBLE) AS total,
+       CAST(up.fee AS DOUBLE) AS fee,
+       CAST(COALESCE(v0.n, 0) + COALESCE(up.n, 0) AS BIGINT) AS n_rows
+FROM v0 FULL OUTER JOIN up ON v0.key = up.key
+"""
+
+QUERIES["mor_schema_evolution"] = mor_schema_evolution
+ORACLES["mor_schema_evolution"] = SQL_MOR_SCHEMA_EVOLUTION
+
+
+# ---------------------------------------------------------------------------
 # Stateful streaming entry (r9): the applyInPandasWithState surface
 # (streaming/stateful.py), driver-verified. Until now the custom-state
 # operator was only batch-equivalence tested locally (tests/

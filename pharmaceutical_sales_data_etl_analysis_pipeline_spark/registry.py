@@ -86,96 +86,96 @@ MODULE_ORDER = [
     "graphops",
 ]
 
-# Round-10 sweep priority. After r9 the union r1∪…∪r9 (latest-wins) is
-# 211/211 green with zero standing failures and no row older than r5.
-# The r10 window retires the ENTIRE r5 staleness cohort (VERDICT ask #1):
-#   (c) PREPENDED per the rotation invariant: stream_session_expiry
-#       (r10 NEW — gap sessionization through applyInPandasWithState
-#       under GroupStateTimeout.ProcessingTimeTimeout, the state-expiry
-#       surface); then the seven table-format queries whose write/commit
-#       paths changed in r10 (sequenced-writer fence + writer_id in
-#       manifests on both write paths; ambiguous-outcome reconciliation
-#       around the manifest publish): stream_mor_tombstone_seq,
-#       stream_mor_ingest, mor_changes_feed, mor_scattered_fold,
-#       cow_merge_changes, cow_manifest_summary, cow_keyrange_lookup;
-#   (a) the 4 r5-rows that ceded their r9 slots: null_handling,
-#       pii_scrub, profile_orders, regexp_extract_parts;
-#   (b) the 26 remaining r5-rows in name order — the full TPC-H block
-#       plus shard_histogram, skyline_parts, substring_dedup_spans,
-#       variant_props, vocab_topk;
-#   (d) the oldest r6 cohort in name order (11 make the 50-window
-#       after the second r10-new prepend; exact_dedup heads r11).
-# After this sweep no registered query's latest driver row predates r6.
+# Round-11 sweep priority. After r10 the union r1∪…∪r10 (latest-wins) is
+# 213/213 green with zero standing failures and no row older than r6
+# (histogram r10 50 / r9 43 / r8 41 / r7 44 / r6 35 — recomputed from the
+# CORRECTNESS union this round; the r10 comment's "34 remaining r6-rows"
+# undercounted by omitting exact_dedup, VERDICT r10 missing #1).
+# The r11 window retires the ENTIRE r6 staleness cohort (VERDICT ask #1):
+#   (c) PREPENDED per the rotation invariant: mor_schema_evolution
+#       (r11 NEW — manifest schema evolution: ADD COLUMN without rewrite
+#       via merge_schema=True, NULL back-fill on pre-evolution files,
+#       plus a metadata-only widen_value_column commit); then the seven
+#       table-format queries whose read/write plans changed in r11 (the
+#       value-column-parametrized fold/merge/CDF — legacy expressions
+#       are identical by construction, but the rotation invariant treats
+#       any touched plan as changed): cow_merge_changes, mor_changes_feed
+#       (null-safe CDF compare), mor_scattered_fold, stream_mor_ingest,
+#       stream_mor_tombstone_seq, cow_manifest_summary,
+#       cow_keyrange_lookup;
+#   (d) the FULL r6 staleness cohort, 35 rows in name order
+#       (exact_dedup .. unpivot_status_year);
+#   (e) the 7 oldest r7 rows in name order to fill the 50-slot window.
+# After this sweep no registered query's latest driver row predates r7.
 PRIORITY = [
-    # (c) r10-new / r10-plan-changed (rotation invariant)
-    "stream_session_event_expiry",  # r10 NEW: watermark-driven expiry
-    "stream_session_expiry",  # r10 NEW: stateful expiry surface
-    "stream_mor_tombstone_seq",  # r10: seq-writer fence in append path
-    "stream_mor_ingest",  # r10: checkpoint-derived writer lease
+    # (c) r11-new / r11-plan-changed (rotation invariant)
+    "mor_schema_evolution",  # r11 NEW: ADD COLUMN / widen without rewrite
+    "cow_merge_changes",  # r11: schema-aware CDF (null-safe compare)
     "mor_changes_feed",
-    "mor_scattered_fold",
-    "cow_merge_changes",
+    "mor_scattered_fold",  # r11: value-column-parametrized fold
+    "stream_mor_ingest",
+    "stream_mor_tombstone_seq",
     "cow_manifest_summary",
     "cow_keyrange_lookup",
-    # (a) the 4 ceded r5-rows
-    "null_handling",
-    "pii_scrub",
-    "profile_orders",
-    "regexp_extract_parts",
-    # (b) the 26 remaining r5-rows, name order
-    "shard_histogram",
-    "skyline_parts",
-    "substring_dedup_spans",
-    "tpch_q10",
-    "tpch_q11",
-    "tpch_q12",
-    "tpch_q13",
-    "tpch_q14",
-    "tpch_q15",
-    "tpch_q16",
-    "tpch_q17",
-    "tpch_q18",
-    "tpch_q19",
-    "tpch_q2",
-    "tpch_q20",
-    "tpch_q21",
-    "tpch_q22",
-    "tpch_q3",
-    "tpch_q4",
-    "tpch_q5",
-    "tpch_q6",
-    "tpch_q7",
-    "tpch_q8",
-    "tpch_q9",
-    "variant_props",
-    "vocab_topk",
-    # (d) the oldest r6 cohort, name order (12 slots)
-    "ab_test_lift",
-    "binary_envelope",
-    "conditional_aggregates",
-    "corpus_counts",
-    "cosine_topk",
-    "cube_sales",
-    "customers_with_orders",
-    "customers_without_orders",
-    "date_parse_roundtrip",
-    "embedding_near_dups",
-    "embedding_near_dups_planted",
+    # (d) the full r6 staleness cohort, name order (35 rows)
+    "exact_dedup",
+    "filter_conjunction",
+    "fingerprints",
+    "first_order_per_customer",
+    "full_outer_reconciliation",
+    "funnel_signup_view_purchase",
+    "graph_triangle_stats",
+    "grouping_sets_sales",
+    "incremental_agg_maintenance",
+    "key_repair_join",
+    "merge_upsert",
+    "minhash_calibration",
+    "ohlc_bars",
+    "pivot_status_year",
+    "product_facts",
+    "product_facts_sql",
+    "quarterly_totals",
+    "rep_facts",
+    "rfm_segments",
+    "rollup_year_quarter",
+    "seasonal_decompose",
+    "session_stats",
+    "simhash_near_dups",
+    "simhash_near_dups_planted",
+    "sliding_hourly",
+    "stream_click_attribution",
+    "stream_dedup_within_watermark",
+    "table_content_hash",
+    "tfidf_topk_terms",
+    "top1_product",
+    "top3_parts_per_brand",
+    "top5_rep_years",
+    "top5_users_by_value",
+    "tumbling_hourly",
+    "unpivot_status_year",
+    # (e) the 7 oldest r7 rows, name order
+    "activity_heatmap",
+    "asof_purchase_before_click",
+    "basket_affinity",
+    "bm25_topk_terms",
+    "cohort_retention",
+    "contamination_check",
+    "dataset_cards",
 ]
-# r11 PRIORITY candidates (staleness head after the r10 sweep): the 34
-# remaining r6-rows in name order — filter_conjunction, fingerprints,
-# first_order_per_customer, full_outer_reconciliation,
-# funnel_signup_view_purchase, graph_triangle_stats, grouping_sets_sales,
-# incremental_agg_maintenance, key_repair_join, merge_upsert,
-# minhash_calibration, ohlc_bars, pivot_status_year, product_facts,
-# product_facts_sql, quarterly_totals, rep_facts, rfm_segments,
-# rollup_year_quarter, seasonal_decompose, session_stats,
-# simhash_near_dups, simhash_near_dups_planted, sliding_hourly,
-# stream_click_attribution, stream_dedup_within_watermark,
-# table_content_hash, tfidf_topk_terms, top1_product,
-# top3_parts_per_brand, top5_rep_years, top5_users_by_value,
-# tumbling_hourly, unpivot_status_year — then the oldest r7 cohort.
-# Queries ADDED or PLAN-CHANGED during r10 must be PREPENDED here per
+# r12 PRIORITY candidates (staleness head after the r11 sweep): the 37
+# remaining r7-rows in name order — dedup_rate_by_source, dedup_survivors,
+# distinct_counts, doc_chunks, domain_mixture_weights, embedding_quantize,
+# event_transitions, events_within_5min, grouped_pandas_topk,
+# hourly_gapfill, hybrid_retrieval_rrf, lang_id, lookup_join_nulls,
+# lsh_bucket_sizes, lsh_probe_topk, minhash_lsh_candidates,
+# minhash_signatures, moving_avg_customer, multimodal_features,
+# multimodal_frames, pandas_normalized_text, percentile_disc_prices,
+# product_surrogate_keys, props_k_stats, rank_functions,
+# salted_user_totals, simhash, status_set_ops, string_functions,
+# text_quality, token_counts, training_corpus, union_all_bag,
+# value_histogram, window_value_functions, xml_scan_roundtrip,
+# xml_xpath_roundtrip — then the oldest r8 cohort fills the window.
+# Queries ADDED or PLAN-CHANGED during r11 must be PREPENDED here per
 # the rotation invariant (they outrank staleness refreshes).
 
 def _collect() -> tuple[dict[str, QueryFn], dict[str, str]]:
