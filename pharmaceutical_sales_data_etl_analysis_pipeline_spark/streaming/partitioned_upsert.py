@@ -366,8 +366,20 @@ def _evolve_values_for_batch(
         guard: silently dropping a payload column would lose data);
       - a non-numeric extra column (no defined SUM fold);
       - an extra column colliding with a reserved state name.
-    A batch MISSING a value column stays legal — it contributes NULL
-    (nothing) to that column's fold, the back-fill semantics."""
+    A batch MISSING an EVOLVED value column stays legal — it contributes
+    NULL (nothing) to that column's fold, the back-fill semantics. The
+    PRIMARY source column is mandatory: its NULL is the tombstone
+    sentinel, so a batch without it would fold every key to NULL and
+    silently DELETE them from the read (pre-evolution code failed this
+    loudly at analysis; the parametrized fold must too)."""
+    primary_src = values[0][1]
+    if primary_src not in batch_df.columns:
+        raise ValueError(
+            f"batch for {state_dir} is missing the primary value column "
+            f"{primary_src!r} — the primary's NULL means 'tombstoned', so "
+            "folding an absent column would silently drop every key in "
+            "the batch"
+        )
     known_sources = {src for _c, src, _t in values}
     extra = [
         c
@@ -1190,11 +1202,10 @@ def merge_batch_into_partitioned_state(
         batch_df, table_values(prev), merge_schema, state_dir
     )
     schema_version = table_schema_version(prev) + (1 if evolved else 0)
-    delta = _aggregate_batch(batch_df, width, values)
-    touched = sorted(r["bucket"] for r in delta.select("bucket").distinct().collect())
     if prev is not None and prev["range_width"] != width:
         # re-ranging is a rewrite-the-table migration, never an implicit
         # merge under a different partitioning — fail loudly and name it
+        # (checked BEFORE the batch aggregation runs any Spark job)
         raise ValueError(
             f"state ranged with range_width={prev['range_width']}, code has "
             f"{width}; migrate explicitly with rerange_partitioned_state"
@@ -1203,6 +1214,8 @@ def merge_batch_into_partitioned_state(
         # a CoW merge on top of pending deltas would order the new batch
         # BEFORE them in the read fold (base participates as batch -1)
         _require_no_pending_deltas(prev, "merge_batch_into_partitioned_state")
+    delta = _aggregate_batch(batch_df, width, values)
+    touched = sorted(r["bucket"] for r in delta.select("bucket").distinct().collect())
     seq_bounds = _require_seq_monotone(batch_df, prev, batch_id)
     if "seq" in batch_df.columns:
         _require_seq_writer_fence(
@@ -1456,6 +1469,8 @@ def run_partitioned_mor_ingest(
     compact_after: bool = True,
     max_files_per_trigger: int = 1,
     with_seq: bool = False,
+    extra_value_columns: dict[str, str] | None = None,
+    merge_schema: bool = False,
 ) -> dict:
     """Streaming merge-on-read ingest — the CDC mirror of
     run_partitioned_incremental_merge: every micro-batch (key, amount,
@@ -1482,25 +1497,34 @@ def run_partitioned_mor_ingest(
     latter is a ring buffer capped at
     spark.sql.streaming.numRecentProgressUpdates (default 100), so a
     drain with more micro-batches would silently under-report its early
-    batches (ADVICE r8)."""
+    batches (ADVICE r8).
+
+    SCHEMA EVOLUTION across stream RESTARTS (r11): a file-stream source
+    schema is fixed at query start, so adopting a new payload column is
+    a restart operation — exactly Delta's streaming contract. Stop the
+    stream, re-run with `extra_value_columns={"fee": "double", ...}` and
+    `merge_schema=True`: the source schema gains the columns (older
+    files back-fill NULL at the source read — the same parquet
+    schema-on-read the table layer uses), the checkpoint resumes batch
+    ids where they left off, and the FIRST evolved batch commits the
+    ADD-COLUMN manifest (see _evolve_values_for_batch). No old file —
+    source or table — is rewritten."""
     import time as _time
 
     from .progress import ProgressLog
 
-    src_schema = T.StructType(
-        [
-            T.StructField("key", T.LongType()),
-            T.StructField("amount", T.DoubleType()),
-            T.StructField("op", T.StringType()),
-        ]
-        # with_seq selects the SEQUENCED CDC contract (see
-        # _aggregate_batch): rows carry the source log's total order, so
-        # tombstone-vs-upsert resolution is batch-grouping-invariant
-        # under uncontrolled multi-file micro-batch boundaries — the
-        # deployment shape; without it, the orderless replace contract
-        # requires one logical CDC batch per file
-        + ([T.StructField("seq", T.LongType())] if with_seq else [])
-    )
+    # with_seq selects the SEQUENCED CDC contract (see _aggregate_batch):
+    # rows carry the source log's total order, so tombstone-vs-upsert
+    # resolution is batch-grouping-invariant under uncontrolled
+    # multi-file micro-batch boundaries — the deployment shape; without
+    # it, the orderless replace contract requires one logical CDC batch
+    # per file. DDL string form so extra_value_columns can name any
+    # Spark type ("double", "decimal(18,2)", "long", ...).
+    src_schema = "key long, amount double, op string"
+    if with_seq:
+        src_schema += ", seq long"
+    for name, typ in sorted((extra_value_columns or {}).items()):
+        src_schema += f", {name} {typ}"
     stream = (
         spark.readStream.schema(src_schema)
         .option("maxFilesPerTrigger", max_files_per_trigger)
@@ -1521,7 +1545,7 @@ def run_partitioned_mor_ingest(
             stream.writeStream.foreachBatch(
                 lambda df, bid: append_delta_batch(
                     spark, state_dir, df, bid, range_width=range_width,
-                    writer_id=wid,
+                    writer_id=wid, merge_schema=merge_schema,
                 )
             )
             .option("checkpointLocation", checkpoint_dir)

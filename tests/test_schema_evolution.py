@@ -109,6 +109,33 @@ def test_unknown_column_without_merge_schema_is_loud(spark, tmp_path):
     assert rows == [(1, 1.0, 1)]
 
 
+def test_batch_missing_primary_column_is_loud(spark, tmp_path):
+    """The primary's NULL is the tombstone sentinel — a batch WITHOUT the
+    primary source column must fail loudly, never fold every key to NULL
+    and silently delete it (the legacy fixed-column code failed this at
+    analysis; the parametrized fold keeps the loudness)."""
+    state = str(tmp_path / "state")
+    pu.append_delta_batch(spark, state, _df(spark, [(1, 1.0)]), 0, range_width=16)
+    with pytest.raises(ValueError, match="primary value column 'amount'"):
+        pu.append_delta_batch(
+            spark,
+            state,
+            _df(spark, [(2, 9.9)], "key long, fee double"),
+            1,
+            range_width=16,
+            merge_schema=True,
+        )
+    with pytest.raises(ValueError, match="primary value column 'amount'"):
+        pu.merge_batch_into_partitioned_state(
+            spark,
+            state,
+            _df(spark, [(2, 9.9)], "key long, fee double"),
+            1,
+            range_width=16,
+            merge_schema=True,
+        )
+
+
 def test_non_numeric_column_is_incompatible(spark, tmp_path):
     """Value columns are SUMMED per key; a string column has no fold
     semantics and must be rejected even under merge_schema."""
@@ -303,6 +330,60 @@ def test_change_feed_is_schema_aware_across_the_evolution(spark, tmp_path):
         (2, "update", 20.0, 20.0, None, 1.25, 1, 2),
         (5, "insert", None, 50.0, None, 2.5, None, 1),
     ]
+
+
+def test_stream_restart_adopts_new_column(spark, tmp_path):
+    """The streaming evolution contract: a file-stream's source schema is
+    fixed at query start, so ADD COLUMN is a RESTART operation (Delta's
+    streaming semantics). Stream 1 ingests legacy batches; stream 2 —
+    same checkpoint, extra_value_columns + merge_schema — resumes batch
+    ids and its first batch commits the evolved manifest. Keys whose
+    contributions all predate the restart read the new column NULL."""
+    import os
+
+    from pharmaceutical_sales_data_etl_analysis_pipeline_spark.operators.streamingq import (
+        _publish_single_file_batch,
+    )
+
+    src = str(tmp_path / "src")
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    f0 = spark.createDataFrame(
+        [(1, 10.0, "upsert"), (2, 20.0, "upsert")],
+        "key long, amount double, op string",
+    )
+    _publish_single_file_batch(spark, f0, src, "f0", seq=0)
+    r1 = pu.run_partitioned_mor_ingest(
+        spark, src, state, ckpt, range_width=16, compact_after=False
+    )
+    assert [b["batch_id"] for b in r1["batches"]] == [0]
+
+    f1 = spark.createDataFrame(
+        [(2, 5.0, "upsert", 1.25), (3, 30.0, "upsert", 2.5)],
+        "key long, amount double, op string, fee double",
+    )
+    _publish_single_file_batch(spark, f1, src, "f1", seq=1)
+    r2 = pu.run_partitioned_mor_ingest(
+        spark,
+        src,
+        state,
+        ckpt,
+        range_width=16,
+        compact_after=True,
+        extra_value_columns={"fee": "double"},
+        merge_schema=True,
+    )
+    assert [b["batch_id"] for b in r2["batches"]] == [1]  # ids resumed
+    rows, cols = _read(spark, state)
+    assert cols == ["key", "total", "fee", "n_rows"]
+    assert rows == [
+        (1, 10.0, None, 1),
+        (2, 25.0, 1.25, 2),
+        (3, 30.0, 2.5, 1),
+    ]
+    newest = pu._read_manifest(spark, state, pu._list_manifests(spark, state)[-1])
+    assert newest["schema"]["version"] == 2
+    assert os.path.isdir(f"{state}/buckets")
 
 
 def test_sequenced_cdc_folds_evolved_columns_with_tombstones(spark, tmp_path):
