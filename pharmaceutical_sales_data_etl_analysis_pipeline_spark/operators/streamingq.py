@@ -846,6 +846,68 @@ QUERIES["mor_schema_evolution"] = mor_schema_evolution
 ORACLES["mor_schema_evolution"] = SQL_MOR_SCHEMA_EVOLUTION
 
 
+def mor_schema_evolution_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest-ONLY aggregates over the EVOLVED table (r11): the same
+    fixture as mor_schema_evolution plus one delta compaction (summary
+    requires a delta-free commit), answered from per-bucket zone-map
+    stats — including the evolved column's sum_/min_/max_fee keys, with
+    buckets untouched since the evolution folding as all-NULL (their
+    stats entries predate the column, which IS the honest statement).
+    At 100 TB this is COUNT/SUM/MIN/MAX over an evolved column from
+    kilobytes of manifest JSON, zero data files read."""
+    from pyspark.sql import functions as F
+
+    from ..streaming.partitioned_upsert import (
+        append_delta_batch,
+        compact_deltas_into_base,
+        merge_batch_into_partitioned_state,
+        partitioned_state_summary,
+        widen_value_column,
+    )
+
+    def build(orders: DataFrame, width: int, state: str) -> None:
+        okey = _cow_orders_with_key(spark, sf_dir)
+        cut = F.lit("1996-01-01")
+        b0 = okey.filter(F.col("o_orderdate") < cut).select("key", "amount")
+        b1 = okey.filter(F.col("o_orderdate") >= cut).select(
+            "key",
+            "amount",
+            (F.col("okey") % EVOLVE_FEE_MOD).cast("long").alias("fee"),
+        )
+        merge_batch_into_partitioned_state(spark, state, b0, 0, range_width=width)
+        append_delta_batch(
+            spark, state, b1, 1, range_width=width, merge_schema=True
+        )
+        widen_value_column(spark, state, "total", "decimal(28,2)")
+        compact_deltas_into_base(spark, state)
+
+    state = _memoized_state(spark, sf_dir, "mor_evolve_compacted", build)
+    return partitioned_state_summary(spark, state)
+
+
+SQL_MOR_SCHEMA_EVOLUTION_SUMMARY = f"""
+WITH st AS (
+  SELECT o_custkey AS key,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS total,
+         SUM(CASE WHEN o_orderdate >= DATE '1996-01-01'
+                  THEN CAST(o_orderkey % {EVOLVE_FEE_MOD} AS DECIMAL(18,2))
+             END) AS fee
+  FROM orders GROUP BY 1
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+       CAST(SUM(total) AS DOUBLE) AS sum_total,
+       CAST(MIN(total) AS DOUBLE) AS min_total,
+       CAST(MAX(total) AS DOUBLE) AS max_total,
+       CAST(SUM(fee) AS DOUBLE) AS sum_fee,
+       CAST(MIN(fee) AS DOUBLE) AS min_fee,
+       CAST(MAX(fee) AS DOUBLE) AS max_fee
+FROM st
+"""
+
+QUERIES["mor_schema_evolution_summary"] = mor_schema_evolution_summary
+ORACLES["mor_schema_evolution_summary"] = SQL_MOR_SCHEMA_EVOLUTION_SUMMARY
+
+
 # ---------------------------------------------------------------------------
 # Stateful streaming entry (r9): the applyInPandasWithState surface
 # (streaming/stateful.py), driver-verified. Until now the custom-state

@@ -1384,33 +1384,51 @@ def _bucket_stats(
     """Per-bucket zone-map stats over the given bucket-version dirs: one
     Spark job, O(given buckets). Decimal aggregates serialize as strings
     so the manifest JSON stays exact (sum of DECIMAL(18,2) widens to
-    (28,2) under Spark's sum — no precision loss to record). Stats cover
-    the PRIMARY value column (the manifest key names are pinned:
-    sum_total/min_total/max_total); evolved columns are readable payload
-    but not yet zone-mapped — the readers that prune use key bounds,
-    which stay exact. Reads with the table's recorded schema so a
-    WIDENED primary column is never narrowed at the stats scan."""
+    (28,2) under Spark's sum — no precision loss to record).
+
+    The PRIMARY value column keeps its pinned legacy key names
+    (sum_total/min_total/max_total — byte-identical manifests for
+    never-evolved tables); EVOLVED columns get sum_{col}/min_{col}/
+    max_{col} keys (r11). An all-NULL evolved column in a bucket stores
+    null — and a stats entry computed BEFORE the column existed simply
+    lacks the keys, which is the same statement (a bucket untouched
+    since the evolution holds only NULLs for the new column), so
+    inheritance stays exact with no back-fill pass. Reads with the
+    table's recorded schema so a WIDENED column is never narrowed at
+    the stats scan."""
     if values is None:
         values = [list(v) for v in LEGACY_VALUES]
     primary = values[0][0]
+    evolved = [c for c, _s, _t in values[1:]]
+    aggs = [
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum(primary).alias("sum_total"),
+        F.min(primary).alias("min_total"),
+        F.max(primary).alias("max_total"),
+        F.min("key").alias("min_key"),
+        F.max("key").alias("max_key"),
+    ]
+    for c in evolved:
+        aggs += [
+            F.sum(c).alias(f"sum_{c}"),
+            F.min(c).alias(f"min_{c}"),
+            F.max(c).alias(f"max_{c}"),
+        ]
     rows = (
         spark.read.schema(_state_schema_for(values))
         .parquet(*version_dirs)
-        .withColumnRenamed(primary, "total")
         .withColumn("bucket", bucket_of(F.col("key"), width))
         .groupBy("bucket")
-        .agg(
-            F.count(F.lit(1)).alias("n_keys"),
-            F.sum("total").alias("sum_total"),
-            F.min("total").alias("min_total"),
-            F.max("total").alias("max_total"),
-            F.min("key").alias("min_key"),
-            F.max("key").alias("max_key"),
-        )
+        .agg(*aggs)
         .collect()
     )
-    return {
-        int(r["bucket"]): {
+
+    def _dec(v):
+        return None if v is None else str(v)
+
+    out: dict[int, dict] = {}
+    for r in rows:
+        entry = {
             "n_keys": int(r["n_keys"]),
             "sum_total": str(r["sum_total"]),
             "min_total": str(r["min_total"]),
@@ -1418,8 +1436,12 @@ def _bucket_stats(
             "min_key": int(r["min_key"]),
             "max_key": int(r["max_key"]),
         }
-        for r in rows
-    }
+        for c in evolved:
+            entry[f"sum_{c}"] = _dec(r[f"sum_{c}"])
+            entry[f"min_{c}"] = _dec(r[f"min_{c}"])
+            entry[f"max_{c}"] = _dec(r[f"max_{c}"])
+        out[int(r["bucket"])] = entry
+    return out
 
 
 def run_partitioned_incremental_merge(
@@ -1926,18 +1948,27 @@ def partitioned_state_summary(
         if batch_id is None
         else _manifest_for_batch(spark, state_dir, batch_id)
     )
-    schema = T.StructType(
-        [
-            T.StructField("n_keys", T.LongType()),
-            T.StructField("sum_total", T.DoubleType()),
-            T.StructField("min_total", T.DoubleType()),
-            T.StructField("max_total", T.DoubleType()),
+    values = table_values(manifest)
+    evolved = [c for c, _s, _t in values[1:]]
+    fields = [
+        T.StructField("n_keys", T.LongType()),
+        T.StructField("sum_total", T.DoubleType()),
+        T.StructField("min_total", T.DoubleType()),
+        T.StructField("max_total", T.DoubleType()),
+    ]
+    for c in evolved:
+        fields += [
+            T.StructField(f"sum_{c}", T.DoubleType()),
+            T.StructField(f"min_{c}", T.DoubleType()),
+            T.StructField(f"max_{c}", T.DoubleType()),
         ]
-    )
+    schema = T.StructType(fields)
     if manifest is not None:
         _require_no_pending_deltas(manifest, "partitioned_state_summary")
     if manifest is None or not manifest["buckets"]:
-        return spark.createDataFrame([(0, None, None, None)], schema)
+        return spark.createDataFrame(
+            [(0,) + (None,) * (3 + 3 * len(evolved))], schema
+        )
     stats = manifest.get("stats", {})
     missing = [b for b in manifest["buckets"] if b not in stats]
     folded = dict(stats)
@@ -1952,7 +1983,7 @@ def partitioned_state_summary(
                         for b in missing
                     ],
                     manifest["range_width"],
-                    table_values(manifest),
+                    values,
                 ).items()
             }
         )
@@ -1960,7 +1991,21 @@ def partitioned_state_summary(
     total = sum(Decimal(s["sum_total"]) for s in folded.values())
     lo = min(Decimal(s["min_total"]) for s in folded.values())
     hi = max(Decimal(s["max_total"]) for s in folded.values())
-    return spark.createDataFrame([(n, float(total), float(lo), float(hi))], schema)
+    row = [n, float(total), float(lo), float(hi)]
+    for c in evolved:
+        # a stats entry that PREDATES the column, or recorded null, means
+        # that bucket holds only NULLs for it — both fold as "no
+        # contribution"; all-absent folds to NULL (the honest back-fill,
+        # matching what a full scan would aggregate)
+        have = [
+            s for s in folded.values() if s.get(f"sum_{c}") is not None
+        ]
+        row += [
+            float(sum(Decimal(s[f"sum_{c}"]) for s in have)) if have else None,
+            float(min(Decimal(s[f"min_{c}"]) for s in have)) if have else None,
+            float(max(Decimal(s[f"max_{c}"]) for s in have)) if have else None,
+        ]
+    return spark.createDataFrame([tuple(row)], schema)
 
 
 def read_partitioned_state_keyrange(

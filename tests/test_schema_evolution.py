@@ -332,6 +332,60 @@ def test_change_feed_is_schema_aware_across_the_evolution(spark, tmp_path):
     ]
 
 
+def test_evolved_columns_get_zone_map_stats_and_summary(spark, tmp_path):
+    """Evolved value columns join the zone-map stats (sum_/min_/max_{col}
+    manifest keys) so manifest-only aggregates survive evolution; a
+    stats entry that PREDATES the column folds as all-NULL — which is
+    exactly what that bucket holds. Legacy manifests keep their exact
+    key set (no new keys; byte-stability for never-evolved tables)."""
+    state = str(tmp_path / "state")
+    pu.merge_batch_into_partitioned_state(
+        spark, state, _df(spark, [(1, 10.0), (40, 20.0)]), 0, range_width=16
+    )
+    legacy_stats = pu._read_manifest(spark, state, "v000000000")["stats"]
+    assert all(
+        set(s) == {"n_keys", "sum_total", "min_total", "max_total",
+                   "min_key", "max_key"}
+        for s in legacy_stats.values()
+    )
+    # evolution touches ONLY bucket 0 (key 1); bucket 2 (key 40) keeps
+    # its pre-evolution stats entry — the inheritance-as-NULL case
+    pu.append_delta_batch(
+        spark,
+        state,
+        _df(spark, [(1, 2.0, 0.5), (3, 30.0, 1.75)],
+            "key long, amount double, fee double"),
+        1,
+        range_width=16,
+        merge_schema=True,
+    )
+    assert pu.compact_deltas_into_base(spark, state) > 0
+    newest = pu._read_manifest(spark, state, pu._list_manifests(spark, state)[-1])
+    touched = newest["stats"]["0"]
+    assert touched["sum_fee"] == "2.25" and touched["min_fee"] == "0.50"
+    assert "sum_fee" not in newest["stats"]["2"]  # untouched, pre-evolution
+    s = pu.partitioned_state_summary(spark, state).first()
+    assert s["n_keys"] == 3
+    assert s["sum_total"] == 62.0 and s["min_total"] == 12.0
+    assert s["sum_fee"] == 2.25 and s["min_fee"] == 0.5 and s["max_fee"] == 1.75
+    # an evolved table whose new column never received a value reads the
+    # summary NULL for it — matching what a full scan would aggregate
+    state2 = str(tmp_path / "state2")
+    pu.merge_batch_into_partitioned_state(
+        spark, state2, _df(spark, [(1, 1.0)]), 0, range_width=16
+    )
+    pu.merge_batch_into_partitioned_state(
+        spark,
+        state2,
+        _df(spark, [(2, 2.0, None)], "key long, amount double, fee double"),
+        1,
+        range_width=16,
+        merge_schema=True,
+    )
+    s2 = pu.partitioned_state_summary(spark, state2).first()
+    assert s2["n_keys"] == 2 and s2["sum_fee"] is None
+
+
 def test_stream_restart_adopts_new_column(spark, tmp_path):
     """The streaming evolution contract: a file-stream's source schema is
     fixed at query start, so ADD COLUMN is a RESTART operation (Delta's
