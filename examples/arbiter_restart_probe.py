@@ -194,7 +194,15 @@ def main() -> None:
         deadline = time.monotonic() + 600
         while time.monotonic() < deadline:
             n = (
-                len([f for f in os.listdir(mdir) if f.endswith(".json")])
+                # committed manifests only — hidden .staged.*.json files
+                # also end in .json and would fire the kill a commit early
+                len(
+                    [
+                        f
+                        for f in os.listdir(mdir)
+                        if f.endswith(".json") and not f.startswith(".")
+                    ]
+                )
                 if os.path.isdir(mdir)
                 else 0
             )

@@ -802,7 +802,12 @@ def mor_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         append_delta_batch(
             spark, state, b1, 1, range_width=width, merge_schema=True
         )
-        assert widen_value_column(spark, state, "total", "decimal(28,2)") == 3
+        # plain statement, NOT an assert: under python -O the assert (and
+        # the widen call inside it) would be stripped, silently dropping
+        # the WIDEN leg from the registered rung
+        v = widen_value_column(spark, state, "total", "decimal(28,2)")
+        if v != 3:
+            raise RuntimeError(f"widen did not land schema v3: got v{v}")
 
     state = _memoized_state(spark, sf_dir, "mor_evolve", build)
     return read_latest_partitioned_state(spark, state)

@@ -101,8 +101,14 @@ class HttpArbiterServer:
                 got = self.headers.get("Authorization", "")
                 # constant-time: this service is network-exposed, so a
                 # plain == would leak match-prefix timing to anyone who
-                # can reach the socket
-                return hmac.compare_digest(got, f"Bearer {outer._token}")
+                # can reach the socket. Compare BYTES: compare_digest on
+                # str raises TypeError for non-ASCII input, and an
+                # attacker-supplied latin-1 header must yield 401, not an
+                # unhandled server-thread traceback + dropped connection
+                return hmac.compare_digest(
+                    got.encode("utf-8", "surrogateescape"),
+                    f"Bearer {outer._token}".encode("utf-8"),
+                )
 
             def _dispatch(self, method: str, args: dict) -> None:
                 if not self._authed():

@@ -86,12 +86,23 @@ def is_commit_not_found(exc: BaseException) -> bool:
     reconciliation) may SKIP a not-found manifest but must FAIL-STOP on
     any other read error: treating a transient read failure as "vacuumed"
     can misclassify a committed batch as lost and double-append it
-    (ADVICE r10). Matches Python's FileNotFoundError and the py4j-wrapped
-    java.io.FileNotFoundException Hadoop's open() raises (the Java class
-    name appears in the py4j error text)."""
+    (ADVICE r10). Matches Python's FileNotFoundError and a py4j-wrapped
+    java FileNotFoundException — by the TOP-LEVEL Java exception CLASS,
+    never by substring over the full stringified trace: a transport
+    error whose caused-by chain merely contains a nested
+    FileNotFoundException must stay a transport error."""
     if isinstance(exc, FileNotFoundError):
         return True
-    return "FileNotFoundException" in f"{type(exc).__name__}: {exc}"
+    je = getattr(exc, "java_exception", None)
+    if je is not None:
+        try:
+            return str(je.getClass().getName()).endswith("FileNotFoundException")
+        except Exception:
+            pass
+    # non-py4j fallback: inspect only the exception's own first line
+    # (the top-level cause), not the embedded stack trace
+    first = str(exc).strip().splitlines()[:2]
+    return any("FileNotFoundException" in line for line in first)
 
 
 class ManifestLogStore:
@@ -818,31 +829,49 @@ class ArbiterLogStore(ManifestLogStore):
                 except Exception:
                     if not fs.exists(final):
                         raise
-            elif not fs.rename(staged, final):
-                staged_still = fs.exists(staged)
-                final_there = fs.exists(final)
-                if staged_still and final_there:
-                    # restart-amnesia double-win, second finisher: the
-                    # name went final under ANOTHER incarnation's winner.
-                    # First-wins — drop our record BEFORE the staged file
-                    # so a racing healer cannot resurrect it, then lose
-                    # loudly (retry-safe: nothing of ours is visible; our
-                    # delta dir is attempt-unique debris for retention)
-                    self.arbiter.forget(table, name)
-                    fs.delete(staged, False)
-                    raise ConcurrentCommitError(
-                        f"finalize of {name} in {manifest_dir} lost a "
-                        "first-wins race: the manifest was finalized by "
-                        "another writer (arbiter restart amnesia or a "
-                        "concurrent incarnation) — retry with a fresh basis"
-                    )
-                if not final_there:
-                    raise IOError(
-                        f"finalize of {name} in {manifest_dir}: rename "
-                        "failed with no final manifest present"
-                    )
-                # staged gone + final present: a concurrent healer
-                # finished OUR commit from the same staged file — success
+            else:
+                try:
+                    # some FileSystem impls THROW (not return False) when
+                    # src vanished — e.g. a concurrent healer won between
+                    # our exists() and the rename (observed live on the
+                    # overwrite path as FileNotFoundException); route any
+                    # exception into the same post-state analysis
+                    renamed = fs.rename(staged, final)
+                except Exception:
+                    renamed = False
+                if not renamed:
+                    staged_still = fs.exists(staged)
+                    final_there = fs.exists(final)
+                    if staged_still and final_there:
+                        # restart-amnesia double-win, second finisher: the
+                        # name went final under ANOTHER incarnation's
+                        # winner. First-wins — drop OUR record (and only
+                        # ours: the current incarnation's record is the
+                        # WINNER's, and forgetting it would blind the CAS
+                        # stale-basis rejection for this name — a
+                        # committed batch could then be silently dropped
+                        # from a later writer's basis) before the staged
+                        # file so a racing healer cannot resurrect it,
+                        # then lose loudly (retry-safe: nothing of ours is
+                        # visible; our delta dir is attempt-unique debris)
+                        if self.arbiter.records(table).get(name) == staged_name:
+                            self.arbiter.forget(table, name)
+                        fs.delete(staged, False)
+                        raise ConcurrentCommitError(
+                            f"finalize of {name} in {manifest_dir} lost a "
+                            "first-wins race: the manifest was finalized "
+                            "by another writer (arbiter restart amnesia "
+                            "or a concurrent incarnation) — retry with a "
+                            "fresh basis"
+                        )
+                    if not final_there:
+                        raise IOError(
+                            f"finalize of {name} in {manifest_dir}: rename "
+                            "failed with no final manifest present"
+                        )
+                    # staged gone + final present: a concurrent healer
+                    # finished OUR commit from the same staged file —
+                    # success
         elif not fs.exists(final):
             raise IOError(
                 f"finalize of {name} in {manifest_dir}: staged file "

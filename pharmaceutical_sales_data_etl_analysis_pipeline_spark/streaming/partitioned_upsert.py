@@ -1269,8 +1269,16 @@ def merge_batch_into_partitioned_state(
                     F.coalesce(pv, zero) + F.coalesce(dv, zero)
                 )
             else:
-                both = pv.cast(typ) + dv  # NULL if either side NULL
-                one = F.coalesce(dv.cast(typ), pv)
+                # keep BOTH operands at the delta's WIDE sum type all the
+                # way to the guard: an early .cast(typ) on the one-sided
+                # branch would narrow an overflowing batch fold to NULL
+                # before _narrow_total_or_raise could distinguish it from
+                # "no contribution" — silently dropping the value (or,
+                # under ANSI, throwing a raw cast error instead of the
+                # curated key-naming one). Spark widens pv + dv and
+                # coalesce(dv, pv) to their common wide type on its own.
+                both = pv + dv  # NULL if either side NULL
+                one = F.coalesce(dv, pv)
                 wide = F.when(reset, dv).otherwise(
                     F.when(pv.isNotNull() & dv.isNotNull(), both).otherwise(one)
                 )
@@ -2572,8 +2580,16 @@ def _reconcile_ambiguous_append(
             # manifest's delta list UNKNOWN; it may reference our own
             # attempt, so falling through to "nothing landed — retry"
             # could publish the batch a second time (ADVICE r10).
-            # Fail-stop on the ORIGINAL ambiguity; resolve on replay.
-            raise err from read_err
+            # Fail-stop as a FRESH unavailability (never `raise err`
+            # itself — object identity marks TERMINAL verdicts for
+            # _reconcile_with_outage_retry, and a transient read flake is
+            # the retryable case, not a terminal one): re-running the
+            # reconciliation is idempotent and resolves once reads work.
+            raise ArbiterUnavailableError(
+                f"manifest {v} unreadable during ambiguity reconciliation "
+                f"of batch {batch_id} in {state_dir} ({read_err}); original "
+                f"ambiguity: {err}"
+            ) from read_err
         if vname in m.get("deltas", []):
             _LOG.warning(
                 "ambiguous arbiter outcome for batch %s in %s reconciled "
@@ -2689,7 +2705,12 @@ def append_delta_batch_optimistic(
 
     last_err: ConcurrentCommitError | None = None
     deadline = _time.monotonic() + outage_retry_s
-    for _attempt in range(max_attempts):
+    conflicts = 0
+    # conflicts consume max_attempts; outage retries consume ONLY the
+    # time budget — counting them against max_attempts would cap outage
+    # riding at ~max_attempts seconds regardless of outage_retry_s and
+    # then blame "commit races" that never happened
+    while conflicts < max_attempts:
         try:
             versions = _list_manifests(spark, state_dir)
             next_id = max((_batch_id_of(v) for v in versions), default=-1) + 1
@@ -2705,6 +2726,7 @@ def append_delta_batch_optimistic(
             return next_id
         except ConcurrentCommitError as err:
             last_err = err
+            conflicts += 1
             if stats is not None:  # observability for probes/deployments
                 stats["conflicts"] = stats.get("conflicts", 0) + 1
             continue

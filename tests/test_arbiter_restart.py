@@ -118,6 +118,52 @@ def test_restart_between_cas_and_finalize_reconciles_exactly_once(
         pu.set_log_store(prev)
 
 
+def test_transient_reconcile_read_flake_is_retryable_not_terminal(
+    spark, tmp_path, monkeypatch
+):
+    """r11 review: a transient per-manifest read failure inside the
+    reconciliation used to re-raise the ORIGINAL ambiguity object, which
+    the outage-retry loop's identity check mislabeled TERMINAL — killing
+    a writer with a 120 s budget on a one-off flake. It must surface as
+    a FRESH unavailability (retryable); with the flake cleared on the
+    second pass the commit resolves exactly-once."""
+    server = CommitArbiter()
+    store = ArbiterLogStore(FaultInjectingArbiter(server, {}))
+    prev = pu.set_log_store(store)
+    try:
+        state = str(tmp_path / "state")
+        pu.append_delta_batch(spark, state, _df(spark, [(1, 1.0)]), 0, range_width=16)
+        store.arbiter._faults["cas"] = {"fail_after": 1}
+
+        real_read = pu._read_manifest
+        flakes = {"n": 2}  # fail the first two reads of v1, then heal
+
+        def flaky_read(spark_, state_, version):
+            # only v1 exists once the reconcile's self-heal finalizes the
+            # CAS-won commit, so gating on it flakes exactly the
+            # reconciliation scan — not the append's own basis read of v0
+            if version == "v000000001" and flakes["n"] > 0:
+                flakes["n"] -= 1
+                raise IOError("connection reset by peer")
+            return real_read(spark_, state_, version)
+
+        monkeypatch.setattr(pu, "_read_manifest", flaky_read)
+        # the CAS applies, the response is lost, the FIRST reconcile pass
+        # hits the flake — the outage budget must carry it to resolution
+        pu.append_delta_batch(
+            spark,
+            state,
+            _df(spark, [(2, 2.0)]),
+            1,
+            range_width=16,
+            outage_retry_s=30.0,
+        )
+        monkeypatch.setattr(pu, "_read_manifest", real_read)
+        assert _fold(spark, state) == {1: (1.0, 1), 2: (2.0, 1)}
+    finally:
+        pu.set_log_store(prev)
+
+
 def test_amnesia_double_win_is_first_wins_not_clobber(spark, tmp_path):
     """Bug #2: writer W1 CAS-won v1 at incarnation A but had not
     finalized when the arbiter restarted; a NEW client W2 (seeding from
@@ -151,16 +197,28 @@ def test_amnesia_double_win_is_first_wins_not_clobber(spark, tmp_path):
     w2.commit(spark, mdir, "v000000001", {"batch_id": 1, "who": "w2"}, expected=basis)
     assert w2.read_commit(spark, mdir, "v000000001")["who"] == "w2"
 
-    # W1 resumes its finalize: first-wins, loud loss, no clobber
+    # W1 resumes its finalize — through the RESTARTED endpoint, i.e. its
+    # client now talks to incarnation B, where the only record for v1 is
+    # the WINNER's (the deployment topology: same endpoint, new process).
+    # First-wins: loud loss, no clobber, and crucially the winner's
+    # record must SURVIVE — forgetting it would blind the CAS
+    # stale-basis rejection for v1 and let a stale-basis writer publish
+    # a manifest that silently drops the winner's batch (r11 review).
+    w1.arbiter = arb_b
     with pytest.raises(ConcurrentCommitError, match="first-wins"):
         real_finalize(
             w1, spark, mdir, frozen["table"], frozen["name"], frozen["staged"],
             allow_overwrite=False,
         )
     assert w2.read_commit(spark, mdir, "v000000001")["who"] == "w2"
-    # W1's record is gone (no healer can resurrect the staged file, which
-    # was deleted) and the listing is consistent for both incarnations
-    assert arb_a.records(frozen["table"]).get("v000000001") is None
+    # the winner's record is intact at incarnation B (complete) — v1
+    # stays in every CAS basis comparison
+    assert "v000000001" in arb_b.records(frozen["table"])
+    # and a stale-basis writer is still rejected on v1's name
+    with pytest.raises(ConcurrentCommitError):
+        w2.commit(
+            spark, mdir, "v000000002", {"batch_id": 2}, expected=basis
+        )
     assert w2.list_commits(spark, mdir) == ["v000000000", "v000000001"]
     from pharmaceutical_sales_data_etl_analysis_pipeline_spark.sources.maintenance import (
         _fs_and_path,

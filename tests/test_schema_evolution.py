@@ -284,6 +284,29 @@ def test_widen_value_column_is_metadata_only_and_unblocks_overflow(
         pu.widen_value_column(spark, state, "nope", "decimal(38,2)")
 
 
+def test_one_sided_evolved_overflow_raises_not_nulls(spark, tmp_path):
+    """r11 review: the CoW merge's one-sided branch used to narrow the
+    delta fold with a plain cast BEFORE the overflow guard, so an
+    evolved column overflowing decimal(18,2) for a key with no prior
+    value silently became NULL ('no fee recorded'). It must raise the
+    curated overflow error instead."""
+    state = str(tmp_path / "state")
+    pu.merge_batch_into_partitioned_state(
+        spark, state, _df(spark, [(1, 1.0)]), 0, range_width=16
+    )
+    big = 5_000_000_000_000_000.0  # two rows -> 1e16, overflows (18,2)
+    with pytest.raises(Exception, match="overflow.*copy-on-write"):
+        pu.merge_batch_into_partitioned_state(
+            spark,
+            state,
+            _df(spark, [(2, 1.0, big), (2, 1.0, big)],
+                "key long, amount double, fee double"),
+            1,
+            range_width=16,
+            merge_schema=True,
+        )
+
+
 def test_time_travel_reads_each_commits_own_schema(spark, tmp_path):
     """Delta semantics: time travel to a pre-evolution commit reads with
     THAT commit's schema — the column simply doesn't exist yet."""
