@@ -1524,3 +1524,74 @@ JOIN per pb ON i.source_b = pb.source
 
 QUERIES["source_overlap"] = q_source_overlap
 ORACLES["source_overlap"] = SQL_SOURCE_OVERLAP
+
+
+# ---------------------------------------------------------------------------
+# Global deterministic training shuffle (r11): the canonical LAST step of
+# a training-data pipeline — decorrelate training order, reproducibly,
+# WITHOUT a global sort. Every doc gets a seeded md5 rank; its shard is
+# the rank's top 32 bits mod a CORPUS-DERIVED shard count (docs/512,
+# floor 16 — the derive-from-corpus doctrine: fixed shards would make
+# per-shard windows grow linearly with the corpus), and its position is
+# a per-shard ROW_NUMBER ordered by rank. One hash exchange on shard +
+# per-shard sorts — terasort-shaped, embarrassingly parallel across
+# shards, no SinglePartition window anywhere. Changing the seed permutes
+# the whole corpus; re-running with the same seed is bit-identical —
+# the property a resumable 100 TB pre-training run needs. At scale the
+# same expression with docs/512 ~ millions of shards keeps each shard's
+# sort in-memory; the emitted (shard, pos) pair IS the dataloader's
+# read order.
+# ---------------------------------------------------------------------------
+
+SHUFFLE_SEED = "graft-shuffle-r11"
+SHUFFLE_DOCS_PER_SHARD = 512
+SHUFFLE_MIN_SHARDS = 16
+
+
+def training_shuffle(documents: DataFrame, n_shards: int, seed: str = SHUFFLE_SEED) -> DataFrame:
+    from pyspark.sql import Window
+
+    rank = F.md5(F.concat(F.lit(seed), F.col("doc_id").cast("string")))
+    shard = (
+        F.conv(F.substring(rank, 1, 8), 16, 10).cast("long") % n_shards
+    ).cast("long")
+    pos = F.row_number().over(
+        Window.partitionBy(shard).orderBy(rank, F.col("doc_id"))
+    )
+    return documents.select(
+        "doc_id",
+        shard.alias("shard"),
+        pos.cast("long").alias("pos"),
+    )
+
+
+def q_training_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    # corpus-derived shard count: one bounded scalar driver round-trip
+    # (same class as the kmeans-K / LSH-parameter derivations)
+    n_shards = max(SHUFFLE_MIN_SHARDS, docs.count() // SHUFFLE_DOCS_PER_SHARD)
+    return training_shuffle(docs, n_shards)
+
+
+SQL_TRAINING_SHUFFLE = f"""
+WITH n AS (
+  SELECT GREATEST({SHUFFLE_MIN_SHARDS},
+                  COUNT(*) // {SHUFFLE_DOCS_PER_SHARD}) AS n_shards
+  FROM documents
+), h AS (
+  SELECT doc_id,
+         md5('{SHUFFLE_SEED}' || CAST(doc_id AS VARCHAR)) AS rank_hex
+  FROM documents
+)
+SELECT doc_id,
+       CAST(('0x' || substr(rank_hex, 1, 8))::UBIGINT
+            % (SELECT n_shards FROM n) AS BIGINT) AS shard,
+       CAST(ROW_NUMBER() OVER (
+            PARTITION BY ('0x' || substr(rank_hex, 1, 8))::UBIGINT
+                         % (SELECT n_shards FROM n)
+            ORDER BY rank_hex, doc_id) AS BIGINT) AS pos
+FROM h
+"""
+
+QUERIES["training_shuffle"] = q_training_shuffle
+ORACLES["training_shuffle"] = SQL_TRAINING_SHUFFLE

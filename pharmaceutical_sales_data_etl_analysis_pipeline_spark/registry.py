@@ -105,12 +105,15 @@ MODULE_ORDER = [
 #       cow_keyrange_lookup;
 #   (d) the FULL r6 staleness cohort, 35 rows in name order
 #       (exact_dedup .. unpivot_status_year);
-#   (e) the 6 oldest r7 rows in name order to fill the 50-slot window
-#       (a second r11-new prepend, mor_schema_evolution_summary, took
-#       the seventh slot; dataset_cards heads the r12 candidates).
+#   (e) the 5 oldest r7 rows in name order to fill the 50-slot window
+#       (the second and third r11-new prepends —
+#       mor_schema_evolution_summary, training_shuffle — took two
+#       slots; dataset_cards + contamination_check head the r12
+#       candidates).
 # After this sweep no registered query's latest driver row predates r7.
 PRIORITY = [
     # (c) r11-new / r11-plan-changed (rotation invariant)
+    "training_shuffle",  # r11 NEW: global deterministic training shuffle
     "mor_schema_evolution_summary",  # r11 NEW: evolved zone-map summary
     "mor_schema_evolution",  # r11 NEW: ADD COLUMN / widen without rewrite
     "cow_merge_changes",  # r11: schema-aware CDF (null-safe compare)
@@ -156,17 +159,18 @@ PRIORITY = [
     "top5_users_by_value",
     "tumbling_hourly",
     "unpivot_status_year",
-    # (e) the 6 oldest r7 rows, name order (dataset_cards cedes its slot
-    # to the second r11-new query; it heads the r12 candidates)
+    # (e) the 5 oldest r7 rows, name order (dataset_cards and
+    # contamination_check ceded their slots to the second and third
+    # r11-new queries; they head the r12 candidates)
     "activity_heatmap",
     "asof_purchase_before_click",
     "basket_affinity",
     "bm25_topk_terms",
     "cohort_retention",
-    "contamination_check",
 ]
-# r12 PRIORITY candidates (staleness head after the r11 sweep): the 38
-# remaining r7-rows in name order — dataset_cards (ceded its r11 slot),
+# r12 PRIORITY candidates (staleness head after the r11 sweep): the 39
+# remaining r7-rows in name order — contamination_check and
+# dataset_cards (ceded their r11 slots),
 # dedup_rate_by_source, dedup_survivors,
 # distinct_counts, doc_chunks, domain_mixture_weights, embedding_quantize,
 # event_transitions, events_within_5min, grouped_pandas_topk,
