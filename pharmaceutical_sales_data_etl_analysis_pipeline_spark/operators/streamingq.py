@@ -779,35 +779,49 @@ ORACLES["stream_mor_tombstone_seq"] = SQL_STREAM_MOR_TOMBSTONE_SEQ
 EVOLVE_FEE_MOD = 97
 
 
-def mor_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _build_evolved_state(
+    spark: SparkSession, sf_dir: str, state: str, width: int, compact: bool
+) -> None:
+    """The shared evolution fixture: CoW pre-1996 load, MoR 1996+ append
+    CARRYING the new fee column (merge_schema), then the metadata-only
+    widen. `compact=True` additionally folds the pending delta (the
+    summary reader requires a delta-free commit). One function so the
+    fold-read and summary fixtures cannot silently diverge in cut date,
+    fee derivation, or the widen leg (second r11 review)."""
     from pyspark.sql import functions as F
 
     from ..streaming.partitioned_upsert import (
         append_delta_batch,
+        compact_deltas_into_base,
         merge_batch_into_partitioned_state,
-        read_latest_partitioned_state,
         widen_value_column,
     )
 
+    okey = _cow_orders_with_key(spark, sf_dir)
+    cut = F.lit("1996-01-01")
+    b0 = okey.filter(F.col("o_orderdate") < cut).select("key", "amount")
+    b1 = okey.filter(F.col("o_orderdate") >= cut).select(
+        "key",
+        "amount",
+        (F.col("okey") % EVOLVE_FEE_MOD).cast("long").alias("fee"),
+    )
+    merge_batch_into_partitioned_state(spark, state, b0, 0, range_width=width)
+    append_delta_batch(spark, state, b1, 1, range_width=width, merge_schema=True)
+    # plain statement, NOT an assert: under python -O the assert (and
+    # the widen call inside it) would be stripped, silently dropping
+    # the WIDEN leg from the registered rung
+    v = widen_value_column(spark, state, "total", "decimal(28,2)")
+    if v != 3:
+        raise RuntimeError(f"widen did not land schema v3: got v{v}")
+    if compact:
+        compact_deltas_into_base(spark, state)
+
+
+def mor_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.partitioned_upsert import read_latest_partitioned_state
+
     def build(orders: DataFrame, width: int, state: str) -> None:
-        okey = _cow_orders_with_key(spark, sf_dir)
-        cut = F.lit("1996-01-01")
-        b0 = okey.filter(F.col("o_orderdate") < cut).select("key", "amount")
-        b1 = okey.filter(F.col("o_orderdate") >= cut).select(
-            "key",
-            "amount",
-            (F.col("okey") % EVOLVE_FEE_MOD).cast("long").alias("fee"),
-        )
-        merge_batch_into_partitioned_state(spark, state, b0, 0, range_width=width)
-        append_delta_batch(
-            spark, state, b1, 1, range_width=width, merge_schema=True
-        )
-        # plain statement, NOT an assert: under python -O the assert (and
-        # the widen call inside it) would be stripped, silently dropping
-        # the WIDEN leg from the registered rung
-        v = widen_value_column(spark, state, "total", "decimal(28,2)")
-        if v != 3:
-            raise RuntimeError(f"widen did not land schema v3: got v{v}")
+        _build_evolved_state(spark, sf_dir, state, width, compact=False)
 
     state = _memoized_state(spark, sf_dir, "mor_evolve", build)
     return read_latest_partitioned_state(spark, state)
@@ -860,31 +874,10 @@ def mor_schema_evolution_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats entries predate the column, which IS the honest statement).
     At 100 TB this is COUNT/SUM/MIN/MAX over an evolved column from
     kilobytes of manifest JSON, zero data files read."""
-    from pyspark.sql import functions as F
-
-    from ..streaming.partitioned_upsert import (
-        append_delta_batch,
-        compact_deltas_into_base,
-        merge_batch_into_partitioned_state,
-        partitioned_state_summary,
-        widen_value_column,
-    )
+    from ..streaming.partitioned_upsert import partitioned_state_summary
 
     def build(orders: DataFrame, width: int, state: str) -> None:
-        okey = _cow_orders_with_key(spark, sf_dir)
-        cut = F.lit("1996-01-01")
-        b0 = okey.filter(F.col("o_orderdate") < cut).select("key", "amount")
-        b1 = okey.filter(F.col("o_orderdate") >= cut).select(
-            "key",
-            "amount",
-            (F.col("okey") % EVOLVE_FEE_MOD).cast("long").alias("fee"),
-        )
-        merge_batch_into_partitioned_state(spark, state, b0, 0, range_width=width)
-        append_delta_batch(
-            spark, state, b1, 1, range_width=width, merge_schema=True
-        )
-        widen_value_column(spark, state, "total", "decimal(28,2)")
-        compact_deltas_into_base(spark, state)
+        _build_evolved_state(spark, sf_dir, state, width, compact=True)
 
     state = _memoized_state(spark, sf_dir, "mor_evolve_compacted", build)
     return partitioned_state_summary(spark, state)

@@ -87,10 +87,14 @@ def is_commit_not_found(exc: BaseException) -> bool:
     any other read error: treating a transient read failure as "vacuumed"
     can misclassify a committed batch as lost and double-append it
     (ADVICE r10). Matches Python's FileNotFoundError and a py4j-wrapped
-    java FileNotFoundException — by the TOP-LEVEL Java exception CLASS,
-    never by substring over the full stringified trace: a transport
-    error whose caused-by chain merely contains a nested
-    FileNotFoundException must stay a transport error."""
+    java FileNotFoundException — by the TOP-LEVEL Java exception CLASS
+    only, never by substring matching: ANY text heuristic can be fooled
+    by a wrapper whose message interpolates another error's stringified
+    header (second r11 review), and the safe failure direction is the
+    strict one — an exotic unclassified not-found fail-stops and
+    resolves on retry/replay, while a misclassified transport error
+    opens the double-append door. If the class lookup itself flakes
+    (gateway hiccup), the answer is likewise the strict False."""
     if isinstance(exc, FileNotFoundError):
         return True
     je = getattr(exc, "java_exception", None)
@@ -98,11 +102,8 @@ def is_commit_not_found(exc: BaseException) -> bool:
         try:
             return str(je.getClass().getName()).endswith("FileNotFoundException")
         except Exception:
-            pass
-    # non-py4j fallback: inspect only the exception's own first line
-    # (the top-level cause), not the embedded stack trace
-    first = str(exc).strip().splitlines()[:2]
-    return any("FileNotFoundException" in line for line in first)
+            return False
+    return False
 
 
 class ManifestLogStore:
@@ -837,25 +838,31 @@ class ArbiterLogStore(ManifestLogStore):
                     # overwrite path as FileNotFoundException); route any
                     # exception into the same post-state analysis
                     renamed = fs.rename(staged, final)
-                except Exception:
-                    renamed = False
+                    rename_exc: Exception | None = None
+                except Exception as exc:
+                    renamed, rename_exc = False, exc
                 if not renamed:
                     staged_still = fs.exists(staged)
                     final_there = fs.exists(final)
                     if staged_still and final_there:
                         # restart-amnesia double-win, second finisher: the
                         # name went final under ANOTHER incarnation's
-                        # winner. First-wins — drop OUR record (and only
-                        # ours: the current incarnation's record is the
-                        # WINNER's, and forgetting it would blind the CAS
-                        # stale-basis rejection for this name — a
-                        # committed batch could then be silently dropped
-                        # from a later writer's basis) before the staged
-                        # file so a racing healer cannot resurrect it,
-                        # then lose loudly (retry-safe: nothing of ours is
-                        # visible; our delta dir is attempt-unique debris)
-                        if self.arbiter.records(table).get(name) == staged_name:
-                            self.arbiter.forget(table, name)
+                        # winner. First-wins: the loser marks the name
+                        # COMPLETE — never forget() it. The final file
+                        # EXISTS, so complete is simply the truth, and it
+                        # keeps the name in every CAS basis comparison
+                        # (forgetting it — even 'only our own record' —
+                        # would blind the stale-basis rejection whenever
+                        # the winner's own mark_complete ack was lost,
+                        # letting a stale-basis writer publish a manifest
+                        # that silently drops the winner's batch; second
+                        # r11 review). mark_complete also stops any later
+                        # healer from renaming OUR staged file over the
+                        # winner's manifest; then the staged file is
+                        # deleted and we lose loudly (retry-safe: nothing
+                        # of ours is visible; our delta dir is
+                        # attempt-unique debris for retention).
+                        self.arbiter.mark_complete(table, name)
                         fs.delete(staged, False)
                         raise ConcurrentCommitError(
                             f"finalize of {name} in {manifest_dir} lost a "
@@ -868,7 +875,7 @@ class ArbiterLogStore(ManifestLogStore):
                         raise IOError(
                             f"finalize of {name} in {manifest_dir}: rename "
                             "failed with no final manifest present"
-                        )
+                        ) from rename_exc
                     # staged gone + final present: a concurrent healer
                     # finished OUR commit from the same staged file —
                     # success

@@ -228,6 +228,68 @@ def test_amnesia_double_win_is_first_wins_not_clobber(spark, tmp_path):
     assert not fs.exists(jvm.org.apache.hadoop.fs.Path(f"{mdir}/{frozen['staged']}"))
 
 
+def test_loser_marks_complete_never_forgets(spark, tmp_path):
+    """Second r11 review: the OPPOSITE ordering of the double-win — W1's
+    rename wins but its mark_complete ack is lost, so the live record at
+    incarnation B is the LOSER W2's own pending record. W2's first-wins
+    cleanup must mark the name COMPLETE (the final file exists — that is
+    simply the truth), never forget it: a forgotten name vanishes from
+    every CAS basis comparison and a stale-basis writer could publish a
+    manifest silently dropping W1's committed batch."""
+    arb_a = CommitArbiter()
+    w1 = ArbiterLogStore(arb_a)
+    mdir = str(tmp_path / "state" / "manifests")
+    w1.commit(spark, mdir, "v000000000", {"batch_id": 0}, expected=None)
+    basis = tuple(w1.list_commits(spark, mdir))
+
+    # W1 stages + CASes at incarnation A; its finalize is frozen
+    frozen: dict = {}
+
+    def freeze(spark_, mdir_, table, name, staged_name, **kw):
+        frozen.update(table=table, name=name, staged=staged_name)
+
+    real_finalize = ArbiterLogStore._finalize
+    w1._finalize = freeze
+    w1.commit(spark, mdir, "v000000001", {"batch_id": 1, "who": "w1"}, expected=basis)
+
+    # restart; W2 (new client) CASes the same name at incarnation B but
+    # its OWN finalize is also frozen — W1's rename then lands FIRST
+    arb_b = CommitArbiter()
+    w2 = ArbiterLogStore(arb_b)
+    w2_frozen: dict = {}
+
+    def freeze2(spark_, mdir_, table, name, staged_name, **kw):
+        w2_frozen.update(table=table, name=name, staged=staged_name)
+
+    w2._finalize = freeze2
+    w2.commit(spark, mdir, "v000000001", {"batch_id": 1, "who": "w2"}, expected=basis)
+
+    # W1 finalizes first (fresh commit, first-wins rename succeeds) but
+    # we model its mark_complete ack being lost by pointing it at a
+    # throwaway arbiter for the finalize call
+    w1.arbiter = CommitArbiter()
+    real_finalize(
+        w1, spark, mdir, frozen["table"], frozen["name"], frozen["staged"],
+        allow_overwrite=False,
+    )
+    assert w2.read_commit(spark, mdir, "v000000001")["who"] == "w1"
+
+    # W2's finalize loses the race; its cleanup runs against incarnation
+    # B where the record is ITS OWN pending one — it must mark complete
+    with pytest.raises(ConcurrentCommitError, match="first-wins"):
+        real_finalize(
+            w2, spark, mdir, w2_frozen["table"], w2_frozen["name"],
+            w2_frozen["staged"], allow_overwrite=False,
+        )
+    recs = arb_b.records(w2_frozen["table"])
+    assert "v000000001" in recs and recs["v000000001"] is None  # complete
+    # the stale-basis writer is still rejected on v1's name
+    with pytest.raises(ConcurrentCommitError):
+        w2.commit(spark, mdir, "v000000002", {"batch_id": 2}, expected=basis)
+    # and W1's content is untouched
+    assert w2.read_commit(spark, mdir, "v000000001")["who"] == "w1"
+
+
 def test_fresh_commit_pre_cas_check_rejects_foreign_final(spark, tmp_path):
     """The cheap pre-CAS guard: a fresh commit whose name is already a
     FINAL manifest outside the writer's basis loses before staging
