@@ -409,8 +409,43 @@ def _evolve_values_for_batch(
                 f"a value column of {state_dir}: value columns are SUMMED "
                 "per key, so only numeric types have defined fold semantics"
             )
-        evolved.append([c, c, "decimal(18,2)"])
+        evolved.append([c, c, _adopted_decimal_type(c, dt, state_dir)])
     return evolved, True
+
+
+def _adopted_decimal_type(col: str, dt: T.DataType, state_dir: str) -> str:
+    """The decimal width an ADOPTED column gets — derived from the batch
+    column's own type so adoption is value-preserving, never an implicit
+    quantization (ADVICE r11: the old blanket decimal(18,2) silently
+    rounded sub-cent doubles at fold time and could not hold a full-range
+    long — both against the layer's loud-failure doctrine):
+      - integral types map to their EXACT decimal ranges (the same
+        equivalences Spark's own DecimalType.forType uses), so every
+        representable input round-trips;
+      - an explicit DecimalType is adopted verbatim — the producer chose
+        that width;
+      - float/double are REFUSED: no decimal width preserves binary
+        fractions exactly, so the producer must cast to an explicit
+        decimal first and own the rounding, the same "by user choice"
+        discipline the primary money column has."""
+    if isinstance(dt, T.DecimalType):
+        return f"decimal({dt.precision},{dt.scale})"
+    integral = {
+        T.ByteType: "decimal(3,0)",
+        T.ShortType: "decimal(5,0)",
+        T.IntegerType: "decimal(10,0)",
+        T.LongType: "decimal(20,0)",
+    }
+    for cls, typ in integral.items():
+        if isinstance(dt, cls):
+            return typ
+    raise ValueError(
+        f"cannot adopt batch column {col!r} ({dt.simpleString()}) as a "
+        f"value column of {state_dir}: binary floating point has no "
+        "exact decimal width, so adopting it would silently quantize — "
+        "cast it to an explicit decimal(p,s) in the batch first (the "
+        "producer chooses and owns the rounding)"
+    )
 
 
 def _require_schema_version(
@@ -503,6 +538,33 @@ def _narrow_total_or_raise(wide, key_col, context: str, type_str: str = "decimal
                 wide.cast("string"),
                 F.lit(") — not a tombstone; widen the state schema "),
                 F.lit("(widen_value_column)"),
+            )
+        ).cast(type_str),
+    ).otherwise(narrow)
+
+
+def _cast_input_or_raise(raw, key_col, src: str, type_str: str):
+    """Per-ROW input cast at the batch-fold boundary, loud on overflow.
+    _narrow_total_or_raise guards the SUM-result narrowing, but the
+    input cast inside the SUM (value.cast(typ)) silently NULL'd any
+    single row whose value exceeds the column's recorded width under
+    non-ANSI mode — losing that row's contribution without error
+    (ADVICE r11). In-range values keep the recorded type's rounding
+    (the producer chose the width — see _adopted_decimal_type); only
+    the out-of-RANGE case, where try_cast yields NULL from a non-NULL
+    input, raises."""
+    narrow = raw.try_cast(type_str)
+    return F.when(
+        raw.isNotNull() & narrow.isNull(),
+        F.raise_error(
+            F.concat(
+                F.lit(f"{type_str} overflow in per-row batch input of "),
+                F.lit(f"{src!r} for key "),
+                key_col.cast("string"),
+                F.lit(" (input value "),
+                raw.cast("string"),
+                F.lit(") — a single row exceeds the column's recorded "),
+                F.lit("width; widen the state schema (widen_value_column)"),
             )
         ).cast(type_str),
     ).otherwise(narrow)
@@ -1091,13 +1153,21 @@ def _aggregate_batch(
         return F.lit(None).cast(typ)
 
     def _sums(survives):
-        return [
-            F.sum(
-                (F.when(survives, _src(src, typ)) if survives is not None
-                 else _src(src, typ)).cast(typ)
-            ).alias(f"d_{col}")
-            for col, src, typ in values
-        ]
+        # the input cast is guarded per SURVIVING row only: a tombstoned
+        # row's payload contributes nothing, so junk in a discarded
+        # row's value column must not abort the batch
+        out = []
+        for col, src, typ in values:
+            guarded = _cast_input_or_raise(
+                _src(src, typ), F.col("key"), src, typ
+            )
+            out.append(
+                F.sum(
+                    F.when(survives, guarded) if survives is not None
+                    else guarded
+                ).alias(f"d_{col}")
+            )
+        return out
 
     if "op" in batch_df.columns and "seq" in batch_df.columns:
         is_upsert = _is_upsert_or_raise()
@@ -1303,12 +1373,29 @@ def merge_batch_into_partitioned_state(
             .filter(F.col(primary).isNotNull())
         )
     else:
-        merged = delta.filter(F.col(f"d_{primary}").isNotNull()).select(
+        # fresh buckets (no prior state): the batch fold is still a
+        # WIDENED sum, so it narrows through the same overflow-vs-
+        # tombstone guard as the merge branch — a plain .cast(typ) here
+        # silently NULL'd an overflowing fold into a fake tombstone
+        # under non-ANSI mode (and _bucket_stats then serialized its
+        # sum as the string 'None'), or threw a raw uncurated cast
+        # error under ANSI (ADVICE r11). The tombstone filter runs on
+        # the NARROWED primary: its NULL is identical to the wide
+        # NULL because overflow raises instead of narrowing to NULL.
+        merged = delta.select(
             "key",
-            *[F.col(f"d_{c}").cast(typ).alias(c) for c, _s, typ in values],
+            *[
+                _narrow_total_or_raise(
+                    F.col(f"d_{c}"),
+                    F.col("key"),
+                    "copy-on-write merge (fresh buckets)",
+                    typ,
+                ).alias(c)
+                for c, _s, typ in values
+            ],
             F.col("d_rows").alias("n_rows"),
             "bucket",
-        )
+        ).filter(F.col(primary).isNotNull())
 
     # one job writes every touched bucket, partitioned by bucket id, to a
     # staging dir; per-bucket dirs then move into place with O(touched)
@@ -1532,8 +1619,10 @@ def run_partitioned_mor_ingest(
     SCHEMA EVOLUTION across stream RESTARTS (r11): a file-stream source
     schema is fixed at query start, so adopting a new payload column is
     a restart operation — exactly Delta's streaming contract. Stop the
-    stream, re-run with `extra_value_columns={"fee": "double", ...}` and
-    `merge_schema=True`: the source schema gains the columns (older
+    stream, re-run with `extra_value_columns={"fee": "decimal(18,2)",
+    ...}` and `merge_schema=True` (the producer publishes the column at
+    an EXPLICIT decimal — adoption refuses binary floats, see
+    _adopted_decimal_type): the source schema gains the columns (older
     files back-fill NULL at the source read — the same parquet
     schema-on-read the table layer uses), the checkpoint resumes batch
     ids where they left off, and the FIRST evolved batch commits the

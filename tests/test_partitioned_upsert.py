@@ -939,6 +939,47 @@ def test_overflow_raises_instead_of_tombstoning(spark, tmp_path):
     assert emptied is None or emptied.count() == 0
 
 
+def test_fresh_bucket_overflow_raises(spark, tmp_path):
+    """ADVICE r11: the FRESH-BUCKET CoW branch (no prior state for any
+    touched bucket) narrowed the widened batch fold with a plain
+    .cast(typ) and filtered tombstones on the PRE-cast wide value — an
+    overflowing within-batch fold silently wrote a NULL primary into
+    the bucket parquet (read back as a fake tombstone, and
+    _bucket_stats serialized its sum as the string 'None'). It must
+    route through the same overflow-vs-tombstone guard as the merge
+    branch: loud, key-naming, nothing committed."""
+    big = 9.0e15  # exact in double; 2x overflows decimal(18,2)
+    state = str(tmp_path / "cow_fresh")
+    with pytest.raises(
+        Exception,
+        match=r"overflow in copy-on-write merge \(fresh buckets\) for key 5",
+    ):
+        merge_batch_into_partitioned_state(
+            spark,
+            state,
+            spark.createDataFrame(
+                [(5, big), (5, big)], "key long, amount double"
+            ),
+            0,
+        )
+    assert read_latest_partitioned_state(spark, state) is None
+
+    # the guard must NOT break the real fresh-bucket tombstone path: a
+    # key whose batch rows are all deletes folds to a NULL primary and
+    # is filtered (no state row), while upsert keys commit normally
+    state2 = str(tmp_path / "cow_fresh_tomb")
+    b0 = spark.createDataFrame(
+        [(1, 10.0, "upsert"), (2, 0.0, "delete")],
+        "key long, amount double, op string",
+    )
+    merge_batch_into_partitioned_state(spark, state2, b0, 0)
+    got = {
+        r["key"]: r["total"]
+        for r in read_latest_partitioned_state(spark, state2).collect()
+    }
+    assert got == {1: 10.0}
+
+
 def test_null_op_fails_loudly(spark, tmp_path):
     """ADVICE r6: a NULL op is neither an upsert (op != 'delete' is NULL)
     nor a tombstone, so the row's amount would silently vanish from

@@ -34,7 +34,17 @@ from pharmaceutical_sales_data_etl_analysis_pipeline_spark.streaming.logstore im
 
 
 def _df(spark, rows, schema="key long, amount double"):
-    return spark.createDataFrame(rows, schema)
+    """Test frames: a `fee` column declared double is CAST to
+    decimal(18,2) before the append — adoption REFUSES binary floats
+    (r12, ADVICE r11), so every evolving producer here models the
+    required discipline: the producer chooses the decimal width and
+    owns the rounding."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(rows, schema)
+    if "fee" in df.columns and dict(df.dtypes)["fee"] == "double":
+        df = df.withColumn("fee", F.col("fee").cast("decimal(18,2)"))
+    return df
 
 
 def _read(spark, state):
@@ -435,10 +445,16 @@ def test_stream_restart_adopts_new_column(spark, tmp_path):
     )
     assert [b["batch_id"] for b in r1["batches"]] == [0]
 
+    # the producer publishes the new column at an EXPLICIT decimal —
+    # adoption refuses binary floats, so the source files themselves
+    # carry the chosen width (the readStream schema then matches the
+    # parquet physical type)
+    from pyspark.sql import functions as F
+
     f1 = spark.createDataFrame(
         [(2, 5.0, "upsert", 1.25), (3, 30.0, "upsert", 2.5)],
         "key long, amount double, op string, fee double",
-    )
+    ).withColumn("fee", F.col("fee").cast("decimal(18,2)"))
     _publish_single_file_batch(spark, f1, src, "f1", seq=1)
     r2 = pu.run_partitioned_mor_ingest(
         spark,
@@ -447,7 +463,7 @@ def test_stream_restart_adopts_new_column(spark, tmp_path):
         ckpt,
         range_width=16,
         compact_after=True,
-        extra_value_columns={"fee": "double"},
+        extra_value_columns={"fee": "decimal(18,2)"},
         merge_schema=True,
     )
     assert [b["batch_id"] for b in r2["batches"]] == [1]  # ids resumed
@@ -478,6 +494,8 @@ def test_sequenced_cdc_folds_evolved_columns_with_tombstones(spark, tmp_path):
         range_width=16,
         writer_id="w",
     )
+    from pyspark.sql import functions as F
+
     pu.append_delta_batch(
         spark,
         state,
@@ -488,7 +506,7 @@ def test_sequenced_cdc_folds_evolved_columns_with_tombstones(spark, tmp_path):
                 (2, 1.0, "upsert", 12, None),
             ],
             "key long, amount double, op string, seq long, fee double",
-        ),
+        ).withColumn("fee", F.col("fee").cast("decimal(18,2)")),
         1,
         range_width=16,
         writer_id="w",
@@ -497,3 +515,143 @@ def test_sequenced_cdc_folds_evolved_columns_with_tombstones(spark, tmp_path):
     rows, cols = _read(spark, state)
     assert cols == ["key", "total", "fee", "n_rows"]
     assert rows == [(1, 7.0, 0.75, 1), (2, 21.0, None, 2)]
+
+def test_adopting_binary_float_is_refused(spark, tmp_path):
+    """r12 (ADVICE r11): the old adoption pinned every new column to
+    decimal(18,2), silently quantizing sub-cent doubles at fold time.
+    No decimal width preserves binary fractions exactly, so adopting a
+    float/double column must RAISE and tell the producer to cast to an
+    explicit decimal first — on both write paths, committing nothing."""
+    state = str(tmp_path / "state")
+    pu.append_delta_batch(spark, state, _df(spark, [(1, 1.0)]), 0, range_width=16)
+    raw = spark.createDataFrame(
+        [(2, 2.0, 0.005)], "key long, amount double, fee double"
+    )
+    with pytest.raises(ValueError, match="explicit decimal"):
+        pu.append_delta_batch(
+            spark, state, raw, 1, range_width=16, merge_schema=True
+        )
+    with pytest.raises(ValueError, match="explicit decimal"):
+        pu.merge_batch_into_partitioned_state(
+            spark, state, raw, 1, range_width=16, merge_schema=True
+        )
+    rows, cols = _read(spark, state)
+    assert rows == [(1, 1.0, 1)] and cols == ["key", "total", "n_rows"]
+    # float is refused the same way
+    rawf = raw.selectExpr("key", "amount", "cast(fee as float) as fee")
+    with pytest.raises(ValueError, match="explicit decimal"):
+        pu.append_delta_batch(
+            spark, state, rawf, 1, range_width=16, merge_schema=True
+        )
+
+
+def test_adopted_integral_widths_are_exact(spark, tmp_path):
+    """Adopted integral columns get their EXACT decimal ranges (long ->
+    decimal(20,0)), so a full-range long round-trips into the stored
+    state without quantization — pinned through the zone-map stats'
+    exact string serialization (the read view casts to double at the
+    boundary, so the manifest is where exactness is observable)."""
+    state = str(tmp_path / "state")
+    pu.append_delta_batch(spark, state, _df(spark, [(1, 1.0)]), 0, range_width=16)
+    big = 9_223_372_036_854_775_806  # LONG_MAX - 1: not double-exact
+    pu.append_delta_batch(
+        spark,
+        state,
+        spark.createDataFrame(
+            [(1, 2.0, big)], "key long, amount double, fee long"
+        ),
+        1,
+        range_width=16,
+        merge_schema=True,
+    )
+    m = pu._read_manifest(spark, state, pu._list_manifests(spark, state)[-1])
+    assert m["schema"]["values"] == [
+        ["total", "amount", "decimal(18,2)"],
+        ["fee", "fee", "decimal(20,0)"],
+    ]
+    assert pu.compact_deltas_into_base(spark, state) > 0
+    newest = pu._read_manifest(spark, state, pu._list_manifests(spark, state)[-1])
+    assert newest["stats"]["0"]["sum_fee"] == str(big)  # bit-exact storage
+    # int/short/byte map to their exact ranges too
+    state2 = str(tmp_path / "state2")
+    pu.append_delta_batch(
+        spark,
+        state2,
+        spark.createDataFrame(
+            [(1, 1.0, 7, 3, 2)],
+            "key long, amount double, a int, b short, c byte",
+        ),
+        0,
+        range_width=16,
+        merge_schema=True,
+    )
+    m2 = pu._read_manifest(spark, state2, pu._list_manifests(spark, state2)[-1])
+    assert m2["schema"]["values"][1:] == [
+        ["a", "a", "decimal(10,0)"],
+        ["b", "b", "decimal(5,0)"],
+        ["c", "c", "decimal(3,0)"],
+    ]
+    # an explicit producer decimal is adopted verbatim
+    state3 = str(tmp_path / "state3")
+    pu.append_delta_batch(
+        spark,
+        state3,
+        spark.createDataFrame(
+            [(1, 1.0, 7)], "key long, amount double, fee long"
+        ).selectExpr("key", "amount", "cast(fee as decimal(7,3)) as fee"),
+        0,
+        range_width=16,
+        merge_schema=True,
+    )
+    m3 = pu._read_manifest(spark, state3, pu._list_manifests(spark, state3)[-1])
+    assert m3["schema"]["values"][1] == ["fee", "fee", "decimal(7,3)"]
+
+
+def test_per_row_input_overflow_raises_not_drops(spark, tmp_path):
+    """r12 (ADVICE r11): the overflow guard only protected the
+    SUM-result narrowing; the per-row input cast inside the SUM
+    silently NULL'd any single row whose value exceeds the column's
+    recorded width under non-ANSI mode — that row's contribution
+    vanished without error while n_rows still counted it. It must
+    raise the curated, key-naming error on both write paths."""
+    too_big = 2.0e16  # exceeds decimal(18,2)'s 16 integer digits
+    for path, sub in (
+        (pu.append_delta_batch, "mor"),
+        (pu.merge_batch_into_partitioned_state, "cow"),
+    ):
+        state = str(tmp_path / sub)
+        with pytest.raises(
+            Exception, match=r"per-row batch input of 'amount' for key 9"
+        ):
+            path(
+                spark,
+                state,
+                _df(spark, [(9, too_big)]),
+                0,
+                range_width=16,
+            )
+        assert pu.read_latest_partitioned_state(spark, state) is None
+    # a tombstoned row's junk payload must NOT abort the batch: the
+    # guard only probes SURVIVING contributions
+    state = str(tmp_path / "tomb")
+    pu.append_delta_batch(
+        spark,
+        state,
+        spark.createDataFrame(
+            [(1, 10.0, "upsert", 2), (1, too_big, "delete", 1)],
+            "key long, amount double, op string, seq long",
+        ),
+        0,
+        range_width=16,
+        writer_id="w",
+    )
+    rows, _ = _read(spark, state)
+    assert rows == [(1, 10.0, 1)]
+    # after an explicit widen, the same row fits — the escape hatch the
+    # error message names
+    state2 = str(tmp_path / "widened")
+    pu.append_delta_batch(spark, state2, _df(spark, [(9, 1.0)]), 0, range_width=16)
+    pu.widen_value_column(spark, state2, "total", "decimal(28,2)")
+    pu.append_delta_batch(spark, state2, _df(spark, [(9, too_big)]), 1, range_width=16)
+    rows2, _ = _read(spark, state2)
+    assert rows2 == [(9, 1.0 + too_big, 2)]
