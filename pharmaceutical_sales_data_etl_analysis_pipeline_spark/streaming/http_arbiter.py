@@ -270,12 +270,20 @@ def main(argv: list[str] | None = None) -> None:
     actually runs:
 
         python -m pharmaceutical_sales_data_etl_analysis_pipeline_spark.streaming.http_arbiter \
-            [HOST] [PORT]
+            [HOST] [PORT] [--takeover-after PID]
 
     The bearer token comes from SPARK_GRAFT_ARBITER_AUTHKEY (required —
     an unauthenticated commit arbiter would let any process on the
-    network win commit races). Prints one JSON line with the bound
-    address, then serves until SIGINT/SIGTERM. Drivers point at it with
+    network win commit races). SPARK_GRAFT_ARBITER_JOURNAL=/path makes
+    the record table DURABLE (JournalledCommitArbiter: fsync'd WAL,
+    replayed on start — restart amnesia becomes impossible instead of
+    reconciled). `--takeover-after PID` is the warm-standby mode: the
+    process starts, imports everything, then waits for PID to exit
+    BEFORE binding the port and replaying the journal — so a kill+
+    takeover's dead window is milliseconds (poll interval + replay +
+    bind), not a cold python start. Prints one JSON line with the bound
+    address, the journal path and the replayed-entry count, then serves
+    until SIGINT/SIGTERM. Drivers point at it with
     SPARK_GRAFT_LOG_STORE=arbiter and
     SPARK_GRAFT_ARBITER_ENDPOINT=http://HOST:PORT."""
     import json as _json
@@ -283,7 +291,14 @@ def main(argv: list[str] | None = None) -> None:
     import signal
     import sys as _sys
 
+    from .logstore import JournalledCommitArbiter
+
     args = list(argv if argv is not None else _sys.argv[1:])
+    takeover_pid: int | None = None
+    if "--takeover-after" in args:
+        i = args.index("--takeover-after")
+        takeover_pid = int(args[i + 1])
+        del args[i : i + 2]
     host = args[0] if len(args) > 0 else "127.0.0.1"
     port = int(args[1]) if len(args) > 1 else 0
     token = _os.environ.get("SPARK_GRAFT_ARBITER_AUTHKEY")
@@ -292,13 +307,29 @@ def main(argv: list[str] | None = None) -> None:
             "SPARK_GRAFT_ARBITER_AUTHKEY is required — refusing to serve "
             "an unauthenticated commit arbiter"
         )
-    srv = HttpArbiterServer(token, address=(host, port)).start()
+    if takeover_pid is not None:
+        # warm standby: everything above (python start, imports) is paid
+        # while the predecessor still serves; from its exit to our bind
+        # is one poll interval + journal replay + socket bind
+        while True:
+            try:
+                _os.kill(takeover_pid, 0)
+            except OSError:
+                break
+            time.sleep(0.01)
+    journal = _os.environ.get("SPARK_GRAFT_ARBITER_JOURNAL")
+    arbiter = JournalledCommitArbiter(journal) if journal else None
+    srv = HttpArbiterServer(token, address=(host, port), arbiter=arbiter).start()
     bound_host, bound_port = srv.address
     print(
         _json.dumps(
             {
                 "service": "spark-graft-http-arbiter",
                 "endpoint": f"http://{bound_host}:{bound_port}",
+                "journal": journal,
+                "replayed_entries": (
+                    arbiter.replayed_entries if arbiter else None
+                ),
             }
         ),
         flush=True,

@@ -531,6 +531,18 @@ class CommitArbiter:
             self._fail_budget -= 1
             raise ArbiterUnavailableError("injected arbiter outage")
 
+    def _journal(self, entry: dict) -> None:
+        """Write-ahead hook, called UNDER self._lock immediately BEFORE
+        the in-memory mutation it describes. The base arbiter is
+        in-memory only (no-op); JournalledCommitArbiter overrides this
+        with an fsync'd append so every acknowledged mutation survives a
+        process kill. WAL ordering matters: a crash after the journal
+        write but before the apply leaves the entry journalled and the
+        ack unsent — replay restores the APPLIED state, which is exactly
+        the ambiguous applied-but-unacked outcome the writer-side
+        reconciliation already resolves; the reverse order would ack
+        mutations a restart forgets (the amnesia class of bugs)."""
+
     def records(self, table: str) -> dict[str, str | None]:
         """name -> staged path still pending finalize (None = complete)."""
         with self._lock:
@@ -540,15 +552,23 @@ class CommitArbiter:
         """Adopt a pre-existing table: register its committed names as
         complete. First-touch only — never clobbers live records."""
         with self._lock:
-            self._tables.setdefault(table, {}).update(
-                {n: None for n in names if n not in self._tables.get(table, {})}
-            )
+            recs = self._tables.setdefault(table, {})
+            fresh = [n for n in names if n not in recs]
+            if fresh:
+                # journal only the genuinely-new adoptions: the per-CAS
+                # basis re-seed would otherwise append the full basis on
+                # every commit, growing the journal quadratically
+                self._journal({"op": "seed", "table": table, "names": fresh})
+                recs.update({n: None for n in fresh})
 
     def record(self, table: str, name: str, staged: str | None) -> None:
         """Unconditional record — the expected=None bootstrap/replay
         publish path (no basis to compare)."""
         with self._lock:
             self._maybe_fail()
+            self._journal(
+                {"op": "record", "table": table, "name": name, "staged": staged}
+            )
             self._tables.setdefault(table, {})[name] = staged
 
     def cas(
@@ -591,18 +611,173 @@ class CommitArbiter:
                     f"arbiter CAS of {name} rejected: basis advanced by "
                     f"{sorted(set(now) ^ set(exp))}"
                 )
+            self._journal(
+                {"op": "cas", "table": table, "name": name, "staged": staged}
+            )
             recs[name] = staged
 
     def mark_complete(self, table: str, name: str) -> None:
         with self._lock:
             self._maybe_fail()
-            if name in self._tables.get(table, {}):
-                self._tables[table][name] = None
+            recs = self._tables.get(table, {})
+            if name in recs and recs[name] is not None:
+                self._journal(
+                    {"op": "mark_complete", "table": table, "name": name}
+                )
+                recs[name] = None
 
     def forget(self, table: str, name: str) -> None:
         """Retention hook: drop a vacuumed commit's record."""
         with self._lock:
-            self._tables.get(table, {}).pop(name, None)
+            if name in self._tables.get(table, {}):
+                self._journal({"op": "forget", "table": table, "name": name})
+                self._tables[table].pop(name, None)
+
+
+class JournalledCommitArbiter(CommitArbiter):
+    """DURABLE arbiter record table (r12, VERDICT r11 ask #2): every
+    acknowledged mutation is write-ahead-journalled to an append-only,
+    per-line-JSON, fsync'd local file and REPLAYED on construction — so
+    an arbiter process restart comes back knowing every committed name
+    and every pending finalize. This is the property a DynamoDB
+    conditional-put table gives Delta's S3DynamoDBLogStore; with it,
+    restart amnesia is IMPOSSIBLE rather than reconciled:
+
+      - the per-CAS basis re-seed becomes a no-op (the replayed table
+        already contains every final name — including ones committed by
+        writers whose client died, which seed() could never re-teach);
+      - a foreign commit under a DIFFERENT name is rejected at the CAS
+        itself even across a restart (closing the residual window the
+        writer-side pre-CAS FS re-list documents);
+      - a CAS-won-but-unfinalized commit survives the restart as a
+        pending record, so the reader self-heal finishes it — no
+        ambiguity reconciliation needed.
+
+    WAL discipline: the journal line is written and fsync'd UNDER the
+    arbiter lock, BEFORE the in-memory apply (see CommitArbiter._journal
+    for why that order is the safe one). Rejected CASes journal nothing
+    (they changed nothing). Replay tolerates exactly ONE torn line and
+    only at the TAIL (a crash mid-append); a malformed line with intact
+    entries after it is real corruption and fails loudly — recovering
+    around it could resurrect a pre-forget record or drop a committed
+    name. The journal is append-only and grows with commit traffic;
+    retention's forget() keeps the RECORD TABLE bounded, and a restart
+    may rewrite the journal compacted (replay state re-serialized) via
+    `compact_on_start=True` — semantics are identical either way.
+
+    Deployment: SPARK_GRAFT_ARBITER_JOURNAL=/path selects this class in
+    the standalone HTTP arbiter service (http_arbiter.main). The file
+    must live on local disk or a filesystem with honest fsync — the
+    arbiter is one small service; its durability story is a local WAL,
+    not an object store."""
+
+    def __init__(
+        self,
+        journal_path: str,
+        latency_s: float = 0.0,
+        compact_on_start: bool = False,
+    ):
+        import os
+
+        super().__init__(latency_s)
+        self._journal_path = journal_path
+        self._fh = None  # replay must not journal
+        self.replayed_entries = self._replay()
+        if compact_on_start and self.replayed_entries:
+            tmp = journal_path + ".compact.tmp"
+            with open(tmp, "wb") as out:
+                for table, recs in sorted(self._tables.items()):
+                    for name, staged in sorted(recs.items()):
+                        out.write(
+                            json.dumps(
+                                {
+                                    "op": "record",
+                                    "table": table,
+                                    "name": name,
+                                    "staged": staged,
+                                },
+                                sort_keys=True,
+                            ).encode("utf-8")
+                            + b"\n"
+                        )
+                out.flush()
+                os.fsync(out.fileno())
+            os.replace(tmp, journal_path)
+        self._fh = open(journal_path, "ab")
+
+    def _replay(self) -> int:
+        """Rebuild the record table from the journal; returns the number
+        of entries applied. Only a torn FINAL line is tolerated."""
+        import os
+
+        if not os.path.exists(self._journal_path):
+            return 0
+        with open(self._journal_path, "rb") as fh:
+            raw_lines = fh.read().split(b"\n")
+        # a well-formed journal ends with b"" after the final newline
+        if raw_lines and raw_lines[-1] == b"":
+            raw_lines.pop()
+        applied = 0
+        for i, raw in enumerate(raw_lines):
+            try:
+                entry = json.loads(raw.decode("utf-8"))
+                if not isinstance(entry, dict) or "op" not in entry:
+                    raise ValueError("journal entry is not an op object")
+            except Exception as exc:
+                if i == len(raw_lines) - 1:
+                    _LOG.warning(
+                        "arbiter journal %s: torn final line dropped "
+                        "(crash mid-append): %r",
+                        self._journal_path,
+                        raw[:80],
+                    )
+                    break
+                raise ValueError(
+                    f"arbiter journal {self._journal_path} corrupt at line "
+                    f"{i + 1} (entries follow it, so this is not a torn "
+                    f"tail): {raw[:80]!r}"
+                ) from exc
+            self._apply(entry)
+            applied += 1
+        return applied
+
+    def _apply(self, entry: dict) -> None:
+        """Apply one journal entry to the in-memory table — the same
+        state transitions the live methods make, minus journalling,
+        failure injection and CAS validation (a journalled entry was
+        already validated when it was first acknowledged)."""
+        op, table = entry["op"], entry["table"]
+        recs = self._tables.setdefault(table, {})
+        if op in ("record", "cas"):
+            recs[entry["name"]] = entry["staged"]
+        elif op == "seed":
+            for n in entry["names"]:
+                recs.setdefault(n, None)
+        elif op == "mark_complete":
+            if entry["name"] in recs:
+                recs[entry["name"]] = None
+        elif op == "forget":
+            recs.pop(entry["name"], None)
+        else:
+            raise ValueError(
+                f"arbiter journal {self._journal_path}: unknown op {op!r}"
+            )
+
+    def _journal(self, entry: dict) -> None:
+        import os
+
+        if self._fh is None:  # during replay
+            return
+        self._fh.write(
+            json.dumps(entry, sort_keys=True).encode("utf-8") + b"\n"
+        )
+        self._fh.flush()
+        os.fsync(self._fh.fileno())
+
+    def close(self) -> None:
+        if self._fh is not None:
+            self._fh.close()
+            self._fh = None
 
 
 class FaultInjectingArbiter:
@@ -738,13 +913,23 @@ class ArbiterLogStore(ManifestLogStore):
         hpath = jvm.org.apache.hadoop.fs.Path
         fs.mkdirs(hpath(manifest_dir))
         fresh = name not in expected  # replay re-publish when False
-        if fresh and fs.exists(hpath(f"{manifest_dir}/{name}.json")):
-            # pre-CAS fast loss: the name is already FINAL on the FS but
-            # absent from our basis — a foreign commit landed (possibly
-            # across an arbiter RESTART whose amnesiac record table would
-            # let our CAS through). Reject before staging anything.
+        # pre-CAS FS re-list (r12, widening r11's same-name fast check;
+        # ADVICE r11): ANY final manifest outside this writer's basis —
+        # the same name OR a different one — means a foreign commit
+        # landed after our listing. A live arbiter rejects that at the
+        # CAS, but an amnesiac restart re-seeded with OUR stale basis
+        # cannot: the stale-basis commit would publish a manifest whose
+        # delta lineage silently OMITS the foreign batch. One cheap
+        # listing closes every foreign commit that FINALIZED before it
+        # ran; the residual window (a foreign finalize landing between
+        # this re-list and our CAS, across a restart) is closed only by
+        # a DURABLE record table — JournalledCommitArbiter replays its
+        # journal on restart, so its CAS itself rejects there.
+        on_fs = self.list_commits(spark, manifest_dir)
+        foreign = sorted(set(on_fs) - set(expected))
+        if foreign:
             raise ConcurrentCommitError(
-                f"commit of {name} rejected: the manifest already exists "
+                f"commit of {name} rejected: manifest(s) {foreign} exist "
                 "on the filesystem outside this writer's basis — refresh "
                 "the basis and retry"
             )

@@ -326,3 +326,47 @@ def test_replay_republish_keeps_overwrite_semantics(spark, tmp_path):
     store.commit(spark, mdir, "v000000001", {"batch_id": 1}, expected=basis1)
     assert store.list_commits(spark, mdir) == ["v000000000", "v000000001"]
     assert store.read_commit(spark, mdir, "v000000001")["batch_id"] == 1
+
+def test_pre_cas_re_list_rejects_foreign_final_under_other_name(spark, tmp_path):
+    """r12 (ADVICE r11): the r11 pre-CAS guard checked only the SAME
+    name. A foreign commit under a DIFFERENT manifest name landing
+    between this writer's listing and an amnesiac restart was invisible
+    to the CAS — the per-commit re-seed carries only the writer's own
+    STALE basis, so the CAS passes and the stale-basis commit publishes
+    a manifest whose delta lineage silently omits the foreign batch.
+    The pre-CAS FS re-list rejects ANY final manifest outside the
+    basis, before staging or recording anything."""
+    mdir = str(tmp_path / "state" / "manifests")
+    arb_a = CommitArbiter()
+    w = ArbiterLogStore(arb_a)
+    w.commit(spark, mdir, "v000000000", {"batch_id": 0}, expected=None)
+    stale = tuple(w.list_commits(spark, mdir))  # (v0,) — about to go stale
+
+    # a foreign incarnation lands batch 1 under a name NOT in `stale`
+    wf = ArbiterLogStore(CommitArbiter())
+    wf.commit(
+        spark, mdir, "v000000001", {"batch_id": 1, "who": "f"},
+        expected=tuple(wf.list_commits(spark, mdir)),
+    )
+
+    # the arbiter restarts EMPTY; the surviving stale-basis writer tries
+    # batch 2 — its re-seed would teach the amnesiac arbiter only (v0,),
+    # so without the FS re-list the CAS would pass
+    w.arbiter = CommitArbiter()
+    with pytest.raises(ConcurrentCommitError, match="outside this writer's basis"):
+        w.commit(spark, mdir, "v000000002", {"batch_id": 2}, expected=stale)
+
+    # rejected BEFORE staging or recording: no v2 record at the arbiter,
+    # no staged debris, and the foreign manifest is untouched
+    table = w._table_key(spark, mdir)
+    assert "v000000002" not in w.arbiter.records(table)
+    import os
+
+    assert not [f for f in os.listdir(mdir) if f.startswith(".staged.")]
+    assert w.read_commit(spark, mdir, "v000000001")["who"] == "f"
+    # a fresh basis commits cleanly
+    fresh = tuple(w.list_commits(spark, mdir))
+    w.commit(spark, mdir, "v000000002", {"batch_id": 2}, expected=fresh)
+    assert w.list_commits(spark, mdir) == [
+        "v000000000", "v000000001", "v000000002",
+    ]

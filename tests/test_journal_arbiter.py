@@ -1,0 +1,178 @@
+"""Durable arbiter record table (r12, VERDICT r11 ask #2).
+
+JournalledCommitArbiter write-ahead-journals every acknowledged mutation
+to an fsync'd append-only file and replays it on construction, so an
+arbiter restart comes back knowing every committed name and every
+pending finalize — restart amnesia becomes IMPOSSIBLE rather than
+reconciled. These tests pin:
+
+- replay round-trip (all five mutation ops),
+- the torn-tail rule (one torn FINAL line tolerated; corruption with
+  entries after it is loud),
+- crash-between-CAS-and-finalize surviving the restart as a pending
+  record the reader self-heal finishes (the window the in-memory
+  arbiter could only resolve via writer-side reconciliation),
+- stale-basis CAS rejection across a restart WITHOUT any re-seed (the
+  foreign-different-name window from ADVICE r11 closes at the CAS),
+- startup compaction preserving the record table.
+
+Cross-process twin: examples/arbiter_restart_probe.py --durable runs
+the real SIGKILL + warm-standby takeover with zero outage retries.
+"""
+
+from __future__ import annotations
+
+import json
+import uuid
+
+import pytest
+
+from pharmaceutical_sales_data_etl_analysis_pipeline_spark.streaming.logstore import (
+    ArbiterLogStore,
+    ConcurrentCommitError,
+    JournalledCommitArbiter,
+)
+
+
+def _mutate(arb: JournalledCommitArbiter) -> None:
+    arb.record("t1", "v000000000", None)
+    arb.seed("t1", ["v000000000", "vseeded"])  # v0 not re-journalled
+    arb.cas("t1", ("v000000000", "vseeded"), "v000000001", ".staged.x.json")
+    arb.mark_complete("t1", "v000000001")
+    arb.cas(
+        "t1",
+        ("v000000000", "v000000001", "vseeded"),
+        "v000000002",
+        ".staged.y.json",
+    )  # left PENDING
+    arb.record("t2", "gone", None)
+    arb.forget("t2", "gone")
+
+
+def test_journal_replay_round_trip(tmp_path):
+    jp = str(tmp_path / "arbiter.journal")
+    a = JournalledCommitArbiter(jp)
+    assert a.replayed_entries == 0
+    _mutate(a)
+    want_t1 = a.records("t1")
+    assert want_t1["v000000002"] == ".staged.y.json"  # pending survives
+    a.close()
+
+    b = JournalledCommitArbiter(jp)
+    assert b.replayed_entries > 0
+    assert b.records("t1") == want_t1
+    assert b.records("t2") == {}  # forget replayed
+    # durable CAS continues from the replayed state with no seeding
+    b.cas(
+        "t1",
+        ("v000000000", "v000000001", "v000000002", "vseeded"),
+        "v000000003",
+        ".staged.z.json",
+    )
+    assert b.records("t1")["v000000003"] == ".staged.z.json"
+    b.close()
+
+
+def test_torn_final_line_tolerated_mid_corruption_loud(tmp_path):
+    jp = str(tmp_path / "arbiter.journal")
+    a = JournalledCommitArbiter(jp)
+    a.record("t", "v000000000", None)
+    a.record("t", "v000000001", None)
+    a.close()
+    # crash mid-append: torn, newline-less tail
+    with open(jp, "ab") as fh:
+        fh.write(b'{"op": "record", "table": "t", "na')
+    b = JournalledCommitArbiter(jp)
+    assert b.replayed_entries == 2
+    assert set(b.records("t")) == {"v000000000", "v000000001"}
+    b.close()
+    # corruption with intact entries AFTER it is NOT a torn tail
+    lines = open(jp, "rb").read().splitlines()
+    lines[0] = b"garbage"
+    open(jp, "wb").write(b"\n".join(lines) + b"\n")
+    with pytest.raises(ValueError, match="corrupt at line 1"):
+        JournalledCommitArbiter(jp)
+
+
+def test_restart_during_cas_window_self_heals(spark, tmp_path):
+    """A CAS-won commit whose finalize never ran survives the restart as
+    a PENDING record; the first reader after the restart finishes the
+    finalize from the staged file — no writer-side ambiguity
+    reconciliation involved (the in-memory arbiter lost this record and
+    needed the reconciliation protocol instead)."""
+    jp = str(tmp_path / "arbiter.journal")
+    mdir = str(tmp_path / "state" / "manifests")
+    a = JournalledCommitArbiter(jp)
+    store = ArbiterLogStore(a)
+    store.commit(spark, mdir, "v000000000", {"batch_id": 0}, expected=None)
+    basis = tuple(store.list_commits(spark, mdir))
+
+    # simulate the crash window by hand: stage + CAS, no finalize
+    from pharmaceutical_sales_data_etl_analysis_pipeline_spark.sources.maintenance import (
+        _fs_and_path,
+    )
+
+    fs, _, jvm = _fs_and_path(spark, mdir)
+    staged_name = f".staged.v000000001.{uuid.uuid4().hex}.json"
+    out = fs.create(jvm.org.apache.hadoop.fs.Path(f"{mdir}/{staged_name}"), True)
+    try:
+        out.write(bytearray(json.dumps({"batch_id": 1}).encode("utf-8")))
+    finally:
+        out.close()
+    table = store._table_key(spark, mdir)
+    a.cas(table, basis, "v000000001", staged_name)
+    a.close()  # SIGKILL here
+
+    b = JournalledCommitArbiter(jp)
+    reader = ArbiterLogStore(b)
+    assert reader.list_commits(spark, mdir) == ["v000000000", "v000000001"]
+    assert reader.read_commit(spark, mdir, "v000000001")["batch_id"] == 1
+    assert b.records(table)["v000000001"] is None  # finalize completed
+    b.close()
+
+
+def test_stale_basis_rejected_at_cas_across_restart(spark, tmp_path):
+    """ADVICE r11's residual window: with the in-memory arbiter, a
+    foreign commit under a DIFFERENT name + a restart + the stale
+    writer's own-basis re-seed let a stale CAS pass. The durable table
+    replays the foreign name, so the CAS itself rejects — and a CORRECT
+    basis passes with no seeding at all."""
+    jp = str(tmp_path / "arbiter.journal")
+    mdir = str(tmp_path / "state" / "manifests")
+    a = JournalledCommitArbiter(jp)
+    store = ArbiterLogStore(a)
+    store.commit(spark, mdir, "v000000000", {"batch_id": 0}, expected=None)
+    stale = tuple(store.list_commits(spark, mdir))
+    store.commit(
+        spark, mdir, "v000000001", {"batch_id": 1, "who": "f"}, expected=stale
+    )
+    table = store._table_key(spark, mdir)
+    a.close()
+
+    b = JournalledCommitArbiter(jp)
+    # the stale-basis CAS is rejected BY THE ARBITER (no re-seed ran)
+    with pytest.raises(ConcurrentCommitError, match="basis advanced"):
+        b.cas(table, stale, "v000000002", ".staged.w.json")
+    # the correct basis passes without seeding
+    b.cas(table, ("v000000000", "v000000001"), "v000000002", ".staged.w.json")
+    assert b.records(table)["v000000002"] == ".staged.w.json"
+    b.close()
+
+
+def test_compact_on_start_preserves_records(tmp_path):
+    jp = str(tmp_path / "arbiter.journal")
+    a = JournalledCommitArbiter(jp)
+    _mutate(a)
+    want = {t: a.records(t) for t in ("t1", "t2")}
+    a.close()
+    import os
+
+    size_before = os.path.getsize(jp)
+    b = JournalledCommitArbiter(jp, compact_on_start=True)
+    assert {t: b.records(t) for t in ("t1", "t2")} == want
+    assert os.path.getsize(jp) <= size_before
+    b.close()
+    # and the compacted journal replays identically
+    c = JournalledCommitArbiter(jp)
+    assert {t: c.records(t) for t in ("t1", "t2")} == want
+    c.close()
