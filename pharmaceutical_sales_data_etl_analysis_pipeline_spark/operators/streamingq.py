@@ -906,6 +906,64 @@ QUERIES["mor_schema_evolution_summary"] = mor_schema_evolution_summary
 ORACLES["mor_schema_evolution_summary"] = SQL_MOR_SCHEMA_EVOLUTION_SUMMARY
 
 
+def mor_rename_column(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RENAME COLUMN via column mapping (r12, VERDICT r11 ask #4),
+    driver-verified end-to-end: the mor_schema_evolution fixture (CoW
+    pre-1996 load, evolved MoR 1996+ append carrying `fee`, widen) plus
+    TWO metadata-only renames — the primary `total` -> `revenue` and the
+    evolved `fee` -> `surcharge`. No data file is rewritten (the
+    physical parquet names are immutable; only the read boundary's
+    alias changes — at 100 TB a rename costs one manifest commit), the
+    producer's batch contract (`amount`, `fee`) is untouched, and the
+    fold reads back value-identical under the new names. Reference
+    anchor: the reference renames columns across stages
+    (LoadXML2DB.ChatterjeeP.R:77,178-183: `prod`->`product_name`,
+    XML attr `rID`->`rep_id`)."""
+    from ..streaming.partitioned_upsert import (
+        read_latest_partitioned_state,
+        rename_value_column,
+    )
+
+    def build(orders: DataFrame, width: int, state: str) -> None:
+        _build_evolved_state(spark, sf_dir, state, width, compact=False)
+        # plain statements, NOT asserts (python -O would strip them and
+        # silently drop the rename legs from the registered rung)
+        v = rename_value_column(spark, state, "total", "revenue")
+        if v != 4:
+            raise RuntimeError(f"rename total->revenue landed v{v}, want 4")
+        v = rename_value_column(spark, state, "fee", "surcharge")
+        if v != 5:
+            raise RuntimeError(f"rename fee->surcharge landed v{v}, want 5")
+
+    state = _memoized_state(spark, sf_dir, "mor_rename", build)
+    return read_latest_partitioned_state(spark, state)
+
+
+SQL_MOR_RENAME_COLUMN = f"""
+WITH v0 AS (
+  SELECT o_custkey AS key,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS total,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM orders WHERE o_orderdate < DATE '1996-01-01' GROUP BY 1
+), up AS (
+  SELECT o_custkey AS key,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS total,
+         SUM(CAST(o_orderkey % {EVOLVE_FEE_MOD} AS DECIMAL(18,2))) AS fee,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM orders WHERE o_orderdate >= DATE '1996-01-01' GROUP BY 1
+)
+SELECT COALESCE(v0.key, up.key) AS key,
+       CAST(COALESCE(v0.total, CAST(0 AS DECIMAL(18,2)))
+            + COALESCE(up.total, CAST(0 AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+       CAST(up.fee AS DOUBLE) AS surcharge,
+       CAST(COALESCE(v0.n, 0) + COALESCE(up.n, 0) AS BIGINT) AS n_rows
+FROM v0 FULL OUTER JOIN up ON v0.key = up.key
+"""
+
+QUERIES["mor_rename_column"] = mor_rename_column
+ORACLES["mor_rename_column"] = SQL_MOR_RENAME_COLUMN
+
+
 # ---------------------------------------------------------------------------
 # Stateful streaming entry (r9): the applyInPandasWithState surface
 # (streaming/stateful.py), driver-verified. Until now the custom-state

@@ -86,105 +86,102 @@ MODULE_ORDER = [
     "graphops",
 ]
 
-# Round-11 sweep priority. After r10 the union r1∪…∪r10 (latest-wins) is
-# 213/213 green with zero standing failures and no row older than r6
-# (histogram r10 50 / r9 43 / r8 41 / r7 44 / r6 35 — recomputed from the
-# CORRECTNESS union this round; the r10 comment's "34 remaining r6-rows"
-# undercounted by omitting exact_dedup, VERDICT r10 missing #1).
-# The r11 window retires the ENTIRE r6 staleness cohort (VERDICT ask #1):
-#   (c) PREPENDED per the rotation invariant: mor_schema_evolution
-#       (r11 NEW — manifest schema evolution: ADD COLUMN without rewrite
-#       via merge_schema=True, NULL back-fill on pre-evolution files,
-#       plus a metadata-only widen_value_column commit); then the seven
-#       table-format queries whose read/write plans changed in r11 (the
-#       value-column-parametrized fold/merge/CDF — legacy expressions
-#       are identical by construction, but the rotation invariant treats
-#       any touched plan as changed): cow_merge_changes, mor_changes_feed
-#       (null-safe CDF compare), mor_scattered_fold, stream_mor_ingest,
-#       stream_mor_tombstone_seq, cow_manifest_summary,
-#       cow_keyrange_lookup;
-#   (d) the FULL r6 staleness cohort, 35 rows in name order
-#       (exact_dedup .. unpivot_status_year);
-#   (e) the 5 oldest r7 rows in name order to fill the 50-slot window
-#       (the second and third r11-new prepends —
-#       mor_schema_evolution_summary, training_shuffle — took two
-#       slots; dataset_cards + contamination_check head the r12
-#       candidates).
-# After this sweep no registered query's latest driver row predates r7.
+# Round-12 sweep priority. After r11 the union r1∪…∪r11 (latest-wins) is
+# 216/216 green with zero standing failures and no row older than r7
+# (histogram r11 50 / r10 43 / r9 43 / r8 41 / r7 39). The r12 window
+# retires the ENTIRE r7 staleness cohort (VERDICT r11 ask #1):
+#   (a) PREPENDED per the rotation invariant: mor_rename_column (r12
+#       NEW — RENAME COLUMN via column mapping: logical/physical name
+#       split, metadata-only 'x' commit, zero files rewritten; DROP
+#       COLUMN ships alongside with retired-physical-name resurrection
+#       guards, driver-covered through this query's shared plumbing);
+#       then the nine table-format queries whose read/write plans
+#       changed in r12 (the physical-name fold/merge/stats/CDF —
+#       never-renamed tables produce identical expressions by
+#       construction, but the rotation invariant treats any touched
+#       plan as changed, and the adopted-column typing fix changed
+#       mor_schema_evolution's recorded fee type to decimal(20,0)):
+#       mor_schema_evolution, mor_schema_evolution_summary,
+#       cow_merge_changes, mor_changes_feed, mor_scattered_fold,
+#       stream_mor_ingest, stream_mor_tombstone_seq,
+#       cow_manifest_summary, cow_keyrange_lookup;
+#   (b) the FULL r7 staleness cohort, 39 rows in name order
+#       (contamination_check .. xml_xpath_roundtrip), honoring
+#       BENCH_NOTES' candidates head (dataset_cards,
+#       contamination_check are rows 2-3 of the cohort);
+#   (c) the oldest r8 row in name order — bigram_logprob — fills the
+#       50th slot.
+# After this sweep no registered query's latest driver row predates r8.
 PRIORITY = [
-    # (c) r11-new / r11-plan-changed (rotation invariant)
-    "training_shuffle",  # r11 NEW: global deterministic training shuffle
-    "mor_schema_evolution_summary",  # r11 NEW: evolved zone-map summary
-    "mor_schema_evolution",  # r11 NEW: ADD COLUMN / widen without rewrite
-    "cow_merge_changes",  # r11: schema-aware CDF (null-safe compare)
+    "mor_rename_column",
+    "mor_schema_evolution",
+    "mor_schema_evolution_summary",
+    "cow_merge_changes",
     "mor_changes_feed",
-    "mor_scattered_fold",  # r11: value-column-parametrized fold
+    "mor_scattered_fold",
     "stream_mor_ingest",
     "stream_mor_tombstone_seq",
     "cow_manifest_summary",
     "cow_keyrange_lookup",
-    # (d) the full r6 staleness cohort, name order (35 rows)
-    "exact_dedup",
-    "filter_conjunction",
-    "fingerprints",
-    "first_order_per_customer",
-    "full_outer_reconciliation",
-    "funnel_signup_view_purchase",
-    "graph_triangle_stats",
-    "grouping_sets_sales",
-    "incremental_agg_maintenance",
-    "key_repair_join",
-    "merge_upsert",
-    "minhash_calibration",
-    "ohlc_bars",
-    "pivot_status_year",
-    "product_facts",
-    "product_facts_sql",
-    "quarterly_totals",
-    "rep_facts",
-    "rfm_segments",
-    "rollup_year_quarter",
-    "seasonal_decompose",
-    "session_stats",
-    "simhash_near_dups",
-    "simhash_near_dups_planted",
-    "sliding_hourly",
-    "stream_click_attribution",
-    "stream_dedup_within_watermark",
-    "table_content_hash",
-    "tfidf_topk_terms",
-    "top1_product",
-    "top3_parts_per_brand",
-    "top5_rep_years",
-    "top5_users_by_value",
-    "tumbling_hourly",
-    "unpivot_status_year",
-    # (e) the 5 oldest r7 rows, name order (dataset_cards and
-    # contamination_check ceded their slots to the second and third
-    # r11-new queries; they head the r12 candidates)
-    "activity_heatmap",
-    "asof_purchase_before_click",
-    "basket_affinity",
-    "bm25_topk_terms",
-    "cohort_retention",
+    # (b) the full r7 staleness cohort, name order (39 rows)
+    "contamination_check",
+    "dataset_cards",
+    "dedup_rate_by_source",
+    "dedup_survivors",
+    "distinct_counts",
+    "doc_chunks",
+    "domain_mixture_weights",
+    "embedding_quantize",
+    "event_transitions",
+    "events_within_5min",
+    "grouped_pandas_topk",
+    "hourly_gapfill",
+    "hybrid_retrieval_rrf",
+    "lang_id",
+    "lookup_join_nulls",
+    "lsh_bucket_sizes",
+    "lsh_probe_topk",
+    "minhash_lsh_candidates",
+    "minhash_signatures",
+    "moving_avg_customer",
+    "multimodal_features",
+    "multimodal_frames",
+    "pandas_normalized_text",
+    "percentile_disc_prices",
+    "product_surrogate_keys",
+    "props_k_stats",
+    "rank_functions",
+    "salted_user_totals",
+    "simhash",
+    "status_set_ops",
+    "string_functions",
+    "text_quality",
+    "token_counts",
+    "training_corpus",
+    "union_all_bag",
+    "value_histogram",
+    "window_value_functions",
+    "xml_scan_roundtrip",
+    "xml_xpath_roundtrip",
+    # (c) the oldest r8 row fills the window
+    "bigram_logprob",
 ]
-# r12 PRIORITY candidates (staleness head after the r11 sweep): the 39
-# remaining r7-rows in name order — contamination_check and
-# dataset_cards (ceded their r11 slots),
-# dedup_rate_by_source, dedup_survivors,
-# distinct_counts, doc_chunks, domain_mixture_weights, embedding_quantize,
-# event_transitions, events_within_5min, grouped_pandas_topk,
-# hourly_gapfill, hybrid_retrieval_rrf, lang_id, lookup_join_nulls,
-# lsh_bucket_sizes, lsh_probe_topk, minhash_lsh_candidates,
-# minhash_signatures, moving_avg_customer, multimodal_features,
-# multimodal_frames, pandas_normalized_text, percentile_disc_prices,
-# product_surrogate_keys, props_k_stats, rank_functions,
-# salted_user_totals, simhash, status_set_ops, string_functions,
-# text_quality, token_counts, training_corpus, union_all_bag,
-# value_histogram, window_value_functions, xml_scan_roundtrip,
-# xml_xpath_roundtrip — then the oldest r8 cohort fills the window.
-# Queries ADDED or PLAN-CHANGED during r11 must be PREPENDED here per
+# r13 PRIORITY candidates (staleness head after the r12 sweep): the 40
+# remaining r8-rows in name order — bloom_prefilter_stats, bpe_pair_stats,
+# calendar_dim, chunk_dedup, cluster_label_purity, cms_heavy_hitters,
+# conversation_assembly, dsir_weights, embedding_center,
+# event_dedup_tolerance, fd_discovery, hourly_anomalies,
+# incremental_neardup, interpolate_hourly, inverted_index, ivf_list_sizes,
+# ivf_probe2_topk, ivf_probe_topk, kmeans_clusters, multimodal_resize,
+# ngram_jaccard, ntile_quartiles, oov_rate, pq_codes, price_quantity_corr,
+# quality_deciles, repetition_ratio, rolling_7d_actives, scd2_intervals,
+# semdedup_candidates, sequence_packing, session_conversion,
+# stratified_sample, table_diff, term_lift_pairs, tpch_q1, twap_per_user,
+# udtf_sentences, weighted_sample, xml_stream_ingest — then the oldest
+# r9 rows fill the window.
+# Queries ADDED or PLAN-CHANGED during r12 must be PREPENDED here per
 # the rotation invariant (they outrank staleness refreshes).
+
 
 def _collect() -> tuple[dict[str, QueryFn], dict[str, str]]:
     merged_q: dict[str, QueryFn] = {}

@@ -275,12 +275,35 @@ _RESERVED_STATE_COLS = frozenset({"key", "n_rows", "bucket", "batch_id"})
 
 
 def table_values(manifest: dict | None) -> list[list[str]]:
-    """The table's value-column triples [state_col, batch_col, type] —
-    the legacy single-column contract when the manifest predates (or
-    never needed) the schema field."""
+    """The table's value-column entries [state_col, batch_col, type] or —
+    after a RENAME — [state_col, batch_col, type, physical_col] (r12
+    column mapping, Delta's logical-name/physical-name split): state_col
+    is the LOGICAL name readers see, batch_col the producer's batch
+    column, physical_col the immutable parquet column name (defaults to
+    state_col; files are NEVER rewritten to follow a rename). Legacy
+    single-column contract when the manifest predates (or never needed)
+    the schema field. Use _vphys() to address files, entry[0] for the
+    read/API surface."""
     if manifest is None or "schema" not in manifest:
         return [list(v) for v in LEGACY_VALUES]
     return [list(v) for v in manifest["schema"]["values"]]
+
+
+def _vphys(entry: list[str]) -> str:
+    """The PHYSICAL parquet column name of a value entry — the 4th
+    element when a rename recorded one, else the logical name."""
+    return entry[3] if len(entry) > 3 else entry[0]
+
+
+def table_retired(manifest: dict | None) -> list[str]:
+    """Physical column names RETIRED by DROP COLUMN: still present in
+    old files (never rewritten), hidden from every read, and permanently
+    reserved so a later re-ADD of the same logical name gets a FRESH
+    physical name — without this, re-adding a dropped column would
+    resurrect its stale values out of pre-drop files."""
+    if manifest is None or "schema" not in manifest:
+        return []
+    return list(manifest["schema"].get("retired", []))
 
 
 def table_schema_version(manifest: dict | None) -> int:
@@ -289,11 +312,23 @@ def table_schema_version(manifest: dict | None) -> int:
     return int(manifest["schema"]["version"])
 
 
-def _record_schema(manifest: dict, values: list[list[str]], version: int) -> None:
+def _record_schema(
+    manifest: dict,
+    values: list[list[str]],
+    version: int,
+    retired: list[str] | None = None,
+) -> None:
     """Stamp the schema field — only when the table has actually evolved,
-    so never-evolved lineages keep emitting legacy manifests unchanged."""
-    if version != 1 or values != LEGACY_VALUES:
-        manifest["schema"] = {"version": version, "values": [list(v) for v in values]}
+    so never-evolved lineages keep emitting legacy manifests unchanged.
+    Entries serialize 3-field unless a rename recorded a physical name
+    (4-field), keeping pre-rename manifests byte-identical."""
+    if version != 1 or values != LEGACY_VALUES or retired:
+        out = [
+            list(v[:3]) if _vphys(v) == v[0] else list(v[:4]) for v in values
+        ]
+        manifest["schema"] = {"version": version, "values": out}
+        if retired:
+            manifest["schema"]["retired"] = sorted(retired)
 
 
 def _decimal_params(type_str: str) -> tuple[int, int]:
@@ -314,19 +349,22 @@ def _decimal_params(type_str: str) -> tuple[int, int]:
 
 
 def _state_schema_for(values: list[list[str]]) -> T.StructType:
+    """File-facing state schema: PHYSICAL column names — a renamed
+    column keeps its original parquet name in every file."""
     fields = [T.StructField("key", T.LongType())]
-    for state_col, _src, typ in values:
-        p, s = _decimal_params(typ)
-        fields.append(T.StructField(state_col, T.DecimalType(p, s)))
+    for v in values:
+        p, s = _decimal_params(v[2])
+        fields.append(T.StructField(_vphys(v), T.DecimalType(p, s)))
     fields.append(T.StructField("n_rows", T.LongType()))
     return T.StructType(fields)
 
 
 def _delta_schema_for(values: list[list[str]]) -> T.StructType:
+    """File-facing delta schema: d_{physical} columns."""
     fields = [T.StructField("key", T.LongType())]
-    for state_col, _src, typ in values:
-        p, s = _decimal_params(typ)
-        fields.append(T.StructField(f"d_{state_col}", T.DecimalType(p, s)))
+    for v in values:
+        p, s = _decimal_params(v[2])
+        fields.append(T.StructField(f"d_{_vphys(v)}", T.DecimalType(p, s)))
     fields += [
         T.StructField("d_rows", T.LongType()),
         T.StructField("d_reset", T.BooleanType()),
@@ -342,12 +380,14 @@ def _as_partitioned_read_view(
     """Read boundary for the (possibly evolved) partitioned state: every
     decimal value column casts to DOUBLE; column order is key, values in
     recorded order, n_rows — identical to upsert._as_read_view for the
-    legacy single-column table."""
+    legacy single-column table. This is ALSO the column-mapping
+    boundary: files carry physical names, readers see logical names —
+    the one alias that makes RENAME metadata-only."""
     if df is None:
         return None
     return df.select(
         "key",
-        *[F.col(c).cast("double").alias(c) for c, _s, _t in values],
+        *[F.col(_vphys(v)).cast("double").alias(v[0]) for v in values],
         "n_rows",
     )
 
@@ -357,6 +397,7 @@ def _evolve_values_for_batch(
     values: list[list[str]],
     merge_schema: bool,
     state_dir: str,
+    retired: list[str] | None = None,
 ) -> tuple[list[list[str]], bool]:
     """Validate the batch's columns against the table's value schema and
     (only with merge_schema=True) adopt extra numeric columns as new
@@ -380,7 +421,7 @@ def _evolve_values_for_batch(
             "folding an absent column would silently drop every key in "
             "the batch"
         )
-    known_sources = {src for _c, src, _t in values}
+    known_sources = {v[1] for v in values}
     extra = [
         c
         for c in batch_df.columns
@@ -409,7 +450,22 @@ def _evolve_values_for_batch(
                 f"a value column of {state_dir}: value columns are SUMMED "
                 "per key, so only numeric types have defined fold semantics"
             )
-        evolved.append([c, c, _adopted_decimal_type(c, dt, state_dir)])
+        # physical-name assignment (r12 column mapping): a physical name
+        # ever used by a DROPPED column, still used under a rename, or
+        # reserved, can never be reused — old files hold its stale
+        # values, and re-binding it would resurrect them. Deterministic
+        # suffix search keeps replays byte-identical.
+        used = (
+            {_vphys(v) for v in evolved}
+            | set(retired or [])
+            | _RESERVED_STATE_COLS
+        )
+        phys, i = c, 2
+        while phys in used:
+            phys = f"{c}__{i}"
+            i += 1
+        typ = _adopted_decimal_type(c, dt, state_dir)
+        evolved.append([c, c, typ] if phys == c else [c, c, typ, phys])
     return evolved, True
 
 
@@ -508,8 +564,137 @@ def widen_value_column(
         versions, manifest["batch_id"]
     )
     version = table_schema_version(manifest) + 1
-    widened["schema"] = {"version": version, "values": values}
+    # through _record_schema so rename physicals and the retired list
+    # survive a widen (a hand-rolled schema dict here dropped them)
+    _record_schema(widened, values, version, table_retired(manifest))
     _write_manifest(spark, state_dir, widened, expected=tuple(versions))
+    return version
+
+
+def heartbeat_partitioned_state(spark: SparkSession, state_dir: str) -> str:
+    """Renew the sequenced-writer lease WITHOUT appending data (r12,
+    lease-TTL mode): republish the newest manifest's contents under the
+    next 'x' commit name — same logical state (readers pick the newest
+    commit per batch id), fresh file mtime, which is exactly the
+    heartbeat the TTL expiry check reads. An owner whose source goes
+    quiet for longer than the table's agreed TTL schedules this on a
+    timer (a few bytes of manifest JSON per beat — no data touched at
+    any scale). Optimistically checked like every commit, so a
+    heartbeat racing a real append simply loses and is unnecessary
+    (the append already renewed the lease). Returns the commit name."""
+    versions = _list_manifests(spark, state_dir)
+    if not versions:
+        raise ValueError(f"no committed state to heartbeat in {state_dir}")
+    manifest = _read_manifest(spark, state_dir, versions[-1])
+    beat = dict(manifest)
+    beat["compaction_seq"] = _next_compaction_seq(versions, manifest["batch_id"])
+    _write_manifest(spark, state_dir, beat, expected=tuple(versions))
+    return _manifest_name(beat)
+
+
+def rename_value_column(
+    spark: SparkSession, state_dir: str, old_name: str, new_name: str
+) -> int:
+    """RENAME COLUMN, metadata-only (r12, VERDICT r11 ask #4 — Delta's
+    column-mapping semantics): record a new LOGICAL name for one value
+    column in a same-batch-id 'x' commit. The PHYSICAL parquet name is
+    immutable — every existing bucket/delta file keeps it, and future
+    writes keep using it, so NO file is rewritten at any size; only the
+    read boundary's alias changes. The BATCH source column is likewise
+    untouched: it is a separate producer contract (the legacy table
+    already reads batch `amount` into state `total`), so running
+    producers keep working across the rename — rename changes what
+    READERS see, exactly the reference pipeline's rename-across-stages
+    (LoadXML2DB.ChatterjeeP.R:77,178-183: XML `prod`/`rID` become
+    `product_name`/`rep_id` downstream). Refused loudly: unknown source
+    column, a target that collides with a logical/physical/reserved/
+    retired name. Returns the new schema version; renaming a column to
+    itself is a no-op (no commit)."""
+    versions = _list_manifests(spark, state_dir)
+    if not versions:
+        raise ValueError(f"no committed state to rename in {state_dir}")
+    manifest = _read_manifest(spark, state_dir, versions[-1])
+    values = table_values(manifest)
+    names = [v[0] for v in values]
+    if old_name not in names:
+        raise ValueError(
+            f"unknown value column {old_name!r} in {state_dir}; have {names}"
+        )
+    if new_name == old_name:
+        return table_schema_version(manifest)  # no-op, nothing to commit
+    taken = (
+        set(names)
+        | {_vphys(v) for v in values}
+        | set(table_retired(manifest))
+        | _RESERVED_STATE_COLS
+        | _RESERVED_BATCH_COLS
+    )
+    if new_name in taken:
+        raise ValueError(
+            f"cannot rename {old_name!r} to {new_name!r} in {state_dir}: "
+            "the target collides with an existing logical/physical "
+            "column, a retired (dropped) column, or a reserved name"
+        )
+    idx = names.index(old_name)
+    entry = values[idx]
+    phys = _vphys(entry)
+    values[idx] = [new_name, entry[1], entry[2]] + (
+        [phys] if phys != new_name else []
+    )
+    renamed = dict(manifest)
+    renamed["compaction_seq"] = _next_compaction_seq(
+        versions, manifest["batch_id"]
+    )
+    version = table_schema_version(manifest) + 1
+    _record_schema(renamed, values, version, table_retired(manifest))
+    _write_manifest(spark, state_dir, renamed, expected=tuple(versions))
+    return version
+
+
+def drop_value_column(
+    spark: SparkSession, state_dir: str, name: str
+) -> int:
+    """DROP COLUMN, metadata-only: remove one EVOLVED value column from
+    the schema in a same-batch-id 'x' commit. No file is rewritten —
+    the physical column stays in old files but vanishes from every
+    read (and the pruned parquet scan never even decodes its bytes, so
+    a drop also makes scans cheaper immediately). The physical name is
+    recorded as RETIRED: a later re-ADD of the same logical name binds
+    a FRESH physical name, so pre-drop values can never resurrect.
+    Refused loudly: the PRIMARY column (its NULL is the tombstone
+    sentinel — dropping it would undefine the table's delete
+    semantics), and unknown columns. Time travel to an OLDER batch id
+    still reads the column (that commit's schema has it — Delta's
+    semantics); the drop itself is an 'x' commit sharing the LATEST
+    batch id, so version-reads of that batch see the post-drop schema,
+    same newest-commit-wins rule as compaction. Returns the new schema
+    version."""
+    versions = _list_manifests(spark, state_dir)
+    if not versions:
+        raise ValueError(f"no committed state to drop from in {state_dir}")
+    manifest = _read_manifest(spark, state_dir, versions[-1])
+    values = table_values(manifest)
+    names = [v[0] for v in values]
+    if name not in names:
+        raise ValueError(
+            f"unknown value column {name!r} in {state_dir}; have {names}"
+        )
+    if name == names[0]:
+        raise ValueError(
+            f"cannot drop the PRIMARY value column {name!r} of "
+            f"{state_dir}: its NULL is the tombstone sentinel, so the "
+            "delete semantics of every existing file depend on it"
+        )
+    idx = names.index(name)
+    retired = sorted(set(table_retired(manifest)) | {_vphys(values[idx])})
+    values.pop(idx)
+    dropped = dict(manifest)
+    dropped["compaction_seq"] = _next_compaction_seq(
+        versions, manifest["batch_id"]
+    )
+    version = table_schema_version(manifest) + 1
+    _record_schema(dropped, values, version, retired)
+    _write_manifest(spark, state_dir, dropped, expected=tuple(versions))
     return version
 
 
@@ -713,6 +898,7 @@ def _require_seq_writer_fence(
     seq_bounds: tuple[int, int] | None,
     writer_id: str | None,
     takeover: bool,
+    lease_ttl_ms: int | None = None,
 ) -> None:
     """Single-writer fence for SEQUENCED tables (called only when the
     batch carries a `seq` column). The sequenced-CDC fold depends on the
@@ -783,13 +969,57 @@ def _require_seq_writer_fence(
                 "writer_id to claim the table)"
             )
     elif owner is not None and owner != writer_id:
-        if not takeover:
+        if not takeover and lease_ttl_ms is not None:
+            # LEASE-TTL EXPIRY (r12, VERDICT r11 ask #6, default-off):
+            # the newest manifest's FILE MTIME is the owner's heartbeat
+            # — every commit refreshes it, and a quiet owner can renew
+            # with heartbeat_partitioned_state (a no-op 'x' commit). A
+            # foreign writer that opts into a TTL may claim the lease
+            # WITHOUT a manual takeover flag once the heartbeat is
+            # older than the TTL; below it, the claim is refused with
+            # the remaining time named. The takeover itself still obeys
+            # the manual-takeover safety rules (fresh batch id above
+            # the owner's newest + the max_seq monotone guard), and a
+            # usurped owner that wakes up later is fenced loudly on its
+            # next append — it cannot clobber the new lineage. Choose
+            # the TTL well above the owner's worst-case commit gap: an
+            # owner merely PAUSED past the TTL (GC, partition) is
+            # evicted exactly like a dead one (the classic lease
+            # trade, same as FileLockLogStore.LOCK_TTL_MS).
+            fs, _, jvm = _fs_and_path(spark, state_dir)
+            st = fs.getFileStatus(
+                jvm.org.apache.hadoop.fs.Path(
+                    f"{_manifest_dir(state_dir)}/{newest_name}.json"
+                )
+            )
+            age_ms = jvm.java.lang.System.currentTimeMillis() - st.getModificationTime()
+            if age_ms <= lease_ttl_ms:
+                raise ConcurrentCommitError(
+                    f"sequenced table {state_dir} is owned by writer "
+                    f"{owner!r} and its lease is LIVE (last heartbeat "
+                    f"{age_ms} ms ago, TTL {lease_ttl_ms} ms) — writer "
+                    f"{writer_id!r} may claim it only once the heartbeat "
+                    f"is older than the TTL (or with takeover=True after "
+                    "the owner is verifiably stopped)"
+                )
+            _LOG.warning(
+                "sequenced-writer lease on %s EXPIRED (owner %r silent "
+                "for %d ms > TTL %d ms): writer %r is claiming the "
+                "table under the takeover rules",
+                state_dir,
+                owner,
+                age_ms,
+                lease_ttl_ms,
+                writer_id,
+            )
+        elif not takeover:
             raise ConcurrentCommitError(
                 f"sequenced table {state_dir} is owned by writer "
                 f"{owner!r}; writer {writer_id!r} must not append — a "
                 "second sequenced producer cannot preserve the log's "
                 "total order (pass takeover=True to claim the table "
-                "after the owner is stopped)"
+                "after the owner is stopped, or lease_ttl_ms to claim "
+                "automatically once the owner's heartbeat expires)"
             )
         newest_batch = _batch_id_of(newest_name)
         if batch_id <= newest_batch:
@@ -1031,14 +1261,17 @@ def _fold_base_and_deltas(
     filter below) — evolved columns are nullable payload."""
     if values is None:
         values = [list(v) for v in LEGACY_VALUES]
-    primary = values[0][0]
-    d_cols = [f"d_{c}" for c, _s, _t in values]
+    # file-facing fold: PHYSICAL names throughout (delta/bucket files
+    # never follow a rename); the read view aliases to logical at the end
+    phys = [_vphys(v) for v in values]
+    primary = phys[0]
+    d_cols = [f"d_{c}" for c in phys]
     u = delta_rows.select("key", *d_cols, "d_rows", "d_reset", "batch_id")
     if base is not None:
         u = u.unionByName(
             base.select(
                 "key",
-                *[F.col(c).alias(f"d_{c}") for c, _s, _t in values],
+                *[F.col(c).alias(f"d_{c}") for c in phys],
                 F.col("n_rows").alias("d_rows"),
                 F.lit(False).alias("d_reset"),
                 F.lit(-1).cast("long").alias("batch_id"),
@@ -1052,16 +1285,16 @@ def _fold_base_and_deltas(
         .filter(F.col("_r").isNull() | (F.col("batch_id") >= F.col("_r")))
         .groupBy("key")
         .agg(
-            *[F.sum(f"d_{c}").alias(f"_{c}_wide") for c, _s, _t in values],
+            *[F.sum(f"d_{c}").alias(f"_{c}_wide") for c in phys],
             F.sum("d_rows").cast("long").alias("n_rows"),
         )
         .select(
             "key",
             *[
                 _narrow_total_or_raise(
-                    F.col(f"_{c}_wide"), F.col("key"), "merge-on-read fold", typ
+                    F.col(f"_{c}_wide"), F.col("key"), "merge-on-read fold", v[2]
                 ).alias(c)
-                for c, _s, typ in values
+                for c, v in zip(phys, values)
             ],
             "n_rows",
         )
@@ -1155,9 +1388,11 @@ def _aggregate_batch(
     def _sums(survives):
         # the input cast is guarded per SURVIVING row only: a tombstoned
         # row's payload contributes nothing, so junk in a discarded
-        # row's value column must not abort the batch
+        # row's value column must not abort the batch. Output columns
+        # carry PHYSICAL names (the delta file schema).
         out = []
-        for col, src, typ in values:
+        for v in values:
+            src, typ = v[1], v[2]
             guarded = _cast_input_or_raise(
                 _src(src, typ), F.col("key"), src, typ
             )
@@ -1165,7 +1400,7 @@ def _aggregate_batch(
                 F.sum(
                     F.when(survives, guarded) if survives is not None
                     else guarded
-                ).alias(f"d_{col}")
+                ).alias(f"d_{_vphys(v)}")
             )
         return out
 
@@ -1227,6 +1462,7 @@ def merge_batch_into_partitioned_state(
     takeover: bool = False,
     merge_schema: bool = False,
     expected_schema_version: int | None = None,
+    lease_ttl_ms: int | None = None,
 ) -> None:
     """foreachBatch body: copy-on-write merge of one micro-batch.
 
@@ -1268,8 +1504,9 @@ def merge_batch_into_partitioned_state(
         None if basis_name is None else _read_manifest(spark, state_dir, basis_name)
     )
     _require_schema_version(prev, expected_schema_version, state_dir)
+    retired = table_retired(prev)
     values, evolved = _evolve_values_for_batch(
-        batch_df, table_values(prev), merge_schema, state_dir
+        batch_df, table_values(prev), merge_schema, state_dir, retired
     )
     schema_version = table_schema_version(prev) + (1 if evolved else 0)
     if prev is not None and prev["range_width"] != width:
@@ -1298,6 +1535,7 @@ def merge_batch_into_partitioned_state(
             seq_bounds,
             writer_id,
             takeover,
+            lease_ttl_ms,
         )
     else:
         _require_owner_for_seqfree_append(
@@ -1310,10 +1548,12 @@ def merge_batch_into_partitioned_state(
         for b in touched
         if str(b) in prev_buckets
     ]
-    primary = values[0][0]
+    primary = _vphys(values[0])
     if prev_touched_paths:
         # the EVOLVED schema read back-fills NULL for columns the old
-        # bucket files predate (parquet schema-on-read) — no rewrite
+        # bucket files predate (parquet schema-on-read) — no rewrite.
+        # The merge runs on PHYSICAL names end to end (bucket files
+        # never follow a rename).
         prev_df = (
             spark.read.schema(_state_schema_for(values))
             .parquet(*prev_touched_paths)
@@ -1360,7 +1600,7 @@ def merge_batch_into_partitioned_state(
             p.join(d, F.col("p.key") == F.col("d.key"), "full_outer")
             .select(
                 merged_key.alias("key"),
-                *[merged_value(c, typ) for c, _s, typ in values],
+                *[merged_value(_vphys(v), v[2]) for v in values],
                 F.when(reset, F.col("d.d_rows"))
                 .otherwise(
                     F.coalesce(F.col("p.n_rows"), F.lit(0))
@@ -1386,12 +1626,12 @@ def merge_batch_into_partitioned_state(
             "key",
             *[
                 _narrow_total_or_raise(
-                    F.col(f"d_{c}"),
+                    F.col(f"d_{_vphys(v)}"),
                     F.col("key"),
                     "copy-on-write merge (fresh buckets)",
-                    typ,
-                ).alias(c)
-                for c, _s, typ in values
+                    v[2],
+                ).alias(_vphys(v))
+                for v in values
             ],
             F.col("d_rows").alias("n_rows"),
             "bucket",
@@ -1456,7 +1696,7 @@ def merge_batch_into_partitioned_state(
         "buckets": new_buckets,
         "stats": new_stats,
     }
-    _record_schema(cow_manifest, values, schema_version)
+    _record_schema(cow_manifest, values, schema_version, retired)
     _record_max_seq(cow_manifest, prev, seq_bounds)
     if writer_id is not None and "seq" in batch_df.columns:
         cow_manifest["writer_id"] = writer_id
@@ -1493,8 +1733,12 @@ def _bucket_stats(
     the stats scan."""
     if values is None:
         values = [list(v) for v in LEGACY_VALUES]
-    primary = values[0][0]
-    evolved = [c for c, _s, _t in values[1:]]
+    # stats are FILE-level metadata, so they key by PHYSICAL names —
+    # which is what makes them rename-stable: a renamed column's
+    # inherited stats entries stay correct with zero rewriting, and the
+    # summary maps physical keys back to logical output names
+    primary = _vphys(values[0])
+    evolved = [_vphys(v) for v in values[1:]]
     aggs = [
         F.count(F.lit(1)).alias("n_keys"),
         F.sum(primary).alias("sum_total"),
@@ -1877,16 +2121,18 @@ def partitioned_state_changes(
         }
     changed = sorted(changed)
 
-    # schema-aware output: the union of both commits' value columns (from-
-    # side order, then to-side additions); a side that predates a column
-    # reads it NULL. For the never-evolved table this is exactly the
-    # legacy (old_total, new_total) layout, byte-identical.
+    # schema-aware output with END-SCHEMA naming (r12 column mapping,
+    # Delta CDF semantics): columns match by PHYSICAL identity, so a
+    # pure RENAME between the commits emits no spurious updates (same
+    # files, same values — only the label moved) and the output carries
+    # the TO side's logical names. A column the to side DROPPED no
+    # longer exists logically and is excluded (the drop is
+    # metadata-only, not a data change); a column the to side ADDED
+    # reads NULL on the from side. For never-evolved tables this is
+    # exactly the legacy (old_total, new_total) layout, byte-identical.
     vals_from, vals_to = table_values(m_from), table_values(m_to)
-    union_vals = [list(v) for v in vals_from] + [
-        list(v) for v in vals_to if v[0] not in {x[0] for x in vals_from}
-    ]
+    union_vals = [list(v) for v in vals_to]
     names = [v[0] for v in union_vals]
-    types = {v[0]: v[2] for v in union_vals}
     value_fields: list[T.StructField] = []
     for c in names:
         value_fields.append(T.StructField(f"old_{c}", T.DoubleType()))
@@ -1928,12 +2174,19 @@ def partitioned_state_changes(
             base = _fold_base_and_deltas(base, delta_rows, values)
         if base is None:
             return None
-        # align to the union: a column this commit predates is NULL
-        have = {v[0] for v in values}
-        for c in names:
-            if c not in have:
-                base = base.withColumn(c, F.lit(None).cast(types[c]))
-        return base
+        # project onto the union's LOGICAL labels by PHYSICAL identity:
+        # the fold/read above produced physical column names; a column
+        # this commit predates (physical absent) is NULL
+        by_phys = {_vphys(v): v for v in values}
+        cols = []
+        for u in union_vals:
+            v = by_phys.get(_vphys(u))
+            cols.append(
+                F.lit(None).cast(u[2]).alias(u[0])
+                if v is None
+                else F.col(_vphys(v)).alias(u[0])
+            )
+        return base.select("key", *cols, "n_rows")
 
     old, new = side(m_from, vals_from), side(m_to, vals_to)
     if old is None and new is None:  # changed buckets but neither side has data
@@ -2046,18 +2299,23 @@ def partitioned_state_summary(
         else _manifest_for_batch(spark, state_dir, batch_id)
     )
     values = table_values(manifest)
-    evolved = [c for c, _s, _t in values[1:]]
+    # output columns carry LOGICAL names; stats entries key by PHYSICAL
+    # (see _bucket_stats) — the zip below is the rename mapping. The
+    # PRIMARY's output keys stay the pinned legacy sum_total/min_total/
+    # max_total regardless of its logical name (they are the summary's
+    # API, like `total` is the read view's).
+    evolved = [(v[0], _vphys(v)) for v in values[1:]]
     fields = [
         T.StructField("n_keys", T.LongType()),
         T.StructField("sum_total", T.DoubleType()),
         T.StructField("min_total", T.DoubleType()),
         T.StructField("max_total", T.DoubleType()),
     ]
-    for c in evolved:
+    for c_log, _c_phys in evolved:
         fields += [
-            T.StructField(f"sum_{c}", T.DoubleType()),
-            T.StructField(f"min_{c}", T.DoubleType()),
-            T.StructField(f"max_{c}", T.DoubleType()),
+            T.StructField(f"sum_{c_log}", T.DoubleType()),
+            T.StructField(f"min_{c_log}", T.DoubleType()),
+            T.StructField(f"max_{c_log}", T.DoubleType()),
         ]
     schema = T.StructType(fields)
     if manifest is not None:
@@ -2089,7 +2347,7 @@ def partitioned_state_summary(
     lo = min(Decimal(s["min_total"]) for s in folded.values())
     hi = max(Decimal(s["max_total"]) for s in folded.values())
     row = [n, float(total), float(lo), float(hi)]
-    for c in evolved:
+    for _c_log, c in evolved:
         # a stats entry that PREDATES the column, or recorded null, means
         # that bucket holds only NULLs for it — both fold as "no
         # contribution"; all-absent folds to NULL (the honest back-fill,
@@ -2433,6 +2691,7 @@ def append_delta_batch(
     merge_schema: bool = False,
     expected_schema_version: int | None = None,
     outage_retry_s: float = 0.0,
+    lease_ttl_ms: int | None = None,
 ) -> None:
     """Merge-on-read write path: commit one micro-batch as a DELTA file —
     no bucket is read or rewritten, so a uniformly scattered batch costs
@@ -2487,8 +2746,9 @@ def append_delta_batch(
             f"{width}; migrate explicitly with rerange_partitioned_state"
         )
     _require_schema_version(prev, expected_schema_version, state_dir)
+    retired = table_retired(prev)
     values, evolved = _evolve_values_for_batch(
-        batch_df, table_values(prev), merge_schema, state_dir
+        batch_df, table_values(prev), merge_schema, state_dir, retired
     )
     schema_version = table_schema_version(prev) + (1 if evolved else 0)
 
@@ -2504,6 +2764,7 @@ def append_delta_batch(
             seq_bounds,
             writer_id,
             takeover,
+            lease_ttl_ms,
         )
     else:
         _require_owner_for_seqfree_append(
@@ -2519,11 +2780,12 @@ def append_delta_batch(
     # (same cast boundary as the CoW merge, same overflow-vs-tombstone
     # distinction: a batch whose own fold overflows the recorded type
     # raises instead of writing a fake tombstone)
-    for col, _src, typ in values:
+    for v in values:
+        dcol = f"d_{_vphys(v)}"
         delta = delta.withColumn(
-            f"d_{col}",
+            dcol,
             _narrow_total_or_raise(
-                F.col(f"d_{col}"), F.col("key"), "merge-on-read delta append", typ
+                F.col(dcol), F.col("key"), "merge-on-read delta append", v[2]
             ),
         )
     delta = delta.withColumn("batch_id", F.lit(batch_id).cast("long"))
@@ -2539,7 +2801,7 @@ def append_delta_batch(
         "stats": dict(prev.get("stats", {})) if prev else {},
         "deltas": sorted(set(prev_deltas) | {vname}),
     }
-    _record_schema(manifest, values, schema_version)
+    _record_schema(manifest, values, schema_version, retired)
     _record_max_seq(manifest, prev, seq_bounds)
     if writer_id is not None and "seq" in batch_df.columns:
         manifest["writer_id"] = writer_id
