@@ -109,14 +109,17 @@ def main() -> None:
     for name in headline:
         queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
-    # SPARK_GRAFT_BENCH_REPEATS=N (default 1, the driver's mode): time the
-    # whole set N times in THIS session and report the per-query MEDIAN
-    # plus spread. Cross-session seconds on this host drift ±30-50%
-    # (BENCH_NOTES r6/r10), and the r10 verdict flagged a +4.1% headline
-    # creep hiding inside single-shot noise over three rounds — the
-    # median-of-N protocol is what round-over-round comparisons should
-    # quote (BENCH_NOTES r11 carries the measured table and the rule).
-    repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "1")))
+    # SPARK_GRAFT_BENCH_REPEATS=N (default 3 as of r12 — the driver's
+    # artifact now carries median + spread itself, VERDICT r11 ask #5):
+    # time the whole set N times in THIS session and report the
+    # per-query MEDIAN plus spread. Cross-session seconds on this host
+    # drift ±30-50% (BENCH_NOTES r6/r10), and the r10 verdict flagged a
+    # +4.1% headline creep hiding inside single-shot noise over three
+    # rounds — the median-of-N protocol is what round-over-round
+    # comparisons quote (BENCH_NOTES r11 carries the table and the
+    # regression rule: a median move counts only when it exceeds the
+    # query's own spread AND 15%). Set =1 for a quick single-shot pass.
+    repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3")))
     runs: list[dict[str, float]] = []
     for _ in range(repeats):
         t: dict[str, float] = {}

@@ -407,3 +407,84 @@ def test_checkpoint_writer_id_is_spelling_stable(tmp_path):
     assert pu.seq_writer_id_for_checkpoint(
         "hdfs://nn/ck"
     ) != pu.seq_writer_id_for_checkpoint("hdfs://nn/other")
+
+def test_lease_ttl_expiry_takeover(spark, tmp_path):
+    """r12 (VERDICT r11 ask #6): the default-off lease-TTL mode. The
+    newest manifest's file mtime is the owner's heartbeat; a foreign
+    writer passing lease_ttl_ms claims the table WITHOUT a manual
+    takeover flag once the heartbeat is older than the TTL — under the
+    same safety rules as manual takeover (fresh batch id above the
+    owner's newest, max_seq monotone) — and is refused, with the
+    remaining time named, while the lease is live. A heartbeat commit
+    renews the lease without appending data, and the usurped owner is
+    fenced loudly when it wakes up. Owner silence is simulated by
+    BACKDATING the newest manifest's mtime (deterministic — wall-clock
+    sleeps would race Spark job latency inside the append)."""
+    import os
+    import time
+
+    state = str(tmp_path / "state")
+    ttl = 60_000
+
+    def backdate(age_ms):
+        mdir = f"{state}/manifests"
+        newest = sorted(
+            f for f in os.listdir(mdir)
+            if f.endswith(".json") and not f.startswith(".")
+        )[-1]
+        old = time.time() - age_ms / 1000
+        os.utime(f"{mdir}/{newest}", (old, old))
+
+    pu.append_delta_batch(
+        spark, state,
+        _seq_df(spark, [(1, 10.0, "upsert", 1), (2, 20.0, "upsert", 2)]),
+        0, range_width=16, writer_id="owner",
+    )
+
+    # live lease: the TTL claim is refused and names the TTL
+    with pytest.raises(ConcurrentCommitError, match="lease is LIVE"):
+        pu.append_delta_batch(
+            spark, state,
+            _seq_df(spark, [(3, 30.0, "upsert", 10)]),
+            1, range_width=16, writer_id="usurper", lease_ttl_ms=ttl,
+        )
+
+    # the owner goes silent past the TTL, then HEARTBEATS: the beat is
+    # a no-op 'x' commit (no data touched) whose fresh mtime renews the
+    # lease, so the claim is refused again
+    backdate(2 * ttl)
+    beat = pu.heartbeat_partitioned_state(spark, state)
+    assert "x" in beat  # same-batch-id maintenance commit
+    assert _fold(spark, state) == {1: (10.0, 1), 2: (20.0, 1)}
+    with pytest.raises(ConcurrentCommitError, match="lease is LIVE"):
+        pu.append_delta_batch(
+            spark, state,
+            _seq_df(spark, [(3, 30.0, "upsert", 10)]),
+            1, range_width=16, writer_id="usurper", lease_ttl_ms=ttl,
+        )
+
+    # heartbeat silent past the TTL: the claim succeeds with no manual
+    # flag — but still under the fresh-batch-id takeover rule
+    backdate(2 * ttl)
+    with pytest.raises(ConcurrentCommitError, match="new batch id above"):
+        pu.append_delta_batch(
+            spark, state,
+            _seq_df(spark, [(3, 30.0, "upsert", 10)]),
+            0, range_width=16, writer_id="usurper", lease_ttl_ms=ttl,
+        )
+    backdate(2 * ttl)  # the refused attempt did not commit; re-silence
+    pu.append_delta_batch(
+        spark, state,
+        _seq_df(spark, [(3, 30.0, "upsert", 10)]),
+        1, range_width=16, writer_id="usurper", lease_ttl_ms=ttl,
+    )
+    assert _fold(spark, state) == {1: (10.0, 1), 2: (20.0, 1), 3: (30.0, 1)}
+
+    # the usurped owner wakes up: fenced loudly, lineage intact
+    with pytest.raises(ConcurrentCommitError, match="owned by writer 'usurper'"):
+        pu.append_delta_batch(
+            spark, state,
+            _seq_df(spark, [(9, 9.0, "upsert", 20)]),
+            2, range_width=16, writer_id="owner",
+        )
+    assert _fold(spark, state) == {1: (10.0, 1), 2: (20.0, 1), 3: (30.0, 1)}
