@@ -987,11 +987,23 @@ def _require_seq_writer_fence(
             # evicted exactly like a dead one (the classic lease
             # trade, same as FileLockLogStore.LOCK_TTL_MS).
             fs, _, jvm = _fs_and_path(spark, state_dir)
-            st = fs.getFileStatus(
-                jvm.org.apache.hadoop.fs.Path(
-                    f"{_manifest_dir(state_dir)}/{newest_name}.json"
+            try:
+                st = fs.getFileStatus(
+                    jvm.org.apache.hadoop.fs.Path(
+                        f"{_manifest_dir(state_dir)}/{newest_name}.json"
+                    )
                 )
-            )
+            except Exception as stat_err:
+                # heartbeat UNREADABLE (concurrent vacuum of the listed
+                # manifest, or an FS hiccup): expiry cannot be PROVEN,
+                # and the safe failure direction for a lease is to
+                # refuse the claim — a retry re-lists and re-stats
+                raise ConcurrentCommitError(
+                    f"lease-TTL claim of {state_dir} by writer "
+                    f"{writer_id!r} refused: the owner's heartbeat "
+                    f"({newest_name}) could not be read ({stat_err}); "
+                    "expiry is unprovable — retry with a fresh listing"
+                ) from stat_err
             age_ms = jvm.java.lang.System.currentTimeMillis() - st.getModificationTime()
             if age_ms <= lease_ttl_ms:
                 raise ConcurrentCommitError(
