@@ -964,6 +964,44 @@ QUERIES["mor_rename_column"] = mor_rename_column
 ORACLES["mor_rename_column"] = SQL_MOR_RENAME_COLUMN
 
 
+def mor_drop_column(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DROP COLUMN via column mapping (r12): the evolution fixture, then
+    a metadata-only drop of the evolved `fee` column. No file is
+    rewritten; the physical column stays in old files but vanishes from
+    the read (and the pruned parquet scan never decodes its bytes — a
+    drop makes every future scan cheaper the moment the manifest
+    lands), its physical name is RETIRED so a later re-ADD can never
+    resurrect the stale values, and the primary's totals — including
+    every fee-era contribution — are untouched. Loud-failure twins
+    (reading the dropped column, dropping the primary, re-add binding a
+    fresh physical) are pinned in tests/test_column_mapping.py."""
+    from ..streaming.partitioned_upsert import (
+        drop_value_column,
+        read_latest_partitioned_state,
+    )
+
+    def build(orders: DataFrame, width: int, state: str) -> None:
+        _build_evolved_state(spark, sf_dir, state, width, compact=False)
+        v = drop_value_column(spark, state, "fee")
+        if v != 4:
+            raise RuntimeError(f"drop fee landed v{v}, want 4")
+
+    state = _memoized_state(spark, sf_dir, "mor_drop", build)
+    return read_latest_partitioned_state(spark, state)
+
+
+SQL_MOR_DROP_COLUMN = """
+SELECT o_custkey AS key,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM orders
+GROUP BY 1
+"""
+
+QUERIES["mor_drop_column"] = mor_drop_column
+ORACLES["mor_drop_column"] = SQL_MOR_DROP_COLUMN
+
+
 # ---------------------------------------------------------------------------
 # Stateful streaming entry (r9): the applyInPandasWithState surface
 # (streaming/stateful.py), driver-verified. Until now the custom-state

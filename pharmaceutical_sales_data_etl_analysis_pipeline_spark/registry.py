@@ -90,11 +90,11 @@ MODULE_ORDER = [
 # 216/216 green with zero standing failures and no row older than r7
 # (histogram r11 50 / r10 43 / r9 43 / r8 41 / r7 39). The r12 window
 # retires the ENTIRE r7 staleness cohort (VERDICT r11 ask #1):
-#   (a) PREPENDED per the rotation invariant: mor_rename_column (r12
-#       NEW — RENAME COLUMN via column mapping: logical/physical name
-#       split, metadata-only 'x' commit, zero files rewritten; DROP
-#       COLUMN ships alongside with retired-physical-name resurrection
-#       guards, driver-covered through this query's shared plumbing);
+#   (a) PREPENDED per the rotation invariant: mor_rename_column and
+#       mor_drop_column (r12 NEW — RENAME/DROP COLUMN via column
+#       mapping: logical/physical name split, metadata-only 'x'
+#       commits, zero files rewritten, retired-physical-name
+#       resurrection guards on DROP);
 #       then the nine table-format queries whose read/write plans
 #       changed in r12 (the physical-name fold/merge/stats/CDF —
 #       never-renamed tables produce identical expressions by
@@ -108,12 +108,12 @@ MODULE_ORDER = [
 #   (b) the FULL r7 staleness cohort, 39 rows in name order
 #       (contamination_check .. xml_xpath_roundtrip), honoring
 #       BENCH_NOTES' candidates head (dataset_cards,
-#       contamination_check are rows 2-3 of the cohort);
-#   (c) the oldest r8 row in name order — bigram_logprob — fills the
-#       50th slot.
+#       contamination_check are rows 2-3 of the cohort) — 2 new + 9
+#       plan-changed + 39 staleness fill the window exactly.
 # After this sweep no registered query's latest driver row predates r8.
 PRIORITY = [
     "mor_rename_column",
+    "mor_drop_column",
     "mor_schema_evolution",
     "mor_schema_evolution_summary",
     "cow_merge_changes",
@@ -163,11 +163,9 @@ PRIORITY = [
     "window_value_functions",
     "xml_scan_roundtrip",
     "xml_xpath_roundtrip",
-    # (c) the oldest r8 row fills the window
-    "bigram_logprob",
 ]
-# r13 PRIORITY candidates (staleness head after the r12 sweep): the 40
-# remaining r8-rows in name order — bloom_prefilter_stats, bpe_pair_stats,
+# r13 PRIORITY candidates (staleness head after the r12 sweep): the 41
+# r8-rows in name order — bigram_logprob, bloom_prefilter_stats, bpe_pair_stats,
 # calendar_dim, chunk_dedup, cluster_label_purity, cms_heavy_hitters,
 # conversation_assembly, dsir_weights, embedding_center,
 # event_dedup_tolerance, fd_discovery, hourly_anomalies,
@@ -178,7 +176,7 @@ PRIORITY = [
 # semdedup_candidates, sequence_packing, session_conversion,
 # stratified_sample, table_diff, term_lift_pairs, tpch_q1, twap_per_user,
 # udtf_sentences, weighted_sample, xml_stream_ingest — then the oldest
-# r9 rows fill the window.
+# r9 rows fill the window (41 r8 rows + 9 r9 rows when nothing new lands).
 # Queries ADDED or PLAN-CHANGED during r12 must be PREPENDED here per
 # the rotation invariant (they outrank staleness refreshes).
 
