@@ -246,3 +246,29 @@ def test_cdf_matches_by_physical_identity(spark, tmp_path):
         "key", "change_type", "old_total", "new_total",
         "old_n_rows", "new_n_rows",
     ]
+
+def test_rewrites_physically_purge_dropped_columns(spark, tmp_path):
+    """DROP hides a column instantly without touching files; the bytes
+    then leave storage INCREMENTALLY, for free: every rewrite-shaped
+    maintenance op (delta compaction, file compaction, re-range) writes
+    through the CURRENT schema, which no longer contains the retired
+    physical — Delta's REORG TABLE ... PURGE, without a dedicated op.
+    Raw parquet reads of the bucket files prove both states."""
+    state = _evolved_state(spark, tmp_path)
+    assert pu.compact_deltas_into_base(spark, state) > 0
+    m = pu._read_manifest(spark, state, pu._list_manifests(spark, state)[-1])
+    some_bucket = next(iter(m["buckets"]))
+    raw = spark.read.parquet(
+        f"{state}/buckets/b{some_bucket}/{m['buckets'][some_bucket]}"
+    )
+    assert "fee" in raw.columns  # physically present pre-drop
+
+    pu.drop_value_column(spark, state, "fee")
+    assert pu.rerange_partitioned_state(spark, state, 8) > 0
+    m2 = pu._read_manifest(spark, state, pu._list_manifests(spark, state)[-1])
+    for b, vname in m2["buckets"].items():
+        raw2 = spark.read.parquet(f"{state}/buckets/b{b}/{vname}")
+        assert "fee" not in raw2.columns  # bytes purged by the rewrite
+    rows, cols = _read(spark, state)
+    assert cols == ["key", "total", "n_rows"]
+    assert rows == [(1, 10.0, 1), (2, 25.0, 2), (3, 30.0, 1)]
