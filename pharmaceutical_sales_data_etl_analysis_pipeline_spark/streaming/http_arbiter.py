@@ -318,7 +318,16 @@ def main(argv: list[str] | None = None) -> None:
                 break
             time.sleep(0.01)
     journal = _os.environ.get("SPARK_GRAFT_ARBITER_JOURNAL")
-    arbiter = JournalledCommitArbiter(journal) if journal else None
+    # SPARK_GRAFT_ARBITER_JOURNAL_COMPACT=1 rewrites the journal from
+    # the replayed record table at startup (bounds file growth across
+    # restarts; semantics identical — pinned by
+    # test_compact_on_start_preserves_records)
+    compact = _os.environ.get("SPARK_GRAFT_ARBITER_JOURNAL_COMPACT") == "1"
+    arbiter = (
+        JournalledCommitArbiter(journal, compact_on_start=compact)
+        if journal
+        else None
+    )
     srv = HttpArbiterServer(token, address=(host, port), arbiter=arbiter).start()
     bound_host, bound_port = srv.address
     print(
