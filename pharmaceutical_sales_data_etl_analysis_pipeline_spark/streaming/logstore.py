@@ -682,6 +682,7 @@ class JournalledCommitArbiter(CommitArbiter):
         super().__init__(latency_s)
         self._journal_path = journal_path
         self._fh = None  # replay must not journal
+        self._poisoned: str | None = None
         self.replayed_entries = self._replay()
         if compact_on_start and self.replayed_entries:
             tmp = journal_path + ".compact.tmp"
@@ -764,15 +765,51 @@ class JournalledCommitArbiter(CommitArbiter):
             )
 
     def _journal(self, entry: dict) -> None:
+        """WAL append, FAIL-STOP on write/fsync failure (r12 review,
+        bug #7 of the protocol series — caught before commit): a failed
+        fsync leaves durability UNKNOWN (the fsyncgate lesson: you
+        cannot retry fsync — the dirty page may already be marked
+        clean), so continuing to serve would let the live record table
+        and the journal DIVERGE inside one incarnation — a later
+        restart could resurrect a mutation the live arbiter denied ever
+        applying, or drop one it acknowledged. On any journal failure
+        the arbiter POISONS itself: the failing call and every
+        subsequent mutation raise ArbiterUnavailableError (HTTP 503 —
+        writers fail-stop or reconcile, exactly the restart/outage
+        protocol they already have), reads stay allowed, and the
+        operator restarts the process — replay then makes the journal's
+        tail the single truth. Pinned by
+        tests/test_journal_arbiter.py::test_journal_write_failure_poisons."""
         import os
 
         if self._fh is None:  # during replay
             return
-        self._fh.write(
-            json.dumps(entry, sort_keys=True).encode("utf-8") + b"\n"
-        )
-        self._fh.flush()
-        os.fsync(self._fh.fileno())
+        if self._poisoned is not None:
+            raise ArbiterUnavailableError(
+                f"arbiter journal {self._journal_path} is poisoned after "
+                f"a write failure ({self._poisoned}); restart the arbiter "
+                "to replay the journal's durable tail"
+            )
+        try:
+            self._fh.write(
+                json.dumps(entry, sort_keys=True).encode("utf-8") + b"\n"
+            )
+            self._fh.flush()
+            os.fsync(self._fh.fileno())
+        except Exception as exc:
+            self._poisoned = f"{type(exc).__name__}: {exc}"
+            _LOG.error(
+                "arbiter journal %s write FAILED (%s): fail-stop — all "
+                "further mutations raise until the process restarts and "
+                "replays",
+                self._journal_path,
+                self._poisoned,
+            )
+            raise ArbiterUnavailableError(
+                f"arbiter journal write failed ({self._poisoned}); the "
+                "mutation's durability is unknown — fail-stop, restart "
+                "the arbiter and reconcile"
+            ) from exc
 
     def close(self) -> None:
         if self._fh is not None:

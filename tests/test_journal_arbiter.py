@@ -176,3 +176,55 @@ def test_compact_on_start_preserves_records(tmp_path):
     c = JournalledCommitArbiter(jp)
     assert {t: c.records(t) for t in ("t1", "t2")} == want
     c.close()
+
+def test_journal_write_failure_poisons_the_arbiter(tmp_path):
+    """r12 review (protocol bug #7, caught before commit): a failed
+    journal write/fsync leaves durability UNKNOWN — continuing to serve
+    would let the live table and the journal diverge inside one
+    incarnation. The failing call must raise the AMBIGUOUS-outcome
+    error (writers reconcile), every later mutation must refuse until
+    restart, reads stay allowed, and a restart replays exactly the
+    durable tail."""
+    from pharmaceutical_sales_data_etl_analysis_pipeline_spark.streaming.logstore import (
+        ArbiterUnavailableError,
+    )
+
+    jp = str(tmp_path / "arbiter.journal")
+    a = JournalledCommitArbiter(jp)
+    a.record("t", "v000000000", None)
+
+    class _BrokenFh:
+        def write(self, b):
+            raise OSError(28, "No space left on device")
+
+        def flush(self):
+            pass
+
+        def fileno(self):
+            return 0
+
+        def close(self):
+            pass
+
+    a._fh = _BrokenFh()
+    with pytest.raises(ArbiterUnavailableError, match="durability is unknown"):
+        a.cas("t", ("v000000000",), "v000000001", ".staged.x.json")
+    # live state NOT mutated (journal-before-apply)
+    assert a.records("t") == {"v000000000": None}
+    # poisoned: every further mutation refuses, reads still serve
+    with pytest.raises(ArbiterUnavailableError, match="poisoned"):
+        a.record("t", "v000000002", None)
+    with pytest.raises(ArbiterUnavailableError, match="poisoned"):
+        a.forget("t", "v000000000")
+    # a TRUE no-op (already-complete mark) never needed the journal and
+    # truthfully changes nothing — it stays allowed even when poisoned
+    a.mark_complete("t", "v000000000")
+    assert a.records("t") == {"v000000000": None}
+    a.close()
+
+    # restart: the durable tail is the single truth
+    b = JournalledCommitArbiter(jp)
+    assert b.records("t") == {"v000000000": None}
+    b.cas("t", ("v000000000",), "v000000001", ".staged.x.json")  # healthy again
+    assert b.records("t")["v000000001"] == ".staged.x.json"
+    b.close()
