@@ -651,6 +651,51 @@ def rename_value_column(
     return version
 
 
+def rename_batch_source(
+    spark: SparkSession, state_dir: str, state_col: str, new_source: str
+) -> int:
+    """Rename the PRODUCER side of one value column's contract (r12):
+    record that batches now deliver `state_col`'s values under the
+    column `new_source`. The complement of rename_value_column (which
+    renames what READERS see): together they cover both directions of
+    the reference's rename-across-stages lineage (XML attr `rID` →
+    `rep_id`, `prod` → `product_name`). Metadata-only 'x' commit; no
+    file or state name changes. After the migration, a stale producer
+    still sending the OLD source column fails loudly (unknown column —
+    the merge_schema hint names it), and a producer that declares
+    `expected_schema_version` is fenced even earlier. Refused: unknown
+    state column, a source name already claimed by another column, and
+    reserved batch columns (key/op/seq). Returns the new schema
+    version; a no-op rename returns the current one."""
+    versions = _list_manifests(spark, state_dir)
+    if not versions:
+        raise ValueError(f"no committed state in {state_dir}")
+    manifest = _read_manifest(spark, state_dir, versions[-1])
+    values = table_values(manifest)
+    names = [v[0] for v in values]
+    if state_col not in names:
+        raise ValueError(
+            f"unknown value column {state_col!r} in {state_dir}; have {names}"
+        )
+    idx = names.index(state_col)
+    if values[idx][1] == new_source:
+        return table_schema_version(manifest)  # no-op, nothing to commit
+    other_sources = {v[1] for i, v in enumerate(values) if i != idx}
+    if new_source in other_sources or new_source in _RESERVED_BATCH_COLS:
+        raise ValueError(
+            f"cannot move {state_col!r}'s batch source to {new_source!r} "
+            f"in {state_dir}: the name is another column's source or a "
+            "reserved batch column"
+        )
+    values[idx][1] = new_source
+    moved = dict(manifest)
+    moved["compaction_seq"] = _next_compaction_seq(versions, manifest["batch_id"])
+    version = table_schema_version(manifest) + 1
+    _record_schema(moved, values, version, table_retired(manifest))
+    _write_manifest(spark, state_dir, moved, expected=tuple(versions))
+    return version
+
+
 def drop_value_column(
     spark: SparkSession, state_dir: str, name: str
 ) -> int:
@@ -860,13 +905,57 @@ def _inherit_max_seq(prev: dict) -> dict:
     """Maintenance commits (compaction, re-range, delta fold) reproduce
     the SAME logical state, so the sequenced-CDC high-water mark — and
     the sequenced-writer lease (`writer_id`, see
-    _require_seq_writer_fence) — of the superseded manifest carry over
-    unchanged. One spot for the idiom — it appears in every maintenance
-    commit path, and a hand-copied conditional spread is exactly the
-    kind a fifth path forgets (dropping writer_id in a compaction would
-    silently unfence the table; dropping schema would silently roll the
-    table back to the legacy single-column contract)."""
-    return {k: prev[k] for k in ("max_seq", "writer_id", "schema") if k in prev}
+    _require_seq_writer_fence), the schema, and the producer-txn map —
+    of the superseded manifest carry over unchanged. One spot for the
+    idiom — it appears in every maintenance commit path, and a
+    hand-copied conditional spread is exactly the kind a fifth path
+    forgets (dropping writer_id in a compaction would silently unfence
+    the table; dropping schema would roll the table back to the legacy
+    single-column contract; dropping txns would re-admit a replayed
+    producer transaction as new)."""
+    return {
+        k: prev[k]
+        for k in ("max_seq", "writer_id", "schema", "txns")
+        if k in prev
+    }
+
+
+# --- idempotent producer transactions (r12, Delta txnAppId/txnVersion) ------
+
+
+def table_txns(manifest: dict | None) -> dict[str, int]:
+    """The producer-transaction high-water map `app_id -> last applied
+    version`, carried forward manifest to manifest (like writer_id and
+    the schema). Delta's idempotent-writes contract: a producer that
+    stamps each submission with a monotonically increasing version can
+    resubmit after ANY crash or ambiguous outcome and the table applies
+    it at most once."""
+    if manifest is None:
+        return {}
+    return {str(k): int(v) for k, v in manifest.get("txns", {}).items()}
+
+
+def _txn_already_applied(
+    prev: dict | None, producer_txn: tuple[str, int] | None
+) -> bool:
+    if producer_txn is None:
+        return False
+    app, version = producer_txn
+    if not app or not isinstance(app, str):
+        raise ValueError(f"producer_txn app_id must be a non-empty string, got {app!r}")
+    recorded = table_txns(prev).get(app)
+    return recorded is not None and recorded >= int(version)
+
+
+def _record_txns(
+    manifest: dict, prev: dict | None, producer_txn: tuple[str, int] | None
+) -> None:
+    txns = table_txns(prev)
+    if producer_txn is not None:
+        app, version = producer_txn
+        txns[app] = max(txns.get(app, int(version)), int(version))
+    if txns:
+        manifest["txns"] = txns
 
 
 def seq_writer_id_for_checkpoint(checkpoint_dir: str) -> str:
@@ -1475,7 +1564,8 @@ def merge_batch_into_partitioned_state(
     merge_schema: bool = False,
     expected_schema_version: int | None = None,
     lease_ttl_ms: int | None = None,
-) -> None:
+    producer_txn: tuple[str, int] | None = None,
+) -> bool:
     """foreachBatch body: copy-on-write merge of one micro-batch.
 
     Only buckets that receive at least one delta key are read, merged and
@@ -1515,6 +1605,13 @@ def merge_batch_into_partitioned_state(
     prev = (
         None if basis_name is None else _read_manifest(spark, state_dir, basis_name)
     )
+    if _txn_already_applied(prev, producer_txn):
+        _LOG.info(
+            "skipping producer txn %s: version already applied in %s",
+            producer_txn,
+            state_dir,
+        )
+        return False
     _require_schema_version(prev, expected_schema_version, state_dir)
     retired = table_retired(prev)
     values, evolved = _evolve_values_for_batch(
@@ -1710,6 +1807,7 @@ def merge_batch_into_partitioned_state(
     }
     _record_schema(cow_manifest, values, schema_version, retired)
     _record_max_seq(cow_manifest, prev, seq_bounds)
+    _record_txns(cow_manifest, prev, producer_txn)
     if writer_id is not None and "seq" in batch_df.columns:
         cow_manifest["writer_id"] = writer_id
     elif prev and "writer_id" in prev:
@@ -1720,6 +1818,7 @@ def merge_batch_into_partitioned_state(
         cow_manifest,
         expected=listing_snapshot,
     )
+    return True
 
 
 def _bucket_stats(
@@ -2704,7 +2803,8 @@ def append_delta_batch(
     expected_schema_version: int | None = None,
     outage_retry_s: float = 0.0,
     lease_ttl_ms: int | None = None,
-) -> None:
+    producer_txn: tuple[str, int] | None = None,
+) -> bool:
     """Merge-on-read write path: commit one micro-batch as a DELTA file —
     no bucket is read or rewritten, so a uniformly scattered batch costs
     O(|batch|) instead of CoW's O(all touched buckets). Same replace-CDC
@@ -2752,6 +2852,17 @@ def append_delta_batch(
         None if basis_name is None else _read_manifest(spark, state_dir, basis_name)
     )
     width = range_width or (prev["range_width"] if prev else RANGE_WIDTH)
+    if _txn_already_applied(prev, producer_txn):
+        # idempotent resubmission (Delta txnAppId/txnVersion): this
+        # producer transaction is already folded into the lineage —
+        # a crash-and-resubmit or an ambiguous outcome resolved by the
+        # producer retrying lands here and writes NOTHING
+        _LOG.info(
+            "skipping producer txn %s: version already applied in %s",
+            producer_txn,
+            state_dir,
+        )
+        return False
     if prev is not None and prev["range_width"] != width:
         raise ValueError(
             f"state ranged with range_width={prev['range_width']}, code has "
@@ -2815,6 +2926,7 @@ def append_delta_batch(
     }
     _record_schema(manifest, values, schema_version, retired)
     _record_max_seq(manifest, prev, seq_bounds)
+    _record_txns(manifest, prev, producer_txn)
     if writer_id is not None and "seq" in batch_df.columns:
         manifest["writer_id"] = writer_id
     elif prev and "writer_id" in prev:
@@ -2825,6 +2937,7 @@ def append_delta_batch(
         _reconcile_with_outage_retry(
             spark, state_dir, batch_id, vname, err, outage_retry_s
         )
+    return True
 
 
 def _reconcile_with_outage_retry(
@@ -3002,7 +3115,8 @@ def append_delta_batch_optimistic(
     max_attempts: int = 20,
     stats: dict | None = None,
     outage_retry_s: float = 0.0,
-) -> int:
+    producer_txn: tuple[str, int] | None = None,
+) -> int | None:
     """MULTI-WRITER merge-on-read append: allocate the next batch id from
     the current manifest head and retry on ConcurrentCommitError — the
     Delta-style optimistic concurrency loop (commit version = latest+1,
@@ -3020,12 +3134,19 @@ def append_delta_batch_optimistic(
       commit order; pure upserts ADD to a key's running total and
       commute across batches).
 
-    Delivery contract: AT-LEAST-ONCE from the caller's side — there is
-    no checkpoint here, so a caller that crashes after the commit and
-    re-submits the same batch appends it twice (the single-writer
-    streamed path gets exactly-once from its checkpoint + same-id replay
-    idempotence; multi-writer callers needing it must carry producer-side
-    idempotence keys). A lost race leaves that attempt's delta dir as
+    Delivery contract: AT-LEAST-ONCE by default — there is no
+    checkpoint here, so a caller that crashes after the commit and
+    re-submits the same batch appends it twice. Pass
+    `producer_txn=(app_id, version)` for EXACTLY-ONCE (r12 — Delta's
+    txnAppId/txnVersion idempotent-writes contract): the manifest chain
+    carries a per-app high-water version map, a submission whose
+    version is <= the recorded mark is SKIPPED (returns None, nothing
+    written), and the check re-runs against the refreshed basis after
+    every lost race — so a crashed-and-resubmitted batch, or one whose
+    first attempt resolved ambiguously, applies at most once even
+    across writer processes. Versions must increase monotonically per
+    app_id; the map rides every manifest (maintenance commits inherit
+    it like the writer lease). A lost race leaves that attempt's delta dir as
     debris — the same retention-reclaimed orphan class as a crashed
     writer's; the committed manifest never references it. The refreshed basis on each retry is
     what carries forward OTHER writers' delta lists, so concurrent
@@ -3076,8 +3197,18 @@ def append_delta_batch_optimistic(
     while conflicts < max_attempts:
         try:
             versions = _list_manifests(spark, state_dir)
+            if producer_txn is not None and versions:
+                newest = _read_manifest(spark, state_dir, versions[-1])
+                if _txn_already_applied(newest, producer_txn):
+                    _LOG.info(
+                        "optimistic append of producer txn %s skipped: "
+                        "already applied in %s",
+                        producer_txn,
+                        state_dir,
+                    )
+                    return None
             next_id = max((_batch_id_of(v) for v in versions), default=-1) + 1
-            append_delta_batch(
+            committed = append_delta_batch(
                 spark,
                 state_dir,
                 batch_df,
@@ -3085,7 +3216,13 @@ def append_delta_batch_optimistic(
                 range_width,
                 expect_new=True,
                 outage_retry_s=outage_retry_s,
+                producer_txn=producer_txn,
             )
+            if not committed:
+                # the inner append's own (fresher) basis showed the txn
+                # already applied — a same-txn racer landed between our
+                # listing and its snapshot
+                return None
             return next_id
         except ConcurrentCommitError as err:
             last_err = err
