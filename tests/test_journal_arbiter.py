@@ -228,3 +228,47 @@ def test_journal_write_failure_poisons_the_arbiter(tmp_path):
     b.cas("t", ("v000000000",), "v000000001", ".staged.x.json")  # healthy again
     assert b.records("t")["v000000001"] == ".staged.x.json"
     b.close()
+
+def test_journal_replay_equals_live_state_property():
+    """Property: for ANY sequence of valid mutations, a fresh replay of
+    the journal reconstructs the live record table bit-for-bit — the
+    single invariant everything else (CAS rejection, self-heal,
+    zero-reconciliation restart) rests on. CAS entries are generated
+    against the live table's own current basis so they always apply."""
+    import tempfile
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    op_st = st.tuples(
+        st.sampled_from(["record", "seed", "cas", "mark_complete", "forget"]),
+        st.sampled_from(["t1", "t2"]),
+        st.sampled_from(["va", "vb", "vc", "vd", "ve"]),
+        st.sampled_from([None, ".staged.1.json", ".staged.2.json"]),
+    )
+
+    @given(st.lists(op_st, max_size=40))
+    @settings(max_examples=30, deadline=None)
+    def run(ops):
+        with tempfile.TemporaryDirectory() as d:
+            jp = f"{d}/arbiter.journal"
+            live = JournalledCommitArbiter(jp)
+            for op, table, name, staged in ops:
+                if op == "record":
+                    live.record(table, name, staged)
+                elif op == "seed":
+                    live.seed(table, [name])
+                elif op == "cas":
+                    basis = tuple(sorted(live.records(table)))
+                    live.cas(table, basis, name, staged or ".staged.x.json")
+                elif op == "mark_complete":
+                    live.mark_complete(table, name)
+                else:
+                    live.forget(table, name)
+            want = {t: live.records(t) for t in ("t1", "t2")}
+            live.close()
+            replayed = JournalledCommitArbiter(jp)
+            assert {t: replayed.records(t) for t in ("t1", "t2")} == want
+            replayed.close()
+
+    run()
