@@ -553,8 +553,8 @@ def widen_value_column(
         raise ValueError(
             f"widen_value_column only widens precision at the same scale: "
             f"{values[idx][2]} -> {new_type!r} is not a widening (old files "
-            "cannot be reinterpreted; a narrowing/rescale needs an explicit "
-            "rewrite migration)"
+            "cannot be reinterpreted; a narrowing/rescale needs the explicit "
+            "rewrite migration — rewrite_value_column_type)"
         )
     if new_p == old_p:
         return table_schema_version(manifest)  # no-op, nothing to commit
@@ -648,6 +648,140 @@ def rename_value_column(
     version = table_schema_version(manifest) + 1
     _record_schema(renamed, values, version, table_retired(manifest))
     _write_manifest(spark, state_dir, renamed, expected=tuple(versions))
+    return version
+
+
+def rewrite_value_column_type(
+    spark: SparkSession,
+    state_dir: str,
+    state_col: str,
+    new_type: str,
+    allow_rounding: bool = False,
+) -> int:
+    """TYPE REWRITE migration (r12): change one value column to a
+    decimal type that old files CANNOT be reinterpreted as — narrowing
+    precision, or any scale change — by rewriting the whole table, the
+    explicit operation widen_value_column's refusal points at. This is
+    O(table) BY CONTRACT, the same shape as rerange_partitioned_state
+    (metadata-only widen covers the free direction; everything else is
+    honestly a rewrite at any scale).
+
+    Loud by doctrine, twice over:
+      - RANGE: a value that cannot fit the new type raises the curated
+        key-naming overflow error — never a silent NULL;
+      - VALUE: unless `allow_rounding=True`, a value that would CHANGE
+        under the new scale (sub-precision digits a rescale would
+        round away) raises, naming the key — the producer must opt
+        into lossiness explicitly, the same "owns the rounding"
+        discipline adoption has.
+
+    Requires a delta-free latest commit (compact first); commits the
+    rewritten state under the same batch id's next 'x' name with the
+    schema version bumped, so time travel to older commits reads the
+    OLD type from the untouched old files (Delta's semantics). Future
+    batch folds and the overflow guard use the new recorded type.
+    Returns the new schema version; a same-type call is a no-op."""
+    versions = _list_manifests(spark, state_dir)
+    if not versions:
+        raise ValueError(f"no committed state to rewrite in {state_dir}")
+    manifest = _read_manifest(spark, state_dir, versions[-1])
+    _require_no_pending_deltas(manifest, "rewrite_value_column_type")
+    values = table_values(manifest)
+    names = [v[0] for v in values]
+    if state_col not in names:
+        raise ValueError(
+            f"unknown value column {state_col!r} in {state_dir}; have {names}"
+        )
+    idx = names.index(state_col)
+    old_type = values[idx][2]
+    new_p, new_s = _decimal_params(new_type)
+    if (new_p, new_s) == _decimal_params(old_type):
+        return table_schema_version(manifest)  # no-op, nothing to commit
+    _old_p, old_s = _decimal_params(old_type)
+    phys = _vphys(values[idx])
+    width = manifest["range_width"]
+    new_values = [list(v) for v in values]
+    new_values[idx][2] = f"decimal({new_p},{new_s})"
+
+    batch_id = manifest["batch_id"]
+    seq = _next_compaction_seq(versions, batch_id)
+    vname = _attempt_name(f"v{batch_id:09d}x{seq:04d}")
+
+    if manifest["buckets"]:
+        wide = f"decimal(38,{max(old_s, new_s)})"
+        raw = F.col(phys)
+        narrowed = _narrow_total_or_raise(
+            raw, F.col("key"), f"type rewrite of {state_col!r}", new_values[idx][2]
+        )
+        if not allow_rounding:
+            narrowed = F.when(
+                raw.isNotNull()
+                & (narrowed.cast(wide) != raw.cast(wide)),
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            f"type rewrite of {state_col!r} to "
+                            f"{new_values[idx][2]} would CHANGE the value for key "
+                        ),
+                        F.col("key").cast("string"),
+                        F.lit(" ("),
+                        raw.cast("string"),
+                        F.lit(" has digits the new scale rounds away) — pass "),
+                        F.lit("allow_rounding=True to accept the loss"),
+                    )
+                ).cast(new_values[idx][2]),
+            ).otherwise(narrowed)
+        df = (
+            spark.read.schema(_state_schema_for(values))
+            .parquet(*_bucket_paths(state_dir, manifest))
+            .select(
+                "key",
+                *[
+                    narrowed.alias(phys) if i == idx else F.col(_vphys(v))
+                    for i, v in enumerate(values)
+                ],
+                "n_rows",
+            )
+            .withColumn("bucket", bucket_of(F.col("key"), width))
+        )
+        staging = f"{state_dir}/.staging/{vname}"
+        df.repartition(F.col("bucket")).write.mode("overwrite").partitionBy(
+            "bucket"
+        ).parquet(staging)
+
+        fs, _, jvm = _fs_and_path(spark, state_dir)
+        hpath = jvm.org.apache.hadoop.fs.Path
+        new_buckets: dict[str, str] = {}
+        for b in sorted(int(k) for k in manifest["buckets"]):
+            src = hpath(f"{staging}/bucket={b}")
+            dst = hpath(f"{state_dir}/buckets/b{b}/{vname}")
+            fs.mkdirs(hpath(f"{state_dir}/buckets/b{b}"))
+            if not fs.rename(src, dst):
+                raise IOError(
+                    f"type-rewrite move failed for bucket {b}: {src} -> {dst}"
+                )
+            new_buckets[str(b)] = vname
+        fs.delete(hpath(staging), True)
+        stats = _bucket_stats(
+            spark,
+            [f"{state_dir}/buckets/b{b}/{vname}" for b in sorted(map(int, new_buckets))],
+            width,
+            new_values,
+        )
+    else:
+        new_buckets, stats = {}, {}
+
+    rewritten = {
+        "batch_id": batch_id,
+        "compaction_seq": seq,
+        "range_width": width,
+        "buckets": new_buckets,
+        "stats": {str(b): s for b, s in stats.items()},
+        **_inherit_max_seq(manifest),
+    }
+    version = table_schema_version(manifest) + 1
+    _record_schema(rewritten, new_values, version, table_retired(manifest))
+    _write_manifest(spark, state_dir, rewritten, expected=tuple(versions))
     return version
 
 
