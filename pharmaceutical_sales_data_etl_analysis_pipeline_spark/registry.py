@@ -86,99 +86,80 @@ MODULE_ORDER = [
     "graphops",
 ]
 
-# Round-12 sweep priority. After r11 the union r1∪…∪r11 (latest-wins) is
-# 216/216 green with zero standing failures and no row older than r7
-# (histogram r11 50 / r10 43 / r9 43 / r8 41 / r7 39). The r12 window
-# retires the ENTIRE r7 staleness cohort (VERDICT r11 ask #1):
-#   (a) PREPENDED per the rotation invariant: mor_rename_column and
-#       mor_drop_column (r12 NEW — RENAME/DROP COLUMN via column
-#       mapping: logical/physical name split, metadata-only 'x'
-#       commits, zero files rewritten, retired-physical-name
-#       resurrection guards on DROP);
-#       then the nine table-format queries whose read/write plans
-#       changed in r12 (the physical-name fold/merge/stats/CDF —
-#       never-renamed tables produce identical expressions by
-#       construction, but the rotation invariant treats any touched
-#       plan as changed, and the adopted-column typing fix changed
-#       mor_schema_evolution's recorded fee type to decimal(20,0)):
-#       mor_schema_evolution, mor_schema_evolution_summary,
-#       cow_merge_changes, mor_changes_feed, mor_scattered_fold,
-#       stream_mor_ingest, stream_mor_tombstone_seq,
-#       cow_manifest_summary, cow_keyrange_lookup;
-#   (b) the FULL r7 staleness cohort, 39 rows in name order
-#       (contamination_check .. xml_xpath_roundtrip), honoring
-#       BENCH_NOTES' candidates head (dataset_cards,
-#       contamination_check are rows 2-3 of the cohort) — 2 new + 9
-#       plan-changed + 39 staleness fill the window exactly.
-# After this sweep no registered query's latest driver row predates r8.
+# Round-13 sweep priority. After r12 the union r1∪…∪r12 (latest-wins) is
+# 218/218 green with zero standing failures and no row older than r8
+# (histogram r12 50 / r11 41 / r10 43 / r9 43 / r8 41). The r13 window
+# retires the ENTIRE r8 staleness cohort (VERDICT r12 ask #2):
+#   (a) the FULL r8 staleness cohort, 41 rows in name order
+#       (bigram_logprob .. xml_stream_ingest), honoring BENCH_NOTES'
+#       candidates head (bigram_logprob is row 1 of the cohort);
+#   (b) the 9 OLDEST r9 rows in name order (ann_recall_eval ..
+#       fk_integrity_audit) to fill the window — 41 + 9 = 50 exactly.
+# No r13 query additions or plan changes touched any registered plan
+# (r13 work: bench artifact format, WAL auto-compaction + probes — all
+# commit-protocol/bookkeeping, zero query-plan diffs), so nothing
+# outranks the staleness refreshes this round.
+# After this sweep no registered query's latest driver row predates r9.
 PRIORITY = [
-    "mor_rename_column",
-    "mor_drop_column",
-    "mor_schema_evolution",
-    "mor_schema_evolution_summary",
-    "cow_merge_changes",
-    "mor_changes_feed",
-    "mor_scattered_fold",
-    "stream_mor_ingest",
-    "stream_mor_tombstone_seq",
-    "cow_manifest_summary",
-    "cow_keyrange_lookup",
-    # (b) the full r7 staleness cohort, name order (39 rows)
-    "contamination_check",
-    "dataset_cards",
-    "dedup_rate_by_source",
-    "dedup_survivors",
-    "distinct_counts",
-    "doc_chunks",
-    "domain_mixture_weights",
-    "embedding_quantize",
-    "event_transitions",
-    "events_within_5min",
-    "grouped_pandas_topk",
-    "hourly_gapfill",
-    "hybrid_retrieval_rrf",
-    "lang_id",
-    "lookup_join_nulls",
-    "lsh_bucket_sizes",
-    "lsh_probe_topk",
-    "minhash_lsh_candidates",
-    "minhash_signatures",
-    "moving_avg_customer",
-    "multimodal_features",
-    "multimodal_frames",
-    "pandas_normalized_text",
-    "percentile_disc_prices",
-    "product_surrogate_keys",
-    "props_k_stats",
-    "rank_functions",
-    "salted_user_totals",
-    "simhash",
-    "status_set_ops",
-    "string_functions",
-    "text_quality",
-    "token_counts",
-    "training_corpus",
-    "union_all_bag",
-    "value_histogram",
-    "window_value_functions",
-    "xml_scan_roundtrip",
-    "xml_xpath_roundtrip",
+    # (a) the full r8 staleness cohort, name order (41 rows)
+    "bigram_logprob",
+    "bloom_prefilter_stats",
+    "bpe_pair_stats",
+    "calendar_dim",
+    "chunk_dedup",
+    "cluster_label_purity",
+    "cms_heavy_hitters",
+    "conversation_assembly",
+    "dsir_weights",
+    "embedding_center",
+    "event_dedup_tolerance",
+    "fd_discovery",
+    "hourly_anomalies",
+    "incremental_neardup",
+    "interpolate_hourly",
+    "inverted_index",
+    "ivf_list_sizes",
+    "ivf_probe2_topk",
+    "ivf_probe_topk",
+    "kmeans_clusters",
+    "multimodal_resize",
+    "ngram_jaccard",
+    "ntile_quartiles",
+    "oov_rate",
+    "pq_codes",
+    "price_quantity_corr",
+    "quality_deciles",
+    "repetition_ratio",
+    "rolling_7d_actives",
+    "scd2_intervals",
+    "semdedup_candidates",
+    "sequence_packing",
+    "session_conversion",
+    "stratified_sample",
+    "table_diff",
+    "term_lift_pairs",
+    "tpch_q1",
+    "twap_per_user",
+    "udtf_sentences",
+    "weighted_sample",
+    "xml_stream_ingest",
+    # (b) the 9 oldest r9 rows, name order, filling the window to 50
+    "ann_recall_eval",
+    "array_agg_per_brand",
+    "array_functions",
+    "cheapest_supplier_per_part",
+    "date_arithmetic",
+    "deterministic_sample",
+    "distribution_drift",
+    "explode_roundtrip",
+    "fk_integrity_audit",
 ]
-# r13 PRIORITY candidates (staleness head after the r12 sweep): the 41
-# r8-rows in name order — bigram_logprob, bloom_prefilter_stats, bpe_pair_stats,
-# calendar_dim, chunk_dedup, cluster_label_purity, cms_heavy_hitters,
-# conversation_assembly, dsir_weights, embedding_center,
-# event_dedup_tolerance, fd_discovery, hourly_anomalies,
-# incremental_neardup, interpolate_hourly, inverted_index, ivf_list_sizes,
-# ivf_probe2_topk, ivf_probe_topk, kmeans_clusters, multimodal_resize,
-# ngram_jaccard, ntile_quartiles, oov_rate, pq_codes, price_quantity_corr,
-# quality_deciles, repetition_ratio, rolling_7d_actives, scd2_intervals,
-# semdedup_candidates, sequence_packing, session_conversion,
-# stratified_sample, table_diff, term_lift_pairs, tpch_q1, twap_per_user,
-# udtf_sentences, weighted_sample, xml_stream_ingest — then the oldest
-# r9 rows fill the window (41 r8 rows + 9 r9 rows when nothing new lands).
-# Queries ADDED or PLAN-CHANGED during r12 must be PREPENDED here per
-# the rotation invariant (they outrank staleness refreshes).
+# r14 PRIORITY candidates (staleness head after the r13 sweep): the
+# remaining 34 r9 rows in name order (gopher_quality_flags,
+# grouped_agg_pandas, histogram_quantile_calibration, …), then the
+# oldest r10 rows fill the window. Queries ADDED or PLAN-CHANGED during
+# r13 must be PREPENDED here per the rotation invariant (they outrank
+# staleness refreshes).
 
 
 def _collect() -> tuple[dict[str, QueryFn], dict[str, str]]:
