@@ -323,8 +323,23 @@ def main(argv: list[str] | None = None) -> None:
     # restarts; semantics identical — pinned by
     # test_compact_on_start_preserves_records)
     compact = _os.environ.get("SPARK_GRAFT_ARBITER_JOURNAL_COMPACT") == "1"
+    # r13: size-triggered IN-PLACE compaction so a long-lived arbiter
+    # bounds its WAL without restarts (Redis-AOF-style trigger; see
+    # JournalledCommitArbiter). FACTOR=0 disables the auto-compactor.
+    factor_env = _os.environ.get("SPARK_GRAFT_ARBITER_COMPACT_FACTOR", "4")
+    factor: float | None = float(factor_env)
+    if factor <= 0:
+        factor = None
+    min_bytes = int(
+        _os.environ.get("SPARK_GRAFT_ARBITER_COMPACT_MIN_BYTES", str(1 << 20))
+    )
     arbiter = (
-        JournalledCommitArbiter(journal, compact_on_start=compact)
+        JournalledCommitArbiter(
+            journal,
+            compact_on_start=compact,
+            auto_compact_factor=factor,
+            auto_compact_min_bytes=min_bytes,
+        )
         if journal
         else None
     )

@@ -665,6 +665,29 @@ class JournalledCommitArbiter(CommitArbiter):
     may rewrite the journal compacted (replay state re-serialized) via
     `compact_on_start=True` — semantics are identical either way.
 
+    SIZE-TRIGGERED auto-compaction (r13, VERDICT r12 ask #3): a
+    long-lived arbiter must not need a restart to bound its WAL, so the
+    journal is rewritten IN PLACE (snapshot→tmp→fsync→rename) whenever
+    its size exceeds max(auto_compact_min_bytes, auto_compact_factor ×
+    the size of the journal right after the last compaction) — the
+    Redis-AOF rewrite trigger (auto-aof-rewrite-percentage /
+    min-size), which needs no live-state size estimate: each
+    compaction re-bases the factor on the freshly-snapshotted size, so
+    a genuinely-growing record table raises the bar while churn
+    (record→mark_complete→forget) keeps hitting it. The trigger is
+    checked at the TOP of _journal, BEFORE the new entry is appended —
+    at that point the in-memory table is exactly replay(journal) (every
+    journalled entry has been applied under the same lock hold), so the
+    snapshot is consistent by construction and the new entry lands in
+    the fresh journal. Crash anywhere in the rewrite is safe: the old
+    and new journal files replay to the SAME record table, so even a
+    torn rename (dir entry not yet durable) resurrects equivalent
+    state. The one hazard is the live file handle: after os.replace the
+    old fd names an unlinked inode, so if reopening the new journal
+    fails the arbiter POISONS (appends to the dead fd would vanish);
+    a failure while writing the tmp snapshot merely disables further
+    auto-compaction and keeps serving (the real journal is untouched).
+
     Deployment: SPARK_GRAFT_ARBITER_JOURNAL=/path selects this class in
     the standalone HTTP arbiter service (http_arbiter.main). The file
     must live on local disk or a filesystem with honest fsync — the
@@ -676,6 +699,8 @@ class JournalledCommitArbiter(CommitArbiter):
         journal_path: str,
         latency_s: float = 0.0,
         compact_on_start: bool = False,
+        auto_compact_factor: float | None = 4.0,
+        auto_compact_min_bytes: int = 1 << 20,
     ):
         import os
 
@@ -683,28 +708,138 @@ class JournalledCommitArbiter(CommitArbiter):
         self._journal_path = journal_path
         self._fh = None  # replay must not journal
         self._poisoned: str | None = None
+        self._auto_compact_factor = auto_compact_factor
+        self._auto_compact_min_bytes = auto_compact_min_bytes
+        self.compactions = 0
         self.replayed_entries = self._replay()
         if compact_on_start and self.replayed_entries:
-            tmp = journal_path + ".compact.tmp"
-            with open(tmp, "wb") as out:
-                for table, recs in sorted(self._tables.items()):
-                    for name, staged in sorted(recs.items()):
-                        out.write(
-                            json.dumps(
-                                {
-                                    "op": "record",
-                                    "table": table,
-                                    "name": name,
-                                    "staged": staged,
-                                },
-                                sort_keys=True,
-                            ).encode("utf-8")
-                            + b"\n"
-                        )
-                out.flush()
-                os.fsync(out.fileno())
-            os.replace(tmp, journal_path)
+            self._write_snapshot_and_replace()
         self._fh = open(journal_path, "ab")
+        self._journal_bytes = os.path.getsize(journal_path)
+        self._compact_base_bytes = self._journal_bytes
+
+    def _write_snapshot_and_replace(self) -> None:
+        """Serialize the in-memory record table as a fresh journal
+        (one unconditional `record` line per live record — replays to
+        the identical table) and atomically swap it in. Caller must
+        guarantee the in-memory table ≡ replay(current journal): true
+        in __init__ (just replayed, nothing appended) and at the top of
+        _journal (every appended entry was applied under the same lock
+        hold). Does NOT touch self._fh — callers own the handle swap."""
+        import os
+
+        tmp = self._journal_path + ".compact.tmp"
+        with open(tmp, "wb") as out:
+            for table, recs in sorted(self._tables.items()):
+                for name, staged in sorted(recs.items()):
+                    out.write(
+                        json.dumps(
+                            {
+                                "op": "record",
+                                "table": table,
+                                "name": name,
+                                "staged": staged,
+                            },
+                            sort_keys=True,
+                        ).encode("utf-8")
+                        + b"\n"
+                    )
+            out.flush()
+            os.fsync(out.fileno())
+        os.replace(tmp, self._journal_path)
+        # directory fsync makes the rename itself durable. Best-effort:
+        # a crash that reverts the rename resurrects the OLD journal,
+        # which replays to the SAME record table — semantically
+        # equivalent, just uncompacted.
+        try:
+            dfd = os.open(
+                os.path.dirname(os.path.abspath(self._journal_path)),
+                os.O_RDONLY,
+            )
+            try:
+                os.fsync(dfd)
+            finally:
+                os.close(dfd)
+        except OSError:
+            pass
+
+    def _maybe_auto_compact(self) -> None:
+        """Called under self._lock from _journal, BEFORE the pending
+        entry is appended. On tmp-snapshot failure the journal is
+        untouched — disable further auto-compaction, keep serving. On
+        reopen failure AFTER the rename the old fd is an unlinked inode
+        (appends would silently vanish) — poison fail-stop, same
+        doctrine as a failed fsync."""
+        import os
+
+        if self._auto_compact_factor is None:
+            return
+        threshold = max(
+            self._auto_compact_min_bytes,
+            int(self._auto_compact_factor * max(1, self._compact_base_bytes)),
+        )
+        if self._journal_bytes < threshold:
+            return
+        try:
+            self._write_snapshot_and_replace()
+        except Exception as exc:
+            self._auto_compact_factor = None
+            _LOG.warning(
+                "arbiter journal %s auto-compaction failed (%s): journal "
+                "intact, auto-compaction disabled for this incarnation",
+                self._journal_path,
+                exc,
+            )
+            return
+        try:
+            fresh = open(self._journal_path, "ab")
+        except Exception as exc:
+            self._poisoned = f"compaction reopen failed: {exc}"
+            _LOG.error(
+                "arbiter journal %s: reopen after compaction FAILED (%s); "
+                "fail-stop — the pre-compaction handle is an unlinked "
+                "inode, appends to it would vanish",
+                self._journal_path,
+                exc,
+            )
+            raise ArbiterUnavailableError(
+                f"arbiter journal reopen after compaction failed ({exc}); "
+                "fail-stop, restart the arbiter and replay"
+            ) from exc
+        old = self._fh
+        self._fh = fresh
+        if old is not None:
+            try:
+                old.close()
+            except OSError:
+                pass
+        self._journal_bytes = os.path.getsize(self._journal_path)
+        self._compact_base_bytes = self._journal_bytes
+        self.compactions += 1
+
+    def compact(self) -> None:
+        """Operational hook: force a compaction now (e.g. before a
+        planned handover). Same swap as the auto trigger, same poison
+        rule on reopen failure."""
+        with self._lock:
+            if self._poisoned is not None:
+                raise ArbiterUnavailableError(
+                    f"arbiter journal {self._journal_path} is poisoned "
+                    f"({self._poisoned}); restart to replay"
+                )
+            if self._fh is None:
+                raise RuntimeError("arbiter is closed")
+            base_factor = self._auto_compact_factor
+            try:
+                # reuse the auto path with the threshold forced past
+                self._auto_compact_factor = 0.0
+                self._journal_bytes = max(
+                    self._journal_bytes, self._auto_compact_min_bytes
+                )
+                self._maybe_auto_compact()
+            finally:
+                if self._auto_compact_factor == 0.0:
+                    self._auto_compact_factor = base_factor
 
     def _replay(self) -> int:
         """Rebuild the record table from the journal; returns the number
@@ -790,12 +925,13 @@ class JournalledCommitArbiter(CommitArbiter):
                 f"a write failure ({self._poisoned}); restart the arbiter "
                 "to replay the journal's durable tail"
             )
+        self._maybe_auto_compact()
         try:
-            self._fh.write(
-                json.dumps(entry, sort_keys=True).encode("utf-8") + b"\n"
-            )
+            line = json.dumps(entry, sort_keys=True).encode("utf-8") + b"\n"
+            self._fh.write(line)
             self._fh.flush()
             os.fsync(self._fh.fileno())
+            self._journal_bytes += len(line)
         except Exception as exc:
             self._poisoned = f"{type(exc).__name__}: {exc}"
             _LOG.error(
