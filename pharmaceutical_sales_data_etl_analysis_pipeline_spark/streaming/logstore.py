@@ -781,7 +781,9 @@ class JournalledCommitArbiter(CommitArbiter):
         if self._journal_bytes < threshold:
             return
         try:
-            self._write_snapshot_and_replace()
+            self._compact_and_swap()
+        except ArbiterUnavailableError:
+            raise  # reopen-after-rename failure: already poisoned
         except Exception as exc:
             self._auto_compact_factor = None
             _LOG.warning(
@@ -790,7 +792,15 @@ class JournalledCommitArbiter(CommitArbiter):
                 self._journal_path,
                 exc,
             )
-            return
+
+    def _compact_and_swap(self) -> None:
+        """Snapshot→rename→handle swap, under self._lock. Raises the
+        snapshot/rename error with the journal untouched (caller decides
+        whether that is fatal); POISONS on reopen-after-rename failure —
+        the old fd names an unlinked inode, appends to it would vanish."""
+        import os
+
+        self._write_snapshot_and_replace()
         try:
             fresh = open(self._journal_path, "ab")
         except Exception as exc:
@@ -819,8 +829,9 @@ class JournalledCommitArbiter(CommitArbiter):
 
     def compact(self) -> None:
         """Operational hook: force a compaction now (e.g. before a
-        planned handover). Same swap as the auto trigger, same poison
-        rule on reopen failure."""
+        planned handover). LOUD on failure — unlike the opportunistic
+        auto trigger, an explicit request that silently did nothing
+        would mislead the operator. Same poison rule on reopen failure."""
         with self._lock:
             if self._poisoned is not None:
                 raise ArbiterUnavailableError(
@@ -829,17 +840,7 @@ class JournalledCommitArbiter(CommitArbiter):
                 )
             if self._fh is None:
                 raise RuntimeError("arbiter is closed")
-            base_factor = self._auto_compact_factor
-            try:
-                # reuse the auto path with the threshold forced past
-                self._auto_compact_factor = 0.0
-                self._journal_bytes = max(
-                    self._journal_bytes, self._auto_compact_min_bytes
-                )
-                self._maybe_auto_compact()
-            finally:
-                if self._auto_compact_factor == 0.0:
-                    self._auto_compact_factor = base_factor
+            self._compact_and_swap()
 
     def _replay(self) -> int:
         """Rebuild the record table from the journal; returns the number

@@ -3363,6 +3363,20 @@ def append_delta_batch_optimistic(
             conflicts += 1
             if stats is not None:  # observability for probes/deployments
                 stats["conflicts"] = stats.get("conflicts", 0) + 1
+            # Randomized exponential backoff on a LOST RACE (r13): with
+            # no delay, N writers re-list and re-CAS in lockstep and the
+            # writer with the slowest retry cycle can starve — observed
+            # live in the concurrent-writers probe as one writer losing
+            # all 20 attempts while only 32 commits existed. Full jitter
+            # (AWS-style: sleep ~ U[0, min(cap, base·2^k)]) desynchronizes
+            # the herd; the cap keeps the worst single wait at 1.6 s.
+            # Losing a race is DEFINITE (the arbiter answered), so the
+            # sleep risks no double-apply — it only spaces the retries.
+            # At cluster scale contention grows with writer count, which
+            # makes backoff more load-bearing, not less.
+            import random as _random
+
+            _time.sleep(_random.uniform(0.0, min(1.6, 0.05 * (2 ** min(conflicts, 5)))))
             continue
         except ArbiterUnavailableError as exc:
             # Retrying here is SAFE only because the inner append already
