@@ -41,7 +41,22 @@ spanned live commits) and NO writer may need an outage retry — the
 durable table plus fast takeover removes the reconciliation traffic the
 amnesia mode rides through.
 
-Usage: python examples/arbiter_restart_probe.py SF_DIR [SLICES_PER_WRITER] [N_WRITERS] [--durable]
+DURABLE-LIVE MODE (r13, VERDICT r12 ask #6): --durable proves the
+quiet-window takeover (accepted runs are the ones where no call was in
+flight at the kill); --durable-live proves the OTHER half — the standby
+binding DURING an in-flight CAS. The arbiter runs with a 50 ms
+critical-section latency (SPARK_GRAFT_ARBITER_LATENCY_S) so some
+writer's conditional put is nearly always in flight when the SIGKILL
+lands; that writer's response is lost (AMBIGUOUS: the CAS may have been
+journalled before the kill), its attempt-exact reconciliation re-reads
+through the standby — which replayed the journal, so the verdict is
+authoritative either way — and resolves to verified-committed or
+verified-not-committed with no re-append. PASS = standby replayed >= 1,
+at least one writer REPORTS ambiguities_resolved >= 1 (the in-flight
+ambiguity provably crossed the failover), clean 0..N-1 ids, bit-exact
+fold.
+
+Usage: python examples/arbiter_restart_probe.py SF_DIR [SLICES_PER_WRITER] [N_WRITERS] [--durable | --durable-live]
 Writer-subprocess mode (internal): ... --writer STATE_DIR WIDTH SLICE_DIR...
 """
 
@@ -95,6 +110,7 @@ def writer_main() -> None:
                 "commits": commits,
                 "conflicts": stats.get("conflicts", 0),
                 "outage_retries": stats.get("outage_retries", 0),
+                "ambiguities_resolved": stats.get("ambiguities_resolved", 0),
                 "wall_s": round(time.monotonic() - t0, 2),
             }
         )
@@ -116,6 +132,7 @@ def _launch_arbiter(
     work: str,
     journal: str | None = None,
     takeover_after: int | None = None,
+    latency_s: float = 0.0,
 ):
     """Start the standalone HTTP arbiter service process. Unless it is a
     warm STANDBY (--takeover-after: binds only once the predecessor
@@ -131,6 +148,8 @@ def _launch_arbiter(
     env = {**os.environ, "SPARK_GRAFT_ARBITER_AUTHKEY": token}
     if journal:
         env["SPARK_GRAFT_ARBITER_JOURNAL"] = journal
+    if latency_s:
+        env["SPARK_GRAFT_ARBITER_LATENCY_S"] = str(latency_s)
     if takeover_after is not None:
         argv += ["--takeover-after", str(takeover_after)]
     proc = subprocess.Popen(
@@ -153,8 +172,9 @@ def main() -> None:
         writer_main()
         return
 
-    args = [a for a in sys.argv[1:] if a != "--durable"]
-    durable = "--durable" in sys.argv[1:]
+    args = [a for a in sys.argv[1:] if a not in ("--durable", "--durable-live")]
+    durable_live = "--durable-live" in sys.argv[1:]
+    durable = durable_live or "--durable" in sys.argv[1:]
     sf_dir = args[0]
     n_per_writer = int(args[1]) if len(args) > 1 else 2
     n_writers = int(args[2]) if len(args) > 2 else 4
@@ -193,15 +213,19 @@ def main() -> None:
             if durable
             else None
         )
+        # durable-live: a 50 ms critical-section latency makes some
+        # writer's CAS nearly always in flight when the kill lands
+        latency = 0.05 if durable_live else 0.0
         arb, arb_err, endpoint = _launch_arbiter(
-            port, token, "a", work, journal=journal
+            port, token, "a", work, journal=journal, latency_s=latency
         )
         standby = None
         if durable:
             # warm standby: python start + imports paid NOW, while A
             # serves; after A dies it binds + replays within milliseconds
             standby = _launch_arbiter(
-                port, token, "b", work, journal=journal, takeover_after=arb.pid
+                port, token, "b", work, journal=journal,
+                takeover_after=arb.pid, latency_s=latency,
             )
         env = dict(
             os.environ,
@@ -306,7 +330,10 @@ def main() -> None:
         kill_at = max(2, n_slices // 3) if attempt % 2 else 1
         reports, wall, replayed = launch(state, kill_at)
         outage = sum(r["outage_retries"] for r in reports)
-        if durable and replayed and outage == 0:
+        ambiguities = sum(r.get("ambiguities_resolved", 0) for r in reports)
+        if durable_live and replayed and ambiguities > 0:
+            break
+        if durable and not durable_live and replayed and outage == 0:
             break
         if not durable and outage > 0:
             break
@@ -315,13 +342,19 @@ def main() -> None:
     if all_ids != list(range(n_slices)):
         raise SystemExit(f"commit ids not a clean 0..{n_slices-1}: {all_ids}")
     total_outage = sum(r["outage_retries"] for r in reports)
+    total_ambiguities = sum(r.get("ambiguities_resolved", 0) for r in reports)
     if durable:
         if not replayed:
             raise SystemExit(
                 "standby replayed zero journal entries in every run — the "
                 "kill never spanned live commit records; probe vacuous"
             )
-        if total_outage != 0:
+        if durable_live and total_ambiguities == 0:
+            raise SystemExit(
+                "no writer resolved an in-flight ambiguity in any run — "
+                "the kill never caught a CAS in flight; probe vacuous"
+            )
+        if not durable_live and total_outage != 0:
             raise SystemExit(
                 f"durable takeover still cost {total_outage} outage "
                 "retries in every run — the zero-reconciliation claim "
@@ -355,13 +388,18 @@ def main() -> None:
         json.dumps(
             {
                 "rung": "arbiter_restart",
-                "mode": "durable" if durable else "amnesia",
+                "mode": (
+                    "durable-live"
+                    if durable_live
+                    else ("durable" if durable else "amnesia")
+                ),
                 "sf_dir": sf_dir,
                 "writers": n_writers,
                 "slices": n_slices,
                 "commit_ids": all_ids,
                 "conflicts": total_conflicts,
                 "outage_retries": total_outage,
+                "ambiguities_resolved": total_ambiguities,
                 "replayed_entries": replayed,
                 "race_runs": attempt,
                 "writer_walls_s": [r["wall_s"] for r in reports],

@@ -333,9 +333,14 @@ def main(argv: list[str] | None = None) -> None:
     min_bytes = int(
         _os.environ.get("SPARK_GRAFT_ARBITER_COMPACT_MIN_BYTES", str(1 << 20))
     )
+    # SPARK_GRAFT_ARBITER_LATENCY_S sleeps inside the serialized critical
+    # section (models conditional-put round-trip under contention; the
+    # failover probe uses it to widen the in-flight window)
+    latency_s = float(_os.environ.get("SPARK_GRAFT_ARBITER_LATENCY_S", "0"))
     arbiter = (
         JournalledCommitArbiter(
             journal,
+            latency_s=latency_s,
             compact_on_start=compact,
             auto_compact_factor=factor,
             auto_compact_min_bytes=min_bytes,

@@ -261,6 +261,18 @@ class FileLockLogStore(ManifestLogStore):
 
     LOCK_TTL_MS = 5 * 60 * 1000  # orphaned-lock break-in bound
 
+    def __init__(self) -> None:
+        # SPARK_GRAFT_LOCK_TTL_MS tunes the orphan break-in bound per
+        # deployment (default 5 min): it is the recovery latency after a
+        # writer dies HOLDING the lock, and the floor for how slow a
+        # LIVE holder's commit may be before eviction degrades mutual
+        # exclusion to the basis check. Read once at construction.
+        import os
+
+        ttl = os.environ.get("SPARK_GRAFT_LOCK_TTL_MS")
+        if ttl:
+            self.LOCK_TTL_MS = int(ttl)
+
     def commit(self, spark, manifest_dir, name, payload, expected) -> None:
         fs, _, jvm = _fs_and_path(spark, manifest_dir)
         if fs.getScheme() in ("s3a", "s3", "s3n"):

@@ -2938,6 +2938,7 @@ def append_delta_batch(
     outage_retry_s: float = 0.0,
     lease_ttl_ms: int | None = None,
     producer_txn: tuple[str, int] | None = None,
+    stats: dict | None = None,
 ) -> bool:
     """Merge-on-read write path: commit one micro-batch as a DELTA file —
     no bucket is read or rewritten, so a uniformly scattered batch costs
@@ -3068,9 +3069,27 @@ def append_delta_batch(
     try:
         _write_manifest(spark, state_dir, manifest, expected=listing_snapshot)
     except ArbiterUnavailableError as err:
-        _reconcile_with_outage_retry(
-            spark, state_dir, batch_id, vname, err, outage_retry_s
-        )
+        # observability (r13): an AMBIGUOUS publish (response lost; the
+        # commit may or may not have landed) that the attempt-exact
+        # reconciliation RESOLVED — either way: verified-committed
+        # (return) or verified-not-committed (the retry-safe
+        # ConcurrentCommitError). The arbiter-failover probe asserts on
+        # this counter. Unresolved ambiguities raise
+        # ArbiterUnavailableError and are NOT counted.
+        try:
+            _reconcile_with_outage_retry(
+                spark, state_dir, batch_id, vname, err, outage_retry_s
+            )
+        except ConcurrentCommitError:
+            if stats is not None:
+                stats["ambiguities_resolved"] = (
+                    stats.get("ambiguities_resolved", 0) + 1
+                )
+            raise
+        if stats is not None:
+            stats["ambiguities_resolved"] = (
+                stats.get("ambiguities_resolved", 0) + 1
+            )
     return True
 
 
@@ -3351,6 +3370,7 @@ def append_delta_batch_optimistic(
                 expect_new=True,
                 outage_retry_s=outage_retry_s,
                 producer_txn=producer_txn,
+                stats=stats,
             )
             if not committed:
                 # the inner append's own (fresher) basis showed the txn
