@@ -566,6 +566,37 @@ QUERIES["mor_changes_feed"] = mor_changes_feed
 ORACLES["mor_changes_feed"] = SQL_COW_MERGE_CHANGES
 
 
+def mor_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME TRAVEL (r13): the MoR fixture read AS OF batch 0 — Delta's
+    `VERSION AS OF` — through read_partitioned_state_version: the
+    manifest committed by batch 0 is immutable, so the read resolves
+    that manifest and sees NEITHER the pending delta nor its tombstones
+    (reference parity: the warehouse reload in
+    LoadDataWarehouse.ChatterjeeP.R:140-215 rebuilds from scratch to
+    see 'the state as of load time'; here it is one manifest lookup).
+    At 100 TB this is the audit/backfill read path: cost identical to a
+    latest-read of the SAME version (bucket snapshots are shared files,
+    zero copies), selection is one manifest-listing metadata op. The
+    oracle recomputes batch 0's fold (pre-1996 spend) from the source —
+    if time travel leaked any delta-era row, key set or totals diverge."""
+    from ..streaming.partitioned_upsert import read_partitioned_state_version
+
+    return read_partitioned_state_version(spark, _mor_state(spark, sf_dir), 0)
+
+
+SQL_MOR_TIME_TRAVEL = """
+SELECT o_custkey AS key,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM orders
+WHERE o_orderdate < DATE '1996-01-01'
+GROUP BY 1
+"""
+
+QUERIES["mor_time_travel"] = mor_time_travel
+ORACLES["mor_time_travel"] = SQL_MOR_TIME_TRAVEL
+
+
 # ---------------------------------------------------------------------------
 # Streaming MoR ingest (r7, VERDICT ask #5): the merge-on-read write
 # path driven END-TO-END by Structured Streaming — readStream over the

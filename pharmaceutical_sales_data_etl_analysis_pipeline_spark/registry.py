@@ -95,12 +95,16 @@ MODULE_ORDER = [
 #       candidates head (bigram_logprob is row 1 of the cohort);
 #   (b) the 9 OLDEST r9 rows in name order (ann_recall_eval ..
 #       fk_integrity_audit) to fill the window — 41 + 9 = 50 exactly.
-# No r13 query additions or plan changes touched any registered plan
-# (r13 work: bench artifact format, WAL auto-compaction + probes — all
-# commit-protocol/bookkeeping, zero query-plan diffs), so nothing
-# outranks the staleness refreshes this round.
+# PREPENDED per the rotation invariant (outranks staleness): r13 NEW
+# mor_time_travel (VERSION-AS-OF read through
+# read_partitioned_state_version — the one table-format read path that
+# had no registered query). It displaces the 9th r9 fill
+# (fk_integrity_audit, which stays next in line for r14). No other r13
+# work touched a registered plan (bench artifact format, WAL
+# auto-compaction, probes, retry backoff — commit-protocol only).
 # After this sweep no registered query's latest driver row predates r9.
 PRIORITY = [
+    "mor_time_travel",
     # (a) the full r8 staleness cohort, name order (41 rows)
     "bigram_logprob",
     "bloom_prefilter_stats",
@@ -143,7 +147,7 @@ PRIORITY = [
     "udtf_sentences",
     "weighted_sample",
     "xml_stream_ingest",
-    # (b) the 9 oldest r9 rows, name order, filling the window to 50
+    # (b) the 8 oldest r9 rows, name order, filling the window to 50
     "ann_recall_eval",
     "array_agg_per_brand",
     "array_functions",
@@ -152,14 +156,14 @@ PRIORITY = [
     "deterministic_sample",
     "distribution_drift",
     "explode_roundtrip",
-    "fk_integrity_audit",
 ]
 # r14 PRIORITY candidates (staleness head after the r13 sweep): the
-# remaining 34 r9 rows in name order (gopher_quality_flags,
-# grouped_agg_pandas, histogram_quantile_calibration, …), then the
-# oldest r10 rows fill the window. Queries ADDED or PLAN-CHANGED during
-# r13 must be PREPENDED here per the rotation invariant (they outrank
-# staleness refreshes).
+# remaining 35 r9 rows in name order (fk_integrity_audit — displaced
+# from the r13 window by the mor_time_travel prepend — then
+# gopher_quality_flags, grouped_agg_pandas,
+# histogram_quantile_calibration, …), then the oldest r10 rows fill the
+# window. Queries ADDED or PLAN-CHANGED during r13 must be PREPENDED
+# here per the rotation invariant (they outrank staleness refreshes).
 
 
 def _collect() -> tuple[dict[str, QueryFn], dict[str, str]]:
