@@ -746,6 +746,111 @@ ORACLES["fk_integrity_audit"] = SQL_FK_INTEGRITY_AUDIT
 
 
 # ---------------------------------------------------------------------------
+# Declarative data-quality constraint report — r13 (Deequ's shared-scan
+# design, re-expressed as one DataFrame aggregation). The reference has no
+# quality gate at all (LoadDataWarehouse.ChatterjeeP.R loads whatever the
+# SQLite stage produced); fk_integrity_audit covers the JOIN edges, this
+# covers the COLUMN contracts a production ingest asserts before
+# publishing: completeness, uniqueness, value bounds, set membership,
+# pattern compliance. The scale-defining property is Deequ's: every
+# metric is a conditional aggregate over the SAME single scan — at
+# 100 TB the whole suite costs ONE column-pruned pass (plus the expand
+# for the single exact COUNT(DISTINCT)), never one scan per constraint.
+# The 1-row metrics result is exploded to per-constraint rows with
+# stack() — zero driver round-trips, no collect.
+# ---------------------------------------------------------------------------
+
+# Year bounds for the order-date sanity constraint: the generator's
+# domain is 1995-2001; the audit band is deliberately wider (an alarm
+# for corrupt timestamps — the 1000x nanos regression class — not a
+# re-derivation of the data's exact extent).
+DQ_YEAR_LO, DQ_YEAR_HI = 1990, 2005
+DQ_PRICE_CAP = 1e7  # o_totalprice is SF-invariant per row; 10M = corrupt
+
+
+def dq_constraint_report(orders: DataFrame) -> DataFrame:
+    viol = lambda cond: F.sum(F.when(cond, 1).otherwise(0)).cast("double")  # noqa: E731
+    m = orders.agg(
+        F.count(F.lit(1)).cast("double").alias("n_rows"),
+        viol(F.col("o_orderkey").isNull()).alias("key_nulls"),
+        F.countDistinct("o_orderkey").cast("double").alias("key_distinct"),
+        viol(F.col("o_custkey").isNull()).alias("cust_nulls"),
+        # NULL counts as a violation for every value constraint below
+        # (completeness is asserted separately only for the key columns;
+        # a NULL price/status/date is not a PASSING price/status/date)
+        viol(
+            F.col("o_totalprice").isNull() | (F.col("o_totalprice") <= 0)
+        ).alias("price_nonpos"),
+        F.max("o_totalprice").cast("double").alias("price_max"),
+        viol(
+            F.col("o_orderdate").isNull()
+            | ~F.year("o_orderdate").between(DQ_YEAR_LO, DQ_YEAR_HI)
+        ).alias("date_oob"),
+        viol(
+            F.col("o_orderstatus").isNull()
+            | ~F.col("o_orderstatus").isin("O", "F", "P")
+        ).alias("status_oob"),
+        viol(
+            F.col("o_orderpriority").isNull()
+            | ~F.col("o_orderpriority").rlike("^[1-5]-")
+        ).alias("prio_bad"),
+    )
+    return m.select(
+        F.expr(
+            f"""stack(9,
+  'rows_nonzero',       n_rows,                 CAST(n_rows > 0 AS BIGINT),
+  'orderkey_complete',  key_nulls,              CAST(key_nulls = 0 AS BIGINT),
+  'orderkey_unique',    n_rows - key_distinct,  CAST(n_rows - key_distinct = 0 AS BIGINT),
+  'custkey_complete',   cust_nulls,             CAST(cust_nulls = 0 AS BIGINT),
+  'totalprice_positive', price_nonpos,          CAST(price_nonpos = 0 AS BIGINT),
+  'totalprice_max_bound', price_max,            CAST(price_max <= {DQ_PRICE_CAP} AS BIGINT),
+  'orderdate_in_range', date_oob,               CAST(date_oob = 0 AS BIGINT),
+  'orderstatus_in_set', status_oob,             CAST(status_oob = 0 AS BIGINT),
+  'orderpriority_pattern', prio_bad,            CAST(prio_bad = 0 AS BIGINT)
+) AS (check_name, observed, passed)"""
+        )
+    )
+
+
+def q_dq_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dq_constraint_report(load_table(spark, sf_dir, "orders"))
+
+
+SQL_DQ_CONSTRAINT_REPORT = f"""
+WITH m AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n_rows,
+         CAST(COUNT(*) FILTER (WHERE o_orderkey IS NULL) AS DOUBLE) AS key_nulls,
+         CAST(COUNT(DISTINCT o_orderkey) AS DOUBLE) AS key_distinct,
+         CAST(COUNT(*) FILTER (WHERE o_custkey IS NULL) AS DOUBLE) AS cust_nulls,
+         CAST(COUNT(*) FILTER (WHERE o_totalprice IS NULL OR o_totalprice <= 0) AS DOUBLE) AS price_nonpos,
+         CAST(MAX(o_totalprice) AS DOUBLE) AS price_max,
+         CAST(COUNT(*) FILTER (WHERE o_orderdate IS NULL
+               OR YEAR(o_orderdate) NOT BETWEEN {DQ_YEAR_LO} AND {DQ_YEAR_HI}) AS DOUBLE) AS date_oob,
+         CAST(COUNT(*) FILTER (WHERE o_orderstatus IS NULL
+               OR o_orderstatus NOT IN ('O','F','P')) AS DOUBLE) AS status_oob,
+         CAST(COUNT(*) FILTER (WHERE o_orderpriority IS NULL
+               OR NOT regexp_matches(o_orderpriority, '^[1-5]-')) AS DOUBLE) AS prio_bad
+  FROM orders
+)
+SELECT 'rows_nonzero' AS check_name, n_rows AS observed,
+       CAST(n_rows > 0 AS BIGINT) AS passed FROM m
+UNION ALL SELECT 'orderkey_complete', key_nulls, CAST(key_nulls = 0 AS BIGINT) FROM m
+UNION ALL SELECT 'orderkey_unique', n_rows - key_distinct,
+       CAST(n_rows - key_distinct = 0 AS BIGINT) FROM m
+UNION ALL SELECT 'custkey_complete', cust_nulls, CAST(cust_nulls = 0 AS BIGINT) FROM m
+UNION ALL SELECT 'totalprice_positive', price_nonpos, CAST(price_nonpos = 0 AS BIGINT) FROM m
+UNION ALL SELECT 'totalprice_max_bound', price_max,
+       CAST(price_max <= {DQ_PRICE_CAP} AS BIGINT) FROM m
+UNION ALL SELECT 'orderdate_in_range', date_oob, CAST(date_oob = 0 AS BIGINT) FROM m
+UNION ALL SELECT 'orderstatus_in_set', status_oob, CAST(status_oob = 0 AS BIGINT) FROM m
+UNION ALL SELECT 'orderpriority_pattern', prio_bad, CAST(prio_bad = 0 AS BIGINT) FROM m
+"""
+
+QUERIES["dq_constraint_report"] = q_dq_constraint_report
+ORACLES["dq_constraint_report"] = SQL_DQ_CONSTRAINT_REPORT
+
+
+# ---------------------------------------------------------------------------
 # Point-in-time (feature-store) join — r3
 
 def pit_feature_join(events: DataFrame) -> DataFrame:

@@ -98,13 +98,17 @@ MODULE_ORDER = [
 # PREPENDED per the rotation invariant (outranks staleness): r13 NEW
 # mor_time_travel (VERSION-AS-OF read through
 # read_partitioned_state_version — the one table-format read path that
-# had no registered query). It displaces the 9th r9 fill
-# (fk_integrity_audit, which stays next in line for r14). No other r13
-# work touched a registered plan (bench artifact format, WAL
-# auto-compaction, probes, retry backoff — commit-protocol only).
+# had no registered query) and dq_constraint_report (Deequ-style
+# declarative column-constraint suite, every metric a conditional
+# aggregate over ONE shared scan). They displace the 9th and 8th r9
+# fills (fk_integrity_audit, explode_roundtrip — next in line for
+# r14). No other r13 work touched a registered plan (bench artifact
+# format, WAL auto-compaction, probes, retry backoff — commit-protocol
+# only).
 # After this sweep no registered query's latest driver row predates r9.
 PRIORITY = [
     "mor_time_travel",
+    "dq_constraint_report",
     # (a) the full r8 staleness cohort, name order (41 rows)
     "bigram_logprob",
     "bloom_prefilter_stats",
@@ -147,7 +151,7 @@ PRIORITY = [
     "udtf_sentences",
     "weighted_sample",
     "xml_stream_ingest",
-    # (b) the 8 oldest r9 rows, name order, filling the window to 50
+    # (b) the 7 oldest r9 rows, name order, filling the window to 50
     "ann_recall_eval",
     "array_agg_per_brand",
     "array_functions",
@@ -155,12 +159,11 @@ PRIORITY = [
     "date_arithmetic",
     "deterministic_sample",
     "distribution_drift",
-    "explode_roundtrip",
 ]
 # r14 PRIORITY candidates (staleness head after the r13 sweep): the
-# remaining 35 r9 rows in name order (fk_integrity_audit — displaced
-# from the r13 window by the mor_time_travel prepend — then
-# gopher_quality_flags, grouped_agg_pandas,
+# remaining 36 r9 rows in name order (explode_roundtrip and
+# fk_integrity_audit — displaced from the r13 window by the two r13
+# prepends — then gopher_quality_flags, grouped_agg_pandas,
 # histogram_quantile_calibration, …), then the oldest r10 rows fill the
 # window. Queries ADDED or PLAN-CHANGED during r13 must be PREPENDED
 # here per the rotation invariant (they outrank staleness refreshes).

@@ -33,7 +33,7 @@ def test_every_query_has_oracle_or_is_declared():
 # Pin the registry size: operator-module imports are unguarded, but a query
 # silently dropped from a module's QUERIES dict would still shrink the
 # surface without failing — keep this in sync when adding queries.
-EXPECTED_QUERY_COUNT = 219  # r13: +mor_time_travel
+EXPECTED_QUERY_COUNT = 220  # r13: +mor_time_travel, +dq_constraint_report
 
 
 def test_registry_pins_query_count():
