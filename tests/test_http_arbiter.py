@@ -289,3 +289,74 @@ def test_standalone_launcher_serves_and_requires_token(tmp_path):
     finally:
         proc.send_signal(_signal.SIGTERM)
         assert proc.wait(timeout=30) == 0
+
+
+def test_standalone_launcher_journal_compaction_env_wiring(tmp_path):
+    """r13: the launcher wires SPARK_GRAFT_ARBITER_COMPACT_FACTOR /
+    _COMPACT_MIN_BYTES into the journalled arbiter. With tiny thresholds
+    a churn workload (record -> forget) must leave a COMPACTED journal on
+    disk — far fewer lines than mutations — and a relaunch replays the
+    live state from it. FACTOR=0 must disable (journal stays the raw
+    mutation log)."""
+    import json as _json
+    import os as _os
+    import signal as _signal
+    import subprocess as _sp
+    import sys as _sys
+
+    mod = (
+        "pharmaceutical_sales_data_etl_analysis_pipeline_spark"
+        ".streaming.http_arbiter"
+    )
+    repo = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+
+    def churn(env_extra: dict) -> tuple[int, int]:
+        """Run 40 record+forget cycles + one survivor; return
+        (journal_lines, replayed_entries_on_relaunch)."""
+        jp = str(tmp_path / f"j_{len(env_extra)}.wal")
+        env = {
+            **_os.environ,
+            "SPARK_GRAFT_ARBITER_AUTHKEY": "tok",
+            "SPARK_GRAFT_ARBITER_JOURNAL": jp,
+            **env_extra,
+        }
+        proc = _sp.Popen(
+            [_sys.executable, "-m", mod, "127.0.0.1", "0"],
+            env=env, cwd=repo, stdout=_sp.PIPE, text=True,
+        )
+        try:
+            endpoint = _json.loads(proc.stdout.readline())["endpoint"]
+            c = HttpCommitArbiter(endpoint, "tok", timeout_s=10)
+            c.record("t", "vkeep", None)
+            for i in range(40):
+                c.record("t", f"v{i:09d}", None)
+                c.forget("t", f"v{i:09d}")
+            assert c.records("t") == {"vkeep": None}
+        finally:
+            proc.send_signal(_signal.SIGTERM)
+            assert proc.wait(timeout=30) == 0
+        lines = sum(1 for _ in open(jp, "rb"))
+        # relaunch: replay must reconstruct exactly the live state
+        proc2 = _sp.Popen(
+            [_sys.executable, "-m", mod, "127.0.0.1", "0"],
+            env=env, cwd=repo, stdout=_sp.PIPE, text=True,
+        )
+        try:
+            start = _json.loads(proc2.stdout.readline())
+            c2 = HttpCommitArbiter(start["endpoint"], "tok", timeout_s=10)
+            assert c2.records("t") == {"vkeep": None}
+            return lines, start["replayed_entries"]
+        finally:
+            proc2.send_signal(_signal.SIGTERM)
+            assert proc2.wait(timeout=30) == 0
+
+    lines_on, replayed_on = churn(
+        {
+            "SPARK_GRAFT_ARBITER_COMPACT_MIN_BYTES": "256",
+            "SPARK_GRAFT_ARBITER_COMPACT_FACTOR": "1.5",
+        }
+    )
+    lines_off, replayed_off = churn({"SPARK_GRAFT_ARBITER_COMPACT_FACTOR": "0"})
+    assert lines_off == 81  # raw mutation log: 41 records + 40 forgets
+    assert lines_on < 20  # compacted snapshot + tail
+    assert replayed_on >= 1 and replayed_off == 81

@@ -475,6 +475,24 @@ def test_full_merges_serialize_under_arbiter_store(spark, tmp_path, restore_stor
     assert got == expected
 
 
+def test_filelock_ttl_env_knob(monkeypatch):
+    """SPARK_GRAFT_LOCK_TTL_MS (r13) tunes the orphaned-lock break-in
+    bound per deployment — the recovery latency after a writer dies
+    HOLDING the lock (the producer-replay probe runs it at 10 s so a
+    SIGKILL-while-holding resolves inside the probe budget). Read at
+    construction; absent -> the 5-minute default."""
+    from pharmaceutical_sales_data_etl_analysis_pipeline_spark.streaming.logstore import (
+        FileLockLogStore,
+    )
+
+    monkeypatch.delenv("SPARK_GRAFT_LOCK_TTL_MS", raising=False)
+    assert FileLockLogStore().LOCK_TTL_MS == 5 * 60 * 1000
+    monkeypatch.setenv("SPARK_GRAFT_LOCK_TTL_MS", "1234")
+    assert FileLockLogStore().LOCK_TTL_MS == 1234
+    # the class default is untouched (instance attribute override)
+    assert FileLockLogStore.LOCK_TTL_MS == 5 * 60 * 1000
+
+
 def test_default_log_store_env_selection(monkeypatch):
     """SPARK_GRAFT_LOG_STORE picks the commit-protocol implementation
     without code (the deployment seam Delta exposes as
