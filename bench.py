@@ -4,17 +4,19 @@
 
 Prints exactly ONE compact JSON line to stdout:
   {"metric": "...", "value": <median total sec>, "unit": "sec",
-   "sf": ..., "repeats": N, "run_totals": [...], "buckets": {...},
-   "detail": "<sidecar path>"}
+   "queries": {name: median_sec, ...}, "sf": ..., "repeats": N,
+   "run_totals": [...], "buckets": {...}, "detail": "<sidecar path>"}
 
-The per-query median/spread maps live in the sidecar file
-(bench_detail.json next to this script, override with
-$SPARK_GRAFT_BENCH_DETAIL). r12 lesson (VERDICT r12 ask #1): the driver
-records only the last 2000 chars of stdout and parses the final line —
-the r12 single-line format with 43 medians + 43 spreads outgrew that
-window and the round's official artifact lost its headline median
-(BENCH_r12.json parsed: null). The compact line is asserted < 1900
-chars so the artifact can never silently truncate again.
+The driver contract requires the per-query map ("queries") in the final
+line, so it stays there; everything NOT contractual that made the r12
+line outgrow the driver's 2000-char tail capture (the 43-entry spread
+map — BENCH_r12.json parsed: null, VERDICT r12 ask #1) lives in the
+sidecar file instead (bench_detail.json next to this script, override
+with $SPARK_GRAFT_BENCH_DETAIL). The final line is asserted < 1900
+chars so the artifact can never silently truncate again; under
+SPARK_GRAFT_BENCH_ALL (220 timed queries — a local debugging mode the
+driver never uses) the line keeps only the HEADLINE subset of the map
+and the sidecar carries the full set.
 
 Each query is forced end-to-end with a noop sink (full computation, no
 result materialization cost on the driver).
@@ -196,13 +198,15 @@ def main() -> None:
         json.dump(detail, fh, indent=1)
         fh.write("\n")
 
-    # Compact FINAL line: everything the round-over-round comparison needs
-    # (median headline total, like-for-like buckets, raw run totals) and
-    # nothing per-query. Must stay under the driver's 2000-char tail.
+    # Compact FINAL line: the driver-contract fields (metric, value, unit,
+    # queries, sf) plus the round-over-round essentials (buckets,
+    # run_totals). The spread map lives only in the sidecar — that map is
+    # what pushed the r12 line past the driver's 2000-char tail capture.
     out = {
         "metric": detail["metric"],
         "value": detail["value"],
         "unit": "sec",
+        "queries": {k: v for k, v in timings.items() if k in HEADLINE},
         "sf": sf,
         "buckets": detail["buckets"],
         "detail": detail_path,
