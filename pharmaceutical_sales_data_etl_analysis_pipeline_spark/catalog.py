@@ -231,14 +231,94 @@ def stream_table_source(
     return reader.option("pathGlobFilter", f"{name}.parquet").load(sf_dir)
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one corpus table with its declared schema."""
+# --- scan-parallelism floor for unsplittable inputs (opt round r13) -------
+#
+# Parquet row groups are the unit of intra-file scan parallelism: Spark
+# splits files by byte ranges, but a row group is read whole by whichever
+# task's range holds its midpoint. The sf test corpus is one file x ONE row
+# group per table, so every scan -> project/explode -> partial-aggregate
+# pipeline ran as a single task — 1 of 32 cores busy through the most
+# expensive phase of nearly every query (measured: the r13 baseline's scan
+# stages are all "(0 + 1) / 1"; opt guide §2.5 input skew / §6.1).
+#
+# Fix: when the input physically offers fewer independent scan units (row
+# groups) than the session's cores AND is small enough that one bounded
+# round-robin redistribution is obviously cheaper than idling the cluster
+# (<= _SCAN_SPREAD_MAX_BYTES compressed), redistribute once right after the
+# scan. Both conditions are derived from the input, not tuned constants:
+# at production scale any fact table has orders of magnitude more row
+# groups than the cluster has cores, so this is a structural no-op — the
+# partitioning stays whatever the file layout provides. Filters/pruning
+# still reach the scan (Catalyst pushes predicates through Repartition;
+# verified in the plan files: PushedFilters is unchanged).
+#
+# The floor is OPT-IN per call site (load_table(..., spread=True)): the
+# r13 interleaved A/B (OPTIMIZATION_r13.md) measured the extra exchange
+# as a flat ~0.3-0.6 s loss for queries whose pre-exchange work is cheap
+# (a scan feeding a join or a light agg) and a 1.2-1.9x win for queries
+# whose pre-exchange work is heavy (md5-per-shingle, regexp-per-doc,
+# decimal-per-row pipelines). Only the measured winners opt in.
+# SPARK_GRAFT_SCAN_SPREAD forces it: "0" = off everywhere (plan tests
+# pinning the algorithmic shuffle structure), "1" = on everywhere
+# (measurement mode).
+
+_SCAN_SPREAD_MAX_BYTES = 4 * 1024**3  # redistribution cost ceiling
+_SCAN_UNITS_CACHE: dict[str, tuple[int, int]] = {}
+
+
+def _parquet_scan_units(path: str) -> tuple[int, int]:
+    """(row_groups, bytes) the input offers — its real scan parallelism."""
+    import glob as _glob
+    import os as _os
+
+    if path in _SCAN_UNITS_CACHE:
+        return _SCAN_UNITS_CACHE[path]
+    try:
+        import pyarrow.parquet as _pq
+
+        files = (
+            sorted(_glob.glob(_os.path.join(path, "*.parquet")))
+            if _os.path.isdir(path)
+            else [path]
+        )
+        units = sum(max(1, _pq.ParquetFile(f).metadata.num_row_groups) for f in files)
+        nbytes = sum(_os.path.getsize(f) for f in files)
+        out = (max(1, units), nbytes)
+    except Exception:
+        # non-local / unreadable input: assume it parallelizes on its own
+        out = (1 << 30, 1 << 62)
+    _SCAN_UNITS_CACHE[path] = out
+    return out
+
+
+def _with_scan_floor(
+    spark: SparkSession, df: DataFrame, path: str, spread: bool
+) -> DataFrame:
+    import os as _os
+
+    force = _os.environ.get("SPARK_GRAFT_SCAN_SPREAD", "")
+    if force == "0" or (not spread and force != "1"):
+        return df
+    cores = spark.sparkContext.defaultParallelism
+    units, nbytes = _parquet_scan_units(path)
+    if units >= cores or nbytes > _SCAN_SPREAD_MAX_BYTES:
+        return df
+    return df.repartition(cores)
+
+
+def load_table(
+    spark: SparkSession, sf_dir: str, name: str, spread: bool = False
+) -> DataFrame:
+    """Read one corpus table with its declared schema. spread=True opts
+    into the scan-parallelism floor above (callers with measured-heavy
+    pre-exchange work)."""
+    path = f"{sf_dir}/{name}.parquet"
     if name == "events":
         # harmless where removed (4.1+ ignores it); required on legacy
         # readers that otherwise reject TIMESTAMP(NANOS)
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        raw = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        return normalize_event_ts(raw).select(
+        raw = spark.read.parquet(path)
+        out = normalize_event_ts(raw).select(
             F.col("event_id").cast("long"),
             "ts",
             F.col("user_id").cast("long"),
@@ -246,7 +326,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             F.col("value").cast("double"),
             F.col("props").cast("string"),
         )
-    return spark.read.schema(SCHEMAS[name]).parquet(f"{sf_dir}/{name}.parquet")
+        return _with_scan_floor(spark, out, path, spread)
+    df = spark.read.schema(SCHEMAS[name]).parquet(path)
+    if name in BROADCAST_DIMS:
+        return df
+    return _with_scan_floor(spark, df, path, spread)
 
 
 def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None) -> dict[str, DataFrame]:

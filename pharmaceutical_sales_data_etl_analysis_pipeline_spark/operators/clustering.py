@@ -54,7 +54,6 @@ from .kmeans_core import (  # noqa: F401  (re-exported for tests/callers)
     kmeans_assignments,
     kmeans_cte,
 )
-from .similarity import _dot, _norm
 
 SEMDEDUP_TOP_PAIRS = 3
 
@@ -85,34 +84,84 @@ def semdedup_candidates(
     vec_a, vec_b). The within-cluster restriction is what makes semantic
     dedup sub-quadratic at corpus scale."""
     asg = kmeans_assignments(embeddings).select("vec_id", "cluster_id")
-    vecs = (
-        embeddings.join(asg, "vec_id")
-        .select(
-            "vec_id", "cluster_id", "embedding", _norm(F.col("embedding")).alias("nrm")
+    vecs = embeddings.join(asg, "vec_id").select("vec_id", "cluster_id", "embedding")
+
+    # r13 (guide §2.3 "shuffle keys and metadata instead of payloads",
+    # §4.2): the old plan materialized every within-cluster PAIR through a
+    # self-join — each embedding crossed the exchange once per partner and
+    # the per-pair cosine ran as interpreted zip_with/aggregate folds.
+    # Replacing just the folds with an Arrow pass over the pair join
+    # measured WORSE (1.28x): the pair rows carry two embeddings each, so
+    # the Python boundary shipped the payload quadratically. This shape
+    # ships each vector ONCE (groupBy cluster_id -> applyInPandas), forms
+    # the m x m cosine matrix per cluster in numpy with dim-sequential
+    # accumulation (acc = acc + x_a[d]*x_b[d] per element — the EXACT IEEE
+    # op order of the old per-pair fold and of the oracle's list_reduce;
+    # the diagonal gives the norms, same op sequence as _norm), rounds on
+    # the shared floor(x*1e9+0.5)/1e9 grid, and emits only the top
+    # `top_pairs` per cluster under the same deterministic total order
+    # (cosine desc, vec_a asc, vec_b asc). Per-cluster work is bounded by
+    # the derived cluster size (the SemDeDup contract), so the kernel's
+    # m x m block stays small at any corpus scale; accumulation is blocked
+    # over rows to bound memory for outlier clusters.
+    def cluster_topk(pdf):
+        import numpy as np
+        import pandas as pd
+
+        m = len(pdf)
+        empty = pd.DataFrame(
+            {
+                "cluster_id": pd.array([], dtype="int32"),
+                "vec_a": pd.array([], dtype="int64"),
+                "vec_b": pd.array([], dtype="int64"),
+                "cosine": pd.array([], dtype="float64"),
+                "rnk": pd.array([], dtype="int32"),
+            }
         )
-    )
-    a, b = vecs.alias("a"), vecs.alias("b")
-    cos = round_half_up(
-        _dot(F.col("a.embedding"), F.col("b.embedding")) / (F.col("a.nrm") * F.col("b.nrm")),
-        9,
-    ).alias("cosine")
-    pairs = a.join(
-        b,
-        (F.col("a.cluster_id") == F.col("b.cluster_id"))
-        & (F.col("a.vec_id") < F.col("b.vec_id")),
-    ).select(
-        F.col("a.cluster_id").cast("int").alias("cluster_id"),
-        F.col("a.vec_id").alias("vec_a"),
-        F.col("b.vec_id").alias("vec_b"),
-        cos,
-    )
-    w = Window.partitionBy("cluster_id").orderBy(
-        F.desc("cosine"), F.asc("vec_a"), F.asc("vec_b")
-    )
-    return (
-        pairs.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= top_pairs)
-        .select("cluster_id", "vec_a", "vec_b", "cosine", F.col("rnk").cast("int").alias("rnk"))
+        if m < 2:
+            return empty
+        order = np.argsort(pdf["vec_id"].to_numpy(), kind="mergesort")
+        ids = pdf["vec_id"].to_numpy()[order]
+        cid = int(pdf["cluster_id"].iloc[0])
+        X = np.stack(pdf["embedding"].to_numpy()[order]).astype(np.float64)
+        dim = X.shape[1]
+        # per-row squared norm, dim-sequential (the _norm fold order)
+        n2 = np.zeros(m, dtype=np.float64)
+        for d in range(dim):
+            n2 = n2 + X[:, d] * X[:, d]
+        nrm = np.sqrt(n2)
+        va_all, vb_all, cos_all = [], [], []
+        for lo in range(0, m, 1024):
+            hi = min(lo + 1024, m)
+            D = np.zeros((hi - lo, m), dtype=np.float64)
+            for d in range(dim):  # dim order = the fold order
+                D = D + X[lo:hi, d][:, None] * X[:, d][None, :]
+            for i in range(lo, hi):
+                if i + 1 >= m:
+                    continue
+                dots = D[i - lo, i + 1 :]
+                cos = np.floor(dots / (nrm[i] * nrm[i + 1 :]) * 1e9 + 0.5) / 1e9
+                va_all.append(np.full(m - i - 1, ids[i], dtype=np.int64))
+                vb_all.append(ids[i + 1 :])
+                cos_all.append(cos)
+        va = np.concatenate(va_all)
+        vb = np.concatenate(vb_all)
+        cos = np.concatenate(cos_all)
+        # deterministic total order: cosine desc, vec_a asc, vec_b asc
+        sel = np.lexsort((vb, va, -cos))[: int(top_pairs)]
+        return pd.DataFrame(
+            {
+                "cluster_id": np.full(len(sel), cid, dtype=np.int32),
+                "vec_a": va[sel],
+                "vec_b": vb[sel],
+                "cosine": cos[sel],
+                "rnk": np.arange(1, len(sel) + 1, dtype=np.int32),
+            }
+        )
+
+    return vecs.groupBy("cluster_id").applyInPandas(
+        cluster_topk,
+        "cluster_id int, vec_a long, vec_b long, cosine double, rnk int",
     )
 
 

@@ -197,10 +197,24 @@ def neardup_components(
     )
     n_parts = _graph_partitions(edges.count(), rows_per_partition)
     edges = _sized(edges, n_parts, "dst")
+    # r13 (fewer fixed-latency jobs per round, same fixpoint — the loop's
+    # cost at any scale is rounds x per-round barriers, guide §1.2/§2.4):
+    # (a) iteration-0's hook is FUSED into initialization — with identity
+    #     labels, "min label over neighbors" is just min(dst) per src, one
+    #     map-side-combined aggregate instead of a join over a labels
+    #     relation that is by construction the identity;
+    # (b) the convergence check carries the previous label as a column
+    #     through the round and counts label != prev on the freshly
+    #     checkpointed result — a narrow scan, replacing the old
+    #     new-vs-old equi-join + count (one join per round removed).
+    # The update rules (hook = min over neighbor labels, then pointer
+    # jump label := label(label)) are unchanged, so the fixpoint — min
+    # reachable doc_id per component, the oracle's contract — is the
+    # same; only how fast the loop reaches and detects it moved.
     labels = _sized(
-        edges.select(F.col("src").alias("node"))
-        .distinct()
-        .withColumn("label", F.col("node")),
+        edges.groupBy("src")
+        .agg(F.min("dst").alias("m"))
+        .select(F.col("src").alias("node"), F.least(F.col("src"), F.col("m")).alias("label")),
         n_parts,
         "node",
     ).localCheckpoint()
@@ -213,6 +227,7 @@ def neardup_components(
         )
         hooked = labels.join(neighbor_min, labels.node == neighbor_min.src, "left").select(
             "node",
+            F.col("label").alias("prev"),
             F.least(F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))).alias("label"),
         )
         # shortcut (pointer jumping): label(v) := label(label(v)) — drops
@@ -222,23 +237,13 @@ def neardup_components(
             hooked.join(lz, hooked.label == lz.z_node, "left")
             .select(
                 "node",
+                "prev",
                 F.coalesce(F.col("z_label"), F.col("label")).alias("label"),
             )
         )
         new_labels = _sized(new_labels, n_parts, "node").localCheckpoint()
-        if it == 0:
-            # labels of any non-empty graph always change on the first
-            # hook (every edge endpoint adopts a smaller neighbor label or
-            # already is the min) — skip one convergence job
-            labels = new_labels
-            continue
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter(F.col("label") != F.col("prev")).count()
+        labels = new_labels.select("node", "label")
         if changed == 0:
             break
     out = labels.select(F.col("node").alias("doc_id"), F.col("label").alias("component"))
@@ -250,7 +255,7 @@ def neardup_components(
 
 
 def q_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return neardup_components(load_table(spark, sf_dir, "documents"))
+    return neardup_components(load_table(spark, sf_dir, "documents", spread=True))
 
 
 def _components_sql() -> str:
@@ -433,7 +438,7 @@ def dedup_survivors(documents: DataFrame) -> DataFrame:
 
 
 def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup_survivors(load_table(spark, sf_dir, "documents"))
+    return dedup_survivors(load_table(spark, sf_dir, "documents", spread=True))
 
 
 SQL_DEDUP_SURVIVORS = f"""
@@ -479,7 +484,7 @@ def training_corpus(documents: DataFrame) -> DataFrame:
 
 
 def q_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return training_corpus(load_table(spark, sf_dir, "documents"))
+    return training_corpus(load_table(spark, sf_dir, "documents", spread=True))
 
 
 def _training_corpus_sql() -> str:
@@ -583,7 +588,7 @@ def repetition_ratio(documents: DataFrame) -> DataFrame:
 
 
 def q_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return repetition_ratio(load_table(spark, sf_dir, "documents"))
+    return repetition_ratio(load_table(spark, sf_dir, "documents", spread=True))
 
 
 def _repetition_gram_cte() -> str:
@@ -769,7 +774,7 @@ def quality_deciles(documents: DataFrame) -> DataFrame:
 
 
 def q_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return quality_deciles(load_table(spark, sf_dir, "documents"))
+    return quality_deciles(load_table(spark, sf_dir, "documents", spread=True))
 
 
 def _quality_score_sql() -> str:
@@ -942,7 +947,7 @@ def dataset_cards(documents: DataFrame) -> DataFrame:
 
 
 def q_dataset_cards(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dataset_cards(load_table(spark, sf_dir, "documents"))
+    return dataset_cards(load_table(spark, sf_dir, "documents", spread=True))
 
 
 def _dataset_cards_sql() -> str:
@@ -1314,7 +1319,7 @@ def dedup_rate_by_source(documents: DataFrame) -> DataFrame:
 
 
 def q_dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup_rate_by_source(load_table(spark, sf_dir, "documents"))
+    return dedup_rate_by_source(load_table(spark, sf_dir, "documents", spread=True))
 
 
 def _dedup_rate_sql() -> str:

@@ -159,7 +159,7 @@ def minhash_signatures(documents: DataFrame) -> DataFrame:
 
 
 def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return minhash_signatures(load_table(spark, sf_dir, "documents"))
+    return minhash_signatures(load_table(spark, sf_dir, "documents", spread=True))
 
 
 def _minhash_sig_sql(source: str = "documents") -> str:
@@ -228,7 +228,7 @@ def minhash_lsh_candidates(documents: DataFrame) -> DataFrame:
 
 
 def q_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return minhash_lsh_candidates(load_table(spark, sf_dir, "documents"))
+    return minhash_lsh_candidates(load_table(spark, sf_dir, "documents", spread=True))
 
 
 def _minhash_lsh_sql() -> str:
@@ -404,7 +404,7 @@ def simhash(documents: DataFrame) -> DataFrame:
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return simhash(load_table(spark, sf_dir, "documents"))
+    return simhash(load_table(spark, sf_dir, "documents", spread=True))
 
 
 def _simhash_sql() -> str:
@@ -629,7 +629,7 @@ def simhash_near_dups_allpairs(documents: DataFrame) -> DataFrame:
 
 
 def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return simhash_near_dups(load_table(spark, sf_dir, "documents"))
+    return simhash_near_dups(load_table(spark, sf_dir, "documents", spread=True))
 
 
 def _simhash64_sig_cte(source: str = "documents") -> str:
@@ -707,7 +707,7 @@ def _with_planted_docs(documents: DataFrame) -> DataFrame:
 
 
 def q_simhash_near_dups_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return simhash_near_dups(_with_planted_docs(load_table(spark, sf_dir, "documents")))
+    return simhash_near_dups(_with_planted_docs(load_table(spark, sf_dir, "documents", spread=True)))
 
 
 _PLANTED_DOCS_SRC = (

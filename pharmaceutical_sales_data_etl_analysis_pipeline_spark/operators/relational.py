@@ -56,8 +56,8 @@ def product_facts(lineitem: DataFrame, orders: DataFrame, part: DataFrame,
 
 def q_product_facts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return product_facts(
-        load_table(spark, sf_dir, "lineitem"),
-        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem", spread=True),
+        load_table(spark, sf_dir, "orders", spread=True),
         load_table(spark, sf_dir, "part"),
         load_table(spark, sf_dir, "customer"),
         load_table(spark, sf_dir, "nation"),
@@ -119,7 +119,7 @@ def rep_facts(lineitem: DataFrame, supplier: DataFrame, part: DataFrame) -> Data
 
 def q_rep_facts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rep_facts(
-        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "lineitem", spread=True),
         load_table(spark, sf_dir, "supplier"),
         load_table(spark, sf_dir, "part"),
     )
@@ -206,7 +206,17 @@ GROUP BY 1
 # ---------------------------------------------------------------------------
 
 def q_top1_product(spark: SparkSession, sf_dir: str) -> DataFrame:
-    facts = q_product_facts(spark, sf_dir)
+    # r13: built on an UNSPREAD star — unlike q_product_facts (full-table
+    # aggregate, spread wins 0.9x), this query's year-1996 pushdown leaves
+    # the pre-exchange scan work light and the inherited spread measured
+    # 1.6-1.8x slower (interleaved A/B + bench); same result either way.
+    facts = product_facts(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "part"),
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "nation"),
+    )
     return (
         facts.filter(F.col("year") == 1996)
         .groupBy("product_name")

@@ -64,6 +64,13 @@ def _norm(a: Column) -> Column:
 
 
 def cosine_topk(embeddings: DataFrame, n_queries: int = N_QUERIES, k: int = TOP_K) -> DataFrame:
+    # r13 note (measured, kept as-is): an Arrow pair-cosine variant of this
+    # query was tried and REVERTED — the brute-force join emits n_queries x
+    # corpus pairs each carrying both embeddings, so the Python boundary
+    # ships the payload per pair; the warmed JVM fold measured ~0.7 s vs a
+    # stable ~0.95 s for the Arrow pass at sf0.1 (7-pair interleaved A/B).
+    # Contrast lsh_probe_topk/semdedup_candidates, where candidate volume
+    # is bounded (buckets/clusters) and the Arrow forms win.
     docs = embeddings.select(
         F.col("vec_id").alias("d_id"),
         F.col("embedding").alias("d_emb"),
@@ -158,9 +165,89 @@ def lsh_bucket_col(emb: Column) -> Column:
     return sig.cast("int")
 
 
+def _arrow_sign_codes(
+    embeddings: DataFrame, weights: list[list[float]], out_col: str = "code"
+) -> DataFrame:
+    """(vec_id, out_col): the sign-LSH code computed in ONE Arrow pass —
+    bit p of the code is set when fold_i(w[p][i] * x[i]) > 0, the fold
+    accumulated dim-sequentially in float64, i.e. the EXACT IEEE op order
+    of the JVM zip_with/aggregate fold it replaces and of the oracle's
+    list_reduce (the embedding_near_dups-verify/kmeans-assign pattern —
+    opt r13, guide §4.2: Spark's higher-order array functions are
+    CodegenFallback, interpreted and boxed per element; the per-plane
+    folds were measured as the dominant cost of every sign-code plan).
+    Zero-shuffle: one mapInPandas over the projected (vec_id, embedding).
+    """
+    wmat = [[float(v) for v in row] for row in weights]
+
+    def kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        W = np.asarray(wmat, dtype=np.float64)  # (P, DIM)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)  # (N, DIM)
+            code = np.zeros(len(pdf), dtype=np.int64)
+            for p in range(W.shape[0]):
+                acc = np.zeros(len(pdf), dtype=np.float64)
+                for i in range(W.shape[1]):  # dim order = the fold order
+                    acc = acc + W[p, i] * X[:, i]
+                code = code | ((acc > 0).astype(np.int64) << p)
+            yield pd.DataFrame({"vec_id": pdf["vec_id"].to_numpy(), out_col: code})
+
+    return embeddings.select("vec_id", "embedding").mapInPandas(
+        kernel, f"vec_id long, {out_col} long"
+    )
+
+
+def _arrow_pair_cosine(pairs: DataFrame, keep: list[tuple[str, str]]) -> DataFrame:
+    """Exact rounded cosine over joined (emb_a, emb_b) pairs in ONE Arrow
+    pass: dot and both norms accumulated dim-sequentially in float64 —
+    the same IEEE op sequence as the per-side _norm + per-pair _dot JVM
+    folds it replaces (and as DuckDB's list_reduce), then the shared
+    floor(x*1e9 + 0.5)/1e9 rounding. `keep` lists (column, pandas dtype)
+    pass-through columns. Replaces interpreted per-element folds on the
+    candidate-pair hot path (opt r13, guide §4.2)."""
+    schema = ", ".join(
+        [f"{c} {'int' if dt == 'int32' else 'long'}" for c, dt in keep]
+        + ["cosine double"]
+    )
+
+    def kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            va = np.stack(pdf["emb_a"].to_numpy()).astype(np.float64)
+            vb = np.stack(pdf["emb_b"].to_numpy()).astype(np.float64)
+            n = len(pdf)
+            dot = np.zeros(n)
+            na = np.zeros(n)
+            nb = np.zeros(n)
+            for i in range(va.shape[1]):  # dim order = the fold order
+                dot = dot + va[:, i] * vb[:, i]
+                na = na + va[:, i] * va[:, i]
+                nb = nb + vb[:, i] * vb[:, i]
+            cos = np.floor(dot / (np.sqrt(na) * np.sqrt(nb)) * 1e9 + 0.5) / 1e9
+            out = {c: pdf[c].to_numpy().astype(dt) for c, dt in keep}
+            out["cosine"] = cos
+            yield pd.DataFrame(out)
+
+    return pairs.mapInPandas(kernel, schema)
+
+
 def lsh_buckets(embeddings: DataFrame) -> DataFrame:
-    """(vec_id, bucket): zero-shuffle signature projection."""
-    return embeddings.select("vec_id", lsh_bucket_col(F.col("embedding")).alias("bucket"))
+    """(vec_id, bucket): zero-shuffle signature pass (Arrow sign-code —
+    same values as the lsh_bucket_col expression form, which remains the
+    column-expression variant for in-plan composition)."""
+    w = [_plane_weights(p) for p in range(LSH_PLANES)]
+    return _arrow_sign_codes(embeddings, w, out_col="bucket_code").select(
+        "vec_id", F.col("bucket_code").cast("int").alias("bucket")
+    )
 
 
 def q_lsh_bucket_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -210,35 +297,29 @@ FROM buckets GROUP BY bucket
 # ---------------------------------------------------------------------------
 
 def lsh_probe_topk(embeddings: DataFrame, n_queries: int = N_QUERIES, k: int = TOP_K) -> DataFrame:
+    # Bucket assignment and pair scoring are Arrow passes (r13); the
+    # candidate restriction (bucket equi-condition) is unchanged.
     b = lsh_buckets(embeddings)
     docs = embeddings.join(b, "vec_id").select(
         F.col("vec_id").alias("d_id"),
-        F.col("embedding").alias("d_emb"),
+        F.col("embedding").alias("emb_a"),
         F.col("bucket").alias("d_bucket"),
-        _norm(F.col("embedding")).alias("d_norm"),
     )
     queries = (
         embeddings.filter(F.col("vec_id") < n_queries)
         .join(b, "vec_id")
         .select(
             F.col("vec_id").alias("q_id"),
-            F.col("embedding").alias("q_emb"),
+            F.col("embedding").alias("emb_b"),
             F.col("bucket").alias("q_bucket"),
-            _norm(F.col("embedding")).alias("q_norm"),
         )
     )
-    scored = (
+    scored = _arrow_pair_cosine(
         docs.join(
             F.broadcast(queries),
             (F.col("q_bucket") == F.col("d_bucket")) & (F.col("q_id") != F.col("d_id")),
-        )
-        .select(
-            "q_id",
-            "d_id",
-            round_half_up(
-                _dot(F.col("q_emb"), F.col("d_emb")) / (F.col("q_norm") * F.col("d_norm")), 9
-            ).alias("cosine"),
-        )
+        ).select("q_id", "d_id", "emb_a", "emb_b"),
+        keep=[("q_id", "int64"), ("d_id", "int64")],
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("d_id"))
     return (
@@ -448,8 +529,13 @@ def embedding_near_dups(embeddings: DataFrame, n_override: int | None = None) ->
     """
     n = embeddings.count() if n_override is None else n_override
     planes, _kbits, masks = derive_neardup_params(n)
-    coded = embeddings.select(
-        "vec_id", neardup_code_col(F.col("embedding"), planes).alias("code")
+    # r13: the `planes` x DIM sign-code folds move to one Arrow pass
+    # (identical values — see _arrow_sign_codes); at the derived 32-62
+    # planes the interpreted zip_with/aggregate projection was the
+    # dominant cost of the whole query, evaluated TWICE (once per
+    # self-join side).
+    coded = _arrow_sign_codes(
+        embeddings, [_plane_weights(p) for p in range(planes)], out_col="code"
     )
     tables = F.array(
         *[

@@ -138,7 +138,7 @@ def text_quality(documents: DataFrame) -> DataFrame:
 
 
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return text_quality(load_table(spark, sf_dir, "documents"))
+    return text_quality(load_table(spark, sf_dir, "documents", spread=True))
 
 
 # --- single-source SQL snippets for the quality signals (DuckDB twins of

@@ -92,7 +92,9 @@ def tpch_q1(lineitem: DataFrame) -> DataFrame:
 
 
 def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return tpch_q1(load_table(spark, sf_dir, "lineitem"))
+    # spread=True: 7 decimal micro-unit aggregates per row make the
+    # pre-exchange scan work the measured bottleneck (r13 A/B 0.72x)
+    return tpch_q1(load_table(spark, sf_dir, "lineitem", spread=True))
 
 
 SQL_TPCH_Q1 = f"""
