@@ -244,7 +244,7 @@ def events_within_5min(events: DataFrame) -> DataFrame:
 
 
 def q_events_within_5min(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return events_within_5min(load_table(spark, sf_dir, "events"))
+    return events_within_5min(load_table(spark, sf_dir, "events", spread=True))
 
 
 SQL_EVENTS_WITHIN_5MIN = f"""

@@ -359,7 +359,7 @@ def quality_filter_funnel(documents: DataFrame) -> DataFrame:
 
 
 def q_quality_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return quality_filter_funnel(load_table(spark, sf_dir, "documents"))
+    return quality_filter_funnel(load_table(spark, sf_dir, "documents", spread=True))
 
 
 def _funnel_sql() -> str:

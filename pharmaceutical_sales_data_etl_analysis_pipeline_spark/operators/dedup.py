@@ -332,7 +332,7 @@ def incremental_neardup(documents: DataFrame, split: int = INCR_SPLIT) -> DataFr
 
 
 def q_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", spread=True)
     # seed the batch with guaranteed matches: the batch is the new tail of
     # the corpus PLUS re-submissions of 5 existing docs under new ids
     resub = docs.filter(F.col("doc_id") < 5).select(
@@ -758,7 +758,7 @@ def ngram_jaccard(documents: DataFrame) -> DataFrame:
 
 
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return ngram_jaccard(load_table(spark, sf_dir, "documents"))
+    return ngram_jaccard(load_table(spark, sf_dir, "documents", spread=True))
 
 
 SQL_NGRAM_JACCARD = f"""
@@ -859,7 +859,7 @@ def minhash_calibration(documents: DataFrame) -> DataFrame:
 
 
 def q_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return minhash_calibration(load_table(spark, sf_dir, "documents"))
+    return minhash_calibration(load_table(spark, sf_dir, "documents", spread=True))
 
 
 SQL_MINHASH_CALIBRATION = f"""
@@ -956,7 +956,7 @@ def substring_dedup_spans(documents: DataFrame, span_k: int = SPAN_K) -> DataFra
 
 
 def q_substring_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return substring_dedup_spans(load_table(spark, sf_dir, "documents"))
+    return substring_dedup_spans(load_table(spark, sf_dir, "documents", spread=True))
 
 
 SQL_SUBSTRING_DEDUP_SPANS = f"""

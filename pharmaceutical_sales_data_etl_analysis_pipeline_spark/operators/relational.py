@@ -655,7 +655,7 @@ def _orders_xml_corpus(spark: SparkSession, sf_dir: str) -> str:
     from .buildcache import corpus_key, memo_put
     from .pin import scratch_dir
 
-    orders = load_table(spark, sf_dir, "orders").select(
+    orders = load_table(spark, sf_dir, "orders", spread=True).select(
         "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
     )
     key = corpus_key(orders, "orders_xml_corpus")

@@ -354,7 +354,7 @@ def variant_props(events: DataFrame) -> DataFrame:
 def q_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..catalog import load_table
 
-    return variant_props(load_table(spark, sf_dir, "events"))
+    return variant_props(load_table(spark, sf_dir, "events", spread=True))
 
 
 SQL_VARIANT_PROPS = """

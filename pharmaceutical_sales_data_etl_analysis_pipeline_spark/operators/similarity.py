@@ -1488,7 +1488,7 @@ def ivf_pq_probe_topk(embeddings: DataFrame, n_queries: int = N_QUERIES,
 
 
 def q_ivf_pq_probe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return ivf_pq_probe_topk(load_table(spark, sf_dir, "embeddings"))
+    return ivf_pq_probe_topk(load_table(spark, sf_dir, "embeddings", spread=True))
 
 
 def _ivfpq_sql() -> str:
@@ -1750,7 +1750,7 @@ def embedding_center(embeddings: DataFrame) -> DataFrame:
 
 
 def q_embedding_center(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return embedding_center(load_table(spark, sf_dir, "embeddings"))
+    return embedding_center(load_table(spark, sf_dir, "embeddings", spread=True))
 
 
 SQL_EMBEDDING_CENTER = f"""

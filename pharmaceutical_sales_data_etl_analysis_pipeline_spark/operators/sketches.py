@@ -207,7 +207,7 @@ def cms_heavy_hitters(documents: DataFrame) -> DataFrame:
 
 
 def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return cms_heavy_hitters(load_table(spark, sf_dir, "documents"))
+    return cms_heavy_hitters(load_table(spark, sf_dir, "documents", spread=True))
 
 
 SQL_CMS_HEAVY_HITTERS = f"""
@@ -320,7 +320,7 @@ def bloom_prefilter_stats(documents: DataFrame) -> DataFrame:
 
 
 def q_bloom_prefilter_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return bloom_prefilter_stats(load_table(spark, sf_dir, "documents"))
+    return bloom_prefilter_stats(load_table(spark, sf_dir, "documents", spread=True))
 
 
 def _bloom_sql() -> str:

@@ -202,7 +202,7 @@ def lang_id(documents: DataFrame) -> DataFrame:
 
 
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return lang_id(load_table(spark, sf_dir, "documents"))
+    return lang_id(load_table(spark, sf_dir, "documents", spread=True))
 
 
 def _lang_sql() -> str:

@@ -225,7 +225,7 @@ def profile_orders(orders: DataFrame) -> DataFrame:
 
 
 def q_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return profile_orders(load_table(spark, sf_dir, "orders"))
+    return profile_orders(load_table(spark, sf_dir, "orders", spread=True))
 
 
 def _profile_sql() -> str:

@@ -1248,7 +1248,7 @@ def _content_hash(df: DataFrame, name: str) -> DataFrame:
 
 
 def table_content_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    parts = [_content_hash(load_table(spark, sf_dir, t), t) for t in _HASH_TABLES]
+    parts = [_content_hash(load_table(spark, sf_dir, t, spread=True), t) for t in _HASH_TABLES]
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)

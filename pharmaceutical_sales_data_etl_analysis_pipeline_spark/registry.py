@@ -86,87 +86,93 @@ MODULE_ORDER = [
     "graphops",
 ]
 
-# Round-13 sweep priority. After r12 the union r1∪…∪r12 (latest-wins) is
-# 218/218 green with zero standing failures and no row older than r8
-# (histogram r12 50 / r11 41 / r10 43 / r9 43 / r8 41). The r13 window
-# retires the ENTIRE r8 staleness cohort (VERDICT r12 ask #2):
-#   (a) the FULL r8 staleness cohort, 41 rows in name order
-#       (bigram_logprob .. xml_stream_ingest), honoring BENCH_NOTES'
-#       candidates head (bigram_logprob is row 1 of the cohort);
-#   (b) the 9 OLDEST r9 rows in name order (ann_recall_eval ..
-#       fk_integrity_audit) to fill the window — 41 + 9 = 50 exactly.
-# PREPENDED per the rotation invariant (outranks staleness): r13 NEW
-# mor_time_travel (VERSION-AS-OF read through
-# read_partitioned_state_version — the one table-format read path that
-# had no registered query) and dq_constraint_report (Deequ-style
-# declarative column-constraint suite, every metric a conditional
-# aggregate over ONE shared scan). They displace the 9th and 8th r9
-# fills (fk_integrity_audit, explode_roundtrip — next in line for
-# r14). No other r13 work touched a registered plan (bench artifact
-# format, WAL auto-compaction, probes, retry backoff — commit-protocol
-# only).
-# After this sweep no registered query's latest driver row predates r9.
+# Round-13 sweep priority. r13 became the first OPTIMIZATION round, so
+# the window composition changed late in the round: the optimization
+# pass (OPTIMIZATION_r13.md) touched the physical plans of 39 registered
+# queries — scan-parallelism floor opt-ins (catalog.load_table
+# spread=True sites), Arrow sign-code/pair-cosine rewrites in the
+# similarity family, the per-cluster applyInPandas semdedup shape, and
+# the leaner connected-components loop. Every result was proven
+# bit-identical (old-vs-new compares + oracle parity at sf0.01/sf0.1,
+# pin modes where applicable), but plan-changed queries need FRESH
+# driver rows per the rotation invariant, and they outrank staleness.
+# Window: 2 r13-new queries (mor_time_travel, dq_constraint_report —
+# still without any driver row), then the 39 plan-changed names, then 9
+# r8-staleness fills (bigram_logprob heads them per BENCH_NOTES). The
+# rest of the r8 cohort returns to the r14 candidates head below.
 PRIORITY = [
+    # (a) r13-new queries (no driver row yet)
     "mor_time_travel",
     "dq_constraint_report",
-    # (a) the full r8 staleness cohort, name order (41 rows)
-    "bigram_logprob",
+    # (b) every query whose PHYSICAL PLAN changed in the r13
+    # optimization pass (scan-parallelism floor opt-ins, Arrow
+    # sign-code/pair-cosine rewrites, per-cluster semdedup shape,
+    # leaner CC loop) — plan-changed outranks staleness per the
+    # rotation invariant; name order (39 rows)
     "bloom_prefilter_stats",
+    "cms_heavy_hitters",
+    "dataset_cards",
+    "dedup_rate_by_source",
+    "dedup_survivors",
+    "embedding_center",
+    "embedding_near_dups",
+    "embedding_near_dups_planted",
+    "events_within_5min",
+    "incremental_neardup",
+    "ivf_pq_probe_topk",
+    "lang_id",
+    "lsh_bucket_sizes",
+    "lsh_probe_topk",
+    "minhash_calibration",
+    "minhash_lsh_candidates",
+    "minhash_signatures",
+    "neardup_components",
+    "ngram_jaccard",
+    "product_facts",
+    "profile_orders",
+    "quality_deciles",
+    "quality_filter_funnel",
+    "quarterly_totals",
+    "rep_facts",
+    "repetition_ratio",
+    "semdedup_candidates",
+    "simhash",
+    "simhash_near_dups",
+    "simhash_near_dups_planted",
+    "substring_dedup_spans",
+    "table_content_hash",
+    "text_quality",
+    "top5_rep_years",
+    "tpch_q1",
+    "training_corpus",
+    "variant_props",
+    "xml_scan_roundtrip",
+    "xml_xpath_roundtrip",
+    # (c) staleness fill to 50: oldest r8-cohort rows, name order
+    "bigram_logprob",
     "bpe_pair_stats",
     "calendar_dim",
     "chunk_dedup",
     "cluster_label_purity",
-    "cms_heavy_hitters",
     "conversation_assembly",
     "dsir_weights",
-    "embedding_center",
     "event_dedup_tolerance",
     "fd_discovery",
-    "hourly_anomalies",
-    "incremental_neardup",
-    "interpolate_hourly",
-    "inverted_index",
-    "ivf_list_sizes",
-    "ivf_probe2_topk",
-    "ivf_probe_topk",
-    "kmeans_clusters",
-    "multimodal_resize",
-    "ngram_jaccard",
-    "ntile_quartiles",
-    "oov_rate",
-    "pq_codes",
-    "price_quantity_corr",
-    "quality_deciles",
-    "repetition_ratio",
-    "rolling_7d_actives",
-    "scd2_intervals",
-    "semdedup_candidates",
-    "sequence_packing",
-    "session_conversion",
-    "stratified_sample",
-    "table_diff",
-    "term_lift_pairs",
-    "tpch_q1",
-    "twap_per_user",
-    "udtf_sentences",
-    "weighted_sample",
-    "xml_stream_ingest",
-    # (b) the 7 oldest r9 rows, name order, filling the window to 50
-    "ann_recall_eval",
-    "array_agg_per_brand",
-    "array_functions",
-    "cheapest_supplier_per_part",
-    "date_arithmetic",
-    "deterministic_sample",
-    "distribution_drift",
 ]
 # r14 PRIORITY candidates (staleness head after the r13 sweep): the
-# remaining 36 r9 rows in name order (explode_roundtrip and
-# fk_integrity_audit — displaced from the r13 window by the two r13
-# prepends — then gopher_quality_flags, grouped_agg_pandas,
-# histogram_quantile_calibration, …), then the oldest r10 rows fill the
-# window. Queries ADDED or PLAN-CHANGED during r13 must be PREPENDED
-# here per the rotation invariant (they outrank staleness refreshes).
+# r8-cohort remainder displaced by the 39 plan-changed prepends, name
+# order (chunk-by: conversation_assembly was taken as a fill; next are
+# dsir_weights.. but see the fill list above — the UNTAKEN r8 rows are
+# hourly_anomalies, interpolate_hourly, inverted_index, ivf_list_sizes,
+# ivf_probe2_topk, ivf_probe_topk, kmeans_clusters, multimodal_resize,
+# ntile_quartiles, oov_rate, pq_codes, price_quantity_corr,
+# rolling_7d_actives, scd2_intervals, sequence_packing,
+# session_conversion, stratified_sample, table_diff, term_lift_pairs,
+# twap_per_user, udtf_sentences, weighted_sample, xml_stream_ingest),
+# then the full r9 cohort in name order. Queries ADDED or PLAN-CHANGED
+# during r14 must be PREPENDED per the rotation invariant. If r14 is the
+# second optimization round, any further plan changes there outrank all
+# of this staleness debt, as they did in r13.
 
 
 def _collect() -> tuple[dict[str, QueryFn], dict[str, str]]:

@@ -44,6 +44,12 @@ def get_spark(app_name: str = "pharma-spark-engine", shuffle_partitions: int | N
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # Long sessions (bench: ~215 query executions; sweeps: 220 queries)
+        # accumulate shuffle files and broadcast refs because the driver
+        # heap never pressures a GC, so the ContextCleaner lags (the r6
+        # decade-probe finding, BENCH_NOTES). A periodic GC bounds that
+        # debt; at 60 s it is far outside any single query's critical path.
+        .config("spark.cleaner.periodicGC.interval", "60s")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.extraJavaOptions", "-Djava.security.manager=allow")
     )
