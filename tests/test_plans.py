@@ -312,11 +312,50 @@ def test_kmeans_assignment_is_zero_shuffle_projection(spark, sf_dir):
 
 
 def test_semdedup_pairs_join_is_within_cluster(spark, sf_dir):
-    """Pairwise cosine must be restricted to equi-join on cluster_id —
-    never a cartesian/nested-loop across the corpus."""
+    """Pairwise cosine must be restricted to each cluster — never a
+    cartesian/nested-loop across the corpus. r13 shape: the within-cluster
+    pairs are enumerated INSIDE a per-cluster applyInPandas kernel
+    (FlatMapGroupsInPandas), so no pair self-join exists at all and each
+    embedding crosses the Python boundary once per cluster — the payload
+    must not be re-shuffled per partner (the r13 A/B measured the
+    pair-join Arrow variant 1.28x worse; OPTIMIZATION_r13.md §2)."""
     plan = _plan(all_queries()["semdedup_candidates"](spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+    assert "FlatMapGroupsInPandas" in plan
+    assert "SortMergeJoin" not in plan  # the old pair self-join is gone
+
+
+def test_scan_floor_is_conditional_and_value_neutral(spark, sf_dir):
+    """The r13 scan-parallelism floor (catalog.load_table spread=True)
+    must (a) engage only when the input offers fewer row groups than
+    cores, (b) never change results. The sf corpus is single-row-group,
+    so spread=True plans a RoundRobinPartitioning exchange over the scan;
+    SPARK_GRAFT_SCAN_SPREAD=0 forces it off; and the two forms are
+    row-identical (order-independence is the engine's contract)."""
+    import os
+
+    from pharmaceutical_sales_data_etl_analysis_pipeline_spark.catalog import (
+        _parquet_scan_units,
+        load_table,
+    )
+
+    units, nbytes = _parquet_scan_units(f"{sf_dir}/documents.parquet")
+    assert units >= 1 and nbytes > 0
+    spread_df = load_table(spark, sf_dir, "documents", spread=True)
+    plain_df = load_table(spark, sf_dir, "documents")
+    spread_plan = _plan(spread_df)
+    assert "RoundRobinPartitioning" in spread_plan or units >= spark.sparkContext.defaultParallelism
+    assert "RoundRobinPartitioning" not in _plan(plain_df)
+    os.environ["SPARK_GRAFT_SCAN_SPREAD"] = "0"
+    try:
+        forced_off = _plan(load_table(spark, sf_dir, "documents", spread=True))
+        assert "RoundRobinPartitioning" not in forced_off
+    finally:
+        os.environ.pop("SPARK_GRAFT_SCAN_SPREAD", None)
+    a = sorted(map(tuple, spread_df.select("doc_id").collect()))
+    b = sorted(map(tuple, plain_df.select("doc_id").collect()))
+    assert a == b
 
 
 def test_kmeans_partitions_corpus_exactly(spark, sf_dir):
