@@ -141,6 +141,104 @@ def _corpus_key(embeddings: DataFrame):
     return corpus_key(embeddings)
 
 
+def _train_spaces(
+    quant: DataFrame, jobs: list[tuple[int, int, list[tuple[int, list[float]]]]]
+) -> list[list[tuple[int, list[float]]]]:
+    """One Lloyd recompute step for SEVERAL dimension windows of the SAME
+    quantized scan in ONE distributed job (opt r14, guide §1.2/§2.4: the
+    per-subspace seeds/assign/sums round-trips of the PQ training each
+    re-scanned the corpus; batching all subspaces' assignment + partial
+    centroid sums into one Arrow pass collapses 2 jobs per space to 2
+    jobs total).
+
+    jobs: [(lo, dim, c0)] — c0 = sorted [(cluster_id, dim seed doubles)].
+    Returns per job the recomputed centroids [(cluster_id, dim means)],
+    bit-identical to the old per-space path: the kernel makes the exact
+    _assign decision per space (dim-sequential float64 accumulation over
+    the window's columns, first-min argmin over cluster-id-sorted rows)
+    and emits exact-integer PARTIAL sums (int64 — the same values the old
+    posexplode/groupBy shuffled; integer addition is associative, so
+    partials-then-sum equals the single sum); the one IEEE division per
+    (cluster, dim) happens driver-side as before."""
+    kjobs = [
+        (
+            int(lo),
+            int(dim),
+            [c for c, _ in c0],
+            [ce for _, ce in c0],
+        )
+        for lo, dim, c0 in jobs
+    ]
+
+    def sums_kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        mats = [
+            (lo, dim, np.asarray(cids, dtype=np.int64), np.asarray(cmat, dtype=np.float64))
+            for lo, dim, cids, cmat in kjobs
+        ]
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            for blo in range(0, len(pdf), 4096):
+                chunk = pdf.iloc[blo : blo + 4096]
+                Qi = np.stack(chunk["qe"].to_numpy())  # (N, DIM) int64 — exact
+                Qf = Qi.astype(np.float64)
+                out_space, out_cluster, out_pos, out_s, out_c = [], [], [], [], []
+                for si, (lo, dim, cids, C) in enumerate(mats):
+                    Qs = Qf[:, lo : lo + dim]
+                    # dim-sequential (N, K) accumulation — the _assign fold
+                    dists = np.zeros((len(chunk), len(cids)), dtype=np.float64)
+                    for i in range(dim):
+                        diff = Qs[:, i : i + 1] - C[:, i][None, :]
+                        dists = dists + diff * diff
+                    best = np.argmin(dists, axis=1)  # first min = lowest cid
+                    Qw = Qi[:, lo : lo + dim]
+                    for bi in np.unique(best):
+                        rows = Qw[best == bi]
+                        out_space.append(np.full(dim, si, dtype=np.int32))
+                        out_cluster.append(np.full(dim, cids[bi], dtype=np.int64))
+                        out_pos.append(np.arange(dim, dtype=np.int32))
+                        out_s.append(rows.sum(axis=0, dtype=np.int64))
+                        out_c.append(np.full(dim, len(rows), dtype=np.int64))
+                yield pd.DataFrame(
+                    {
+                        "space": np.concatenate(out_space),
+                        "cluster_id": np.concatenate(out_cluster),
+                        "pos": np.concatenate(out_pos),
+                        "s": np.concatenate(out_s),
+                        "c": np.concatenate(out_c),
+                    }
+                )
+
+    sums = (
+        quant.mapInPandas(
+            sums_kernel, "space int, cluster_id long, pos int, s long, c long"
+        )
+        .groupBy("space", "cluster_id", "pos")
+        .agg(F.sum("s").alias("s"), F.sum("c").alias("c"))
+        .collect()
+    )
+    by_space: dict[int, dict[int, dict[int, float]]] = {}
+    for r in sums:
+        # exact-integer sum divided once in IEEE double — same bits as the
+        # oracle's CAST(s AS DOUBLE) / CAST(c AS DOUBLE)
+        by_space.setdefault(int(r["space"]), {}).setdefault(int(r["cluster_id"]), {})[
+            int(r["pos"])
+        ] = float(r["s"]) / float(r["c"])
+    out: list[list[tuple[int, list[float]]]] = []
+    for si in range(len(jobs)):
+        by_cluster = by_space.get(si, {})
+        out.append(
+            sorted(
+                (cid, [dims[p] for p in range(len(dims))])
+                for cid, dims in by_cluster.items()
+            )
+        )
+    return out
+
+
 def kmeans_centroids(
     embeddings: DataFrame, k: int | None = None
 ) -> list[tuple[int, list[float]]]:
@@ -166,28 +264,81 @@ def kmeans_centroids(
     quant = _quantized(embeddings)
     seeds = quant.filter(F.col("vec_id") < k).collect()
     c0 = sorted((int(r["vec_id"]), [float(v) for v in r["qe"]]) for r in seeds)
-    a0 = _assign(quant, c0)
-    sums = (
-        a0.select("cluster_id", F.posexplode("qe").alias("pos", "v"))
-        .groupBy("cluster_id", "pos")
-        .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("c"))
-        .collect()
-    )
-    by_cluster: dict[int, dict[int, float]] = {}
-    for r in sums:
-        # exact-integer sum divided once in IEEE double — same bits as the
-        # oracle's CAST(s AS DOUBLE) / CAST(c AS DOUBLE)
-        by_cluster.setdefault(int(r["cluster_id"]), {})[int(r["pos"])] = float(
-            r["s"]
-        ) / float(r["c"])
-    out = sorted(
-        (cid, [dims[p] for p in range(len(dims))]) for cid, dims in by_cluster.items()
-    )
+    dim = len(c0[0][1]) if c0 else 0
+    out = _train_spaces(quant, [(0, dim, c0)])[0]
     if ckey is not None:
         from .buildcache import memo_put
 
         memo_put(_CENTROID_CACHE, (ckey, k), out)
     return out
+
+
+def kmeans_centroids_spaces(
+    embeddings: DataFrame, spaces: list[tuple[int, int | None, int | None]]
+) -> list[list[tuple[int, list[float]]]]:
+    """kmeans_centroids for SEVERAL dimension windows of one corpus with
+    ONE shared seeds collect + ONE shared sums job (opt r14 — the IVF-PQ
+    build previously ran 2 jobs per subspace plus 3 for the coarse
+    quantizer, every one a full corpus scan).
+
+    spaces: [(lo, dim, k)] — dim None = full width (resolved from the
+    seed rows), k None = derive_k(count) (full-width spaces only; the
+    count memo/job is shared with kmeans_centroids). Each space's result
+    is bit-identical to kmeans_centroids on the corresponding slice, and
+    is memoized under the SAME key that slice would use — so this trainer
+    and the per-space one interoperate through one cache."""
+    from .buildcache import memo_put
+
+    ckey_full = _corpus_key(embeddings)
+    # resolve derived K once (full-width spaces only, by construction)
+    ks: list[int] = []
+    n: int | None = None
+    for lo, dim, k in spaces:
+        if k is None:
+            assert lo == 0 and dim is None, "derived K is full-width only"
+            if n is None:
+                if ckey_full is not None and (ckey_full, "n") in _CENTROID_CACHE:
+                    n = _CENTROID_CACHE[(ckey_full, "n")]
+                else:
+                    n = embeddings.count()
+                    if ckey_full is not None:
+                        memo_put(_CENTROID_CACHE, (ckey_full, "n"), n)
+            k = derive_k(n)
+        ks.append(int(k))
+    # memo lookup per space, under the exact key the sliced-df path uses
+    keys = []
+    for (lo, dim, _), k in zip(spaces, ks):
+        if dim is None:
+            keys.append((ckey_full, k) if ckey_full is not None else None)
+        else:
+            sub = embeddings.select(
+                "vec_id", F.slice(F.col("embedding"), lo + 1, dim).alias("embedding")
+            )
+            skey = _corpus_key(sub)
+            keys.append((skey, k) if skey is not None else None)
+    results: list = [
+        _CENTROID_CACHE[key] if key is not None and key in _CENTROID_CACHE else None
+        for key in keys
+    ]
+    missing = [i for i, r in enumerate(results) if r is None]
+    if missing:
+        quant = _quantized(embeddings)
+        maxk = max(ks[i] for i in missing)
+        seeds = quant.filter(F.col("vec_id") < maxk).collect()
+        rows = sorted((int(r["vec_id"]), [float(v) for v in r["qe"]]) for r in seeds)
+        full_dim = len(rows[0][1]) if rows else 0
+        jobs = []
+        for i in missing:
+            lo, dim, _ = spaces[i]
+            dim = full_dim if dim is None else dim
+            c0 = [(vid, qe[lo : lo + dim]) for vid, qe in rows if vid < ks[i]]
+            jobs.append((lo, dim, c0))
+        trained = _train_spaces(quant, jobs)
+        for i, out in zip(missing, trained):
+            results[i] = out
+            if keys[i] is not None:
+                memo_put(_CENTROID_CACHE, keys[i], out)
+    return results
 
 
 def kmeans_assignments(embeddings: DataFrame, k: int | None = None) -> DataFrame:

@@ -209,7 +209,14 @@ def _arrow_pair_cosine(pairs: DataFrame, keep: list[tuple[str, str]]) -> DataFra
     folds it replaces (and as DuckDB's list_reduce), then the shared
     floor(x*1e9 + 0.5)/1e9 rounding. `keep` lists (column, pandas dtype)
     pass-through columns. Replaces interpreted per-element folds on the
-    candidate-pair hot path (opt r13, guide §4.2)."""
+    candidate-pair hot path (opt r13, guide §4.2).
+
+    PRECONDITION (r13 ADVICE): finite, non-zero-norm embeddings. On a
+    zero-norm or NaN vector this kernel yields inf/NaN where the JVM plan
+    yields NULL (non-ANSI Divide) and the two engines order NaN
+    differently — the corpus contract excludes such vectors and
+    test_embeddings_fixed_dim_and_finite pins it (NaN/null AND zero-norm
+    canaries); a corpus that may contain them must mask before calling."""
     schema = ", ".join(
         [f"{c} {'int' if dt == 'int32' else 'long'}" for c, dt in keep]
         + ["cosine double"]
@@ -802,19 +809,23 @@ SQL_EMBEDDING_NEAR_DUPS_PLANTED = _neardup_sql(_PLANTED_SRC)
 # ---------------------------------------------------------------------------
 
 
+def _cents_df(spark: SparkSession, cents: list[tuple[int, list[float]]]) -> DataFrame:
+    """(c_id, c_emb, c_norm) K-row broadcastable DataFrame from a trained
+    centroid list."""
+    cdf = spark.createDataFrame(
+        [(int(cid), [float(v) for v in ce]) for cid, ce in cents],
+        "c_id long, c_emb array<double>",
+    )
+    return cdf.select("c_id", "c_emb", _norm(F.col("c_emb")).alias("c_norm"))
+
+
 def _learned_centroids(embeddings: DataFrame) -> DataFrame:
     """(c_id, c_emb, c_norm): k-means centroids (quantized-unit doubles —
     cosine is scale-invariant, and these exact values are what the oracle
     reconstructs) as a K-row DataFrame for broadcast."""
     from .kmeans_core import kmeans_centroids  # deferred: no import cycle
 
-    cents = kmeans_centroids(embeddings)
-    spark = embeddings.sparkSession
-    cdf = spark.createDataFrame(
-        [(int(cid), [float(v) for v in ce]) for cid, ce in cents],
-        "c_id long, c_emb array<double>",
-    )
-    return cdf.select("c_id", "c_emb", _norm(F.col("c_emb")).alias("c_norm"))
+    return _cents_df(embeddings.sparkSession, kmeans_centroids(embeddings))
 
 
 def _centroid_topn(cents: DataFrame, vecs: DataFrame, n: int) -> DataFrame:
@@ -1247,29 +1258,46 @@ PQ_K = 16       # codebook entries per subspace (4-bit codes)
 _PQ_OUT = "vec_id long, code0 int, code1 int, code2 int, code3 int, recon_err double"
 
 
-def _pq_codebooks(embeddings: DataFrame) -> list[tuple[list[int], list[list[float]]]]:
+def _pq_codebooks(
+    embeddings: DataFrame, with_coarse: bool = False
+) -> (
+    list[tuple[list[int], list[list[float]]]]
+    | tuple[list[tuple[list[int], list[list[float]]]], list[tuple[int, list[float]]]]
+):
     """Per-subspace (code ids, centroid matrix) in quantized units — shared
     by pq_codes (encoding) and ivf_pq_probe_topk (asymmetric-distance
-    lookup); kmeans_centroids memoizes per backing-file set, so the second
-    caller trains nothing."""
-    from .kmeans_core import kmeans_centroids
+    lookup). All PQ_M sub-trainings run in ONE seeds collect + ONE sums job
+    (opt r14, kmeans_centroids_spaces — was 2 jobs per subspace, each a
+    full corpus scan); with_coarse=True folds the coarse quantizer's
+    derived-K training into the SAME two jobs and returns (books, coarse).
+    Results memoize under the same per-slice keys the old per-space path
+    used, so either path serves the other's cache hits."""
+    from .kmeans_core import kmeans_centroids_spaces
 
+    spaces: list[tuple[int, int | None, int | None]] = [
+        (mi * PQ_SUBDIM, PQ_SUBDIM, PQ_K) for mi in range(PQ_M)
+    ]
+    if with_coarse:
+        spaces.append((0, None, None))
+    results = kmeans_centroids_spaces(embeddings, spaces)
     books = []
     for mi in range(PQ_M):
-        sub = embeddings.select(
-            "vec_id",
-            F.slice(F.col("embedding"), mi * PQ_SUBDIM + 1, PQ_SUBDIM).alias("embedding"),
-        )
-        cents = sorted(kmeans_centroids(sub, PQ_K))
+        cents = sorted(results[mi])
         books.append(([c for c, _ in cents], [ce for _, ce in cents]))
+    if with_coarse:
+        return books, results[PQ_M]
     return books
 
 
-def pq_codes(embeddings: DataFrame) -> DataFrame:
+def pq_codes(
+    embeddings: DataFrame,
+    books: list[tuple[list[int], list[list[float]]]] | None = None,
+) -> DataFrame:
     from .buildcache import corpus_key, memo_put
     from .kmeans_core import _QUANT2, _quantized
 
-    books = _pq_codebooks(embeddings)
+    if books is None:
+        books = _pq_codebooks(embeddings)
     # the code table is an index-build artifact (a deployment stores it
     # next to the inverted lists); memoize per (corpus, exact codebooks),
     # same discipline and kill switch as the assignment memo above
@@ -1399,13 +1427,20 @@ def ivf_pq_probe_topk(embeddings: DataFrame, n_queries: int = N_QUERIES,
         # the block comment above) — the SQL twin re-derives the same
         # IVFPQ_RERANK * IVF_NPROBE budget at the registered defaults
         rerank = IVFPQ_RERANK * nprobe
+    # opt r14: ONE batched training (seeds + sums jobs shared by the coarse
+    # quantizer and all PQ_M subspaces), and the codebooks are trained once
+    # and passed to pq_codes instead of re-derived there — the cold build
+    # previously trained the PQ codebooks twice (once inside pq_codes, once
+    # for the ADC lookup tables) across 11 scan jobs.
     if cents is None:
-        cents = _learned_centroids(embeddings)
+        books, coarse = _pq_codebooks(embeddings, with_coarse=True)
+        cents = _cents_df(embeddings.sparkSession, coarse)
+    else:
+        books = _pq_codebooks(embeddings)
     assign = ivf_assignments(embeddings, cents)
-    codes = pq_codes(embeddings).select(
+    codes = pq_codes(embeddings, books=books).select(
         "vec_id", *[f"code{mi}" for mi in range(PQ_M)]
     )
-    books = _pq_codebooks(embeddings)
     # code -> sub-centroid literal maps (the ADC lookup tables)
     luts = [
         F.create_map(

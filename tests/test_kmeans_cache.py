@@ -35,6 +35,29 @@ def test_projections_key_apart(spark, sf_dir):
     assert c_lo != c_hi
 
 
+def test_spaces_trainer_matches_per_space_training(spark, sf_dir):
+    """The r14 batched trainer (one seeds collect + one sums job for all
+    dimension windows) must return bit-identical centroids to the
+    per-space kmeans_centroids path AND memoize under the same keys, so
+    the two trainers interoperate through one cache."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    kmeans_core._CENTROID_CACHE.clear()
+    batched = kmeans_core.kmeans_centroids_spaces(
+        emb, [(0, 8, 4), (8, 8, 4), (0, None, None)]
+    )
+    lo = emb.select("vec_id", F.slice("embedding", 1, 8).alias("embedding"))
+    hi = emb.select("vec_id", F.slice("embedding", 9, 8).alias("embedding"))
+    # per-space calls must be pure cache hits on the batched results
+    assert kmeans_core.kmeans_centroids(lo, 4) is batched[0]
+    assert kmeans_core.kmeans_centroids(hi, 4) is batched[1]
+    assert kmeans_core.kmeans_centroids(emb) is batched[2]
+    # and freshly trained per-space values must be identical bit-for-bit
+    kmeans_core._CENTROID_CACHE.clear()
+    assert kmeans_core.kmeans_centroids(lo, 4) == batched[0]
+    assert kmeans_core.kmeans_centroids(hi, 4) == batched[1]
+    assert kmeans_core.kmeans_centroids(emb) == batched[2]
+
+
 def test_non_file_input_skips_cache(spark):
     rows = [(i, [float(i % 3), float(i % 5)]) for i in range(20)]
     df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
