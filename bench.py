@@ -211,6 +211,11 @@ def main() -> None:
         "buckets": detail["buckets"],
         "detail": detail_path,
     }
+    if headline is not HEADLINE:
+        # BENCH_ALL mode: `value` sums ALL timed queries while the line's
+        # `queries` map keeps only the HEADLINE subset (r13 ADVICE) —
+        # name the basis so a consumer cross-checking doesn't misread it
+        out["value_basis"] = "all_registered_queries"
     if spread is not None:
         out["repeats"] = repeats
         out["run_totals"] = detail["run_totals"]

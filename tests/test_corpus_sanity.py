@@ -45,6 +45,13 @@ def test_embeddings_fixed_dim_and_finite(spark, sf_dir):
         F.exists("embedding", lambda x: F.isnan(x) | x.isNull())
     ).count()
     assert n_nonfinite == 0
+    # zero-norm vectors would make cosine 0/0: Spark's non-ANSI Divide
+    # yields NULL there while the Arrow kernels yield NaN (r13 ADVICE) —
+    # the engine's cross-engine parity relies on the corpus excluding them
+    n_zero_norm = emb.filter(
+        ~F.exists("embedding", lambda x: x != F.lit(0.0))
+    ).count()
+    assert n_zero_norm == 0
 
 
 def test_star_keys_resolve(spark, sf_dir):

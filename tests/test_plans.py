@@ -326,6 +326,66 @@ def test_semdedup_pairs_join_is_within_cluster(spark, sf_dir):
     assert "SortMergeJoin" not in plan  # the old pair self-join is gone
 
 
+def test_semdedup_outlier_cluster_blocked_topk(spark):
+    """r14 (VERDICT r13 ask #2): cluster_topk keeps a RUNNING top-k across
+    its 1024-row blocks instead of buffering all O(m^2) pair arrays, so a
+    pathological giant cluster cannot OOM the Python worker. A forced
+    cluster spanning multiple blocks (m > 1024) must yield exactly the
+    pairs a full-materialization lexsort picks."""
+    import numpy as np
+
+    from pharmaceutical_sales_data_etl_analysis_pipeline_spark.operators.clustering import (
+        semdedup_candidates,
+    )
+    from pharmaceutical_sales_data_etl_analysis_pipeline_spark.operators.kmeans_core import (
+        kmeans_assignments,
+    )
+
+    n = 1300  # derive_k -> 10 seeds; vecs 10.. all huddle near seed 0
+    rows = []
+    for i in range(n):
+        if 1 <= i <= 9:
+            emb = [0.0, 10.0 + i, float(i), 1.0]  # far-away seed cluster
+        else:
+            emb = [10.0, (i % 7) * 1e-3, (i % 11) * 1e-3, (i % 13) * 1e-3]
+        rows.append((i, emb))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    asg = {
+        int(r["vec_id"]): int(r["cluster_id"])
+        for r in kmeans_assignments(df).collect()
+    }
+    members = sorted(v for v, c in asg.items() if c == asg[0])
+    assert len(members) > 1024  # must span multiple kernel blocks
+    got = sorted(
+        (int(r["vec_a"]), int(r["vec_b"]), float(r["cosine"]), int(r["rnk"]))
+        for r in semdedup_candidates(df).collect()
+        if int(r["cluster_id"]) == asg[0]
+    )
+    # reference: full pair materialization + one lexsort (the pre-r14
+    # algorithm), same dim-sequential fold and rounding grid
+    X = np.array([rows[v][1] for v in members], dtype=np.float64)
+    ids = np.array(members, dtype=np.int64)
+    m, dim = X.shape
+    n2 = np.zeros(m)
+    for d in range(dim):
+        n2 = n2 + X[:, d] * X[:, d]
+    nrm = np.sqrt(n2)
+    va, vb, cos = [], [], []
+    for i in range(m - 1):
+        dots = np.zeros(m - i - 1)
+        for d in range(dim):
+            dots = dots + X[i, d] * X[i + 1 :, d]
+        va.append(np.full(m - i - 1, ids[i]))
+        vb.append(ids[i + 1 :])
+        cos.append(np.floor(dots / (nrm[i] * nrm[i + 1 :]) * 1e9 + 0.5) / 1e9)
+    va, vb, cos = np.concatenate(va), np.concatenate(vb), np.concatenate(cos)
+    sel = np.lexsort((vb, va, -cos))[:3]
+    want = sorted(
+        (int(va[s]), int(vb[s]), float(cos[s]), r + 1) for r, s in enumerate(sel)
+    )
+    assert got == want
+
+
 def test_scan_floor_is_conditional_and_value_neutral(spark, sf_dir):
     """The r13 scan-parallelism floor (catalog.load_table spread=True)
     must (a) engage only when the input offers fewer row groups than
