@@ -202,7 +202,11 @@ def neardup_components(
     # (a) iteration-0's hook is FUSED into initialization — with identity
     #     labels, "min label over neighbors" is just min(dst) per src, one
     #     map-side-combined aggregate instead of a join over a labels
-    #     relation that is by construction the identity;
+    #     relation that is by construction the identity. NOTE: only the
+    #     hook is fused; the pointer-jump the old iteration 0 also ran is
+    #     dropped, so convergence may take ONE extra hook+jump round — the
+    #     fixpoint is unchanged and max_iters bounds it, but round counts
+    #     are not strictly round-for-round comparable with the old loop;
     # (b) the convergence check carries the previous label as a column
     #     through the round and counts label != prev on the freshly
     #     checkpointed result — a narrow scan, replacing the old
@@ -479,8 +483,24 @@ def training_corpus(documents: DataFrame) -> DataFrame:
         & (F.col("quality_score") >= CORPUS_MIN_QUALITY)
         & (F.col("ws_tokens") >= CORPUS_MIN_TOKENS)
     )
-    surv = dedup_survivors(documents).filter(F.col("keep")).select("doc_id")
-    return sig.join(surv, "doc_id").select("doc_id", "ws_tokens", "quality_score")
+    # opt r14 (guide §2.4): the survivor decision needs only the DROP set —
+    # component members that are not their component's representative.
+    # keep = (component IS NULL OR component = doc_id) over unique doc_ids
+    # is exactly "doc_id NOT IN {nodes with component != doc_id}", so an
+    # ANTI join against the (candidate-graph-sized) drop set replaces the
+    # old dedup_survivors LeftOuter join against a SECOND full documents
+    # scan — one scan of documents total and one less shuffled relation.
+    # No broadcast hint: at this sf AQE converts the anti join to broadcast
+    # at runtime; on a dup-heavy 100 TB corpus the drop set can be
+    # corpus-sized and the planner must stay free to shuffle it.
+    drops = (
+        neardup_components(documents)
+        .filter(F.col("component") != F.col("doc_id"))
+        .select("doc_id")
+    )
+    return sig.join(drops, "doc_id", "left_anti").select(
+        "doc_id", "ws_tokens", "quality_score"
+    )
 
 
 def q_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -849,14 +869,37 @@ ORACLES = {
 def oov_rate(documents: DataFrame) -> DataFrame:
     from ..functions.numeric import round_half_up
 
-    vocab = vocab_topk(documents).select(F.col("word").alias("vword"))
+    # opt r14 (guide §1.2/§2.4): the old form tokenized the corpus TWICE —
+    # once inside vocab_topk and once for the per-doc occurrence join.
+    # Both branches derive from the same (doc_id, word, tf) relation, so
+    # tokenize ONCE into a pinned tf (the tfidf_topk_terms discipline:
+    # without the pin Catalyst re-expands the second consumer into its own
+    # scan -> explode -> aggregate chain), then: vocab tf = sum(tf), vocab
+    # df = count(*) per word; per-doc n_tokens = sum(tf), n_oov = sum(tf)
+    # over words outside the vocab. Value-identical: doc-level token
+    # counts are sums of per-(doc,word) counts, and the OOV predicate is
+    # per WORD, constant across a (doc, word) group.
     words = _word_rows(documents)
-    joined = words.join(
-        F.broadcast(vocab), words.word == vocab.vword, "left"
+    tf = words.groupBy("doc_id", "word").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
     )
+    tf = pin(tf, "oov_tf")
+    vocab = (
+        tf.groupBy("word")
+        .agg(
+            F.sum("tf").cast("long").alias("tf"),
+            F.count(F.lit(1)).cast("long").alias("df"),
+        )
+        .orderBy(F.desc("df"), F.desc("tf"), F.asc("word"))
+        .limit(VOCAB_K)
+        .select(F.col("word").alias("vword"))
+    )
+    joined = tf.join(F.broadcast(vocab), tf.word == vocab.vword, "left")
     return joined.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("long").alias("n_tokens"),
-        F.count(F.when(F.col("vword").isNull(), F.lit(1))).cast("long").alias("n_oov"),
+        F.sum("tf").cast("long").alias("n_tokens"),
+        F.sum(F.when(F.col("vword").isNull(), F.col("tf")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("n_oov"),
     ).select(
         "doc_id",
         "n_tokens",
