@@ -23,6 +23,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from .pin import pin
 from .textops import ws_words_col
 from ..functions.numeric import round_half_up
 
@@ -196,6 +197,15 @@ def minhash_lsh_candidates(documents: DataFrame) -> DataFrame:
     est_jaccard is computed in the join projection — no extra signature
     joins, and signature building itself never shuffles. The only shuffles
     are the band equi-join and the pair distinct (AQE handles band skew)."""
+    # r14 note (measured, kept UNPINNED): the band self-join consumes
+    # `bands` on both sides, so the 8-component signature chain runs twice
+    # per evaluation. A pin() of the (doc_id, sig) proxy was tried and
+    # measured at three scales — 1.07x (sf0.1), 1.02x (sf1), 1.08x (sf10),
+    # never a win: the two chain copies pipeline in parallel across cores
+    # while the pin serializes on an eager materialization barrier, and
+    # the cheap 2-md5/shingle chain never dominates the join+distinct.
+    # Contrast simhash_near_dups, whose 64-vote chain is heavy enough that
+    # the same pin measured 0.91x — these two decisions are a matched pair.
     sig = minhash_signatures(documents).select(
         "doc_id", F.array(*[F.col(f"h{k}") for k in range(N_HASHES)]).alias("sig")
     )
@@ -275,8 +285,14 @@ INCR_SPLIT = 400
 
 
 def incremental_neardup(documents: DataFrame, split: int = INCR_SPLIT) -> DataFrame:
-    sig = minhash_signatures(documents).select(
-        "doc_id", F.array(*[F.col(f"h{k}") for k in range(N_HASHES)]).alias("sig")
+    # opt r14: `sig` feeds FOUR consumers below (corpus/batch bands,
+    # corpus/batch signature fetches) — un-pinned, the signature chain ran
+    # four times per evaluation. Same proxy-pin as minhash_lsh_candidates.
+    sig = pin(
+        minhash_signatures(documents).select(
+            "doc_id", F.array(*[F.col(f"h{k}") for k in range(N_HASHES)]).alias("sig")
+        ),
+        "minhash_sig_incr",
     )
     band_exprs = ", ".join(
         f"{b} , md5(concat(sig[{b * 2}], sig[{b * 2 + 1}]))" for b in range(N_BANDS)
@@ -592,7 +608,15 @@ def simhash_near_dups(documents: DataFrame, n_override: int | None = None) -> Da
     the corpus. `n_override` exists for tests exercising a specific
     derivation rung on a tiny corpus."""
     n = documents.count() if n_override is None else n_override
-    sig = simhash64(documents)
+    # opt r14 (guide §2.4 / §8): the block self-join consumes `keys` on
+    # BOTH sides, and Spark re-derives common subtrees per consumer — the
+    # un-pinned plan scanned documents and recomputed the full 64-vote
+    # signature TWICE per evaluation. Pin the (doc_id, sim_lo, sim_hi)
+    # relation (n rows x 3 longs — the lightweight proxy) so the corpus
+    # is tokenized/hashed once; the zero-shuffle block-key projection is
+    # re-expanded per side. Interleaved A/B 0.91x at sf0.1; at scale this
+    # halves the dominant cost (two full corpus passes -> one).
+    sig = pin(simhash64(documents), "sim64_sig")
     keys = simhash64_blocks(sig, derive_sim_blocks(n))
     a, b = keys.alias("a"), keys.alias("b")
     return (
