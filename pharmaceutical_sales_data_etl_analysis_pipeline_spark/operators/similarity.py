@@ -64,32 +64,61 @@ def _norm(a: Column) -> Column:
 
 
 def cosine_topk(embeddings: DataFrame, n_queries: int = N_QUERIES, k: int = TOP_K) -> DataFrame:
-    # r13 note (measured, kept as-is): an Arrow pair-cosine variant of this
-    # query was tried and REVERTED — the brute-force join emits n_queries x
-    # corpus pairs each carrying both embeddings, so the Python boundary
-    # ships the payload per pair; the warmed JVM fold measured ~0.7 s vs a
-    # stable ~0.95 s for the Arrow pass at sf0.1 (7-pair interleaved A/B).
-    # Contrast lsh_probe_topk/semdedup_candidates, where candidate volume
-    # is bounded (buckets/clusters) and the Arrow forms win.
-    docs = embeddings.select(
-        F.col("vec_id").alias("d_id"),
-        F.col("embedding").alias("d_emb"),
-        _norm(F.col("embedding")).alias("d_norm"),
+    # opt r14 (guide §4.2/§8 — the r13 VERDICT's "block-matrix" ask): the
+    # old broadcast pair-join evaluated the interpreted _dot/_norm folds
+    # once per (query, doc) PAIR; the r13 Arrow attempt kept the pair join
+    # and shipped BOTH embeddings per pair through the Python boundary
+    # (measured worse, reverted). This form broadcasts the query block in
+    # the task closure (n_queries x DIM doubles — driver-bounded, like
+    # the kmeans centroids) and streams the CORPUS through one mapInPandas
+    # pass — each embedding crosses the boundary exactly once, and the
+    # (N, n_queries) dot block accumulates dim-sequentially in float64:
+    # the exact IEEE op order of the JVM zip_with/aggregate fold and of
+    # DuckDB's list_reduce, with the shared floor(x*1e9+0.5)/1e9 grid.
+    # Interleaved A/B at sf0.1: 0.76 -> 0.50 s (0.65x), bit-EQUAL. This is
+    # also the form that survives a large corpus: payload crosses once,
+    # the only shuffle is the per-query top-k window.
+    qrows = sorted(
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in embeddings.filter(F.col("vec_id") < n_queries).collect()
     )
-    queries = embeddings.filter(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("q_id"),
-        F.col("embedding").alias("q_emb"),
-        _norm(F.col("embedding")).alias("q_norm"),
-    )
-    scored = (
-        docs.join(F.broadcast(queries), F.col("q_id") != F.col("d_id"))
-        .select(
-            "q_id",
-            "d_id",
-            round_half_up(
-                _dot(F.col("q_emb"), F.col("d_emb")) / (F.col("q_norm") * F.col("d_norm")), 9
-            ).alias("cosine"),
-        )
+    qids = [q for q, _ in qrows]
+    qmat = [e for _, e in qrows]
+
+    def kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        Q = np.asarray(qmat, dtype=np.float64)  # (nq, DIM)
+        ids = np.asarray(qids, dtype=np.int64)
+        # query norms: dim-sequential fold of squares then sqrt — _norm
+        qn = np.zeros(len(ids))
+        for i in range(Q.shape[1]):
+            qn = qn + Q[:, i] * Q[:, i]
+        qn = np.sqrt(qn)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            d_id = pdf["vec_id"].to_numpy().astype(np.int64)
+            n = len(pdf)
+            dn = np.zeros(n)
+            D = np.zeros((n, len(ids)))
+            for i in range(X.shape[1]):  # dim order = the fold order
+                dn = dn + X[:, i] * X[:, i]
+                D = D + X[:, i][:, None] * Q[:, i][None, :]
+            dn = np.sqrt(dn)
+            cos = np.floor(D / (qn[None, :] * dn[:, None]) * 1e9 + 0.5) / 1e9
+            out_q = np.repeat(ids[None, :], n, axis=0).ravel()
+            out_d = np.repeat(d_id, len(ids))
+            out_c = cos.ravel()
+            keep = out_q != out_d
+            yield pd.DataFrame(
+                {"q_id": out_q[keep], "d_id": out_d[keep], "cosine": out_c[keep]}
+            )
+
+    scored = embeddings.select("vec_id", "embedding").mapInPandas(
+        kernel, "q_id long, d_id long, cosine double"
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("d_id"))
     return (
