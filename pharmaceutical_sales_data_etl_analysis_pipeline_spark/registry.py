@@ -86,93 +86,84 @@ MODULE_ORDER = [
     "graphops",
 ]
 
-# Round-13 sweep priority. r13 became the first OPTIMIZATION round, so
-# the window composition changed late in the round: the optimization
-# pass (OPTIMIZATION_r13.md) touched the physical plans of 39 registered
-# queries — scan-parallelism floor opt-ins (catalog.load_table
-# spread=True sites), Arrow sign-code/pair-cosine rewrites in the
-# similarity family, the per-cluster applyInPandas semdedup shape, and
-# the leaner connected-components loop. Every result was proven
+# Round-14 sweep priority (optimization round 2). The r14 pass touched
+# the plans/kernels of 17 registered queries: the batched multi-space
+# kmeans trainer (kmeans_core._train_spaces — every kmeans/IVF/PQ
+# consumer's training path), the IVF-PQ build restructure (one training,
+# books passed into pq_codes), the blocked running-top-k semdedup
+# kernel, the block-matrix Arrow cosine_topk, the signature-proxy pins
+# in simhash_near_dups/incremental_neardup, the training_corpus
+# anti-join, and the single-tokenize oov_rate. Every result was proven
 # bit-identical (old-vs-new compares + oracle parity at sf0.01/sf0.1,
-# pin modes where applicable), but plan-changed queries need FRESH
-# driver rows per the rotation invariant, and they outrank staleness.
-# Window: 2 r13-new queries (mor_time_travel, dq_constraint_report —
-# still without any driver row), then the 39 plan-changed names, then 9
-# r8-staleness fills (bigram_logprob heads them per BENCH_NOTES). The
-# rest of the r8 cohort returns to the r14 candidates head below.
+# pin modes where applicable — OPTIMIZATION_r14.md), but plan/kernel-
+# changed queries need FRESH driver rows per the rotation invariant,
+# and they outrank staleness. Window: the 17 changed names, then 33
+# staleness fills (the remaining r8-cohort rows, then the r9 cohort in
+# name order — ranking recomputed from CORRECTNESS_r01..r13).
 PRIORITY = [
-    # (a) r13-new queries (no driver row yet)
-    "mor_time_travel",
-    "dq_constraint_report",
-    # (b) every query whose PHYSICAL PLAN changed in the r13
-    # optimization pass (scan-parallelism floor opt-ins, Arrow
-    # sign-code/pair-cosine rewrites, per-cluster semdedup shape,
-    # leaner CC loop) — plan-changed outranks staleness per the
-    # rotation invariant; name order (39 rows)
-    "bloom_prefilter_stats",
-    "cms_heavy_hitters",
-    "dataset_cards",
-    "dedup_rate_by_source",
-    "dedup_survivors",
-    "embedding_center",
-    "embedding_near_dups",
-    "embedding_near_dups_planted",
-    "events_within_5min",
+    # (a) every query whose PHYSICAL PLAN or kernel changed in the r14
+    # optimization pass — plan-changed outranks staleness per the
+    # rotation invariant; name order (17 rows)
+    "ann_recall_eval",
+    "cluster_label_purity",
+    "cosine_topk",
+    "hybrid_retrieval_rrf",
+    "hybrid_retrieval_rrf_ann",
     "incremental_neardup",
+    "ivf_list_sizes",
     "ivf_pq_probe_topk",
-    "lang_id",
-    "lsh_bucket_sizes",
-    "lsh_probe_topk",
-    "minhash_calibration",
-    "minhash_lsh_candidates",
-    "minhash_signatures",
-    "neardup_components",
-    "ngram_jaccard",
-    "product_facts",
-    "profile_orders",
-    "quality_deciles",
-    "quality_filter_funnel",
-    "quarterly_totals",
-    "rep_facts",
-    "repetition_ratio",
+    "ivf_probe2_topk",
+    "ivf_probe_topk",
+    "kmeans_clusters",
+    "oov_rate",
+    "pq_codes",
     "semdedup_candidates",
-    "simhash",
     "simhash_near_dups",
     "simhash_near_dups_planted",
-    "substring_dedup_spans",
-    "table_content_hash",
-    "text_quality",
-    "top5_rep_years",
-    "tpch_q1",
     "training_corpus",
-    "variant_props",
-    "xml_scan_roundtrip",
-    "xml_xpath_roundtrip",
-    # (c) staleness fill to 50: oldest r8-cohort rows, name order
-    "bigram_logprob",
-    "bpe_pair_stats",
-    "calendar_dim",
-    "chunk_dedup",
-    "cluster_label_purity",
-    "conversation_assembly",
-    "dsir_weights",
-    "event_dedup_tolerance",
-    "fd_discovery",
+    # (b) staleness fill to 50: the r8-cohort remainder (last driver
+    # row r8), name order (17 rows)
+    "hourly_anomalies",
+    "interpolate_hourly",
+    "inverted_index",
+    "multimodal_resize",
+    "ntile_quartiles",
+    "price_quantity_corr",
+    "rolling_7d_actives",
+    "scd2_intervals",
+    "sequence_packing",
+    "session_conversion",
+    "stratified_sample",
+    "table_diff",
+    "term_lift_pairs",
+    "twap_per_user",
+    "udtf_sentences",
+    "weighted_sample",
+    "xml_stream_ingest",
+    # (c) r9-cohort head (last driver row r9), name order (16 rows)
+    "array_agg_per_brand",
+    "array_functions",
+    "cheapest_supplier_per_part",
+    "date_arithmetic",
+    "deterministic_sample",
+    "distribution_drift",
+    "explode_roundtrip",
+    "fk_integrity_audit",
+    "gopher_quality_flags",
+    "grouped_agg_pandas",
+    "histogram_quantile_calibration",
+    "hll_users_per_event_type",
+    "holt_linear_forecast",
+    "id_gap_analysis",
+    "json_extract_props",
+    "k_anonymity_audit",
 ]
-# r14 PRIORITY candidates (staleness head after the r13 sweep): the
-# r8-cohort remainder displaced by the 39 plan-changed prepends, name
-# order (chunk-by: conversation_assembly was taken as a fill; next are
-# dsir_weights.. but see the fill list above — the UNTAKEN r8 rows are
-# hourly_anomalies, interpolate_hourly, inverted_index, ivf_list_sizes,
-# ivf_probe2_topk, ivf_probe_topk, kmeans_clusters, multimodal_resize,
-# ntile_quartiles, oov_rate, pq_codes, price_quantity_corr,
-# rolling_7d_actives, scd2_intervals, sequence_packing,
-# session_conversion, stratified_sample, table_diff, term_lift_pairs,
-# twap_per_user, udtf_sentences, weighted_sample, xml_stream_ingest),
-# then the full r9 cohort in name order. Queries ADDED or PLAN-CHANGED
-# during r14 must be PREPENDED per the rotation invariant. If r14 is the
-# second optimization round, any further plan changes there outrank all
-# of this staleness debt, as they did in r13.
+# r15 PRIORITY candidates (staleness head after the r14 sweep): the
+# r9-cohort remainder in name order (key_skew_report, lang_id_confusion,
+# leakage_safe_split, map_functions, math_functions,
+# multi_touch_attribution, pagerank_fixedpoint, ...), then the r10
+# cohort. Queries ADDED or PLAN-CHANGED during r15 must be PREPENDED
+# per the rotation invariant, as in r13/r14.
 
 
 def _collect() -> tuple[dict[str, QueryFn], dict[str, str]]:
