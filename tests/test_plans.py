@@ -326,6 +326,27 @@ def test_semdedup_pairs_join_is_within_cluster(spark, sf_dir):
     assert "SortMergeJoin" not in plan  # the old pair self-join is gone
 
 
+def test_r14_optimization_plan_shapes(spark, sf_dir):
+    """Pin the r14 plan shapes (OPTIMIZATION_r14.md) so a future round
+    cannot silently regress them:
+    - cosine_topk streams the corpus through ONE Arrow pass (queries ride
+      the closure) — no pair join, no interpreted fold plan;
+    - simhash_near_dups reads its PINNED signature proxy, never re-deriving
+      the tokenize/signature chain per self-join side (was 4 parquet scans);
+    - training_corpus attaches survivors via an ANTI join against the drop
+      set instead of a second full documents scan (4 scans -> 2)."""
+    qs = all_queries()
+    plan = _plan(qs["cosine_topk"](spark, sf_dir))
+    assert "MapInPandas" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    plan = _plan(qs["simhash_near_dups"](spark, sf_dir))
+    assert "Scan parquet" not in plan  # the signature chain ran once, pinned
+    plan = _plan(qs["training_corpus"](spark, sf_dir))
+    assert "LeftAnti" in plan
+    assert plan.count("Scan parquet ") <= 2
+
+
 def test_semdedup_outlier_cluster_blocked_topk(spark):
     """r14 (VERDICT r13 ask #2): cluster_topk keeps a RUNNING top-k across
     its 1024-row blocks instead of buffering all O(m^2) pair arrays, so a
